@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T}
+
+/** [EXT] query inventory: dedup, similarity search, text analysis,
+  * multimodal — the training-data-pipeline operators (SURVEY.md §2.9).
+  *
+  * Queries with a clean ANSI-SQL formulation carry a DuckDB oracle; the
+  * sketch/LSH/vector ones are deterministic but not SQL-expressible, so
+  * the driver records rows-only checks for them.
+  */
+object ExtQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def x1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+
+  private def x2(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def x3(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def x4(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      bucketCol = "source", n = 3, threshold = 0.1)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def x5(s: SparkSession, dir: String): DataFrame =
+    // threshold tuned to the synthetic embeddings (near-random vectors,
+    // max same-label cosine ≈ 0.47) so the operator has visible output
+    Dedup.embeddingCosine(t(s, dir, "embeddings"), "vec_id", "embedding",
+      bucketCol = "label", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def x6(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def x7(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def x8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  private def x9(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", T.wsTokenCount(col("text")))
+      .withColumn("stop_hits",
+        T.stopwordHits(col("text"), T.StopwordLists.head._2))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+    d.select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+      col("len_chars"),
+      (col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+        .as("stop_ratio"),
+      T.qualityScore(col("n_tokens"), col("stop_hits"), col("len_chars"))
+        .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def x10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.wsTokenCount(col("text")).as("ws_tokens"),
+      T.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+      size(T.tokenSet(col("text"))).cast("long").as("vocab"))
+      .orderBy(col("doc_id"))
+
+  private def x11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.normFingerprint(col("text")).as("norm_fp"),
+      T.bagFingerprint(col("text")).as("bag_fp"))
+      .orderBy(col("doc_id"))
+
+  private def x12(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/fake")
+    media.select(col("doc_id"),
+      Multimodal.decodeMetaStub(col("media_bytes"), col("media_type"))
+        .as("meta"))
+      .select(col("doc_id"),
+        col("meta").getField("width").as("width"),
+        col("meta").getField("height").as("height"),
+        col("meta").getField("n_frames").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> (x1 _),
+    "x2_dedup_minhash" -> (x2 _),
+    "x3_dedup_simhash" -> (x3 _),
+    "x4_dedup_ngram" -> (x4 _),
+    "x5_dedup_embed" -> (x5 _),
+    "x6_ann_brute" -> (x6 _),
+    "x7_ann_lsh" -> (x7 _),
+    "x8_text_langid" -> (x8 _),
+    "x9_text_quality" -> (x9 _),
+    "x10_text_tokens" -> (x10 _),
+    "x11_text_fingerprint" -> (x11 _),
+    "x12_multimodal_meta" -> (x12 _),
+  )
+
+  // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7)
+  // are deliberately omitted → rows-only check.
+  def oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+        |    AS fingerprint,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "x4_dedup_ngram" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1) AS ord0
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS ord
+        |  FROM tok0 WHERE tok <> ''),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.source,
+        |    a.tok || ' ' || b.tok || ' ' || c.tok AS g
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM grams x JOIN grams y
+        |    ON x.g = y.g AND x.source = y.source AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x8_text_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es
+        |    AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+        |  WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_de
+        |    AND hits_fr >= hits_zh THEN 'fr'
+        |  WHEN hits_es > 0 AND hits_es >= hits_de AND hits_es >= hits_zh
+        |    THEN 'es'
+        |  WHEN hits_de > 0 AND hits_de >= hits_zh THEN 'de'
+        |  WHEN hits_zh > 0 THEN 'zh'
+        |  ELSE 'und' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS hits_en,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|est)\b')) AS hits_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|y|que|un|es)\b')) AS hits_es,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
+        |  len(regexp_extract_all(lower(text), '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x9_text_quality" ->
+      """SELECT doc_id, n_tokens, stop_hits, len_chars,
+        |  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+        |   + CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.0
+        |       THEN 1 ELSE 0 END
+        |   + CASE WHEN CAST(len_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |       BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
+        |    AS BIGINT) AS stop_hits,
+        |  CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x10_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS bpeish_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\W+'),
+        |    x -> x <> ''))) AS BIGINT) AS vocab
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS norm_fp,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))),
+        |    ' ')) AS bag_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x12_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+        |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) // 50 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,13 +1,289 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries q1–q12 are SURVEY.md §2.8's operator-coverage inventory, each
+  * expressed through the engine's operator library and hash-matched
+  * against the DuckDB oracle SQL below. b* are headline analytic queries
+  * (Catalyst-supplied per §2.9); x* are the [EXT] training-data-pipeline
+  * operators (dedup / similarity / text / multimodal).
+  *
+  * Conventions shared with the oracle:
+  *  - timestamps are emitted as epoch milliseconds (BIGINT) — avoids
+  *    ns-vs-µs parquet timestamp unit skew between engines;
+  *  - computed doubles are either exact (integer-valued sums, single
+  *    int/int divisions) or money sums done in exact cents (BIGINT);
+  *  - every query has a total deterministic ORDER BY;
+  *  - `events` is the keyed stream stand-in: key=user_id, offset=event_id,
+  *    tombstone ⇔ event_type='error' (deterministic convention).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is TIMESTAMP(NANOS) parquet, unreadable by Spark's
+      // vectorized reader as a timestamp; read it as nanos-since-epoch
+      // BIGINT (queries emit epoch millis, so the oracle sees identical
+      // values either way). Set here so it also holds on the driver's
+      // own smoke-check session.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Tombstone convention for the events stream. */
+  private val tomb: Column = col("event_type") === "error"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_materialize")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- q1-q12
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Pipeline.schemaProject(t(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "not_a_column"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      Pipeline.coerceIntString(col("props")).as("k_int"),
+      Pipeline.coerceDoubleString(col("props")).as("k_dbl"),
+      floor(col("value")).cast("long").as("value_floor"),
+      (col("value").isNotNull && col("value") =!= 0.0).as("flag"))
+      .orderBy(col("event_id"))
+
+  private def q3(s: SparkSession, dir: String): DataFrame =
+    Compaction.lastWins(t(s, dir, "events"), Seq("user_id"), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  private def q4(s: SparkSession, dir: String): DataFrame =
+    Compaction.withWave(t(s, dir, "events"), Seq("user_id"), col("event_id"))
+      .select(col("event_id"), col("wave"))
+      .orderBy(col("event_id"))
+
+  private def q5(s: SparkSession, dir: String): DataFrame =
+    Materialize.applyEvents(t(s, dir, "events"), Seq("user_id"),
+      col("event_id"), tomb)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  private val q6From = "1995-06-01 00:00:00"
+  private val q6To = "1996-06-01 00:00:00"
+
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Poller.timeBasedScan(t(s, dir, "orders"),
+      col("o_orderdate"), col("o_orderkey"),
+      to_timestamp(lit(q6From)), lit(1000L), to_timestamp(lit(q6To)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(wAsc))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wAsc))
+      .withColumn("prev_value", lag(col("value"), 1).over(wAsc))
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") === 1 && (col("prev_event_id").isNull ||
+        col("event_type") =!= col("prev_type") ||
+        col("value") =!= col("prev_value")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("prev_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  private def q8(s: SparkSession, dir: String): DataFrame =
+    Outbox.pendingMetrics(
+      t(s, dir, "events").withColumnRenamed("event_type", "topic")
+        .withColumnRenamed("ts", "created_at"))
+      .select(col("topic"), col("pending_count"),
+        expr("min_created_at div 1000000").as("min_ts_ms"))
+      .orderBy(col("topic"))
+
+  private def q9(s: SparkSession, dir: String): DataFrame =
+    Outbox.drainBatch(
+      t(s, dir, "events").withColumnRenamed("event_type", "topic"),
+      topicCol = "topic", idCol = "event_id", keyCol = "user_id",
+      compactAll = true, batchSize = 1000)
+      .select(col("event_id"), col("topic"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+    val (_, exploded) = Materialize.fanOut(orders, li, "o_orderkey",
+      "l_orderkey", Seq("l_linenumber", "l_quantity"))
+    exploded.orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Pipeline.autoFields(
+      t(s, dir, "events").select(col("event_id"), col("ts")),
+      idCol = "message_id", tsCol = "ts",
+      surrogate = _ => Pipeline.deterministicSurrogate("evt",
+        Seq(col("event_id"))),
+      now = col("ts"))
+      .select(col("event_id"), col("message_id"),
+        expr("ts div 1000000").as("ts_ms"))
+      .orderBy(col("event_id"))
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Compaction.lastWins(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"),
+      struct(col("l_suppkey"), col("l_partkey")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ------------------------------------------------------------- headline
+
+  /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
+    * aggregate is order-independent and engine-exact. */
+  private def b1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("disc_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star join: broadcast the small dimension, shuffle the fact once. */
+  private def b2(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ------------------------------------------------------------------ API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_project" -> (q1 _),
+    "q2_coerce" -> (q2 _),
+    "q3_compact" -> (q3 _),
+    "q4_slice" -> (q4 _),
+    "q5_materialize" -> (q5 _),
+    "q6_poll_scan" -> (q6 _),
+    "q7_watched" -> (q7 _),
+    "q8_pending" -> (q8 _),
+    "q9_drain" -> (q9 _),
+    "q10_fanout" -> (q10 _),
+    "q11_autofields" -> (q11 _),
+    "q12_compound_key" -> (q12 _),
+    "b1_pricing" -> (b1 _),
+    "b2_star_join" -> (b2 _),
+  ) ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_project" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q2_coerce" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '-?\d+', 0) AS BIGINT) AS k_int,
+        |  CAST(regexp_extract(props, '-?\d+(\.\d+)?', 0) AS DOUBLE) AS k_dbl,
+        |  CAST(FLOOR(value) AS BIGINT) AS value_floor,
+        |  (value IS NOT NULL AND value <> 0) AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q3_compact" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q4_slice" ->
+      """SELECT event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS wave
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q5_materialize" ->
+      """SELECT user_id, last_event_id, event_type, value FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |) WHERE event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "q6_poll_scan" ->
+      s"""SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_date_ms
+         |FROM orders
+         |WHERE ((o_orderdate = TIMESTAMP '$q6From' AND o_orderkey > 1000)
+         |       OR o_orderdate > TIMESTAMP '$q6From')
+         |  AND o_orderdate <= TIMESTAMP '$q6To'
+         |ORDER BY o_orderdate, o_orderkey LIMIT 1000""".stripMargin,
+    "q7_watched" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS last_event_id, b.event_id AS prev_event_id
+        |FROM r a LEFT JOIN r b ON a.user_id = b.user_id AND b.rn = 2
+        |WHERE a.rn = 1 AND (b.event_id IS NULL OR a.event_type <> b.event_type
+        |  OR a.value <> b.value)
+        |ORDER BY a.user_id""".stripMargin,
+    "q8_pending" ->
+      """SELECT event_type AS topic, COUNT(*) AS pending_count,
+        |  epoch_ms(MIN(ts)) AS min_ts_ms
+        |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
+    "q9_drain" ->
+      """WITH lim AS (
+        |  SELECT event_id, event_type AS topic, user_id, value FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY event_id) <= 1000)
+        |SELECT event_id, topic, user_id, value FROM lim
+        |QUALIFY row_number() OVER (PARTITION BY topic, user_id
+        |  ORDER BY event_id DESC) = 1
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q10_fanout" ->
+      """SELECT o_orderkey, o_custkey, l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "q11_autofields" ->
+      """SELECT event_id,
+        |  md5('evt|' || CAST(event_id AS VARCHAR)) AS message_id,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q12_compound_key" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |  ORDER BY l_suppkey DESC, l_partkey DESC) = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "b1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+        |  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS disc_cents,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b2_star_join" ->
+      """SELECT c_mktsegment,
+        |  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS revenue_cents,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  ) ++ ExtQueries.oracleSql
 }

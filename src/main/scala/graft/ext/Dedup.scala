@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** [EXT] Deduplication operators over a document corpus.
+  *
+  * Scale design (100 TB): every variant is
+  * signature-computation scan-side (codegen, no shuffle) → one exchange
+  * on a bucket key → pair verification within buckets. No pairwise
+  * all-to-all anywhere; bucket keys are chosen so the exchange is the
+  * only shuffle and skewed buckets can be handled by AQE skew splitting.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content fingerprint. One shuffle
+    * on the 128-bit digest; at scale this is the cheapest possible key
+    * (16 bytes, uniformly distributed, no skew). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), T.normFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_doc_id"))
+
+  /** MinHash + LSH near-dedup: shingle → k-perm signature → banded
+    * bucket join → exact-Jaccard verification of candidates.
+    *
+    * @param shingleN word-shingle width
+    * @param k        signature width
+    * @param bands    LSH bands (rows per band = k/bands)
+    * @param threshold verified-Jaccard cutoff
+    * @return (doc_a, doc_b, jaccard) candidate pairs passing threshold
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    val shingled = docs.select(col(idCol).as("doc"),
+      T.wordNGrams(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = shingled.withColumn("sig",
+      H.minhashSignature(col("shingles"), k))
+    val banded = sig.select(col("doc"), col("shingles"),
+      posexplode(H.bandKeys(col("sig"), k, bands)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"),
+      col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dedup: 64-bit fingerprints, candidates via 16-bit
+    * chunk pigeonholing (dist ≤ 3 ⇒ some chunk equal), verified by
+    * hamming distance. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sim = docs.select(col(idCol).as("doc"),
+      H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
+    val chunked = sim.select(col("doc"), col("sim"),
+      posexplode(H.simhashChunks(col("sim"))).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_a"),
+      col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_b"),
+      col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        H.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard dedup with an equi-bucket (e.g. language) to bound
+    * the candidate space, exact set arithmetic via an exploded
+    * gram-level join — fully SQL-expressible, used as the DuckDB-checked
+    * reference point for the sketch variants. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      bucketCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc"), col(bucketCol).as("bkt"),
+      explode(T.wordNGrams(col(textCol), n)).as("g"))
+    val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = grams.alias("x")
+      .join(grams.alias("y"),
+        col("x.g") === col("y.g") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dedup: cosine ≥ threshold pairs, bucketed by a
+    * coarse key (label / LSH bucket) to avoid all-pairs. */
+  def embeddingCosine(embeddings: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double = 0.95): DataFrame = {
+    val v = embeddings.select(col(idCol).as("vid"), col(bucketCol).as("bkt"),
+      col(vecCol).as("vec"))
+    val a = v.select(col("bkt"), col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("bkt"), col("vid").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Hash-sketch primitives: MinHash signatures and SimHash, built
+  * on Spark's codegen'd `xxhash64` and higher-order array functions.
+  * No UDFs: signatures are computed scan-side, so the only shuffle in an
+  * LSH dedup is the band-bucket exchange.
+  */
+object HashFunctions {
+
+  // functions.shiftleft/shiftright only take Int bit counts; the SQL
+  // builtins accept expressions, so bind them via call_function.
+  private def shl(e: Column, bits: Column): Column =
+    call_function("shiftleft", e, bits)
+  private def shr(e: Column, bits: Column): Column =
+    call_function("shiftright", e, bits)
+
+  /** One MinHash permutation: min over the token array of
+    * xxhash64(seed, token). */
+  def minhashPerm(tokens: Column, seed: Int): Column =
+    array_min(transform(tokens, t => xxhash64(lit(seed), t)))
+
+  /** k-permutation MinHash signature as array<bigint>. */
+  def minhashSignature(tokens: Column, k: Int): Column =
+    array((0 until k).map(minhashPerm(tokens, _)): _*)
+
+  /** LSH band keys: split a k-wide signature into `bands` bands of
+    * k/bands rows each, hash each band to one bigint. Two documents with
+    * Jaccard ≥ t collide in ≥1 band w.h.p. (standard banding bound). */
+  def bandKeys(signature: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(i =>
+        signature.getItem(b * r + i))): _*)
+    }: _*)
+  }
+
+  /** Per-token 64-bit hashes — materialize this as its own column before
+    * calling [[simhash64]] so the 64 bit-counts share one hash pass. */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => xxhash64(t))
+
+  /** 64-bit SimHash over pre-hashed tokens: bit i is set when the
+    * majority of token-hash bits i are set. */
+  def simhash64(tokenHashes: Column): Column = {
+    val n = size(tokenHashes)
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+      val ones = size(filter(tokenHashes,
+        h => shr(h, i).bitwiseAND(lit(1L)) === 1L))
+      acc.bitwiseOR(when(ones * 2 > n, shl(lit(1L), i)).otherwise(lit(0L)))
+    })
+  }
+
+  /** 16-bit chunks of a 64-bit simhash — pigeonhole banding: hamming
+    * distance ≤ 3 ⇒ at least one of the 4 chunks is equal. */
+  def simhashChunks(sim: Column): Column =
+    array((0 until 4).map(c =>
+      shiftright(sim, c * 16).bitwiseAND(0xFFFFL)): _*)
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Exact Jaccard over two distinct-element arrays (used to verify LSH
+    * candidates). Integer-ratio division — deterministic. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+}

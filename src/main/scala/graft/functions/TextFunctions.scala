@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis primitives for large-scale training-data
+  * pipelines: tokenization, language-ID heuristic, quality scoring,
+  * fingerprinting. Everything is a pure `Column` expression built from
+  * codegen'd built-ins — no UDFs — so at 100 TB these run inside
+  * whole-stage codegen directly over the parquet scan.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+
+  /** BPE-ish subword proxy: count of letter-runs, digits, and other
+    * non-space symbols — a cheap deterministic stand-in for a real BPE
+    * vocabulary (which would ship as a broadcast trie at scale). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+    "es" -> Seq("el", "los", "las", "y", "que", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有"),
+  )
+
+  private def wordPattern(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  /** Stopword-hit count for one language over lowercased text. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(wordPattern(words))).cast("long")
+
+  /** Language-ID: argmax of per-language stopword hits; ties and
+    * zero-hit rows resolve in `StopwordLists` declaration order with
+    * "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = StopwordLists.map { case (lang, ws) =>
+      (lang, stopwordHits(text, ws))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Quality heuristics: token count in range, stopword ratio, mean
+    * word length in range — the classic C4/Gopher-style cheap filters.
+    * Returns a 0..3 integer score (one point per passed check). */
+  def qualityScore(nTokens: Column, stopHits: Column, nChars: Column): Column = {
+    val stopRatio = stopHits.cast("double") / nTokens.cast("double")
+    val meanWordLen = nChars.cast("double") / nTokens.cast("double")
+    (when(nTokens >= 10 && nTokens <= 100000, 1).otherwise(0)
+      + when(stopRatio > 0.0, 1).otherwise(0)
+      + when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1).otherwise(0))
+      .cast("long")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized text —
+    * exact-dedup key. */
+  def normFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+
+  /** Bag fingerprint: md5 over the sorted distinct token set — catches
+    * word-order-only edits. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokenSet(text)), " "))
+
+  /** Word n-grams (joined by single spaces), distinct. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+}

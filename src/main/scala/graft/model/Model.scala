@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core data-model abstractions of the engine.
+  *
+  * Mirrors the reference's message/topic model (reference:
+  * `lib/deimos/message.rb:5-32`, `lib/deimos/ext/schema_route.rb:10-29`)
+  * re-expressed on Spark's Kafka-source column contract
+  * (`key, value, topic, partition, offset, timestamp, headers`).
+  */
+object MessageCols {
+  val Key = "key"
+  val Value = "value"
+  val Topic = "topic"
+  val Partition = "partition"
+  val Offset = "offset"
+  val Timestamp = "timestamp"
+  val Headers = "headers"
+  val PartitionKey = "partition_key"
+
+  /** Tombstone = nil payload (reference: `lib/deimos/message.rb:98-100`). */
+  def isTombstone(value: Column): Column = value.isNull
+}
+
+/** Key configuration, one of the reference's four modes
+  * (reference: `lib/deimos/shared_config.rb:57-64`).
+  */
+sealed trait KeyConfig
+object KeyConfig {
+  /** Unkeyed topic. */
+  case object NoKey extends KeyConfig
+  /** Key passed through unencoded (string/bytes). */
+  case object Plain extends KeyConfig
+  /** Key extracted from a payload field (possibly nested, dot-separated;
+    * reference: `lib/deimos/ext/producer_middleware.rb:108-122`). */
+  final case class Field(path: String) extends KeyConfig
+  /** Key encoded with its own schema. */
+  final case class Schema(name: String) extends KeyConfig
+}
+
+/** Per-topic configuration mirroring the reference routing DSL
+  * (reference: `lib/deimos/ext/schema_route.rb:31-95`,
+  * `consumer_route.rb:5-35`, `producer_route.rb:5-33`).
+  *
+  * @param topic          physical topic name (before prefixing)
+  * @param schemaName     value schema name
+  * @param namespace      schema namespace
+  * @param keyConfig      key mode
+  * @param topicPrefix    global prefix applied on produce
+  *                       (reference: `producer_middleware.rb:35`)
+  * @param compacted      last-write-wins compaction before merge
+  *                       (reference: `active_record_consumer.rb:76`)
+  * @param maxDbBatchSize sub-batch cap for sink statements
+  *                       (reference: `batch_consumption.rb:148-163`)
+  * @param bootstrapServers per-cluster override
+  *                       (reference: `lib/deimos.rb:183-198`)
+  */
+final case class TopicConfig(
+    topic: String,
+    schemaName: String,
+    namespace: String = "",
+    keyConfig: KeyConfig = KeyConfig.NoKey,
+    topicPrefix: String = "",
+    compacted: Boolean = true,
+    maxDbBatchSize: Option[Int] = None,
+    bootstrapServers: Option[String] = None) {
+  def fullTopic: String = topicPrefix + topic
+}
+
+/** Engine-wide switches (reference: producer kill-switch,
+  * `lib/deimos/producer.rb:16-57`). Thread-safe via volatile. */
+object EngineConfig {
+  @volatile var producersDisabled: Boolean = false
+  @volatile private var disabledClasses: Set[String] = Set.empty
+  def disable(clazz: String): Unit = synchronized { disabledClasses += clazz }
+  def enable(clazz: String): Unit = synchronized { disabledClasses -= clazz }
+  def producerEnabled(clazz: String): Boolean =
+    !producersDisabled && !disabledClasses.contains(clazz)
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch compaction + key-disjoint slicing.
+  *
+  * Reference semantics:
+  *  - last-write-wins compaction per key
+  *    (`lib/deimos/active_record_consume/batch_consumption.rb:121-125`,
+  *    outbox variant `lib/deimos/utils/outbox_producer.rb:218-226`)
+  *  - key-disjoint batch slicing: A1,A2,B1,C1,C2,C3 →
+  *    [[A1,B1,C1],[A2,C2],[C3]]
+  *    (`lib/deimos/active_record_consume/batch_slicer.rb:16-26`)
+  *
+  * Spark-first design: both are a single hash-partitioned window over the
+  * key columns — one shuffle on the key, no driver-side loops. At 100 TB
+  * the shuffle is by message key, which is the natural partitioning of the
+  * downstream keyed merge, so the exchange is reused by the sink stage.
+  */
+object Compaction {
+
+  /** Keep only the last row per key, ordered by `orderCol` (offset /
+    * monotonic id). Survivors keep all columns.
+    */
+  def lastWins(df: DataFrame, keyCols: Seq[String], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCol.desc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Key-disjoint wave number: rank of each row within its key, in
+    * `orderCol` order. All rows with wave=1 form the first key-disjoint
+    * slice, wave=2 the second, etc. Same-key rows stay ordered across
+    * waves — the property the reference's BatchSlicer guarantees.
+    */
+  def withWave(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      waveCol: String = "wave"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+    df.withColumn(waveCol, row_number().over(w).cast("long"))
+  }
+
+  /** Materialize the slices as an ordered sequence of DataFrames (used by
+    * the uncompacted merge path, which must apply waves sequentially —
+    * reference: `batch_consumption.rb:127-136`). The wave column is
+    * computed once; each slice is a cheap filter over the cached result.
+    */
+  def slices(df: DataFrame, keyCols: Seq[String], orderCol: Column): Seq[DataFrame] = {
+    val waved = withWave(df, keyCols, orderCol).cache()
+    val n = waved.agg(max(col("wave"))).collect()(0)
+    val nWaves = if (n.isNullAt(0)) 0L else n.getLong(0)
+    (1L to nWaves).map(i => waved.filter(col("wave") === i).drop("wave"))
+  }
+}

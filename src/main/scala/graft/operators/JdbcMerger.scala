@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Dialect-aware bulk upsert/delete SQL generation — the engine's version
+  * of the reference's MassUpdater (`lib/deimos/active_record_consume/
+  * mass_updater.rb:49-70`: MySQL `ON DUPLICATE KEY UPDATE`, Postgres
+  * `ON CONFLICT DO UPDATE`, plain INSERT when keyless) and bulk delete
+  * (`batch_consumption.rb:92-98,241-247`).
+  *
+  * In Spark this runs inside `foreachBatch`: each executor-side partition
+  * opens one connection and issues batched statements, so merge
+  * throughput scales with partitions rather than a single writer. The SQL
+  * builders are pure functions (unit-testable without a database).
+  */
+object JdbcMerger {
+
+  sealed trait Dialect
+  case object MySql extends Dialect
+  case object Postgres extends Dialect
+
+  private def q(ident: String, d: Dialect): String = d match {
+    case MySql => s"`$ident`"
+    case Postgres => "\"" + ident + "\""
+  }
+
+  /** Upsert statement for one batch of `rows` width-`cols`. Keyless →
+    * plain INSERT (can duplicate on retry — same caveat as the
+    * reference's plain-insert path, `mass_updater.rb:54-55`).
+    */
+  def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String],
+      nRows: Int, dialect: Dialect): String = {
+    val colList = cols.map(q(_, dialect)).mkString(", ")
+    val rowPh = cols.map(_ => "?").mkString("(", ", ", ")")
+    val values = Seq.fill(nRows)(rowPh).mkString(", ")
+    val base = s"INSERT INTO ${q(table, dialect)} ($colList) VALUES $values"
+    if (keyCols.isEmpty) base
+    else {
+      val updatable = cols.filterNot(keyCols.contains)
+      dialect match {
+        case MySql =>
+          val upd = updatable
+            .map(c => s"${q(c, dialect)} = VALUES(${q(c, dialect)})")
+            .mkString(", ")
+          s"$base ON DUPLICATE KEY UPDATE $upd"
+        case Postgres =>
+          val conflict = keyCols.map(q(_, dialect)).mkString(", ")
+          val upd = updatable
+            .map(c => s"${q(c, dialect)} = EXCLUDED.${q(c, dialect)}")
+            .mkString(", ")
+          s"$base ON CONFLICT ($conflict) DO UPDATE SET $upd"
+      }
+    }
+  }
+
+  /** Bulk delete by (possibly compound) key — compound keys use a row
+    * constructor IN list, as the reference builds `WHERE (k1,k2) IN …`
+    * (`batch_consumption.rb:241-247`). */
+  def deleteSql(table: String, keyCols: Seq[String], nRows: Int,
+      dialect: Dialect): String = {
+    val keyTuple =
+      if (keyCols.size == 1) q(keyCols.head, dialect)
+      else keyCols.map(q(_, dialect)).mkString("(", ", ", ")")
+    val ph =
+      if (keyCols.size == 1) Seq.fill(nRows)("?").mkString(", ")
+      else Seq.fill(nRows)(keyCols.map(_ => "?").mkString("(", ", ", ")"))
+        .mkString(", ")
+    s"DELETE FROM ${q(table, dialect)} WHERE $keyTuple IN ($ph)"
+  }
+
+  /** Deadlock retry policy (reference: `lib/deimos/utils/
+    * deadlock_retry.rb:11-43` — ≤2 retries, jittered sleep). The sleep is
+    * injectable for tests.
+    */
+  def withDeadlockRetry[T](maxRetries: Int = 2,
+      sleepMs: Int => Long = attempt => 500L + attempt * 1000L,
+      isDeadlock: Throwable => Boolean = defaultIsDeadlock,
+      sleeper: Long => Unit = Thread.sleep)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isDeadlock(e) && attempt < maxRetries =>
+          sleeper(sleepMs(attempt)); attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def defaultIsDeadlock(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("").toLowerCase
+    m.contains("deadlock") || m.contains("lock wait timeout")
+  }
+
+  /** Execute a keyed merge of `batch` into a JDBC table inside
+    * `foreachBatch`: tombstone split → per-partition batched upsert +
+    * delete with deadlock retry. Sub-batches capped at `maxBatchSize`
+    * rows per statement (reference `max_db_batch_size`,
+    * `batch_consumption.rb:148-163`).
+    */
+  def mergeIntoJdbc(batch: DataFrame, url: String, table: String,
+      keyCols: Seq[String], tombstone: org.apache.spark.sql.Column,
+      dialect: Dialect, props: java.util.Properties,
+      maxBatchSize: Int = 1000): Unit = {
+    val (upserts, deletes) = Materialize.splitTombstones(batch, tombstone)
+    val cols = upserts.columns.toSeq
+    upserts.foreachPartition { (rows: Iterator[Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try rows.grouped(maxBatchSize).foreach { group =>
+        val sql = upsertSql(table, cols, keyCols, group.size, dialect)
+        withDeadlockRetry() {
+          val st = conn.prepareStatement(sql)
+          var i = 1
+          group.foreach(r => cols.indices.foreach { c =>
+            st.setObject(i, r.get(c)); i += 1
+          })
+          st.executeUpdate(); st.close()
+        }
+      } finally conn.close()
+    }
+    val delKeys = deletes.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    delKeys.foreachPartition { (rows: Iterator[Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try rows.grouped(maxBatchSize).foreach { group =>
+        val sql = deleteSql(table, keyCols, group.size, dialect)
+        withDeadlockRetry() {
+          val st = conn.prepareStatement(sql)
+          var i = 1
+          group.foreach(r => keyCols.indices.foreach { c =>
+            st.setObject(i, r.get(c)); i += 1
+          })
+          st.executeUpdate(); st.close()
+        }
+      } finally conn.close()
+    }
+  }
+}

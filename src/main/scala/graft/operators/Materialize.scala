@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Materialization: apply a keyed event stream to a table — the engine's
+  * equivalent of the reference's batch-consumption merge
+  * (`lib/deimos/active_record_consume/batch_consumption.rb:143-235`,
+  * `mass_updater.rb:49-88`).
+  *
+  * Spark-first shape: compaction + tombstone split are one keyed window /
+  * filter pair (single shuffle on the key); the final state of a batch is
+  * derivable without row-at-a-time application because last-write-wins
+  * makes all but the final version of a key irrelevant.
+  */
+object Materialize {
+
+  /** A4 — split a batch into (upserts, deletes) on the tombstone
+    * predicate (reference: `batch_consumption.rb:143-164`). */
+  def splitTombstones(df: DataFrame, tombstone: Column): (DataFrame, DataFrame) =
+    (df.filter(!coalesce(tombstone, lit(false))), df.filter(coalesce(tombstone, lit(false))))
+
+  /** Final state after applying a keyed batch in order: the last event
+    * per key wins; a key whose last event is a tombstone is absent.
+    * This is exactly what sequential upsert/delete application converges
+    * to (reference semantics of `update_database`,
+    * `batch_consumption.rb:143-164`, with default compaction A1).
+    */
+  def applyEvents(events: DataFrame, keyCols: Seq[String], orderCol: Column,
+      tombstone: Column): DataFrame =
+    Compaction.lastWins(events, keyCols, orderCol)
+      .filter(!coalesce(tombstone, lit(false)))
+
+  /** Merge a compacted batch into an existing snapshot: new version of
+    * every key present in the batch (tombstones remove), untouched keys
+    * carried over. Both inputs shuffle once on the key; at scale this is
+    * the standard copy-on-write merge pattern.
+    */
+  def mergeSnapshot(current: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      orderCol: Column, tombstone: Column): DataFrame = {
+    val compacted = Compaction.lastWins(batch, keyCols, orderCol)
+    val survivors = compacted.filter(!coalesce(tombstone, lit(false)))
+      .select(current.columns.map(col): _*)
+    val untouched = current.join(compacted.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    untouched.unionByName(survivors)
+  }
+
+  /** M5 — association fan-out: nest child rows under their parent,
+    * then re-split with the parent key backfilled — the engine analog of
+    * the reference's bulk-import-id surrogate join
+    * (`batch_record_list.rb:53-66`, `mass_updater.rb:75-88`).
+    *
+    * @param parents   parent rows (one per parentKey)
+    * @param children  child rows carrying parentKey
+    * @param parentKey join column
+    * @param childCols child payload columns to nest
+    * @return (nested, exploded) — nested has `children: array<struct>`;
+    *         exploded is the flattened parent-key-backfilled child set.
+    */
+  def fanOut(parents: DataFrame, children: DataFrame, parentKey: String,
+      childFk: String, childCols: Seq[String]): (DataFrame, DataFrame) = {
+    val childStruct = struct(childCols.map(col): _*)
+    val nestedChildren = children
+      .groupBy(col(childFk).as(parentKey))
+      .agg(sort_array(collect_list(childStruct)).as("children"))
+    val nested = parents.join(nestedChildren, Seq(parentKey), "inner")
+    val exploded = nested
+      .withColumn("child", explode(col("children")))
+      .select((parents.columns.map(col) ++
+        childCols.map(c => col("child").getField(c).as(c))): _*)
+    (nested, exploded)
+  }
+
+  /** "Replace associations" delete: children of touched parents that are
+    * NOT in the incoming set are removed (reference:
+    * `batch_record_list.rb:79-86`). Returns surviving children. */
+  def replaceChildren(existing: DataFrame, incoming: DataFrame,
+      parentKey: String, childKey: Seq[String]): DataFrame = {
+    val touchedParents = incoming.select(parentKey).distinct()
+    val untouched = existing.join(touchedParents, Seq(parentKey), "left_anti")
+    untouched.unionByName(incoming.select(existing.columns.map(col): _*))
+  }
+}

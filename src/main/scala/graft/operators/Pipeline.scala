@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Producer/consumer row-transform pipeline: projection, coercion,
+  * auto-fields, key extraction, truncation, topic prefixing.
+  *
+  * Reference semantics: the producer middleware chain
+  * (`lib/deimos/ext/producer_middleware.rb:15-41,68-122`) and the
+  * consumer-side schema/model projection
+  * (`lib/deimos/active_record_consume/schema_model_converter.rb:19-29`).
+  *
+  * All transforms are pure `Column` expressions — they stay inside
+  * whole-stage codegen and push through to the scan (projection pruning,
+  * predicate pushdown) untouched.
+  */
+object Pipeline {
+
+  /** P1/P2 — keep only columns present in both the declared schema and
+    * the frame, preserving declared order; skip bookkeeping columns.
+    * (reference: `active_record_producer.rb:75-85`,
+    * `schema_model_converter.rb:19-29` — skips created_at/updated_at)
+    */
+  def schemaProject(df: DataFrame, declaredFields: Seq[String],
+      skip: Set[String] = Set("created_at", "updated_at")): DataFrame = {
+    val have = df.columns.toSet
+    val keep = declaredFields.filter(f => have.contains(f) && !skip.contains(f))
+    df.select(keep.map(col): _*)
+  }
+
+  /** P6 — reference boolean coercion rule: `!(nil || false)`
+    * (`avro_schema_coercer.rb:115-117`). */
+  def coerceBoolean(c: Column): Column =
+    c.isNotNull && c.cast(BooleanType) =!= lit(false)
+
+  /** P6 — string→integral coercion: digit-string to long, as the
+    * reference's `to_i` on int-strings (`avro_schema_coercer.rb:80-91`). */
+  def coerceIntString(c: Column): Column =
+    regexp_extract(c, "-?\\d+", 0).cast(LongType)
+
+  /** P6 — numeric-string → double (`avro_schema_coercer.rb:95-101`). */
+  def coerceDoubleString(c: Column): Column =
+    regexp_extract(c, "-?\\d+(\\.\\d+)?", 0).cast(DoubleType)
+
+  /** P5 — fill `message_id`/`timestamp` when absent
+    * (reference: `lib/deimos/message.rb:38-56`). The surrogate generator
+    * is injectable so tests (and the DuckDB oracle) can use a
+    * deterministic row-hash instead of `uuid()`.
+    */
+  def autoFields(df: DataFrame,
+      idCol: String = "message_id",
+      tsCol: String = "timestamp",
+      surrogate: DataFrame => Column = _ => uuid(),
+      now: Column = current_timestamp()): DataFrame = {
+    val withId =
+      if (df.columns.contains(idCol))
+        df.withColumn(idCol, coalesce(col(idCol), surrogate(df)))
+      else df.withColumn(idCol, surrogate(df))
+    if (withId.columns.contains(tsCol))
+      withId.withColumn(tsCol, coalesce(col(tsCol), now))
+    else withId.withColumn(tsCol, now)
+  }
+
+  /** Deterministic surrogate id: md5 over the given columns — the
+    * test-injectable variant of `uuid()`. */
+  def deterministicSurrogate(prefix: String, cols: Seq[Column]): Column =
+    md5(concat_ws("|", (lit(prefix) +: cols): _*))
+
+  /** P10 — key extraction from a payload field; nested fields via
+    * dot-path (reference: `producer_middleware.rb:108-122`,
+    * proto dotted path `proto_base.rb:37-60`). */
+  def extractKey(path: String): Column =
+    path.split('.').toSeq match {
+      case head +: tail => tail.foldLeft(col(head))((c, f) => c.getField(f))
+      case _ => lit(null)
+    }
+
+  /** P7 — truncate string columns to declared limits before producing
+    * (reference: `kafka_source.rb:142-151`). */
+  def truncateColumns(df: DataFrame, limits: Map[String, Int]): DataFrame =
+    limits.foldLeft(df) { case (d, (c, n)) =>
+      if (d.columns.contains(c)) d.withColumn(c, substring(col(c), 0, n)) else d
+    }
+
+  /** P3 — per-row predicate filter (`process_message?` hook,
+    * reference: `active_record_consumer.rb:115-117`). */
+  def processMessageFilter(df: DataFrame, keep: Column): DataFrame =
+    df.filter(keep)
+
+  /** P4 — validity partition: returns (valid, invalid) without scanning
+    * twice more than needed; callers typically `observe` the invalid
+    * count (reference: `batch_record_list.rb:23-33`). */
+  def partitionValid(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+}

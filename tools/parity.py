@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run Verify output vs DuckDB.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def rows_of(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return cols, sorted(zip(*data), key=lambda r: tuple(
+        (x is None, str(type(x)), x) for x in map(norm, r))) if data else (cols, [])
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        spark_tbl = pq.read_table(files[0]) if files else None
+        if name not in oracle:
+            results[name] = f"rows-only: {spark_tbl.num_rows if spark_tbl else 0} rows"
+            continue
+        try:
+            duck_tbl = con.execute(oracle[name]).arrow()
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
+            continue
+        sc, sr = rows_of(spark_tbl)
+        dc, dr = rows_of(duck_tbl)
+        if sc != dc:
+            results[name] = f"SCHEMA MISMATCH spark={sc} duck={dc}"
+        elif len(sr) != len(dr):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(sr)} duck={len(dr)}"
+        else:
+            bad = [(a, b) for a, b in zip(sr, dr) if tuple(map(norm, a)) != tuple(map(norm, b))]
+            if bad:
+                results[name] = f"VALUE MISMATCH ({len(bad)} rows) first: spark={bad[0][0]} duck={bad[0][1]}"
+            else:
+                results[name] = f"OK ({len(sr)} rows)"
+    width = max(len(k) for k in results)
+    fails = 0
+    for k, v in sorted(results.items()):
+        flag = " " if v.startswith(("OK", "rows-only")) else "X"
+        if flag == "X":
+            fails += 1
+        print(f"{flag} {k:<{width}} {v[:300]}")
+    print(f"\n{fails} failures / {len(results)} queries")
+    return fails
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
