@@ -36,13 +36,18 @@ object Pipeline {
     c.isNotNull && c.cast(BooleanType) =!= lit(false)
 
   /** P6 — string→integral coercion: digit-string to long, as the
-    * reference's `to_i` on int-strings (`avro_schema_coercer.rb:80-91`). */
-  def coerceIntString(c: Column): Column =
-    regexp_extract(c, "-?\\d+", 0).cast(LongType)
+    * reference's `to_i` on int-strings (`avro_schema_coercer.rb:80-91`).
+    * Null (not ANSI error) when nothing numeric is found. */
+  def coerceIntString(c: Column): Column = {
+    val m = regexp_extract(c, "-?\\d+", 0)
+    when(m =!= "", m.cast(LongType))
+  }
 
   /** P6 — numeric-string → double (`avro_schema_coercer.rb:95-101`). */
-  def coerceDoubleString(c: Column): Column =
-    regexp_extract(c, "-?\\d+(\\.\\d+)?", 0).cast(DoubleType)
+  def coerceDoubleString(c: Column): Column = {
+    val m = regexp_extract(c, "-?\\d+(\\.\\d+)?", 0)
+    when(m =!= "", m.cast(DoubleType))
+  }
 
   /** P5 — fill `message_id`/`timestamp` when absent
     * (reference: `lib/deimos/message.rb:38-56`). The surrogate generator

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{TextFunctions => T}
+
+  test("tokens lowercases and drops empties") {
+    val got = Seq("  Hello, World!  ").toDF("t")
+      .select(T.tokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(got === Seq("hello", "world"))
+  }
+
+  test("wordNGrams produces sliding distinct n-grams; short text → empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(T.wordNGrams(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("bag fingerprint is word-order invariant, norm fingerprint is not") {
+    val df = Seq(("the cat sat", "sat the cat")).toDF("a", "b")
+    val r = df.select(
+      T.bagFingerprint(col("a")) === T.bagFingerprint(col("b")),
+      T.normFingerprint(col("a")) === T.normFingerprint(col("b")))
+      .as[(Boolean, Boolean)].collect()(0)
+    assert(r === ((true, false)))
+  }
+
+  test("langId picks the stopword-dominant language, und when none") {
+    val df = Seq("the cat and the dog of it", "le chat et la mer des gens",
+      "xyzzy qwerty").toDF("t")
+    val got = df.select(T.langId(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("en", "fr", "und"))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("Hi there, it's 42!").toDF("t")
+    val (ws, bp) = df.select(T.wsTokenCount(col("t")),
+      T.bpeishTokenCount(col("t"))).as[(Long, Long)].collect()(0)
+    assert(ws === 4)
+    // Hi | there | , | it | ' | s | 4 | 2 | !
+    assert(bp === 9)
+  }
+}
+
+class HashFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+  test("jaccard exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(H.jaccard(col("x"), col("y"))).as[Double].collect()(0)
+    assert(j === 0.5)
+  }
+
+  test("minhash signature has k entries and is deterministic") {
+    val df = Seq("a b c d e f", "a b c d e f").toDF("t")
+    val sigs = df.select(H.minhashSignature(T.tokenSet(col("t")), 16))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).size === 16 && sigs(0) === sigs(1))
+  }
+
+  test("identical token sets share all bands; disjoint sets share none") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "w x y z"))
+      .toDF("s", "t")
+    val bands = df.select(
+      H.bandKeys(H.minhashSignature(T.tokenSet(col("s")), 16), 16, 4),
+      H.bandKeys(H.minhashSignature(T.tokenSet(col("t")), 16), 16, 4))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(bands(0)._1 === bands(0)._2)
+    assert(bands(1)._1.intersect(bands(1)._2).isEmpty)
+  }
+
+  test("simhash: equal sets → distance 0; hamming64 counts differing bits") {
+    val df = Seq(("a b c", "a b c")).toDF("s", "t")
+    val d = df.select(H.hamming64(
+      H.simhash64(H.tokenHashes(T.tokenSet(col("s")))),
+      H.simhash64(H.tokenHashes(T.tokenSet(col("t"))))))
+      .as[Long].collect()(0)
+    assert(d === 0)
+    val bits = Seq((5L, 6L)).toDF("a", "b")
+      .select(H.hamming64(col("a"), col("b"))).as[Long].collect()(0)
+    assert(bits === 2) // 101 vs 110
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{VectorFunctions => V}
+
+  test("dot, norm, cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("ex", "ey", "e2x")
+    val (dxy, cxy, cxx) = df.select(
+      V.dot(col("ex"), col("ey")),
+      V.cosine(col("ex"), col("ey")),
+      V.cosine(col("ex"), col("e2x"))).as[(Double, Double, Double)]
+      .collect()(0)
+    assert(dxy === 0.0 && cxy === 0.0 && cxx === 1.0)
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("z", "v")
+    val c = df.select(V.cosine(col("z"), col("v"))).as[Double].collect()(0)
+    assert(c === 0.0)
+  }
+
+  test("hyperplane bucket: deterministic, scale-invariant, nBits-bounded") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(2.0f, 4.0f, 6.0f, 8.0f)))
+      .toDF("v", "v2")
+    val (b1, b2) = df.select(
+      V.hyperplaneBucket(col("v"), 4, 8),
+      V.hyperplaneBucket(col("v2"), 4, 8)).as[(Long, Long)].collect()(0)
+    assert(b1 === b2) // same direction → same signs
+    assert(b1 >= 0 && b1 < 256)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A1/A3 semantics, mirroring the reference specs
+  * (spec/active_record_consume/batch_slicer_spec.rb:16-27 and the
+  * compaction cases of spec/active_record_batch_consumer_spec.rb). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, key, payload) — A1,A2,B1,C1,C2,C3 arrival order
+  private def batch = Seq(
+    (1L, "A", "a1"), (2L, "A", "a2"), (3L, "B", "b1"),
+    (4L, "C", "c1"), (5L, "C", "c2"), (6L, "C", "c3"))
+    .toDF("id", "key", "payload")
+
+  test("lastWins keeps exactly the final row per key") {
+    val got = Compaction.lastWins(batch, Seq("key"), col("id"))
+      .select("key", "payload").as[(String, String)].collect().toSet
+    assert(got === Set(("A", "a2"), ("B", "b1"), ("C", "c3")))
+  }
+
+  test("lastWins of a single-row key is identity") {
+    val one = Seq((10L, "Z", "z")).toDF("id", "key", "payload")
+    assert(Compaction.lastWins(one, Seq("key"), col("id")).count() === 1)
+  }
+
+  test("waves match the reference slicer: A1,A2,B1,C1,C2,C3 → 3 key-disjoint slices") {
+    val got = Compaction.withWave(batch, Seq("key"), col("id"))
+      .select("payload", "wave").as[(String, Long)].collect().toMap
+    assert(got === Map("a1" -> 1L, "a2" -> 2L, "b1" -> 1L,
+      "c1" -> 1L, "c2" -> 2L, "c3" -> 3L))
+  }
+
+  test("each wave has distinct keys and same-key rows keep order across waves") {
+    val waved = Compaction.withWave(batch, Seq("key"), col("id"))
+    val perWave = waved.groupBy("wave")
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("k"))
+      .select("n", "k").as[(Long, Long)].collect()
+    assert(perWave.forall { case (n, k) => n === k })
+    // within a key, wave order == id order
+    val cKey = waved.filter(col("key") === "C").orderBy("wave")
+      .select("id").as[Long].collect()
+    assert(cKey.toSeq === Seq(4L, 5L, 6L))
+  }
+
+  test("slices materializes ordered key-disjoint frames") {
+    val s = Compaction.slices(batch, Seq("key"), col("id"))
+    assert(s.size === 3)
+    assert(s.head.select("payload").as[String].collect().toSet ===
+      Set("a1", "b1", "c1"))
+    assert(s(2).select("payload").as[String].collect().toSet === Set("c3"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A4/M1-M5 semantics: batch apply == sequential upsert/delete replay
+  * (the contract of reference spec/active_record_batch_consumer_spec.rb
+  * create/update/delete ordering cases). */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, key, value) with value==null ⇒ tombstone
+  private def events = Seq(
+    (1L, "A", "a1"), (2L, "B", "b1"), (3L, "A", null),
+    (4L, "C", "c1"), (5L, "B", "b2"), (6L, "D", "d1"), (7L, "D", null))
+    .toDF("id", "key", "value")
+
+  /** Driver-side oracle: sequential replay of upserts/deletes. */
+  private def replay(rows: Seq[(Long, String, String)]): Map[String, String] =
+    rows.sortBy(_._1).foldLeft(Map.empty[String, String]) {
+      case (state, (_, k, null)) => state - k
+      case (state, (_, k, v)) => state + (k -> v)
+    }
+
+  test("applyEvents equals sequential replay") {
+    val got = Materialize.applyEvents(events, Seq("key"), col("id"),
+      col("value").isNull)
+      .select("key", "value").as[(String, String)].collect().toMap
+    val want = replay(Seq((1L, "A", "a1"), (2L, "B", "b1"), (3L, "A", null),
+      (4L, "C", "c1"), (5L, "B", "b2"), (6L, "D", "d1"), (7L, "D", null)))
+    assert(got === want)
+    assert(got === Map("B" -> "b2", "C" -> "c1"))
+  }
+
+  test("splitTombstones partitions on the predicate, null-safe") {
+    val (up, del) = Materialize.splitTombstones(events, col("value").isNull)
+    assert(up.count() === 5 && del.count() === 2)
+  }
+
+  test("mergeSnapshot: upserts replace, tombstones delete, untouched survive") {
+    val current = Seq(("A", "a0"), ("X", "x0"), ("B", "b0"))
+      .toDF("key", "value")
+    val batch = Seq((1L, "A", "a9"), (2L, "B", null), (3L, "N", "n1"))
+      .toDF("id", "key", "value")
+    val got = Materialize.mergeSnapshot(current, batch, Seq("key"),
+      col("id"), col("value").isNull)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("A" -> "a9", "X" -> "x0", "N" -> "n1"))
+  }
+
+  test("fanOut nest/explode round-trips the child set with parent backfill") {
+    val parents = Seq((1L, "p1"), (2L, "p2")).toDF("pk", "pname")
+    val children = Seq((1L, 10L, "c10"), (1L, 11L, "c11"), (2L, 20L, "c20"))
+      .toDF("fk", "ck", "cname")
+    val (nested, exploded) = Materialize.fanOut(parents, children, "pk", "fk",
+      Seq("ck", "cname"))
+    assert(nested.count() === 2)
+    val got = exploded.select("pk", "pname", "ck", "cname")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got === Set((1L, "p1", 10L, "c10"), (1L, "p1", 11L, "c11"),
+      (2L, "p2", 20L, "c20")))
+  }
+
+  test("replaceChildren removes stale children of touched parents only") {
+    val existing = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("pk", "ck")
+    val incoming = Seq((1L, 11L), (1L, 12L)).toDF("pk", "ck")
+    val got = Materialize.replaceChildren(existing, incoming, "pk", Seq("ck"))
+      .as[(Long, Long)].collect().toSet
+    // parent 1 replaced by incoming set; parents 2,3 untouched
+    assert(got === Set((1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L)))
+  }
+}
