@@ -35,22 +35,30 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.2): DataFrame = {
+    // Shingles are 64-bit hashes (one pass over hashed tokens) — set
+    // arithmetic downstream is numeric, never strings.
     val shingled = docs.select(col(idCol).as("doc"),
-      T.wordNGrams(col(textCol), shingleN).as("shingles"))
+      graft.functions.Expressions.ngramHashes(
+        H.tokenHashes(T.tokens(col(textCol))), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = shingled.withColumn("sig",
-      H.minhashSignature(col("shingles"), k))
-    val banded = sig.select(col("doc"), col("shingles"),
-      posexplode(H.bandKeys(col("sig"), k, bands)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"),
-      col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"),
-      col("shingles").as("sh_b"))
+    // Bucket join carries only (doc, band, bucket) — never the shingle
+    // arrays — so the LSH shuffle is a few bytes per row; shingles are
+    // re-joined only for the (few) surviving candidate pairs.
+    val banded = shingled.select(col("doc"),
+      posexplode(H.bandKeys(
+        graft.functions.Expressions.minhashSignature(col("shingles"), k),
+        k, bands)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     candidates
+      .join(shingled.select(col("doc").as("doc_a"), col("shingles").as("sh_a")),
+        Seq("doc_a"))
+      .join(shingled.select(col("doc").as("doc_b"), col("shingles").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -71,9 +79,10 @@ object Dedup {
       col("sim").as("sim_b"))
     a.join(b, Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         H.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -83,8 +92,11 @@ object Dedup {
     * reference point for the sketch variants. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       bucketCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    // gram identity is its 64-bit hash: intersection/union counts match
+    // string grams up to hash collisions (~2^-64 per pair)
     val grams = docs.select(col(idCol).as("doc"), col(bucketCol).as("bkt"),
-      explode(T.wordNGrams(col(textCol), n)).as("g"))
+      explode(graft.functions.Expressions.ngramHashes(
+        H.tokenHashes(T.tokens(col(textCol))), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = grams.alias("x")
       .join(grams.alias("y"),

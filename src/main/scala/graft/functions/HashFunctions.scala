@@ -10,21 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  // functions.shiftleft/shiftright only take Int bit counts; the SQL
-  // builtins accept expressions, so bind them via call_function.
-  private def shl(e: Column, bits: Column): Column =
-    call_function("shiftleft", e, bits)
-  private def shr(e: Column, bits: Column): Column =
-    call_function("shiftright", e, bits)
-
-  /** One MinHash permutation: min over the token array of
-    * xxhash64(seed, token). */
-  def minhashPerm(tokens: Column, seed: Int): Column =
-    array_min(transform(tokens, t => xxhash64(lit(seed), t)))
-
-  /** k-permutation MinHash signature as array<bigint>. */
+  /** k-permutation MinHash signature as array<bigint>: tokens hashed
+    * once (xxhash64), then k affine permutations in a single pass
+    * (custom expression — one JVM loop per row). */
   def minhashSignature(tokens: Column, k: Int): Column =
-    array((0 until k).map(minhashPerm(tokens, _)): _*)
+    Expressions.minhashSignature(tokenHashes(tokens), k)
 
   /** LSH band keys: split a k-wide signature into `bands` bands of
     * k/bands rows each, hash each band to one bigint. Two documents with
@@ -43,15 +33,9 @@ object HashFunctions {
     transform(tokens, t => xxhash64(t))
 
   /** 64-bit SimHash over pre-hashed tokens: bit i is set when the
-    * majority of token-hash bits i are set. */
-  def simhash64(tokenHashes: Column): Column = {
-    val n = size(tokenHashes)
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
-      val ones = size(filter(tokenHashes,
-        h => shr(h, i).bitwiseAND(lit(1L)) === 1L))
-      acc.bitwiseOR(when(ones * 2 > n, shl(lit(1L), i)).otherwise(lit(0L)))
-    })
-  }
+    * majority of token-hash bits i are set (custom expression). */
+  def simhash64(tokenHashes: Column): Column =
+    Expressions.simhash64(tokenHashes)
 
   /** 16-bit chunks of a 64-bit simhash — pigeonhole banding: hamming
     * distance ≤ 3 ⇒ at least one of the 4 chunks is equal. */

@@ -19,12 +19,9 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity; 0 when either vector is zero. Custom
+    * expression: dot + both norms in one pass per pair. */
+  def cosine(a: Column, b: Column): Column = Expressions.cosineSim(a, b)
 
   /** Deterministic pseudo-random hyperplane component, plane `j`
     * dimension `d` — pure arithmetic, no PRNG state, identical on every
