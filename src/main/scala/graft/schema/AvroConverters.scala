@@ -1,0 +1,200 @@
+package graft.schema
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => AvroSchema}
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro ⇄ Catalyst conversion (schema and value level).
+  *
+  * Hand-rolled because the spark-avro connector is not on this
+  * classpath — only avro-core. Supports the type surface the reference
+  * exercises (SURVEY.md §1.2): primitives, bytes/fixed, enum (as
+  * string), record, array, map, nullable unions, multi-branch unions
+  * (spark-avro-style member0/member1 struct), timestamp-millis/micros.
+  */
+object AvroConverters {
+
+  /** Avro schema → Spark type. */
+  def toSparkType(s: AvroSchema): DataType = s.getType match {
+    case AvroSchema.Type.BOOLEAN => BooleanType
+    case AvroSchema.Type.INT => IntegerType
+    case AvroSchema.Type.LONG =>
+      s.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
+          TimestampType
+        case _ => LongType
+      }
+    case AvroSchema.Type.FLOAT => FloatType
+    case AvroSchema.Type.DOUBLE => DoubleType
+    case AvroSchema.Type.STRING => StringType
+    case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED => BinaryType
+    case AvroSchema.Type.ENUM => StringType
+    case AvroSchema.Type.NULL => NullType
+    case AvroSchema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map { f =>
+        StructField(f.name, toSparkType(f.schema), nullable = isNullable(f.schema))
+      })
+    case AvroSchema.Type.ARRAY =>
+      ArrayType(toSparkType(s.getElementType), isNullable(s.getElementType))
+    case AvroSchema.Type.MAP =>
+      MapType(StringType, toSparkType(s.getValueType), isNullable(s.getValueType))
+    case AvroSchema.Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == AvroSchema.Type.NULL)
+      if (branches.size == 1) toSparkType(branches.head)
+      else StructType(branches.zipWithIndex.map { case (b, i) =>
+        StructField(s"member$i", toSparkType(b), nullable = true)
+      }.toSeq)
+  }
+
+  def isNullable(s: AvroSchema): Boolean =
+    s.getType == AvroSchema.Type.NULL ||
+      (s.getType == AvroSchema.Type.UNION &&
+        s.getTypes.asScala.exists(_.getType == AvroSchema.Type.NULL))
+
+  private def nonNull(s: AvroSchema): AvroSchema =
+    if (s.getType != AvroSchema.Type.UNION) s
+    else {
+      val b = s.getTypes.asScala.filterNot(_.getType == AvroSchema.Type.NULL)
+      if (b.size == 1) b.head else s
+    }
+
+  /** Catalyst value (as stored per `toSparkType`) → Avro datum. */
+  def toAvroDatum(value: Any, s: AvroSchema): Any = {
+    if (value == null) return null
+    val sch = nonNull(s)
+    sch.getType match {
+      case AvroSchema.Type.BOOLEAN | AvroSchema.Type.INT |
+           AvroSchema.Type.FLOAT | AvroSchema.Type.DOUBLE => value
+      case AvroSchema.Type.LONG =>
+        // Catalyst timestamps are micros; Avro logical millis wants ms
+        sch.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis => value.asInstanceOf[Long] / 1000L
+          case _ => value
+        }
+      case AvroSchema.Type.STRING => value.toString
+      case AvroSchema.Type.ENUM =>
+        new GenericData.EnumSymbol(sch, value.toString)
+      case AvroSchema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
+      case AvroSchema.Type.FIXED =>
+        new GenericData.Fixed(sch, value.asInstanceOf[Array[Byte]])
+      case AvroSchema.Type.RECORD =>
+        val row = value.asInstanceOf[InternalRow]
+        val sparkType = toSparkType(sch).asInstanceOf[StructType]
+        val rec = new GenericData.Record(sch)
+        sch.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          val v =
+            if (row.isNullAt(i)) null
+            else toAvroDatum(row.get(i, sparkType(i).dataType), f.schema)
+          rec.put(i, v)
+        }
+        rec
+      case AvroSchema.Type.ARRAY =>
+        val arr = value.asInstanceOf[ArrayData]
+        val elemT = toSparkType(sch.getElementType)
+        (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) null
+          else toAvroDatum(arr.get(i, elemT), sch.getElementType)
+        }.asJava
+      case AvroSchema.Type.MAP =>
+        val m = value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val valT = toSparkType(sch.getValueType)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val out = new java.util.HashMap[String, Any]()
+        (0 until m.numElements()).foreach { i =>
+          val v = if (vals.isNullAt(i)) null
+            else toAvroDatum(vals.get(i, valT), sch.getValueType)
+          out.put(keys.getUTF8String(i).toString, v)
+        }
+        out
+      case AvroSchema.Type.UNION =>
+        // multi-branch union: Catalyst side is a member0/member1 struct;
+        // emit the first non-null member
+        val row = value.asInstanceOf[InternalRow]
+        val branches = sch.getTypes.asScala
+          .filterNot(_.getType == AvroSchema.Type.NULL).toSeq
+        val sparkType = toSparkType(sch).asInstanceOf[StructType]
+        branches.zipWithIndex.collectFirst {
+          case (b, i) if !row.isNullAt(i) =>
+            toAvroDatum(row.get(i, sparkType(i).dataType), b)
+        }.orNull
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  /** Avro datum → Catalyst value matching `toSparkType`. */
+  def fromAvroDatum(value: Any, s: AvroSchema): Any = {
+    if (value == null) return null
+    val sch = nonNull(s)
+    sch.getType match {
+      case AvroSchema.Type.BOOLEAN | AvroSchema.Type.INT |
+           AvroSchema.Type.FLOAT | AvroSchema.Type.DOUBLE => value
+      case AvroSchema.Type.LONG =>
+        sch.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis => value.asInstanceOf[Long] * 1000L
+          case _ => value
+        }
+      case AvroSchema.Type.STRING | AvroSchema.Type.ENUM =>
+        UTF8String.fromString(value.toString)
+      case AvroSchema.Type.BYTES =>
+        val bb = value.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case AvroSchema.Type.FIXED =>
+        value.asInstanceOf[GenericData.Fixed].bytes().clone()
+      case AvroSchema.Type.RECORD =>
+        val rec = value.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val fields = sch.getFields.asScala
+        InternalRow.fromSeq(fields.map(f =>
+          fromAvroDatum(rec.get(f.pos), f.schema)).toSeq)
+      case AvroSchema.Type.ARRAY =>
+        val xs = value.asInstanceOf[java.util.Collection[_]].asScala
+        new GenericArrayData(xs.map(fromAvroDatum(_, sch.getElementType)).toArray)
+      case AvroSchema.Type.MAP =>
+        val m = value.asInstanceOf[java.util.Map[_, _]].asScala
+        val keys = m.keys.map(k => UTF8String.fromString(k.toString)).toArray[Any]
+        val vals = m.values.map(fromAvroDatum(_, sch.getValueType)).toArray[Any]
+        ArrayBasedMapData(keys, vals)
+      case AvroSchema.Type.UNION =>
+        val branches = sch.getTypes.asScala
+          .filterNot(_.getType == AvroSchema.Type.NULL).toSeq
+        val idx = branches.indexWhere(b => datumMatches(value, b))
+        val vals = Array.fill[Any](branches.size)(null)
+        if (idx >= 0) vals(idx) = fromAvroDatum(value, branches(idx))
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  /** Runtime branch dispatch for multi-branch unions — the engine-side
+    * analog of the reference's `find_schema_type`
+    * (avro_schema_coercer.rb:29-61). */
+  private def datumMatches(v: Any, s: AvroSchema): Boolean = s.getType match {
+    case AvroSchema.Type.BOOLEAN => v.isInstanceOf[java.lang.Boolean]
+    case AvroSchema.Type.INT => v.isInstanceOf[java.lang.Integer]
+    case AvroSchema.Type.LONG => v.isInstanceOf[java.lang.Long]
+    case AvroSchema.Type.FLOAT => v.isInstanceOf[java.lang.Float]
+    case AvroSchema.Type.DOUBLE => v.isInstanceOf[java.lang.Double]
+    case AvroSchema.Type.STRING =>
+      v.isInstanceOf[CharSequence]
+    case AvroSchema.Type.BYTES => v.isInstanceOf[java.nio.ByteBuffer]
+    case AvroSchema.Type.ENUM => v.isInstanceOf[GenericData.EnumSymbol]
+    case AvroSchema.Type.RECORD =>
+      v.isInstanceOf[org.apache.avro.generic.GenericRecord] &&
+        v.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .getSchema.getFullName == s.getFullName
+    case AvroSchema.Type.ARRAY => v.isInstanceOf[java.util.Collection[_]]
+    case AvroSchema.Type.MAP => v.isInstanceOf[java.util.Map[_, _]]
+    case AvroSchema.Type.FIXED => v.isInstanceOf[GenericData.Fixed]
+    case _ => false
+  }
+}

@@ -1,0 +1,106 @@
+package graft.schema
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.KeyConfig
+
+/** Pluggable schema backend — the engine's version of the reference's
+  * backend contract (`lib/deimos/schema_backends/base.rb:142-222`:
+  * encode_payload / decode_payload / schema_fields / sql_type /
+  * encode_key / decode_key / generate_key_schema), re-expressed as
+  * `Column → Column` codec expressions so encode/decode participate in
+  * Catalyst plans instead of per-row framework calls.
+  */
+trait SchemaBackend {
+  /** Reader schema as a Spark type. */
+  def sparkSchema: StructType
+  /** Declared field names, in schema order. */
+  def schemaFields: Seq[String] = sparkSchema.fieldNames.toSeq
+  /** struct column → binary payload. */
+  def encodeExpr(payload: Column): Column
+  /** binary column → struct payload. */
+  def decodeExpr(bytes: Column): Column
+  /** Encode a key value (scalar or struct) per the key config. */
+  def encodeKeyExpr(key: Column): Column = encodeExpr(key)
+  def decodeKeyExpr(bytes: Column): Column = decodeExpr(bytes)
+}
+
+/** Avro binary backend (reference `avro_local.rb` semantics: schema
+  * resolved locally, payload is Avro binary). */
+class AvroBackend(val schemaJson: String) extends SchemaBackend {
+  @transient lazy val avroSchema: AvroSchema =
+    new AvroSchema.Parser().parse(schemaJson)
+  override lazy val sparkSchema: StructType =
+    AvroConverters.toSparkType(avroSchema).asInstanceOf[StructType]
+  override def encodeExpr(payload: Column): Column =
+    AvroExpressions.encodeAvro(payload, schemaJson)
+  override def decodeExpr(bytes: Column): Column =
+    AvroExpressions.decodeAvro(bytes, schemaJson)
+
+  /** Auto-generate the one-field key-record schema for `key_config
+    * field:` mode (reference: `avro_base.rb:160-177`). */
+  def keySchemaJson(field: String): String = {
+    val f = avroSchema.getFields.asScala
+      .find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"key field $field not in schema ${avroSchema.getFullName}"))
+    val keySchema = AvroSchema.createRecord(
+      avroSchema.getName + "_key", null, avroSchema.getNamespace, false)
+    keySchema.setFields(java.util.List.of(
+      new AvroSchema.Field(field,
+        new AvroSchema.Parser().parse(f.schema.toString), null,
+        null.asInstanceOf[Object])))
+    keySchema.toString
+  }
+
+  def keyBackend(config: KeyConfig): Option[AvroBackend] = config match {
+    case KeyConfig.Field(path) =>
+      Some(new AvroBackend(keySchemaJson(path.split('.').head)))
+    case KeyConfig.Schema(_) => Some(this)
+    case _ => None
+  }
+}
+
+/** Confluent-style registry wire format: 0x00 magic byte + int32
+  * schema id (big-endian) + Avro binary (reference:
+  * `avro_schema_registry.rb`; framing per the public Confluent wire
+  * format). Framing is plain binary concat/substring — codegen'd. */
+class RegistryFramedBackend(schemaJson: String, schemaId: Int)
+    extends AvroBackend(schemaJson) {
+  private val header: Array[Byte] = Array[Byte](
+    0x00,
+    ((schemaId >> 24) & 0xff).toByte,
+    ((schemaId >> 16) & 0xff).toByte,
+    ((schemaId >> 8) & 0xff).toByte,
+    (schemaId & 0xff).toByte)
+  override def encodeExpr(payload: Column): Column =
+    concat(lit(header), super.encodeExpr(payload))
+  override def decodeExpr(bytes: Column): Column =
+    super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5))
+
+  /** Schema id carried by a framed message. */
+  def schemaIdExpr(framed: Column): Column = AvroExpressions.schemaIdOf(framed)
+  def payloadExpr(framed: Column): Column =
+    substring(framed, 6, Int.MaxValue - 5)
+}
+
+/** JSON passthrough backend (reference `avro_validation.rb` /
+  * `plain`): payload is UTF-8 JSON; schema still drives the struct
+  * shape. */
+class PlainJsonBackend(override val sparkSchema: StructType)
+    extends SchemaBackend {
+  override def encodeExpr(payload: Column): Column =
+    to_json(payload).cast(BinaryType)
+  override def decodeExpr(bytes: Column): Column =
+    from_json(bytes.cast(StringType), sparkSchema)
+}
+
+/** Mock backend for tests (reference `mock`): identity-ish JSON codec
+  * with no validation. */
+class MockBackend(override val sparkSchema: StructType)
+    extends PlainJsonBackend(sparkSchema)

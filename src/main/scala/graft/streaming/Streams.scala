@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, Trigger}
+
+import graft.model.{EngineConfig, KeyConfig, MessageCols, TopicConfig}
+import graft.operators.{Compaction, Materialize, Pipeline}
+import graft.schema.SchemaBackend
+
+/** Structured-Streaming wiring: the produce middleware chain, the
+  * consume decode→compact→merge chain, and the Kafka source/sink
+  * builders. Mirrors the reference lifecycles (SURVEY.md §3.1–§3.3)
+  * with micro-batches replacing Karafka's poll loop.
+  *
+  * Everything upstream of the sink is one Catalyst plan; ordering
+  * guarantees come from key-partitioned windows (not single-threaded
+  * loops), which is what survives a 1000-executor deployment.
+  */
+object Streams {
+
+  /** §3.1 produce path: payload frame → Kafka-shaped frame
+    * (topic/key/value/partition_key). Column pipeline: auto-fields →
+    * key extraction → encode → topic prefix (reference:
+    * `ext/producer_middleware.rb:15-41,68-122`).
+    */
+  def toKafkaFrame(payloads: DataFrame, cfg: TopicConfig,
+      backend: SchemaBackend, keyBackend: Option[SchemaBackend] = None,
+      producerClass: String = "default"): DataFrame = {
+    require(EngineConfig.producerEnabled(producerClass),
+      s"producers disabled for $producerClass")
+    val withFields = Pipeline.autoFields(payloads)
+    val payloadCols = payloads.columns
+    val payloadStruct = struct(
+      (payloadCols ++ Seq("message_id", "timestamp").filterNot(payloadCols.contains))
+        .map(col).toIndexedSeq: _*)
+    val keyed = cfg.keyConfig match {
+      case KeyConfig.NoKey =>
+        withFields.withColumn(MessageCols.Key, lit(null).cast("binary"))
+      case KeyConfig.Plain =>
+        withFields.withColumn(MessageCols.Key,
+          col(payloadCols.head).cast("string").cast("binary"))
+      case KeyConfig.Field(path) =>
+        val kb = keyBackend.getOrElse(backend)
+        withFields.withColumn(MessageCols.Key,
+          kb.encodeKeyExpr(struct(
+            Pipeline.extractKey(path).as(path.split('.').last))))
+      case KeyConfig.Schema(_) =>
+        val kb = keyBackend.getOrElse(backend)
+        withFields.withColumn(MessageCols.Key,
+          kb.encodeKeyExpr(struct(payloadCols.map(col).toIndexedSeq: _*)))
+    }
+    keyed.select(
+      lit(cfg.fullTopic).as(MessageCols.Topic),
+      col(MessageCols.Key),
+      backend.encodeExpr(payloadStruct).as(MessageCols.Value))
+  }
+
+  /** §3.2 consume path prefix: Kafka-shaped frame → decoded payload +
+    * key + stream metadata. Tombstones (null value) decode to null
+    * payload (reference transcoder: `transcoder.rb:89-97`). */
+  def fromKafkaFrame(kafka: DataFrame, backend: SchemaBackend,
+      keyBackend: Option[SchemaBackend] = None): DataFrame = {
+    val decodedKey = keyBackend match {
+      case Some(kb) => kb.decodeKeyExpr(col(MessageCols.Key))
+      case None => col(MessageCols.Key).cast("string")
+    }
+    kafka.withColumn("payload",
+      when(col(MessageCols.Value).isNotNull,
+        backend.decodeExpr(col(MessageCols.Value))))
+      .withColumn("decoded_key", decodedKey)
+  }
+
+  /** §3.2 consume path suffix: per micro-batch, compact last-wins on
+    * the key and hand (upserts, deletes) to the sink — at-least-once +
+    * key-idempotent merge ≡ the reference's delivery contract (T1).
+    *
+    * @param sink  (upserts, deletes, batchId) → Unit, e.g. a JdbcMerger
+    *              call or a snapshot-table merge.
+    */
+  def mergeSink(decoded: DataFrame, keyCols: Seq[String], orderCol: Column,
+      tombstone: Column, compacted: Boolean = true,
+      processMessage: Column = lit(true))(
+      sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    decoded.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val filtered = batch.filter(processMessage)
+      if (compacted) {
+        val compact = Compaction.lastWins(filtered, keyCols, orderCol)
+        val (up, del) = Materialize.splitTombstones(compact, tombstone)
+        sink(up, del, batchId)
+      } else {
+        // uncompacted: key-disjoint waves applied in order (reference
+        // BatchSlicer semantics, batch_consumption.rb:127-136)
+        Compaction.slices(filtered, keyCols, orderCol).foreach { slice =>
+          val (up, del) = Materialize.splitTombstones(slice, tombstone)
+          sink(up, del, batchId)
+        }
+      }
+    }
+  }
+
+  /** Kafka source reader for a topic config (S5). */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+      cfg: TopicConfig, bootstrapServers: String): DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers",
+        cfg.bootstrapServers.getOrElse(bootstrapServers))
+      .option("subscribe", cfg.fullTopic)
+      .option("startingOffsets", "earliest")
+
+  /** Kafka sink writer for a produced frame (S1/S2; async-ness is a
+    * client-level concern in Spark's Kafka sink). */
+  def kafkaSink(frame: DataFrame, bootstrapServers: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
+    frame.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** [EXT] T4: event-time tumbling-window aggregation with watermark —
+    * available to analytics pipelines, not used by core semantics
+    * (which are processing-time, T3). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+      window_ : String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), window_) +: groupCols.map(col)).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+}

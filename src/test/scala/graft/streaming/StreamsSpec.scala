@@ -1,0 +1,109 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.model.{KeyConfig, TopicConfig}
+import graft.schema.{AvroBackend, PlainJsonBackend}
+
+case class Evt(id: Long, key: String, v: String, deleted: Boolean)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val valueSchema =
+    """{"type":"record","name":"Widget","fields":[
+      | {"name":"widget_id","type":"string"},
+      | {"name":"amount","type":"long"},
+      | {"name":"message_id","type":["null","string"],"default":null},
+      | {"name":"timestamp","type":["null","string"],"default":null}
+      |]}""".stripMargin
+
+  test("produce chain: payload → keyed+encoded kafka frame → decode round-trip") {
+    val backend = new AvroBackend(valueSchema)
+    val cfg = TopicConfig("widgets", "Widget", topicPrefix = "pre.",
+      keyConfig = KeyConfig.Field("widget_id"))
+    val payloads = Seq(("w1", 5L), ("w2", 7L)).toDF("widget_id", "amount")
+      .withColumn("message_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit(null).cast("string"))
+    val frame = Streams.toKafkaFrame(payloads, cfg, backend,
+      keyBackend = backend.keyBackend(cfg.keyConfig))
+    assert(frame.columns.toSeq === Seq("topic", "key", "value"))
+    val decoded = Streams.fromKafkaFrame(frame, backend,
+      backend.keyBackend(cfg.keyConfig))
+    val rows = decoded.select(col("topic"),
+      col("decoded_key").getField("widget_id").as("k"),
+      col("payload").getField("amount").as("a"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows === Set(("pre.widgets", "w1", 5L), ("pre.widgets", "w2", 7L)))
+  }
+
+  test("streaming mergeSink materializes compacted state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val state = mutable.Map[String, String]()
+    val writer = Streams.mergeSink(input.toDF(), Seq("key"), col("id"),
+      col("deleted") === true) { (up, del, _) =>
+      up.select("key", "v").collect().foreach(r =>
+        state(r.getString(0)) = r.getString(1))
+      del.select("key").collect().foreach(r => state.remove(r.getString(0)))
+    }
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      input.addData(Evt(1, "A", "a1", false), Evt(2, "B", "b1", false),
+        Evt(3, "A", "a2", false))
+      q.processAllAvailable()
+      assert(state.toMap === Map("A" -> "a2", "B" -> "b1"))
+      input.addData(Evt(4, "A", "x", true), Evt(5, "C", "c1", false))
+      q.processAllAvailable()
+      assert(state.toMap === Map("B" -> "b1", "C" -> "c1"))
+    } finally q.stop()
+  }
+
+  test("uncompacted mergeSink applies key-disjoint waves sequentially") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val applied = mutable.ArrayBuffer[String]()
+    val writer = Streams.mergeSink(input.toDF(), Seq("key"), col("id"),
+      col("deleted") === true, compacted = false) { (up, del, _) =>
+      applied ++= up.orderBy("id").select("v").as[String](spark.implicits.newStringEncoder).collect()
+      del.count()
+      ()
+    }
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      input.addData(Evt(1, "A", "a1", false), Evt(2, "A", "a2", false),
+        Evt(3, "B", "b1", false))
+      q.processAllAvailable()
+      // wave 1 = {a1, b1}, wave 2 = {a2}: a2 strictly after a1
+      assert(applied.indexOf("a2") > applied.indexOf("a1"))
+      assert(applied.toSet === Set("a1", "a2", "b1"))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark (EXT analytics path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = Streams.windowedCounts(
+      input.toDF().toDF("ts", "kind"), "ts", "10 seconds", "1 minute",
+      Seq("kind"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "x"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), "x"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:10"), "y"))
+      q.processAllAvailable()
+      val got = spark.table("wincounts")
+        .select(col("kind"), col("n")).as[(String, Long)].collect().toSet
+      assert(got === Set(("x", 2L), ("y", 1L)))
+    } finally q.stop()
+  }
+}
