@@ -1,0 +1,72 @@
+package graft.consume
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TopicConfig
+import graft.operators.Materialize
+import graft.schema.SchemaBackend
+import graft.streaming.Streams
+
+/** The engine's public consumer extension API — the U4 hook set of the
+  * reference (`active_record_consumer.rb:96-117`,
+  * `batch_consumption.rb:103-113,203-208`,
+  * `message_consumption.rb:19-31,78-84`), re-typed for DataFrames:
+  * per-row hooks are `Column` predicates (stay in codegen), shaping
+  * hooks are `DataFrame => DataFrame` transforms, lifecycle hooks are
+  * driver-side callbacks.
+  */
+trait ConsumerHooks extends Serializable {
+  /** P3: `process_message?` — rows filtered out but offsets committed. */
+  def processMessage: Column = lit(true)
+  /** P4: `should_consume?` — record-level validity; failures counted. */
+  def shouldConsume: Column = lit(true)
+  /** U2: `record_attributes` — payload → target-row shaping. */
+  def recordAttributes(payload: DataFrame): DataFrame = payload
+  /** tombstone/delete predicate (`delete_record?`). */
+  def isTombstone: Column
+  /** S9: `watched_attributes` — only changes on these trigger CDC. */
+  def watchedAttributes: Seq[String] = Seq.empty
+  /** lifecycle: `pre_process` / `post_process_batch`. */
+  def preProcess(batch: DataFrame): Unit = ()
+  def postProcessBatch(valid: DataFrame, invalid: DataFrame): Unit = ()
+}
+
+/** Batch consumer pipeline: decode → hooks → compact → merge, the full
+  * §3.2 consume lifecycle as one object. The sink receives compacted
+  * (upserts, deletes) per micro-batch.
+  */
+class BatchConsumer(
+    val cfg: TopicConfig,
+    val backend: SchemaBackend,
+    val hooks: ConsumerHooks,
+    val keyCols: Seq[String],
+    val orderCol: String,
+    val metrics: graft.observe.Metrics = graft.observe.Metrics.noop) {
+
+  /** Batch-mode consume of a Kafka-shaped frame; returns final
+    * (upserts, deletes) after hooks + compaction. */
+  def consumeBatch(kafka: DataFrame): (DataFrame, DataFrame) = {
+    val decoded = Streams.fromKafkaFrame(kafka, backend)
+    hooks.preProcess(decoded)
+    val processed = decoded.filter(hooks.processMessage)
+    val (valid, invalid) =
+      graft.operators.Pipeline.partitionValid(processed, hooks.shouldConsume)
+    metrics.count("graft.batch_consumption.invalid_records", invalid.count())
+    hooks.postProcessBatch(valid, invalid)
+    val shaped = hooks.recordAttributes(valid)
+    val compacted = if (cfg.compacted)
+      graft.operators.Compaction.lastWins(shaped, keyCols, col(orderCol))
+    else shaped
+    Materialize.splitTombstones(compacted, hooks.isTombstone)
+  }
+
+  /** Streaming-mode consume via foreachBatch. */
+  def stream(kafka: DataFrame)(
+      sink: (DataFrame, DataFrame, Long) => Unit) = {
+    val decoded = Streams.fromKafkaFrame(kafka, backend)
+      .filter(hooks.processMessage && hooks.shouldConsume)
+    Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,
+      col(orderCol), hooks.isTombstone, cfg.compacted)(sink)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.observe
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Metrics/tracing facade (U7) + instrumentation event names (U8) —
+  * the engine analog of the reference's pluggable providers
+  * (`metrics/provider.rb`, `tracing/provider.rb`) and
+  * `Karafka.monitor.instrument` events (`lib/deimos.rb:47-53`).
+  */
+trait Metrics extends Serializable {
+  def count(metric: String, value: Long, tags: Map[String, String] = Map.empty): Unit
+  def gauge(metric: String, value: Double, tags: Map[String, String] = Map.empty): Unit
+  def timed[T](metric: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally gauge(metric, (System.nanoTime() - t0) / 1e6)
+  }
+}
+
+object Metrics {
+  /** Reference event names, kept verbatim minus the framework prefix
+    * (reference fires: deimos.encode_message,
+    * deimos.ar_consumer.consume_batch,
+    * deimos.batch_consumption.valid_records / invalid_records,
+    * deimos.outbox.produce). */
+  val EncodeMessage = "graft.encode_message"
+  val ConsumeBatch = "graft.ar_consumer.consume_batch"
+  val ValidRecords = "graft.batch_consumption.valid_records"
+  val InvalidRecords = "graft.batch_consumption.invalid_records"
+  val OutboxProduce = "graft.outbox.produce"
+  val PendingCount = "graft.pending_db_messages_count"
+  val PendingMaxWait = "graft.pending_db_messages_max_wait"
+
+  val noop: Metrics = new Metrics {
+    def count(m: String, v: Long, t: Map[String, String]): Unit = ()
+    def gauge(m: String, v: Double, t: Map[String, String]): Unit = ()
+  }
+
+  /** In-memory provider (test backend, reference `Metrics::Mock`). */
+  class InMemory extends Metrics {
+    val counts = new ConcurrentHashMap[String, java.lang.Long]()
+    val gauges = new ConcurrentHashMap[String, java.lang.Double]()
+    def count(m: String, v: Long, t: Map[String, String]): Unit =
+      counts.merge(m, v, (a, b) => a + b)
+    def gauge(m: String, v: Double, t: Map[String, String]): Unit =
+      gauges.put(m, v)
+  }
+}
+
+object Observe {
+  /** P14/A6-style observability without a second pass: attach named
+    * aggregates to the frame; they surface in QueryExecution listeners
+    * and StreamingQueryProgress.observedMetrics. */
+  def counted(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"))
+
+  /** StreamingQueryListener that forwards batch progress (rows/sec,
+    * observed metrics) to a Metrics facade — the engine's
+    * `producer_metrics_listener.rb` equivalent. */
+  class MetricsListener(metrics: Metrics) extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      metrics.count("graft.stream.rows", e.progress.numInputRows)
+      metrics.gauge("graft.stream.rows_per_sec",
+        e.progress.processedRowsPerSecond)
+    }
+  }
+}

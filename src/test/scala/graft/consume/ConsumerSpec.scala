@@ -1,0 +1,67 @@
+package graft.consume
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.model.{KeyConfig, TopicConfig}
+import graft.schema.PlainJsonBackend
+
+class ConsumerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloadType = StructType(Seq(
+    StructField("widget_id", StringType), StructField("amount", LongType)))
+  private val backend = new PlainJsonBackend(payloadType)
+
+  private object Hooks extends ConsumerHooks {
+    override def processMessage: Column =
+      col("payload").isNull || col("payload.amount") =!= -1L
+    override def isTombstone: Column = col("payload").isNull
+    override def recordAttributes(p: DataFrame): DataFrame =
+      p.withColumn("doubled",
+        when(col("payload").isNotNull, col("payload.amount") * 2))
+  }
+
+  private def kafkaFrame = {
+    // (offset, key, json-payload or null)
+    val rows = Seq(
+      (1L, "A", """{"widget_id":"A","amount":5}"""),
+      (2L, "A", """{"widget_id":"A","amount":6}"""),
+      (3L, "B", """{"widget_id":"B","amount":-1}"""), // filtered by hook
+      (4L, "C", """{"widget_id":"C","amount":9}"""),
+      (5L, "C", null)) // tombstone
+      .toDF("offset", "k", "json")
+    rows.select(col("offset"),
+      col("k").cast("binary").as("key"),
+      col("json").cast("binary").as("value"))
+  }
+
+  test("consumeBatch: hooks, compaction, tombstone split, shaping") {
+    val metrics = new graft.observe.Metrics.InMemory
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain),
+      backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset",
+      metrics = metrics)
+    val (up, del) = consumer.consumeBatch(kafkaFrame)
+    val ups = up.select(col("decoded_key"), col("payload.amount"),
+      col("doubled")).as[(String, Long, Long)].collect().toSet
+    assert(ups === Set(("A", 6L, 12L)))
+    assert(del.select("decoded_key").as[String].collect().toSeq === Seq("C"))
+    // B was filtered by process_message? before compaction
+    assert(metrics.counts.isEmpty ||
+      metrics.counts.getOrDefault(
+        "graft.batch_consumption.invalid_records", 0L) === 0L)
+  }
+
+  test("uncompacted mode keeps every surviving version") {
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain,
+        compacted = false),
+      backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    val (up, del) = consumer.consumeBatch(kafkaFrame)
+    assert(up.count() === 3) // A@1, A@2, C@4
+    assert(del.count() === 1)
+  }
+}
