@@ -72,6 +72,22 @@ object Materialize {
     (nested, exploded)
   }
 
+  /** M5 — primary-key backfill: parents were staged with a surrogate
+    * `bulk_import_id`; after the store assigns real pks, children get
+    * their fk by joining staged→saved on the surrogate (reference:
+    * `batch_record_list.rb:53-66` — the bulk_import_id UUID join). */
+  def backfillPrimaryKeys(children: DataFrame, savedParents: DataFrame,
+      surrogateCol: String, pkCol: String): DataFrame =
+    children.join(
+      savedParents.select(col(surrogateCol), col(pkCol)), Seq(surrogateCol))
+
+  /** M5 — stage parents with the surrogate id column (deterministic
+    * hash by default so tests and oracles can reproduce it). */
+  def withBulkImportId(parents: DataFrame, fromCols: Seq[String],
+      surrogateCol: String = "bulk_import_id"): DataFrame =
+    parents.withColumn(surrogateCol,
+      md5(concat_ws("|", fromCols.map(col): _*)))
+
   /** "Replace associations" delete: children of touched parents that are
     * NOT in the incoming set are removed (reference:
     * `batch_record_list.rb:79-86`). Returns surviving children. */

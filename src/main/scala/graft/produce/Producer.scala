@@ -1,0 +1,55 @@
+package graft.produce
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{MessageCols, TopicConfig}
+import graft.operators.Pipeline
+import graft.schema.SchemaBackend
+import graft.streaming.Streams
+
+/** Producer-side extension API (U1/U3 hook set — reference:
+  * `active_record_producer.rb:75-130`, `producer.rb:73-75`). */
+trait ProducerHooks extends Serializable {
+  /** U1: `generate_payload` — shape attrs into the payload frame
+    * (default: schema projection happens downstream). */
+  def generatePayload(attrs: DataFrame): DataFrame = attrs
+  /** P13: `partition_key(payload)` — explicit partition key, used for
+    * Kafka partitioning when it differs from the message key. */
+  def partitionKey: Option[Column] = None
+  /** U3: `poll_query` — custom scan predicate for the poller source. */
+  def pollPredicate: Option[Column] = None
+}
+
+object Producer {
+
+  /** Full §3.1 produce chain with P13 partition-key assignment and T7
+    * too-large handling: payload → (topic, key, value, partition_key),
+    * with rows exceeding `maxMessageBytes` split off (the poller skips
+    * them, the outbox deletes them — policy belongs to the caller).
+    *
+    * When an explicit partition key exists alongside a message key it
+    * rides in `partition_key` (the Kafka sink partitions by `key`
+    * unless the caller maps partition_key over it — reference
+    * semantics of `producer_middleware.rb:50-56`).
+    */
+  def produceFrame(attrs: DataFrame, cfg: TopicConfig, backend: SchemaBackend,
+      hooks: ProducerHooks = new ProducerHooks {},
+      keyBackend: Option[SchemaBackend] = None,
+      maxMessageBytes: Option[Int] = None): (DataFrame, DataFrame) = {
+    val shaped = hooks.generatePayload(attrs)
+    val payloads = Pipeline.schemaProject(shaped, backend.schemaFields)
+    val withPk = hooks.partitionKey match {
+      case Some(pk) =>
+        payloads.withColumn(MessageCols.PartitionKey, pk.cast("string"))
+      case None => payloads
+    }
+    val framed = Streams.toKafkaFrame(withPk, cfg, backend, keyBackend)
+    maxMessageBytes match {
+      case Some(max) =>
+        (framed.filter(length(col(MessageCols.Value)) <= max),
+          framed.filter(length(col(MessageCols.Value)) > max))
+      case None => (framed, framed.limit(0))
+    }
+  }
+}

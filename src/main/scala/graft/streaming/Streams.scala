@@ -30,7 +30,9 @@ object Streams {
     require(EngineConfig.producerEnabled(producerClass),
       s"producers disabled for $producerClass")
     val withFields = Pipeline.autoFields(payloads)
-    val payloadCols = payloads.columns
+    // partition_key rides alongside, never inside, the encoded payload
+    // (P13 — reference producer_middleware.rb:50-56)
+    val payloadCols = payloads.columns.filterNot(_ == MessageCols.PartitionKey)
     val payloadStruct = struct(
       (payloadCols ++ Seq("message_id", "timestamp").filterNot(payloadCols.contains))
         .map(col).toIndexedSeq: _*)
@@ -50,10 +52,14 @@ object Streams {
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(payloadCols.map(col).toIndexedSeq: _*)))
     }
-    keyed.select(
+    val base = keyed.select(
       lit(cfg.fullTopic).as(MessageCols.Topic),
       col(MessageCols.Key),
-      backend.encodeExpr(payloadStruct).as(MessageCols.Value))
+      backend.encodeExpr(payloadStruct).as(MessageCols.Value),
+      (if (payloads.columns.contains(MessageCols.PartitionKey))
+        col(MessageCols.PartitionKey)
+      else lit(null).cast("string")).as(MessageCols.PartitionKey))
+    base
   }
 
   /** §3.2 consume path prefix: Kafka-shaped frame → decoded payload +

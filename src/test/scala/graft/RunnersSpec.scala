@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.{KeyConfig, MessageCols, TopicConfig}
+import graft.operators.{Materialize, Poller}
+import graft.outbox.OutboxRunner
+import graft.poller.PollerRunner
+import graft.produce.{Producer, ProducerHooks}
+import graft.schema.PlainJsonBackend
+
+class PollerRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(n: Int) = (1 to n).map(i =>
+    (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d")))
+    .toDF("id", "ts")
+
+  test("poller pages through in (ts,id) order, persists cursor, resumes") {
+    val dir = Files.createTempDirectory("graft-poller")
+    val runner = new PollerRunner(() => tbl(25), "ts", "id",
+      dir.resolve("cursor").toString, batchSize = 10)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val now = Timestamp.valueOf("2024-01-01 01:00:00")
+    val pages = runner.processUpdates(now)(p =>
+      seen ++= p.select("id").as[Long].collect())
+    assert(pages === 3)
+    assert(seen.toSeq === (1L to 25L))
+    // resume with no new data → zero pages
+    assert(runner.processUpdates(now)(_ => fail("no new data expected")) === 0)
+    // resume after new rows appear
+    val runner2 = new PollerRunner(() => tbl(30), "ts", "id",
+      dir.resolve("cursor").toString, batchSize = 10)
+    val seen2 = scala.collection.mutable.ArrayBuffer[Long]()
+    runner2.processUpdates(now)(p =>
+      seen2 ++= p.select("id").as[Long].collect())
+    assert(seen2.toSeq === (26L to 30L))
+  }
+
+  test("delay_time excludes rows newer than now - delay") {
+    val dir = Files.createTempDirectory("graft-poller2")
+    val runner = new PollerRunner(() => tbl(25), "ts", "id",
+      dir.resolve("cursor").toString, batchSize = 100,
+      delayMillis = 3600000L) // 1h lag allowance → everything excluded
+    assert(runner.processUpdates(Timestamp.valueOf("2024-01-01 00:30:00"))(
+      _ => fail("nothing should be eligible")) === 0)
+  }
+
+  test("produce failure retries then skips batch with cursor advanced") {
+    val dir = Files.createTempDirectory("graft-poller3")
+    val runner = new PollerRunner(() => tbl(5), "ts", "id",
+      dir.resolve("cursor").toString, batchSize = 10, retries = 1)
+    var calls = 0
+    val pages = runner.processUpdates(Timestamp.valueOf("2024-01-01 01:00:00")) {
+      _ => calls += 1; if (calls == 1) throw new RuntimeException("kafka down")
+    }
+    assert(pages === 1 && calls === 2)
+    assert(runner.loadCursor().lastId === 5L)
+  }
+}
+
+class OutboxRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRunner(clock: () => Long = () => 0L) = {
+    val dir = Files.createTempDirectory("graft-outbox").resolve("staging")
+    val runner = new OutboxRunner(spark, dir.toString, clock = clock)
+    val msgs = Seq(
+      (1L, "t1", "A", "a1"), (2L, "t1", "A", "a2"), (3L, "t2", "B", "b1"))
+      .toDF("id", MessageCols.Topic, MessageCols.Key, "payload")
+      .withColumn("created_at", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    runner.stage(msgs)
+    runner
+  }
+
+  test("sweep drains per topic in order and deletes drained rows") {
+    val runner = mkRunner()
+    val produced = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val n = runner.sweep() { df =>
+      produced ++= df.select(MessageCols.Topic, "id")
+        .as[(String, Long)].collect()
+    }
+    assert(n === 3)
+    // per-topic insertion order preserved
+    assert(produced.filter(_._1 == "t1").map(_._2).toSeq === Seq(1L, 2L))
+    assert(runner.staged.count() === 0)
+    assert(runner.sweep()(_ => fail("staging should be empty")) === 0)
+  }
+
+  test("compact_topics compacts last-wins before producing") {
+    val runner = mkRunner()
+    var seen = Seq.empty[Long]
+    runner.sweep(compactTopics = Set("t1")) { df =>
+      seen = df.select("id").as[Long].collect().toSeq.sorted
+    }
+    assert(seen === Seq(2L, 3L)) // A@1 compacted away
+  }
+
+  test("produce failure puts topics in cooldown; retry after window") {
+    var now = 1000L
+    val runner = mkRunner(() => now)
+    intercept[RuntimeException] {
+      runner.sweep()(_ => throw new RuntimeException("broker down"))
+    }
+    // still inside cooldown → topics skipped
+    assert(runner.sweep()(_ => fail("in cooldown")) === 0L)
+    now += 61000L
+    var drained = 0L
+    drained = runner.sweep()(_.count())
+    assert(drained === 3L)
+  }
+}
+
+class ProducerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val backend = new PlainJsonBackend(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("wid",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType))))
+
+  test("produceFrame: payload shaping, partition key, too-large split") {
+    val attrs = Seq(("w1", 1L, "x"), ("w2", 2L, "y" * 500))
+      .toDF("wid", "n", "extra")
+    val hooks = new ProducerHooks {
+      override def generatePayload(a: DataFrame): DataFrame =
+        a.withColumn("n", col("n") * 10)
+      override def partitionKey: Option[org.apache.spark.sql.Column] =
+        Some(col("wid"))
+    }
+    val (ok, tooLarge) = Producer.produceFrame(attrs,
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.NoKey),
+      backend, hooks, maxMessageBytes = Some(200))
+    assert(ok.columns.toSeq ===
+      Seq("topic", "key", "value", "partition_key"))
+    val row = ok.select("partition_key", "value").collect()(0)
+    assert(row.getString(0) === "w1")
+    val payload = new String(row.getAs[Array[Byte]]("value"))
+    assert(payload.contains("\"n\":10") && !payload.contains("extra"))
+    assert(tooLarge.count() === 0)
+  }
+
+  test("kill switch blocks the produce chain") {
+    graft.model.EngineConfig.producersDisabled = true
+    try intercept[IllegalArgumentException] {
+      Producer.produceFrame(Seq(("w", 1L)).toDF("wid", "n"),
+        TopicConfig("t", "W"), backend)
+    } finally graft.model.EngineConfig.producersDisabled = false
+  }
+}
+
+class BackfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bulk_import_id surrogate backfills child fks") {
+    val parents = Materialize.withBulkImportId(
+      Seq(("o1", "alice"), ("o2", "bob")).toDF("order_ref", "who"),
+      Seq("order_ref"))
+    // store assigns pks — simulate with monotonically increasing join
+    val saved = parents.withColumn("pk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("order_ref")).cast("long"))
+    val children = parents.select(col("bulk_import_id"))
+      .withColumn("item", lit("i"))
+    val got = Materialize.backfillPrimaryKeys(children, saved,
+      "bulk_import_id", "pk")
+    assert(got.select("pk").as[Long].collect().toSet === Set(1L, 2L))
+  }
+}
+
+class MultimodalPartitionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Multimodal
+
+  test("mapPartitions decode stub matches the expression stub") {
+    val df = Multimodal.asMedia(
+      Seq((1L, "hello world"), (2L, "tiny")).toDF("id", "text"),
+      "text", "text/fake")
+    val viaPartitions = Multimodal.decodeMetaPartitions(df)
+      .select(col("id"), col("meta.width"), col("meta.n_frames"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaExpr = df.select(col("id"),
+      Multimodal.decodeMetaStub(col("media_bytes"), col("media_type"))
+        .as("meta"))
+      .select(col("id"), col("meta.width"), col("meta.n_frames"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaPartitions === viaExpr)
+    assert(viaPartitions.map(_._1) === Set(1L, 2L))
+  }
+
+  test("sampleFrames slices byte windows; short payload → empty") {
+    val df = Seq(("abcdefghij", "ab")).toDF("long", "short")
+    val (frames, none) = df.select(
+      graft.ext.Multimodal.sampleFrames(col("long").cast("binary"), 4, 2),
+      graft.ext.Multimodal.sampleFrames(col("short").cast("binary"), 4, 2))
+      .as[(Seq[Array[Byte]], Seq[Array[Byte]])].collect()(0)
+    assert(frames.map(new String(_)) === Seq("ab", "ef"))
+    assert(none.isEmpty)
+  }
+}

@@ -32,7 +32,8 @@ class StreamsSpec extends SparkSpec {
       .withColumn("timestamp", lit(null).cast("string"))
     val frame = Streams.toKafkaFrame(payloads, cfg, backend,
       keyBackend = backend.keyBackend(cfg.keyConfig))
-    assert(frame.columns.toSeq === Seq("topic", "key", "value"))
+    assert(frame.columns.toSeq ===
+      Seq("topic", "key", "value", "partition_key"))
     val decoded = Streams.fromKafkaFrame(frame, backend,
       backend.keyBackend(cfg.keyConfig))
     val rows = decoded.select(col("topic"),
