@@ -101,7 +101,43 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.components(pairs).orderBy(col("doc_id"))
+  }
+
+  private def x14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("tok"))
+
+  private def x15(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private def x16(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", centroids, nProbe = 2, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_dedup_groups" -> (x13 _),
+    "x14_vocab" -> (x14 _),
+    "x15_top_tokens" -> (x15 _),
+    "x16_ann_ivf" -> (x16 _),
     "x1_dedup_exact" -> (x1 _),
     "x2_dedup_minhash" -> (x2 _),
     "x3_dedup_simhash" -> (x3 _),
@@ -116,9 +152,27 @@ object ExtQueries {
     "x12_multimodal_meta" -> (x12 _),
   )
 
-  // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7)
-  // are deliberately omitted → rows-only check.
+  // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
+  // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x14_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM toks WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin,
+    "x15_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, tok, COUNT(*) AS cnt FROM toks WHERE tok <> ''
+        |  GROUP BY lang, tok)
+        |SELECT lang, tok, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+        |FROM counts
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
         |    AS fingerprint,

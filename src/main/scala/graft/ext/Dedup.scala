@@ -113,6 +113,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Collapse near-dup pairs into groups: each doc labeled with the
+    * min doc id of its connected component (iterative min-label
+    * propagation — the standard large-graph CC pattern; rounds are
+    * O(log n) for realistic dup clusters, each round one shuffle).
+    */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_label")).as("neighbor_min"))
+      val next = labels.join(propagated, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("neighbor_min"), col("label")))
+            .as("label")).cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** Embedding near-dedup: cosine ≥ threshold pairs, bucketed by a
     * coarse key (label / LSH bucket) to avoid all-pairs. */
   def embeddingCosine(embeddings: DataFrame, idCol: String, vecCol: String,

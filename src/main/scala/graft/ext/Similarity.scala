@@ -34,6 +34,83 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF centroid training: driver-side Lloyd iterations over a bounded
+    * sample (at 100 TB you train on a ~1M-row sample; assignment —
+    * the expensive part — stays fully distributed). Deterministic:
+    * seeds are the first k sample vectors. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = sample.take(k).map(_.clone())
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus assigned to its nearest centroid (one scan, no
+    * shuffle); queries probe their nProbe nearest centroid lists. The
+    * join key is the coarse bucket, so search cost is
+    * corpus/k × nProbe per query instead of the full corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], nProbe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val cents = centroids.zipWithIndex
+    def dists(v: Column): Seq[Column] = cents.map { case (cv, _) =>
+      val lits = array(cv.map(lit): _*)
+      aggregate(zip_with(v, lits, (x, p) => {
+        val d = x.cast("double") - p; d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    }.toSeq
+    def bucketOf(v: Column): Column = {
+      val ds = array(dists(v): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    def probesOf(v: Column): Column = {
+      val ds = array(dists(v).zipWithIndex.map { case (d, i) =>
+        struct(d.as("d"), lit(i).as("c"))
+      }: _*)
+      slice(transform(array_sort(ds), s => s.getField("c")), 1, nProbe)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketOf(col(vecCol)).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probesOf(col(vecCol))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries bucketed by sign-bit
     * hyperplane hash; search only within the query's bucket. Recall is
     * tunable via nBits (fewer bits → bigger buckets → higher recall,

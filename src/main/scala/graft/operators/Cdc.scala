@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture without ORM callbacks (S9/S10): the engine
+  * derives "what changed" by comparing snapshots / consecutive
+  * versions, honoring a watched-attribute list (reference:
+  * `lib/deimos/kafka_source.rb:10-60` — update events fire only when
+  * watched attrs changed).
+  */
+object Cdc {
+
+  /** Rows of `current` that are new or changed w.r.t. `previous`,
+    * comparing only `watched` columns (empty ⇒ all non-key columns).
+    * One shuffle on the key (full outer not needed — left join).
+    * Deletes are `previous` keys absent from `current` (tombstones).
+    * Returns (changedOrNew, deletedKeys).
+    */
+  def changedSince(current: DataFrame, previous: DataFrame,
+      keyCols: Seq[String], watched: Seq[String] = Seq.empty)
+      : (DataFrame, DataFrame) = {
+    val cmpCols =
+      (if (watched.nonEmpty) watched
+      else current.columns.toSeq.filterNot(keyCols.contains))
+        .filter(previous.columns.contains)
+    val prev = previous.select(
+      (keyCols.map(col) ++ cmpCols.map(c => col(c).as(s"__prev_$c"))
+        :+ lit(true).as("__prev_present")): _*)
+    val joined = current.join(prev, keyCols, "left")
+    val isNew = col("__prev_present").isNull
+    val changed = cmpCols.map(c =>
+      !(col(c) <=> col(s"__prev_$c"))).reduce(_ || _)
+    val changedOrNew = joined.filter(changed || isNew)
+      .select(current.columns.map(col): _*)
+    val deleted = previous.select(keyCols.map(col): _*)
+      .join(current.select(keyCols.map(col): _*), keyCols, "left_anti")
+    (changedOrNew, deleted)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.operators.Cdc
+import graft.streaming.StreamDedup
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("changedSince: watched-attribute comparison, inserts and deletes") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "score")
+    val curr = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L))
+      .toDF("id", "name", "score")
+    val (changed, deleted) = Cdc.changedSince(curr, prev, Seq("id"),
+      watched = Seq("name"))
+    assert(changed.select("id").as[Long].collect().toSet === Set(2L, 4L))
+    assert(deleted.select("id").as[Long].collect().toSet === Set(3L))
+    // watched=score only → the name change is invisible
+    val (c2, _) = Cdc.changedSince(curr, prev, Seq("id"), Seq("score"))
+    assert(c2.select("id").as[Long].collect().toSet === Set(4L))
+  }
+
+  test("changedSince treats nulls with null-safe equality") {
+    val prev = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    val curr = Seq((1L, None: Option[String]), (2L, None)).toDF("id", "v")
+    val (changed, _) = Cdc.changedSince(curr, prev, Seq("id"), Seq("v"))
+    assert(changed.select("id").as[Long].collect().toSet === Set(1L))
+  }
+}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label chains and leave singletons implicit") {
+    // 1-2, 2-3 chain; 8-9 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF centroids train deterministically; topK returns per-query ranks") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i % 4) * 10 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, "embedding", k = 4,
+      iters = 3, sampleN = 40)
+    assert(cents.length === 4 && cents(0).length === 4)
+    val res = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", cents, nProbe = 2, k = 3)
+    val byQuery = res.select("query_id", "rank")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L))
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L)))
+  }
+}
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstSeen emits each key once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val deduped = StreamDedup.firstSeen(
+      input.toDS().groupByKey(_._1))
+    val q = deduped.writeStream.outputMode("update")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sd").toString)
+      .start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      input.addData(("a", 4L), ("c", 5L))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[(String, Long)].collect().toSet
+      assert(got.map(_._1) === Set("a", "b", "c"))
+      assert(got.size === 3)
+    } finally q.stop()
+  }
+}
