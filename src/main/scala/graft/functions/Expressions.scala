@@ -127,6 +127,68 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken):
+    * Rabin-Karp rolling hash over the byte stream with window `w`;
+    * from each window of `w` consecutive k-gram hashes keep the
+    * minimum (rightmost on ties) — the classic plagiarism-detection
+    * fingerprint set, robust to insertions. Output: distinct selected
+    * hashes, first-occurrence order. One pass.
+    */
+  case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val Base = 257L
+    @transient private lazy val basePowK1: Long = {
+      var p = 1L
+      var i = 0
+      while (i < k - 1) { p *= Base; i += 1 }
+      p
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val n = bytes.length
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      // rolling k-gram hashes
+      val grams = new Array[Long](n - k + 1)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+      grams(0) = splitmix64(h)
+      i = k
+      while (i < n) {
+        h = (h - (bytes(i - k) & 0xff) * basePowK1) * Base + (bytes(i) & 0xff)
+        grams(i - k + 1) = splitmix64(h)
+        i += 1
+      }
+      // winnow: min per window, rightmost on ties
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val m = grams.length
+      if (m <= w) {
+        var best = 0
+        var j = 1
+        while (j < m) { if (grams(j) <= grams(best)) best = j; j += 1 }
+        seen.add(grams(best))
+      } else {
+        var start = 0
+        while (start + w <= m) {
+          var best = start
+          var j = start + 1
+          while (j < start + w) { if (grams(j) <= grams(best)) best = j; j += 1 }
+          seen.add(grams(best))
+          start += 1
+        }
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprintExpr =
+      copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double
     * elements), accumulated in double in one pass; 0.0 for zero-norm
     * inputs. */
@@ -174,6 +236,9 @@ object Expressions {
 
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     col(NGramHashesExpr(ex(tokenHashes), n))
+
+  def winnowFingerprint(bytes: Column, k: Int = 5, w: Int = 4): Column =
+    col(WinnowFingerprintExpr(ex(bytes), k, w))
 
   def cosineSim(a: Column, b: Column): Column =
     col(CosineSimExpr(ex(a), ex(b)))

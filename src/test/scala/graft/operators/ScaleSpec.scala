@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+    Scale.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (tiny test tables would broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE graft_bkt_a")
+      spark.sql("DROP TABLE graft_bkt_b")
+    }
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val big = (1L to 500L).map(i => (if (i % 10 == 0) 1L else i, i))
+      .toDF("k", "payload") // key 1 is hot
+    val small = (1L to 500L).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, "k").select("k", "payload", "dim")
+      .collect().toSet
+    val salted = Scale.saltedJoinDeterministic(big, small, "k",
+      saltFrom = "payload", salts = 8).select("k", "payload", "dim")
+      .collect().toSet
+    assert(salted === plain)
+    val randomSalted = Scale.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "dim").collect().toSet
+    assert(randomSalted === plain)
+  }
+}
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Expressions
+
+  test("winnow fingerprints are deterministic and insertion-robust") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog",
+        "XX the quick brown fox jumps over the lazy dog"))
+      .toDF("a", "b")
+    val fps = df.select(
+      Expressions.winnowFingerprint(col("a").cast("binary")).as("fa"),
+      Expressions.winnowFingerprint(col("b").cast("binary")).as("fb"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    // identical text → identical fingerprint set
+    assert(fps(0)._1.toSet === fps(0)._2.toSet)
+    // small prefix insertion → large fingerprint overlap (winnowing property)
+    val (fa, fb) = (fps(1)._1.toSet, fps(1)._2.toSet)
+    val overlap = fa.intersect(fb).size.toDouble / fa.size
+    assert(overlap > 0.7, s"overlap $overlap")
+  }
+
+  test("short payloads yield empty or single fingerprint") {
+    val got = Seq(("ab", "abcdefg")).toDF("tiny", "small")
+      .select(
+        Expressions.winnowFingerprint(col("tiny").cast("binary"), 5, 4),
+        Expressions.winnowFingerprint(col("small").cast("binary"), 5, 4))
+      .as[(Seq[Long], Seq[Long])].collect()(0)
+    assert(got._1.isEmpty)
+    assert(got._2.size === 1)
+  }
+}
