@@ -60,6 +60,50 @@ object AvroExpressions {
       copy(child = c)
   }
 
+  /** struct → Avro Object Container File bytes (schema embedded) —
+    * the reference's actual avro_local payload format
+    * (`avro_local.rb:18-30` uses DataFileWriter per message). */
+  case class AvroDataFileEncodeExpr(child: Expression, schemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    @transient private lazy val schema =
+      new AvroSchema.Parser().parse(schemaJson)
+    override def nullSafeEval(input: Any): Any = {
+      val datum = AvroConverters.toAvroDatum(input, schema)
+      val out = new ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter[Any](
+        new GenericDatumWriter[Any](schema))
+      w.create(schema, out)
+      w.append(datum)
+      w.close()
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** OCF bytes → struct, resolved against the declared READER schema.
+    * The writer schema travels in the container, so producer-side
+    * evolution (extra fields, defaulted additions) resolves exactly as
+    * the reference's `new_from_message` tolerance
+    * (`schema_class/record.rb:76-90`). */
+  case class AvroDataFileDecodeExpr(child: Expression, readerSchemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val readerSchema =
+      new AvroSchema.Parser().parse(readerSchemaJson)
+    override def dataType: DataType = AvroConverters.toSparkType(readerSchema)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val reader = new GenericDatumReader[Any](null, readerSchema)
+      val stream = new org.apache.avro.file.DataFileStream[Any](
+        new java.io.ByteArrayInputStream(bytes), reader)
+      try {
+        if (!stream.hasNext) null
+        else AvroConverters.fromAvroDatum(stream.next(), readerSchema)
+      } finally stream.close()
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Big-endian int32 from the first 4 bytes at `offset` — used to read
     * the schema id out of registry-framed messages. */
   case class ReadInt32BE(child: Expression, offset: Int)
@@ -86,4 +130,12 @@ object AvroExpressions {
   def schemaIdOf(framed: Column): Column =
     GraftSqlBridge.column(
       ReadInt32BE(GraftSqlBridge.expression(framed), offset = 1))
+
+  def encodeAvroDataFile(payload: Column, schemaJson: String): Column =
+    GraftSqlBridge.column(
+      AvroDataFileEncodeExpr(GraftSqlBridge.expression(payload), schemaJson))
+
+  def decodeAvroDataFile(bytes: Column, readerSchemaJson: String): Column =
+    GraftSqlBridge.column(
+      AvroDataFileDecodeExpr(GraftSqlBridge.expression(bytes), readerSchemaJson))
 }

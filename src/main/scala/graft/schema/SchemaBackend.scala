@@ -66,6 +66,18 @@ class AvroBackend(val schemaJson: String) extends SchemaBackend {
   }
 }
 
+/** Avro Object-Container-File backend — byte-exact analog of the
+  * reference's `avro_local` (per-message DataFile with embedded writer
+  * schema, `avro_local.rb:18-30`). Self-describing payloads: decode
+  * resolves any backward-compatible writer schema against this reader
+  * schema (full evolution support, unlike raw-binary mode). */
+class AvroDataFileBackend(schemaJson: String) extends AvroBackend(schemaJson) {
+  override def encodeExpr(payload: Column): Column =
+    AvroExpressions.encodeAvroDataFile(payload, schemaJson)
+  override def decodeExpr(bytes: Column): Column =
+    AvroExpressions.decodeAvroDataFile(bytes, schemaJson)
+}
+
 /** Confluent-style registry wire format: 0x00 magic byte + int32
   * schema id (big-endian) + Avro binary (reference:
   * `avro_schema_registry.rb`; framing per the public Confluent wire

@@ -96,6 +96,36 @@ class SchemaBackendSpec extends SparkSpec {
     assert(new AvroBackend(readerSchema).schemaFields === Seq("a"))
   }
 
+  test("datafile backend: self-describing payloads resolve writer→reader evolution") {
+    val writerJson =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"},
+        | {"name":"extra","type":"string"}]}""".stripMargin
+    val readerJson =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"},
+        | {"name":"added","type":"string","default":"dflt"}]}""".stripMargin
+    val writer = new AvroDataFileBackend(writerJson)
+    val reader = new AvroDataFileBackend(readerJson)
+    // producer encodes with the OLD schema (has `extra`, lacks `added`)
+    val bytes = spark.range(1).select(
+      writer.encodeExpr(struct(lit(7L).as("a"), lit("drop-me").as("extra")))
+        .as("bin"))
+    // consumer decodes with the NEW schema: `extra` dropped silently,
+    // `added` filled from its default — the reference's tolerance
+    val got = bytes.select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, String)].collect()(0)
+    assert(got === ((7L, "dflt")))
+  }
+
+  test("datafile backend round-trips same-schema rows") {
+    val backend = new AvroDataFileBackend(mySchema)
+    val df = sampleDf
+    val rt = df.select(backend.encodeExpr(struct(df.columns.map(col): _*)).as("b"))
+      .select(backend.decodeExpr(col("b")).as("p")).select("p.*")
+    assert(rt.collect().toSet === df.collect().toSet)
+  }
+
   test("multi-branch union maps to member struct and round-trips") {
     val unionSchema =
       """{"type":"record","name":"U","fields":[
