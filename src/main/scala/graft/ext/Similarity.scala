@@ -81,7 +81,7 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val cents = centroids.zipWithIndex
     def dists(v: Column): Seq[Column] = cents.map { case (cv, _) =>
-      val lits = array(cv.map(lit): _*)
+      val lits = array(cv.toIndexedSeq.map(lit): _*)
       aggregate(zip_with(v, lits, (x, p) => {
         val d = x.cast("double") - p; d * d
       }), lit(0.0), (acc, x) => acc + x)

@@ -32,7 +32,7 @@ object Cdc {
     val changed = cmpCols.map(c =>
       !(col(c) <=> col(s"__prev_$c"))).reduce(_ || _)
     val changedOrNew = joined.filter(changed || isNew)
-      .select(current.columns.map(col): _*)
+      .select(current.columns.toIndexedSeq.map(col): _*)
     val deleted = previous.select(keyCols.map(col): _*)
       .join(current.select(keyCols.map(col): _*), keyCols, "left_anti")
     (changedOrNew, deleted)

@@ -40,7 +40,7 @@ object Materialize {
       orderCol: Column, tombstone: Column): DataFrame = {
     val compacted = Compaction.lastWins(batch, keyCols, orderCol)
     val survivors = compacted.filter(!coalesce(tombstone, lit(false)))
-      .select(current.columns.map(col): _*)
+      .select(current.columns.toIndexedSeq.map(col): _*)
     val untouched = current.join(compacted.select(keyCols.map(col): _*),
       keyCols, "left_anti")
     untouched.unionByName(survivors)
@@ -67,7 +67,7 @@ object Materialize {
     val nested = parents.join(nestedChildren, Seq(parentKey), "inner")
     val exploded = nested
       .withColumn("child", explode(col("children")))
-      .select((parents.columns.map(col) ++
+      .select((parents.columns.toIndexedSeq.map(col) ++
         childCols.map(c => col("child").getField(c).as(c))): _*)
     (nested, exploded)
   }
@@ -95,6 +95,6 @@ object Materialize {
       parentKey: String, childKey: Seq[String]): DataFrame = {
     val touchedParents = incoming.select(parentKey).distinct()
     val untouched = existing.join(touchedParents, Seq(parentKey), "left_anti")
-    untouched.unionByName(incoming.select(existing.columns.map(col): _*))
+    untouched.unionByName(incoming.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 }

@@ -64,7 +64,10 @@ object Pipeline {
         df.withColumn(idCol, coalesce(col(idCol), surrogate(df)))
       else df.withColumn(idCol, surrogate(df))
     if (withId.columns.contains(tsCol))
-      withId.withColumn(tsCol, coalesce(col(tsCol), now))
+      // adapt the fill value to the column's declared type (the
+      // reference stores wall-clock strings or epochs interchangeably)
+      withId.withColumn(tsCol,
+        coalesce(col(tsCol), now.cast(df.schema(tsCol).dataType)))
     else withId.withColumn(tsCol, now)
   }
 
