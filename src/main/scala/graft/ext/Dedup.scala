@@ -119,10 +119,38 @@ object Dedup {
     * O(log n) for realistic dup clusters, each round one shuffle).
     */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 10): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 10,
+      driverThreshold: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    // Adaptive: a dup-pair graph far smaller than the corpus (the
+    // common case) is solved in milliseconds driver-side; the
+    // distributed propagation below is the ≥100k-edge path.
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      edges.unpersist()
+      return nodes.map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "group_id")
+    }
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("label", col("node"))
     var i = 0
