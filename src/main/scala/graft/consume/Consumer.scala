@@ -30,6 +30,12 @@ trait ConsumerHooks extends Serializable {
   /** lifecycle: `pre_process` / `post_process_batch`. */
   def preProcess(batch: DataFrame): Unit = ()
   def postProcessBatch(valid: DataFrame, invalid: DataFrame): Unit = ()
+  /** T6: errors are swallowed (batch skipped) unless fatal — the
+    * reference's `fatal_error?` / `reraise_errors` policy
+    * (`consumer.rb:42-54`). Default: everything is fatal (safer than
+    * the reference's swallow-by-default; opt in to skipping). */
+  def fatalError(e: Throwable): Boolean = true
+  def onError(e: Throwable, batchId: Long): Unit = ()
 }
 
 /** Batch consumer pipeline: decode → hooks → compact → merge, the full
@@ -47,12 +53,14 @@ class BatchConsumer(
   /** Batch-mode consume of a Kafka-shaped frame; returns final
     * (upserts, deletes) after hooks + compaction. */
   def consumeBatch(kafka: DataFrame): (DataFrame, DataFrame) = {
+    metrics.count(graft.observe.Metrics.ConsumeBatch, 1L)
     val decoded = Streams.fromKafkaFrame(kafka, backend)
     hooks.preProcess(decoded)
     val processed = decoded.filter(hooks.processMessage)
     val (valid, invalid) =
       graft.operators.Pipeline.partitionValid(processed, hooks.shouldConsume)
-    metrics.count("graft.batch_consumption.invalid_records", invalid.count())
+    metrics.count(graft.observe.Metrics.ValidRecords, valid.count())
+    metrics.count(graft.observe.Metrics.InvalidRecords, invalid.count())
     hooks.postProcessBatch(valid, invalid)
     val shaped = hooks.recordAttributes(valid)
     val compacted = if (cfg.compacted)
@@ -61,12 +69,20 @@ class BatchConsumer(
     Materialize.splitTombstones(compacted, hooks.isTombstone)
   }
 
-  /** Streaming-mode consume via foreachBatch. */
+  /** Streaming-mode consume via foreachBatch, with the T6 error
+    * policy: non-fatal sink errors skip the batch (offsets advance,
+    * at-least-once preserved by the next batch's key-idempotent
+    * merge); fatal errors fail the query. */
   def stream(kafka: DataFrame)(
       sink: (DataFrame, DataFrame, Long) => Unit) = {
     val decoded = Streams.fromKafkaFrame(kafka, backend)
       .filter(hooks.processMessage && hooks.shouldConsume)
+    val guarded: (DataFrame, DataFrame, Long) => Unit = (up, del, id) =>
+      try sink(up, del, id)
+      catch {
+        case e: Throwable if !hooks.fatalError(e) => hooks.onError(e, id)
+      }
     Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,
-      col(orderCol), hooks.isTombstone, cfg.compacted)(sink)
+      col(orderCol), hooks.isTombstone, cfg.compacted)(guarded)
   }
 }

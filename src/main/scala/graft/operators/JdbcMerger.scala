@@ -27,9 +27,16 @@ object JdbcMerger {
   /** Upsert statement for one batch of `rows` width-`cols`. Keyless →
     * plain INSERT (can duplicate on retry — same caveat as the
     * reference's plain-insert path, `mass_updater.rb:54-55`).
+    *
+    * @param versionCol when set, the upsert is version-guarded: an
+    *   existing row is overwritten only by a strictly newer version.
+    *   The reference never needs this (single-threaded in-order apply);
+    *   a parallel engine does, whenever micro-batches can interleave
+    *   (source rebalance, retried batch, backfill).
     */
   def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String],
-      nRows: Int, dialect: Dialect): String = {
+      nRows: Int, dialect: Dialect,
+      versionCol: Option[String] = None): String = {
     val colList = cols.map(q(_, dialect)).mkString(", ")
     val rowPh = cols.map(_ => "?").mkString("(", ", ", ")")
     val values = Seq.fill(nRows)(rowPh).mkString(", ")
@@ -39,16 +46,31 @@ object JdbcMerger {
       val updatable = cols.filterNot(keyCols.contains)
       dialect match {
         case MySql =>
-          val upd = updatable
-            .map(c => s"${q(c, dialect)} = VALUES(${q(c, dialect)})")
-            .mkString(", ")
+          val upd = versionCol match {
+            case Some(v) =>
+              val qv = q(v, dialect)
+              // MySQL applies assignments left-to-right: the version
+              // column must come LAST so earlier IF()s compare against
+              // the OLD stored version
+              val guarded = (updatable.filterNot(_ == v) :+ v).map { c =>
+                val qc = q(c, dialect)
+                s"$qc = IF(VALUES($qv) > $qv, VALUES($qc), $qc)"
+              }
+              guarded.mkString(", ")
+            case None => updatable
+              .map(c => s"${q(c, dialect)} = VALUES(${q(c, dialect)})")
+              .mkString(", ")
+          }
           s"$base ON DUPLICATE KEY UPDATE $upd"
         case Postgres =>
           val conflict = keyCols.map(q(_, dialect)).mkString(", ")
           val upd = updatable
             .map(c => s"${q(c, dialect)} = EXCLUDED.${q(c, dialect)}")
             .mkString(", ")
-          s"$base ON CONFLICT ($conflict) DO UPDATE SET $upd"
+          val guard = versionCol.map(v =>
+            s" WHERE EXCLUDED.${q(v, dialect)} > ${q(table, dialect)}.${q(v, dialect)}")
+            .getOrElse("")
+          s"$base ON CONFLICT ($conflict) DO UPDATE SET $upd$guard"
       }
     }
   }

@@ -152,6 +152,19 @@ class JdbcMergerSpec extends SparkSpec {
       " ON CONFLICT (\"id\") DO UPDATE SET \"a\" = EXCLUDED.\"a\"")
   }
 
+  test("version-guarded upsert: PG WHERE clause, MySQL IF with version last") {
+    val pg = upsertSql("w", Seq("id", "a", "ver"), Seq("id"), 1, Postgres,
+      versionCol = Some("ver"))
+    assert(pg.endsWith(
+      "ON CONFLICT (\"id\") DO UPDATE SET \"a\" = EXCLUDED.\"a\", " +
+        "\"ver\" = EXCLUDED.\"ver\" WHERE EXCLUDED.\"ver\" > \"w\".\"ver\""))
+    val my = upsertSql("w", Seq("id", "a", "ver"), Seq("id"), 1, MySql,
+      versionCol = Some("ver"))
+    assert(my.endsWith(
+      "ON DUPLICATE KEY UPDATE `a` = IF(VALUES(`ver`) > `ver`, VALUES(`a`), `a`), " +
+        "`ver` = IF(VALUES(`ver`) > `ver`, VALUES(`ver`), `ver`)"))
+  }
+
   test("keyless upsert degrades to plain INSERT (reference mass_updater.rb:54-55)") {
     assert(upsertSql("w", Seq("a"), Nil, 1, MySql) ===
       "INSERT INTO `w` (`a`) VALUES (?)")
