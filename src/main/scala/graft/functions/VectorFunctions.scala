@@ -23,6 +23,35 @@ object VectorFunctions {
     * expression: dot + both norms in one pass per pair. */
   def cosine(a: Column, b: Column): Column = Expressions.cosineSim(a, b)
 
+  /** Unit-normalize a vector (array<float> → array<double>); zero
+    * vectors pass through. Pre-normalized corpora turn cosine into a
+    * plain dot product — at 100 TB you normalize once at ingest and
+    * halve every ANN scan's arithmetic. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: round(x·127/scale) clamped to
+    * [-127,127], with the per-vector scale = max(|x|). Storage drops
+    * 4× (float32→int8); recall loss is the standard SQ8 trade. */
+  def quantizeInt8(a: Column): Column = {
+    val scale = array_max(transform(a, x => abs(x.cast("double"))))
+    struct(
+      when(scale === 0.0,
+        transform(a, _ => lit(0).cast("int")))
+        .otherwise(transform(a, x =>
+          round(x.cast("double") * 127.0 / scale).cast("int")))
+        .as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      x => x.cast("double") * qs.getField("scale") / 127.0)
+
   /** Deterministic pseudo-random hyperplane component, plane `j`
     * dimension `d` — pure arithmetic, no PRNG state, identical on every
     * executor. Values in [-1, 1). */

@@ -108,6 +108,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(c === 0.0)
   }
 
+  test("normalize yields unit vectors; zero passes through") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("v", "z")
+    val (n, z) = df.select(V.normalize(col("v")), V.normalize(col("z")))
+      .as[(Seq[Double], Seq[Double])].collect()(0)
+    assert(n === Seq(0.6, 0.8))
+    assert(z === Seq(0.0, 0.0))
+  }
+
+  test("int8 quantization round-trips within SQ8 tolerance") {
+    val df = Seq(Tuple1(Seq(0.5f, -1.0f, 0.25f, 0.0f))).toDF("v")
+    val back = df.select(
+      V.dequantizeInt8(V.quantizeInt8(col("v"))).as("r"),
+      col("v"))
+    val (r, v) = back.as[(Seq[Double], Seq[Float])].collect()(0)
+    r.zip(v).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 1.0 / 127.0 + 1e-9,
+        s"$got vs $want")
+    }
+  }
+
   test("hyperplane bucket: deterministic, scale-invariant, nBits-bounded") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(2.0f, 4.0f, 6.0f, 8.0f)))
       .toDF("v", "v2")
