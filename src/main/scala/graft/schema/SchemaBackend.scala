@@ -42,6 +42,40 @@ class AvroBackend(val schemaJson: String) extends SchemaBackend {
   override def decodeExpr(bytes: Column): Column =
     AvroExpressions.decodeAvro(bytes, schemaJson)
 
+  /** SQL DDL type for a schema field — the reference's `sql_type`
+    * surface (`avro_base.rb:48-69`; note its double→float warning:
+    * we map double to DOUBLE PRECISION instead, which modern targets
+    * support). */
+  def sqlType(field: String): String = {
+    def ddl(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.FloatType => "REAL"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE PRECISION"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case org.apache.spark.sql.types.StringType => "TEXT"
+      case org.apache.spark.sql.types.BinaryType => "BLOB"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case _: org.apache.spark.sql.types.StructType => "JSON"
+      case _: org.apache.spark.sql.types.ArrayType => "JSON"
+      case _: org.apache.spark.sql.types.MapType => "JSON"
+      case other => other.sql
+    }
+    ddl(sparkSchema(field).dataType)
+  }
+
+  /** CREATE TABLE DDL for the value schema (target-table bootstrap —
+    * the engine-side analog of the reference's generated migrations). */
+  def createTableSql(table: String, keyCols: Seq[String]): String = {
+    val cols = sparkSchema.fields.map { f =>
+      val nn = if (keyCols.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f.name)}$nn"
+    }
+    val pk = if (keyCols.nonEmpty)
+      s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
+    s"CREATE TABLE IF NOT EXISTS $table (${cols.mkString(", ")}$pk)"
+  }
+
   /** Auto-generate the one-field key-record schema for `key_config
     * field:` mode (reference: `avro_base.rb:160-177`). */
   def keySchemaJson(field: String): String = {

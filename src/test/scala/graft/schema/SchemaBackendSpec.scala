@@ -152,6 +152,17 @@ class SchemaBackendSpec extends SparkSpec {
     assert(enc.as[String].collect().toSeq === Seq("k1"))
   }
 
+  test("sqlType + createTableSql mirror the reference sql_type surface") {
+    val b = new AvroBackend(mySchema)
+    assert(b.sqlType("test_id") === "TEXT")
+    assert(b.sqlType("some_int") === "INTEGER")
+    assert(b.sqlType("tags") === "JSON")
+    assert(b.sqlType("nested") === "JSON")
+    val ddl = b.createTableSql("widgets", Seq("test_id"))
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS widgets (test_id TEXT NOT NULL, some_int INTEGER"))
+    assert(ddl.endsWith("PRIMARY KEY (test_id))"))
+  }
+
   test("plain JSON backend round-trips and is readable as JSON") {
     val st = StructType(Seq(StructField("a", LongType),
       StructField("b", StringType)))

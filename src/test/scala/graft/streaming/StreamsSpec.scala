@@ -88,6 +88,16 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent sink runs each batchId exactly once") {
+    val sink = new IdempotentSink(
+      java.nio.file.Files.createTempDirectory("graft-idem").toString)
+    var runs = 0
+    assert(sink.runOnce(7L) { runs += 1 })
+    assert(!sink.runOnce(7L) { runs += 1 }) // replay no-ops
+    assert(sink.runOnce(8L) { runs += 1 })
+    assert(runs === 2)
+  }
+
   test("windowed counts with watermark (EXT analytics path)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
