@@ -133,7 +133,45 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Sessionization: gap-based sessions per user over the event
+    * stream — lag + cumulative-sum session ids (batch-deterministic
+    * formulation; the streaming path uses session_window + watermark).
+    * Gap = 2 hours, in nanos (events.ts is nanos-as-long). */
+  private def x17(s: SparkSession, dir: String): DataFrame = {
+    val gapMs = 2L * 3600 * 1000
+    // all time arithmetic in epoch-ms so the oracle (which sees ms
+    // after the ns→ms floor) agrees at gap boundaries
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Multi-dimensional rollup (Catalyst-supplied per SURVEY §2.9):
+    * event counts and exact-cents value sums by (event_type, user_id)
+    * with subtotals and grand total. */
+  private def x18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .rollup(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_sessions" -> (x17 _),
+    "x18_rollup" -> (x18 _),
     "x13_dedup_groups" -> (x13 _),
     "x14_vocab" -> (x14 _),
     "x15_top_tokens" -> (x15 _),
@@ -155,6 +193,33 @@ object ExtQueries {
   // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
   // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x17_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 7200000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "x18_rollup" ->
+      """SELECT event_type, user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY ROLLUP (event_type, user_id)
+        |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST"""
+        .stripMargin,
     "x14_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS tok

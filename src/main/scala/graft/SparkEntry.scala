@@ -269,17 +269,18 @@ object SparkEntry {
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-        |  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-        |    AS disc_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS base_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS disc_cents,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "b2_star_join" ->
       """SELECT c_mktsegment,
-        |  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-        |    AS revenue_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -45,6 +45,12 @@ def main(sf_dir, out_dir):
             continue
         sc, sr = rows_of(spark_tbl)
         dc, dr = rows_of(duck_tbl)
+        stypes = {c: str(spark_tbl.schema.field(c).type) for c in spark_tbl.column_names}
+        dtypes = {c: str(duck_tbl.schema.field(c).type) for c in duck_tbl.column_names}
+        tdiff = {c: (stypes.get(c), dtypes.get(c)) for c in set(stypes) | set(dtypes)
+                 if stypes.get(c) != dtypes.get(c)}
+        if tdiff:
+            print(f"  TYPE-WARN {name}: {tdiff}")
         if sc != dc:
             results[name] = f"SCHEMA MISMATCH spark={sc} duck={dc}"
         elif len(sr) != len(dr):
