@@ -169,7 +169,26 @@ object ExtQueries {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
 
+  /** As-of join: each non-purchase event paired with the user's most
+    * recent purchase at-or-before it (point-in-time feature lookup). */
+  private def x19(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val left = events.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = events.filter(col("event_type") === "purchase")
+    graft.operators.AsOfJoin.lastPrior(
+      left, right, Seq("user_id"), col("ts"), col("ts"),
+      rightCols = Seq(col("event_id").as("last_purchase_id"),
+        col("value").as("last_purchase_value")),
+      rightTieBreak = Seq(col("event_id")))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("last_purchase_id"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
     "x18_rollup" -> (x18 _),
     "x13_dedup_groups" -> (x13 _),
@@ -193,6 +212,13 @@ object ExtQueries {
   // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
   // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x19_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+        |  p.event_id AS last_purchase_id, p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "x17_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

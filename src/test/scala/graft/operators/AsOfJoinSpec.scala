@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastPrior picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, "A", 10L), (2L, "A", 25L), (3L, "A", 5L),
+      (4L, "B", 50L)).toDF("id", "k", "ts")
+    val right = Seq((100L, "A", 10L, "r@10"), (101L, "A", 20L, "r@20"),
+      (102L, "B", 60L, "r@60")).toDF("rid", "k", "ts", "rv")
+    val got = AsOfJoin.lastPrior(left, right, Seq("k"),
+      col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id"), col("rv").as("match_v")),
+      rightTieBreak = Seq(col("rid")))
+      .select("id", "match_id", "match_v")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(100L), Some("r@10")))) // inclusive <=
+    assert(got(2L) === ((Some(101L), Some("r@20"))))
+    assert(got(3L) === ((None, None))) // nothing at or before ts=5
+    assert(got(4L) === ((None, None))) // B's only right row is after
+  }
+
+  test("right payload columns always come from the same matched row") {
+    val left = Seq((1L, "A", 30L)).toDF("id", "k", "ts")
+    // newer right row has a null field — a per-column last(ignoreNulls)
+    // would wrongly mix old non-null value with new row
+    val right = Seq((100L, "A", 10L, Some("old")), (101L, "A", 20L, None))
+      .toDF("rid", "k", "ts", "rv")
+    val got = AsOfJoin.lastPrior(left, right, Seq("k"), col("ts"), col("ts"),
+      Seq(col("rid").as("mid"), col("rv").as("mv")), Seq(col("rid")))
+      .select("mid", "mv").as[(Long, Option[String])].collect()(0)
+    assert(got === ((101L, None)))
+  }
+}
