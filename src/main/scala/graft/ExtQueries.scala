@@ -187,7 +187,26 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Range join: for each purchase, how many other-user events landed
+    * within ±60 s (event correlation via the binned window join). */
+  private def x20(s: SparkSession, dir: String): DataFrame = {
+    val minuteNs = 60L * 1000 * 1000 * 1000
+    val events = t(s, dir, "events")
+    val probe = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val build = events.select(col("event_id").as("e_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+    graft.operators.RangeJoin.timeWindow(probe, build,
+      col("p_ts"), col("e_ts"), minuteNs, minuteNs)
+      .filter(col("e_user") =!= col("p_user"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy(col("p_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
     "x18_rollup" -> (x18 _),
@@ -212,6 +231,14 @@ object ExtQueries {
   // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
   // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x20_range_join" ->
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_concurrent
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN events e
+        |  ON e.ts BETWEEN p.ts - INTERVAL 60 SECOND
+        |             AND p.ts + INTERVAL 60 SECOND
+        |  AND e.user_id <> p.user_id
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     "x19_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
         |  p.event_id AS last_purchase_id, p.value AS last_purchase_value
