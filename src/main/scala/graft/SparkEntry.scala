@@ -178,9 +178,49 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q3-style shipping priority: 3-way join, filtered both
+    * sides, exact-cents revenue, top-10. */
+  private def b3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Sketch aggregates (HLL distinct, approximate quantiles) — the
+    * approx layer Catalyst supplies; rows-only (engine-specific
+    * sketches never hash-match another engine). */
+  private def b4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------ API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b3_top_orders" -> (b3 _),
+    "b4_approx_agg" -> (b4 _),
     "q1_project" -> (q1 _),
     "q2_coerce" -> (q2 _),
     "q3_compact" -> (q3 _),
@@ -286,5 +326,17 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b3_top_orders" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }
