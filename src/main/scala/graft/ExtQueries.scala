@@ -205,7 +205,38 @@ object ExtQueries {
       .orderBy(col("p_id"))
   }
 
+  /** PII redaction: synthesize deterministic PII spans (the corpus has
+    * none), scrub them, emit the redacted text. */
+  private def x21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+        .as("synth"))
+      .select(col("doc_id"), T.redactPii(col("synth")).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Repetition ratio (Gopher-style filter): share of the most common
+    * word 2-gram among all 2-gram occurrences. */
+  private def x22(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.ngramHashesAll(
+          graft.functions.HashFunctions.tokenHashes(T.tokens(col("text"))),
+          2)).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_grams"), max(col("c")).as("max_gram_count"))
+      .select(col("doc_id"), col("total_grams"), col("max_gram_count"),
+        (col("max_gram_count").cast("double") / col("total_grams").cast("double"))
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_pii_redact" -> (x21 _),
+    "x22_repetition" -> (x22 _),
     "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
@@ -231,6 +262,39 @@ object ExtQueries {
   // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
   // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x21_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        substr(text, 1, 40) || ' contact user' || doc_id
+        |          || '@example.com or +1-555-'
+        |          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x22_repetition" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1) AS ord0
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS ord
+        |  FROM tok0 WHERE tok <> ''),
+        |grams AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+        |counts AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS total_grams,
+        |  CAST(MAX(c) AS BIGINT) AS max_gram_count,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x20_range_join" ->
       """SELECT p.event_id AS p_id, COUNT(*) AS n_concurrent
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -99,7 +99,8 @@ object Expressions {
     * order = first occurrence. Set arithmetic over these (Jaccard,
     * MinHash) is equivalent to string shingles up to 64-bit collisions.
     */
-  case class NGramHashesExpr(child: Expression, n: Int)
+  case class NGramHashesExpr(child: Expression, n: Int,
+      dedupe: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     require(n >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -118,7 +119,7 @@ object Expressions {
           j += 1
         }
         val g = splitmix64(h)
-        if (seen.add(g)) out += g
+        if (!dedupe || seen.add(g)) out += g
         i += 1
       }
       new GenericArrayData(out.toArray)
@@ -236,6 +237,9 @@ object Expressions {
 
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     col(NGramHashesExpr(ex(tokenHashes), n))
+
+  def ngramHashesAll(tokenHashes: Column, n: Int): Column =
+    col(NGramHashesExpr(ex(tokenHashes), n, dedupe = false))
 
   def winnowFingerprint(bytes: Column, k: Int = 5, w: Int = 4): Column =
     col(WinnowFingerprintExpr(ex(bytes), k, w))

@@ -85,6 +85,21 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(array_join(array_sort(tokenSet(text)), " "))
 
+  /** PII redaction patterns (email, phone, IPv4) — identical meaning
+    * under Java regex and RE2, so oracle-checkable. Applied in order:
+    * emails before phones (phone pattern is digit-greedy). */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d-]{7,}\\d" -> "<PHONE>")
+
+  /** Redact PII spans (email/IP/phone) with typed placeholders —
+    * the standard pre-training scrub pass. */
+  def redactPii(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Word n-grams (joined by single spaces), distinct. */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -36,6 +36,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "fr", "und"))
   }
 
+  test("PII redaction scrubs emails, IPs, phones; leaves clean text alone") {
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org now",
+      "server 10.1.2.3 answered",
+      "call +1-555-867-5309 today",
+      "nothing sensitive here").toDF("t")
+    val got = df.select(T.redactPii(col("t"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "mail me at <EMAIL> now",
+      "server <IP> answered",
+      "call <PHONE> today",
+      "nothing sensitive here"))
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val df = Seq("Hi there, it's 42!").toDF("t")
     val (ws, bp) = df.select(T.wsTokenCount(col("t")),
