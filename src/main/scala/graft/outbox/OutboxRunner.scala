@@ -28,12 +28,51 @@ class OutboxRunner(
 
   private val cooldownUntil = scala.collection.mutable.Map[String, Long]()
 
-  def staged: DataFrame = spark.read.parquet(stagingDir)
+  // staging is a versioned directory (immutable version dirs + atomic
+  // pointer) so a crash mid-delete leaves the previous staging intact —
+  // drained-but-undeleted messages reproduce, which is the same
+  // at-least-once contract as the reference's delete-after-produce.
+  private val pointer = java.nio.file.Paths.get(stagingDir, "_LATEST")
+
+  private def currentVersion: Option[Long] =
+    if (java.nio.file.Files.exists(pointer))
+      Some(java.nio.file.Files.readString(pointer).trim.toLong)
+    else None
+
+  private def versionDir(v: Long): String = s"$stagingDir/v=$v"
+
+  private def commitVersion(df: DataFrame): Unit = {
+    val next = currentVersion.map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(versionDir(next))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val tmp = java.nio.file.Paths.get(stagingDir, s"_LATEST.tmp$next")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, pointer,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // previous version is dead weight once the pointer moved
+    currentVersion.filter(_ > 0).foreach { v =>
+      val old = java.nio.file.Paths.get(versionDir(v - 1))
+      if (java.nio.file.Files.exists(old))
+        java.nio.file.Files.walk(old)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  def staged: DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(versionDir(v))
+    case None => spark.emptyDataFrame
+  }
 
   /** Stage encoded messages (S3 — the outbox *backend*). */
   def stage(messages: DataFrame): Unit = {
     metrics.count(Metrics.OutboxProduce, messages.count())
-    messages.write.mode("append").parquet(stagingDir)
+    val next = currentVersion match {
+      case Some(_) => staged.unionByName(messages)
+      case None => messages
+    }
+    commitVersion(next)
   }
 
   /** One sweep over all topics: drain ≤batchSize per topic in id
@@ -42,6 +81,7 @@ class OutboxRunner(
   def sweep(compactTopics: Set[String] = Set.empty)(
       produce: DataFrame => Unit): Long = {
     val now = clock()
+    if (currentVersion.isEmpty) return 0L
     val all = staged
     val eligibleTopics = all.select(col(MessageCols.Topic)).distinct()
       .collect().map(_.getString(0))
@@ -63,10 +103,7 @@ class OutboxRunner(
               cooldownUntil(t) = now + errorCooldownMillis)
             throw e
         }
-        val remaining = Outbox.deleteDrained(all, drained, "id")
-        val tmp = stagingDir + ".tmp"
-        remaining.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(stagingDir)
+        commitVersion(Outbox.deleteDrained(all, drained, "id"))
       }
       metricsReport()
       n
@@ -75,6 +112,7 @@ class OutboxRunner(
 
   /** Pending metrics (A6) — pending_db_messages_count / max_wait. */
   def metricsReport(): Unit = {
+    if (currentVersion.isEmpty) return
     val rows = Outbox.pendingMetrics(staged, MessageCols.Topic, "created_at")
       .collect()
     rows.foreach { r =>
