@@ -70,4 +70,18 @@ object Compaction {
     val nWaves = if (n.isNullAt(0)) 0L else n.getLong(0)
     (1L to nWaves).map(i => waved.filter(col("wave") === i).drop("wave"))
   }
+
+  /** Scoped variant: caches the waved frame for the duration of `body`
+    * and unpersists afterwards — use this inside foreachBatch so wave
+    * caches don't accumulate across micro-batches. */
+  def withSlices[T](df: DataFrame, keyCols: Seq[String], orderCol: Column)(
+      body: Seq[DataFrame] => T): T = {
+    val waved = withWave(df, keyCols, orderCol).cache()
+    try {
+      val n = waved.agg(max(col("wave"))).collect()(0)
+      val nWaves = if (n.isNullAt(0)) 0L else n.getLong(0)
+      body((1L to nWaves).map(i =>
+        waved.filter(col("wave") === i).drop("wave")))
+    } finally waved.unpersist()
+  }
 }

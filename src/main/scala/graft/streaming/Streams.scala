@@ -96,10 +96,13 @@ object Streams {
         sink(up, del, batchId)
       } else {
         // uncompacted: key-disjoint waves applied in order (reference
-        // BatchSlicer semantics, batch_consumption.rb:127-136)
-        Compaction.slices(filtered, keyCols, orderCol).foreach { slice =>
-          val (up, del) = Materialize.splitTombstones(slice, tombstone)
-          sink(up, del, batchId)
+        // BatchSlicer semantics, batch_consumption.rb:127-136); scoped
+        // cache so per-batch wave frames don't pile up
+        Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
+          slices.foreach { slice =>
+            val (up, del) = Materialize.splitTombstones(slice, tombstone)
+            sink(up, del, batchId)
+          }
         }
       }
     }
