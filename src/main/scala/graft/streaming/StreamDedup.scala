@@ -28,4 +28,13 @@ object StreamDedup {
         }
     }.flatMap(_.iterator)(ev)
   }
+
+  /** Watermark-TTL'd streaming dedup over key columns: duplicate rows
+    * arriving within the watermark horizon are dropped and state for
+    * old keys is evicted automatically — the bounded-state variant for
+    * unbounded streams (Spark's dropDuplicatesWithinWatermark). */
+  def withinWatermark(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      watermark: String, keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -48,9 +48,12 @@ object Streams {
           kb.encodeKeyExpr(struct(
             Pipeline.extractKey(path).as(path.split('.').last))))
       case KeyConfig.Schema(_) =>
+        // the key record is the key backend's declared fields projected
+        // out of the payload (reference: explicit key schema mode)
         val kb = keyBackend.getOrElse(backend)
+        val keyFields = kb.schemaFields.filter(payloadCols.contains)
         withFields.withColumn(MessageCols.Key,
-          kb.encodeKeyExpr(struct(payloadCols.map(col).toIndexedSeq: _*)))
+          kb.encodeKeyExpr(struct(keyFields.map(col): _*)))
     }
     val base = keyed.select(
       lit(cfg.fullTopic).as(MessageCols.Topic),

@@ -66,6 +66,27 @@ class IvfSpec extends SparkSpec {
 class StreamDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("withinWatermark drops duplicates inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamDedup.withinWatermark(
+      input.toDF().toDF("ts", "k"), "ts", "1 hour", Seq("k"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm").toString)
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+      input.addData((t0, "a"), (t1, "a"), (t0, "b"))
+      q.processAllAvailable()
+      val got = spark.table("wmdedup").collect()
+      assert(got.map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("firstSeen emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
