@@ -24,6 +24,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L) === ((None, None))) // B's only right row is after
   }
 
+  test("property: lastPrior equals the naive window-max formulation") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val left = (1 to 60).map(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+        .toDF("id", "k", "ts")
+      val right = (1 to 40).map(i =>
+        (1000L + i, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+        .toDF("rid", "k", "ts")
+      val got = AsOfJoin.lastPrior(left, right, Seq("k"), col("ts"), col("ts"),
+        Seq(col("rid").as("mid")), Seq(col("rid")))
+        .select("id", "mid").as[(Long, Option[Long])].collect().toMap
+      // naive: max-(ts,rid) right row with ts <= left.ts per left row
+      val naive = left.alias("l")
+        .join(right.alias("r"),
+          col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+        .groupBy(col("l.id").as("id"))
+        .agg(max_by(col("r.rid"), struct(col("r.ts"), col("r.rid"))).as("mid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got === naive)
+    }
+  }
+
   test("right payload columns always come from the same matched row") {
     val left = Seq((1L, "A", 30L)).toDF("id", "k", "ts")
     // newer right row has a null field — a per-column last(ignoreNulls)
