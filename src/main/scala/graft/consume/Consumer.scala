@@ -59,8 +59,12 @@ class BatchConsumer(
     val processed = decoded.filter(hooks.processMessage)
     val (valid, invalid) =
       graft.operators.Pipeline.partitionValid(processed, hooks.shouldConsume)
-    metrics.count(graft.observe.Metrics.ValidRecords, valid.count())
-    metrics.count(graft.observe.Metrics.InvalidRecords, invalid.count())
+    // counting forces extra pipeline evaluations — only pay for it
+    // when a real metrics provider is attached
+    if (metrics ne graft.observe.Metrics.noop) {
+      metrics.count(graft.observe.Metrics.ValidRecords, valid.count())
+      metrics.count(graft.observe.Metrics.InvalidRecords, invalid.count())
+    }
     hooks.postProcessBatch(valid, invalid)
     val shaped = hooks.recordAttributes(valid)
     val compacted = if (cfg.compacted)

@@ -152,7 +152,7 @@ object Dedup {
         .toDF("doc_id", "group_id")
     }
     var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("label", col("node"))
+      .distinct().withColumn("label", col("node")).cache()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -168,12 +168,22 @@ object Dedup {
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+    if (!converged)
+      // wrong group ids are silent data corruption for a dedup — fail
+      // loudly; callers raise maxIters (diameter bound) and retry
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds; " +
+          "increase maxIters (graph diameter exceeds it)")
+    val out = labels.select(col("node").as("doc_id"),
+      col("label").as("group_id")).localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Embedding near-dedup: cosine ≥ threshold pairs, bucketed by a

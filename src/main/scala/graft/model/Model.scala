@@ -31,8 +31,10 @@ sealed trait KeyConfig
 object KeyConfig {
   /** Unkeyed topic. */
   case object NoKey extends KeyConfig
-  /** Key passed through unencoded (string/bytes). */
-  case object Plain extends KeyConfig
+  /** Key = the named payload field passed through unencoded
+    * (string/bytes). The field is explicit — keying on positional
+    * column order would silently mis-key reordered frames. */
+  final case class Plain(field: String) extends KeyConfig
   /** Key extracted from a payload field (possibly nested, dot-separated;
     * reference: `lib/deimos/ext/producer_middleware.rb:108-122`). */
   final case class Field(path: String) extends KeyConfig

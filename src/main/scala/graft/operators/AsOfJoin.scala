@@ -30,18 +30,22 @@ object AsOfJoin {
       leftTs: Column, rightTs: Column, rightCols: Seq[Column],
       rightTieBreak: Seq[Column] = Seq.empty): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
+    // tie-break is carried as ONE struct of all declared columns (any
+    // types) — truncating to the first column or casting to a fixed
+    // numeric type would silently break the documented ordering
+    val tieType = if (rightTieBreak.isEmpty)
+      org.apache.spark.sql.types.LongType
+    else right.select(struct(rightTieBreak: _*).as("t")).schema("t").dataType
     val l = left
       .withColumn("__ts", leftTs)
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast("bigint"))
-      .withColumn("__right", lit(null).cast(
-        org.apache.spark.sql.types.StringType)) // placeholder, fixed below
-      .drop("__right")
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__right",
         lit(null).cast(right.select(rightCols: _*).schema
           .fields.foldLeft(new org.apache.spark.sql.types.StructType)(
             (st, f) => st.add(f))))
-    val tie = rightTieBreak.headOption.getOrElse(lit(0L)).cast("bigint")
+    val tie = if (rightTieBreak.isEmpty) lit(0L)
+      else struct(rightTieBreak: _*)
     val r = right
       .withColumn("__ts", rightTs)
       .withColumn("__side", lit(0))

@@ -23,14 +23,16 @@ object Cdc {
     val cmpCols =
       (if (watched.nonEmpty) watched
       else current.columns.toSeq.filterNot(keyCols.contains))
-        .filter(previous.columns.contains)
+        .filter(c => previous.columns.contains(c) &&
+          current.columns.contains(c))
     val prev = previous.select(
       (keyCols.map(col) ++ cmpCols.map(c => col(c).as(s"__prev_$c"))
         :+ lit(true).as("__prev_present")): _*)
     val joined = current.join(prev, keyCols, "left")
     val isNew = col("__prev_present").isNull
-    val changed = cmpCols.map(c =>
-      !(col(c) <=> col(s"__prev_$c"))).reduce(_ || _)
+    // empty comparable set (schema drift) degrades to new-rows-only
+    val changed = cmpCols.map(c => !(col(c) <=> col(s"__prev_$c")))
+      .foldLeft(lit(false))(_ || _)
     val changedOrNew = joined.filter(changed || isNew)
       .select(current.columns.toIndexedSeq.map(col): _*)
     val deleted = previous.select(keyCols.map(col): _*)

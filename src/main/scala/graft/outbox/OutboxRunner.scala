@@ -93,20 +93,34 @@ class OutboxRunner(
       compactTopics = compactTopics, batchSize = batchSize)
       .cache()
     try {
-      val n = drained.count()
-      if (n > 0) {
-        try produce(drained)
-        catch {
-          case e: Exception =>
-            // reference: crashed topic is locked out for 60 s
-            eligibleTopics.foreach(t =>
-              cooldownUntil(t) = now + errorCooldownMillis)
-            throw e
+      // per-topic produce so one bad topic only cools ITSELF down
+      // (reference: crashed topic locked out 60 s; healthy topics
+      // keep draining)
+      var total = 0L
+      val okTopics = scala.collection.mutable.ArrayBuffer[String]()
+      var firstError: Option[Exception] = None
+      eligibleTopics.foreach { t =>
+        val topicBatch = drained.filter(col(MessageCols.Topic) === t)
+        val n = topicBatch.count()
+        if (n > 0) {
+          try {
+            produce(topicBatch)
+            okTopics += t
+            total += n
+          } catch {
+            case e: Exception =>
+              cooldownUntil(t) = now + errorCooldownMillis
+              if (firstError.isEmpty) firstError = Some(e)
+          }
         }
-        commitVersion(Outbox.deleteDrained(all, drained, "id"))
       }
+      if (okTopics.nonEmpty)
+        commitVersion(Outbox.deleteDrained(all,
+          drained.filter(col(MessageCols.Topic).isin(okTopics.toSeq: _*)),
+          "id"))
       metricsReport()
-      n
+      firstError.foreach(throw _)
+      total
     } finally drained.unpersist()
   }
 

@@ -84,10 +84,17 @@ object StatePoller {
       publishable: String, published: String, failed: String,
       tsCol: String, batchSize: Int = 1000)(
       produce: DataFrame => DataFrame): DataFrame = {
+    // pin the scan: filter+limit with no ordering is nondeterministic
+    // across evaluations, and produce + finalize MUST see the same rows
     val batch = Poller.stateBasedScan(source, col(stateCol), publishable,
-      batchSize)
-    val publishedIds = produce(batch)
-    Poller.finalizeBatch(batch, idCol, publishedIds, stateCol,
-      published, failed, tsCol)
+      batchSize).cache()
+    try {
+      batch.count() // materialize before handing out
+      val publishedIds = produce(batch)
+      // localCheckpoint cuts the lineage so the returned frame no
+      // longer depends on the cached scan after unpersist
+      Poller.finalizeBatch(batch, idCol, publishedIds, stateCol,
+        published, failed, tsCol).localCheckpoint(true)
+    } finally batch.unpersist(blocking = false)
   }
 }

@@ -63,8 +63,16 @@ object AvroConverters {
       if (b.size == 1) b.head else s
     }
 
-  /** Catalyst value (as stored per `toSparkType`) → Avro datum. */
-  def toAvroDatum(value: Any, s: AvroSchema): Any = {
+  /** Catalyst value (as stored per `toSparkType`) → Avro datum.
+    *
+    * @param inputType the Catalyst type of `value` when known. Records
+    *   are mapped to Avro fields BY NAME using it (extra input fields
+    *   ignored, absent nullable schema fields → null) — positional
+    *   mapping would silently mis-assign values whenever the struct's
+    *   column order differs from the schema's field order. When null,
+    *   the type is derived from the Avro schema (schema-ordered input).
+    */
+  def toAvroDatum(value: Any, s: AvroSchema, inputType: DataType = null): Any = {
     if (value == null) return null
     val sch = nonNull(s)
     sch.getType match {
@@ -85,31 +93,57 @@ object AvroConverters {
         new GenericData.Fixed(sch, value.asInstanceOf[Array[Byte]])
       case AvroSchema.Type.RECORD =>
         val row = value.asInstanceOf[InternalRow]
-        val sparkType = toSparkType(sch).asInstanceOf[StructType]
         val rec = new GenericData.Record(sch)
-        sch.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-          val v =
-            if (row.isNullAt(i)) null
-            else toAvroDatum(row.get(i, sparkType(i).dataType), f.schema)
-          rec.put(i, v)
+        inputType match {
+          case st: StructType =>
+            // name-aligned mapping from the actual input struct
+            val idx = st.fieldNames.zipWithIndex.toMap
+            sch.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+              idx.get(f.name) match {
+                case Some(j) if !row.isNullAt(j) =>
+                  rec.put(i, toAvroDatum(
+                    row.get(j, st(j).dataType), f.schema, st(j).dataType))
+                case Some(_) => rec.put(i, null)
+                case None if isNullable(f.schema) || f.hasDefaultValue =>
+                  rec.put(i, null)
+                case None => throw new IllegalArgumentException(
+                  s"input struct has no field '${f.name}' required by " +
+                    s"schema ${sch.getFullName} (have: ${st.fieldNames.mkString(",")})")
+              }
+            }
+          case _ =>
+            // schema-ordered input (no type info available)
+            val sparkType = toSparkType(sch).asInstanceOf[StructType]
+            sch.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+              val v =
+                if (row.isNullAt(i)) null
+                else toAvroDatum(row.get(i, sparkType(i).dataType), f.schema)
+              rec.put(i, v)
+            }
         }
         rec
       case AvroSchema.Type.ARRAY =>
         val arr = value.asInstanceOf[ArrayData]
-        val elemT = toSparkType(sch.getElementType)
+        val elemT = inputType match {
+          case ArrayType(et, _) => et
+          case _ => toSparkType(sch.getElementType)
+        }
         (0 until arr.numElements()).map { i =>
           if (arr.isNullAt(i)) null
-          else toAvroDatum(arr.get(i, elemT), sch.getElementType)
+          else toAvroDatum(arr.get(i, elemT), sch.getElementType, elemT)
         }.asJava
       case AvroSchema.Type.MAP =>
         val m = value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
-        val valT = toSparkType(sch.getValueType)
+        val valT = inputType match {
+          case MapType(_, vt, _) => vt
+          case _ => toSparkType(sch.getValueType)
+        }
         val keys = m.keyArray()
         val vals = m.valueArray()
         val out = new java.util.HashMap[String, Any]()
         (0 until m.numElements()).foreach { i =>
           val v = if (vals.isNullAt(i)) null
-            else toAvroDatum(vals.get(i, valT), sch.getValueType)
+            else toAvroDatum(vals.get(i, valT), sch.getValueType, valT)
           out.put(keys.getUTF8String(i).toString, v)
         }
         out

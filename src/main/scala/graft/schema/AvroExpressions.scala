@@ -30,7 +30,7 @@ object AvroExpressions {
     @transient private lazy val writer =
       new GenericDatumWriter[Any](schema)
     override def nullSafeEval(input: Any): Any = {
-      val datum = AvroConverters.toAvroDatum(input, schema)
+      val datum = AvroConverters.toAvroDatum(input, schema, child.dataType)
       val out = new ByteArrayOutputStream()
       val enc = EncoderFactory.get().binaryEncoder(out, null)
       writer.write(datum, enc)
@@ -69,7 +69,7 @@ object AvroExpressions {
     @transient private lazy val schema =
       new AvroSchema.Parser().parse(schemaJson)
     override def nullSafeEval(input: Any): Any = {
-      val datum = AvroConverters.toAvroDatum(input, schema)
+      val datum = AvroConverters.toAvroDatum(input, schema, child.dataType)
       val out = new ByteArrayOutputStream()
       val w = new org.apache.avro.file.DataFileWriter[Any](
         new GenericDatumWriter[Any](schema))

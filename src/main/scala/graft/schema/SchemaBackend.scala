@@ -92,12 +92,25 @@ class AvroBackend(val schemaJson: String) extends SchemaBackend {
     keySchema.toString
   }
 
-  def keyBackend(config: KeyConfig): Option[AvroBackend] = config match {
-    case KeyConfig.Field(path) =>
-      Some(new AvroBackend(keySchemaJson(path.split('.').head)))
-    case KeyConfig.Schema(_) => Some(this)
-    case _ => None
-  }
+  /** Resolve the key codec for a key config. `Schema(name)` mode looks
+    * the named schema up in `registry` (name → schema json) — the
+    * engine analog of the reference's schema path resolution; an
+    * unresolvable name is an error, never a silent fall-back to the
+    * value schema. */
+  def keyBackend(config: KeyConfig,
+      registry: Map[String, String] = Map.empty): Option[AvroBackend] =
+    config match {
+      case KeyConfig.Field(path) =>
+        Some(new AvroBackend(keySchemaJson(path.split('.').head)))
+      case KeyConfig.Schema(name) =>
+        registry.get(name) match {
+          case Some(json) => Some(new AvroBackend(json))
+          case None => throw new IllegalArgumentException(
+            s"key schema '$name' not found in registry " +
+              s"(known: ${registry.keys.mkString(",")})")
+        }
+      case _ => None
+    }
 }
 
 /** Avro Object-Container-File backend — byte-exact analog of the

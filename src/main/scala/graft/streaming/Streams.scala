@@ -39,18 +39,21 @@ object Streams {
     val keyed = cfg.keyConfig match {
       case KeyConfig.NoKey =>
         withFields.withColumn(MessageCols.Key, lit(null).cast("binary"))
-      case KeyConfig.Plain =>
+      case KeyConfig.Plain(field) =>
         withFields.withColumn(MessageCols.Key,
-          col(payloadCols.head).cast("string").cast("binary"))
+          col(field).cast("string").cast("binary"))
       case KeyConfig.Field(path) =>
         val kb = keyBackend.getOrElse(backend)
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(
             Pipeline.extractKey(path).as(path.split('.').last))))
-      case KeyConfig.Schema(_) =>
+      case KeyConfig.Schema(name) =>
         // the key record is the key backend's declared fields projected
-        // out of the payload (reference: explicit key schema mode)
-        val kb = keyBackend.getOrElse(backend)
+        // out of the payload (reference: explicit key schema mode);
+        // encoding the key with the VALUE schema would be silent
+        // corruption, so an explicit key backend is required
+        val kb = keyBackend.getOrElse(throw new IllegalArgumentException(
+          s"KeyConfig.Schema($name) requires an explicit keyBackend"))
         val keyFields = kb.schemaFields.filter(payloadCols.contains)
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(keyFields.map(col): _*)))

@@ -48,7 +48,7 @@ class EndToEndSpec extends SparkSpec {
       override def isTombstone: Column = col("payload").isNull
     }
     val consumer = new BatchConsumer(
-      TopicConfig("events", "Event", keyConfig = KeyConfig.Plain),
+      TopicConfig("events", "Event", keyConfig = KeyConfig.Plain("user_id")),
       backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
 
     // version-guarded merge: apply a change only if its offset is newer
@@ -100,7 +100,7 @@ class EndToEndSpec extends SparkSpec {
       override def onError(e: Throwable, batchId: Long): Unit = skipped += 1
     }
     val consumer = new BatchConsumer(
-      TopicConfig("t", "T", keyConfig = KeyConfig.Plain), backend,
+      TopicConfig("t", "T", keyConfig = KeyConfig.Plain("user_id")), backend,
       SkippingHooks, Seq("decoded_key"), "offset")
     var fail = true
     val q = consumer.stream(frame) { (up, _, _) =>

@@ -93,11 +93,11 @@ class OutboxRunnerSpec extends SparkSpec {
 
   test("compact_topics compacts last-wins before producing") {
     val runner = mkRunner()
-    var seen = Seq.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
     runner.sweep(compactTopics = Set("t1")) { df =>
-      seen = df.select("id").as[Long].collect().toSeq.sorted
+      seen ++= df.select("id").as[Long].collect()
     }
-    assert(seen === Seq(2L, 3L)) // A@1 compacted away
+    assert(seen.sorted.toSeq === Seq(2L, 3L)) // A@1 compacted away
   }
 
   test("produce failure puts topics in cooldown; retry after window") {

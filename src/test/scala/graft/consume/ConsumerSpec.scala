@@ -41,7 +41,7 @@ class ConsumerSpec extends SparkSpec {
   test("consumeBatch: hooks, compaction, tombstone split, shaping") {
     val metrics = new graft.observe.Metrics.InMemory
     val consumer = new BatchConsumer(
-      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain),
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
       backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset",
       metrics = metrics)
     val (up, del) = consumer.consumeBatch(kafkaFrame)
@@ -57,7 +57,7 @@ class ConsumerSpec extends SparkSpec {
 
   test("uncompacted mode keeps every surviving version") {
     val consumer = new BatchConsumer(
-      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain,
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id"),
         compacted = false),
       backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
     val (up, del) = consumer.consumeBatch(kafkaFrame)

@@ -18,8 +18,11 @@ def norm(v):
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
-    return cols, sorted(zip(*data), key=lambda r: tuple(
-        (x is None, str(type(x)), x) for x in map(norm, r))) if data else (cols, [])
+    if not data:
+        return cols, []
+    rows = sorted(zip(*data), key=lambda r: tuple(
+        (x is None, str(type(x)), x) for x in map(norm, r)))
+    return cols, rows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
