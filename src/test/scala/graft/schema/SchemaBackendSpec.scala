@@ -96,6 +96,32 @@ class SchemaBackendSpec extends SparkSpec {
     assert(new AvroBackend(readerSchema).schemaFields === Seq("a"))
   }
 
+  test("encode aligns struct fields to schema fields BY NAME, not position") {
+    val schemaJson =
+      """{"type":"record","name":"P","fields":[
+        | {"name":"id","type":"string"},
+        | {"name":"message_id","type":["null","string"],"default":null},
+        | {"name":"n","type":"long"}]}""".stripMargin
+    val backend = new AvroBackend(schemaJson)
+    // struct deliberately ordered (id, n, message_id) ≠ schema order
+    val rt = spark.range(1).select(
+      backend.encodeExpr(struct(lit("x").as("id"), lit(7L).as("n"),
+        lit("mid").as("message_id"))).as("b"))
+      .select(backend.decodeExpr(col("b")).as("p")).select("p.*")
+      .as[(String, Option[String], Long)].collect()(0)
+    assert(rt === (("x", Some("mid"), 7L)))
+    // absent nullable field → null; absent required field → error
+    val absent = spark.range(1).select(
+      backend.encodeExpr(struct(lit("y").as("id"), lit(1L).as("n"))).as("b"))
+      .select(backend.decodeExpr(col("b")).getField("message_id"))
+      .as[Option[String]].collect()(0)
+    assert(absent.isEmpty)
+    intercept[Exception] {
+      spark.range(1).select(
+        backend.encodeExpr(struct(lit("z").as("id"))).as("b")).collect()
+    }
+  }
+
   test("datafile backend: self-describing payloads resolve writer→reader evolution") {
     val writerJson =
       """{"type":"record","name":"E","fields":[
