@@ -190,6 +190,22 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer) — canonical
+    * composition so visually-identical strings dedup/fingerprint
+    * identically. Not exposed by Spark SQL builtins. */
+  case class NormalizeNfcExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeNfcExpr =
+      copy(child = c)
+  }
+
   /** Cosine similarity of two numeric arrays (float or double
     * elements), accumulated in double in one pass; 0.0 for zero-norm
     * inputs. */
@@ -243,6 +259,8 @@ object Expressions {
 
   def winnowFingerprint(bytes: Column, k: Int = 5, w: Int = 4): Column =
     col(WinnowFingerprintExpr(ex(bytes), k, w))
+
+  def normalizeNfc(text: Column): Column = col(NormalizeNfcExpr(ex(text)))
 
   def cosineSim(a: Column, b: Column): Column =
     col(CosineSimExpr(ex(a), ex(b)))

@@ -100,6 +100,21 @@ object TextFunctions {
       regexp_replace(c, pat, repl)
     }
 
+  /** Unicode NFC canonicalization — run before fingerprinting so
+    * composed/decomposed variants of the same text dedup together. */
+  def normalizeUnicode(text: Column): Column = Expressions.normalizeNfc(text)
+
+  /** Within-document line dedup (boilerplate removal): keep the first
+    * occurrence of each line, preserve order — the per-document half
+    * of boilerplate stripping (cross-document boilerplate is the
+    * line-frequency variant over an exploded lines table). */
+  def dedupeLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) =>
+        array_position(slice(lines, lit(1), i + 1), l) - 1 === i), "\n")
+  }
+
   /** Word n-grams (joined by single spaces), distinct. */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -36,6 +36,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "fr", "und"))
   }
 
+  test("NFC normalization unifies composed and decomposed forms") {
+    val composed = "caf\u00e9"      // é as one codepoint
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val df = Seq((composed, decomposed)).toDF("a", "b")
+    val (na, nb, rawEq) = df.select(
+      T.normalizeUnicode(col("a")), T.normalizeUnicode(col("b")),
+      col("a") === col("b")).as[(String, String, Boolean)].collect()(0)
+    assert(!rawEq && na === nb)
+    // and therefore fingerprints converge after normalization
+    val fps = df.select(
+      T.normFingerprint(T.normalizeUnicode(col("a"))) ===
+        T.normFingerprint(T.normalizeUnicode(col("b"))))
+      .as[Boolean].collect()(0)
+    assert(fps)
+  }
+
+  test("dedupeLines keeps first occurrence of each line in order") {
+    val doc = "header\nbody one\nheader\nbody two\nbody one\nfooter"
+    val got = Seq(doc).toDF("t").select(T.dedupeLines(col("t")))
+      .as[String].collect()(0)
+    assert(got === "header\nbody one\nbody two\nfooter")
+  }
+
   test("PII redaction scrubs emails, IPs, phones; leaves clean text alone") {
     val df = Seq(
       "mail me at jo.doe+x@corp.example.org now",
