@@ -127,7 +127,8 @@ object ExtQueries {
 
   private def x16(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8)
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8,
+      orderCol = "vec_id")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", centroids, nProbe = 2, k = 5)
       .orderBy(col("query_id"), col("rank"))

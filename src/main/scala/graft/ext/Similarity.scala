@@ -37,10 +37,14 @@ object Similarity {
   /** IVF centroid training: driver-side Lloyd iterations over a bounded
     * sample (at 100 TB you train on a ~1M-row sample; assignment —
     * the expensive part — stays fully distributed). Deterministic:
-    * seeds are the first k sample vectors. */
+    * the sample is the first `sampleN` rows in `orderCol` order — a
+    * bare `limit` over an unordered frame would pick whichever
+    * partitions scan first, varying with layout. */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, sampleN: Int = 2048): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+      orderCol: String, iters: Int = 5,
+      sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol), col(orderCol))
+      .orderBy(col(orderCol)).limit(sampleN).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     var centroids = sample.take(k).map(_.clone())

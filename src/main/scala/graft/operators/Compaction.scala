@@ -32,6 +32,21 @@ object Compaction {
       .drop("__graft_rn")
   }
 
+  /** Last-wins compaction that mirrors the reference's blank-key guard
+    * (`outbox_producer.rb:218-219`, `batch_consumption.rb:121-125`):
+    * rows with a NULL in any key column are NOT compacted — they pass
+    * through untouched. Compacting them would collapse every unkeyed
+    * message in the batch into one row (NULLs hash to the same window
+    * partition), i.e. silent message loss. The split also keeps the
+    * all-NULL partition out of the window sort, which at scale would
+    * be one giant skewed partition.
+    */
+  def lastWinsKeyed(df: DataFrame, keyCols: Seq[String], orderCol: Column): DataFrame = {
+    val hasNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    lastWins(df.filter(!hasNullKey), keyCols, orderCol)
+      .unionByName(df.filter(hasNullKey))
+  }
+
   /** Aggregation-based last-wins: `max_by(struct(*), orderCol)` per
     * key. Same result as [[lastWins]], different physical strategy:
     * partial aggregation combines map-side, so the shuffle carries one

@@ -43,13 +43,16 @@ object Outbox {
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= batchSize)
       .drop("__graft_rn")
+    // blank-key guard (reference outbox_producer.rb:218-219): unkeyed
+    // rows are never compacted — lastWinsKeyed unions them through
     val compacted =
-      if (compactAll) Compaction.lastWins(limited, Seq(topicCol, keyCol), col(idCol))
+      if (compactAll)
+        Compaction.lastWinsKeyed(limited, Seq(topicCol, keyCol), col(idCol))
       else if (compactTopics.nonEmpty) {
         val (toCompact, asIs) =
           (limited.filter(col(topicCol).isin(compactTopics.toSeq: _*)),
             limited.filter(!col(topicCol).isin(compactTopics.toSeq: _*)))
-        Compaction.lastWins(toCompact, Seq(topicCol, keyCol), col(idCol))
+        Compaction.lastWinsKeyed(toCompact, Seq(topicCol, keyCol), col(idCol))
           .unionByName(asIs)
       } else limited
     compacted

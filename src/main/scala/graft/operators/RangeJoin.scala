@@ -23,9 +23,13 @@ object RangeJoin {
       buildTs: Column, before: Long, after: Long): DataFrame = {
     require(before >= 0 && after >= 0 && before + after > 0)
     val width = before + after
-    // integral division (`div`), not double floor: nanosecond epochs
-    // exceed 2^53 and would mis-bin under float rounding
-    def bin(ts: Column): Column = call_function("div", ts, lit(width))
+    // integral FLOOR division: plain `div` truncates toward zero, so
+    // pre-epoch (negative) timestamps would mis-bin at bin boundaries;
+    // subtracting pmod first makes the dividend an exact multiple.
+    // Stays integral throughout — nanosecond epochs exceed 2^53 and
+    // would mis-bin under double rounding.
+    def bin(ts: Column): Column =
+      call_function("div", ts - pmod(ts, lit(width)), lit(width))
     val lo = probeTs - before
     val hi = probeTs + after
     val probeBins = array_distinct(array(bin(lo), bin(hi)))

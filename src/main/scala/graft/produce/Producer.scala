@@ -45,11 +45,28 @@ object Producer {
       case None => payloads
     }
     val framed = Streams.toKafkaFrame(withPk, cfg, backend, keyBackend)
+    val (ok, tooLarge, _) = splitTooLarge(framed, maxMessageBytes)
+    (ok, tooLarge)
+  }
+
+  /** T7 split with an explicit cache-release handle: encode runs once
+    * per row — the framed batch is persisted before splitting, because
+    * two naked filters would each re-evaluate the Avro encode
+    * expression (the expensive part of this path). Call `release()`
+    * after both sides are written; inside foreachBatch this prevents
+    * per-micro-batch caches accumulating. `produceFrame` discards the
+    * handle (callers that split per batch should use this directly).
+    */
+  def splitTooLarge(framed: DataFrame, maxMessageBytes: Option[Int])
+      : (DataFrame, DataFrame, () => Unit) =
     maxMessageBytes match {
       case Some(max) =>
-        (framed.filter(length(col(MessageCols.Value)) <= max),
-          framed.filter(length(col(MessageCols.Value)) > max))
-      case None => (framed, framed.limit(0))
+        val sized = framed
+          .withColumn("__graft_len", length(col(MessageCols.Value)))
+          .persist()
+        (sized.filter(col("__graft_len") <= max).drop("__graft_len"),
+          sized.filter(col("__graft_len") > max).drop("__graft_len"),
+          () => { sized.unpersist(); () })
+      case None => (framed, framed.limit(0), () => ())
     }
-  }
 }

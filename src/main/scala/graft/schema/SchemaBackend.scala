@@ -139,8 +139,27 @@ class RegistryFramedBackend(schemaJson: String, schemaId: Int)
     (schemaId & 0xff).toByte)
   override def encodeExpr(payload: Column): Column =
     concat(lit(header), super.encodeExpr(payload))
-  override def decodeExpr(bytes: Column): Column =
-    super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5))
+
+  /** Decode validates the frame first: magic byte must be 0x00 and the
+    * embedded schema id must equal this backend's id — raw Avro binary
+    * requires the exact writer schema, so decoding a frame written
+    * under a different (evolved) id would mis-decode silently. A
+    * mismatch fails loudly instead (reference parity:
+    * `avro_schema_registry.rb` delegates to the registry client, which
+    * rejects unknown frames). */
+  override def decodeExpr(bytes: Column): Column = {
+    val frameOk = length(bytes) >= 6 &&
+      substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
+      schemaIdExpr(bytes) === lit(schemaId)
+    when(frameOk, super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5)))
+      .otherwise(raise_error(concat(
+        lit("registry frame mismatch: expected magic 0x00 + schema id " +
+          s"$schemaId, got "),
+        when(length(bytes) >= 6, concat(lit("id "),
+          schemaIdExpr(bytes).cast("string")))
+          .otherwise(concat(length(bytes).cast("string"),
+            lit("-byte frame"))))))
+  }
 
   /** Schema id carried by a framed message. */
   def schemaIdExpr(framed: Column): Column = AvroExpressions.schemaIdOf(framed)

@@ -43,7 +43,20 @@ object Streams {
         withFields.withColumn(MessageCols.Key,
           col(field).cast("string").cast("binary"))
       case KeyConfig.Field(path) =>
-        val kb = keyBackend.getOrElse(backend)
+        // the key codec is the auto-generated one-field key-record
+        // schema (reference avro_base.rb:160-177), never the value
+        // schema: encoding a one-field struct with the full value
+        // schema either throws (required fields) or silently writes
+        // value-schema bytes — wire-format divergence either way
+        val kb = keyBackend.orElse(backend match {
+          // nested dot-paths can't use the derived top-level key
+          // schema (field name would not match the extracted leaf)
+          case ab: graft.schema.AvroBackend if !path.contains('.') =>
+            ab.keyBackend(cfg.keyConfig)
+          case _ => None
+        }).getOrElse(throw new IllegalArgumentException(
+          s"KeyConfig.Field($path) requires an explicit keyBackend " +
+            "when the value backend cannot derive a key schema"))
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(
             Pipeline.extractKey(path).as(path.split('.').last))))
@@ -97,7 +110,9 @@ object Streams {
     decoded.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val filtered = batch.filter(processMessage)
       if (compacted) {
-        val compact = Compaction.lastWins(filtered, keyCols, orderCol)
+        // blank-key guard (batch_consumption.rb:121-125): unkeyed rows
+        // bypass compaction instead of collapsing into one NULL group
+        val compact = Compaction.lastWinsKeyed(filtered, keyCols, orderCol)
         val (up, del) = Materialize.splitTombstones(compact, tombstone)
         sink(up, del, batchId)
       } else {

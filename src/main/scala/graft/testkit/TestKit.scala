@@ -17,8 +17,19 @@ object TestKit {
     * decoded for assertion. */
   final case class Sent(topic: String, key: Option[String], payload: Option[Row])
 
-  class CapturingSink(backend: SchemaBackend) extends Serializable {
+  /** @param topicPrefix when the producer config carries a topic
+    *   prefix, test assertions run against the LOGICAL topic — the
+    *   prefix is stripped on capture, mirroring the reference's
+    *   test-decode path (`lib/deimos.rb:145-157`: `decode_message`
+    *   subs `producers.topic_prefix` off before config lookup). */
+  class CapturingSink(backend: SchemaBackend,
+      topicPrefix: Option[String] = None) extends Serializable {
     private val buffer = scala.collection.mutable.ArrayBuffer[Sent]()
+
+    private def logicalTopic(topic: String): String = topicPrefix match {
+      case Some(p) if topic.startsWith(p) => topic.substring(p.length)
+      case _ => topic
+    }
 
     def publish(frame: DataFrame): Unit = {
       val decoded = frame.select(
@@ -29,7 +40,7 @@ object TestKit {
         .collect()
       buffer.synchronized {
         buffer ++= decoded.map(r => Sent(
-          r.getString(0),
+          logicalTopic(r.getString(0)),
           Option(r.getString(1)),
           Option(r.getAs[Row]("p"))))
       }

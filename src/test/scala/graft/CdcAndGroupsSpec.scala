@@ -51,8 +51,13 @@ class IvfSpec extends SparkSpec {
       (i.toLong, Seq.tabulate(4)(d => ((i % 4) * 10 + d).toFloat)))
       .toDF("vec_id", "embedding")
     val cents = Similarity.trainCentroids(vecs, "embedding", k = 4,
-      iters = 3, sampleN = 40)
+      orderCol = "vec_id", iters = 3, sampleN = 40)
     assert(cents.length === 4 && cents(0).length === 4)
+    // determinism across partition layouts: a 7-way repartition must
+    // yield identical centroids (ordered sample, not scan-order limit)
+    val cents7 = Similarity.trainCentroids(vecs.repartition(7), "embedding",
+      k = 4, orderCol = "vec_id", iters = 3, sampleN = 40)
+    assert(cents7.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
     val res = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2),
       "vec_id", "embedding", cents, nProbe = 2, k = 3)
     val byQuery = res.select("query_id", "rank")

@@ -21,6 +21,23 @@ class CompactionSpec extends SparkSpec {
     assert(got === Set(("A", "a2"), ("B", "b1"), ("C", "c3")))
   }
 
+  test("lastWinsKeyed passes NULL-key rows through uncompacted (blank-key guard)") {
+    // reference skips compaction when keys are blank
+    // (outbox_producer.rb:218-219): unkeyed rows must ALL survive
+    val withNulls = Seq(
+      (1L, Option("A"), "a1"), (2L, Option("A"), "a2"),
+      (3L, Option.empty[String], "u1"), (4L, Option.empty[String], "u2"),
+      (5L, Option.empty[String], "u3"))
+      .toDF("id", "key", "payload")
+    val got = Compaction.lastWinsKeyed(withNulls, Seq("key"), col("id"))
+      .select("payload").as[String].collect().toSet
+    assert(got === Set("a2", "u1", "u2", "u3"))
+    // plain lastWins would have collapsed the NULL group to one row —
+    // the exact silent-loss hazard the guard exists for
+    assert(Compaction.lastWins(withNulls, Seq("key"), col("id"))
+      .count() === 2)
+  }
+
   test("lastWinsAgg (max_by strategy) equals the window strategy") {
     val w = Compaction.lastWins(batch, Seq("key"), col("id"))
       .collect().toSet

@@ -73,6 +73,40 @@ class SchemaBackendSpec extends SparkSpec {
     assert(back.collect().toSet === df.collect().toSet)
   }
 
+  test("registry decode rejects a frame with a different schema id") {
+    val writer = new RegistryFramedBackend(mySchema, schemaId = 42)
+    val reader = new RegistryFramedBackend(mySchema, schemaId = 43)
+    val framed = sampleDf
+      .select(writer.encodeExpr(struct(sampleDf.columns.map(col): _*)).as("bin"))
+    // blind substring+decode would silently mis-decode an evolved
+    // writer; the backend must fail loudly on id mismatch instead
+    val e = intercept[Exception] {
+      framed.select(reader.decodeExpr(col("bin")).as("p")).collect()
+    }
+    assert(e.getMessage.contains("registry frame mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("registry frame mismatch")))
+    // and the matching id still round-trips
+    assert(framed.select(writer.decodeExpr(col("bin")).as("p"))
+      .select("p.*").collect().toSet === sampleDf.collect().toSet)
+  }
+
+  test("registry decode rejects bad magic byte and short frames") {
+    val backend = new RegistryFramedBackend(mySchema, schemaId = 42)
+    val badMagic = spark.range(1).select(
+      concat(lit(Array[Byte](1, 0, 0, 0, 42)), lit("x".getBytes)).as("bin"))
+    val e1 = intercept[Exception] {
+      badMagic.select(backend.decodeExpr(col("bin"))).collect()
+    }
+    assert(e1.getMessage.contains("registry frame mismatch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("registry frame mismatch")))
+    val short = spark.range(1).select(lit(Array[Byte](0, 0)).as("bin"))
+    val e2 = intercept[Exception] {
+      short.select(backend.decodeExpr(col("bin"))).collect()
+    }
+    assert(e2.getMessage.contains("registry frame mismatch") ||
+      Option(e2.getCause).exists(_.getMessage.contains("registry frame mismatch")))
+  }
+
   test("decoding with reader schema drops unknown producer fields (evolution)") {
     val writerSchema =
       """{"type":"record","name":"E","fields":[

@@ -43,6 +43,38 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Set(("pre.widgets", "w1", 5L), ("pre.widgets", "w2", 7L)))
   }
 
+  test("KeyConfig.Field derives the one-field key schema when no keyBackend given") {
+    val backend = new AvroBackend(valueSchema)
+    val cfg = TopicConfig("widgets", "Widget",
+      keyConfig = KeyConfig.Field("widget_id"))
+    val payloads = Seq(("w1", 5L)).toDF("widget_id", "amount")
+      .withColumn("message_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit(null).cast("string"))
+    // derived path (no keyBackend) must produce byte-identical keys to
+    // the explicit keyBackend path (avro_base.rb:160-177 parity) —
+    // NOT value-schema-encoded bytes
+    val derived = Streams.toKafkaFrame(payloads, cfg, backend)
+      .select("key").as[Array[Byte]].collect().head
+    val explicit = Streams.toKafkaFrame(payloads, cfg, backend,
+      keyBackend = backend.keyBackend(cfg.keyConfig))
+      .select("key").as[Array[Byte]].collect().head
+    assert(derived.toSeq === explicit.toSeq)
+  }
+
+  test("KeyConfig.Field on a non-Avro backend requires an explicit keyBackend") {
+    val jsonBackend = new PlainJsonBackend(StructType(Seq(
+      StructField("widget_id", StringType), StructField("amount", LongType),
+      StructField("message_id", StringType),
+      StructField("timestamp", StringType))))
+    val cfg = TopicConfig("widgets", "Widget",
+      keyConfig = KeyConfig.Field("widget_id"))
+    val payloads = Seq(("w1", 5L)).toDF("widget_id", "amount")
+    val e = intercept[IllegalArgumentException] {
+      Streams.toKafkaFrame(payloads, cfg, jsonBackend)
+    }
+    assert(e.getMessage.contains("requires an explicit keyBackend"))
+  }
+
   test("streaming mergeSink materializes compacted state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Evt]

@@ -32,6 +32,22 @@ class TestKitSpec extends SparkSpec {
     assert(sink.sent.isEmpty)
   }
 
+  test("capturing sink strips the topic prefix so assertions use logical topics") {
+    // reference parity: decode_message subs producers.topic_prefix off
+    // before config lookup (lib/deimos.rb:145-157)
+    val sink = new TestKit.CapturingSink(backend, topicPrefix = Some("pre."))
+    val payloads = Seq(("w1", 5L)).toDF("wid", "n")
+      .withColumn("message_id", org.apache.spark.sql.functions.lit("m"))
+      .withColumn("timestamp", org.apache.spark.sql.functions.lit("t"))
+    val frame = Streams.toKafkaFrame(payloads,
+      TopicConfig("widgets", "W", topicPrefix = "pre.",
+        keyConfig = KeyConfig.NoKey), backend)
+    sink.publish(frame)
+    assert(sink.sent.map(_.topic) === Seq("widgets"))
+    assert(sink.hasSent("widgets", Map("wid" -> "w1")))
+    assert(!sink.hasSent("pre.widgets", Map("wid" -> "w1")))
+  }
+
   test("kafkaFrameOf drives a consumer with tombstones") {
     val frame = TestKit.kafkaFrameOf(spark, Seq(
       (1L, "A", """{"wid":"A","n":1}"""), (2L, "A", null)))
