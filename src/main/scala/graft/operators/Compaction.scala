@@ -86,6 +86,18 @@ object Compaction {
     (1L to nWaves).map(i => waved.filter(col("wave") === i).drop("wave"))
   }
 
+  /** Per-key ordered layout for a SINGLE-job uncompacted apply: one
+    * shuffle on the key, partition-local sort, after which every key's
+    * rows are consecutive and in `orderCol` order within one task. A
+    * row-level sink walking a partition therefore applies same-key
+    * versions sequentially — the reference BatchSlicer guarantee —
+    * without the wave path's one-Spark-job-per-wave (a 10k-version hot
+    * key becomes 10k consecutive rows in one task, not 10k jobs).
+    */
+  def orderedByKey(df: DataFrame, keyCols: Seq[String], orderCol: Column): DataFrame =
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols.map(col) :+ orderCol): _*)
+
   /** Scoped variant: caches the waved frame for the duration of `body`
     * and unpersists afterwards — use this inside foreachBatch so wave
     * caches don't accumulate across micro-batches. */

@@ -102,4 +102,20 @@ object Pipeline {
     * count (reference: `batch_record_list.rb:23-33`). */
   def partitionValid(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
     (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+
+  /** P4 × backend-validate wiring: partition a payload frame by the
+    * schema backend's aggregated validation report. Invalid rows keep
+    * their per-row error array in `errCol` (for the invalid-records
+    * side output / metric); valid rows drop it. Validation is constant
+    * + null-check Column arithmetic, so both sides stay one codegen'd
+    * filter over the scan. */
+  def partitionSchemaValid(df: DataFrame, backend: graft.schema.SchemaBackend,
+      errCol: String = "validation_errors"): (DataFrame, DataFrame) = {
+    val present = backend.schemaFields.filter(df.columns.contains)
+    val actual = StructType(present.map(df.schema(_)))
+    val errs = backend.validateExpr(struct(present.map(col): _*), actual)
+    val flagged = df.withColumn(errCol, errs)
+    (flagged.filter(size(col(errCol)) === 0).drop(errCol),
+      flagged.filter(size(col(errCol)) > 0))
+  }
 }

@@ -28,6 +28,14 @@ trait SchemaBackend {
   /** Encode a key value (scalar or struct) per the key config. */
   def encodeKeyExpr(key: Column): Column = encodeExpr(key)
   def decodeKeyExpr(bytes: Column): Column = decodeExpr(bytes)
+
+  /** Per-row validation report against the declared schema:
+    * `array<string>` of aggregated errors, empty = valid (reference
+    * contract `base.rb:163-165` / `avro_base.rb:85-89`). The payload's
+    * struct type must be passed explicitly — a bare `Column` carries
+    * no type before analysis. */
+  def validateExpr(payload: Column, payloadType: StructType): Column =
+    SchemaValidation.validate(payload, payloadType, sparkSchema)
 }
 
 /** Avro binary backend (reference `avro_local.rb` semantics: schema

@@ -118,7 +118,10 @@ object Streams {
       } else {
         // uncompacted: key-disjoint waves applied in order (reference
         // BatchSlicer semantics, batch_consumption.rb:127-136); scoped
-        // cache so per-batch wave frames don't pile up
+        // cache so per-batch wave frames don't pile up. NOTE: wave
+        // count = max versions per key, and each wave is a Spark job —
+        // for topics where a single key can carry thousands of
+        // versions per batch, use [[mergeSinkOrdered]] (one job).
         Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
           slices.foreach { slice =>
             val (up, del) = Materialize.splitTombstones(slice, tombstone)
@@ -126,6 +129,27 @@ object Streams {
           }
         }
       }
+    }
+  }
+
+  /** Uncompacted ordered apply in ONE job per micro-batch: rows are
+    * shuffled to their key's partition and sorted (key, orderCol), so
+    * `rowSink` sees every version of a key consecutively, in order —
+    * the same per-key sequencing the wave path guarantees, without one
+    * Spark job per wave. This is the scale-safe path for skewed
+    * topics: a 10k-version hot key costs one task's loop, not 10k
+    * sequential jobs stalling the driver.
+    *
+    * @param rowSink executor-side partition consumer (e.g. a JDBC
+    *   upsert loop); opens its own connection per partition.
+    */
+  def mergeSinkOrdered(decoded: DataFrame, keyCols: Seq[String],
+      orderCol: Column, processMessage: Column = lit(true))(
+      rowSink: (Iterator[org.apache.spark.sql.Row], Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    decoded.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      Compaction.orderedByKey(batch.filter(processMessage), keyCols, orderCol)
+        .foreachPartition((rows: Iterator[org.apache.spark.sql.Row]) =>
+          rowSink(rows, batchId))
     }
   }
 

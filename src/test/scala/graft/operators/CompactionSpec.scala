@@ -72,6 +72,47 @@ class CompactionSpec extends SparkSpec {
     assert(cKey.toSeq === Seq(4L, 5L, 6L))
   }
 
+  test("orderedByKey handles a 5k-version hot key in ONE job, keys consecutive and in order") {
+    // the wave path would need 5000 sequential Spark jobs here; the
+    // ordered layout does one shuffle + partition-local sort
+    val hot = spark.range(5000).select(
+      col("id"), lit("HOT").as("key"))
+    val cold = spark.range(100).select(
+      (col("id") + 100000L).as("id"),
+      concat(lit("k"), col("id") % 10).as("key"))
+    val df = hot.unionByName(cold)
+    val violations = spark.sparkContext.longAccumulator("violations")
+    val seen = spark.sparkContext.longAccumulator("rows")
+    val group = "graft-orderedByKey-spec"
+    spark.sparkContext.setJobGroup(group, "orderedByKey job count")
+    try {
+      Compaction.orderedByKey(df, Seq("key"), col("id"))
+        .select("key", "id")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val finishedKeys = scala.collection.mutable.Set[String]()
+          var curKey: String = null
+          var lastId = Long.MinValue
+          rows.foreach { r =>
+            val (k, id) = (r.getString(0), r.getLong(1))
+            if (k != curKey) {
+              // a key reappearing after we moved on = interleaving
+              if (finishedKeys.contains(k)) violations.add(1)
+              if (curKey != null) finishedKeys += curKey
+              curKey = k; lastId = Long.MinValue
+            }
+            if (id <= lastId) violations.add(1)
+            lastId = id
+            seen.add(1)
+          }
+        }
+    } finally spark.sparkContext.clearJobGroup()
+    assert(seen.value === 5100L)
+    assert(violations.value === 0L)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.length >= 1 && jobs.length <= 4,
+      s"expected a handful of jobs, got ${jobs.length}")
+  }
+
   test("slices materializes ordered key-disjoint frames") {
     val s = Compaction.slices(batch, Seq("key"), col("id"))
     assert(s.size === 3)

@@ -12,6 +12,13 @@ import graft.schema.{AvroBackend, PlainJsonBackend}
 
 case class Evt(id: Long, key: String, v: String, deleted: Boolean)
 
+/** JVM-static collector: mergeSinkOrdered's rowSink runs executor-side
+  * (foreachPartition), so a driver-local buffer would only mutate a
+  * serialized copy; in local mode a static object is shared. */
+object OrderedSinkCollector {
+  val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
+
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -95,6 +102,30 @@ class StreamsSpec extends SparkSpec {
       input.addData(Evt(4, "A", "x", true), Evt(5, "C", "c1", false))
       q.processAllAvailable()
       assert(state.toMap === Map("B" -> "b1", "C" -> "c1"))
+    } finally q.stop()
+  }
+
+  test("mergeSinkOrdered applies all versions of a key consecutively in one job") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    OrderedSinkCollector.buf.clear()
+    val writer = Streams.mergeSinkOrdered(input.toDF(), Seq("key"),
+      col("id")) { (rows, _) =>
+      rows.foreach(r => OrderedSinkCollector.buf.add(
+        (r.getAs[String]("key"), r.getAs[String]("v"))))
+    }
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      input.addData(Evt(2, "A", "a2", false), Evt(1, "A", "a1", false),
+        Evt(3, "A", "a3", false), Evt(4, "B", "b1", false))
+      q.processAllAvailable()
+      val got = OrderedSinkCollector.buf.toArray(Array.empty[(String, String)])
+      assert(got.toSet === Set(("A", "a1"), ("A", "a2"), ("A", "a3"), ("B", "b1")))
+      // same-key versions arrive in orderCol order (partition-local
+      // sort), regardless of arrival order
+      val as = got.filter(_._1 == "A").map(_._2).toSeq
+      assert(as === Seq("a1", "a2", "a3"))
     } finally q.stop()
   }
 
