@@ -146,6 +146,29 @@ object SparkEntry {
         col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** P8/P9 via the proto backend (reference `proto_local.rb:12-20`):
+    * full wire-format round-trip over real rows. The oracle reads the
+    * plain columns, so any encode/decode divergence (varint, zigzag,
+    * length-delimited, default handling) surfaces as a hash mismatch —
+    * the codec itself is under test, not mirrored in the oracle. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.ProtoBackend
+    import graft.schema.ProtoWire._
+    val msg = ProtoMessage("OrderMsg", Seq(
+      ProtoField("o_orderkey", 1, PInt64),
+      ProtoField("o_custkey", 2, PSInt64), // exercises zigzag
+      ProtoField("o_orderstatus", 3, PString),
+      ProtoField("price_cents", 4, PInt64)))
+    val backend = new ProtoBackend(msg)
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    src.select(backend.encodeExpr(struct(src.columns.map(col).toIndexedSeq: _*)).as("bin"))
+      .select(backend.decodeExpr(col("bin")).as("p"))
+      .select("p.*")
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -233,6 +256,7 @@ object SparkEntry {
     "q10_fanout" -> (q10 _),
     "q11_autofields" -> (q11 _),
     "q12_compound_key" -> (q12 _),
+    "q13_proto_codec" -> (q13 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -306,6 +330,10 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
         |  ORDER BY l_suppkey DESC, l_partkey DESC) = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q13_proto_codec" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

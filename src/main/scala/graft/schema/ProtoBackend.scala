@@ -1,0 +1,114 @@
+package graft.schema
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import ProtoWire.{PMessage, ProtoMessage, ProtoType}
+
+/** Catalyst expressions wrapping the hand-rolled proto3 wire codec
+  * ([[ProtoWire]]). Same plan position as the Avro expressions: the
+  * codec is a projection-level expression, zero extra shuffle. */
+object ProtoExpressions {
+
+  case class ProtoEncodeExpr(child: Expression, message: ProtoMessage)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      ProtoWire.encode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], message)
+    override protected def withNewChildInternal(c: Expression): ProtoEncodeExpr =
+      copy(child = c)
+  }
+
+  case class ProtoDecodeExpr(child: Expression, message: ProtoMessage)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ProtoWire.sparkSchemaOf(message)
+    override def nullSafeEval(input: Any): Any =
+      ProtoWire.decode(input.asInstanceOf[Array[Byte]], message)
+    override protected def withNewChildInternal(c: Expression): ProtoDecodeExpr =
+      copy(child = c)
+  }
+
+  def encodeProto(payload: Column, message: ProtoMessage): Column =
+    GraftSqlBridge.column(
+      ProtoEncodeExpr(GraftSqlBridge.expression(payload), message))
+
+  def decodeProto(bytes: Column, message: ProtoMessage): Column =
+    GraftSqlBridge.column(
+      ProtoDecodeExpr(GraftSqlBridge.expression(bytes), message))
+}
+
+/** Protobuf schema backend — the engine's version of the reference's
+  * `proto_local` (`lib/deimos/schema_backends/proto_local.rb:12-20`:
+  * msgclass encode/decode on the standard wire format). The schema is
+  * declared programmatically as a [[ProtoWire.ProtoMessage]] (the
+  * analog of a compiled descriptor in the generated pool,
+  * `proto_base.rb:28-35`).
+  *
+  * Keys are JSON-encoded per the reference (`proto_base.rb:58-66`:
+  * `encode_proto_key` emits the sorted hash as JSON, decode parses
+  * it) — callers pass key structs with fields already in sorted
+  * order (the engine builds them that way from schemaFields).
+  */
+class ProtoBackend(val message: ProtoMessage) extends SchemaBackend {
+  override lazy val sparkSchema: StructType = ProtoWire.sparkSchemaOf(message)
+  override def encodeExpr(payload: Column): Column =
+    ProtoExpressions.encodeProto(payload, message)
+  override def decodeExpr(bytes: Column): Column =
+    ProtoExpressions.decodeProto(bytes, message)
+  override def encodeKeyExpr(key: Column): Column =
+    to_json(key).cast(BinaryType)
+  override def decodeKeyExpr(bytes: Column): Column =
+    from_json(bytes.cast(StringType), sparkSchema)
+
+  /** SQL DDL type per the reference's SQL_MAP
+    * (`proto_base.rb:9-26,69-80`): 32-bit ints → INTEGER, 64-bit →
+    * BIGINT, bytes → TEXT (reference maps bytes to string), repeated
+    * and message → JSON. Deviation as in [[AvroBackend]]: double maps
+    * to DOUBLE PRECISION instead of the reference's lossy float. */
+  def sqlType(field: String): String = {
+    val f = message.fields.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(
+        s"field $field not in message ${message.name}"))
+    if (f.repeated) "JSON"
+    else f.ptype match {
+      case ProtoWire.PInt32 | ProtoWire.PUInt32 | ProtoWire.PSInt32 |
+          ProtoWire.PFixed32 | ProtoWire.PSFixed32 | ProtoWire.PEnum => "INTEGER"
+      case ProtoWire.PInt64 | ProtoWire.PUInt64 | ProtoWire.PSInt64 |
+          ProtoWire.PFixed64 | ProtoWire.PSFixed64 => "BIGINT"
+      case ProtoWire.PBool => "BOOLEAN"
+      case ProtoWire.PFloat => "REAL"
+      case ProtoWire.PDouble => "DOUBLE PRECISION"
+      case ProtoWire.PString | ProtoWire.PBytes => "TEXT"
+      case _: PMessage => "JSON"
+    }
+  }
+}
+
+/** Confluent-style registry framing over proto payloads — the
+  * engine-side analog of the reference's `proto_schema_registry`
+  * backend: 0x00 magic + int32 schema id + wire bytes, with the same
+  * loud frame validation as [[RegistryFramedBackend]]. */
+class ProtoRegistryFramedBackend(message: ProtoMessage, val schemaId: Int)
+    extends ProtoBackend(message) {
+  private val header: Array[Byte] = Array[Byte](
+    0x00,
+    ((schemaId >> 24) & 0xff).toByte,
+    ((schemaId >> 16) & 0xff).toByte,
+    ((schemaId >> 8) & 0xff).toByte,
+    (schemaId & 0xff).toByte)
+  override def encodeExpr(payload: Column): Column =
+    concat(lit(header), super.encodeExpr(payload))
+  override def decodeExpr(bytes: Column): Column = {
+    val frameOk = length(bytes) >= 6 &&
+      substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
+      AvroExpressions.schemaIdOf(bytes) === lit(schemaId)
+    when(frameOk, super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5)))
+      .otherwise(raise_error(
+        lit(s"registry frame mismatch: expected magic 0x00 + schema id $schemaId")))
+  }
+}

@@ -1,0 +1,361 @@
+package graft.schema
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Protobuf wire-format model + codec, hand-rolled on the PUBLIC wire
+  * spec (varint / zigzag / fixed / length-delimited; tag =
+  * field_number << 3 | wire_type) — no protobuf runtime needed. Covers
+  * the scalar surface of the reference's proto backend
+  * (`lib/deimos/schema_backends/proto_base.rb:9-26` SQL_MAP) plus
+  * `repeated` → array (`proto_base.rb:75-80`) and nested messages.
+  *
+  * proto3 semantics throughout: scalar fields at their default value
+  * (0 / false / "" / empty bytes) and null fields are omitted on
+  * encode; absent fields decode to defaults. Repeated numeric scalars
+  * encode packed (wire type 2) and decode both packed and unpacked.
+  * uint32/uint64 carry raw two's-complement bits in int/long, the
+  * standard JVM convention.
+  */
+object ProtoWire {
+
+  sealed trait ProtoType
+  case object PInt32 extends ProtoType
+  case object PInt64 extends ProtoType
+  case object PUInt32 extends ProtoType
+  case object PUInt64 extends ProtoType
+  case object PSInt32 extends ProtoType
+  case object PSInt64 extends ProtoType
+  case object PFixed32 extends ProtoType
+  case object PFixed64 extends ProtoType
+  case object PSFixed32 extends ProtoType
+  case object PSFixed64 extends ProtoType
+  case object PBool extends ProtoType
+  case object PEnum extends ProtoType
+  case object PFloat extends ProtoType
+  case object PDouble extends ProtoType
+  case object PString extends ProtoType
+  case object PBytes extends ProtoType
+  final case class PMessage(message: ProtoMessage) extends ProtoType
+
+  final case class ProtoField(name: String, number: Int, ptype: ProtoType,
+      repeated: Boolean = false) {
+    require(number >= 1, s"field number must be >= 1: $name")
+  }
+
+  final case class ProtoMessage(name: String, fields: Seq[ProtoField]) {
+    require(fields.map(_.number).distinct.size == fields.size,
+      s"duplicate field numbers in $name")
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"duplicate field names in $name")
+  }
+
+  /** Spark type for a proto scalar (reference SQL_MAP parity:
+    * 32-bit ints → int, 64-bit → bigint, bool/float/double/string/
+    * bytes as themselves, enum carried by number). */
+  def sparkTypeOf(t: ProtoType): DataType = t match {
+    case PInt32 | PUInt32 | PSInt32 | PFixed32 | PSFixed32 | PEnum => IntegerType
+    case PInt64 | PUInt64 | PSInt64 | PFixed64 | PSFixed64 => LongType
+    case PBool => BooleanType
+    case PFloat => FloatType
+    case PDouble => DoubleType
+    case PString => StringType
+    case PBytes => BinaryType
+    case PMessage(m) => sparkSchemaOf(m)
+  }
+
+  def sparkSchemaOf(m: ProtoMessage): StructType =
+    StructType(m.fields.map { f =>
+      val base = sparkTypeOf(f.ptype)
+      val t = if (f.repeated) ArrayType(base, containsNull = false) else base
+      StructField(f.name, t, nullable = true)
+    })
+
+  // ---- wire primitives -------------------------------------------------
+
+  private def wireTypeOf(t: ProtoType): Int = t match {
+    case PInt32 | PInt64 | PUInt32 | PUInt64 | PSInt32 | PSInt64 |
+        PBool | PEnum => 0
+    case PFixed64 | PSFixed64 | PDouble => 1
+    case PString | PBytes | _: PMessage => 2
+    case PFixed32 | PSFixed32 | PFloat => 5
+  }
+
+  private[schema] def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write((v & 0x7f).toInt)
+  }
+
+  private[schema] def zigzag32(n: Int): Long = ((n << 1) ^ (n >> 31)).toLong & 0xffffffffL
+  private[schema] def zigzag64(n: Long): Long = (n << 1) ^ (n >> 63)
+  private[schema] def unzigzag(n: Long): Long = (n >>> 1) ^ -(n & 1)
+
+  private def writeTag(out: ByteArrayOutputStream, number: Int, wt: Int): Unit =
+    writeVarint(out, ((number.toLong << 3) | wt))
+
+  private def writeFixed32(out: ByteArrayOutputStream, bits: Int): Unit = {
+    out.write(bits & 0xff); out.write((bits >>> 8) & 0xff)
+    out.write((bits >>> 16) & 0xff); out.write((bits >>> 24) & 0xff)
+  }
+
+  private def writeFixed64(out: ByteArrayOutputStream, bits: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  // ---- encode ----------------------------------------------------------
+
+  /** Scalar value (as its Spark-internal representation) → wire bytes
+    * appended WITHOUT tag. */
+  private def writeScalar(out: ByteArrayOutputStream, t: ProtoType, v: Any): Unit =
+    t match {
+      case PInt32 | PEnum =>
+        // negative int32 sign-extends to 10 varint bytes, per spec
+        writeVarint(out, v.asInstanceOf[Int].toLong)
+      case PUInt32 => writeVarint(out,
+        v.asInstanceOf[Int].toLong & 0xffffffffL)
+      case PInt64 | PUInt64 => writeVarint(out, v.asInstanceOf[Long])
+      case PSInt32 => writeVarint(out, zigzag32(v.asInstanceOf[Int]))
+      case PSInt64 => writeVarint(out, zigzag64(v.asInstanceOf[Long]))
+      case PBool => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case PFixed32 | PSFixed32 => writeFixed32(out, v.asInstanceOf[Int])
+      case PFixed64 | PSFixed64 => writeFixed64(out, v.asInstanceOf[Long])
+      case PFloat => writeFixed32(out,
+        java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+      case PDouble => writeFixed64(out,
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case PString =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case PBytes =>
+        val b = v.asInstanceOf[Array[Byte]]
+        writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+      case PMessage(m) =>
+        val b = encode(v.asInstanceOf[InternalRow], m)
+        writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+    }
+
+  private def isDefault(t: ProtoType, v: Any): Boolean = t match {
+    case PInt32 | PUInt32 | PSInt32 | PFixed32 | PSFixed32 | PEnum =>
+      v.asInstanceOf[Int] == 0
+    case PInt64 | PUInt64 | PSInt64 | PFixed64 | PSFixed64 =>
+      v.asInstanceOf[Long] == 0L
+    case PBool => !v.asInstanceOf[Boolean]
+    case PFloat => v.asInstanceOf[Float] == 0.0f
+    case PDouble => v.asInstanceOf[Double] == 0.0
+    case PString => v.asInstanceOf[UTF8String].numBytes == 0
+    case PBytes => v.asInstanceOf[Array[Byte]].isEmpty
+    case _: PMessage => false // message presence is explicit
+  }
+
+  private def getElem(arr: ArrayData, i: Int, dt: DataType): Any =
+    dt match {
+      case IntegerType => arr.getInt(i)
+      case LongType => arr.getLong(i)
+      case BooleanType => arr.getBoolean(i)
+      case FloatType => arr.getFloat(i)
+      case DoubleType => arr.getDouble(i)
+      case StringType => arr.getUTF8String(i)
+      case BinaryType => arr.getBinary(i)
+      case st: StructType => arr.getStruct(i, st.size)
+      case other => throw new IllegalArgumentException(s"proto elem $other")
+    }
+
+  /** InternalRow (shaped as [[sparkSchemaOf]]) → proto3 message bytes.
+    * Fields emit in declaration order; null / default-valued scalars
+    * and empty repeateds are omitted (proto3). */
+  def encode(row: InternalRow, m: ProtoMessage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val schema = sparkSchemaOf(m)
+    m.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        if (f.repeated) {
+          val arr = row.getArray(i)
+          val n = arr.numElements()
+          if (n > 0) {
+            val elemT = schema(i).dataType.asInstanceOf[ArrayType].elementType
+            wireTypeOf(f.ptype) match {
+              case 2 => // strings/bytes/messages: one tag per element
+                var j = 0
+                while (j < n) {
+                  writeTag(out, f.number, 2)
+                  writeScalar(out, f.ptype, getElem(arr, j, elemT))
+                  j += 1
+                }
+              case _ => // numeric scalars: packed, per proto3 default
+                val body = new ByteArrayOutputStream()
+                var j = 0
+                while (j < n) {
+                  writeScalar(body, f.ptype, getElem(arr, j, elemT))
+                  j += 1
+                }
+                writeTag(out, f.number, 2)
+                val b = body.toByteArray
+                writeVarint(out, b.length.toLong)
+                out.write(b, 0, b.length)
+            }
+          }
+        } else {
+          val value: Any = f.ptype match {
+            case _: PMessage => row.getStruct(i,
+              schema(i).dataType.asInstanceOf[StructType].size)
+            case _ => readRowScalar(row, i, schema(i).dataType)
+          }
+          if (!isDefault(f.ptype, value)) {
+            writeTag(out, f.number, wireTypeOf(f.ptype))
+            writeScalar(out, f.ptype, value)
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def readRowScalar(row: InternalRow, i: Int, dt: DataType): Any =
+    dt match {
+      case IntegerType => row.getInt(i)
+      case LongType => row.getLong(i)
+      case BooleanType => row.getBoolean(i)
+      case FloatType => row.getFloat(i)
+      case DoubleType => row.getDouble(i)
+      case StringType => row.getUTF8String(i)
+      case BinaryType => row.getBinary(i)
+      case other => throw new IllegalArgumentException(s"proto scalar $other")
+    }
+
+  // ---- decode ----------------------------------------------------------
+
+  private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (true) {
+        require(pos < end, "truncated varint")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        require(shift < 64, "varint too long")
+      }
+      v
+    }
+    def readFixed32(): Int = {
+      require(pos + 4 <= end, "truncated fixed32")
+      val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def readFixed64(): Long = {
+      require(pos + 8 <= end, "truncated fixed64")
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      require(len >= 0 && pos + len <= end, "truncated length-delimited")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len; out
+    }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => readVarint(); ()
+      case 1 => readFixed64(); ()
+      case 2 => readBytes(); ()
+      case 5 => readFixed32(); ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported wire type $other")
+    }
+  }
+
+  private def decodeScalar(r: Reader, t: ProtoType, wt: Int): Any = t match {
+    case PInt32 | PEnum => r.readVarint().toInt
+    case PUInt32 => r.readVarint().toInt
+    case PInt64 | PUInt64 => r.readVarint()
+    case PSInt32 => unzigzag(r.readVarint()).toInt
+    case PSInt64 => unzigzag(r.readVarint())
+    case PBool => r.readVarint() != 0L
+    case PFixed32 | PSFixed32 => r.readFixed32()
+    case PFixed64 | PSFixed64 => r.readFixed64()
+    case PFloat => java.lang.Float.intBitsToFloat(r.readFixed32())
+    case PDouble => java.lang.Double.longBitsToDouble(r.readFixed64())
+    case PString => UTF8String.fromBytes(r.readBytes())
+    case PBytes => r.readBytes()
+    case PMessage(m) =>
+      val b = r.readBytes()
+      decode(b, m, 0, b.length)
+  }
+
+  private def defaultOf(t: ProtoType): Any = t match {
+    case PInt32 | PUInt32 | PSInt32 | PFixed32 | PSFixed32 | PEnum => 0
+    case PInt64 | PUInt64 | PSInt64 | PFixed64 | PSFixed64 => 0L
+    case PBool => false
+    case PFloat => 0.0f
+    case PDouble => 0.0
+    case PString => UTF8String.EMPTY_UTF8
+    case PBytes => Array.emptyByteArray
+    case _: PMessage => null
+  }
+
+  /** proto3 message bytes → InternalRow shaped as [[sparkSchemaOf]].
+    * Unknown fields are skipped by wire type; last-value-wins for
+    * repeated occurrences of a non-repeated field (proto3 rule);
+    * repeated numerics accept packed and unpacked encodings. */
+  def decode(bytes: Array[Byte], m: ProtoMessage): InternalRow =
+    decode(bytes, m, 0, bytes.length)
+
+  private def decode(bytes: Array[Byte], m: ProtoMessage, from: Int,
+      to: Int): InternalRow = {
+    val byNumber = m.fields.zipWithIndex
+      .map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val values = new Array[Any](m.fields.size)
+    val repeated = Array.fill(m.fields.size)(
+      null: scala.collection.mutable.ArrayBuffer[Any])
+    val r = new Reader(bytes, from, to)
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val number = (tag >>> 3).toInt
+      val wt = (tag & 0x7).toInt
+      byNumber.get(number) match {
+        case None => r.skip(wt)
+        case Some((f, i)) =>
+          if (f.repeated) {
+            if (repeated(i) == null)
+              repeated(i) = scala.collection.mutable.ArrayBuffer[Any]()
+            val expectedWt = wireTypeOf(f.ptype)
+            if (wt == 2 && expectedWt != 2) {
+              // packed: a length-delimited run of scalars
+              val body = r.readBytes()
+              val pr = new Reader(body, 0, body.length)
+              while (pr.hasMore)
+                repeated(i) += decodeScalar(pr, f.ptype, expectedWt)
+            } else {
+              repeated(i) += decodeScalar(r, f.ptype, wt)
+            }
+          } else {
+            values(i) = decodeScalar(r, f.ptype, wt)
+          }
+      }
+    }
+    m.fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.repeated) {
+        values(i) = new GenericArrayData(
+          if (repeated(i) == null) Array.empty[Any]
+          else repeated(i).toArray)
+      } else if (values(i) == null) {
+        values(i) = defaultOf(f.ptype)
+      }
+    }
+    new GenericInternalRow(values)
+  }
+}

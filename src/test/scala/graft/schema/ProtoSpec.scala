@@ -1,0 +1,183 @@
+package graft.schema
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import ProtoWire._
+
+/** Wire-format conformance pinned to the PUBLIC protobuf encoding
+  * examples (golden bytes from the published wire-format docs), plus
+  * round-trips through the Catalyst expressions — parity surface of
+  * the reference's proto backend (`proto_local.rb:12-20`,
+  * `proto_base.rb:9-26`). */
+class ProtoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString(" ")
+
+  test("golden bytes: int32 a=150 encodes as 08 96 01 (docs example)") {
+    val m = ProtoMessage("Test1", Seq(ProtoField("a", 1, PInt32)))
+    val df = Seq(Tuple1(150)).toDF("a")
+    val bytes = df.select(ProtoExpressions.encodeProto(
+      struct(col("a")), m).as("b")).as[Array[Byte]].collect().head
+    assert(hex(bytes) === "08 96 01")
+  }
+
+  test("golden bytes: string b=\"testing\" encodes as 12 07 + utf8 (docs example)") {
+    val m = ProtoMessage("Test2", Seq(ProtoField("b", 2, PString)))
+    val df = Seq(Tuple1("testing")).toDF("b")
+    val bytes = df.select(ProtoExpressions.encodeProto(
+      struct(col("b")), m).as("x")).as[Array[Byte]].collect().head
+    assert(hex(bytes) === "12 07 74 65 73 74 69 6e 67")
+  }
+
+  test("golden bytes: packed repeated int32 f=4 [3,270,86942] (docs example)") {
+    val m = ProtoMessage("Test4",
+      Seq(ProtoField("f", 4, PInt32, repeated = true)))
+    val df = Seq(Tuple1(Seq(3, 270, 86942))).toDF("f")
+    val bytes = df.select(ProtoExpressions.encodeProto(
+      struct(col("f")), m).as("x")).as[Array[Byte]].collect().head
+    assert(hex(bytes) === "22 06 03 8e 02 9e a7 05")
+  }
+
+  test("golden bytes: nested message c.a=150 encodes as 1a 03 08 96 01 (docs example)") {
+    val inner = ProtoMessage("Test1", Seq(ProtoField("a", 1, PInt32)))
+    val m = ProtoMessage("Test3",
+      Seq(ProtoField("c", 3, PMessage(inner))))
+    val df = Seq(Tuple1(150)).toDF("a")
+    val bytes = df.select(ProtoExpressions.encodeProto(
+      struct(struct(col("a")).as("c")), m).as("x"))
+      .as[Array[Byte]].collect().head
+    assert(hex(bytes) === "1a 03 08 96 01")
+  }
+
+  test("zigzag: sint32 -1→1, 1→2, -2→3; sint64 matches") {
+    assert(zigzag32(0) === 0L)
+    assert(zigzag32(-1) === 1L)
+    assert(zigzag32(1) === 2L)
+    assert(zigzag32(-2) === 3L)
+    assert(zigzag32(2147483647) === 4294967294L)
+    assert(zigzag32(-2147483648) === 4294967295L)
+    assert(zigzag64(-1L) === 1L)
+    assert(unzigzag(zigzag64(Long.MinValue)) === Long.MinValue)
+    assert(unzigzag(zigzag64(Long.MaxValue)) === Long.MaxValue)
+  }
+
+  private val kitchenSink = ProtoMessage("Sink", Seq(
+    ProtoField("i32", 1, PInt32), ProtoField("i64", 2, PInt64),
+    ProtoField("si32", 3, PSInt32), ProtoField("si64", 4, PSInt64),
+    ProtoField("u32", 5, PUInt32), ProtoField("u64", 6, PUInt64),
+    ProtoField("f32", 7, PFixed32), ProtoField("f64", 8, PFixed64),
+    ProtoField("sf32", 9, PSFixed32), ProtoField("sf64", 10, PSFixed64),
+    ProtoField("b", 11, PBool), ProtoField("fl", 12, PFloat),
+    ProtoField("db", 13, PDouble), ProtoField("s", 14, PString),
+    ProtoField("by", 15, PBytes),
+    ProtoField("tags", 16, PString, repeated = true),
+    ProtoField("nums", 17, PSInt64, repeated = true)))
+
+  test("kitchen-sink round-trip through encode→decode expressions") {
+    val backend = new ProtoBackend(kitchenSink)
+    val row = (
+      -42, -7L, -1, -2L, 7, 9L, 100, 200L, -300, -400L,
+      true, 1.5f, 2.25, "héllo", Array[Byte](1, 2, 3))
+    val df = Seq(row).toDF("i32", "i64", "si32", "si64", "u32", "u64",
+      "f32", "f64", "sf32", "sf64", "b", "fl", "db", "s", "by")
+      .withColumn("tags", array(lit("x"), lit("y")))
+      .withColumn("nums", array(lit(-5L), lit(0L), lit(5L)))
+    val cols = kitchenSink.fields.map(f => col(f.name))
+    val back = df
+      .select(backend.encodeExpr(struct(cols: _*)).as("bin"))
+      .select(backend.decodeExpr(col("bin")).as("p"))
+      .select("p.*")
+    val got = back.collect().head
+    assert(got.getInt(0) === -42 && got.getLong(1) === -7L)
+    assert(got.getInt(2) === -1 && got.getLong(3) === -2L)
+    assert(got.getInt(4) === 7 && got.getLong(5) === 9L)
+    assert(got.getInt(6) === 100 && got.getLong(7) === 200L)
+    assert(got.getInt(8) === -300 && got.getLong(9) === -400L)
+    assert(got.getBoolean(10) === true)
+    assert(got.getFloat(11) === 1.5f && got.getDouble(12) === 2.25)
+    assert(got.getString(13) === "héllo")
+    assert(got.getAs[Array[Byte]](14).toSeq === Seq[Byte](1, 2, 3))
+    assert(got.getSeq[String](15) === Seq("x", "y"))
+    assert(got.getSeq[Long](16) === Seq(-5L, 0L, 5L))
+  }
+
+  test("proto3 defaults: nulls and zeros are omitted; absent decodes to defaults") {
+    val m = ProtoMessage("D", Seq(
+      ProtoField("a", 1, PInt64), ProtoField("s", 2, PString),
+      ProtoField("b", 3, PBool),
+      ProtoField("r", 4, PInt32, repeated = true)))
+    val backend = new ProtoBackend(m)
+    val df = spark.range(1).select(
+      lit(null).cast("long").as("a"), lit("").as("s"),
+      lit(false).as("b"), array().cast("array<int>").as("r"))
+    val enc = df.select(backend.encodeExpr(
+      struct(col("a"), col("s"), col("b"), col("r"))).as("bin"))
+    assert(enc.as[Array[Byte]].collect().head.length === 0)
+    val dec = enc.select(backend.decodeExpr(col("bin")).as("p")).select("p.*")
+      .collect().head
+    assert(dec.getLong(0) === 0L && dec.getString(1) === "")
+    assert(dec.getBoolean(2) === false && dec.getSeq[Int](3) === Seq.empty)
+  }
+
+  test("decoder accepts UNPACKED repeated numerics and skips unknown fields") {
+    // hand-built frame: field 1 (int32) twice unpacked [08 05, 08 07],
+    // unknown field 9 (varint) + unknown field 10 (length-delimited)
+    val m = ProtoMessage("U", Seq(
+      ProtoField("r", 1, PInt32, repeated = true)))
+    val frame = Array[Byte](
+      0x08, 0x05, // r += 5 (unpacked)
+      0x48, 0x63, // field 9 varint 99 — unknown, skip
+      0x52, 0x02, 0x61, 0x62, // field 10 bytes "ab" — unknown, skip
+      0x08, 0x07) // r += 7
+    val got = ProtoWire.decode(frame, m)
+    assert(got.getArray(0).toIntArray().toSeq === Seq(5, 7))
+  }
+
+  test("non-repeated field appearing twice: last value wins (proto3 rule)") {
+    val m = ProtoMessage("L", Seq(ProtoField("a", 1, PInt32)))
+    val frame = Array[Byte](0x08, 0x05, 0x08, 0x09)
+    assert(ProtoWire.decode(frame, m).getInt(0) === 9)
+  }
+
+  test("proto key config: JSON-encoded key round-trips (proto_base.rb:58-66)") {
+    val m = ProtoMessage("K", Seq(ProtoField("id", 1, PInt64)))
+    val backend = new ProtoBackend(m)
+    val df = Seq(Tuple1(77L)).toDF("id")
+    val key = df.select(backend.encodeKeyExpr(struct(col("id"))).as("k"))
+    assert(key.select(col("k").cast("string")).as[String].collect().head
+      === """{"id":77}""")
+    val back = key.select(backend.decodeKeyExpr(col("k")).as("p"))
+      .select("p.*")
+    assert(back.as[Long].collect().head === 77L)
+  }
+
+  test("sqlType mirrors the reference SQL_MAP surface") {
+    val backend = new ProtoBackend(kitchenSink)
+    assert(backend.sqlType("i32") === "INTEGER")
+    assert(backend.sqlType("u64") === "BIGINT")
+    assert(backend.sqlType("b") === "BOOLEAN")
+    assert(backend.sqlType("s") === "TEXT")
+    assert(backend.sqlType("by") === "TEXT")
+    assert(backend.sqlType("fl") === "REAL")
+    assert(backend.sqlType("tags") === "JSON")
+  }
+
+  test("registry-framed proto validates the frame and round-trips") {
+    val m = ProtoMessage("F", Seq(ProtoField("a", 1, PInt64)))
+    val writer = new ProtoRegistryFramedBackend(m, schemaId = 7)
+    val framed = Seq(Tuple1(5L)).toDF("a")
+      .select(writer.encodeExpr(struct(col("a"))).as("bin"))
+    assert(framed.select(writer.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[Long].collect().head === 5L)
+    val other = new ProtoRegistryFramedBackend(m, schemaId = 8)
+    val e = intercept[Exception] {
+      framed.select(other.decodeExpr(col("bin"))).collect()
+    }
+    assert(e.getMessage.contains("registry frame mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("registry frame mismatch")))
+  }
+}
