@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, MediaProbe, Multimodal, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -89,15 +89,22 @@ object ExtQueries {
       T.bagFingerprint(col("text")).as("bag_fp"))
       .orderBy(col("doc_id"))
 
+  /** Real media probe, verified end-to-end: per-row PNG bytes are
+    * SYNTHESIZED with dims derived from doc_id, then the probe parses
+    * the bytes back. The oracle computes the expected dims from doc_id
+    * directly — independent of both the synthesizer and the probe — so
+    * a broken IHDR parse (endianness, offset, signature) hash-fails. */
   private def x12(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMedia(t(s, dir, "documents"), "text", "text/fake")
-    media.select(col("doc_id"),
-      Multimodal.decodeMetaStub(col("media_bytes"), col("media_type"))
-        .as("meta"))
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 640 + 1).cast("int").as("w"),
+      (col("doc_id") % 480 + 1).cast("int").as("h"))
+    docs.select(col("doc_id"),
+      MediaProbe.probeMedia(
+        MediaProbe.synthPng(col("w"), col("h"))).as("meta"))
       .select(col("doc_id"),
         col("meta").getField("width").as("width"),
         col("meta").getField("height").as("height"),
-        col("meta").getField("n_frames").as("n_frames"))
+        col("meta").getField("media_type").as("media_type"))
       .orderBy(col("doc_id"))
   }
 
@@ -443,9 +450,9 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x12_multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
-        |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
-        |  CAST(octet_length(CAST(text AS BLOB)) // 50 + 1 AS BIGINT) AS n_frames
+        |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+        |  'image/png' AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM media header probe: real width/height from PNG (IHDR),
+  * JPEG (SOFn) and GIF (logical screen descriptor) byte streams — all
+  * three are public, stable container formats parseable from the first
+  * few hundred bytes. This replaces the round-1 length-derived stub:
+  * the probe READS the bytes; no library, no codec, no full decode.
+  *
+  * At 100 TB this runs as a scan-side expression over parquet binary
+  * columns — embarrassingly parallel, zero shuffle, and only the
+  * header pages of each blob are touched per row.
+  */
+object MediaProbe {
+
+  /** Probe result: [width: long, height: long, media_type: string],
+    * or null when the bytes match no known signature / are truncated. */
+  val MetaType: StructType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("media_type", StringType)))
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i))
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** JPEG: walk the marker segments to the first SOFn (C0–CF except
+    * C4 DHT / C8 JPG / CC DAC); height u16be at +3, width at +5. */
+  private def jpegDims(b: Array[Byte]): GenericInternalRow = {
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return null // lost marker sync
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers have no length
+      } else if (marker == 0x01 || marker == 0xff) {
+        i += 2
+      } else {
+        val len = u16be(b, i + 2)
+        if (len < 2) return null
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 9 > b.length) return null
+          return meta(u16be(b, i + 7), u16be(b, i + 5), "image/jpeg")
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
+  private def meta(w: Long, h: Long, mt: String): GenericInternalRow =
+    new GenericInternalRow(Array[Any](w, h, UTF8String.fromString(mt)))
+
+  /** Static probe kernel (shared by eval and generated code). Null for
+    * unrecognized or truncated input. */
+  def probe(b: Array[Byte]): GenericInternalRow = {
+    if (b == null) null
+    else if (isPng(b)) {
+      // first chunk must be IHDR: length at 8, type at 12, data at 16
+      if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        meta(u32be(b, 16), u32be(b, 20), "image/png")
+      else null
+    } else if (isGif(b)) {
+      meta(u16le(b, 6).toLong, u16le(b, 8).toLong, "image/gif")
+    } else if (isJpeg(b)) {
+      jpegDims(b)
+    } else null
+  }
+
+  // ---- synthesizers (tests + x12 fixture generation) -------------------
+
+  private def crc32(b: Array[Byte], from: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, len)
+    c.getValue
+  }
+
+  /** Minimal structurally-valid PNG: signature + IHDR (real CRC) +
+    * empty IDAT + IEND. Probe-parseable AND accepted by strict header
+    * readers. */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = crc32(body, 0, body.length)
+      out.write(((crc >>> 24) & 0xff).toInt); out.write(((crc >>> 16) & 0xff).toInt)
+      out.write(((crc >>> 8) & 0xff).toInt); out.write((crc & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", Array.emptyByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal GIF89a header: signature + logical screen descriptor. */
+  def gifBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      (w & 0xff).toByte, ((w >>> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >>> 8) & 0xff).toByte,
+      0, 0, 0, 0x3b)
+
+  /** Minimal JPEG: SOI + APP0 (JFIF) + SOF0 + EOI — the probe must
+    * walk past APP0 to find SOF0. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8,
+      ((h >>> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >>> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  // ---- expressions -----------------------------------------------------
+
+  /** binary → struct(width, height, media_type), null when
+    * unrecognized. Codegen'd call into the static kernel. */
+  case class ProbeMediaExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = MetaType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      probe(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.ext.MediaProbe.probe($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): ProbeMediaExpr =
+      copy(c)
+  }
+
+  /** (width int, height int) → structurally-valid PNG bytes — fixture
+    * generator usable inside a plan (x12 synthesizes per-row PNGs). */
+  case class PngSynthExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(w: Any, h: Any): Any =
+      pngBytes(w.asInstanceOf[Int], h.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (w, h) => s"${ev.value} = graft.ext.MediaProbe.pngBytes($w, $h);")
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): PngSynthExpr = copy(l, r)
+  }
+
+  def probeMedia(bytes: Column): Column =
+    GraftSqlBridge.column(ProbeMediaExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthPng(width: Column, height: Column): Column =
+    GraftSqlBridge.column(PngSynthExpr(
+      GraftSqlBridge.expression(width), GraftSqlBridge.expression(height)))
+}

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** [EXT] Multimodal column support: media payloads as opaque `binary`
   * columns with a typed metadata struct.
   *
-  * The Spark-side plumbing (schema, batch shape, partition sizing) is
-  * real; the codec itself is a clearly-marked deterministic STUB — the
-  * container has no image/audio libraries. At deployment the stub body
-  * is replaced by a real decoder inside the same `mapPartitions`
-  * (one codec context per partition, vectorized batches), which is the
-  * correct 100 TB shape: decode work is embarrassingly parallel and
-  * never shuffles.
+  * Image metadata is REAL: [[MediaProbe]] parses PNG/JPEG/GIF headers
+  * in pure JVM (width/height/media type from the actual bytes) as a
+  * codegen'd scan-side expression. The functions below keep the
+  * mapPartitions CODEC shape for formats that need a native decoder
+  * (video frames, audio samples — no codec libraries in this
+  * container): their bodies are clearly-marked deterministic stubs,
+  * but the schema, batch iteration and partition layout are what a
+  * real decoder plugs into. Either way the 100 TB shape holds: decode
+  * work is embarrassingly parallel and never shuffles.
   */
 object Multimodal {
 

@@ -123,14 +123,16 @@ object JdbcMerger {
   def mergeIntoJdbc(batch: DataFrame, url: String, table: String,
       keyCols: Seq[String], tombstone: org.apache.spark.sql.Column,
       dialect: Dialect, props: java.util.Properties,
-      maxBatchSize: Int = 1000): Unit = {
+      maxBatchSize: Int = 1000, versionCol: Option[String] = None,
+      retrySleeper: Long => Unit = Thread.sleep): Unit = {
     val (upserts, deletes) = Materialize.splitTombstones(batch, tombstone)
     val cols = upserts.columns.toSeq
     upserts.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try rows.grouped(maxBatchSize).foreach { group =>
-        val sql = upsertSql(table, cols, keyCols, group.size, dialect)
-        withDeadlockRetry() {
+        val sql = upsertSql(table, cols, keyCols, group.size, dialect,
+          versionCol)
+        withDeadlockRetry(sleeper = retrySleeper) {
           val st = conn.prepareStatement(sql)
           var i = 1
           group.foreach(r => cols.indices.foreach { c =>
@@ -145,7 +147,7 @@ object JdbcMerger {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try rows.grouped(maxBatchSize).foreach { group =>
         val sql = deleteSql(table, keyCols, group.size, dialect)
-        withDeadlockRetry() {
+        withDeadlockRetry(sleeper = retrySleeper) {
           val st = conn.prepareStatement(sql)
           var i = 1
           group.foreach(r => keyCols.indices.foreach { c =>

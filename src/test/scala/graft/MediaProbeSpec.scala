@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.MediaProbe
+
+/** Header-parse conformance for the pure-JVM media probe: PNG IHDR,
+  * GIF logical screen descriptor, JPEG SOFn marker walk — synthesized
+  * and hand-built frames, plus rejection of junk and truncation. */
+class MediaProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG: IHDR big-endian dims parse from synthesized bytes") {
+    val r = MediaProbe.probe(MediaProbe.pngBytes(1234, 77))
+    assert(r.getLong(0) === 1234L && r.getLong(1) === 77L)
+    assert(r.getUTF8String(2).toString === "image/png")
+  }
+
+  test("GIF: little-endian screen descriptor dims") {
+    val r = MediaProbe.probe(MediaProbe.gifBytes(320, 200))
+    assert(r.getLong(0) === 320L && r.getLong(1) === 200L)
+    assert(r.getUTF8String(2).toString === "image/gif")
+  }
+
+  test("JPEG: probe walks past APP0 to SOF0 for dims") {
+    val r = MediaProbe.probe(MediaProbe.jpegBytes(640, 480))
+    assert(r.getLong(0) === 640L && r.getLong(1) === 480L)
+    assert(r.getUTF8String(2).toString === "image/jpeg")
+  }
+
+  test("junk, truncated and header-less inputs probe to null") {
+    assert(MediaProbe.probe("not an image".getBytes) === null)
+    assert(MediaProbe.probe(MediaProbe.pngBytes(10, 10).take(12)) === null)
+    assert(MediaProbe.probe(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)) === null) // JPEG with no SOF
+    assert(MediaProbe.probe(null) === null)
+  }
+
+  test("expression path: synth → probe round-trips dims inside a plan") {
+    val df = Seq((3, 5), (99, 101), (640, 480)).toDF("w", "h")
+    val got = df.select(
+      MediaProbe.probeMedia(MediaProbe.synthPng(col("w"), col("h"))).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.media_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((3L, 5L, "image/png"), (99L, 101L, "image/png"),
+      (640L, 480L, "image/png")))
+  }
+
+  test("probe expression yields null struct for unrecognized bytes") {
+    val df = Seq("plain text").toDF("t")
+    val got = df.select(
+      MediaProbe.probeMedia(col("t").cast("binary")).as("m"))
+    assert(got.filter(col("m").isNull).count() === 1)
+  }
+
+  test("synthesized PNG passes an independent reader (ImageIO header)") {
+    // cross-check the synthesizer against the JDK's own PNG header
+    // reader so the spec doesn't just test the probe against its own
+    // fixture (pixel decode is skipped — the IDAT is empty by design)
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(MediaProbe.pngBytes(21, 34)))
+    val it = javax.imageio.ImageIO.getImageReaders(stream)
+    assert(it.hasNext, "JDK PNG reader did not recognize the synth bytes")
+    val reader = it.next()
+    reader.setInput(stream)
+    assert(reader.getWidth(0) === 21 && reader.getHeight(0) === 34)
+  }
+}
