@@ -1,0 +1,150 @@
+package graft.schema
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+
+/** Schema-class source generator — the engine's version of the
+  * reference's schema-class generator
+  * (`lib/generators/deimos/schema_class_generator.rb:11-120` +
+  * templates): walk an Avro schema, emit one Scala source per named
+  * type — `final case class` per record (nullable-union fields become
+  * `Option[T] = None`), `sealed trait` + case objects per enum — plus
+  * the embedded schema JSON, so producers/consumers get typed payload
+  * classes and `Dataset[T]` encoders line up with the wire schema.
+  *
+  * Like the reference (`IGNORE_DEFAULTS`), `message_id`/`timestamp`
+  * never get schema defaults — the pipeline auto-fills them (P5).
+  */
+object SchemaClassGen {
+
+  private val IgnoreDefaults = Set("message_id", "timestamp")
+
+  /** (className, source) for every named type reachable from the
+    * schema, main record first, nested types in discovery order. */
+  def generate(schemaJson: String): Seq[(String, String)] = {
+    val root = new AvroSchema.Parser().parse(schemaJson)
+    val discovered = scala.collection.mutable.LinkedHashMap[String, AvroSchema]()
+    def walk(s: AvroSchema): Unit = s.getType match {
+      case AvroSchema.Type.RECORD =>
+        if (!discovered.contains(s.getName)) {
+          discovered(s.getName) = s
+          s.getFields.asScala.foreach(f => walk(f.schema))
+        }
+      case AvroSchema.Type.ENUM =>
+        discovered.getOrElseUpdate(s.getName, s); ()
+      case AvroSchema.Type.UNION => s.getTypes.asScala.foreach(walk)
+      case AvroSchema.Type.ARRAY => walk(s.getElementType)
+      case AvroSchema.Type.MAP => walk(s.getValueType)
+      case _ => ()
+    }
+    walk(root)
+    discovered.values.toSeq.map {
+      case s if s.getType == AvroSchema.Type.RECORD => s.getName -> recordSource(s)
+      case s => s.getName -> enumSource(s)
+    }
+  }
+
+  /** Key-record class for a `key_config field:` topic — pairs with
+    * [[AvroBackend.keySchemaJson]] the way the reference generates the
+    * key class alongside (`schema_class_generator.rb:58-66`). */
+  def generateKeyClass(backend: AvroBackend, field: String): (String, String) =
+    generate(backend.keySchemaJson(field)).head
+
+  /** Write each generated source as `<dir>/<Name>.scala`. */
+  def writeTo(dir: java.nio.file.Path, schemaJson: String): Seq[java.nio.file.Path] = {
+    java.nio.file.Files.createDirectories(dir)
+    generate(schemaJson).map { case (name, src) =>
+      java.nio.file.Files.write(dir.resolve(s"$name.scala"),
+        src.getBytes("UTF-8"))
+    }
+  }
+
+  private def scalaType(s: AvroSchema): String = s.getType match {
+    case AvroSchema.Type.INT => "Int"
+    case AvroSchema.Type.LONG => "Long"
+    case AvroSchema.Type.FLOAT => "Float"
+    case AvroSchema.Type.DOUBLE => "Double"
+    case AvroSchema.Type.BOOLEAN => "Boolean"
+    case AvroSchema.Type.STRING => "String"
+    case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED => "Array[Byte]"
+    case AvroSchema.Type.ARRAY => s"Seq[${scalaType(s.getElementType)}]"
+    case AvroSchema.Type.MAP => s"Map[String, ${scalaType(s.getValueType)}]"
+    case AvroSchema.Type.RECORD => s.getName
+    case AvroSchema.Type.ENUM => s.getName + ".Value"
+    case AvroSchema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL)
+      if (nonNull.size == 1 && s.getTypes.size == 2)
+        s"Option[${scalaType(nonNull.head)}]"
+      else "Any" // multi-branch unions stay dynamic, as in the reference
+    case AvroSchema.Type.NULL => "Null"
+  }
+
+  private def defaultFor(f: AvroSchema.Field): Option[String] = {
+    if (IgnoreDefaults.contains(f.name)) {
+      if (f.schema.getType == AvroSchema.Type.UNION &&
+        f.schema.getTypes.asScala.exists(_.getType == AvroSchema.Type.NULL))
+        Some("None")
+      else None
+    } else if (f.schema.getType == AvroSchema.Type.UNION &&
+      f.schema.getTypes.asScala.headOption
+        .exists(_.getType == AvroSchema.Type.NULL))
+      Some("None")
+    else if (!f.hasDefaultValue) None
+    else {
+      val d = AvroSchema.Field.NULL_DEFAULT_VALUE
+      val v = f.defaultVal()
+      (f.schema.getType, v) match {
+        case (_, `d`) => Some("None")
+        case (AvroSchema.Type.STRING, s: String) => Some("\"" + s + "\"")
+        case (AvroSchema.Type.INT, n: java.lang.Integer) => Some(n.toString)
+        case (AvroSchema.Type.LONG, n: java.lang.Number) => Some(s"${n.longValue}L")
+        case (AvroSchema.Type.FLOAT, n: java.lang.Number) => Some(s"${n.floatValue}f")
+        case (AvroSchema.Type.DOUBLE, n: java.lang.Number) => Some(n.doubleValue.toString)
+        case (AvroSchema.Type.BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
+        case (AvroSchema.Type.ENUM, s: String) => Some(s"${f.schema.getName}.$s")
+        case _ => None
+      }
+    }
+  }
+
+  private def recordSource(s: AvroSchema): String = {
+    val pkg = Option(s.getNamespace).getOrElse("generated")
+    val fields = s.getFields.asScala.map { f =>
+      val t = scalaType(f.schema)
+      val default = defaultFor(f).map(" = " + _).getOrElse("")
+      s"  ${sanitize(f.name)}: $t$default"
+    }
+    val doc = Option(s.getDoc).map(d => s"/** $d */\n").getOrElse("")
+    s"""package $pkg
+       |
+       |${doc}final case class ${s.getName}(
+       |${fields.mkString(",\n")})
+       |
+       |object ${s.getName} {
+       |  /** Writer/reader schema this class was generated from. */
+       |  val SchemaJson: String =
+       |    \"\"\"${s.toString}\"\"\"
+       |}
+       |""".stripMargin
+  }
+
+  private def enumSource(s: AvroSchema): String = {
+    val pkg = Option(s.getNamespace).getOrElse("generated")
+    val symbols = s.getEnumSymbols.asScala
+    s"""package $pkg
+       |
+       |/** Generated from enum ${s.getFullName}. */
+       |object ${s.getName} extends Enumeration {
+       |${symbols.map(sym => s"  val $sym: Value = Value(\"$sym\")").mkString("\n")}
+       |}
+       |""".stripMargin
+  }
+
+  private val ScalaKeywords = Set("type", "class", "object", "def", "val",
+    "var", "new", "match", "case", "if", "else", "for", "while", "return",
+    "import", "package", "sealed", "final", "implicit", "lazy", "override")
+
+  private def sanitize(name: String): String =
+    if (ScalaKeywords.contains(name)) s"`$name`" else name
+}
