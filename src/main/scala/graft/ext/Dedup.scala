@@ -50,14 +50,33 @@ object Dedup {
         k, bands)).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
+    // Eager local checkpoint: the candidate set is tiny (surviving
+    // pairs only) and is consumed twice below; without it each consumer
+    // re-runs the ENTIRE shingle+band pipeline (Spark has no automatic
+    // subtree reuse across join branches). localCheckpoint — not
+    // cache() — so nothing leaks into the session cache between runs.
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
+    // Verification shingles are recomputed for CANDIDATE DOCS ONLY —
+    // join the (broadcast) candidate id list into the raw docs scan and
+    // shingle after the join. At 100 TB this is two cheap passes
+    // (full scan once for banding, candidate-only scan for verify)
+    // instead of materializing corpus-sized shingle arrays.
+    val candIds = candidates.select(col("doc_a").as("cid"))
+      .unionByName(candidates.select(col("doc_b").as("cid")))
+      .distinct()
+    val candShingled = docs
+      .join(broadcast(candIds), col(idCol) === col("cid"))
+      .select(col(idCol).as("doc"),
+        graft.functions.Expressions.ngramHashes(
+          H.tokenHashes(T.tokens(col(textCol))), shingleN).as("shingles"))
     candidates
-      .join(shingled.select(col("doc").as("doc_a"), col("shingles").as("sh_a")),
+      .join(candShingled.select(col("doc").as("doc_a"), col("shingles").as("sh_a")),
         Seq("doc_a"))
-      .join(shingled.select(col("doc").as("doc_b"), col("shingles").as("sh_b")),
+      .join(candShingled.select(col("doc").as("doc_b"), col("shingles").as("sh_b")),
         Seq("doc_b"))
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -69,8 +88,12 @@ object Dedup {
     * hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // (doc, int64) is tiny — eager local checkpoint so the self-join's
+    // two branches read materialized fingerprints instead of running
+    // the tokenize+simhash scan twice (no session-cache leakage)
     val sim = docs.select(col(idCol).as("doc"),
       H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
+      .localCheckpoint(true)
     val chunked = sim.select(col("doc"), col("sim"),
       posexplode(H.simhashChunks(col("sim"))).as(Seq("chunk", "cval")))
     val a = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_a"),

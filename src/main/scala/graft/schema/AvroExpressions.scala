@@ -4,11 +4,12 @@ import java.io.ByteArrayOutputStream
 
 import org.apache.avro.{Schema => AvroSchema}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter}
-import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.io.{BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Catalyst expressions for Avro binary encode/decode (P8/P9 of the
@@ -16,26 +17,49 @@ import org.apache.spark.sql.types._
   * avro_local.rb:10-30`, `base.rb:85-100`).
   *
   * Spark-first: the codec is a scan/projection-level expression, so
-  * encode/decode run inside the executor task with zero extra shuffle;
-  * writer/reader objects are lazily initialized once per task thread.
+  * encode/decode run inside the executor task with zero extra shuffle.
+  *
+  * Hot-path hygiene (round 2):
+  *  - `doGenCode` emits a call onto the expression instance (via a
+  *    codegen reference object), so the produce/consume pipeline stays
+  *    one WholeStageCodegen span instead of bouncing through
+  *    interpreted fallback;
+  *  - the output buffer and Avro BinaryEncoder/BinaryDecoder are
+  *    REUSED per thread (ThreadLocal) — the Avro factories support
+  *    explicit reuse; per-row allocation was the dominant constant
+  *    cost of the encode path.
   */
 object AvroExpressions {
 
   /** struct → Avro single-object binary (schema known out-of-band). */
   case class AvroEncodeExpr(child: Expression, schemaJson: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BinaryType
     @transient private lazy val schema =
       new AvroSchema.Parser().parse(schemaJson)
     @transient private lazy val writer =
       new GenericDatumWriter[Any](schema)
-    override def nullSafeEval(input: Any): Any = {
+    @transient private lazy val outTL: ThreadLocal[ByteArrayOutputStream] =
+      ThreadLocal.withInitial(() => new ByteArrayOutputStream(512))
+    @transient private lazy val encTL: ThreadLocal[BinaryEncoder] =
+      new ThreadLocal[BinaryEncoder]
+
+    /** Per-row kernel — called from both eval and generated code. */
+    def encodeRow(input: Any): Array[Byte] = {
       val datum = AvroConverters.toAvroDatum(input, schema, child.dataType)
-      val out = new ByteArrayOutputStream()
-      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      val out = outTL.get()
+      out.reset()
+      val enc = EncoderFactory.get().binaryEncoder(out, encTL.get())
+      encTL.set(enc)
       writer.write(datum, enc)
       enc.flush()
       out.toByteArray
+    }
+
+    override def nullSafeEval(input: Any): Any = encodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("avroEncode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeRow($c);")
     }
     override protected def withNewChildInternal(c: Expression): AvroEncodeExpr =
       copy(child = c)
@@ -45,16 +69,27 @@ object AvroExpressions {
     * unknown writer fields are dropped, exactly the reference's
     * evolution tolerance (`schema_class/record.rb:76-90`). */
   case class AvroDecodeExpr(child: Expression, schemaJson: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     @transient private lazy val schema =
       new AvroSchema.Parser().parse(schemaJson)
     override def dataType: DataType = AvroConverters.toSparkType(schema)
     @transient private lazy val reader =
       new GenericDatumReader[Any](schema)
-    override def nullSafeEval(input: Any): Any = {
+    @transient private lazy val decTL: ThreadLocal[org.apache.avro.io.BinaryDecoder] =
+      new ThreadLocal[org.apache.avro.io.BinaryDecoder]
+
+    def decodeRow(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val dec = DecoderFactory.get().binaryDecoder(bytes, decTL.get())
+      decTL.set(dec)
       AvroConverters.fromAvroDatum(reader.read(null, dec), schema)
+    }
+
+    override def nullSafeEval(input: Any): Any = decodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("avroDecode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = (InternalRow) $ref.decodeRow($c);")
     }
     override protected def withNewChildInternal(c: Expression): AvroDecodeExpr =
       copy(child = c)
@@ -64,11 +99,12 @@ object AvroExpressions {
     * the reference's actual avro_local payload format
     * (`avro_local.rb:18-30` uses DataFileWriter per message). */
   case class AvroDataFileEncodeExpr(child: Expression, schemaJson: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BinaryType
     @transient private lazy val schema =
       new AvroSchema.Parser().parse(schemaJson)
-    override def nullSafeEval(input: Any): Any = {
+
+    def encodeRow(input: Any): Array[Byte] = {
       val datum = AvroConverters.toAvroDatum(input, schema, child.dataType)
       val out = new ByteArrayOutputStream()
       val w = new org.apache.avro.file.DataFileWriter[Any](
@@ -77,6 +113,12 @@ object AvroExpressions {
       w.append(datum)
       w.close()
       out.toByteArray
+    }
+
+    override def nullSafeEval(input: Any): Any = encodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ocfEncode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeRow($c);")
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -87,11 +129,12 @@ object AvroExpressions {
     * the reference's `new_from_message` tolerance
     * (`schema_class/record.rb:76-90`). */
   case class AvroDataFileDecodeExpr(child: Expression, readerSchemaJson: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     @transient private lazy val readerSchema =
       new AvroSchema.Parser().parse(readerSchemaJson)
     override def dataType: DataType = AvroConverters.toSparkType(readerSchema)
-    override def nullSafeEval(input: Any): Any = {
+
+    def decodeRow(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       val reader = new GenericDatumReader[Any](null, readerSchema)
       val stream = new org.apache.avro.file.DataFileStream[Any](
@@ -101,19 +144,40 @@ object AvroExpressions {
         else AvroConverters.fromAvroDatum(stream.next(), readerSchema)
       } finally stream.close()
     }
+
+    override def nullSafeEval(input: Any): Any = decodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ocfDecode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = (InternalRow) $ref.decodeRow($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** Big-endian int32 from the first 4 bytes at `offset` — used to read
     * the schema id out of registry-framed messages. */
   case class ReadInt32BE(child: Expression, offset: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(input: Any): Any = {
-      val b = input.asInstanceOf[Array[Byte]]
+    override def nullable: Boolean = true
+
+    def readAt(b: Array[Byte]): Any =
       if (b.length < offset + 4) null
-      else ((b(offset) & 0xff) << 24) | ((b(offset + 1) & 0xff) << 16) |
-        ((b(offset + 2) & 0xff) << 8) | (b(offset + 3) & 0xff)
+      else java.lang.Integer.valueOf(
+        ((b(offset) & 0xff) << 24) | ((b(offset + 1) & 0xff) << 16) |
+          ((b(offset + 2) & 0xff) << 8) | (b(offset + 3) & 0xff))
+
+    override def nullSafeEval(input: Any): Any =
+      readAt(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("readI32", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object r = $ref.readAt($c);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Integer) r).intValue(); }
+      """)
     }
     override protected def withNewChildInternal(c: Expression): ReadInt32BE =
       copy(child = c)

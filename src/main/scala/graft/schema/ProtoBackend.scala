@@ -2,8 +2,9 @@ package graft.schema
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,24 +12,36 @@ import ProtoWire.{PMessage, ProtoMessage, ProtoType}
 
 /** Catalyst expressions wrapping the hand-rolled proto3 wire codec
   * ([[ProtoWire]]). Same plan position as the Avro expressions: the
-  * codec is a projection-level expression, zero extra shuffle. */
+  * codec is a projection-level expression, zero extra shuffle, and
+  * `doGenCode` keeps the surrounding pipeline in one WholeStageCodegen
+  * span (the generated code calls back into the expression instance
+  * via a codegen reference). */
 object ProtoExpressions {
 
   case class ProtoEncodeExpr(child: Expression, message: ProtoMessage)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(input: Any): Any =
-      ProtoWire.encode(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], message)
+    def encodeRow(input: Any): Array[Byte] =
+      ProtoWire.encode(input.asInstanceOf[InternalRow], message)
+    override def nullSafeEval(input: Any): Any = encodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("protoEncode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeRow($c);")
+    }
     override protected def withNewChildInternal(c: Expression): ProtoEncodeExpr =
       copy(child = c)
   }
 
   case class ProtoDecodeExpr(child: Expression, message: ProtoMessage)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ProtoWire.sparkSchemaOf(message)
-    override def nullSafeEval(input: Any): Any =
+    def decodeRow(input: Any): InternalRow =
       ProtoWire.decode(input.asInstanceOf[Array[Byte]], message)
+    override def nullSafeEval(input: Any): Any = decodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("protoDecode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeRow($c);")
+    }
     override protected def withNewChildInternal(c: Expression): ProtoDecodeExpr =
       copy(child = c)
   }

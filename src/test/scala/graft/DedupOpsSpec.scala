@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Direct semantics for the sketch dedup operators (previously covered
+  * only via rows-only driver queries): near-dup pairs are found,
+  * unrelated docs are not, and the verification metrics bound. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again yesterday"),
+    (3L, "entirely different content about spark catalyst optimizer internals"),
+    (4L, "entirely different content about spark catalyst optimizer internals"),
+    (5L, "completely unrelated short text"))
+    .toDF("doc_id", "text")
+
+  test("minhashLsh finds near-dup and exact-dup pairs, skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)), "exact dup must always pair")
+    assert(pairs.contains((1L, 2L)), "one-word-diff docs share most shingles")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "unrelated doc must not pair")
+    // verified jaccard of the exact pair is 1.0
+    val j = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+      .filter(col("doc_a") === 3L && col("doc_b") === 4L)
+      .select("jaccard").as[Double].collect().head
+    assert(j === 1.0)
+  }
+
+  test("simhash pairs identical docs at hamming 0; unrelated docs exceed the cutoff") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .as[(Long, Long, Long)].collect()
+    val exact = pairs.find(p => p._1 == 3L && p._2 == 4L)
+    assert(exact.exists(_._3 === 0L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+}

@@ -68,6 +68,42 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("codec expressions (Avro, proto, probe) compile under forced codegen") {
+    import graft.schema.{AvroBackend, ProtoBackend, ProtoWire}
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val avro = new AvroBackend(
+        """{"type":"record","name":"C","fields":[
+          | {"name":"a","type":"long"},{"name":"s","type":"string"}]}"""
+          .stripMargin)
+      val proto = new ProtoBackend(ProtoWire.ProtoMessage("C", Seq(
+        ProtoWire.ProtoField("a", 1, ProtoWire.PInt64),
+        ProtoWire.ProtoField("s", 2, ProtoWire.PString))))
+      val df = Seq((7L, "x"), (8L, "y")).toDF("a", "s")
+      val round = df.select(
+        avro.decodeExpr(avro.encodeExpr(struct(col("a"), col("s"))))
+          .as("av"),
+        proto.decodeExpr(proto.encodeExpr(struct(col("a"), col("s"))))
+          .as("pr"),
+        graft.ext.MediaProbe.probeMedia(
+          graft.ext.MediaProbe.synthPng(lit(9), lit(4))).as("m"))
+        .select(col("av.a").as("aa"), col("pr.s").as("ps"),
+          col("m.width").as("w"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(round === Set((7L, "x", 9L), (8L, "y", 9L)))
+    } finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.codegen.fallback", prevFallback)
+      restore("spark.sql.codegen.factoryMode", prevMode)
+    }
+  }
+
   test("whole-stage codegen span covers a sketch-heavy projection") {
     val df = spark.range(100)
       .select(array(col("id"), col("id") + 1, col("id") * 7).as("hs"))
