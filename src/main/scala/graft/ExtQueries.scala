@@ -242,9 +242,31 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio analog of x12: per-row PCM WAV headers are synthesized with
+    * params derived from doc_id, then probed back; the oracle computes
+    * the expected values (including the duration arithmetic
+    * data_len*1000/byte_rate) from doc_id alone — independent of both
+    * the synthesizer and the RIFF chunk walk under test. */
+  private def x23(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 2 + 1).cast("int").as("ch"),
+      (lit(8000) * (col("doc_id") % 3 + 1)).cast("int").as("rate"),
+      lit(16).cast("int").as("bits"),
+      (col("doc_id") % 1000 + 100).cast("int").as("n"))
+    docs.select(col("doc_id"),
+      MediaProbe.probeAudio(MediaProbe.synthWav(
+        col("ch"), col("rate"), col("bits"), col("n"))).as("meta"))
+      .select(col("doc_id"),
+        col("meta").getField("n_channels").as("n_channels"),
+        col("meta").getField("sample_rate").as("sample_rate"),
+        col("meta").getField("duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_pii_redact" -> (x21 _),
     "x22_repetition" -> (x22 _),
+    "x23_audio_meta" -> (x23 _),
     "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
@@ -453,6 +475,13 @@ object ExtQueries {
         |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
         |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
         |  'image/png' AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x23_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+        |  CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+        |  CAST((doc_id % 1000 + 100) * 1000 // (8000 * (doc_id % 3 + 1))
+        |    AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

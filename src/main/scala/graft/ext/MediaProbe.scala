@@ -147,6 +147,122 @@ object MediaProbe {
       Array[Byte](0xff.toByte, 0xd9.toByte)
   }
 
+  // ---- audio (WAV/RIFF) ------------------------------------------------
+
+  /** Audio probe result: channels, sample rate, bits per sample,
+    * duration in ms (from the data chunk size), media type. */
+  val AudioMetaType: StructType = StructType(Seq(
+    StructField("n_channels", IntegerType),
+    StructField("sample_rate", LongType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("media_type", StringType)))
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** WAV (RIFF/WAVE): walk chunks for `fmt ` (channels u16le @+2,
+    * sample rate u32le @+4, byte rate @+8, bits @+14) and `data`
+    * (size → duration = size / byteRate). Public container spec. */
+  def probeWav(b: Array[Byte]): GenericInternalRow = {
+    if (b == null || b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return null
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var bits = -1
+    var byteRate = -1L
+    var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = u32le(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        channels = u16le(b, i + 10)
+        sampleRate = u32le(b, i + 12)
+        byteRate = u32le(b, i + 16)
+        bits = u16le(b, i + 22)
+      } else if (id == "data") {
+        dataLen = len
+      }
+      // chunks are word-aligned: odd sizes pad one byte
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (channels < 0 || sampleRate <= 0) null
+    else {
+      val durMs =
+        if (dataLen < 0 || byteRate <= 0) 0L
+        else dataLen * 1000L / byteRate
+      new GenericInternalRow(Array[Any](channels, sampleRate, bits, durMs,
+        UTF8String.fromString("audio/wav")))
+    }
+  }
+
+  /** Minimal valid PCM WAV: RIFF/WAVE + fmt + data (silence). */
+  def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    val dataLen = nSamples * blockAlign
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1) // PCM
+    w16(channels); w32(sampleRate.toLong); w32(byteRate.toLong)
+    w16(blockAlign); w16(bitsPerSample)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    out.write(new Array[Byte](dataLen), 0, dataLen)
+    out.toByteArray
+  }
+
+  /** binary → audio meta struct, null when not a RIFF/WAVE stream. */
+  case class ProbeAudioExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = AudioMetaType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      probeWav(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.ext.MediaProbe.probeWav($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): ProbeAudioExpr =
+      copy(c)
+  }
+
+  /** (channels, sampleRate, bits, nSamples) → PCM WAV bytes — fixture
+    * generator usable inside a plan. */
+  case class WavSynthExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      wavBytes(a.asInstanceOf[Int], b.asInstanceOf[Int],
+        c.asInstanceOf[Int], d.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+        s"${ev.value} = graft.ext.MediaProbe.wavBytes($a, $b, $c, $d);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): WavSynthExpr = copy(a, b, c, d)
+  }
+
+  def probeAudio(bytes: Column): Column =
+    GraftSqlBridge.column(ProbeAudioExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthWav(channels: Column, sampleRate: Column, bits: Column,
+      nSamples: Column): Column =
+    GraftSqlBridge.column(WavSynthExpr(
+      GraftSqlBridge.expression(channels), GraftSqlBridge.expression(sampleRate),
+      GraftSqlBridge.expression(bits), GraftSqlBridge.expression(nSamples)))
+
   // ---- expressions -----------------------------------------------------
 
   /** binary → struct(width, height, media_type), null when

@@ -53,6 +53,43 @@ class MediaProbeSpec extends SparkSpec {
     assert(got.filter(col("m").isNull).count() === 1)
   }
 
+  test("WAV: fmt + data chunk walk yields channels, rate, bits, duration") {
+    val r = MediaProbe.probeWav(MediaProbe.wavBytes(2, 44100, 16, 44100))
+    assert(r.getInt(0) === 2 && r.getLong(1) === 44100L)
+    assert(r.getInt(2) === 16 && r.getLong(3) === 1000L) // 1 second
+    assert(r.getUTF8String(4).toString === "audio/wav")
+    // mono 8-bit half-second at 8kHz
+    val m = MediaProbe.probeWav(MediaProbe.wavBytes(1, 8000, 8, 4000))
+    assert(m.getInt(0) === 1 && m.getLong(3) === 500L)
+  }
+
+  test("WAV: junk and truncated RIFF probe to null") {
+    assert(MediaProbe.probeWav("RIFFnope".getBytes) === null)
+    assert(MediaProbe.probeWav(MediaProbe.pngBytes(3, 3)) === null)
+    assert(MediaProbe.probeWav(MediaProbe.wavBytes(1, 8000, 8, 100).take(20))
+      === null)
+  }
+
+  test("WAV: synthesized bytes validate against the JDK's own audio reader") {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(MediaProbe.wavBytes(2, 22050, 16, 2205)))
+    val fmt = ais.getFormat
+    assert(fmt.getChannels === 2)
+    assert(fmt.getSampleRate === 22050f)
+    assert(fmt.getSampleSizeInBits === 16)
+    assert(ais.getFrameLength === 2205L)
+  }
+
+  test("audio expression path: synth → probe inside a plan") {
+    val df = Seq((1, 8000, 16, 800), (2, 16000, 8, 1600)).toDF(
+      "ch", "rate", "bits", "n")
+    val got = df.select(MediaProbe.probeAudio(MediaProbe.synthWav(
+      col("ch"), col("rate"), col("bits"), col("n"))).as("m"))
+      .select(col("m.n_channels"), col("m.sample_rate"), col("m.duration_ms"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got === Set((1, 8000L, 100L), (2, 16000L, 100L)))
+  }
+
   test("synthesized PNG passes an independent reader (ImageIO header)") {
     // cross-check the synthesizer against the JDK's own PNG header
     // reader so the spec doesn't just test the probe against its own
