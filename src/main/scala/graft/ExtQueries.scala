@@ -56,6 +56,29 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN quality probe: recall of the LSH index against brute-force
+    * ground truth, per query — the measurement loop a production ANN
+    * deployment runs when tuning nBits/k. Rows-only (float cosine is
+    * engine-specific) but fully deterministic within the engine. */
+  private def x24(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, nBits = 6, k = 5)
+      .select(col("query_id"), col("neighbor_id").as("approx_id"))
+    truth.join(approx,
+      truth("query_id") === approx("query_id") &&
+        col("neighbor_id") === col("approx_id"), "left")
+      .groupBy(truth("query_id").as("query_id"))
+      .agg(count(col("approx_id")).as("hits"), count(lit(1)).as("k"),
+        round(count(col("approx_id")).cast("double") /
+          count(lit(1)).cast("double"), 2).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   private def x8(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       T.langId(col("text")).as("pred_lang"))
@@ -267,6 +290,7 @@ object ExtQueries {
     "x21_pii_redact" -> (x21 _),
     "x22_repetition" -> (x22 _),
     "x23_audio_meta" -> (x23 _),
+    "x24_ann_recall" -> (x24 _),
     "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),

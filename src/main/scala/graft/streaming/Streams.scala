@@ -105,7 +105,8 @@ object Streams {
     */
   def mergeSink(decoded: DataFrame, keyCols: Seq[String], orderCol: Column,
       tombstone: Column, compacted: Boolean = true,
-      processMessage: Column = lit(true))(
+      processMessage: Column = lit(true),
+      maxWaves: Int = 1024)(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     decoded.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val filtered = batch.filter(processMessage)
@@ -118,11 +119,18 @@ object Streams {
       } else {
         // uncompacted: key-disjoint waves applied in order (reference
         // BatchSlicer semantics, batch_consumption.rb:127-136); scoped
-        // cache so per-batch wave frames don't pile up. NOTE: wave
-        // count = max versions per key, and each wave is a Spark job —
-        // for topics where a single key can carry thousands of
-        // versions per batch, use [[mergeSinkOrdered]] (one job).
+        // cache so per-batch wave frames don't pile up. Wave count =
+        // max versions per key and each wave is a Spark job, so a
+        // skewed hot key could stall the driver for thousands of
+        // sequential jobs — the cap fails loudly instead of stalling;
+        // hot-key topics belong on [[mergeSinkOrdered]] (one job).
         Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
+          if (slices.size > maxWaves)
+            throw new IllegalStateException(
+              s"uncompacted batch $batchId needs ${slices.size} waves " +
+                s"(> maxWaves=$maxWaves): a single key carries that many " +
+                "versions. Use mergeSinkOrdered (one-job per-key ordered " +
+                "apply) for this topic, or raise maxWaves deliberately.")
           slices.foreach { slice =>
             val (up, del) = Materialize.splitTombstones(slice, tombstone)
             sink(up, del, batchId)

@@ -151,6 +151,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("uncompacted mergeSink fails loudly when a hot key exceeds maxWaves") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val writer = Streams.mergeSink(input.toDF(), Seq("key"), col("id"),
+      col("deleted") === true, compacted = false, maxWaves = 3) {
+      (up, del, _) => up.count(); del.count(); ()
+    }
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      // 5 versions of one key > maxWaves=3 → the micro-batch must fail
+      // with the stall guard, not grind through 5 sequential jobs
+      input.addData((1 to 5).map(i => Evt(i.toLong, "HOT", s"v$i", false)): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("mergeSinkOrdered")))
+    } finally q.stop()
+  }
+
   test("idempotent sink runs each batchId exactly once") {
     val sink = new IdempotentSink(
       java.nio.file.Files.createTempDirectory("graft-idem").toString)
