@@ -19,7 +19,11 @@ import graft.schema.AvroExpressions._
   * Functions: graft_simhash64(array<bigint>),
   * graft_minhash(array<bigint>, k), graft_ngram_hashes(array<bigint>, n),
   * graft_cosine(arr, arr), graft_avro_encode(struct, 'schemaJson'),
-  * graft_avro_decode(bin, 'schemaJson'), graft_schema_id(bin).
+  * graft_avro_decode(bin, 'schemaJson'), graft_schema_id(bin),
+  * graft_winnow(bin, k, w), graft_nfc(str),
+  * graft_probe_media(bin) → struct(width, height, media_type),
+  * graft_probe_wav(bin) → struct(n_channels, sample_rate,
+  * bits_per_sample, duration_ms, media_type).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -64,6 +68,15 @@ object GraftExtensions {
         AvroDecodeExpr(es.head, litString(es(1), "schemaJson"))),
     (FunctionIdentifier("graft_schema_id"), info("graft_schema_id"),
       (es: Seq[Expression]) => ReadInt32BE(es.head, offset = 1)),
+    (FunctionIdentifier("graft_winnow"), info("graft_winnow"),
+      (es: Seq[Expression]) => WinnowFingerprintExpr(es.head,
+        litInt(es(1), "k"), litInt(es(2), "w"))),
+    (FunctionIdentifier("graft_nfc"), info("graft_nfc"),
+      (es: Seq[Expression]) => NormalizeNfcExpr(es.head)),
+    (FunctionIdentifier("graft_probe_media"), info("graft_probe_media"),
+      (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeMediaExpr(es.head)),
+    (FunctionIdentifier("graft_probe_wav"), info("graft_probe_wav"),
+      (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeAudioExpr(es.head)),
   )
 
   /** Register on a live session (temp functions). */

@@ -114,6 +114,46 @@ object JdbcMerger {
     m.contains("deadlock") || m.contains("lock wait timeout")
   }
 
+  /** M3 + T2 — per-row ordered apply for UNCOMPACTED hot-key topics:
+    * the executor-side partner of `Streams.mergeSinkOrdered` /
+    * `Compaction.orderedByKey`. The partition iterator arrives with
+    * every key's versions consecutive and in order; each row becomes a
+    * single-row upsert or delete (the reference's M3 single-record
+    * path) applied sequentially on one connection, so the database
+    * sees same-key versions in exactly the batch order — BatchSlicer
+    * semantics without one Spark job per wave.
+    *
+    * Single-row statements are prepared once per partition and reused.
+    */
+  def applyOrderedRows(rows: Iterator[Row], url: String, table: String,
+      cols: Seq[String], keyCols: Seq[String], isTombstone: Row => Boolean,
+      dialect: Dialect, props: java.util.Properties,
+      versionCol: Option[String] = None,
+      retrySleeper: Long => Unit = Thread.sleep): Unit = {
+    if (rows.isEmpty) return
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val upSt = conn.prepareStatement(
+        upsertSql(table, cols, keyCols, 1, dialect, versionCol))
+      val delSt = conn.prepareStatement(deleteSql(table, keyCols, 1, dialect))
+      try rows.foreach { r =>
+        withDeadlockRetry(sleeper = retrySleeper) {
+          if (isTombstone(r)) {
+            keyCols.zipWithIndex.foreach { case (k, i) =>
+              delSt.setObject(i + 1, r.getAs[Any](k))
+            }
+            delSt.executeUpdate()
+          } else {
+            cols.zipWithIndex.foreach { case (c, i) =>
+              upSt.setObject(i + 1, r.getAs[Any](c))
+            }
+            upSt.executeUpdate()
+          }
+        }
+      } finally { upSt.close(); delSt.close() }
+    } finally conn.close()
+  }
+
   /** Execute a keyed merge of `batch` into a JDBC table inside
     * `foreachBatch`: tombstone split → per-partition batched upsert +
     * delete with deadlock retry. Sub-batches capped at `maxBatchSize`

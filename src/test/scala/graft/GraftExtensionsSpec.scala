@@ -33,6 +33,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === 42L)
   }
 
+  test("media probes are callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((graft.ext.MediaProbe.pngBytes(12, 7),
+      graft.ext.MediaProbe.wavBytes(2, 8000, 16, 800)))
+      .toDF("png", "wav").createOrReplaceTempView("media")
+    val row = spark.sql(
+      """SELECT graft_probe_media(png).width AS w,
+        |  graft_probe_media(png).media_type AS mt,
+        |  graft_probe_wav(wav).n_channels AS ch,
+        |  graft_probe_wav(wav).duration_ms AS ms,
+        |  graft_nfc('café') AS nfc,
+        |  size(graft_winnow(CAST('hello winnowing' AS BINARY), 3, 2)) AS wn
+        |FROM media""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("w") === 12L)
+    assert(row.getAs[String]("mt") === "image/png")
+    assert(row.getAs[Int]("ch") === 2)
+    assert(row.getAs[Long]("ms") === 100L)
+    assert(row.getAs[String]("nfc") === "café")
+    assert(row.getAs[Int]("wn") > 0)
+  }
+
   test("session built with spark.sql.extensions resolves graft functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

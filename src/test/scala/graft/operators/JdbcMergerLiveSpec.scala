@@ -64,6 +64,42 @@ class JdbcMergerLiveSpec extends SparkSpec {
     assert(d.execList.head.sql.contains("ON DUPLICATE KEY UPDATE"))
   }
 
+  test("streaming ordered merge: hot-key versions reach the DB in order; tombstone deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Evt, Streams}
+    implicit val sqlCtx = spark.sqlContext
+    val d = MockJdbc.reset("ordered1")
+    val input = MemoryStream[Evt]
+    val writer = Streams.mergeSinkOrdered(input.toDF(), Seq("key"),
+      col("id")) { (rows, _) =>
+      JdbcMerger.applyOrderedRows(rows, "jdbc:graftmock:ordered1", "tgt",
+        cols = Seq("id", "key", "v", "deleted"), keyCols = Seq("key"),
+        isTombstone = r => r.getAs[Boolean]("deleted"),
+        JdbcMerger.MySql, new java.util.Properties,
+        retrySleeper = _ => ())
+    }
+    val q = writer.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      // hot key A arrives out of order with a final tombstone
+      input.addData(Evt(2, "A", "a2", false), Evt(1, "A", "a1", false),
+        Evt(3, "A", "gone", true), Evt(4, "B", "b1", false))
+      q.processAllAvailable()
+      val execs = d.execList
+      def at(pred: MockJdbc.Exec => Boolean): Int = execs.indexWhere(pred)
+      val a1 = at(e => e.params.contains("a1"))
+      val a2 = at(e => e.params.contains("a2"))
+      val delA = at(e => e.sql.startsWith("DELETE") && e.params == Seq("A"))
+      assert(a1 >= 0 && a2 >= 0 && delA >= 0)
+      // same-key versions apply in orderCol order despite arrival order
+      assert(a1 < a2 && a2 < delA)
+      assert(execs.exists(e => e.params.contains("b1")))
+      // single-row statements throughout (M3 path)
+      assert(execs.forall(e =>
+        e.sql.startsWith("DELETE") || e.sql.contains("VALUES (?, ?, ?, ?)")))
+    } finally q.stop()
+  }
+
   test("deadlocks beyond the retry budget propagate as task failures") {
     val d = MockJdbc.reset("merge3")
     d.deadlocksRemaining.set(10) // > 1 statement × (1 + 2 retries)
