@@ -93,25 +93,42 @@ class OutboxRunner(
       compactTopics = compactTopics, batchSize = batchSize)
       .cache()
     try {
-      // per-topic produce so one bad topic only cools ITSELF down
-      // (reference: crashed topic locked out 60 s; healthy topics
-      // keep draining)
+      // per-topic row counts in ONE job (a count() per topic would be
+      // O(topics) Spark jobs per sweep — the scale hazard at
+      // thousands of topics)
+      val counts = drained.groupBy(col(MessageCols.Topic))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+      val nonEmpty = eligibleTopics.filter(counts.getOrElse(_, 0L) > 0)
       var total = 0L
       val okTopics = scala.collection.mutable.ArrayBuffer[String]()
       var firstError: Option[Exception] = None
-      eligibleTopics.foreach { t =>
-        val topicBatch = drained.filter(col(MessageCols.Topic) === t)
-        val n = topicBatch.count()
-        if (n > 0) {
-          try {
-            produce(topicBatch)
-            okTopics += t
-            total += n
-          } catch {
-            case e: Exception =>
-              cooldownUntil(t) = now + errorCooldownMillis
-              if (firstError.isEmpty) firstError = Some(e)
-          }
+      // OPTIMISTIC produce: all topics in one call (the sink handles a
+      // mixed-topic frame natively) — the happy path is O(1) jobs per
+      // sweep regardless of topic count. Only on failure fall back to
+      // per-topic produces so the bad topic cools ITSELF down
+      // (reference: crashed topic locked out 60 s; healthy topics keep
+      // draining). A mid-batch failure may re-produce some messages in
+      // the fallback — within the at-least-once contract, same as the
+      // reference's delete-after-produce.
+      if (nonEmpty.nonEmpty) {
+        try {
+          produce(drained)
+          okTopics ++= nonEmpty
+          total = nonEmpty.map(counts).sum
+        } catch {
+          case _: Exception =>
+            nonEmpty.foreach { t =>
+              try {
+                produce(drained.filter(col(MessageCols.Topic) === t))
+                okTopics += t
+                total += counts(t)
+              } catch {
+                case e: Exception =>
+                  cooldownUntil(t) = now + errorCooldownMillis
+                  if (firstError.isEmpty) firstError = Some(e)
+              }
+            }
         }
       }
       if (okTopics.nonEmpty)

@@ -74,9 +74,16 @@ object SchemaClassGen {
     case AvroSchema.Type.ENUM => s.getName + ".Value"
     case AvroSchema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL)
-      if (nonNull.size == 1 && s.getTypes.size == 2)
-        s"Option[${scalaType(nonNull.head)}]"
-      else "Any" // multi-branch unions stay dynamic, as in the reference
+      val nullable = s.getTypes.size != nonNull.size
+      val inner =
+        if (nonNull.size == 1) scalaType(nonNull.head)
+        else
+          // multi-branch union: mirror the Catalyst member0/member1
+          // struct convention (AvroConverters.toSparkType) as a tuple
+          // of Options — exactly one member is populated
+          nonNull.map(t => s"Option[${scalaType(t)}]")
+            .mkString("(", ", ", ")")
+      if (nullable) s"Option[$inner]" else inner
     case AvroSchema.Type.NULL => "Null"
   }
 

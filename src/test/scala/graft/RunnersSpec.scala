@@ -100,6 +100,29 @@ class OutboxRunnerSpec extends SparkSpec {
     assert(seen.sorted.toSeq === Seq(2L, 3L)) // A@1 compacted away
   }
 
+  test("one bad topic cools only itself; healthy topics drain via the fallback") {
+    var now = 1000L
+    val runner = mkRunner(() => now)
+    // optimistic mixed-topic produce fails (contains t2), fallback
+    // isolates: t1 drains, t2 cools down
+    def produce(df: org.apache.spark.sql.DataFrame): Unit = {
+      if (df.filter(col(MessageCols.Topic) === "t2").count() > 0)
+        throw new RuntimeException("t2 broker down")
+      ()
+    }
+    val drained = intercept[RuntimeException] { runner.sweep()(produce) }
+    assert(drained.getMessage === "t2 broker down")
+    // t1's rows were produced + deleted; t2's remain staged
+    val left = runner.staged.select(MessageCols.Topic)
+      .as[String].collect().toSeq
+    assert(left === Seq("t2"))
+    // t2 skipped while cooling; nothing eligible → no produce call
+    assert(runner.sweep()(_ => fail("t2 must be in cooldown")) === 0L)
+    now += 61000L
+    assert(runner.sweep()(_.count()) === 1L)
+    assert(runner.staged.count() === 0L)
+  }
+
   test("produce failure puts topics in cooldown; retry after window") {
     var now = 1000L
     val runner = mkRunner(() => now)

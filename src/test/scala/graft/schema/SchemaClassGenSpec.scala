@@ -64,6 +64,19 @@ class SchemaClassGenSpec extends AnyFunSuite {
     assert(status.contains("""val CANCELLED: Value = Value("CANCELLED")"""))
   }
 
+  test("multi-branch union maps to the member-struct tuple convention") {
+    val s =
+      """{"type":"record","name":"U","namespace":"g.t","fields":[
+        | {"name":"v","type":["long","string"]},
+        | {"name":"ov","type":["null","long","string"],"default":null}]}"""
+        .stripMargin
+    val src = SchemaClassGen.generate(s).head._2
+    // matches AvroConverters.toSparkType's member0/member1 struct:
+    // exactly one Option is populated
+    assert(src.contains("  v: (Option[Long], Option[String])"))
+    assert(src.contains("  ov: Option[(Option[Long], Option[String])] = None"))
+  }
+
   test("key class generates from the derived one-field key schema") {
     val backend = new AvroBackend(schema)
     val (name, src) = SchemaClassGen.generateKeyClass(backend, "order_id")
