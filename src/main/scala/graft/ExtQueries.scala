@@ -56,6 +56,24 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Video analog of x12/x23: per-row MP4 containers synthesized with
+    * dims/duration derived from doc_id, probed back via the ISO-BMFF
+    * box walk; oracle computes expected values from doc_id alone. */
+  private def x25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 1280 + 16).cast("int").as("w"),
+      (col("doc_id") % 720 + 9).cast("int").as("h"),
+      (col("doc_id") % 60000 + 1000).cast("long").as("d"))
+    docs.select(col("doc_id"),
+      MediaProbe.probeVideo(MediaProbe.synthMp4(
+        col("w"), col("h"), col("d"))).as("meta"))
+      .select(col("doc_id"),
+        col("meta").getField("width").as("width"),
+        col("meta").getField("height").as("height"),
+        col("meta").getField("duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ANN quality probe: recall of the LSH index against brute-force
     * ground truth, per query — the measurement loop a production ANN
     * deployment runs when tuning nBits/k. Rows-only (float cosine is
@@ -291,6 +309,7 @@ object ExtQueries {
     "x22_repetition" -> (x22 _),
     "x23_audio_meta" -> (x23 _),
     "x24_ann_recall" -> (x24 _),
+    "x25_video_meta" -> (x25 _),
     "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
@@ -506,6 +525,12 @@ object ExtQueries {
         |  CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
         |  CAST((doc_id % 1000 + 100) * 1000 // (8000 * (doc_id % 3 + 1))
         |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x25_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 1280 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 720 + 9 AS BIGINT) AS height,
+        |  CAST(doc_id % 60000 + 1000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

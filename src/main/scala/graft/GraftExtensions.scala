@@ -77,6 +77,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeMediaExpr(es.head)),
     (FunctionIdentifier("graft_probe_wav"), info("graft_probe_wav"),
       (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeAudioExpr(es.head)),
+    (FunctionIdentifier("graft_probe_mp4"), info("graft_probe_mp4"),
+      (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeVideoExpr(es.head)),
   )
 
   /** Register on a live session (temp functions). */

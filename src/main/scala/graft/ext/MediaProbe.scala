@@ -263,6 +263,170 @@ object MediaProbe {
       GraftSqlBridge.expression(channels), GraftSqlBridge.expression(sampleRate),
       GraftSqlBridge.expression(bits), GraftSqlBridge.expression(nSamples)))
 
+  // ---- video (MP4/ISO-BMFF) --------------------------------------------
+
+  /** Video probe result: display width/height (from tkhd, 16.16
+    * fixed-point), duration in ms (mvhd duration / timescale), media
+    * type. */
+  val VideoMetaType: StructType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("duration_ms", LongType),
+    StructField("media_type", StringType)))
+
+  /** MP4 / ISO base-media: walk top-level boxes to `moov`, then its
+    * children for `mvhd` (version 0: timescale u32be @+12, duration
+    * u32be @+16 of the box payload) and the first `trak`'s `tkhd`
+    * (width/height as 16.16 fixed-point in the last 8 bytes). Public
+    * container spec; no codec work — header-only, like the image and
+    * audio probes. */
+  def probeMp4(b: Array[Byte]): GenericInternalRow = {
+    if (b == null || b.length < 16) return null
+    // first box must be ftyp for a well-formed file
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return null
+    var timescale = -1L
+    var duration = -1L
+    var width = -1L
+    var height = -1L
+    def boxes(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32be(b, i)
+        if (size < 8 || i + size > to) return // size64/truncated: stop
+        f(new String(b, i + 4, 4, "US-ASCII"), i + 8, i + size.toInt)
+        i += size.toInt
+      }
+    }
+    boxes(0, b.length) {
+      case ("moov", from, to) =>
+        boxes(from, to) {
+          case ("mvhd", f2, t2) =>
+            // version byte: v0 = u32 fields, v1 = u64 (skip v1 here)
+            if (t2 - f2 >= 20 && b(f2) == 0) {
+              timescale = u32be(b, f2 + 12)
+              duration = u32be(b, f2 + 16)
+            }
+          case ("trak", f2, t2) =>
+            boxes(f2, t2) {
+              case ("tkhd", f3, t3) if width < 0 && t3 - f3 >= 80 =>
+                // v0 tkhd payload is 84 bytes; width/height are the
+                // final two 16.16 fixed-point u32s
+                width = u32be(b, t3 - 8) >> 16
+                height = u32be(b, t3 - 4) >> 16
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (timescale <= 0 && width < 0) null
+    else {
+      val durMs =
+        if (timescale <= 0 || duration < 0) 0L
+        else duration * 1000L / timescale
+      new GenericInternalRow(Array[Any](
+        math.max(width, 0L), math.max(height, 0L), durMs,
+        UTF8String.fromString("video/mp4")))
+    }
+  }
+
+  /** Minimal structurally-valid MP4: ftyp + moov(mvhd + trak(tkhd)). */
+  def mp4Bytes(width: Int, height: Int, durationMs: Long,
+      timescale: Int = 1000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      w32(0) // size placeholder
+      out.write(typ.getBytes("US-ASCII"), 0, 4)
+      body
+      val bytes = out.toByteArray
+      val size = bytes.length - mark
+      bytes(mark) = ((size >>> 24) & 0xff).toByte
+      bytes(mark + 1) = ((size >>> 16) & 0xff).toByte
+      bytes(mark + 2) = ((size >>> 8) & 0xff).toByte
+      bytes(mark + 3) = (size & 0xff).toByte
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    box("ftyp") {
+      out.write("isom".getBytes("US-ASCII"), 0, 4); w32(512L)
+      out.write("isomiso2".getBytes("US-ASCII"), 0, 8)
+    }
+    val duration = durationMs * timescale / 1000L
+    box("moov") {
+      box("mvhd") {
+        w32(0L) // version 0 + flags
+        w32(0L); w32(0L) // creation, modification
+        w32(timescale.toLong); w32(duration)
+        w32(0x00010000L); out.write(0x01); out.write(0)
+        out.write(new Array[Byte](10), 0, 10) // reserved
+        // identity matrix (9 × u32)
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .foreach(w32)
+        out.write(new Array[Byte](24), 0, 24) // pre_defined
+        w32(2L) // next track id
+      }
+      box("trak") {
+        box("tkhd") {
+          w32(0x00000007L) // version 0 + enabled flags
+          w32(0L); w32(0L) // creation, modification
+          w32(1L) // track id
+          w32(0L) // reserved
+          w32(duration)
+          out.write(new Array[Byte](8), 0, 8) // reserved
+          out.write(new Array[Byte](8), 0, 8) // layer/group/volume/reserved
+          Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+            .foreach(w32)
+          w32(width.toLong << 16); w32(height.toLong << 16)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** binary → video meta struct, null when not an ISO-BMFF stream. */
+  case class ProbeVideoExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = VideoMetaType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      probeMp4(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.ext.MediaProbe.probeMp4($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): ProbeVideoExpr =
+      copy(c)
+  }
+
+  /** (width, height, durationMs) → minimal MP4 bytes. */
+  case class Mp4SynthExpr(wExpr: Expression, hExpr: Expression,
+      dExpr: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def first: Expression = wExpr
+    override def second: Expression = hExpr
+    override def third: Expression = dExpr
+    override protected def nullSafeEval(w: Any, h: Any, d: Any): Any =
+      mp4Bytes(w.asInstanceOf[Int], h.asInstanceOf[Int], d.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (w, h, d) =>
+        s"${ev.value} = graft.ext.MediaProbe.mp4Bytes($w, $h, $d, 1000);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression): Mp4SynthExpr = copy(a, b, c)
+  }
+
+  def probeVideo(bytes: Column): Column =
+    GraftSqlBridge.column(ProbeVideoExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthMp4(width: Column, height: Column, durationMs: Column): Column =
+    GraftSqlBridge.column(Mp4SynthExpr(GraftSqlBridge.expression(width),
+      GraftSqlBridge.expression(height), GraftSqlBridge.expression(durationMs)))
+
   // ---- expressions -----------------------------------------------------
 
   /** binary → struct(width, height, media_type), null when

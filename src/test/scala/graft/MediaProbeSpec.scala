@@ -90,6 +90,33 @@ class MediaProbeSpec extends SparkSpec {
     assert(got === Set((1, 8000L, 100L), (2, 16000L, 100L)))
   }
 
+  test("MP4: moov/mvhd/tkhd walk yields dims and duration") {
+    val r = MediaProbe.probeMp4(MediaProbe.mp4Bytes(1920, 1080, 2500L))
+    assert(r.getLong(0) === 1920L && r.getLong(1) === 1080L)
+    assert(r.getLong(2) === 2500L)
+    assert(r.getUTF8String(3).toString === "video/mp4")
+    // non-default timescale: 90kHz, 0.5s
+    val t = MediaProbe.probeMp4(MediaProbe.mp4Bytes(640, 360, 500L,
+      timescale = 90000))
+    assert(t.getLong(2) === 500L)
+  }
+
+  test("MP4: junk and non-ftyp streams probe to null") {
+    assert(MediaProbe.probeMp4("not a video".getBytes) === null)
+    assert(MediaProbe.probeMp4(MediaProbe.wavBytes(1, 8000, 8, 10)) === null)
+    assert(MediaProbe.probeMp4(MediaProbe.mp4Bytes(10, 10, 100L).take(30))
+      === null)
+  }
+
+  test("video expression path: synth → probe inside a plan") {
+    val df = Seq((320, 240, 1000L), (1280, 720, 42L)).toDF("w", "h", "d")
+    val got = df.select(MediaProbe.probeVideo(MediaProbe.synthMp4(
+      col("w"), col("h"), col("d"))).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.duration_ms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((320L, 240L, 1000L), (1280L, 720L, 42L)))
+  }
+
   test("synthesized PNG passes an independent reader (ImageIO header)") {
     // cross-check the synthesizer against the JDK's own PNG header
     // reader so the spec doesn't just test the probe against its own
