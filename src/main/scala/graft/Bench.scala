@@ -72,10 +72,22 @@ object Bench {
       name -> v
     }
     def jnum(v: Double): String = f"$v%.4f"
+    // full JSON string escaping: Spark exception messages embed
+    // newlines/plan fragments — an unescaped control char would break
+    // the one-line output contract exactly when a query errored
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\""
+      "\"" + k + "\":\"" + jstr(m) + "\""
     }.mkString("{", ",", "}")
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0

@@ -170,25 +170,31 @@ object MediaProbe {
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
       return null
-    var i = 12
+    var i = 12L
     var channels = -1
     var sampleRate = -1L
     var bits = -1
     var byteRate = -1L
     var dataLen = -1L
-    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val len = u32le(b, i + 4)
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val at = i.toInt
+      val id = new String(b, at, 4, "US-ASCII")
+      val len = u32le(b, at + 4) // u32 in a Long — never negative
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10)
-        sampleRate = u32le(b, i + 12)
-        byteRate = u32le(b, i + 16)
-        bits = u16le(b, i + 22)
+        channels = u16le(b, at + 10)
+        sampleRate = u32le(b, at + 12)
+        byteRate = u32le(b, at + 16)
+        bits = u16le(b, at + 22)
       } else if (id == "data") {
         dataLen = len
       }
-      // chunks are word-aligned: odd sizes pad one byte
-      i += 8 + len.toInt + (len.toInt & 1)
+      // chunks are word-aligned (odd sizes pad one byte); all cursor
+      // arithmetic stays in Long so a corrupt >=2^31 chunk length
+      // cannot overflow negative and walk out of bounds — the contract
+      // is null-on-garbage, never a task-killing exception
+      val next = i + 8L + len + (len & 1L)
+      if (next <= i) corrupt = true else i = next
     }
     if (channels < 0 || sampleRate <= 0) null
     else {

@@ -45,8 +45,20 @@ object Producer {
       case None => payloads
     }
     val framed = Streams.toKafkaFrame(withPk, cfg, backend, keyBackend)
-    val (ok, tooLarge, _) = splitTooLarge(framed, maxMessageBytes)
-    (ok, tooLarge)
+    // No implicit persist here: produceFrame has no release path, and
+    // a dropped cache handle leaks an entry in the CacheManager per
+    // call (strongly referenced, never GC'd) — in a batch loop that
+    // fills executor storage. The lazy split evaluates the encode
+    // once per SIDE; loops that need single-encode semantics call
+    // [[splitTooLarge]] directly and release after writing.
+    maxMessageBytes match {
+      case Some(max) =>
+        val sized = framed
+          .withColumn("__graft_len", length(col(MessageCols.Value)))
+        (sized.filter(col("__graft_len") <= max).drop("__graft_len"),
+          sized.filter(col("__graft_len") > max).drop("__graft_len"))
+      case None => (framed, framed.limit(0))
+    }
   }
 
   /** T7 split with an explicit cache-release handle: encode runs once

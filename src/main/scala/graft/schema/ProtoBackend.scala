@@ -108,20 +108,8 @@ class ProtoBackend(val message: ProtoMessage) extends SchemaBackend {
   * loud frame validation as [[RegistryFramedBackend]]. */
 class ProtoRegistryFramedBackend(message: ProtoMessage, val schemaId: Int)
     extends ProtoBackend(message) {
-  private val header: Array[Byte] = Array[Byte](
-    0x00,
-    ((schemaId >> 24) & 0xff).toByte,
-    ((schemaId >> 16) & 0xff).toByte,
-    ((schemaId >> 8) & 0xff).toByte,
-    (schemaId & 0xff).toByte)
   override def encodeExpr(payload: Column): Column =
-    concat(lit(header), super.encodeExpr(payload))
-  override def decodeExpr(bytes: Column): Column = {
-    val frameOk = length(bytes) >= 6 &&
-      substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
-      AvroExpressions.schemaIdOf(bytes) === lit(schemaId)
-    when(frameOk, super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5)))
-      .otherwise(raise_error(
-        lit(s"registry frame mismatch: expected magic 0x00 + schema id $schemaId")))
-  }
+    concat(lit(RegistryFraming.header(schemaId)), super.encodeExpr(payload))
+  override def decodeExpr(bytes: Column): Column =
+    RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
 }

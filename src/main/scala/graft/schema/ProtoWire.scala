@@ -53,6 +53,12 @@ object ProtoWire {
       s"duplicate field numbers in $name")
     require(fields.map(_.name).distinct.size == fields.size,
       s"duplicate field names in $name")
+    /** Per-message decode lookup, built once — decode runs per row
+      * (and per nested message per row); rebuilding this map there
+      * would dominate the per-row constant cost. Transient: cheap to
+      * recompute after deserialization on the executor. */
+    @transient lazy val byNumber: Map[Int, (ProtoField, Int)] =
+      fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
   }
 
   /** Spark type for a proto scalar (reference SQL_MAP parity:
@@ -316,8 +322,7 @@ object ProtoWire {
 
   private def decode(bytes: Array[Byte], m: ProtoMessage, from: Int,
       to: Int): InternalRow = {
-    val byNumber = m.fields.zipWithIndex
-      .map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val byNumber = m.byNumber
     val values = new Array[Any](m.fields.size)
     val repeated = Array.fill(m.fields.size)(
       null: scala.collection.mutable.ArrayBuffer[Any])

@@ -133,41 +133,49 @@ class AvroDataFileBackend(schemaJson: String) extends AvroBackend(schemaJson) {
     AvroExpressions.decodeAvroDataFile(bytes, schemaJson)
 }
 
-/** Confluent-style registry wire format: 0x00 magic byte + int32
-  * schema id (big-endian) + Avro binary (reference:
-  * `avro_schema_registry.rb`; framing per the public Confluent wire
-  * format). Framing is plain binary concat/substring — codegen'd. */
-class RegistryFramedBackend(schemaJson: String, schemaId: Int)
-    extends AvroBackend(schemaJson) {
-  private val header: Array[Byte] = Array[Byte](
+/** Confluent-style wire framing shared by the Avro and proto
+  * registry backends: 0x00 magic + int32 schema id (big-endian) +
+  * payload. One implementation so the validation logic (and its
+  * diagnostics) cannot diverge between backends. */
+private[schema] object RegistryFraming {
+  def header(schemaId: Int): Array[Byte] = Array[Byte](
     0x00,
     ((schemaId >> 24) & 0xff).toByte,
     ((schemaId >> 16) & 0xff).toByte,
     ((schemaId >> 8) & 0xff).toByte,
     (schemaId & 0xff).toByte)
-  override def encodeExpr(payload: Column): Column =
-    concat(lit(header), super.encodeExpr(payload))
 
-  /** Decode validates the frame first: magic byte must be 0x00 and the
-    * embedded schema id must equal this backend's id — raw Avro binary
-    * requires the exact writer schema, so decoding a frame written
-    * under a different (evolved) id would mis-decode silently. A
-    * mismatch fails loudly instead (reference parity:
-    * `avro_schema_registry.rb` delegates to the registry client, which
-    * rejects unknown frames). */
-  override def decodeExpr(bytes: Column): Column = {
+  /** Validate magic byte + schema id, then decode the stripped payload
+    * with `inner`; mismatches fail loudly with what was actually
+    * found — raw Avro/proto binary requires the exact writer schema,
+    * so a blind substring+decode of an evolved frame would mis-decode
+    * silently. */
+  def decodeValidated(bytes: Column, schemaId: Int)
+      (inner: Column => Column): Column = {
+    val idExpr = AvroExpressions.schemaIdOf(bytes)
     val frameOk = length(bytes) >= 6 &&
       substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
-      schemaIdExpr(bytes) === lit(schemaId)
-    when(frameOk, super.decodeExpr(substring(bytes, 6, Int.MaxValue - 5)))
+      idExpr === lit(schemaId)
+    when(frameOk, inner(substring(bytes, 6, Int.MaxValue - 5)))
       .otherwise(raise_error(concat(
         lit("registry frame mismatch: expected magic 0x00 + schema id " +
           s"$schemaId, got "),
-        when(length(bytes) >= 6, concat(lit("id "),
-          schemaIdExpr(bytes).cast("string")))
+        when(length(bytes) >= 6, concat(lit("id "), idExpr.cast("string")))
           .otherwise(concat(length(bytes).cast("string"),
             lit("-byte frame"))))))
   }
+}
+
+/** Confluent-style registry wire format over Avro binary (reference:
+  * `avro_schema_registry.rb`; framing per the public Confluent wire
+  * format). Framing is plain binary concat/substring — codegen'd. */
+class RegistryFramedBackend(schemaJson: String, schemaId: Int)
+    extends AvroBackend(schemaJson) {
+  override def encodeExpr(payload: Column): Column =
+    concat(lit(RegistryFraming.header(schemaId)), super.encodeExpr(payload))
+
+  override def decodeExpr(bytes: Column): Column =
+    RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
 
   /** Schema id carried by a framed message. */
   def schemaIdExpr(framed: Column): Column = AvroExpressions.schemaIdOf(framed)

@@ -24,21 +24,33 @@ object SchemaClassGen {
     * schema, main record first, nested types in discovery order. */
   def generate(schemaJson: String): Seq[(String, String)] = {
     val root = new AvroSchema.Parser().parse(schemaJson)
+    // named-type identity is the FULL name (Avro's own rule) — keying
+    // on simple names would silently drop the second of two same-named
+    // records in different namespaces and mis-type its references
     val discovered = scala.collection.mutable.LinkedHashMap[String, AvroSchema]()
     def walk(s: AvroSchema): Unit = s.getType match {
       case AvroSchema.Type.RECORD =>
-        if (!discovered.contains(s.getName)) {
-          discovered(s.getName) = s
+        if (!discovered.contains(s.getFullName)) {
+          discovered(s.getFullName) = s
           s.getFields.asScala.foreach(f => walk(f.schema))
         }
       case AvroSchema.Type.ENUM =>
-        discovered.getOrElseUpdate(s.getName, s); ()
+        discovered.getOrElseUpdate(s.getFullName, s); ()
       case AvroSchema.Type.UNION => s.getTypes.asScala.foreach(walk)
       case AvroSchema.Type.ARRAY => walk(s.getElementType)
       case AvroSchema.Type.MAP => walk(s.getValueType)
       case _ => ()
     }
     walk(root)
+    // generated sources reference types by simple name within their
+    // own packages; a simple-name collision across namespaces would
+    // still generate, but writeTo's one-file-per-simple-name layout
+    // (and unqualified references) would clash — fail loudly
+    val collisions = discovered.values.toSeq.groupBy(_.getName)
+      .filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      "colliding simple names across namespaces: " +
+        collisions.values.flatten.map(_.getFullName).mkString(", "))
     discovered.values.toSeq.map {
       case s if s.getType == AvroSchema.Type.RECORD => s.getName -> recordSource(s)
       case s => s.getName -> enumSource(s)

@@ -22,7 +22,13 @@ object SchemaValidation {
 
   /** Can a value of `actual` type be encoded into an `expected` slot
     * without loss? Exact match, safe integral/float widening, and
-    * recursively compatible containers. */
+    * recursively compatible containers. Structs compare STRUCTURALLY
+    * here (field names + types, extra fields rejected) — per-row null
+    * checks inside container elements aren't expressible as flat
+    * Column arithmetic, but shape mismatches still surface at plan
+    * time instead of as opaque encode exceptions. Top-level struct
+    * FIELDS take the field-wise errorExprs recursion instead (which
+    * adds the runtime null checks). */
   private def compat(actual: DataType, expected: DataType): Boolean =
     (actual, expected) match {
       case (a, e) if a == e => true
@@ -30,7 +36,14 @@ object SchemaValidation {
       case (ByteType | ShortType, IntegerType) => true
       case (ByteType, ShortType) => true
       case (FloatType, DoubleType) => true
-      case (_: StructType, _: StructType) => true // recursed field-wise
+      case (a: StructType, e: StructType) =>
+        val eByName = e.fields.map(f => f.name -> f).toMap
+        // no extra fields; present fields type-compatible; required
+        // expected fields present
+        a.fields.forall(af => eByName.get(af.name)
+          .exists(ef => compat(af.dataType, ef.dataType))) &&
+          e.fields.filterNot(_.nullable)
+            .forall(ef => a.fieldNames.contains(ef.name))
       case (ArrayType(a, _), ArrayType(e, _)) => compat(a, e)
       case (MapType(ak, av, _), MapType(ek, ev, _)) =>
         compat(ak, ek) && compat(av, ev)

@@ -43,20 +43,24 @@ object Streams {
         withFields.withColumn(MessageCols.Key,
           col(field).cast("string").cast("binary"))
       case KeyConfig.Field(path) =>
-        // the key codec is the auto-generated one-field key-record
-        // schema (reference avro_base.rb:160-177), never the value
-        // schema: encoding a one-field struct with the full value
-        // schema either throws (required fields) or silently writes
-        // value-schema bytes — wire-format divergence either way
+        // AVRO: the key codec must be the auto-generated one-field
+        // key-record schema (reference avro_base.rb:160-177), never
+        // the value schema — encoding a one-field struct with the
+        // full value schema either throws (required fields) or
+        // silently writes value-schema bytes, wire divergence either
+        // way. Non-Avro backends (JSON / proto) have
+        // schema-independent key encodes (to_json of the key struct,
+        // proto_base.rb:58-66 parity), so they key with themselves.
         val kb = keyBackend.orElse(backend match {
           // nested dot-paths can't use the derived top-level key
           // schema (field name would not match the extracted leaf)
           case ab: graft.schema.AvroBackend if !path.contains('.') =>
             ab.keyBackend(cfg.keyConfig)
-          case _ => None
+          case _: graft.schema.AvroBackend => None
+          case other => Some(other)
         }).getOrElse(throw new IllegalArgumentException(
-          s"KeyConfig.Field($path) requires an explicit keyBackend " +
-            "when the value backend cannot derive a key schema"))
+          s"KeyConfig.Field($path) requires an explicit keyBackend: " +
+            "the Avro value schema cannot encode a nested-path key"))
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(
             Pipeline.extractKey(path).as(path.split('.').last))))

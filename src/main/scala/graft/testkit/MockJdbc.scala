@@ -63,11 +63,17 @@ object MockJdbc {
         }
       }).asInstanceOf[T]
 
+  /** ConcurrentHashMap rejects null values, but real drivers accept
+    * setObject(i, null) — nulls ride in a sentinel and unwrap at
+    * executeUpdate so NULL-column merges exercise the product path. */
+  private object NullParam
+
   private def statementFor(d: Db, sql: String): PreparedStatement = {
     val params = new java.util.concurrent.ConcurrentHashMap[Int, Any]()
     proxy(classOf[PreparedStatement]) {
       case ("setObject", args) =>
-        params.put(args(0).asInstanceOf[Integer].intValue(), args(1)); null
+        params.put(args(0).asInstanceOf[Integer].intValue(),
+          if (args(1) == null) NullParam else args(1)); null
       case ("executeUpdate", _) =>
         d.attempts.incrementAndGet()
         if (d.deadlocksRemaining.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -75,7 +81,10 @@ object MockJdbc {
             "Deadlock found when trying to get lock; try restarting transaction",
             "40001")
         val ordered = params.keySet().toArray(Array.empty[Integer])
-          .sorted.map(i => params.get(i.intValue())).toSeq
+          .sorted.map(i => params.get(i.intValue()) match {
+            case NullParam => null
+            case v => v
+          }).toSeq
         d.execs.add(Exec(sql, ordered))
         Integer.valueOf(ordered.size)
       case ("close", _) | ("clearParameters", _) => null

@@ -70,6 +70,24 @@ class MediaProbeSpec extends SparkSpec {
       === null)
   }
 
+  test("WAV: corrupt chunk length >= 2^31 never throws (Int-overflow guard)") {
+    // pre-fix, `len.toInt` overflowed negative, the cursor walked out
+    // of bounds and new String threw — one malformed blob would kill a
+    // whole 100 TB scan. Post-fix the walk stops at the buffer edge:
+    // the intact fmt header still parses, the unreachable data chunk
+    // reports duration 0.
+    val b = MediaProbe.wavBytes(1, 8000, 8, 4)
+    // overwrite the fmt chunk's length field (u32le at offset 16)
+    // with 0x80000000 — Int.MinValue if truncated to Int
+    b(16) = 0x00; b(17) = 0x00; b(18) = 0x00; b(19) = 0x80.toByte
+    val r = MediaProbe.probeWav(b)
+    assert(r == null || r.getLong(3) === 0L)
+    // zero-length chunk (len=0 advances by 8) must also terminate
+    val z = MediaProbe.wavBytes(1, 8000, 8, 4)
+    z(16) = 0; z(17) = 0; z(18) = 0; z(19) = 0
+    MediaProbe.probeWav(z) // terminates; result value not pinned
+  }
+
   test("WAV: synthesized bytes validate against the JDK's own audio reader") {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(MediaProbe.wavBytes(2, 22050, 16, 2205)))

@@ -64,6 +64,17 @@ class JdbcMergerLiveSpec extends SparkSpec {
     assert(d.execList.head.sql.contains("ON DUPLICATE KEY UPDATE"))
   }
 
+  test("NULL column values bind through the driver double like a real driver") {
+    val d = MockJdbc.reset("nulls1")
+    val withNulls = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("k", "v").withColumn("deleted", lit(false)).coalesce(1)
+    JdbcMerger.mergeIntoJdbc(withNulls, "jdbc:graftmock:nulls1", "tgt",
+      Seq("k"), col("deleted"), JdbcMerger.Postgres,
+      new java.util.Properties, retrySleeper = _ => ())
+    val params = d.execList.head.params
+    assert(params === Seq(1L, "a", false, 2L, null, false))
+  }
+
   test("streaming ordered merge: hot-key versions reach the DB in order; tombstone deletes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Evt, Streams}

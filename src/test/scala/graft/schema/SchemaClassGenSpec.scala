@@ -85,6 +85,21 @@ class SchemaClassGenSpec extends AnyFunSuite {
     assert(src.contains("  order_id: Long"))
   }
 
+  test("same simple name in two namespaces fails loudly instead of silently dropping one") {
+    val s =
+      """{"type":"record","name":"Root","namespace":"g.t","fields":[
+        | {"name":"x","type":{"type":"record","name":"Address",
+        |   "namespace":"com.a","fields":[{"name":"a","type":"int"}]}},
+        | {"name":"y","type":{"type":"record","name":"Address",
+        |   "namespace":"com.b","fields":[{"name":"b","type":"string"}]}}
+        |]}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      SchemaClassGen.generate(s)
+    }
+    assert(e.getMessage.contains("com.a.Address"))
+    assert(e.getMessage.contains("com.b.Address"))
+  }
+
   test("writeTo emits one file per named type") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gen")
     val files = SchemaClassGen.writeTo(dir, schema)

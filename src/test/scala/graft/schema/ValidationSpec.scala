@@ -82,6 +82,30 @@ class ValidationSpec extends SparkSpec {
     assert(errs === Seq("addr.city: null for required field"))
   }
 
+  test("struct elements inside containers validate structurally") {
+    // array<struct<a:int>> into array<struct<b:string>> must be an
+    // error, not a silent pass that later dies inside the encoder
+    val arrayBackend = new PlainJsonBackend(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("b", StringType, nullable = false)))), nullable = true))))
+    val df = Seq(1L).toDF("id")
+      .withColumn("tags", array(struct(lit(7).as("a"))))
+    val actual = StructType(Seq(df.schema("id"), df.schema("tags")))
+    val errs = df.select(arrayBackend.validateExpr(
+      struct(col("id"), col("tags")), actual).as("e"))
+      .as[Seq[String]].collect().head
+    assert(errs.exists(_.startsWith("tags: ")), s"expected tags error, got $errs")
+    // and a compatible element shape passes
+    val ok = df.select(col("id"),
+      array(struct(lit("x").as("b"))).as("tags"))
+    val okActual = StructType(Seq(ok.schema("id"), ok.schema("tags")))
+    val okErrs = ok.select(arrayBackend.validateExpr(
+      struct(col("id"), col("tags")), okActual).as("e"))
+      .as[Seq[String]].collect().head
+    assert(okErrs === Seq.empty)
+  }
+
   test("integral widening is accepted (int payload into long slot)") {
     val df = Seq((1, "a")).toDF("id", "name")
     val actual = StructType(Seq(

@@ -68,7 +68,9 @@ class StreamsSpec extends SparkSpec {
     assert(derived.toSeq === explicit.toSeq)
   }
 
-  test("KeyConfig.Field on a non-Avro backend requires an explicit keyBackend") {
+  test("KeyConfig.Field: JSON backends key with themselves; Avro nested paths need explicit") {
+    // non-Avro key encodes are schema-independent (to_json of the key
+    // struct) — a one-field key works without an explicit keyBackend
     val jsonBackend = new PlainJsonBackend(StructType(Seq(
       StructField("widget_id", StringType), StructField("amount", LongType),
       StructField("message_id", StringType),
@@ -76,8 +78,15 @@ class StreamsSpec extends SparkSpec {
     val cfg = TopicConfig("widgets", "Widget",
       keyConfig = KeyConfig.Field("widget_id"))
     val payloads = Seq(("w1", 5L)).toDF("widget_id", "amount")
+    val key = Streams.toKafkaFrame(payloads, cfg, jsonBackend)
+      .select(col("key").cast("string")).as[String].collect().head
+    assert(key === """{"widget_id":"w1"}""")
+    // Avro + nested dot-path: the derived key schema can't name the
+    // leaf, and the value schema must never encode keys — explicit only
+    val avro = new AvroBackend(valueSchema)
     val e = intercept[IllegalArgumentException] {
-      Streams.toKafkaFrame(payloads, cfg, jsonBackend)
+      Streams.toKafkaFrame(payloads, TopicConfig("widgets", "Widget",
+        keyConfig = KeyConfig.Field("nested.widget_id")), avro)
     }
     assert(e.getMessage.contains("requires an explicit keyBackend"))
   }
