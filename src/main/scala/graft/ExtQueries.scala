@@ -74,6 +74,21 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level boilerplate removal, verified end-to-end: a known
+    * boilerplate sentence is appended to EVERY document, so it crosses
+    * the doc-frequency cutoff and must be stripped; the original
+    * content is unique per doc and must survive byte-exactly. The
+    * oracle simply selects the original text — independent of the
+    * whole explode→count→join→rebuild pipeline under test. */
+  private def x26(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "Subscribe to our newsletter for updates"
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(". " + boiler)).as("text"))
+    Dedup.dropCommonLines(docs, "doc_id", "text",
+      maxDocFreq = 5, sep = ". ")
+      .orderBy(col("doc_id"))
+  }
+
   /** ANN quality probe: recall of the LSH index against brute-force
     * ground truth, per query — the measurement loop a production ANN
     * deployment runs when tuning nBits/k. Rows-only (float cosine is
@@ -310,6 +325,7 @@ object ExtQueries {
     "x23_audio_meta" -> (x23 _),
     "x24_ann_recall" -> (x24 _),
     "x25_video_meta" -> (x25 _),
+    "x26_line_dedup" -> (x26 _),
     "x20_range_join" -> (x20 _),
     "x19_asof_join" -> (x19 _),
     "x17_sessions" -> (x17 _),
@@ -531,6 +547,9 @@ object ExtQueries {
         |  CAST(doc_id % 1280 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 720 + 9 AS BIGINT) AS height,
         |  CAST(doc_id % 60000 + 1000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x26_line_dedup" ->
+      """SELECT doc_id, text AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -209,6 +209,34 @@ object Dedup {
     out
   }
 
+  /** Corpus-level boilerplate line removal (CCNet/C4-style): drop
+    * lines that appear in more than `maxDocFreq` DISTINCT documents
+    * (navigation chrome, cookie banners, footers), rebuild each
+    * document from its surviving lines in original order. Documents
+    * whose every line is boilerplate drop out entirely.
+    *
+    * 100 TB shape: the frequency aggregation and the re-join key on
+    * the line's 64-bit hash, never the line text — the corpus-wide
+    * shuffle carries 8-byte keys (collision odds 2^-64 per pair, the
+    * same trade every sketch op here makes). One exchange for the
+    * count, one for the join, one for the per-doc rebuild.
+    */
+  def dropCommonLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("ord", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(freq, Seq("lh"))
+      .filter(col("line_df") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+          s => s.getField("line")), sep).as("cleaned"))
+  }
+
   /** Embedding near-dedup: cosine ≥ threshold pairs, bucketed by a
     * coarse key (label / LSH bucket) to avoid all-pairs. */
   def embeddingCosine(embeddings: DataFrame, idCol: String, vecCol: String,

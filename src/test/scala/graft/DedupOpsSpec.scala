@@ -34,6 +34,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("dropCommonLines strips corpus-frequent lines, keeps order, drops all-boilerplate docs") {
+    val corpus = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nmore unique"),
+      (2L, "COOKIE BANNER\nsecond doc body"),
+      (3L, "COOKIE BANNER"),
+      (4L, "third doc\nalso distinct\nCOOKIE BANNER"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropCommonLines(corpus, "doc_id", "text",
+      maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    // the banner appears in 4 docs > cutoff 2 → stripped everywhere
+    assert(got(1L) === "unique one\nmore unique")
+    assert(got(2L) === "second doc body")
+    assert(got(4L) === "third doc\nalso distinct")
+    // doc 3 was ONLY boilerplate → removed from the corpus
+    assert(!got.contains(3L))
+    // below-cutoff repeats survive: same line in exactly 2 docs
+    val mild = Seq((1L, "a\nshared"), (2L, "b\nshared")).toDF("doc_id", "text")
+    val kept = Dedup.dropCommonLines(mild, "doc_id", "text", maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) === "a\nshared" && kept(2L) === "b\nshared")
+  }
+
   test("simhash pairs identical docs at hamming 0; unrelated docs exceed the cutoff") {
     val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
