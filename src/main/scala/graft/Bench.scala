@@ -1,5 +1,8 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver contract: run headline queries on SPARK_GRAFT_SF_DIR, print
@@ -9,17 +12,90 @@ import org.apache.spark.sql.SparkSession
   * count() would let Catalyst prune the computed columns).
   *
   * Hardened against cold/contended environments (round-1 driver run
-  * recorded 3.4× while the identical command reproduced at 0.9×):
+  * recorded 3.4×, round-2 4.2×, while the identical command reproduced
+  * at ~1× both times):
   *  - an UNTIMED warmup pass at the TARGET sf dir, so the timed runs
   *    never pay first-touch parquet page-cache + JIT/codegen cost;
   *  - median-of-3 timing per query (min is too optimistic under GC
   *    pauses, mean too pessimistic under one-off co-tenancy spikes);
+  *    for an even number of clean runs the two middle values are
+  *    averaged (a true median, not the upper-middle);
   *  - per-run timings echoed to stderr for post-mortems;
   *  - a failed query records value -1 and lands in an "errors" map —
   *    never a silent normal-looking timing.
+  *
+  * Self-diagnosis (round-3): wall-clock alone can't distinguish "the
+  * query is slow" from "the box was contended". Each timed run now also
+  * records the process CPU-time delta and GC-time delta, and a fixed
+  * tiny calibration query is timed before and after the sweep. The
+  * output JSON carries a "diag" object with all of it, so a skewed
+  * artifact self-identifies without a re-run:
+  *  - cpu/wall ratio per run: on an idle local[32] box a parallel query
+  *    keeps ratio well above 1; a run whose wall time balloons while its
+  *    CPU delta stays flat was starved by a co-tenant, not by the plan;
+  *  - gc share: a run whose extra wall time IS gc time is a heap
+  *    problem, not co-tenancy — the two signals separate the cases;
+  *  - calibration drift: the same trivial query before vs after the
+  *    sweep; a large after/before ratio proves the environment degraded
+  *    during the window independent of any graft code.
   * Driver heap is pinned by build.sbt (`run / fork` + -Xmx).
   */
 object Bench {
+
+  /** Process CPU time in nanoseconds across all threads (-1 if the
+    * platform bean doesn't expose it — the diag fields then read -1
+    * and the wall numbers stand alone, same as before this round).
+    */
+  private def processCpuNanos(): Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Cumulative stop-the-world GC time in milliseconds over all
+    * collectors.
+    */
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+
+  /** One timed measurement: wall seconds plus CPU/GC deltas. */
+  private final case class RunSample(wallSec: Double, cpuSec: Double, gcSec: Double)
+
+  private def timed(body: => Unit): RunSample = {
+    val gc0 = gcMillis(); val cpu0 = processCpuNanos(); val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
+    val gc = (gcMillis() - gc0) / 1e3
+    RunSample(wall, cpu, gc)
+  }
+
+  /** Fixed tiny calibration workload: a pure-compute aggregation over
+    * spark.range — no file I/O, no graft code, same plan every time.
+    * Its wall time before vs after the sweep measures the ENVIRONMENT,
+    * not the queries.
+    */
+  /** Best-of-3: min wall is the right statistic for "how fast CAN the
+    * environment go right now" — robust to a one-off GC inside a rep. */
+  private def calibrate(spark: SparkSession): RunSample =
+    (1 to 3).map(_ => calibrateOnce(spark)).minBy(_.wallSec)
+
+  private def calibrateOnce(spark: SparkSession): RunSample = {
+    import org.apache.spark.sql.functions._
+    try timed {
+      // pmod keeps each term < 1e6 so the 20M-row sum stays ~1e13 —
+      // no ANSI Long overflow
+      spark.range(0L, 20000000L, 1L, 32)
+        .select(sum(pmod(col("id") * lit(2654435761L), lit(1000003L))).as("s"))
+        .write.mode("overwrite").format("noop").save()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] calibration FAILED: ${e.getClass.getName}")
+        RunSample(-1.0, -1.0, -1.0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,28 +125,48 @@ object Bench {
       }
     }
 
+    // best-of-3 inside calibrate() absorbs the range plan's codegen
+    val calBefore = calibrate(spark)
+    System.err.println(f"[bench] calibration before: ${calBefore.wallSec}%.3fs wall, ${calBefore.cpuSec}%.3fs cpu, ${calBefore.gcSec}%.3fs gc")
+
+    val nproc = Runtime.getRuntime.availableProcessors()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val diag = scala.collection.mutable.LinkedHashMap[String, Seq[RunSample]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = scala.collection.mutable.ArrayBuffer[RunSample]()
       val times = (1 to 3).flatMap { i =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(fn, sfDir); true }
+        var ok = true
+        val s = timed {
+          try run(fn, sfDir)
           catch {
             case e: Throwable =>
               errors.getOrElseUpdate(name,
                 s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-              false
+              ok = false
           }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name run$i%d ${if (ok) f"$dt%.3f" else "FAIL"}s")
-        if (ok) Some(dt) else None
+        }
+        val ratio = if (s.cpuSec >= 0 && s.wallSec > 0) s.cpuSec / s.wallSec else -1.0
+        System.err.println(
+          f"[bench] $name run$i%d ${if (ok) f"${s.wallSec}%.3f" else "FAIL"}s " +
+            f"cpu=${s.cpuSec}%.3fs gc=${s.gcSec}%.3fs cpu/wall=$ratio%.2f")
+        if (ok) { samples += s; Some(s.wallSec) } else None
       }
-      // median of successful runs; -1 marks a query with no clean run
+      diag(name) = samples.toSeq
+      // median of successful runs; even counts average the two middle
+      // values; -1 marks a query with no clean run
       val v =
         if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        else {
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       name -> v
     }
+
+    val calAfter = calibrate(spark)
+    System.err.println(f"[bench] calibration after: ${calAfter.wallSec}%.3fs wall, ${calAfter.cpuSec}%.3fs cpu, ${calAfter.gcSec}%.3fs gc")
+
     def jnum(v: Double): String = f"$v%.4f"
     // full JSON string escaping: Spark exception messages embed
     // newlines/plan fragments — an unescaped control char would break
@@ -84,6 +180,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    def jarr(vs: Seq[Double]): String = vs.map(jnum).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) =>
@@ -91,7 +188,26 @@ object Bench {
     }.mkString("{", ",", "}")
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // Diagnostics block: per-run wall/cpu/gc arrays per query, the
+    // calibration pair, and the core count needed to interpret
+    // cpu/wall ratios. A reader can compute, per query:
+    //   starved  := wall high while cpu flat and gc flat  (co-tenancy)
+    //   gc-bound := extra wall ≈ gc                        (heap)
+    // and for the whole sweep: calibration.after / calibration.before.
+    val diagJson = {
+      val perQuery = diag.map { case (k, ss) =>
+        "\"" + k + "\":{" +
+          "\"wall\":" + jarr(ss.map(_.wallSec)) + "," +
+          "\"cpu\":" + jarr(ss.map(_.cpuSec)) + "," +
+          "\"gc\":" + jarr(ss.map(_.gcSec)) + "}"
+      }.mkString("{", ",", "}")
+      def cal(s: RunSample): String =
+        s"""{"wall":${jnum(s.wallSec)},"cpu":${jnum(s.cpuSec)},"gc":${jnum(s.gcSec)}}"""
+      s"""{"cores":$nproc,"calibration_before":${cal(calBefore)},"calibration_after":${cal(calAfter)},"runs":$perQuery}"""
+    }
+
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,8 +55,11 @@ object MediaProbe {
       val marker = b(i + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         i += 2 // standalone markers have no length
-      } else if (marker == 0x01 || marker == 0xff) {
+      } else if (marker == 0x01) {
         i += 2
+      } else if (marker == 0xff) {
+        i += 1 // 0xFF fill byte before a marker — consume ONE byte so
+               // the real marker (FF FF C0 …) still lands on FF-sync
       } else {
         val len = u16be(b, i + 2)
         if (len < 2) return null

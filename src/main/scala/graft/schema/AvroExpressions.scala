@@ -156,6 +156,61 @@ object AvroExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Registry-framed bytes → struct with WRITER-SCHEMA DISPATCH: the
+    * frame's embedded schema id selects the writer schema from a
+    * provided id→json map, and Avro writer→reader resolution decodes it
+    * against the single declared reader schema. This is the reference's
+    * registry-backend decode semantics (`avro_schema_registry.rb:10-12`
+    * resolves the writer by embedded id via avro_turf), so a topic with
+    * a mid-stream schema bump decodes old and new messages in one scan.
+    *
+    * Unknown ids fail LOUDLY with the id and the known set — a wrong
+    * map is corruption-shaped, and a silent null would hide it. Null
+    * input decodes to null (tombstones). Resolving readers are built
+    * once per (writer, reader) pair and reused across rows.
+    */
+  case class AvroResolvingDecodeExpr(child: Expression,
+      readerSchemaJson: String, writerSchemasById: Map[Int, String])
+      extends UnaryExpression {
+    @transient private lazy val readerSchema =
+      new AvroSchema.Parser().parse(readerSchemaJson)
+    override def dataType: DataType = AvroConverters.toSparkType(readerSchema)
+    override def nullable: Boolean = true
+    @transient private lazy val readers: Map[Int, GenericDatumReader[Any]] =
+      writerSchemasById.map { case (id, json) =>
+        id -> new GenericDatumReader[Any](
+          new AvroSchema.Parser().parse(json), readerSchema)
+      }
+    @transient private lazy val decTL: ThreadLocal[org.apache.avro.io.BinaryDecoder] =
+      new ThreadLocal[org.apache.avro.io.BinaryDecoder]
+
+    def decodeRow(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 6 || b(0) != 0x00)
+        throw new IllegalArgumentException(
+          s"registry frame mismatch: expected magic 0x00 + int32 schema " +
+            s"id, got ${b.length}-byte frame")
+      val id = ((b(1) & 0xff) << 24) | ((b(2) & 0xff) << 16) |
+        ((b(3) & 0xff) << 8) | (b(4) & 0xff)
+      val reader = readers.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"unknown schema id $id in registry frame (known: " +
+            s"${writerSchemasById.keys.toSeq.sorted.mkString(",")})"))
+      val dec = DecoderFactory.get().binaryDecoder(b, 5, b.length - 5, decTL.get())
+      decTL.set(dec)
+      AvroConverters.fromAvroDatum(reader.read(null, dec), readerSchema)
+    }
+
+    override def nullSafeEval(input: Any): Any = decodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("avroResolve", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = (InternalRow) $ref.decodeRow($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): AvroResolvingDecodeExpr =
+      copy(child = c)
+  }
+
   /** Big-endian int32 from the first 4 bytes at `offset` — used to read
     * the schema id out of registry-framed messages. */
   case class ReadInt32BE(child: Expression, offset: Int)
@@ -173,10 +228,15 @@ object AvroExpressions {
       readAt(input.asInstanceOf[Array[Byte]])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("readI32", this, getClass.getName)
+      // fresh temp name: two instances of this expression can inline
+      // into ONE generated method (non-nullable children skip the
+      // brace-wrapped null guard), and a fixed `Object r` would then be
+      // a duplicate local — janino error → silent interpreted fallback
+      val r = ctx.freshName("readI32Res")
       nullSafeCodeGen(ctx, ev, c => s"""
-        Object r = $ref.readAt($c);
-        if (r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((Integer) r).intValue(); }
+        Object $r = $ref.readAt($c);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Integer) $r).intValue(); }
       """)
     }
     override protected def withNewChildInternal(c: Expression): ReadInt32BE =
@@ -190,6 +250,12 @@ object AvroExpressions {
   def decodeAvro(bytes: Column, schemaJson: String): Column =
     GraftSqlBridge.column(
       AvroDecodeExpr(GraftSqlBridge.expression(bytes), schemaJson))
+
+  def decodeAvroResolving(framed: Column, readerSchemaJson: String,
+      writerSchemasById: Map[Int, String]): Column =
+    GraftSqlBridge.column(
+      AvroResolvingDecodeExpr(GraftSqlBridge.expression(framed),
+        readerSchemaJson, writerSchemasById))
 
   def schemaIdOf(framed: Column): Column =
     GraftSqlBridge.column(

@@ -334,19 +334,27 @@ object ProtoWire {
       byNumber.get(number) match {
         case None => r.skip(wt)
         case Some((f, i)) =>
+          val expectedWt = wireTypeOf(f.ptype)
           if (f.repeated) {
             if (repeated(i) == null)
               repeated(i) = scala.collection.mutable.ArrayBuffer[Any]()
-            val expectedWt = wireTypeOf(f.ptype)
             if (wt == 2 && expectedWt != 2) {
               // packed: a length-delimited run of scalars
               val body = r.readBytes()
               val pr = new Reader(body, 0, body.length)
               while (pr.hasMore)
                 repeated(i) += decodeScalar(pr, f.ptype, expectedWt)
+            } else if (wt != expectedWt) {
+              // wire type doesn't match the declared field type (writer
+              // evolved e.g. int32→string): treat as unknown per
+              // protobuf convention — decoding by declared type would
+              // desync the reader and poison the whole message
+              r.skip(wt)
             } else {
               repeated(i) += decodeScalar(r, f.ptype, wt)
             }
+          } else if (wt != expectedWt) {
+            r.skip(wt) // mismatched wire type: unknown field, keep default
           } else {
             values(i) = decodeScalar(r, f.ptype, wt)
           }

@@ -156,7 +156,11 @@ private[schema] object RegistryFraming {
     val frameOk = length(bytes) >= 6 &&
       substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
       idExpr === lit(schemaId)
-    when(frameOk, inner(substring(bytes, 6, Int.MaxValue - 5)))
+    // null payloads (Kafka tombstones) decode to null; only MALFORMED
+    // frames fail loudly — without this branch length(null) made
+    // frameOk null and the otherwise-raise fired on tombstones
+    when(bytes.isNull, lit(null))
+      .when(frameOk, inner(substring(bytes, 6, Int.MaxValue - 5)))
       .otherwise(raise_error(concat(
         lit("registry frame mismatch: expected magic 0x00 + schema id " +
           s"$schemaId, got "),
@@ -168,14 +172,33 @@ private[schema] object RegistryFraming {
 
 /** Confluent-style registry wire format over Avro binary (reference:
   * `avro_schema_registry.rb`; framing per the public Confluent wire
-  * format). Framing is plain binary concat/substring — codegen'd. */
-class RegistryFramedBackend(schemaJson: String, schemaId: Int)
+  * format). Framing is plain binary concat/substring — codegen'd.
+  *
+  * `writerSchemas` is the decode-side registry: id → writer schema
+  * json. When non-empty, decode DISPATCHES on the frame's embedded id
+  * and resolves that writer schema against this reader schema — the
+  * reference's registry semantics (`avro_schema_registry.rb:10-12`
+  * resolves the writer by embedded id), so a topic with a mid-stream
+  * schema bump (old + evolved writers interleaved) decodes in one
+  * scan. Unknown ids fail loudly. When empty, decode validates the
+  * frame against this backend's own `schemaId` exactly (strict mode —
+  * right when no evolution is expected and any other id is
+  * corruption). Encode always frames with `schemaId`.
+  */
+class RegistryFramedBackend(schemaJson: String, schemaId: Int,
+    writerSchemas: Map[Int, String] = Map.empty)
     extends AvroBackend(schemaJson) {
   override def encodeExpr(payload: Column): Column =
     concat(lit(RegistryFraming.header(schemaId)), super.encodeExpr(payload))
 
   override def decodeExpr(bytes: Column): Column =
-    RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
+    if (writerSchemas.nonEmpty)
+      AvroExpressions.decodeAvroResolving(bytes, schemaJson,
+        // the backend's own schema is always a known writer
+        writerSchemas.updated(schemaId,
+          writerSchemas.getOrElse(schemaId, schemaJson)))
+    else
+      RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
 
   /** Schema id carried by a framed message. */
   def schemaIdExpr(framed: Column): Column = AvroExpressions.schemaIdOf(framed)

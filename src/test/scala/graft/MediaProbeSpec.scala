@@ -28,6 +28,16 @@ class MediaProbeSpec extends SparkSpec {
     assert(r.getUTF8String(2).toString === "image/jpeg")
   }
 
+  test("JPEG: 0xFF fill bytes before a marker are consumed one at a time") {
+    // legal JPEGs may pad with FF bytes before a marker: FF FF FF C0 …
+    val base = MediaProbe.jpegBytes(640, 480)
+    // inject two fill bytes before the SOF0 marker (after SOI+APP0 = 20 bytes)
+    val padded = base.take(20) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ base.drop(20)
+    val r = MediaProbe.probe(padded)
+    assert(r != null, "fill bytes must not break marker sync")
+    assert(r.getLong(0) === 640L && r.getLong(1) === 480L)
+  }
+
   test("junk, truncated and header-less inputs probe to null") {
     assert(MediaProbe.probe("not an image".getBytes) === null)
     assert(MediaProbe.probe(MediaProbe.pngBytes(10, 10).take(12)) === null)

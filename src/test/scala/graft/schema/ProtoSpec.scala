@@ -166,6 +166,27 @@ class ProtoSpec extends SparkSpec {
     assert(backend.sqlType("tags") === "JSON")
   }
 
+  test("mismatched wire type on a known field is skipped as unknown, not a desync") {
+    // writer evolved field 1 from int32 to string; reader still declares
+    // PInt32. Frame: field1="hi" (0a 02 68 69) + field2 int32=7 (10 07).
+    // Decoding "hi" as a varint would desync and poison field 2; the
+    // protobuf convention is treat-mismatched-wire-type-as-unknown.
+    val m = ProtoMessage("M", Seq(
+      ProtoField("a", 1, PInt32), ProtoField("b", 2, PInt32)))
+    val frame = Array[Byte](0x0a, 0x02, 0x68, 0x69, 0x10, 0x07)
+    val row = ProtoWire.decode(frame, m)
+    assert(row.getInt(0) === 0) // mismatched field left at default
+    assert(row.getInt(1) === 7) // following field decodes intact
+    // repeated variant: declared repeated string, writer sent varint
+    val mr = ProtoMessage("MR", Seq(
+      ProtoField("s", 1, PString, repeated = true),
+      ProtoField("b", 2, PInt32)))
+    val frame2 = Array[Byte](0x08, 0x05, 0x10, 0x09) // f1 varint=5, f2=9
+    val row2 = ProtoWire.decode(frame2, mr)
+    assert(row2.getArray(0).numElements() === 0)
+    assert(row2.getInt(1) === 9)
+  }
+
   test("registry-framed proto validates the frame and round-trips") {
     val m = ProtoMessage("F", Seq(ProtoField("a", 1, PInt64)))
     val writer = new ProtoRegistryFramedBackend(m, schemaId = 7)

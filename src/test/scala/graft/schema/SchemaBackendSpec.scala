@@ -233,6 +233,68 @@ class SchemaBackendSpec extends SparkSpec {
     assert(rt.as[(Long, String)].collect().toSeq === Seq((1L, "x")))
   }
 
+  test("registry dispatch: mixed-id frames resolve each writer against the reader") {
+    val v1Json =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"}]}""".stripMargin
+    val v2Json =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"},
+        | {"name":"extra","type":"string"}]}""".stripMargin
+    val readerJson =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"},
+        | {"name":"added","type":"string","default":"dflt"}]}""".stripMargin
+    val w1 = new RegistryFramedBackend(v1Json, schemaId = 1)
+    val w2 = new RegistryFramedBackend(v2Json, schemaId = 2)
+    // one topic, a mid-stream schema bump: id-1 and id-2 frames interleaved
+    val frames = spark.range(1)
+      .select(w1.encodeExpr(struct(lit(10L).as("a"))).as("bin"))
+      .union(spark.range(1).select(
+        w2.encodeExpr(struct(lit(20L).as("a"), lit("x").as("extra"))).as("bin")))
+    val reader = new RegistryFramedBackend(readerJson, schemaId = 3,
+      writerSchemas = Map(1 -> v1Json, 2 -> v2Json))
+    val got = frames.select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, String)].collect().toSet
+    // v1 frame: `added` from default; v2 frame: `extra` dropped, `added` default
+    assert(got === Set((10L, "dflt"), (20L, "dflt")))
+  }
+
+  test("registry dispatch: unknown schema id fails loudly with the known set") {
+    val v1Json =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"}]}""".stripMargin
+    val rogue = new RegistryFramedBackend(v1Json, schemaId = 99)
+    val frames = spark.range(1)
+      .select(rogue.encodeExpr(struct(lit(1L).as("a"))).as("bin"))
+    val reader = new RegistryFramedBackend(v1Json, schemaId = 1,
+      writerSchemas = Map(1 -> v1Json))
+    val e = intercept[Exception] {
+      frames.select(reader.decodeExpr(col("bin"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("unknown schema id 99")))
+  }
+
+  test("registry decode: null payload (tombstone) decodes to null, strict and dispatch") {
+    val v1Json =
+      """{"type":"record","name":"E","fields":[
+        | {"name":"a","type":"long"}]}""".stripMargin
+    val strict = new RegistryFramedBackend(v1Json, schemaId = 1)
+    val dispatch = new RegistryFramedBackend(v1Json, schemaId = 1,
+      writerSchemas = Map(1 -> v1Json))
+    val mixed = spark.range(1)
+      .select(strict.encodeExpr(struct(lit(5L).as("a"))).as("bin"))
+      .union(spark.range(1).select(lit(null).cast(BinaryType).as("bin")))
+    for (b <- Seq(strict, dispatch)) {
+      val got = mixed.select(b.decodeExpr(col("bin")).as("p"))
+        .select(col("p").isNull.as("n"), col("p.a").as("a"))
+        .as[(Boolean, Option[Long])].collect().toSet
+      assert(got === Set((false, Some(5L)), (true, None)))
+    }
+  }
+
   test("timestamp-millis logical type maps to TimestampType and round-trips") {
     val ts =
       """{"type":"record","name":"T","fields":[
