@@ -7,15 +7,17 @@ import org.apache.spark.sql.types._
 /** [EXT] Multimodal column support: media payloads as opaque `binary`
   * columns with a typed metadata struct.
   *
-  * Image metadata is REAL: [[MediaProbe]] parses PNG/JPEG/GIF headers
-  * in pure JVM (width/height/media type from the actual bytes) as a
-  * codegen'd scan-side expression. The functions below keep the
-  * mapPartitions CODEC shape for formats that need a native decoder
-  * (video frames, audio samples — no codec libraries in this
-  * container): their bodies are clearly-marked deterministic stubs,
-  * but the schema, batch iteration and partition layout are what a
-  * real decoder plugs into. Either way the 100 TB shape holds: decode
-  * work is embarrassingly parallel and never shuffles.
+  * Image/audio/video METADATA is real ([[MediaProbe]]: PNG/JPEG/GIF,
+  * WAV, MP4 header parses), and PNG pixel + WAV PCM sample decode is
+  * real too ([[PixelDecode]]: Inflater + all five PNG unfilters,
+  * 16-bit PCM stats) — all codegen'd scan-side expressions. The
+  * functions below keep the mapPartitions CODEC shape for the formats
+  * that genuinely need a native decoder (JPEG entropy decode, MP4
+  * frame extraction — no codec libraries in this container): their
+  * bodies are clearly-marked deterministic stubs, but the schema,
+  * batch iteration and partition layout are what a real decoder plugs
+  * into. Either way the 100 TB shape holds: decode work is
+  * embarrassingly parallel and never shuffles.
   */
 object Multimodal {
 
