@@ -99,16 +99,20 @@ object ExtQueries {
     val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-      dim = 64, nBits = 6, k = 5)
-      .select(col("query_id"), col("neighbor_id").as("approx_id"))
-    truth.join(approx,
-      truth("query_id") === approx("query_id") &&
-        col("neighbor_id") === col("approx_id"), "left")
-      .groupBy(truth("query_id").as("query_id"))
-      .agg(count(col("approx_id")).as("hits"), count(lit(1)).as("k"),
-        round(count(col("approx_id")).cast("double") /
-          count(lit(1)).cast("double"), 2).as("recall"))
+    def recallAt(nProbe: Int, alias: String): DataFrame = {
+      val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, nBits = 6, k = 5, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id").as("approx_id"))
+      truth.join(approx,
+        truth("query_id") === approx("query_id") &&
+          col("neighbor_id") === col("approx_id"), "left")
+        .groupBy(truth("query_id").as("query_id"))
+        .agg(round(count(col("approx_id")).cast("double") /
+          count(lit(1)).cast("double"), 2).as(alias))
+    }
+    // single-probe vs multi-probe recall side by side — the tuning
+    // loop a production deployment runs; the spec pins mp >= sp
+    recallAt(1, "recall").join(recallAt(3, "recall_mp"), Seq("query_id"))
       .orderBy(col("query_id"))
   }
 

@@ -116,17 +116,23 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: corpus and queries bucketed by sign-bit
-    * hyperplane hash; search only within the query's bucket. Recall is
-    * tunable via nBits (fewer bits → bigger buckets → higher recall,
-    * more work). At scale, multi-probe (flipping low-confidence bits)
-    * raises recall without re-bucketing. */
+    * hyperplane hash; search only within the query's buckets. Recall is
+    * tunable two ways: nBits (fewer bits → bigger buckets → higher
+    * recall, more work) and nProbe — multi-probe expansion flips the
+    * query's lowest-|margin| sign bits to visit the nProbe likeliest
+    * buckets. Only the QUERY side fans out (explode to nProbe rows);
+    * the corpus keeps one bucket per row, so the scale shape is
+    * unchanged: one corpus scan, one broadcast bucket join. Probe
+    * buckets are distinct by construction, so no per-pair dedup is
+    * needed before the top-k window. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, nBits: Int = 8, k: Int = 3): DataFrame = {
-    val bucket = (v: Column) => V.hyperplaneBucket(v, dim, nBits)
+      vecCol: String, dim: Int, nBits: Int = 8, k: Int = 3,
+      nProbe: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucket(col(vecCol)).as("bucket"))
+      V.hyperplaneBucket(col(vecCol), dim, nBits).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucket(col(vecCol)).as("bucket"))
+      explode(V.hyperplaneProbes(col(vecCol), dim, nBits, nProbe))
+        .as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))

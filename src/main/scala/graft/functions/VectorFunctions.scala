@@ -64,11 +64,40 @@ object VectorFunctions {
     * bucket w.h.p. (random-hyperplane LSH). */
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int): Column =
     (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(vec,
-          array((0 until dim).map(d => lit(planeComponent(j, d))): _*),
-          (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = projection(vec, dim, j)
       when(proj >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  private def projection(vec: Column, dim: Int, j: Int): Column =
+    aggregate(
+      zip_with(vec,
+        array((0 until dim).map(d => lit(planeComponent(j, d))): _*),
+        (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Multi-probe bucket list (size `nProbe`): the primary sign-bit
+    * bucket first, then the buckets reached by flipping ONE bit each,
+    * in ascending |projection| order — the bits the vector was least
+    * confident about are the likeliest to differ for a true neighbor
+    * (standard multi-probe LSH perturbation). Raises recall at a fixed
+    * nBits without re-bucketing the corpus: only the QUERY side fans
+    * out, the corpus keeps exactly one bucket per row. */
+  def hyperplaneProbes(vec: Column, dim: Int, nBits: Int, nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= nBits + 1,
+      s"nProbe=$nProbe out of range 1..${nBits + 1}")
+    val primary = hyperplaneBucket(vec, dim, nBits)
+    if (nProbe == 1) array(primary)
+    else {
+      // rank bits by |margin|; struct sort orders by first field
+      val ranked = array((0 until nBits).map { j =>
+        struct(abs(projection(vec, dim, j)).as("m"),
+          lit(1L << j).as("mask"))
+      }: _*)
+      val flipMasks =
+        slice(transform(array_sort(ranked), s => s.getField("mask")),
+          1, nProbe - 1)
+      concat(array(primary),
+        transform(flipMasks, mk => primary.bitwiseXOR(mk)))
+    }
+  }
 }

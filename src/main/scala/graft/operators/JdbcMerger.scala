@@ -18,10 +18,15 @@ object JdbcMerger {
   sealed trait Dialect
   case object MySql extends Dialect
   case object Postgres extends Dialect
+  /** SQLite (3.24+): `ON CONFLICT … DO UPDATE` like Postgres, with the
+    * version guard referencing the bare table name. Completes the
+    * reference's 3-database test matrix (`spec/spec_helper.rb:102-142`
+    * runs SQLite + Postgres + MySQL). */
+  case object Sqlite extends Dialect
 
   private def q(ident: String, d: Dialect): String = d match {
     case MySql => s"`$ident`"
-    case Postgres => "\"" + ident + "\""
+    case Postgres | Sqlite => "\"" + ident + "\""
   }
 
   /** Upsert statement for one batch of `rows` width-`cols`. Keyless →
@@ -62,11 +67,13 @@ object JdbcMerger {
               .mkString(", ")
           }
           s"$base ON DUPLICATE KEY UPDATE $upd"
-        case Postgres =>
+        case Postgres | Sqlite =>
           val conflict = keyCols.map(q(_, dialect)).mkString(", ")
           val upd = updatable
             .map(c => s"${q(c, dialect)} = EXCLUDED.${q(c, dialect)}")
             .mkString(", ")
+          // both dialects allow qualifying the stored row by table
+          // name in the guard; EXCLUDED carries the proposed row
           val guard = versionCol.map(v =>
             s" WHERE EXCLUDED.${q(v, dialect)} > ${q(table, dialect)}.${q(v, dialect)}")
             .getOrElse("")

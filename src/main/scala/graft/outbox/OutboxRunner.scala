@@ -28,51 +28,84 @@ class OutboxRunner(
 
   private val cooldownUntil = scala.collection.mutable.Map[String, Long]()
 
-  // staging is a versioned directory (immutable version dirs + atomic
-  // pointer) so a crash mid-delete leaves the previous staging intact —
-  // drained-but-undeleted messages reproduce, which is the same
-  // at-least-once contract as the reference's delete-after-produce.
+  // Staging is an APPEND-DELTA log under one atomic pointer: immutable
+  // delta dirs (`d=K`, one per stage; one compacted remainder per
+  // sweep) and a `_LATEST` manifest listing the live deltas, replaced
+  // by atomic move. Staging N batches therefore writes O(N) delta
+  // files — not N rewrites of the whole pending set (the round-2
+  // copy-on-write union cost O(N²) total bytes). Crash-safety is
+  // unchanged: a crash before the pointer move leaves the previous
+  // manifest (and every dir it names) intact, so drained-but-undeleted
+  // messages reproduce — the reference's delete-after-produce
+  // at-least-once contract. Dead/orphaned dirs are GC'd after each
+  // successful pointer move, never before.
   private val pointer = java.nio.file.Paths.get(stagingDir, "_LATEST")
+  private val DeltaName = "d=(\\d+)".r
 
-  private def currentVersion: Option[Long] =
-    if (java.nio.file.Files.exists(pointer))
-      Some(java.nio.file.Files.readString(pointer).trim.toLong)
-    else None
+  /** Live delta dir names, manifest order. A legacy single all-digit
+    * line is a round-2 snapshot pointer (`v=N`). */
+  private def manifest: Seq[String] =
+    if (!java.nio.file.Files.exists(pointer)) Seq.empty
+    else java.nio.file.Files.readString(pointer).split('\n')
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .map(l => if (l.forall(_.isDigit)) s"v=$l" else l)
+      .toSeq
 
-  private def versionDir(v: Long): String = s"$stagingDir/v=$v"
+  /** Next delta id: one past the max over ALL `d=K` dirs on disk (live,
+    * dead, or orphaned) so ids are never reused. */
+  private def nextDeltaId: Long = {
+    val dir = java.nio.file.Paths.get(stagingDir)
+    if (!java.nio.file.Files.exists(dir)) 0L
+    else {
+      val s = java.nio.file.Files.list(dir)
+      var max = -1L
+      try s.forEach { p =>
+        p.getFileName.toString match {
+          case DeltaName(k) => max = math.max(max, k.toLong)
+          case _ => ()
+        }
+      } finally s.close()
+      max + 1
+    }
+  }
 
-  private def commitVersion(df: DataFrame): Unit = {
-    val next = currentVersion.map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(versionDir(next))
+  /** Point `_LATEST` at `dirs` (tmp write + atomic move), then GC every
+    * data dir the new manifest does not reference. GC strictly AFTER
+    * the move: a crash at any point leaves a valid manifest whose dirs
+    * all exist. */
+  private def commitManifest(dirs: Seq[String]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
-    val tmp = java.nio.file.Paths.get(stagingDir, s"_LATEST.tmp$next")
-    java.nio.file.Files.writeString(tmp, next.toString)
+    val tmp = java.nio.file.Paths.get(stagingDir, "_LATEST.tmp")
+    java.nio.file.Files.writeString(tmp, dirs.mkString("\n"))
     java.nio.file.Files.move(tmp, pointer,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // previous version is dead weight once the pointer moved
-    currentVersion.filter(_ > 0).foreach { v =>
-      val old = java.nio.file.Paths.get(versionDir(v - 1))
-      if (java.nio.file.Files.exists(old))
-        java.nio.file.Files.walk(old)
+    val live = dirs.toSet
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stagingDir))
+    try s.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      val isData = name.startsWith("d=") || name.startsWith("v=")
+      if (isData && !live.contains(name))
+        java.nio.file.Files.walk(p)
           .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-    }
+          .forEach(q => java.nio.file.Files.delete(q))
+    } finally s.close()
   }
 
-  def staged: DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(versionDir(v))
-    case None => spark.emptyDataFrame
+  def staged: DataFrame = manifest match {
+    case Seq() => spark.emptyDataFrame
+    case dirs => spark.read.parquet(dirs.map(d => s"$stagingDir/$d"): _*)
   }
 
-  /** Stage encoded messages (S3 — the outbox *backend*). */
+  /** Stage encoded messages (S3 — the outbox *backend*): one new delta
+    * dir + a pointer swap, O(batch) regardless of how much is already
+    * pending. */
   def stage(messages: DataFrame): Unit = {
-    metrics.count(Metrics.OutboxProduce, messages.count())
-    val next = currentVersion match {
-      case Some(_) => staged.unionByName(messages)
-      case None => messages
-    }
-    commitVersion(next)
+    if (metrics ne Metrics.noop)
+      metrics.count(Metrics.OutboxProduce, messages.count())
+    val delta = s"d=$nextDeltaId"
+    messages.write.mode("overwrite").parquet(s"$stagingDir/$delta")
+    commitManifest(manifest :+ delta)
   }
 
   /** One sweep over all topics: drain ≤batchSize per topic in id
@@ -81,7 +114,7 @@ class OutboxRunner(
   def sweep(compactTopics: Set[String] = Set.empty)(
       produce: DataFrame => Unit): Long = {
     val now = clock()
-    if (currentVersion.isEmpty) return 0L
+    if (manifest.isEmpty) return 0L
     val all = staged
     val eligibleTopics = all.select(col(MessageCols.Topic)).distinct()
       .collect().map(_.getString(0))
@@ -131,11 +164,21 @@ class OutboxRunner(
             }
         }
       }
-      if (okTopics.nonEmpty)
-        commitVersion(Outbox.deleteDrained(all,
+      if (okTopics.nonEmpty) {
+        // sweep doubles as COMPACTION: the un-drained remainder (small
+        // by construction — pending outbox drains every sweep) becomes
+        // one fresh delta and the manifest drops every older dir, so
+        // reads never accumulate unboundedly many deltas
+        val remainder = Outbox.deleteDrained(all,
           drained.filter(col(MessageCols.Topic).isin(okTopics.toSeq: _*)),
-          "id"))
-      metricsReport()
+          "id")
+        val delta = s"d=$nextDeltaId"
+        remainder.write.mode("overwrite").parquet(s"$stagingDir/$delta")
+        commitManifest(Seq(delta))
+      }
+      // the pending aggregation is one extra Spark job per sweep —
+      // only pay it when a real sink will see the numbers
+      if (metrics ne Metrics.noop) metricsReport()
       firstError.foreach(throw _)
       total
     } finally drained.unpersist()
@@ -143,7 +186,7 @@ class OutboxRunner(
 
   /** Pending metrics (A6) — pending_db_messages_count / max_wait. */
   def metricsReport(): Unit = {
-    if (currentVersion.isEmpty) return
+    if (manifest.isEmpty) return
     val rows = Outbox.pendingMetrics(staged, MessageCols.Topic, "created_at")
       .collect()
     rows.foreach { r =>

@@ -136,6 +136,119 @@ class OutboxRunnerSpec extends SparkSpec {
     drained = runner.sweep()(_.count())
     assert(drained === 3L)
   }
+
+  private def dataDirs(dir: java.nio.file.Path): Seq[String] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val names = scala.collection.mutable.ArrayBuffer[String]()
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("d=") || n.startsWith("v=")) names += n
+      }
+      names.toSeq.sorted
+    } finally s.close()
+  }
+
+  private def filesUnder(p: java.nio.file.Path): Map[String, Long] = {
+    val s = java.nio.file.Files.walk(p)
+    try {
+      val m = scala.collection.mutable.Map[String, Long]()
+      s.forEach { q =>
+        if (java.nio.file.Files.isRegularFile(q))
+          m(q.toString) = java.nio.file.Files.getLastModifiedTime(q).toMillis
+      }
+      m.toMap
+    } finally s.close()
+  }
+
+  test("staging N batches appends N deltas; old deltas are never rewritten; sweep compacts to 1") {
+    val dir = Files.createTempDirectory("graft-outbox-delta").resolve("staging")
+    val runner = new OutboxRunner(spark, dir.toString)
+    def batchDf(id: Long) = Seq((id, "t1", "A", s"p$id"))
+      .toDF("id", MessageCols.Topic, MessageCols.Key, "payload")
+      .withColumn("created_at", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    runner.stage(batchDf(1))
+    val firstDelta = dataDirs(dir)
+    assert(firstDelta.size === 1)
+    val firstFiles = filesUnder(dir.resolve(firstDelta.head))
+    (2L to 4L).foreach(i => runner.stage(batchDf(i)))
+    // O(N) layout: one new dir per stage, earlier dirs byte-untouched
+    assert(dataDirs(dir).size === 4)
+    assert(filesUnder(dir.resolve(firstDelta.head)) === firstFiles,
+      "stage() must not rewrite existing delta dirs")
+    assert(runner.staged.count() === 4)
+    // sweep drains everything and compacts the manifest to ONE delta
+    assert(runner.sweep()(_.count()) === 4L)
+    assert(dataDirs(dir).size === 1)
+    assert(runner.staged.count() === 0)
+  }
+
+  test("restart recovery: orphan delta + leftover tmp from a crashed commit are ignored and GC'd") {
+    val dir = Files.createTempDirectory("graft-outbox-crash").resolve("staging")
+    val runner = new OutboxRunner(spark, dir.toString)
+    val msgs = Seq((1L, "t1", "A", "a1"))
+      .toDF("id", MessageCols.Topic, MessageCols.Key, "payload")
+      .withColumn("created_at", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    runner.stage(msgs)
+    // simulate a crash BETWEEN delta write and pointer move: an orphan
+    // delta dir exists and a tmp manifest was left behind
+    msgs.withColumn("payload", lit("orphan"))
+      .write.parquet(s"$dir/d=99")
+    java.nio.file.Files.writeString(dir.resolve("_LATEST.tmp"), "d=0\nd=99")
+    // a NEW runner (process restart) must see only the committed rows
+    val restarted = new OutboxRunner(spark, dir.toString)
+    assert(restarted.staged.select("payload").as[String].collect().toSeq
+      === Seq("a1"))
+    // next commit GC's the orphan and never reuses its id
+    restarted.stage(msgs.withColumn("id", lit(2L)))
+    assert(restarted.staged.count() === 2)
+    assert(!dataDirs(dir).contains("d=99"))
+    assert(dataDirs(dir).forall(d => d == "d=0" || d.stripPrefix("d=").toLong >= 100))
+  }
+
+  test("crash mid-delete contract still holds: produce ok + commit lost reproduces messages") {
+    val dir = Files.createTempDirectory("graft-outbox-redeliver").resolve("staging")
+    val runner = new OutboxRunner(spark, dir.toString)
+    val msgs = Seq((1L, "t1", "A", "a1"), (2L, "t1", "A", "a2"))
+      .toDF("id", MessageCols.Topic, MessageCols.Key, "payload")
+      .withColumn("created_at", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    runner.stage(msgs)
+    // a produce that dies before the delete commits must leave the
+    // pointer (and every dir it names) untouched, so a restarted
+    // process re-delivers — the delete-after-produce at-least-once side
+    val manifestBytes = java.nio.file.Files.readAllBytes(dir.resolve("_LATEST"))
+    intercept[RuntimeException] {
+      runner.sweep()(_ => throw new RuntimeException("crash before delete"))
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("_LATEST")))
+      === new String(manifestBytes), "failed sweep must not move the pointer")
+    val fresh = new OutboxRunner(spark, dir.toString)
+    assert(fresh.staged.count() === 2, "messages reproduce after restart")
+  }
+
+  test("metricsReport is gated on a real metrics sink (no extra job under noop)") {
+    val dir = Files.createTempDirectory("graft-outbox-gate").resolve("staging")
+    val msgs = Seq((1L, "t1", "A", "a1"))
+      .toDF("id", MessageCols.Topic, MessageCols.Key, "payload")
+      .withColumn("created_at", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    var reportsNoop = 0
+    val noopRunner = new OutboxRunner(spark, dir.toString + "-noop") {
+      override def metricsReport(): Unit = { reportsNoop += 1; super.metricsReport() }
+    }
+    noopRunner.stage(msgs)
+    noopRunner.sweep()(_.count())
+    assert(reportsNoop === 0, "noop metrics must skip the pending aggregation")
+    var reportsReal = 0
+    val mem = new graft.observe.Metrics.InMemory
+    val realRunner = new OutboxRunner(spark, dir.toString + "-real",
+      metrics = mem) {
+      override def metricsReport(): Unit = { reportsReal += 1; super.metricsReport() }
+    }
+    realRunner.stage(msgs)
+    realRunner.sweep()(_.count())
+    assert(reportsReal === 1)
+    assert(mem.counts.containsKey(graft.observe.Metrics.OutboxProduce))
+  }
 }
 
 class ProducerSpec extends SparkSpec {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.functions.{VectorFunctions => V}
+
+/** ANN search specs: multi-probe LSH probe construction and the recall
+  * guarantee it exists for (multi-probe recall ≥ single-probe at the
+  * same nBits, strictly more candidates examined). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** Deterministic pseudo-random corpus: 200 vectors, values in
+    * [-1, 1), plus near-duplicates of the first 10 so every query has
+    * true close neighbors that can straddle a bucket boundary. */
+  private def corpus: DataFrame = {
+    def vec(i: Int): Seq[Float] =
+      (0 until dim).map(d => (((i * 31 + d * 17) % 97) - 48) / 48.0f)
+    val base = (0 until 200).map(i => (i.toLong, vec(i)))
+    val nearDups = (0 until 10).map { i =>
+      val v = vec(i).zipWithIndex.map { case (x, d) =>
+        x + (if (d == i % dim) 0.05f else 0.0f) // tiny perturbation
+      }
+      (1000L + i, v.toSeq)
+    }
+    (base ++ nearDups).toDF("vec_id", "embedding")
+  }
+
+  test("hyperplaneProbes: primary bucket first, nProbe distinct buckets") {
+    val df = corpus.limit(20).select(col("vec_id"),
+      V.hyperplaneBucket(col("embedding"), dim, 8).as("primary"),
+      V.hyperplaneProbes(col("embedding"), dim, 8, nProbe = 4).as("probes"))
+    df.collect().foreach { r =>
+      val primary = r.getAs[Long]("primary")
+      val probes = r.getSeq[Long](r.fieldIndex("probes"))
+      assert(probes.size === 4)
+      assert(probes.head === primary, "primary bucket must come first")
+      assert(probes.distinct.size === 4, "probe buckets must be distinct")
+      // each expansion flips exactly one bit of the primary
+      probes.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(p ^ primary) === 1)
+      }
+    }
+  }
+
+  test("nProbe=1 equals the plain single-bucket search") {
+    val qs = corpus.filter(col("vec_id") < 10)
+    val single = Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
+      dim = dim, nBits = 8, k = 5)
+    val explicit = Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
+      dim = dim, nBits = 8, k = 5, nProbe = 1)
+    assert(explicit.collect().toSet === single.collect().toSet)
+  }
+
+  test("multi-probe recall >= single-probe recall at fixed nBits; more candidates seen") {
+    val qs = corpus.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding",
+      k = 5).select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def hits(nProbe: Int, k: Int): Map[Long, Set[Long]] =
+      Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
+        dim = dim, nBits = 6, k = k, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val sp = hits(1, k = 5)
+    val mp = hits(4, k = 5)
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val (rsp, rmp) = (recall(sp), recall(mp))
+    assert(rmp >= rsp, s"multi-probe recall $rmp < single-probe $rsp")
+    // with the k cap lifted, probe expansion must surface strictly
+    // more candidates overall (flip buckets are non-empty at nBits=6
+    // over 210 vectors — ~3 per bucket)
+    val spCand = hits(1, k = 100000).values.map(_.size).sum
+    val mpCand = hits(4, k = 100000).values.map(_.size).sum
+    assert(mpCand > spCand,
+      s"multi-probe examined $mpCand candidates vs $spCand — expansion inert")
+  }
+}

@@ -50,6 +50,23 @@ class JdbcMergerLiveSpec extends SparkSpec {
     assert(d.connectionsOpened.get() === 2)
   }
 
+  test("sqlite dialect drives the same live path: ON CONFLICT + guard + row-value delete") {
+    val d = MockJdbc.reset("merge3")
+    JdbcMerger.mergeIntoJdbc(batch, "jdbc:graftmock:merge3", "tgt",
+      Seq("k1", "k2"), col("deleted"), JdbcMerger.Sqlite,
+      new java.util.Properties, maxBatchSize = 2,
+      versionCol = Some("version"), retrySleeper = _ => ())
+    val execs = d.execList
+    val ups = execs.filter(_.sql.startsWith("INSERT"))
+    val dels = execs.filter(_.sql.startsWith("DELETE"))
+    assert(ups.map(_.params.size).sorted === List(5, 10, 10))
+    assert(dels.map(_.params.size).sorted === List(2, 4))
+    assert(ups.head.sql.contains("""ON CONFLICT ("k1", "k2") DO UPDATE SET"""))
+    assert(ups.forall(_.sql.endsWith(
+      """WHERE EXCLUDED."version" > "tgt"."version"""")))
+    assert(dels.head.sql.contains("""WHERE ("k1", "k2") IN ("""))
+  }
+
   test("injected deadlocks are retried on the executor and the merge completes") {
     val d = MockJdbc.reset("merge2")
     d.deadlocksRemaining.set(2)

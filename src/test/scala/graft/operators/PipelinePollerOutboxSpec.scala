@@ -165,6 +165,21 @@ class JdbcMergerSpec extends SparkSpec {
         "`ver` = IF(VALUES(`ver`) > `ver`, VALUES(`ver`), `ver`)"))
   }
 
+  test("sqlite upsert: ON CONFLICT like PG, version guard on bare table name") {
+    // completes the reference's 3-DB matrix (spec_helper.rb:102-142)
+    val sql = upsertSql("w", Seq("id", "a"), Seq("id"), 2, Sqlite)
+    assert(sql === "INSERT INTO \"w\" (\"id\", \"a\") VALUES (?, ?), (?, ?)" +
+      " ON CONFLICT (\"id\") DO UPDATE SET \"a\" = EXCLUDED.\"a\"")
+    val guarded = upsertSql("w", Seq("id", "a", "ver"), Seq("id"), 1, Sqlite,
+      versionCol = Some("ver"))
+    assert(guarded.endsWith(
+      "ON CONFLICT (\"id\") DO UPDATE SET \"a\" = EXCLUDED.\"a\", " +
+        "\"ver\" = EXCLUDED.\"ver\" WHERE EXCLUDED.\"ver\" > \"w\".\"ver\""))
+    // row-constructor IN delete (SQLite supports row values since 3.15)
+    assert(deleteSql("w", Seq("k1", "k2"), 1, Sqlite) ===
+      "DELETE FROM \"w\" WHERE (\"k1\", \"k2\") IN ((?, ?))")
+  }
+
   test("keyless upsert degrades to plain INSERT (reference mass_updater.rb:54-55)") {
     assert(upsertSql("w", Seq("a"), Nil, 1, MySql) ===
       "INSERT INTO `w` (`a`) VALUES (?)")
