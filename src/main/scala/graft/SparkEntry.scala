@@ -169,6 +169,49 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Registry schema-id dispatch (the reference's avro_schema_registry
+    * decode semantics): one binary column carries frames from TWO
+    * writer schema versions — even keys framed with writer v1 (id 1,
+    * no price field), odd keys with writer v2 (id 2, adds
+    * price_cents) — and a single dispatching reader resolves each
+    * frame's writer by its embedded id against a reader schema whose
+    * new field defaults to -1. The oracle recomputes the expected rows
+    * from `orders` with a CASE on key parity, independent of the whole
+    * encode→frame→dispatch→resolve chain under test. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.RegistryFramedBackend
+    val v1Json =
+      """{"type":"record","name":"OrderEvt","fields":[
+        | {"name":"o_orderkey","type":"long"},
+        | {"name":"o_orderstatus","type":"string"}]}""".stripMargin
+    val v2Json =
+      """{"type":"record","name":"OrderEvt","fields":[
+        | {"name":"o_orderkey","type":"long"},
+        | {"name":"o_orderstatus","type":"string"},
+        | {"name":"price_cents","type":"long"}]}""".stripMargin
+    val readerJson =
+      """{"type":"record","name":"OrderEvt","fields":[
+        | {"name":"o_orderkey","type":"long"},
+        | {"name":"o_orderstatus","type":"string"},
+        | {"name":"price_cents","type":"long","default":-1}]}""".stripMargin
+    val w1 = new RegistryFramedBackend(v1Json, schemaId = 1)
+    val w2 = new RegistryFramedBackend(v2Json, schemaId = 2)
+    val reader = new RegistryFramedBackend(readerJson, schemaId = 3,
+      writerSchemas = Map(1 -> v1Json, 2 -> v2Json))
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    src.select(
+      when(col("o_orderkey") % 2 === 0,
+        w1.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus"))))
+        .otherwise(w2.encodeExpr(struct(col("o_orderkey"),
+          col("o_orderstatus"), col("price_cents"))))
+        .as("bin"))
+      .select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*")
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -257,6 +300,7 @@ object SparkEntry {
     "q11_autofields" -> (q11 _),
     "q12_compound_key" -> (q12 _),
     "q13_proto_codec" -> (q13 _),
+    "q14_registry_evolution" -> (q14 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -333,6 +377,12 @@ object SparkEntry {
     "q13_proto_codec" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q14_registry_evolution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |  END AS price_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

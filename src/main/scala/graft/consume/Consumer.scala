@@ -48,11 +48,20 @@ class BatchConsumer(
     val hooks: ConsumerHooks,
     val keyCols: Seq[String],
     val orderCol: String,
-    val metrics: graft.observe.Metrics = graft.observe.Metrics.noop) {
+    val metrics: graft.observe.Metrics = graft.observe.Metrics.noop,
+    val tracer: graft.observe.Tracing = graft.observe.Tracing.noop) {
 
   /** Batch-mode consume of a Kafka-shaped frame; returns final
-    * (upserts, deletes) after hooks + compaction. */
-  def consumeBatch(kafka: DataFrame): (DataFrame, DataFrame) = {
+    * (upserts, deletes) after hooks + compaction. Wrapped in a tracer
+    * span named like the reference's (`consumer.rb:28-31`: span
+    * 'deimos-consumer', resource = consumer class) with errors
+    * recorded on the span before the T6 policy sees them. */
+  def consumeBatch(kafka: DataFrame): (DataFrame, DataFrame) =
+    tracer.withSpan("graft-consumer", cfg.fullTopic) {
+      consumeBatchInner(kafka)
+    }
+
+  private def consumeBatchInner(kafka: DataFrame): (DataFrame, DataFrame) = {
     metrics.count(graft.observe.Metrics.ConsumeBatch, 1L)
     val decoded = Streams.fromKafkaFrame(kafka, backend)
     hooks.preProcess(decoded)
