@@ -96,9 +96,13 @@ object ExtQueries {
   private def x24(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 20)
+    // ground truth feeds BOTH recall branches — checkpoint the tiny
+    // result (|queries|×k rows) so the corpus-wide brute-force scan
+    // runs once, not once per branch
     val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
       k = 5)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     def recallAt(nProbe: Int, alias: String): DataFrame = {
       val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
         dim = 64, nBits = 6, k = 5, nProbe = nProbe)
