@@ -77,9 +77,13 @@ object Bench {
     * not the queries.
     */
   /** Best-of-3: min wall is the right statistic for "how fast CAN the
-    * environment go right now" — robust to a one-off GC inside a rep. */
-  private def calibrate(spark: SparkSession): RunSample =
-    (1 to 3).map(_ => calibrateOnce(spark)).minBy(_.wallSec)
+    * environment go right now" — robust to a one-off GC inside a rep.
+    * Failed reps (wall = -1 sentinel) are excluded so one transient
+    * failure can't masquerade as the minimum. */
+  private def calibrate(spark: SparkSession): RunSample = {
+    val reps = (1 to 3).map(_ => calibrateOnce(spark)).filter(_.wallSec >= 0)
+    if (reps.isEmpty) RunSample(-1.0, -1.0, -1.0) else reps.minBy(_.wallSec)
+  }
 
   private def calibrateOnce(spark: SparkSession): RunSample = {
     import org.apache.spark.sql.functions._

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   * `java.util.zip.Inflater`) and de-filtered (all five PNG filter
   * types per the public spec §6), and WAV PCM sample frames are read
   * as 16-bit little-endian integers. Both emit channel statistics
-  * (count / sum / sum-of-squares / min / max) rather than raw pixels:
+  * rather than raw pixels (images: count / sum / min / max; audio
+  * adds sum-of-squares so RMS needs no float column):
   * at 100 TB the useful shape is a scan-side reduction per blob, not a
   * multi-megabyte array column. Everything is integer math so the
   * DuckDB oracle can reproduce values exactly (no float hashing).
@@ -80,12 +81,16 @@ object PixelDecode {
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
     if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
+    // dim pre-check BEFORE multiplying: u32 dims up to 2^32-1 would
+    // overflow (rowBytes+1)*h past Long into a small/negative value
+    // that slips under the byte cap — then allocate garbage
+    if (w > MaxRawBytes || h > MaxRawBytes) return null
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return null
     }
     val rowBytes = w * channels
-    val rawLen = (rowBytes + 1) * h
+    val rawLen = (rowBytes + 1) * h // dims ≤ 2^26 ⇒ no Long overflow
     if (rawLen > MaxRawBytes) return null
 
     // concatenate IDAT payloads (a writer may split the stream)
@@ -111,7 +116,10 @@ object PixelDecode {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // all input was provided up front and output space remains, so
+        // zero progress means the stream is truncated OR demands a
+        // preset dictionary (FDICT) — either way null, never a spin
+        if (n == 0) return null
         off += n
       }
       if (off != raw.length) return null // pixel count mismatch
@@ -339,7 +347,9 @@ object PixelDecode {
     out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
     var i2 = 0
     while (i2 < nSamples) {
-      w16(((seed + i2 * 7919) % 2003 - 1001) & 0xffff)
+      // 64-bit arithmetic: i2*7919 overflows Int past ~271k samples,
+      // silently diverging from the documented (64-bit SQL) formula
+      w16((((seed + i2.toLong * 7919L) % 2003L).toInt - 1001) & 0xffff)
       i2 += 1
     }
     out.toByteArray

@@ -130,9 +130,15 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       V.hyperplaneBucket(col(vecCol), dim, nBits).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(V.hyperplaneProbes(col(vecCol), dim, nBits, nProbe))
-        .as("bucket"))
+    // two-step select: the dim-length plane projections land in their
+    // own projection, so the probe expansion (which references them in
+    // several subtrees) re-reads an attribute instead of re-evaluating
+    // nBits dot products per probe element
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        V.rankedPlanes(col(vecCol), dim, nBits).as("_rp"))
+      .select(col("query_id"), col("qv"),
+        explode(V.probesFromRanked(col("_rp"), nBits, nProbe)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))

@@ -75,24 +75,40 @@ object VectorFunctions {
         (x, p) => x.cast("double") * p),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Multi-probe bucket list (size `nProbe`): the primary sign-bit
-    * bucket first, then the buckets reached by flipping ONE bit each,
-    * in ascending |projection| order — the bits the vector was least
-    * confident about are the likeliest to differ for a true neighbor
-    * (standard multi-probe LSH perturbation). Raises recall at a fixed
-    * nBits without re-bucketing the corpus: only the QUERY side fans
-    * out, the corpus keeps exactly one bucket per row. */
-  def hyperplaneProbes(vec: Column, dim: Int, nBits: Int, nProbe: Int): Column = {
+  /** Per-plane ranking array — ONE dim-length pass that carries
+    * everything both the primary bucket and multi-probe expansion
+    * need: struct(m = |projection|, mask = bit j, bit = mask when the
+    * sign bit is set else 0). Callers that derive several expressions
+    * from it should materialize it in its own projection first
+    * (Catalyst doesn't CSE across lambda boundaries, but it also
+    * doesn't collapse a multiply-referenced non-trivial alias — so a
+    * two-step select evaluates the dot products exactly once). */
+  def rankedPlanes(vec: Column, dim: Int, nBits: Int): Column =
+    array((0 until nBits).map { j =>
+      val p = projection(vec, dim, j)
+      struct(abs(p).as("m"), lit(1L << j).as("mask"),
+        when(p >= 0.0, lit(1L << j)).otherwise(lit(0L)).as("bit"))
+    }: _*)
+
+  /** Primary sign-bit bucket derived from [[rankedPlanes]] output —
+    * O(nBits) longs, no dim-length work. */
+  def bucketFromRanked(ranked: Column): Column =
+    aggregate(ranked, lit(0L), (acc, s) => acc.bitwiseOR(s.getField("bit")))
+
+  /** Multi-probe bucket list (size `nProbe`) from [[rankedPlanes]]
+    * output: the primary bucket first, then the buckets reached by
+    * flipping ONE bit each, in ascending |projection| order — the bits
+    * the vector was least confident about are the likeliest to differ
+    * for a true neighbor (standard multi-probe LSH perturbation).
+    * Raises recall at a fixed nBits without re-bucketing the corpus:
+    * only the QUERY side fans out. */
+  def probesFromRanked(ranked: Column, nBits: Int, nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= nBits + 1,
       s"nProbe=$nProbe out of range 1..${nBits + 1}")
-    val primary = hyperplaneBucket(vec, dim, nBits)
+    val primary = bucketFromRanked(ranked)
     if (nProbe == 1) array(primary)
     else {
-      // rank bits by |margin|; struct sort orders by first field
-      val ranked = array((0 until nBits).map { j =>
-        struct(abs(projection(vec, dim, j)).as("m"),
-          lit(1L << j).as("mask"))
-      }: _*)
+      // struct sort orders by first field (the margin)
       val flipMasks =
         slice(transform(array_sort(ranked), s => s.getField("mask")),
           1, nProbe - 1)
@@ -100,4 +116,10 @@ object VectorFunctions {
         transform(flipMasks, mk => primary.bitwiseXOR(mk)))
     }
   }
+
+  /** Single-expression convenience form of the above (the dot products
+    * appear in several subtrees; prefer the rankedPlanes two-step in
+    * per-row hot paths). */
+  def hyperplaneProbes(vec: Column, dim: Int, nBits: Int, nProbe: Int): Column =
+    probesFromRanked(rankedPlanes(vec, dim, nBits), nBits, nProbe)
 }

@@ -61,21 +61,24 @@ object Tracing {
   }
 
   /** In-memory recorder (reference `Tracing::Mock`): finished spans are
-    * inspectable, active span tracked per thread. */
+    * inspectable; a per-thread span STACK makes nesting compose —
+    * finishing an inner span restores its parent as the active span,
+    * so withSpan-inside-withSpan tags keep landing on the right span. */
   class InMemory extends Tracing {
     val finished = new java.util.concurrent.ConcurrentLinkedQueue[Span]()
-    private val active = new ThreadLocal[Span]
+    private val stack: ThreadLocal[java.util.ArrayDeque[Span]] =
+      ThreadLocal.withInitial(() => new java.util.ArrayDeque[Span]())
     def start(spanName: String, resource: String): Span = {
       val s = new Span(spanName, resource, System.nanoTime())
-      active.set(s)
+      stack.get().push(s)
       s
     }
     def finish(span: Span): Unit = {
       span.finishedAtNanos = System.nanoTime()
       finished.add(span)
-      if (active.get() eq span) active.remove()
+      stack.get().remove(span) // tolerate out-of-order finishes
     }
-    def activeSpan: Option[Span] = Option(active.get())
+    def activeSpan: Option[Span] = Option(stack.get().peek())
     def finishedSpans: Seq[Span] = {
       val out = scala.collection.mutable.ArrayBuffer[Span]()
       finished.forEach(s => out += s)
@@ -88,21 +91,30 @@ object Tracing {
     * attributed to it in the UI, the history server and event logs —
     * the closest native analog of an APM trace for a Spark engine.
     * Cancellation comes free: `sc.cancelJobGroup(span.name)` kills all
-    * of a span's jobs. */
+    * of a span's jobs. Nested spans restore the PARENT's job group on
+    * finish (not a bare clear), so an outer span's remaining jobs stay
+    * attributed after an inner span ends. */
   class SparkUi(spark: org.apache.spark.sql.SparkSession) extends Tracing {
-    private val active = new ThreadLocal[Span]
+    private val stack: ThreadLocal[java.util.ArrayDeque[Span]] =
+      ThreadLocal.withInitial(() => new java.util.ArrayDeque[Span]())
+    private def attribute(s: Span): Unit =
+      spark.sparkContext.setJobGroup(s.name,
+        if (s.resource.isEmpty) s.name else s"${s.name} [${s.resource}]")
     def start(spanName: String, resource: String): Span = {
       val s = new Span(spanName, resource, System.nanoTime())
-      spark.sparkContext.setJobGroup(spanName,
-        if (resource.isEmpty) spanName else s"$spanName [$resource]")
-      active.set(s)
+      stack.get().push(s)
+      attribute(s)
       s
     }
     def finish(span: Span): Unit = {
       span.finishedAtNanos = System.nanoTime()
-      spark.sparkContext.clearJobGroup()
-      if (active.get() eq span) active.remove()
+      val st = stack.get()
+      st.remove(span)
+      Option(st.peek()) match {
+        case Some(parent) => attribute(parent)
+        case None => spark.sparkContext.clearJobGroup()
+      }
     }
-    def activeSpan: Option[Span] = Option(active.get())
+    def activeSpan: Option[Span] = Option(stack.get().peek())
   }
 }

@@ -91,6 +91,34 @@ class PixelDecodeSpec extends SparkSpec {
       graft.ext.MediaProbe.pngBytes(5, 5)) === null)
   }
 
+  test("adversarial PNGs: FDICT stream and u32-max dims decode to null, no hang/throw") {
+    // hand-built PNG with a valid chunk layout whose IDAT declares a
+    // preset dictionary (zlib FDICT: 0x78 0x20 — checksum divisible by
+    // 31, bit 5 set). Inflater can never make progress on it; the
+    // decoder must return null instead of spinning
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(body, 0, body.length)
+      val len = data.length
+      Array[Byte](((len >>> 24) & 0xff).toByte, ((len >>> 16) & 0xff).toByte,
+        ((len >>> 8) & 0xff).toByte, (len & 0xff).toByte) ++ body ++
+        Array[Byte](((crc.getValue >>> 24) & 0xff).toByte,
+          ((crc.getValue >>> 16) & 0xff).toByte,
+          ((crc.getValue >>> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte)
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array[Byte](0, 0, 0, 5, 0, 0, 0, 5, 8, 0, 0, 0, 0) // 5x5 gray
+    val fdict = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(PixelDecode.pngPixelStats(fdict) === null)
+    // u32-max dims: (rowBytes+1)*h would overflow Long past the byte
+    // cap; the dim pre-check must reject before multiplying
+    val big = PixelDecode.pngPixelBytes(4, 4, 1)
+    (16 until 24).foreach(i => big(i) = 0xff.toByte) // w = h = 0xFFFFFFFF
+    assert(PixelDecode.pngPixelStats(big) === null)
+  }
+
   test("WAV round-trip: PCM-16 stats match the tone formula, mono and stereo") {
     for ((ch, n, seed) <- Seq((1, 100, 0), (2, 250, 1700), (1, 499, 1776))) {
       val st = PixelDecode.wavSampleStats(

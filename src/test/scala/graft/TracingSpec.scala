@@ -82,6 +82,34 @@ class TracingSpec extends SparkSpec {
     assert(span.error.exists(_.getMessage == "pre_process exploded"))
   }
 
+  test("nested spans restore the parent: active span and job-group attribution") {
+    val mem = new Tracing.InMemory
+    mem.withSpan("outer", "o") {
+      mem.withSpan("inner", "i") {
+        assert(mem.activeSpan.map(_.name).contains("inner"))
+      }
+      // inner finished → outer is active again; tags land on outer
+      assert(mem.activeSpan.map(_.name).contains("outer"))
+      mem.setTag("after-inner", "yes")
+    }
+    assert(mem.activeSpan.isEmpty)
+    val outer = mem.finishedSpans.find(_.name == "outer").get
+    assert(outer.getTag("after-inner").contains("yes"))
+
+    val ui = new Tracing.SparkUi(spark)
+    val o = ui.start("outer-ui", "o")
+    val i = ui.start("inner-ui", "i")
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+      === "inner-ui")
+    ui.finish(i)
+    // parent's attribution restored, not cleared
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+      === "outer-ui")
+    assert(ui.activeSpan.contains(o))
+    ui.finish(o)
+    assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") === null)
+  }
+
   test("SparkUi tracer maps spans onto job groups/descriptions") {
     val tracer = new Tracing.SparkUi(spark)
     val span = tracer.start("graft-sweep", "outbox")
