@@ -79,31 +79,21 @@ object Similarity {
   /** IVF ANN: corpus assigned to its nearest centroid (one scan, no
     * shuffle); queries probe their nProbe nearest centroid lists. The
     * join key is the coarse bucket, so search cost is
-    * corpus/k × nProbe per query instead of the full corpus. */
+    * corpus/k × nProbe per query instead of the full corpus. Centroids
+    * ride as ONE codegen reference object ([[graft.functions
+    * .Expressions.NearestCentroidsExpr]]), so the plan stays O(1) in
+    * size at k=4096 where the former per-centroid literal arrays would
+    * have bloated the expression tree. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroids: Array[Array[Double]], nProbe: Int = 2,
       k: Int = 5): DataFrame = {
-    val cents = centroids.zipWithIndex
-    def dists(v: Column): Seq[Column] = cents.map { case (cv, _) =>
-      val lits = array(cv.toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(v, lits, (x, p) => {
-        val d = x.cast("double") - p; d * d
-      }), lit(0.0), (acc, x) => acc + x)
-    }.toSeq
-    def bucketOf(v: Column): Column = {
-      val ds = array(dists(v): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-    def probesOf(v: Column): Column = {
-      val ds = array(dists(v).zipWithIndex.map { case (d, i) =>
-        struct(d.as("d"), lit(i).as("c"))
-      }: _*)
-      slice(transform(array_sort(ds), s => s.getField("c")), 1, nProbe)
-    }
+    import graft.functions.{Expressions => E}
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketOf(col(vecCol)).as("bucket"))
+      element_at(E.nearestCentroids(col(vecCol), centroids, 1), 1)
+        .as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probesOf(col(vecCol))).as("bucket"))
+      explode(E.nearestCentroids(col(vecCol), centroids, nProbe))
+        .as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))

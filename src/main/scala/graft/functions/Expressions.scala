@@ -155,6 +155,72 @@ object Expressions {
         r: Expression): CosineSimExpr = copy(l, r)
   }
 
+  /** nProbe nearest centroids (ascending L2, ties → lower index) for a
+    * float/double vector. The centroid table rides along as a codegen
+    * REFERENCE OBJECT, not a literal tree — at k=8/dim=64 literals are
+    * tolerable, at k=4096 they'd bloat the plan and janino; one shared
+    * array keeps the expression O(1) in plan size regardless of k. */
+  case class NearestCentroidsExpr(child: Expression,
+      centroids: Array[Array[Double]], nProbe: Int)
+      extends UnaryExpression {
+    require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe=$nProbe out of range 1..${centroids.length}")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def nearest(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val k = centroids.length
+      val dim = centroids(0).length
+      val d2 = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) -
+            cent(i)
+          s += x * x
+          i += 1
+        }
+        d2(c) = s
+        c += 1
+      }
+      // nProbe-wise selection; strict < keeps the lowest index on ties
+      val out = new Array[Int](nProbe)
+      val used = new Array[Boolean](k)
+      var p = 0
+      while (p < nProbe) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var c2 = 0
+        while (c2 < k) {
+          if (!used(c2) && d2(c2) < bestD) { bestD = d2(c2); best = c2 }
+          c2 += 1
+        }
+        used(best) = true
+        out(p) = best
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = nearest(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCentroids", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nearest($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+      copy(child = c)
+  }
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    col(NearestCentroidsExpr(ex(vec), centroids, nProbe))
+
   def simhash64(tokenHashes: Column): Column =
     col(SimHash64Expr(ex(tokenHashes)))
 

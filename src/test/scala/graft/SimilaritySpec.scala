@@ -47,6 +47,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroids: ascending L2 order, lowest index wins ties, reference-object codegen") {
+    import graft.functions.{Expressions => E}
+    val cents = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    // (0.9, 0) → nearest c1 (d=.01); tie between c1 and c3 resolves to 1
+    val df = Seq(
+      (1L, Seq(0.9f, 0.0f)), (2L, Seq(0.1f, 0.1f)), (3L, Seq(0.0f, 0.8f)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+      E.nearestCentroids(col("v"), cents, nProbe = 3).as("near"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[Int](r.fieldIndex("near"))).toMap
+    // c1 and c3 are identical (d=.01): c1 wins the tie by index, c3
+    // follows, then c0 (d=.81) — ascending distance throughout
+    assert(got(1L) === Seq(1, 3, 0))
+    assert(got(2L) === Seq(0, 1, 2))
+    assert(got(3L) === Seq(2, 0, 1))
+    // double vectors take the non-float path
+    val d2 = Seq((9L, Seq(1.0, 0.0))).toDF("id", "v")
+      .select(E.nearestCentroids(col("v"), cents, 1).as("n"))
+      .collect().head.getSeq[Int](0)
+    assert(d2 === Seq(1))
+  }
+
   test("nProbe=1 equals the plain single-bucket search") {
     val qs = corpus.filter(col("vec_id") < 10)
     val single = Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
