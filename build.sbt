@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 46+ benchmark queries × whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache mid-sweep; once full, HotSpot stops
+  // compiling and generated code runs interpreted — the observed
+  // pattern of a 10-20× CPU-heavy run that later recovers (cache
+  // flushing evicts, recompiles). Size it so the sweep never hits the
+  // cliff.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -199,6 +199,19 @@ object Bench {
     //   starved  := wall high while cpu flat and gc flat  (co-tenancy)
     //   gc-bound := extra wall ≈ gc                        (heap)
     // and for the whole sweep: calibration.after / calibration.before.
+    //
+    // Goes to a FILE, not the stdout contract line: the driver captures
+    // only the last few KB of output and parses the {"metric":...} line
+    // found there — round 3's inline diag grew the line past that
+    // window and the artifact recorded parsed:null. (Not stderr either:
+    // sbt pumps forked-process stderr onto its stdout as [error] lines
+    // on a separate thread, so a large diag line emitted just before
+    // the contract line could be flushed after it and push it out of
+    // the tail window.) The stdout line must stay small; the per-run
+    // stderr lines printed during the sweep carry the same numbers for
+    // log readers.
+    def cal(s: RunSample): String =
+      s"""{"wall":${jnum(s.wallSec)},"cpu":${jnum(s.cpuSec)},"gc":${jnum(s.gcSec)}}"""
     val diagJson = {
       val perQuery = diag.map { case (k, ss) =>
         "\"" + k + "\":{" +
@@ -206,12 +219,24 @@ object Bench {
           "\"cpu\":" + jarr(ss.map(_.cpuSec)) + "," +
           "\"gc\":" + jarr(ss.map(_.gcSec)) + "}"
       }.mkString("{", ",", "}")
-      def cal(s: RunSample): String =
-        s"""{"wall":${jnum(s.wallSec)},"cpu":${jnum(s.cpuSec)},"gc":${jnum(s.gcSec)}}"""
       s"""{"cores":$nproc,"calibration_before":${cal(calBefore)},"calibration_after":${cal(calAfter)},"runs":$perQuery}"""
     }
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DIAG_FILE", "bench_diag.json"))
+      java.nio.file.Files.write(p,
+        diagJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] diag written to ${p.toAbsolutePath}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] diag write failed: ${e.getClass.getName}")
+    }
 
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""")
+    // Compact environment summary that DOES fit the contract line: the
+    // calibration pair alone distinguishes "box degraded during the
+    // sweep" from "queries are slow" — the per-query breakdown is in
+    // stderr.
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"cal_before":${cal(calBefore)},"cal_after":${cal(calAfter)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
