@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, MediaProbe, Multimodal, PixelDecode, Similarity}
+import graft.ext.{Dedup, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -372,7 +372,53 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (concat-and-chunk): every document's position in
+    * the stream of 512-token training sequences. The hierarchical
+    * prefix sum keeps the corpus-wide running total parallel (the only
+    * single-task stage sees one row per 100-doc bucket); the oracle
+    * recomputes the same positions with a plain window cumsum. */
+  private def x29(s: SparkSession, dir: String): DataFrame =
+    Packing.concatChunk(
+      t(s, dir, "documents").select(col("doc_id"),
+        T.wsTokenCount(col("text")).as("n_tokens")),
+      "doc_id", col("n_tokens"), window = 512L, bucketSize = 100L)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("seq_id"), col("seq_off"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling: downsample English to 25%,
+    * keep other languages at 75%, decided by a pure key-hash filter
+    * (no shuffle, no RNG state — reproducible at any cluster size).
+    * The oracle applies the identical md5-threshold rule. */
+  private def x30(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(t(s, dir, "documents"),
+      col("doc_id"), col("lang"),
+      rates = Map("en" -> 0.25), defaultRate = 0.75)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Bloom-accelerated semi-join: lineitems of URGENT orders. The
+    * bloom sketch of the (selective) order-key set filters the fact
+    * table at the scan, before the shuffle; the exact semi-join then
+    * drops sketch false positives, so the result — and the oracle, a
+    * plain join — is exact. */
+  private def x31(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.operators.Scale.bloomSemiJoin(
+      t(s, dir, "lineitem"), urgent, "l_orderkey",
+      expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_pack" -> (x29 _),
+    "x30_sample" -> (x30 _),
+    "x31_bloom_semijoin" -> (x31 _),
     "x27_image_pixels" -> (x27 _),
     "x28_audio_samples" -> (x28 _),
     "x21_pii_redact" -> (x21 _),
@@ -406,6 +452,36 @@ object ExtQueries {
   // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
   // x13,x16) are deliberately omitted → rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "x29_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 512 AS seq_id,
+        |  start_tok % 512 AS seq_off,
+        |  CAST(CASE WHEN n_tokens <= 0 THEN 0
+        |    ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+        |  END AS BIGINT) AS n_seqs
+        |FROM pos ORDER BY doc_id""".stripMargin,
+    "x30_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '40000000' ELSE 'c0000000' END
+        |ORDER BY doc_id""".stripMargin,
+    "x31_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x21_pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

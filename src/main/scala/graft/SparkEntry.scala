@@ -212,6 +212,26 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** S9/S10 CDC as a snapshot diff (`Cdc.snapshotDiff`): two synthetic
+    * table versions are derived from `orders` by key-arithmetic
+    * (prev = keys not divisible by 7; curr = keys not divisible by 5,
+    * with prices bumped on keys divisible by 3), and the diff must
+    * classify every key as added / deleted / changed. The oracle
+    * recomputes the classification from the key arithmetic alone —
+    * independent of the full-outer-join diff machinery under test. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val prev = base.filter(col("o_orderkey") % 7 =!= 0)
+    val curr = base.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 3 === 0, col("price_cents") + 100)
+          .otherwise(col("price_cents")))
+    Cdc.snapshotDiff(prev, curr, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -301,6 +321,7 @@ object SparkEntry {
     "q12_compound_key" -> (q12 _),
     "q13_proto_codec" -> (q13 _),
     "q14_registry_evolution" -> (q14 _),
+    "q15_snapshot_diff" -> (q15 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -384,6 +405,17 @@ object SparkEntry {
         |       ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |  END AS price_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q15_snapshot_diff" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'added'
+        |       WHEN o_orderkey % 5 = 0 THEN 'deleted'
+        |       ELSE 'changed' END AS status
+        |FROM orders
+        |WHERE (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+        |   OR (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+        |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+        |       AND o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: documents are
+  * tokenized, concatenated in a global deterministic order, and split
+  * into fixed-size token windows ("sequences"). Each document needs to
+  * know where its tokens land: which sequence its first token starts
+  * in, at what offset, and how many sequences it spans.
+  *
+  * The core primitive is a corpus-wide running token total (prefix
+  * sum). The naive formulation — `sum(n).over(Window.orderBy(id))`
+  * with no partitionBy — collapses the whole corpus into ONE task and
+  * is exactly the plan that dies at 100 TB. `prefixSum` here is the
+  * scalable two-level scan:
+  *
+  *   1. bucket rows by a range of the order column (parallel, no
+  *      shuffle beyond the bucket hash);
+  *   2. per-bucket running sums under a window PARTITIONED by bucket
+  *      (parallel across buckets);
+  *   3. per-bucket totals — one row per bucket — prefix-summed with a
+  *      single-partition window over only n/bucketSize rows (thousands,
+  *      not billions), then broadcast-joined back.
+  *
+  * The only single-task stage touches one row per bucket, so pick
+  * bucketSize so that n/bucketSize stays driver-friendly (1e4–1e6) and
+  * each bucket fits a task. At 100 TB / 1e9 docs, bucketSize=1e6 gives
+  * a 1 000-row sequential stage — negligible.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `valueCol` in `orderCol` order, added as
+    * column `outCol` (sum of all values STRICTLY before this row).
+    * `orderCol` must be numeric and unique; ordering is by its value.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
+      outCol: String, bucketSize: Long = 1000000L): DataFrame = {
+    val bucketed = df
+      .withColumn("__val", valueCol.cast("long"))
+      .withColumn("__bucket", expr(s"$orderCol div ${bucketSize}L"))
+    // inclusive running sum within each bucket — parallel across buckets
+    val innerW = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+    val withLocal = bucketed.withColumn("__local",
+      sum(col("__val")).over(innerW))
+    // one row per bucket; the unpartitioned window below runs on a
+    // single task but over only n/bucketSize rows
+    val totals = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("__val")).as("__tot"))
+    val bucketW = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__bucket"),
+      coalesce(sum(col("__tot")).over(bucketW), lit(0L)).as("__off"))
+    withLocal
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, col("__off") + col("__local") - col("__val"))
+      .drop("__bucket", "__val", "__local", "__off")
+  }
+
+  /** Concat-and-chunk packing: given per-document token counts, assign
+    * each document its position in the stream of fixed-`window`-token
+    * sequences. Emits:
+    *   - `start_tok`: global token offset of the doc's first token;
+    *   - `seq_id`:    sequence index containing that first token;
+    *   - `seq_off`:   offset within that sequence;
+    *   - `n_seqs`:    number of sequences the doc's tokens touch
+    *                  (0 for an empty doc).
+    */
+  def concatChunk(df: DataFrame, orderCol: String, nTokens: Column,
+      window: Long, bucketSize: Long = 1000000L): DataFrame = {
+    val withStart = prefixSum(
+      df.withColumn("__n", nTokens.cast("long")),
+      orderCol, col("__n"), "start_tok", bucketSize)
+    withStart
+      .withColumn("seq_id", expr(s"start_tok div ${window}L"))
+      .withColumn("seq_off", pmod(col("start_tok"), lit(window)))
+      .withColumn("n_seqs",
+        when(col("__n") <= 0, lit(0L)).otherwise(
+          expr(s"(start_tok + __n - 1) div ${window}L")
+            - col("seq_id") + 1))
+      .drop("__n")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling for corpus re-balancing (e.g.
+  * downsampling the dominant language before training). The keep/drop
+  * decision is a pure function of the row key — `md5(salt || key)`
+  * compared against a per-stratum threshold — so it is:
+  *
+  *   - reproducible across runs, engines and cluster sizes (no RNG
+  *     state, no partition dependence — unlike `df.sample`);
+  *   - a plain filter: no shuffle, no aggregation, evaluated at the
+  *     scan, trivially parallel at 100 TB;
+  *   - stable under re-partitioning and incremental re-runs — a doc's
+  *     fate never changes when the corpus around it grows.
+  *
+  * The threshold compare happens on the md5 hex string directly:
+  * lowercase hex is character-ordered consistently with the numeric
+  * value, so `hex < threshold_hex` selects a uniform `rate` fraction
+  * without any engine-specific hex→int conversion (keeps the DuckDB
+  * oracle byte-identical).
+  */
+object Sampling {
+
+  /** First-8-hex-chars threshold for a keep rate in [0, 1]. */
+  def rateThreshold(rate: Double): String = {
+    val clamped = math.max(0.0, math.min(1.0, rate))
+    f"${math.round(clamped * 4294967296.0).min(4294967295L)}%08x"
+  }
+
+  /** Uniform deterministic sample: keep rows whose key-hash falls
+    * under the rate threshold. */
+  def uniform(df: DataFrame, keyCol: Column, rate: Double,
+      salt: String = ""): DataFrame =
+    df.filter(keepExpr(keyCol, lit(rateThreshold(rate)), salt))
+
+  /** Stratified sample: per-stratum keep rates, with a default for
+    * strata not listed. */
+  def stratified(df: DataFrame, keyCol: Column, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(
+      when(lit(false), lit("")).otherwise(lit(rateThreshold(defaultRate)))) {
+      case (acc, (stratum, rate)) =>
+        when(strataCol === stratum, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.filter(keepExpr(keyCol, threshold, salt))
+  }
+
+  private def keepExpr(keyCol: Column, thresholdHex: Column,
+      salt: String): Column =
+    substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8) <
+      thresholdHex
+}

@@ -39,4 +39,34 @@ object Cdc {
       .join(current.select(keyCols.map(col): _*), keyCols, "left_anti")
     (changedOrNew, deleted)
   }
+
+  /** One-frame snapshot diff (SCD-style CDC over two table versions):
+    * classifies every key as 'added' / 'deleted' / 'changed', dropping
+    * unchanged keys. Comparison is over `watched` columns (empty ⇒ all
+    * shared non-key columns), null-safe. One full-outer shuffle join on
+    * the key — the minimal plan for a two-sided diff; both sides'
+    * non-compared columns are pruned before the shuffle.
+    */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+      keyCols: Seq[String], watched: Seq[String] = Seq.empty): DataFrame = {
+    val cmpCols =
+      (if (watched.nonEmpty) watched
+      else current.columns.toSeq.filterNot(keyCols.contains))
+        .filter(c => previous.columns.contains(c) &&
+          current.columns.contains(c))
+    val prev = previous.select(
+      (keyCols.map(col) ++ cmpCols.map(c => col(c).as(s"__prev_$c"))
+        :+ lit(true).as("__prev_present")): _*)
+    val curr = current.select(
+      (keyCols.map(col) ++ cmpCols.map(col)
+        :+ lit(true).as("__curr_present")): _*)
+    val joined = curr.join(prev, keyCols, "full_outer")
+    val changed = cmpCols.map(c => !(col(c) <=> col(s"__prev_$c")))
+      .foldLeft(lit(false))(_ || _)
+    val status = when(col("__prev_present").isNull, lit("added"))
+      .when(col("__curr_present").isNull, lit("deleted"))
+      .when(changed, lit("changed"))
+    joined.filter(status.isNotNull)
+      .select((keyCols.map(col) :+ status.as("status")): _*)
+  }
 }

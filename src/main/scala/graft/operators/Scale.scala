@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Scale utilities: bucketed co-located joins and skew salting — the
   * knobs a 100 TB deployment turns when the default shuffle plan isn't
@@ -37,6 +40,45 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Bloom-filter prefilter for a selective join: build a bloom sketch
+    * of the small side's keys (distributed aggregate; only the fixed-
+    * size sketch itself crosses to the driver), then filter the big
+    * side AT THE SCAN with `might_contain` before any shuffle. This is
+    * Spark's own runtime row-level filtering made explicit as an
+    * operator: at 100 TB the exchange above a selective join carries
+    * only the ~fpp fraction of surviving rows instead of the whole
+    * fact table. The caller still runs the exact join afterwards —
+    * bloom false positives drop out there, so results stay exact.
+    *
+    * Sketch sizing: numBits defaults to 8 bits/item ⇒ ~2% fpp; the
+    * sketch for 1M items is ~1 MB — broadcast-friendly. Both sides are
+    * hashed with xxhash64, the same scheme Spark's injected runtime
+    * filters use.
+    */
+  def bloomFilterBig(big: DataFrame, small: DataFrame, bigKey: Column,
+      smallKey: Column, expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1000000L): DataFrame = {
+    val aggExpr = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(smallKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val sketch = small.select(aggExpr.as("bf")).head.getAs[Array[Byte]](0)
+    if (sketch == null) big.filter(lit(false)) // empty build side
+    else big.filter(GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      GraftSqlBridge.expression(xxhash64(bigKey)))))
+  }
+
+  /** Exact semi-join accelerated by the bloom prefilter: big side is
+    * scan-filtered by the sketch, then exact-joined to drop false
+    * positives. Equivalent to `big.join(small, key, "left_semi")` with
+    * a fraction of the shuffle. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L): DataFrame =
+    bloomFilterBig(big, small.select(col(key)), col(key), col(key),
+      expectedItems)
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
 
   /** Deterministic variant: salt derived from another column's hash —
     * reproducible plans (tests, oracles). */

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Packing, Sampling}
+import graft.operators.{Cdc, Scale}
+
+/** Specs for the round-4 pipeline operators: sequence packing,
+  * stratified sampling, bloom semi-join, snapshot diff.
+  */
+class PackSampleBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- packing
+
+  test("prefixSum matches the single-window formulation across buckets") {
+    val df = Seq((0L, 3L), (1L, 5L), (7L, 2L), (10L, 4L), (23L, 1L), (40L, 6L))
+      .toDF("id", "n")
+    // bucketSize=10 forces multiple buckets with uneven occupancy
+    val got = Packing.prefixSum(df, "id", col("n"), "ps", bucketSize = 10L)
+      .orderBy("id").select("id", "ps").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 0L), (1L, 3L), (7L, 8L), (10L, 10L),
+      (23L, 14L), (40L, 15L)))
+  }
+
+  test("concatChunk assigns sequence positions and span counts") {
+    // window=10: doc0 tokens [0,7) seq0; doc1 [7,19) spans seq0..1;
+    // doc2 empty; doc3 [19,30) spans seq1..2 ending exactly at 30
+    val df = Seq((0L, 7L), (1L, 12L), (2L, 0L), (3L, 11L)).toDF("id", "n")
+    val got = Packing.concatChunk(df, "id", col("n"), window = 10L,
+      bucketSize = 2L)
+      .orderBy("id")
+      .select("id", "start_tok", "seq_id", "seq_off", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 1L),
+      (1L, 7L, 0L, 7L, 2L),
+      (2L, 19L, 1L, 9L, 0L),
+      (3L, 19L, 1L, 9L, 2L)))
+  }
+
+  test("prefixSum stays correct when a bucket is empty") {
+    val df = Seq((0L, 1L), (35L, 2L), (36L, 3L)).toDF("id", "n") // bucket 1,2 empty
+    val got = Packing.prefixSum(df, "id", col("n"), "ps", bucketSize = 10L)
+      .orderBy("id").select("ps").as[Long].collect()
+    assert(got.toSeq === Seq(0L, 1L, 3L))
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  test("rateThreshold endpoints and midpoint") {
+    assert(Sampling.rateThreshold(0.0) === "00000000")
+    assert(Sampling.rateThreshold(0.25) === "40000000")
+    assert(Sampling.rateThreshold(1.0) === "ffffffff")
+  }
+
+  test("uniform sampling is deterministic and near the target rate") {
+    val df = spark.range(0, 4000).toDF("id")
+    val kept = Sampling.uniform(df, col("id"), 0.5).count()
+    val keptAgain = Sampling.uniform(df, col("id"), 0.5).count()
+    assert(kept === keptAgain) // pure function of the key
+    assert(math.abs(kept - 2000L) < 200, s"kept=$kept far from 2000")
+    // different salt ⇒ different (still deterministic) subset
+    val salted = Sampling.uniform(df, col("id"), 0.5, salt = "v2").count()
+    assert(math.abs(salted - 2000L) < 200)
+  }
+
+  test("stratified rates apply per stratum and sample nests by rate") {
+    val df = spark.range(0, 3000)
+      .withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratified(df, col("id"), col("g"),
+      rates = Map("a" -> 0.1), defaultRate = 0.9)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("a") < 300 && byG("b") > 1150,
+      s"stratum counts off: $byG")
+    // lower-rate sample is a subset of a higher-rate one (same salt):
+    // the hash-threshold rule nests samples by construction
+    val small = Sampling.uniform(df, col("id"), 0.2)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.uniform(df, col("id"), 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  // --------------------------------------------------------------- bloom
+
+  test("bloomSemiJoin equals the exact semi-join") {
+    val big = spark.range(0, 5000).toDF("k")
+    val small = spark.range(0, 5000).filter(col("id") % 17 === 0)
+      .toDF("k")
+    val got = Scale.bloomSemiJoin(big, small, "k", expectedItems = 1000L)
+      .orderBy("k").as[Long].collect()
+    val want = big.join(small, Seq("k"), "left_semi")
+      .orderBy("k").as[Long].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("bloomSemiJoin with an empty build side returns nothing") {
+    val big = spark.range(0, 100).toDF("k")
+    val small = spark.range(0, 100).filter(col("id") < 0).toDF("k")
+    assert(Scale.bloomSemiJoin(big, small, "k", expectedItems = 10L)
+      .count() === 0L)
+  }
+
+  // ------------------------------------------------------- snapshot diff
+
+  test("snapshotDiff classifies added/deleted/changed and drops unchanged") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "s", "v")
+    val curr = Seq((1L, "a", 10L), (2L, "B", 20L), (3L, "c", 31L),
+      (5L, "e", 50L)).toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(prev, curr, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((2L, "changed"), (3L, "changed"),
+      (4L, "deleted"), (5L, "added")))
+  }
+
+  test("snapshotDiff honors the watched-column list and null-safe compare") {
+    val prev = Seq((1L, Option.empty[String], 10L), (2L, Some("x"), 20L))
+      .toDF("k", "s", "v")
+    val curr = Seq((1L, Option.empty[String], 99L), (2L, Some("x"), 20L))
+      .toDF("k", "s", "v")
+    // watched = s only: v change on k=1 is invisible; null==null holds
+    assert(Cdc.snapshotDiff(prev, curr, Seq("k"), watched = Seq("s"))
+      .count() === 0L)
+    // watched = v: k=1 surfaces
+    val got = Cdc.snapshotDiff(prev, curr, Seq("k"), watched = Seq("v"))
+      .as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "changed")))
+  }
+}
