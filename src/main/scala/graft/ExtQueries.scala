@@ -449,9 +449,40 @@ object ExtQueries {
     "x12_multimodal_meta" -> (x12 _),
   )
 
-  // DuckDB-expressible subset. Sketch/vector queries (x2,x3,x5,x6,x7,
-  // x13,x16) are deliberately omitted → rows-only check.
+  // DuckDB-expressible subset. Hash-sketch queries (x2,x3,x7,x13,x16)
+  // are deliberately omitted → rows-only check (their signatures/
+  // centroids are engine-specific). The float-cosine queries x5/x6 ARE
+  // oracle-checked: both engines accumulate the dot product in double
+  // over the same element order, agree to <1e-12 (validated at every
+  // sf), and the nearest 4-dp rounding boundary / threshold / rank
+  // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    "x5_dedup_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x6_ann_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, cv) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+        |      AS rank
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "x29_pack" ->
       """WITH toks AS (
         |  SELECT doc_id,
