@@ -415,7 +415,17 @@ object ExtQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Key-skew diagnostic over the event stream's user key — the
+    * report run before sizing salts/AQE for a hot-key join. Top-k is
+    * TakeOrdered (parallel partial top-k); the corpus total rides as a
+    * broadcast one-row join, never an unpartitioned window. */
+  private def x32(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewReport(
+      t(s, dir, "events"), col("user_id"), topK = 20)
+      .orderBy(col("cnt").desc, col("key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_skew_report" -> (x32 _),
     "x29_pack" -> (x29 _),
     "x30_sample" -> (x30 _),
     "x31_bloom_semijoin" -> (x31 _),
@@ -513,6 +523,14 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x32_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT key, cnt,
+        |  CAST(cnt * 1000000 // (SELECT SUM(cnt) FROM counts) AS BIGINT)
+        |    AS share_ppm
+        |FROM counts
+        |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
     "x21_pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -80,6 +80,28 @@ object Scale {
       expectedItems)
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
 
+  /** Join-key skew diagnostic: the top-k hottest keys with their row
+    * counts and corpus share (ppm, integer-exact). This is the report
+    * you run BEFORE picking a salting factor or enabling AQE skew
+    * handling on a 100 TB join: `max_ppm × salts ≈ balanced` gives the
+    * salt count, and a dominant NULL/default key shows up immediately.
+    * One partial-aggregated shuffle on the key; the top-k limit is
+    * pushed (TakeOrderedAndProject), so only k rows reach the driver.
+    */
+  def skewReport(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt"))
+    // corpus total as a broadcast 1-row join, NOT an unpartitioned
+    // window — a whole-frame window would drag every distinct key into
+    // a single partition
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("cnt * 1000000 div total"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("cnt"), col("share_ppm"))
+  }
+
   /** Deterministic variant: salt derived from another column's hash —
     * reproducible plans (tests, oracles). */
   def saltedJoinDeterministic(big: DataFrame, small: DataFrame, key: String,

@@ -102,6 +102,16 @@ class PackSampleBloomSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("skewReport surfaces the hot key with exact ppm share") {
+    val df = (Seq.fill(60)(7L) ++ (100L until 140L)).toDF("k")
+    val got = Scale.skewReport(df, col("k"), topK = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.head === ((7L, 60L, 600000L))) // 60 of 100 rows = 60%
+    assert(got.length === 3)
+    assert(got(1)._2 === 1L) // remaining keys are singletons, key-ordered
+    assert(got(1)._1 < got(2)._1)
+  }
+
   // ------------------------------------------------------- snapshot diff
 
   test("snapshotDiff classifies added/deleted/changed and drops unchanged") {
