@@ -424,7 +424,28 @@ object ExtQueries {
       t(s, dir, "events"), col("user_id"), topK = 20)
       .orderBy(col("cnt").desc, col("key"))
 
+  /** Per-document rare-term extraction (the integer-exact core of
+    * TF-IDF): each document's top-3 most-corpus-rare distinct tokens,
+    * ranked by global document frequency then token. The df dictionary
+    * is built once (token-keyed shuffle) and joined back to the
+    * per-doc token sets; ranking is a per-doc window. All-integer
+    * scoring keeps the oracle hashable (no float idf). */
+  private def x33(s: SparkSession, dir: String): DataFrame = {
+    val docTok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokenSet(col("text"))).as("tok"))
+    val df = docTok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    docTok.join(df, Seq("tok"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_rare_terms" -> (x33 _),
     "x32_skew_report" -> (x32 _),
     "x29_pack" -> (x29 _),
     "x30_sample" -> (x30 _),
@@ -523,6 +544,20 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x33_rare_terms" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |dfreq AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok)
+        |SELECT doc_id, rank, tok, df FROM (
+        |  SELECT t.doc_id, t.tok, d.df,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+        |      AS rank
+        |  FROM tok t JOIN dfreq d USING (tok))
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "x32_skew_report" ->
       """WITH counts AS (
         |  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id)

@@ -58,6 +58,54 @@ object Packing {
       .drop("__bucket", "__val", "__local", "__off")
   }
 
+  /** First-fit-decreasing bin packing for the "documents stay whole"
+    * packing mode (no doc ever straddles a sequence boundary; leftover
+    * capacity is padding). Packing is inherently sequential, so it runs
+    * partition-local: rows are range-partitioned by `orderCol` into
+    * `numPartitions` spans, each span FFD-packed independently inside
+    * `mapPartitions` (the documented last resort — a greedy stateful
+    * fold no relational operator expresses). Bin ids are globally
+    * unique and deterministic: (partitionId << 32) | localBin, with the
+    * range partitioning pinned by the explicit partition count.
+    *
+    * Per-span memory is O(bins in span); pick numPartitions so a span's
+    * bin directory fits a task comfortably (tokens_per_span/budget
+    * entries). Oversized docs (> budget) get a bin of their own rather
+    * than failing the job.
+    *
+    * Emits (orderCol, n_tokens, bin_id, bin_fill_after) per doc.
+    */
+  def binPackFFD(df: DataFrame, orderCol: String, nTokens: Column,
+      budget: Long, numPartitions: Int): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(orderCol).cast("long").as("id"),
+        nTokens.cast("long").as("n"))
+      .repartitionByRange(numPartitions, col("id"))
+      // FFD = first-fit over size-DESCENDING docs; id tiebreak pins
+      // the order, so the assignment is a pure function of the span
+      .sortWithinPartitions(col("n").desc, col("id"))
+      .as[(Long, Long)](tupleEnc)
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val remaining = scala.collection.mutable.ArrayBuffer[Long]()
+        rows.map { case (id, rawN) =>
+          val n = math.max(0L, rawN)
+          var b = 0
+          while (b < remaining.length && remaining(b) < n) b += 1
+          if (b == remaining.length) remaining += budget
+          // oversized doc: its fresh bin goes (possibly) negative and,
+          // being smaller than any later doc, is never reused
+          remaining(b) -= n
+          (id, n, (pid << 32) | b.toLong, budget - remaining(b))
+        }
+      }(outEnc)
+      .toDF("id", "n_tokens", "bin_id", "bin_fill_after")
+  }
+
   /** Concat-and-chunk packing: given per-document token counts, assign
     * each document its position in the stream of fixed-`window`-token
     * sequences. Emits:

@@ -46,6 +46,34 @@ class PackSampleBloomSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 1L, 3L))
   }
 
+  test("binPackFFD respects the budget, assigns all docs, and is deterministic") {
+    val df = (1L to 200L).map(i => (i, (i * 37 % 90) + 1)).toDF("id", "n")
+    val packed = Packing.binPackFFD(df, "id", col("n"), budget = 128L,
+      numPartitions = 4)
+    val rows = packed.as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 200) // every doc assigned
+    val byBin = rows.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2).sum }
+    assert(byBin.values.forall(_ <= 128L), s"overfull bin: $byBin")
+    // deterministic: identical assignment on a re-run
+    val again = Packing.binPackFFD(df, "id", col("n"), budget = 128L,
+      numPartitions = 4).as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // FFD efficiency: total tokens / budget is a lower bound on bins;
+    // greedy-desc should land within 2x of it on this distribution
+    val lower = math.ceil(rows.map(_._2).sum.toDouble / 128).toLong
+    assert(byBin.size <= 2 * lower, s"bins=${byBin.size} lower=$lower")
+  }
+
+  test("binPackFFD gives an oversized doc its own bin without failing") {
+    val df = Seq((1L, 500L), (2L, 60L), (3L, 60L)).toDF("id", "n")
+    val rows = Packing.binPackFFD(df, "id", col("n"), budget = 128L,
+      numPartitions = 1).as[(Long, Long, Long, Long)].collect()
+    val big = rows.find(_._1 == 1L).get
+    assert(rows.filter(_._3 == big._3).map(_._1).toSeq === Seq(1L))
+    val others = rows.filter(_._1 != 1L)
+    assert(others.map(_._3).distinct.length === 1) // 60+60 share a bin
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("rateThreshold endpoints and midpoint") {
@@ -80,6 +108,23 @@ class PackSampleBloomSpec extends SparkSpec {
     val big = Sampling.uniform(df, col("id"), 0.6)
       .select("id").as[Long].collect().toSet
     assert(small.subsetOf(big))
+  }
+
+  test("sampling composes with Structured Streaming (same rows as batch)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    mem.addData(0L until 500L: _*)
+    val q = Sampling.uniform(mem.toDF().withColumnRenamed("value", "id"),
+      col("id"), 0.3)
+      .writeStream.format("memory").queryName("sampled_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sampled_stream").as[Long].collect().toSet
+    val batch = Sampling.uniform(
+      spark.range(0, 500).toDF("id"), col("id"), 0.3)
+      .as[Long].collect().toSet
+    assert(streamed === batch)
   }
 
   // --------------------------------------------------------------- bloom
