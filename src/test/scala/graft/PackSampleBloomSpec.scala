@@ -39,6 +39,64 @@ class PackSampleBloomSpec extends SparkSpec {
       (3L, 19L, 1L, 9L, 2L)))
   }
 
+  test("prefixSum matches naive serial cumsum on random data (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 5000L)).map(_.distinct)
+      vals <- Gen.listOfN(ids.length, Gen.choose(0L, 900L))
+    } yield ids.zip(vals)
+    (1 to 12).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { rows =>
+        val df = rows.toDF("id", "n")
+        val got = Packing.prefixSum(df, "id", col("n"), "ps",
+          bucketSize = 64L)
+          .select("id", "ps").as[(Long, Long)].collect().toMap
+        var acc = 0L
+        rows.sortBy(_._1).foreach { case (id, n) =>
+          assert(got(id) === acc, s"id=$id")
+          acc += n
+        }
+      }
+  }
+
+  test("binPackFFD never overfills for random sizes (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 200L))
+    } yield sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .foreach { rows =>
+        val out = Packing.binPackFFD(rows.toDF("id", "n"), "id", col("n"),
+          budget = 128L, numPartitions = 3)
+          .as[(Long, Long, Long, Long)].collect()
+        assert(out.length === rows.length)
+        out.groupBy(_._3).foreach { case (bin, rs) =>
+          val tot = rs.map(_._2).sum
+          // a bin may exceed budget ONLY as a singleton oversize doc
+          assert(tot <= 128L || rs.length == 1,
+            s"bin $bin overfull with ${rs.length} docs tot=$tot")
+        }
+      }
+  }
+
+  test("prefixSum plan: corpus window is bucket-partitioned, offsets broadcast") {
+    val df = spark.range(0, 1000).toDF("id").withColumn("n", lit(3L))
+    val plan = Packing.prefixSum(df, "id", col("n"), "ps", bucketSize = 100L)
+      .queryExecution.executedPlan.toString
+    // the full-data window must carry the bucket partition spec —
+    // an unpartitioned Window over the corpus would be the 100 TB
+    // single-task trap this operator exists to avoid
+    assert(plan.contains("BroadcastExchange"), plan)
+    val corpusWindow = plan.split("\n")
+      .find(l => l.contains("Window") && l.contains("__local"))
+    assert(corpusWindow.exists(_.contains("__bucket")),
+      s"corpus window not bucket-partitioned:\n$plan")
+  }
+
   test("prefixSum stays correct when a bucket is empty") {
     val df = Seq((0L, 1L), (35L, 2L), (36L, 3L)).toDF("id", "n") // bucket 1,2 empty
     val got = Packing.prefixSum(df, "id", col("n"), "ps", bucketSize = 10L)
