@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
+import graft.ext.{Dedup, GifDecode, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -444,7 +444,34 @@ object ExtQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** REAL GIF pixel decode end-to-end — the third full-decode
+    * modality (after PNG x27 and WAV x28): per-row GIFs are
+    * synthesized with genuinely LZW-compressed pixels derived from
+    * doc_id, then fully decoded back (container walk + spec-complete
+    * variable-width LZW, cross-validated both ways against the JDK's
+    * ImageIO in GifDecodeSpec). The oracle recomputes the stats from
+    * doc_id with SQL series — independent of both synthesizer and
+    * decoder. */
+  private def x34(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 47 + 4).cast("int").as("w"),
+      (col("doc_id") % 29 + 3).cast("int").as("h"),
+      (col("doc_id") % 253).cast("int").as("seed"))
+    docs.select(col("doc_id"),
+      GifDecode.gifStats(GifDecode.synthGifPixels(
+        col("w"), col("h"), col("seed"))).as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_samples").as("n_samples"),
+        col("st.sum_val").as("sum_val"),
+        col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_gif_pixels" -> (x34 _),
     "x33_rare_terms" -> (x33 _),
     "x32_skew_report" -> (x32 _),
     "x29_pack" -> (x29 _),
@@ -544,6 +571,25 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // pixel(x, y) = (seed + x + 2y) % 256 over the w×h grid, ×3 RGB
+    // samples through the identity-gray palette — recomputed here from
+    // doc_id with two constant series, no knowledge of GIF at all
+    "x34_gif_pixels" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 47 + 4 AS BIGINT) AS width,
+        |  CAST(d.doc_id % 29 + 3 AS BIGINT) AS height,
+        |  CAST((d.doc_id % 47 + 4) * (d.doc_id % 29 + 3) * 3 AS BIGINT)
+        |    AS n_samples,
+        |  CAST(3 * sum((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS BIGINT)
+        |    AS sum_val,
+        |  CAST(min((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS INTEGER)
+        |    AS min_val,
+        |  CAST(max((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS INTEGER)
+        |    AS max_val
+        |FROM documents d
+        |JOIN generate_series(0, 59) t(x) ON t.x <= d.doc_id % 47 + 3
+        |JOIN generate_series(0, 39) u(y) ON u.y <= d.doc_id % 29 + 2
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "x33_rare_terms" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, tok FROM (
