@@ -22,6 +22,8 @@ import graft.schema.AvroExpressions._
   * graft_avro_decode(bin, 'schemaJson'), graft_schema_id(bin),
   * graft_winnow(bin, k, w), graft_nfc(str),
   * graft_probe_media(bin) → struct(width, height, media_type),
+  * graft_png_stats(bin) / graft_wav_stats(bin) / graft_gif_stats(bin)
+  * → full-decode statistics structs,
   * graft_probe_wav(bin) → struct(n_channels, sample_rate,
   * bits_per_sample, duration_ms, media_type).
   */
@@ -79,6 +81,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeAudioExpr(es.head)),
     (FunctionIdentifier("graft_probe_mp4"), info("graft_probe_mp4"),
       (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeVideoExpr(es.head)),
+    (FunctionIdentifier("graft_png_stats"), info("graft_png_stats"),
+      (es: Seq[Expression]) => graft.ext.PixelDecode.PngStatsExpr(es.head)),
+    (FunctionIdentifier("graft_wav_stats"), info("graft_wav_stats"),
+      (es: Seq[Expression]) => graft.ext.PixelDecode.WavStatsExpr(es.head)),
+    (FunctionIdentifier("graft_gif_stats"), info("graft_gif_stats"),
+      (es: Seq[Expression]) => graft.ext.GifDecode.GifStatsExpr(es.head)),
   )
 
   /** Register on a live session (temp functions). */

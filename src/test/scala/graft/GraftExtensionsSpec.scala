@@ -67,4 +67,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(fresh.sql("SELECT graft_schema_id(CAST(x'000000002A99' AS BINARY)) AS id")
       .collect()(0).getAs[Int]("id") === 42)
   }
+
+  test("full-decode stats are callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((graft.ext.PixelDecode.pngPixelBytes(9, 4, 7),
+      graft.ext.GifDecode.gifPixelBytes(9, 4, 7)))
+      .toDF("png", "gif").createOrReplaceTempView("blobs")
+    val row = spark.sql(
+      """SELECT graft_png_stats(png).n_samples AS pn,
+        |  graft_gif_stats(gif).n_samples AS gn,
+        |  graft_gif_stats(gif).width AS gw FROM blobs""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) === 36L)
+    assert(row.getLong(1) === 108L) // 9*4*3 rgb samples
+    assert(row.getLong(2) === 9L)
+  }
 }
