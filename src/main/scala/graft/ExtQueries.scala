@@ -470,7 +470,41 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Heterogeneous multimodal column: ONE binary column carries PNG /
+    * GIF / WAV payloads (modality by doc_id mod 3, content derived
+    * from doc_id), decoded by the single magic-sniffing dispatcher
+    * `Multimodal.decodeStats` — the realistic multimodal-corpus shape.
+    * The oracle recomputes every branch's stats from doc_id alone. */
+  private def x35(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        PixelDecode.synthPngPixels(
+          (col("doc_id") % 97 + 4).cast("int"),
+          (col("doc_id") % 53 + 3).cast("int"),
+          (col("doc_id") % 251).cast("int")))
+        .when(col("doc_id") % 3 === 1,
+          GifDecode.synthGifPixels(
+            (col("doc_id") % 47 + 4).cast("int"),
+            (col("doc_id") % 29 + 3).cast("int"),
+            (col("doc_id") % 253).cast("int")))
+        .otherwise(
+          PixelDecode.synthWavTone(lit(1), lit(8000),
+            (col("doc_id") % 400 + 100).cast("int"),
+            (col("doc_id") % 1777).cast("int")))
+        .as("media_bytes"))
+    docs.select(col("doc_id"),
+      graft.ext.Multimodal.decodeStats(col("media_bytes")).as("st"))
+      .select(col("doc_id"),
+        col("st.media_type").as("media_type"),
+        col("st.n_samples").as("n_samples"),
+        col("st.sum_val").as("sum_val"),
+        col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_media_dispatch" -> (x35 _),
     "x34_gif_pixels" -> (x34 _),
     "x33_rare_terms" -> (x33 _),
     "x32_skew_report" -> (x32 _),
@@ -571,6 +605,44 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // three modalities, three integer formulas, one UNION — each
+    // branch recomputed from doc_id with series joins, independent of
+    // every synthesizer and decoder in the chain under test
+    "x35_media_dispatch" ->
+      """SELECT * FROM (
+        |  SELECT d.doc_id, 'image/png' AS media_type,
+        |    CAST((d.doc_id % 97 + 4) * (d.doc_id % 53 + 3) AS BIGINT)
+        |      AS n_samples,
+        |    CAST((d.doc_id % 53 + 3) * sum((d.doc_id % 251 + t.x) % 256)
+        |      AS BIGINT) AS sum_val,
+        |    CAST(min((d.doc_id % 251 + t.x) % 256) AS INTEGER) AS min_val,
+        |    CAST(max((d.doc_id % 251 + t.x) % 256) AS INTEGER) AS max_val
+        |  FROM documents d
+        |  JOIN generate_series(0, 99) t(x) ON t.x <= d.doc_id % 97 + 3
+        |  WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image/gif',
+        |    CAST((d.doc_id % 47 + 4) * (d.doc_id % 29 + 3) * 3 AS BIGINT),
+        |    CAST(3 * sum((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS BIGINT),
+        |    CAST(min((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS INTEGER),
+        |    CAST(max((d.doc_id % 253 + t.x + 2 * u.y) % 256) AS INTEGER)
+        |  FROM documents d
+        |  JOIN generate_series(0, 59) t(x) ON t.x <= d.doc_id % 47 + 3
+        |  JOIN generate_series(0, 39) u(y) ON u.y <= d.doc_id % 29 + 2
+        |  WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id
+        |  UNION ALL
+        |  SELECT d.doc_id, 'audio/wav',
+        |    CAST(d.doc_id % 400 + 100 AS BIGINT),
+        |    CAST(sum((d.doc_id % 1777 + t.i * 7919) % 2003 - 1001)
+        |      AS BIGINT),
+        |    CAST(min((d.doc_id % 1777 + t.i * 7919) % 2003 - 1001)
+        |      AS INTEGER),
+        |    CAST(max((d.doc_id % 1777 + t.i * 7919) % 2003 - 1001)
+        |      AS INTEGER)
+        |  FROM documents d
+        |  JOIN generate_series(0, 499) t(i) ON t.i <= d.doc_id % 400 + 99
+        |  WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id
+        |) ORDER BY doc_id""".stripMargin,
     // pixel(x, y) = (seed + x + 2y) % 256 over the w×h grid, ×3 RGB
     // samples through the identity-gray palette — recomputed here from
     // doc_id with two constant series, no knowledge of GIF at all

@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct.
   *
   * Image/audio/video METADATA is real ([[MediaProbe]]: PNG/JPEG/GIF,
-  * WAV, MP4 header parses), and PNG pixel + WAV PCM sample decode is
-  * real too ([[PixelDecode]]: Inflater + all five PNG unfilters,
-  * 16-bit PCM stats) — all codegen'd scan-side expressions. The
-  * functions below keep the mapPartitions CODEC shape for the formats
-  * that genuinely need a native decoder (JPEG entropy decode, MP4
-  * frame extraction — no codec libraries in this container): their
-  * bodies are clearly-marked deterministic stubs, but the schema,
-  * batch iteration and partition layout are what a real decoder plugs
-  * into. Either way the 100 TB shape holds: decode work is
-  * embarrassingly parallel and never shuffles.
+  * WAV, MP4 header parses), and full PIXEL/SAMPLE decode is real for
+  * three formats ([[PixelDecode]]: PNG Inflater + all five unfilters,
+  * 16-bit PCM stats; [[GifDecode]]: spec-complete LZW) — all codegen'd
+  * scan-side expressions. [[decodeStats]] below is the REAL
+  * heterogeneous-column decoder: it sniffs each blob's magic and runs
+  * the matching full decoder, so one binary column can mix PNG, GIF
+  * and WAV payloads — the shape a real multimodal corpus has.
+  *
+  * Only the formats that genuinely need a native decoder (JPEG entropy
+  * decode, MP4 frame extraction — no codec libraries in this
+  * container) remain on the clearly-marked stub path
+  * ([[decodeMetaStub]]/[[decodeMetaPartitions]]): their schema, batch
+  * iteration and partition layout are what a real codec plugs into.
+  * Either way the 100 TB shape holds: decode work is embarrassingly
+  * parallel and never shuffles.
   */
 object Multimodal {
 
@@ -26,6 +31,96 @@ object Multimodal {
     StructField("height", LongType),
     StructField("n_frames", LongType),
     StructField("media_type", StringType)))
+
+  /** Unified stats row for the real dispatching decoder: image fields
+    * null for audio, `sum_sq` null for images, everything null (struct
+    * itself null) for undecodable bytes. */
+  val DecodedStatsType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_samples", LongType),
+    StructField("sum_val", LongType),
+    StructField("sum_sq", LongType),
+    StructField("min_val", IntegerType),
+    StructField("max_val", IntegerType)))
+
+  /** REAL dispatching full decode: magic-sniff each blob and run the
+    * matching decoder (PNG / GIF / WAV); null for formats without a
+    * pure-JVM decoder (JPEG/MP4 → stub path) or corrupt payloads. The
+    * CaseWhen evaluates branches lazily, and each decoder rejects
+    * foreign magic in O(1), so a blob pays only its own format's
+    * decode cost. */
+  def decodeStats(bytes: Column): Column = {
+    val png = PixelDecode.pngStats(bytes)
+    val gif = GifDecode.gifStats(bytes)
+    val wav = PixelDecode.wavStats(bytes)
+    val nullL = lit(null).cast("long")
+    val pngRow = struct(
+      lit("image/png").as("media_type"),
+      png.getField("width").as("width"),
+      png.getField("height").as("height"),
+      png.getField("n_samples").as("n_samples"),
+      png.getField("sum_val").as("sum_val"),
+      nullL.as("sum_sq"),
+      png.getField("min_val").as("min_val"),
+      png.getField("max_val").as("max_val"))
+    val gifRow = struct(
+      lit("image/gif").as("media_type"),
+      gif.getField("width").as("width"),
+      gif.getField("height").as("height"),
+      gif.getField("n_samples").as("n_samples"),
+      gif.getField("sum_val").as("sum_val"),
+      nullL.as("sum_sq"),
+      gif.getField("min_val").as("min_val"),
+      gif.getField("max_val").as("max_val"))
+    val wavRow = struct(
+      lit("audio/wav").as("media_type"),
+      nullL.as("width"),
+      nullL.as("height"),
+      wav.getField("n_samples").as("n_samples"),
+      wav.getField("sum_val").as("sum_val"),
+      wav.getField("sum_sq").as("sum_sq"),
+      wav.getField("min_val").as("min_val"),
+      wav.getField("max_val").as("max_val"))
+    when(png.isNotNull, pngRow)
+      .when(gif.isNotNull, gifRow)
+      .when(wav.isNotNull, wavRow)
+  }
+
+  /** The same real dispatch in mapPartitions form (per-partition codec
+    * context shape); appends column `st: DecodedStatsType`. */
+  def decodeStatsPartitions(df: DataFrame,
+      bytesCol: String = "media_bytes"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("st", DecodedStatsType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val st: Row =
+          if (b == null || b.length < 4) null
+          else if (b(0) == 0x89.toByte && b(1) == 'P') {
+            val s = PixelDecode.pngPixelStats(b)
+            if (s == null) null
+            else Row("image/png", s.getLong(0), s.getLong(1), s.getLong(3),
+              s.getLong(4), null, s.getInt(5), s.getInt(6))
+          } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+            val s = GifDecode.gifPixelStats(b)
+            if (s == null) null
+            else Row("image/gif", s.getLong(0), s.getLong(1), s.getLong(2),
+              s.getLong(3), null, s.getInt(4), s.getInt(5))
+          } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F') {
+            val s = PixelDecode.wavSampleStats(b)
+            if (s == null) null
+            else Row("audio/wav", null, null, s.getLong(2), s.getLong(3),
+              s.getLong(4), s.getInt(5), s.getInt(6))
+          } else null
+        Row.fromSeq(r.toSeq :+ st)
+      }
+    }(enc)
+  }
 
   /** Wrap a string column as a fake media payload: binary bytes +
     * declared media type. Stands in for reading real image/audio blobs

@@ -339,4 +339,31 @@ class MultimodalPartitionSpec extends SparkSpec {
     assert(frames.map(new String(_)) === Seq("ab", "ef"))
     assert(none.isEmpty)
   }
+
+  test("decodeStats dispatches PNG/GIF/WAV by magic and matches partitions form") {
+    import graft.ext.{GifDecode, PixelDecode}
+    val rows = Seq(
+      (1L, PixelDecode.pngPixelBytes(9, 4, 7)),
+      (2L, GifDecode.gifPixelBytes(9, 4, 7)),
+      (3L, PixelDecode.wavToneBytes(1, 8000, 50, 11)),
+      (4L, "not media at all".getBytes))
+    val df = rows.toDF("id", "media_bytes")
+    val viaExpr = df.select(col("id"),
+      Multimodal.decodeStats(col("media_bytes")).as("st"))
+      .select(col("id"), col("st.media_type"), col("st.n_samples"),
+        col("st.sum_val"))
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(viaExpr.map(_._2.orNull).toSeq ===
+      Seq("image/png", "image/gif", "audio/wav", null))
+    assert(viaExpr(0)._3 === Some(36L))   // 9*4 gray samples
+    assert(viaExpr(1)._3 === Some(108L))  // 9*4*3 rgb samples
+    assert(viaExpr(2)._3 === Some(50L))   // 50 pcm samples
+    val viaPart = Multimodal.decodeStatsPartitions(df)
+      .select(col("id"), col("st.media_type"), col("st.n_samples"),
+        col("st.sum_val"))
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(viaPart.toSeq === viaExpr.toSeq)
+  }
 }
