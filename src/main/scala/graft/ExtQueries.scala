@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, GifDecode, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
+import graft.ext.{Dedup, GifDecode, ImageIoDecode, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -503,7 +503,27 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG decode via the JDK's bundled javax.imageio reader (present
+    * in every JVM — no external codec). JPEG is lossy, so the oracle
+    * pins the EXACT structural outputs (dims, sample count) while the
+    * decoded value statistics are spec-tested with an error budget
+    * (`ImageIoDecodeSpec`). */
+  private def x36(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 61 + 8).cast("int").as("w"),
+      (col("doc_id") % 37 + 8).cast("int").as("h"))
+    docs.select(col("doc_id"),
+      ImageIoDecode.jpegStats(ImageIoDecode.synthJpeg(
+        col("w"), col("h"), lit(85))).as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_samples").as("n_samples"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_jpeg_decode" -> (x36 _),
     "x35_media_dispatch" -> (x35 _),
     "x34_gif_pixels" -> (x34 _),
     "x33_rare_terms" -> (x33 _),
@@ -605,6 +625,13 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // lossy codec ⇒ oracle pins only the exact structural fields
+    "x36_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 61 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 37 + 8 AS BIGINT) AS height,
+        |  CAST((doc_id % 61 + 8) * (doc_id % 37 + 8) AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // three modalities, three integer formulas, one UNION — each
     // branch recomputed from doc_id with series joins, independent of
     // every synthesizer and decoder in the chain under test

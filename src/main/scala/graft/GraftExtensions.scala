@@ -87,6 +87,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.PixelDecode.WavStatsExpr(es.head)),
     (FunctionIdentifier("graft_gif_stats"), info("graft_gif_stats"),
       (es: Seq[Expression]) => graft.ext.GifDecode.GifStatsExpr(es.head)),
+    (FunctionIdentifier("graft_jpeg_stats"), info("graft_jpeg_stats"),
+      (es: Seq[Expression]) => graft.ext.ImageIoDecode.JpegStatsExpr(es.head)),
   )
 
   /** Register on a live session (temp functions). */

@@ -55,6 +55,7 @@ object Multimodal {
     val png = PixelDecode.pngStats(bytes)
     val gif = GifDecode.gifStats(bytes)
     val wav = PixelDecode.wavStats(bytes)
+    val jpg = ImageIoDecode.jpegStats(bytes)
     val nullL = lit(null).cast("long")
     val pngRow = struct(
       lit("image/png").as("media_type"),
@@ -83,9 +84,19 @@ object Multimodal {
       wav.getField("sum_sq").as("sum_sq"),
       wav.getField("min_val").as("min_val"),
       wav.getField("max_val").as("max_val"))
+    val jpgRow = struct(
+      lit("image/jpeg").as("media_type"),
+      jpg.getField("width").as("width"),
+      jpg.getField("height").as("height"),
+      jpg.getField("n_samples").as("n_samples"),
+      jpg.getField("sum_val").as("sum_val"),
+      nullL.as("sum_sq"),
+      jpg.getField("min_val").as("min_val"),
+      jpg.getField("max_val").as("max_val"))
     when(png.isNotNull, pngRow)
       .when(gif.isNotNull, gifRow)
       .when(wav.isNotNull, wavRow)
+      .when(jpg.isNotNull, jpgRow)
   }
 
   /** The same real dispatch in mapPartitions form (per-partition codec
@@ -116,6 +127,11 @@ object Multimodal {
             if (s == null) null
             else Row("audio/wav", null, null, s.getLong(2), s.getLong(3),
               s.getLong(4), s.getInt(5), s.getInt(6))
+          } else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+            val s = ImageIoDecode.jpegPixelStats(b)
+            if (s == null) null
+            else Row("image/jpeg", s.getLong(0), s.getLong(1), s.getLong(2),
+              s.getLong(3), null, s.getInt(4), s.getInt(5))
           } else null
         Row.fromSeq(r.toSeq :+ st)
       }
