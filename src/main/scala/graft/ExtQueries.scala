@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, GifDecode, ImageIoDecode, MediaProbe, Multimodal, Packing, PixelDecode, Sampling, Similarity}
+import graft.ext.{Dedup, GifDecode, ImageIoDecode, MediaProbe, Mp4Demux, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -522,7 +522,37 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL MP4 frame extraction end-to-end: per-row MP4s are muxed with
+    * genuine sample tables (stsd/stts/stsc/stsz/stco) and raw-luma
+    * frame payloads derived from doc_id, then demuxed back by the
+    * sample-table walk and frame-sampled at stride 2 — the video leg
+    * of the decode surface (Mp4DemuxSpec pins mux↔demux both ways).
+    * The oracle recomputes every stat from doc_id with two series
+    * joins (frames × pixel columns), independent of both muxer and
+    * demuxer. */
+  private def x37(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 31 + 4).cast("int").as("w"),
+      (col("doc_id") % 17 + 3).cast("int").as("h"),
+      (col("doc_id") % 9 + 2).cast("int").as("nf"),
+      (col("doc_id") % 241).cast("int").as("seed"))
+    docs.select(col("doc_id"),
+      Mp4Demux.frameStats(Mp4Demux.synthMp4Frames(
+        col("w"), col("h"), col("nf"), col("seed")), lit(2)).as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_frames").as("n_frames"),
+        col("st.n_sampled").as("n_sampled"),
+        col("st.n_pixels").as("n_pixels"),
+        col("st.sum_val").as("sum_val"),
+        col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_video_frames" -> (x37 _),
     "x36_jpeg_decode" -> (x36 _),
     "x35_media_dispatch" -> (x35 _),
     "x34_gif_pixels" -> (x34 _),
@@ -625,6 +655,27 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // pixel (f, x, y) = (seed + f*31 + x) % 256 is y-independent, so
+    // the stride-2 frame-sample stats reduce to a double series over
+    // (even frames × pixel columns) scaled by height — recomputed from
+    // doc_id with no knowledge of MP4 at all
+    "x37_video_frames" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 31 + 4 AS BIGINT) AS width,
+        |  CAST(d.doc_id % 17 + 3 AS BIGINT) AS height,
+        |  CAST(d.doc_id % 9 + 2 AS BIGINT) AS n_frames,
+        |  CAST((d.doc_id % 9 + 3) // 2 AS BIGINT) AS n_sampled,
+        |  CAST((d.doc_id % 9 + 3) // 2 * (d.doc_id % 31 + 4)
+        |    * (d.doc_id % 17 + 3) AS BIGINT) AS n_pixels,
+        |  CAST((d.doc_id % 17 + 3)
+        |    * sum((d.doc_id % 241 + f.fi*31 + t.x) % 256) AS BIGINT) AS sum_val,
+        |  CAST(min((d.doc_id % 241 + f.fi*31 + t.x) % 256) AS INTEGER) AS min_val,
+        |  CAST(max((d.doc_id % 241 + f.fi*31 + t.x) % 256) AS INTEGER) AS max_val
+        |FROM documents d
+        |JOIN generate_series(0, 9) f(fi)
+        |  ON f.fi <= d.doc_id % 9 + 1 AND f.fi % 2 = 0
+        |JOIN generate_series(0, 33) t(x) ON t.x <= d.doc_id % 31 + 3
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // lossy codec ⇒ oracle pins only the exact structural fields
     "x36_jpeg_decode" ->
       """SELECT doc_id,

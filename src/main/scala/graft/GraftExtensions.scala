@@ -22,7 +22,8 @@ import graft.schema.AvroExpressions._
   * graft_avro_decode(bin, 'schemaJson'), graft_schema_id(bin),
   * graft_winnow(bin, k, w), graft_nfc(str),
   * graft_probe_media(bin) → struct(width, height, media_type),
-  * graft_png_stats(bin) / graft_wav_stats(bin) / graft_gif_stats(bin)
+  * graft_png_stats(bin) / graft_wav_stats(bin) / graft_gif_stats(bin),
+  * graft_mp4_frame_stats(bin, stride) / graft_mp4_frames(bin, stride),
   * → full-decode statistics structs,
   * graft_probe_wav(bin) → struct(n_channels, sample_rate,
   * bits_per_sample, duration_ms, media_type).
@@ -89,6 +90,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.GifDecode.GifStatsExpr(es.head)),
     (FunctionIdentifier("graft_jpeg_stats"), info("graft_jpeg_stats"),
       (es: Seq[Expression]) => graft.ext.ImageIoDecode.JpegStatsExpr(es.head)),
+    (FunctionIdentifier("graft_mp4_frame_stats"), info("graft_mp4_frame_stats"),
+      (es: Seq[Expression]) => graft.ext.Mp4Demux.Mp4FrameStatsExpr(es.head, es(1))),
+    (FunctionIdentifier("graft_mp4_frames"), info("graft_mp4_frames"),
+      (es: Seq[Expression]) => graft.ext.Mp4Demux.Mp4SampleFramesExpr(es.head, es(1))),
   )
 
   /** Register on a live session (temp functions). */

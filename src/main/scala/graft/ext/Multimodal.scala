@@ -7,30 +7,22 @@ import org.apache.spark.sql.types._
 /** [EXT] Multimodal column support: media payloads as opaque `binary`
   * columns with a typed metadata struct.
   *
-  * Image/audio/video METADATA is real ([[MediaProbe]]: PNG/JPEG/GIF,
-  * WAV, MP4 header parses), and full PIXEL/SAMPLE decode is real for
-  * three formats ([[PixelDecode]]: PNG Inflater + all five unfilters,
-  * 16-bit PCM stats; [[GifDecode]]: spec-complete LZW) — all codegen'd
-  * scan-side expressions. [[decodeStats]] below is the REAL
-  * heterogeneous-column decoder: it sniffs each blob's magic and runs
-  * the matching full decoder, so one binary column can mix PNG, GIF
-  * and WAV payloads — the shape a real multimodal corpus has.
-  *
-  * Only the formats that genuinely need a native decoder (JPEG entropy
-  * decode, MP4 frame extraction — no codec libraries in this
-  * container) remain on the clearly-marked stub path
-  * ([[decodeMetaStub]]/[[decodeMetaPartitions]]): their schema, batch
-  * iteration and partition layout are what a real codec plugs into.
-  * Either way the 100 TB shape holds: decode work is embarrassingly
-  * parallel and never shuffles.
+  * Every modality decodes for REAL: metadata probes ([[MediaProbe]]:
+  * PNG/JPEG/GIF, WAV, MP4 header parses) plus full payload decode —
+  * PNG (Inflater + all five unfilters) and 16-bit PCM
+  * ([[PixelDecode]]), GIF (spec-complete LZW, [[GifDecode]]), JPEG
+  * (the JDK's bundled imageio reader, [[ImageIoDecode]]), and MP4
+  * frame extraction (sample-table demux of raw-luma tracks,
+  * [[Mp4Demux]]) — all codegen'd scan-side expressions.
+  * [[decodeStats]] below is the heterogeneous-column decoder: it
+  * sniffs each blob's magic and runs the matching full decoder, so one
+  * binary column can mix all five payload kinds — the shape a real
+  * multimodal corpus has. Compressed video codecs (H.264 etc.)
+  * genuinely need a native decoder and return null, never a faked
+  * value. The 100 TB shape holds throughout: decode work is
+  * embarrassingly parallel and never shuffles.
   */
 object Multimodal {
-
-  val MediaMetaType: StructType = StructType(Seq(
-    StructField("width", LongType),
-    StructField("height", LongType),
-    StructField("n_frames", LongType),
-    StructField("media_type", StringType)))
 
   /** Unified stats row for the real dispatching decoder: image fields
     * null for audio, `sum_sq` null for images, everything null (struct
@@ -46,16 +38,16 @@ object Multimodal {
     StructField("max_val", IntegerType)))
 
   /** REAL dispatching full decode: magic-sniff each blob and run the
-    * matching decoder (PNG / GIF / WAV); null for formats without a
-    * pure-JVM decoder (JPEG/MP4 → stub path) or corrupt payloads. The
-    * CaseWhen evaluates branches lazily, and each decoder rejects
-    * foreign magic in O(1), so a blob pays only its own format's
-    * decode cost. */
+    * matching decoder (PNG / GIF / WAV / JPEG / raw-luma MP4); null
+    * for corrupt payloads and compressed video codecs. The CaseWhen
+    * evaluates branches lazily, and each decoder rejects foreign magic
+    * in O(1), so a blob pays only its own format's decode cost. */
   def decodeStats(bytes: Column): Column = {
     val png = PixelDecode.pngStats(bytes)
     val gif = GifDecode.gifStats(bytes)
     val wav = PixelDecode.wavStats(bytes)
     val jpg = ImageIoDecode.jpegStats(bytes)
+    val mp4 = Mp4Demux.frameStats(bytes, lit(1))
     val nullL = lit(null).cast("long")
     val pngRow = struct(
       lit("image/png").as("media_type"),
@@ -93,10 +85,20 @@ object Multimodal {
       nullL.as("sum_sq"),
       jpg.getField("min_val").as("min_val"),
       jpg.getField("max_val").as("max_val"))
+    val mp4Row = struct(
+      lit("video/mp4").as("media_type"),
+      mp4.getField("width").as("width"),
+      mp4.getField("height").as("height"),
+      mp4.getField("n_pixels").as("n_samples"),
+      mp4.getField("sum_val").as("sum_val"),
+      nullL.as("sum_sq"),
+      mp4.getField("min_val").as("min_val"),
+      mp4.getField("max_val").as("max_val"))
     when(png.isNotNull, pngRow)
       .when(gif.isNotNull, gifRow)
       .when(wav.isNotNull, wavRow)
       .when(jpg.isNotNull, jpgRow)
+      .when(mp4.isNotNull, mp4Row)
   }
 
   /** The same real dispatch in mapPartitions form (per-partition codec
@@ -132,54 +134,21 @@ object Multimodal {
             if (s == null) null
             else Row("image/jpeg", s.getLong(0), s.getLong(1), s.getLong(2),
               s.getLong(3), null, s.getInt(4), s.getInt(5))
+          } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+              b(6) == 'y' && b(7) == 'p') {
+            val s = Mp4Demux.mp4FrameStats(b, 1)
+            if (s == null) null
+            else Row("video/mp4", s.getLong(0), s.getLong(1), s.getLong(4),
+              s.getLong(5), null, s.getInt(6), s.getInt(7))
           } else null
         Row.fromSeq(r.toSeq :+ st)
       }
     }(enc)
   }
 
-  /** Wrap a string column as a fake media payload: binary bytes +
-    * declared media type. Stands in for reading real image/audio blobs
-    * (which at scale arrive via parquet binary columns already). */
-  def asMedia(df: DataFrame, srcCol: String, mediaType: String): DataFrame =
-    df.withColumn("media_bytes", col(srcCol).cast("binary"))
-      .withColumn("media_type", lit(mediaType))
-
-  /** STUB decode, expression form: deterministic metadata derived from
-    * payload length only. Replace with a real probe at deployment. The
-    * expression form keeps the stub inside codegen so pipelines built on
-    * it have production plan shape. */
-  def decodeMetaStub(bytes: Column, mediaType: Column): Column =
-    struct(
-      (length(bytes) % 640).cast("long").as("width"),
-      ((length(bytes) * 7) % 480).cast("long").as("height"),
-      (floor(length(bytes) / 50) + 1).cast("long").as("n_frames"),
-      mediaType.as("media_type"))
-
-  /** STUB decode, mapPartitions form — the shape a real codec plugs
-    * into: per-partition init (codec context), row-batch iteration.
-    * Deterministic fake identical to [[decodeMetaStub]]. */
-  def decodeMetaPartitions(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("meta", MediaMetaType))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      // real impl: val codec = Codec.open() — once per partition
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media_bytes")
-        val mt = r.getAs[String]("media_type")
-        val n = if (bytes == null) 0L else bytes.length.toLong
-        Row.fromSeq(r.toSeq :+ Row(n % 640, (n * 7) % 480, n / 50 + 1, mt))
-      }
-    }(enc)
-  }
-
-  /** Frame sampling stub: every `stride`-th byte window as a "frame".
-    * Real impl: keyframe extraction inside the same expression shape. */
-  def sampleFrames(bytes: Column, stride: Int, frameLen: Int): Column =
-    when(length(bytes) >= stride,
-      transform(
-        sequence(lit(1), (length(bytes) / stride).cast("int")),
-        i => call_function("substring", bytes,
-          (i - lit(1)) * lit(stride) + lit(1), lit(frameLen))))
-      .otherwise(array().cast("array<binary>"))
+  /** Frame extraction over a heterogeneous column: every `stride`-th
+    * raw frame for MP4 payloads ([[Mp4Demux.sampleFrames]] — a REAL
+    * sample-table demux, not byte windows), null for non-video blobs. */
+  def sampleFrames(bytes: Column, stride: Int): Column =
+    Mp4Demux.sampleFrames(bytes, lit(stride))
 }

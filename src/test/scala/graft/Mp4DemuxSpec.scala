@@ -1,0 +1,116 @@
+package graft
+
+import graft.ext.{MediaProbe, Mp4Demux}
+import org.apache.spark.sql.functions._
+
+/** The MP4 sample-table demux against its own muxer, hand-computed
+  * goldens, and hostile inputs. The muxer chunks frames 4-per-chunk,
+  * so any nFrames % 4 != 0 case exercises the two-run stsc expansion.
+  */
+class Mp4DemuxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expected(w: Int, h: Int, nf: Int, seed: Int,
+      stride: Int): (Long, Long, Long, Int, Int) = {
+    val sampled = (0 until nf by stride)
+    val vals = for (f <- sampled; x <- 0 until w) yield (seed + f * 31 + x) % 256
+    (sampled.size.toLong * w * h, vals.map(_.toLong).sum * h,
+      sampled.size.toLong, vals.min, vals.max)
+  }
+
+  test("demux recovers dims and per-frame offsets/sizes") {
+    val b = Mp4Demux.mp4FramesBytes(6, 5, 7, 42) // 7 frames: 4+3 chunks
+    val s = Mp4Demux.demux(b)
+    assert(s != null)
+    assert(s.width === 6 && s.height === 5)
+    assert(s.sizes.toSeq === Seq.fill(7)(30))
+    // frames are contiguous within a chunk, chunks contiguous in mdat
+    assert(s.offsets.toSeq === (0 until 7).map(f => s.offsets(0) + 30L * f))
+    // first sample sits right after ftyp(24) + mdat header(8)
+    assert(s.offsets(0) === 32L)
+  }
+
+  test("frame stats match the pixel formula at stride 1 and 3") {
+    for (stride <- Seq(1, 3); (w, h, nf, seed) <- Seq(
+        (6, 5, 7, 42), (3, 2, 4, 0), (17, 9, 10, 200), (4, 4, 1, 255))) {
+      val st = Mp4Demux.mp4FrameStats(Mp4Demux.mp4FramesBytes(w, h, nf, seed), stride)
+      assert(st != null, s"null stats for ${w}x${h}x$nf/$stride")
+      val (nPix, sum, nSampled, mn, mx) = expected(w, h, nf, seed, stride)
+      assert(st.getLong(0) === w.toLong && st.getLong(1) === h.toLong)
+      assert(st.getLong(2) === nf.toLong)
+      assert(st.getLong(3) === nSampled)
+      assert(st.getLong(4) === nPix)
+      assert(st.getLong(5) === sum)
+      assert(st.getInt(6) === mn && st.getInt(7) === mx)
+    }
+  }
+
+  test("sampleFrames returns the exact raw frame bytes") {
+    val b = Mp4Demux.mp4FramesBytes(4, 2, 6, 7)
+    val frames = Mp4Demux.mp4SampleFrames(b, 2)
+    assert(frames.numElements() === 3)
+    for ((fi, i) <- Seq(0, 2, 4).zipWithIndex) {
+      val got = frames.getBinary(i).toSeq
+      val want = (0 until 2).flatMap(_ => (0 until 4)
+        .map(x => ((7 + fi * 31 + x) % 256).toByte))
+      assert(got === want, s"frame $fi")
+    }
+  }
+
+  test("header-only MP4 (x25 synth), truncated and foreign bytes → null") {
+    // MediaProbe.mp4Bytes has moov but no mdia/stbl: probe-able, not demuxable
+    val headerOnly = MediaProbe.mp4Bytes(640, 480, 2000)
+    assert(Mp4Demux.mp4FrameStats(headerOnly, 1) === null)
+    assert(MediaProbe.probeMp4(headerOnly) != null)
+
+    val good = Mp4Demux.mp4FramesBytes(6, 5, 7, 42)
+    for (cut <- Seq(4, 40, good.length / 2, good.length - 4)) {
+      // truncation clips either mdat (offsets out of range) or moov
+      assert(Mp4Demux.mp4FrameStats(java.util.Arrays.copyOf(good, cut), 1) === null,
+        s"cut=$cut")
+    }
+    assert(Mp4Demux.mp4FrameStats("plainly not a video".getBytes, 1) === null)
+    assert(Mp4Demux.mp4FrameStats(null, 1) === null)
+    assert(Mp4Demux.mp4FrameStats(good, 0) === null) // bad stride
+  }
+
+  test("stsc table disagreement is rejected, not misread") {
+    val good = Mp4Demux.mp4FramesBytes(3, 3, 8, 5)
+    // corrupt stco entry count to 1 (there are 2 chunks of 4)
+    val b = good.clone()
+    val idx = {
+      // find "stco" fourcc
+      var i = 0
+      var at = -1
+      while (i < b.length - 4 && at < 0) {
+        if (b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 'c' && b(i + 3) == 'o') at = i
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    // entry_count is 8 bytes after the fourcc (4 version/flags + offset)
+    b(idx + 4 + 4 + 3) = 1.toByte
+    b(idx + 4 + 4 + 2) = 0.toByte
+    assert(Mp4Demux.mp4FrameStats(b, 1) === null)
+  }
+
+  test("expression forms run inside codegen over a DataFrame") {
+    val df = (0 until 20).map { i =>
+      (i.toLong, i % 13 + 2, i % 7 + 2, i % 5 + 1, i % 251)
+    }.toDF("id", "w", "h", "nf", "seed")
+    val got = df.select(col("id"), col("w"), col("h"), col("nf"), col("seed"),
+      Mp4Demux.frameStats(
+        Mp4Demux.synthMp4Frames(col("w"), col("h"), col("nf"), col("seed")),
+        lit(2)).as("st"))
+      .select(col("id"), col("w"), col("h"), col("nf"), col("seed"),
+        col("st.n_pixels"), col("st.sum_val"), col("st.min_val"), col("st.max_val"))
+      .as[(Long, Int, Int, Int, Int, Long, Long, Int, Int)]
+      .collect()
+    assert(got.length === 20)
+    got.foreach { case (id, w, h, nf, seed, nPix, sum, mn, mx) =>
+      val (eNPix, eSum, _, eMn, eMx) = expected(w, h, nf, seed, 2)
+      assert((nPix, sum, mn, mx) === ((eNPix, eSum, eMn, eMx)), s"id=$id")
+    }
+  }
+}

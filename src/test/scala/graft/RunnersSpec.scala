@@ -314,39 +314,31 @@ class MultimodalPartitionSpec extends SparkSpec {
   import spark.implicits._
   import graft.ext.Multimodal
 
-  test("mapPartitions decode stub matches the expression stub") {
-    val df = Multimodal.asMedia(
-      Seq((1L, "hello world"), (2L, "tiny")).toDF("id", "text"),
-      "text", "text/fake")
-    val viaPartitions = Multimodal.decodeMetaPartitions(df)
-      .select(col("id"), col("meta.width"), col("meta.n_frames"))
-      .as[(Long, Long, Long)].collect().toSet
-    val viaExpr = df.select(col("id"),
-      Multimodal.decodeMetaStub(col("media_bytes"), col("media_type"))
-        .as("meta"))
-      .select(col("id"), col("meta.width"), col("meta.n_frames"))
-      .as[(Long, Long, Long)].collect().toSet
-    assert(viaPartitions === viaExpr)
-    assert(viaPartitions.map(_._1) === Set(1L, 2L))
-  }
-
-  test("sampleFrames slices byte windows; short payload → empty") {
-    val df = Seq(("abcdefghij", "ab")).toDF("long", "short")
+  test("sampleFrames extracts real raw frames from an MP4; non-video → null") {
+    import graft.ext.Mp4Demux
+    val mp4 = Mp4Demux.mp4FramesBytes(3, 2, 5, 10)
+    val df = Seq((mp4, "not a video".getBytes)).toDF("video", "text")
     val (frames, none) = df.select(
-      graft.ext.Multimodal.sampleFrames(col("long").cast("binary"), 4, 2),
-      graft.ext.Multimodal.sampleFrames(col("short").cast("binary"), 4, 2))
-      .as[(Seq[Array[Byte]], Seq[Array[Byte]])].collect()(0)
-    assert(frames.map(new String(_)) === Seq("ab", "ef"))
+      Multimodal.sampleFrames(col("video"), 2),
+      Multimodal.sampleFrames(col("text"), 2))
+      .as[(Option[Seq[Array[Byte]]], Option[Seq[Array[Byte]]])].collect()(0)
+    // frames 0, 2, 4 of 5; each 3x2 = 6 bytes of (seed + f*31 + x) % 256
+    assert(frames.get.size === 3)
+    assert(frames.get.forall(_.length === 6))
+    assert(frames.get.head.toSeq === Seq[Byte](10, 11, 12, 10, 11, 12))
+    assert(frames.get(1).toSeq ===
+      (Seq(72, 73, 74, 72, 73, 74).map(_.toByte)))
     assert(none.isEmpty)
   }
 
-  test("decodeStats dispatches PNG/GIF/WAV by magic and matches partitions form") {
-    import graft.ext.{GifDecode, PixelDecode}
+  test("decodeStats dispatches PNG/GIF/WAV/MP4 by magic and matches partitions form") {
+    import graft.ext.{GifDecode, Mp4Demux, PixelDecode}
     val rows = Seq(
       (1L, PixelDecode.pngPixelBytes(9, 4, 7)),
       (2L, GifDecode.gifPixelBytes(9, 4, 7)),
       (3L, PixelDecode.wavToneBytes(1, 8000, 50, 11)),
-      (4L, "not media at all".getBytes))
+      (4L, "not media at all".getBytes),
+      (5L, Mp4Demux.mp4FramesBytes(4, 3, 2, 9)))
     val df = rows.toDF("id", "media_bytes")
     val viaExpr = df.select(col("id"),
       Multimodal.decodeStats(col("media_bytes")).as("st"))
@@ -355,10 +347,13 @@ class MultimodalPartitionSpec extends SparkSpec {
       .as[(Long, Option[String], Option[Long], Option[Long])]
       .collect().sortBy(_._1)
     assert(viaExpr.map(_._2.orNull).toSeq ===
-      Seq("image/png", "image/gif", "audio/wav", null))
+      Seq("image/png", "image/gif", "audio/wav", null, "video/mp4"))
     assert(viaExpr(0)._3 === Some(36L))   // 9*4 gray samples
     assert(viaExpr(1)._3 === Some(108L))  // 9*4*3 rgb samples
     assert(viaExpr(2)._3 === Some(50L))   // 50 pcm samples
+    assert(viaExpr(4)._3 === Some(24L))   // 4*3 px × 2 frames
+    // frame f, pixel x: (9 + f*31 + x) % 256 summed over x<4, ×3 rows
+    assert(viaExpr(4)._4 === Some(3L * ((9 + 10 + 11 + 12) + (40 + 41 + 42 + 43))))
     val viaPart = Multimodal.decodeStatsPartitions(df)
       .select(col("id"), col("st.media_type"), col("st.n_samples"),
         col("st.sum_val"))
