@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, GifDecode, ImageIoDecode, MediaProbe, Mp4Demux, Multimodal, Packing, PixelDecode, Sampling, Similarity}
+import graft.ext.{Contamination, Dedup, GifDecode, ImageIoDecode, MediaProbe, Mp4Demux, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
@@ -551,7 +551,24 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination screen: corpus docs (doc_id % 20 != 0)
+    * sharing verbatim 8-grams with the "benchmark" slice
+    * (doc_id % 20 == 0) — the decontamination report a training
+    * pipeline runs before every training job. The benchmark gram set
+    * broadcasts; grams travel as 64-bit hashes (collision expectation
+    * documented in [[graft.ext.Contamination]]); the oracle joins the
+    * literal gram strings. */
+  private def x38(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Contamination.sharedGrams(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_contamination" -> (x38 _),
     "x37_video_frames" -> (x37 _),
     "x36_jpeg_decode" -> (x36 _),
     "x35_media_dispatch" -> (x35 _),
@@ -655,6 +672,23 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle joins literal gram strings where the engine joins
+    // 64-bit gram hashes — an (intended) differential check that the
+    // hashing introduces no collisions at this scale
+    "x38_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[g.i:g.i+7], ' ') AS gram
+        |  FROM toks JOIN generate_series(1, 200) g(i) ON g.i <= len(t) - 7),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, count(*) AS n_shared_grams
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // pixel (f, x, y) = (seed + f*31 + x) % 256 is y-independent, so
     // the stride-2 frame-sample stats reduce to a double series over
     // (even frames × pixel columns) scaled by height — recomputed from
