@@ -567,7 +567,42 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact per-language document-length quartiles via the distributed
+    * discrete-quantile operator (`Scale.discreteQuantiles`): one
+    * partial-aggregated shuffle over (lang, len), windows over the
+    * per-group DISTINCT lengths only — never a per-group sort of raw
+    * rows, never approx. Dyadic ps keep ceil(p×n) engine-exact; the
+    * oracle is DuckDB's independent quantile_disc. */
+  private def x39(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.discreteQuantiles(
+      t(s, dir, "documents").select(col("lang"),
+        T.wsTokenCount(col("text")).as("len")),
+      "lang", "len", Seq(0.25, 0.5, 0.75))
+      .orderBy(col("lang"), col("p"))
+
+  /** Inverted-index build: per-token posting lists, top-3 documents by
+    * term frequency (ties broken by doc_id) plus the token's document
+    * frequency — the search/retrieval-side artifact of a training
+    * corpus. Token-keyed shuffle; the rank ≤ 3 filter is a
+    * WindowGroupLimit, so partial top-k runs map-side before the
+    * exchange. */
+  private def x40(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val wr = w.orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("df", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("tok"), col("rank"), col("doc_id"), col("tf"), col("df"))
+      .orderBy(col("tok"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_postings" -> (x40 _),
+    "x39_len_quantiles" -> (x39 _),
     "x38_contamination" -> (x38 _),
     "x37_video_frames" -> (x37 _),
     "x36_jpeg_decode" -> (x36 _),
@@ -672,6 +707,39 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // independent implementation: DuckDB's own quantile_disc vs the
+    // cumulative-count window plan (p cast to DOUBLE — a bare 0.25
+    // literal is DECIMAL and the column-type compare would fail)
+    "x39_len_quantiles" ->
+      """WITH lens AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS len
+        |  FROM documents)
+        |SELECT lang, p, q FROM (
+        |  SELECT lang, CAST(0.25 AS DOUBLE) AS p,
+        |    CAST(quantile_disc(len, 0.25) AS BIGINT) AS q
+        |  FROM lens GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, CAST(0.5 AS DOUBLE),
+        |    CAST(quantile_disc(len, 0.5) AS BIGINT) FROM lens GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, CAST(0.75 AS DOUBLE),
+        |    CAST(quantile_disc(len, 0.75) AS BIGINT) FROM lens GROUP BY lang)
+        |ORDER BY lang, p""".stripMargin,
+    "x40_postings" ->
+      """WITH tf AS (
+        |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |    FROM documents) WHERE tok <> '' GROUP BY tok, doc_id)
+        |SELECT tok, rank, doc_id, tf, df FROM (
+        |  SELECT tok, doc_id, tf,
+        |    CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+        |    CAST(row_number() OVER (PARTITION BY tok
+        |      ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM tf)
+        |WHERE rank <= 3 ORDER BY tok, rank""".stripMargin,
     // the oracle joins literal gram strings where the engine joins
     // 64-bit gram hashes — an (intended) differential check that the
     // hashing introduces no collisions at this scale

@@ -232,6 +232,18 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD2 history build over the event stream (`Cdc.scd2History`):
+    * per-user effective-dated state intervals from the raw event log,
+    * consecutive same-state events collapsed, open intervals carrying
+    * a null eff_to. The oracle re-derives the intervals with the same
+    * declarative window spec in DuckDB (the x17-sessions discipline:
+    * all time arithmetic in epoch-ms so ns→ms flooring agrees). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Cdc.scd2History(
+      t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000")),
+      "user_id", "event_type", "ts_ms", "event_id")
+      .orderBy(col("user_id"), col("version"))
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -322,6 +334,7 @@ object SparkEntry {
     "q13_proto_codec" -> (q13 _),
     "q14_registry_evolution" -> (q14 _),
     "q15_snapshot_diff" -> (q15 _),
+    "q16_scd2_history" -> (q16 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -416,6 +429,23 @@ object SparkEntry {
         |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
         |       AND o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q16_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev_state
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, ts_ms
+        |  FROM e WHERE prev_state IS NULL OR event_type <> prev_state)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  ts_ms AS eff_from,
+        |  lead(ts_ms) OVER w AS eff_to
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

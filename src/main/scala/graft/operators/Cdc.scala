@@ -69,4 +69,32 @@ object Cdc {
     joined.filter(status.isNotNull)
       .select((keyCols.map(col) :+ status.as("status")): _*)
   }
+
+  /** SCD2 history build: collapse an ordered change stream into
+    * effective-dated state intervals — one row per (key, state run)
+    * with `eff_from`/`eff_to` (null eff_to = current) and a 1-based
+    * `version`. Consecutive events with the same state collapse into
+    * one interval (only CHANGES open a new version), the classic
+    * slowly-changing-dimension type-2 materialization.
+    *
+    * Plan: both windows partition on the key, so the whole build is
+    * ONE key-shuffle; the second window runs on the already-collapsed
+    * (much smaller) change rows. `tieBreak` makes ordering total when
+    * timestamps collide — same discipline as the sessionization op.
+    */
+  def scd2History(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val changes = events
+      .withColumn("__prev_state", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev_state").isNull ||
+        !(col(stateCol) <=> col("__prev_state")))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("eff_from", col(tsCol))
+      .withColumn("eff_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(stateCol),
+        col("eff_from"), col("eff_to"))
+  }
 }

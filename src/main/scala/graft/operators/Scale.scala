@@ -113,4 +113,39 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** EXACT distributed discrete quantiles (SQL-standard
+    * PERCENTILE_DISC: the smallest value whose cumulative count
+    * reaches ceil(p×n)), per group, without ever materializing a
+    * group's values in one place.
+    *
+    * The 100 TB-safe shape: one partial-aggregated shuffle builds
+    * (group, value) → count — the only pass over the data — and the
+    * windows then run over DISTINCT values per group (for corpus
+    * stats like document lengths that's thousands of rows per group,
+    * not billions). The naive sort-and-index or collect_list plan
+    * drags every raw row of a group to one task; approx_percentile
+    * avoids that but is, by construction, not exact.
+    *
+    * Exactness across engines: pass dyadic `ps` (0.25, 0.5, 0.75 …)
+    * and p×n is an exact double for any realistic n, so ceil(p×n)
+    * computes identically everywhere (validated against DuckDB's
+    * quantile_disc by the x39 oracle). Output: (group, p, q).
+    */
+  def discreteQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps $ps")
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy(col(groupCol)).orderBy(col(valCol))))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col(valCol), col("cum"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col(valCol)).as("q"))
+  }
 }

@@ -114,3 +114,67 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class Scd2HistorySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Cdc
+
+  test("collapses same-state runs into effective-dated versions") {
+    val events = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), // run of A collapses
+      (1L, 5L, "B"), (1L, 7L, "B"),
+      (1L, 9L, "A"), // A again: NEW version, not merged with the first
+      (2L, 3L, "X")).toDF("user_id", "ts_ms", "event_type")
+      .withColumn("event_id", col("ts_ms") * 10)
+    val got = Cdc.scd2History(events, "user_id", "event_type", "ts_ms", "event_id")
+      .as[(Long, Long, String, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 1L, "A", 1L, Some(5L)),
+      (1L, 2L, "B", 5L, Some(9L)),
+      (1L, 3L, "A", 9L, None),
+      (2L, 1L, "X", 3L, None)))
+  }
+
+  test("equal timestamps order by the tie-break column") {
+    val events = Seq(
+      (1L, 10L, 2L, "B"), // same ts, higher event_id: applies second
+      (1L, 10L, 1L, "A"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = Cdc.scd2History(events, "user_id", "event_type", "ts_ms", "event_id")
+      .as[(Long, Long, String, Long, Option[Long])]
+      .collect().sortBy(_._2).toSeq
+    assert(got.map(r => (r._2, r._3)) === Seq((1L, "A"), (2L, "B")))
+  }
+}
+
+class DiscreteQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Scale
+
+  test("matches SQL-standard PERCENTILE_DISC on hand-computed data") {
+    // g1: 10,20,30,40 → p25=10 p50=20 p75=30; g2 (odd n with ties):
+    // 1,1,2,5,9 → p25=1 (cum 2 ≥ ceil(1.25)=2), p50=2 (ceil(2.5)=3),
+    // p75=5 (ceil(3.75)=4)
+    val df = (Seq(10, 20, 30, 40).map(("g1", _)) ++
+      Seq(1, 1, 2, 5, 9).map(("g2", _))).toDF("g", "v")
+    val got = Scale.discreteQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .as[(String, Double, Int)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    assert(got === Map(
+      ("g1", 0.25) -> 10, ("g1", 0.5) -> 20, ("g1", 0.75) -> 30,
+      ("g2", 0.25) -> 1, ("g2", 0.5) -> 2, ("g2", 0.75) -> 5))
+  }
+
+  test("p = 1.0 is the group max; single-row groups return the row") {
+    val df = Seq(("a", 7), ("a", 3), ("b", 42)).toDF("g", "v")
+    val got = Scale.discreteQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .as[(String, Double, Int)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    assert(got === Map(
+      ("a", 0.5) -> 3, ("a", 1.0) -> 7,
+      ("b", 0.5) -> 42, ("b", 1.0) -> 42))
+  }
+}
