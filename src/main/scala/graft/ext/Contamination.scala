@@ -50,11 +50,14 @@ object Contamination {
       textCol: String, n: Int = 8): DataFrame = {
     val bench = gramHashes(benchmark, idCol, textCol, n)
       .select(col("g")).distinct()
+    // Join BEFORE dedup: the broadcast filter runs map-side on the raw
+    // gram stream, so the (doc, gram) dedup shuffle only ever carries
+    // the contaminated slice. (bench is distinct ⇒ the join never
+    // multiplies rows; countDistinct dedups in-doc repeats.)
     gramHashes(corpus, idCol, textCol, n)
-      .distinct() // count each gram once per doc
       .join(broadcast(bench), "g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
   }
 
   /** The filter form: corpus with contaminated rows REMOVED — the
