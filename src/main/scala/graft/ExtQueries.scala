@@ -600,7 +600,43 @@ object ExtQueries {
       .orderBy(col("tok"), col("rank"))
   }
 
+  /** The COMPLETE multimodal dispatch: ONE binary column mixing all
+    * five real payload kinds (PNG / GIF / WAV / JPEG / raw-luma MP4 by
+    * doc_id mod 5), decoded by the single magic-sniffing
+    * `Multimodal.decodeStats`. The oracle pins the STRUCTURAL outputs
+    * (media type, dims, sample counts) — exact for every modality,
+    * including lossy JPEG — recomputed from doc_id alone. x35 keeps
+    * the 3-way value-level check (sums); this query proves the full
+    * five-decoder dispatch. */
+  private def x41(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = t(s, dir, "documents").select(d,
+      when(d % 5 === 0, PixelDecode.synthPngPixels(
+        (d % 97 + 4).cast("int"), (d % 53 + 3).cast("int"),
+        (d % 251).cast("int")))
+        .when(d % 5 === 1, GifDecode.synthGifPixels(
+          (d % 47 + 4).cast("int"), (d % 29 + 3).cast("int"),
+          (d % 253).cast("int")))
+        .when(d % 5 === 2, PixelDecode.synthWavTone(lit(1), lit(8000),
+          (d % 400 + 100).cast("int"), (d % 1777).cast("int")))
+        .when(d % 5 === 3, ImageIoDecode.synthJpeg(
+          (d % 61 + 8).cast("int"), (d % 37 + 8).cast("int"), lit(85)))
+        .otherwise(Mp4Demux.synthMp4Frames(
+          (d % 31 + 4).cast("int"), (d % 17 + 3).cast("int"),
+          (d % 9 + 2).cast("int"), (d % 241).cast("int")))
+        .as("media_bytes"))
+    docs.select(d,
+      graft.ext.Multimodal.decodeStats(col("media_bytes")).as("st"))
+      .select(d,
+        col("st.media_type").as("media_type"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_samples").as("n_samples"))
+      .orderBy(d)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_media_dispatch5" -> (x41 _),
     "x40_postings" -> (x40 _),
     "x39_len_quantiles" -> (x39 _),
     "x38_contamination" -> (x38 _),
@@ -707,6 +743,33 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // five modalities, one CASE — every structural field exact from
+    // doc_id (JPEG is lossy in VALUES, never in dims/counts)
+    "x41_media_dispatch5" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/jpeg'
+        |    ELSE 'video/mp4' END AS media_type,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN CAST(doc_id % 97 + 4 AS BIGINT)
+        |    WHEN 1 THEN CAST(doc_id % 47 + 4 AS BIGINT)
+        |    WHEN 2 THEN CAST(NULL AS BIGINT)
+        |    WHEN 3 THEN CAST(doc_id % 61 + 8 AS BIGINT)
+        |    ELSE CAST(doc_id % 31 + 4 AS BIGINT) END AS width,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN CAST(doc_id % 53 + 3 AS BIGINT)
+        |    WHEN 1 THEN CAST(doc_id % 29 + 3 AS BIGINT)
+        |    WHEN 2 THEN CAST(NULL AS BIGINT)
+        |    WHEN 3 THEN CAST(doc_id % 37 + 8 AS BIGINT)
+        |    ELSE CAST(doc_id % 17 + 3 AS BIGINT) END AS height,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN CAST((doc_id % 97 + 4) * (doc_id % 53 + 3) AS BIGINT)
+        |    WHEN 1 THEN CAST((doc_id % 47 + 4) * (doc_id % 29 + 3) * 3 AS BIGINT)
+        |    WHEN 2 THEN CAST(doc_id % 400 + 100 AS BIGINT)
+        |    WHEN 3 THEN CAST((doc_id % 61 + 8) * (doc_id % 37 + 8) AS BIGINT)
+        |    ELSE CAST((doc_id % 9 + 2) * (doc_id % 31 + 4) * (doc_id % 17 + 3)
+        |      AS BIGINT) END AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // independent implementation: DuckDB's own quantile_disc vs the
     // cumulative-count window plan (p cast to DOUBLE — a bare 0.25
     // literal is DECIMAL and the column-type compare would fail)

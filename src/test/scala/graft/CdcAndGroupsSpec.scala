@@ -178,3 +178,53 @@ class DiscreteQuantilesSpec extends SparkSpec {
       ("b", 0.5) -> 42, ("b", 1.0) -> 42))
   }
 }
+
+class StreamCdcSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamCdc
+
+  test("streaming SCD2 converges to the batch operator across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)] // (user, ts, event_id, state)
+    val updates = StreamCdc.scd2Updates(
+      input.toDS().groupByKey(_._1)
+        .mapValues(v => (v._2, v._3, v._4)))
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("scd2_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scd2").toString)
+      .start()
+    try {
+      // batch 1: user 1 A→B mid-batch (closes A); user 2 opens X
+      input.addData((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 5L, 3L, "B"),
+        (2L, 3L, 4L, "X"))
+      q.processAllAvailable()
+      // batch 2: the A run RESUMES across the boundary for user 1
+      // (closes B at 9), user 2 unchanged-state event (no new version)
+      input.addData((1L, 9L, 5L, "A"), (2L, 8L, 6L, "X"))
+      q.processAllAvailable()
+
+      // update-mode memory sink appends every upsert; last write per
+      // (key, version) is the converged row
+      val got = spark.table("scd2_out")
+        .withColumn("seq", monotonically_increasing_id())
+        .as[(Long, Long, String, Long, Option[Long], Long)]
+        .collect().groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> { val r = rs.maxBy(_._6); (r._3, r._4, r._5) } }
+
+      val events = Seq(
+        (1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 5L, 3L, "B"),
+        (2L, 3L, 4L, "X"), (1L, 9L, 5L, "A"), (2L, 8L, 6L, "X"))
+        .toDF("user_id", "ts_ms", "event_id", "event_type")
+      val batch = graft.operators.Cdc
+        .scd2History(events, "user_id", "event_type", "ts_ms", "event_id")
+        .as[(Long, Long, String, Long, Option[Long])]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+      assert(got === batch)
+      assert(batch((1L, 3L)) === (("A", 9L, None))) // resumed run is v3, open
+    } finally q.stop()
+  }
+}
