@@ -635,7 +635,17 @@ object ExtQueries {
       .orderBy(d)
   }
 
+  /** Data-quality profile of the orders table: per-column row/null/
+    * exact-distinct counts in one aggregation pass
+    * (`Profile.table`) — the trust-but-verify report for a new data
+    * drop. DuckDB recomputes each column's profile independently. */
+  private def x42(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.table(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("col_name"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x42_profile" -> (x42 _),
     "x41_media_dispatch5" -> (x41 _),
     "x40_postings" -> (x40 _),
     "x39_len_quantiles" -> (x39 _),
@@ -743,6 +753,21 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x42_profile" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
     // five modalities, one CASE — every structural field exact from
     // doc_id (JPEG is lossy in VALUES, never in dims/counts)
     "x41_media_dispatch5" ->

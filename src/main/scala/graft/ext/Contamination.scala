@@ -48,6 +48,7 @@ object Contamination {
     * an annotation of every row. */
   def sharedGrams(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
     val bench = gramHashes(benchmark, idCol, textCol, n)
       .select(col("g")).distinct()
     // Join BEFORE dedup: the broadcast filter runs map-side on the raw

@@ -86,9 +86,12 @@ object Cdc {
       tsCol: String, tieBreak: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    // row_number (not lag-is-null) marks the first event: a lag of
+    // NULL is ambiguous when the state column itself can be null
     val changes = events
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev_state", lag(col(stateCol), 1).over(w))
-      .filter(col("__prev_state").isNull ||
+      .filter(col("__rn") === 1 ||
         !(col(stateCol) <=> col("__prev_state")))
     changes
       .withColumn("version", row_number().over(w).cast("long"))

@@ -136,7 +136,10 @@ object Scale {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps $ps")
     val w = org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(groupCol), col(valCol))
+    // SQL-standard inverse-distribution semantics skip NULLs; without
+    // this filter they'd sort first and could be returned as quantiles
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol))
       .agg(count(lit(1)).as("cnt"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(

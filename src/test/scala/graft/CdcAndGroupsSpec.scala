@@ -147,6 +147,20 @@ class Scd2HistorySpec extends SparkSpec {
       .collect().sortBy(_._2).toSeq
     assert(got.map(r => (r._2, r._3)) === Seq((1L, "A"), (2L, "B")))
   }
+
+  test("a leading NULL state opens a version; null→null runs collapse") {
+    val events = Seq(
+      (1L, 1L, 1L, None: Option[String]),
+      (1L, 2L, 2L, None), // same (null) state: collapses, NOT a new version
+      (1L, 5L, 3L, Some("A")))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = Cdc.scd2History(events, "user_id", "event_type", "ts_ms", "event_id")
+      .as[(Long, Long, Option[String], Long, Option[Long])]
+      .collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      (1L, 1L, None, 1L, Some(5L)),
+      (1L, 2L, Some("A"), 5L, None)))
+  }
 }
 
 class DiscreteQuantilesSpec extends SparkSpec {
@@ -176,6 +190,16 @@ class DiscreteQuantilesSpec extends SparkSpec {
     assert(got === Map(
       ("a", 0.5) -> 3, ("a", 1.0) -> 7,
       ("b", 0.5) -> 42, ("b", 1.0) -> 42))
+  }
+
+  test("NULL values are skipped, per inverse-distribution semantics") {
+    val df = Seq(("a", Some(10)), ("a", None), ("a", Some(20)), ("a", None))
+      .toDF("g", "v")
+    val got = Scale.discreteQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .as[(String, Double, Int)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    // n counts only the 2 non-null values: p50 = 10, p100 = 20
+    assert(got === Map(("a", 0.5) -> 10, ("a", 1.0) -> 20))
   }
 }
 
@@ -226,5 +250,36 @@ class StreamCdcSpec extends SparkSpec {
       assert(got === batch)
       assert(batch((1L, 3L)) === (("A", 9L, None))) // resumed run is v3, open
     } finally q.stop()
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Profile
+
+  test("profiles nulls and exact distincts per column in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None),
+      (Some(2), Some("b")), (None, Some("b")))
+      .toDF("k", "v")
+    val got = Profile.table(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "k" -> ((4L, 1L, 2L)),
+      "v" -> ((4L, 1L, 2L))))
+  }
+
+  test("approx mode profiles the same shape without the Expand blowup") {
+    val df = (1 to 1000).map(i => (i, i % 7)).toDF("a", "b")
+    val got = Profile.table(df, Seq("a", "b"), approx = true)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // HLL++ default rsd is 5%: budget 3 sigma on the large column
+    assert(math.abs(got("a") - 1000L) <= 150)
+    assert(got("b") === 7L)
+    val plan = Profile.table(df, Seq("a", "b"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx mode must not Expand")
   }
 }
