@@ -114,3 +114,39 @@ class Mp4DemuxSpec extends SparkSpec {
     }
   }
 }
+
+/** Property round-trip over random geometry: every mux must demux back
+  * to the exact pixel formula, across chunk-boundary shapes (nf % 4
+  * covers single-run, exact-run and partial-last-chunk stsc tables)
+  * and all stride phases. Raw ScalaCheck generators with fixed seeds
+  * (scalatestplus bridge is not in the offline cache). */
+class Mp4DemuxPropertySpec extends SparkSpec {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private val geomGen: Gen[(Int, Int, Int, Int, Int)] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 24)
+    nf <- Gen.choose(1, 13)
+    seed <- Gen.choose(0, 255)
+    stride <- Gen.choose(1, 4)
+  } yield (w, h, nf, seed, stride)
+
+  test("mux→demux round-trips the pixel formula for arbitrary geometry") {
+    (1 to 60).flatMap(i => geomGen(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { case (w, h, nf, seed, stride) =>
+        val st = graft.ext.Mp4Demux.mp4FrameStats(
+          graft.ext.Mp4Demux.mp4FramesBytes(w, h, nf, seed), stride)
+        assert(st != null, s"($w,$h,$nf,$seed,$stride)")
+        val sampled = 0 until nf by stride
+        val vals = for (f <- sampled; x <- 0 until w)
+          yield (seed + f * 31 + x) % 256
+        assert(st.getLong(2) === nf.toLong)
+        assert(st.getLong(3) === sampled.size.toLong)
+        assert(st.getLong(4) === sampled.size.toLong * w * h)
+        assert(st.getLong(5) === vals.map(_.toLong).sum * h,
+          s"sum mismatch ($w,$h,$nf,$seed,$stride)")
+        assert(st.getInt(6) === vals.min && st.getInt(7) === vals.max)
+      }
+  }
+}
