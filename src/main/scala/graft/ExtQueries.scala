@@ -644,7 +644,19 @@ object ExtQueries {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy(col("col_name"))
 
+  /** Per-group cap sampling (`Sampling.kPerGroup`): at most 30 docs
+    * per language, membership = the 30 smallest md5(doc_id) — the
+    * deterministic "≤N per domain" primitive that rate-based sampling
+    * can't provide. Same md5-hex discipline as x30 keeps the DuckDB
+    * oracle byte-identical. */
+  private def x43(s: SparkSession, dir: String): DataFrame =
+    Sampling.kPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), k = 30)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x43_cap_per_group" -> (x43 _),
     "x42_profile" -> (x42 _),
     "x41_media_dispatch5" -> (x41 _),
     "x40_postings" -> (x40 _),
@@ -753,6 +765,13 @@ object ExtQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x43_cap_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
     "x42_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

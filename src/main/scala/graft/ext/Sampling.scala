@@ -52,4 +52,23 @@ object Sampling {
       salt: String): Column =
     substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8) <
       thresholdHex
+
+  /** Per-group CAP: deterministically keep at most `k` rows per group
+    * (e.g. "≤100k docs per domain"), choosing the k smallest key
+    * hashes so membership is reproducible and, like [[uniform]],
+    * monotone — a kept row stays kept when k grows. Rate-based
+    * sampling can't bound a pathological group; this is the other half
+    * of corpus re-balancing. One group-keyed shuffle; the rank ≤ k
+    * filter is a WindowGroupLimit, so partial top-k runs map-side
+    * before the exchange (same shape as the posting-list build). */
+  def kPerGroup(df: DataFrame, keyCol: Column, groupCol: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val h = md5(concat(lit(salt), keyCol.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -242,3 +242,34 @@ class PackSampleBloomSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "changed")))
   }
 }
+
+class KPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Sampling
+
+  test("caps each group at k, deterministically and monotonically") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val k5 = Sampling.kPerGroup(df, col("id"), col("g"), 5)
+      .as[(Long, String)].collect().toSet
+    assert(k5.count(_._2 == "a") === 5 && k5.count(_._2 == "b") === 5)
+    // repartitioning must not change membership
+    val k5b = Sampling.kPerGroup(df.repartition(7), col("id"), col("g"), 5)
+      .as[(Long, String)].collect().toSet
+    assert(k5b === k5)
+    // monotone: the k=5 sample is a subset of the k=9 sample
+    val k9 = Sampling.kPerGroup(df, col("id"), col("g"), 9)
+      .as[(Long, String)].collect().toSet
+    assert(k5.subsetOf(k9))
+    // groups smaller than k keep everything
+    val tiny = Seq((1L, "z"), (2L, "z")).toDF("id", "g")
+    assert(Sampling.kPerGroup(tiny, col("id"), col("g"), 5).count() === 2L)
+  }
+
+  test("kPerGroup plan gets the map-side WindowGroupLimit") {
+    val df = (1L to 50L).map(i => (i, "g")).toDF("id", "g")
+    val plan = Sampling.kPerGroup(df, col("id"), col("g"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+}
