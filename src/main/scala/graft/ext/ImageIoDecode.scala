@@ -105,7 +105,7 @@ object ImageIoDecode {
     }
     val out = new java.io.ByteArrayOutputStream(w * h / 4 + 512)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val ios = ImageIoHolder.outputStream(out)
     try {
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
@@ -157,8 +157,19 @@ object ImageIoDecode {
 }
 
 /** ImageIO.read with the scanner disabled-dirs caches warm; kept in a
-  * holder so executor-side class init stays cheap. */
+  * holder so executor-side class init stays cheap.
+  *
+  * setUseCache(false) is load-bearing: ImageIO's default stream cache
+  * is FILE-backed — with it on, every per-row decode (and encode)
+  * writes a temp file under java.io.tmpdir. In-memory payloads never
+  * need it, and the temp-file churn both costs and varies with
+  * filesystem pressure (observed as x36 swinging 2-4 s run-to-run). */
 private[ext] object ImageIoHolder {
+  javax.imageio.ImageIO.setUseCache(false)
   def read(b: Array[Byte]): java.awt.image.BufferedImage =
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+  /** Route encode-side stream creation here so the holder's
+    * setUseCache init is guaranteed to have run first. */
+  def outputStream(out: java.io.OutputStream): javax.imageio.stream.ImageOutputStream =
+    javax.imageio.ImageIO.createImageOutputStream(out)
 }
