@@ -856,8 +856,10 @@ object ExtQueries {
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT doc_id, array_to_string(t[g.i:g.i+7], ' ') AS gram
-        |  FROM toks JOIN generate_series(1, 200) g(i) ON g.i <= len(t) - 7),
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM toks)),
         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
         |corpus AS (
         |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)

@@ -430,14 +430,19 @@ object SparkEntry {
         |       AND o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "q16_scd2_history" ->
+      // change detection via IS DISTINCT FROM + an explicit first-row
+      // marker, mirroring the operator's null-safe <=> semantics: a
+      // NULL state following a non-null one IS a change, and a NULL
+      // state's prev_state being NULL does not mark a change by itself
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ms(ts), event_id) AS prev_state
-        |  FROM events),
+        |    lag(event_type) OVER w0 AS prev_state,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
         |chg AS (
         |  SELECT user_id, event_id, event_type, ts_ms
-        |  FROM e WHERE prev_state IS NULL OR event_type <> prev_state)
+        |  FROM e WHERE rn = 1 OR event_type IS DISTINCT FROM prev_state)
         |SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,
         |  event_type,

@@ -88,46 +88,64 @@ object Mp4Demux {
       }
     }
 
-    def parseStbl(from: Int, to: Int): Unit = boxes(from, to) {
-      case ("stsd", f, t) if t - f >= 8 =>
-        // full box: version/flags u32, entry_count u32, then entries
-        val n = u32be(b, f + 4)
-        if (n >= 1 && t - f >= 16) {
-          val es = f + 8 // first sample entry: size u32, format fourcc
-          val fmt = new String(b, es + 4, 4, "US-ASCII")
-          val esEnd = es + u32be(b, es).toInt
-          // VisualSampleEntry: 8 header + 6 reserved + 2 dref index +
-          // 16 pre_defined/reserved, then width/height u16, ... then
-          // frame_count(2) + compressorname(32) + depth(2) @ +78
-          if (fmt == "raw " && esEnd <= t && esEnd - es >= 84 &&
-              u16be(b, es + 82) == 8) {
-            width = u16be(b, es + 32)
-            height = u16be(b, es + 34)
+    // Parse ONE stbl into locals and commit atomically only when all
+    // four tables are present — a multi-track file can never pair one
+    // trak's stsd with another trak's sample tables (an incomplete
+    // raw-luma stbl after a complete compressed-codec stbl used to
+    // inherit the earlier trak's stsz/stsc/stco and produce
+    // plausible-but-wrong stats instead of null).
+    def parseStbl(from: Int, to: Int): Unit = {
+      var w = -1
+      var h = -1
+      var lStsz: Array[Int] = null
+      var lStco: Array[Long] = null
+      var lStsc: Array[(Long, Long)] = null
+      boxes(from, to) {
+        case ("stsd", f, t) if t - f >= 8 =>
+          // full box: version/flags u32, entry_count u32, then entries
+          val n = u32be(b, f + 4)
+          if (n >= 1 && t - f >= 16) {
+            val es = f + 8 // first sample entry: size u32, format fourcc
+            val fmt = new String(b, es + 4, 4, "US-ASCII")
+            val esEnd = es + u32be(b, es).toInt
+            // VisualSampleEntry: 8 header + 6 reserved + 2 dref index +
+            // 16 pre_defined/reserved, then width/height u16, ... then
+            // frame_count(2) + compressorname(32) + depth(2) @ +78
+            if (fmt == "raw " && esEnd <= t && esEnd - es >= 84 &&
+                u16be(b, es + 82) == 8) {
+              w = u16be(b, es + 32)
+              h = u16be(b, es + 34)
+            }
           }
-        }
-      case ("stsz", f, t) if t - f >= 12 =>
-        val fixed = u32be(b, f + 4)
-        val n = u32be(b, f + 8).toInt
-        if (n >= 0 && n <= (1 << 22)) {
-          if (fixed != 0L) stsz = Array.fill(n)(fixed.toInt)
-          else if (t - f >= 12 + 4L * n)
-            stsz = Array.tabulate(n)(i => u32be(b, f + 12 + 4 * i).toInt)
-        }
-      case ("stsc", f, t) if t - f >= 8 =>
-        val n = u32be(b, f + 4).toInt
-        if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 12L * n)
-          stscRuns = Array.tabulate(n) { i =>
-            (u32be(b, f + 8 + 12 * i), u32be(b, f + 12 + 12 * i))
+        case ("stsz", f, t) if t - f >= 12 =>
+          val fixed = u32be(b, f + 4)
+          val n = u32be(b, f + 8).toInt
+          if (n >= 0 && n <= (1 << 22)) {
+            if (fixed != 0L) lStsz = Array.fill(n)(fixed.toInt)
+            else if (t - f >= 12 + 4L * n)
+              lStsz = Array.tabulate(n)(i => u32be(b, f + 12 + 4 * i).toInt)
           }
-      case ("stco", f, t) if t - f >= 8 =>
-        val n = u32be(b, f + 4).toInt
-        if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 4L * n)
-          stcoOff = Array.tabulate(n)(i => u32be(b, f + 8 + 4 * i))
-      case ("co64", f, t) if t - f >= 8 =>
-        val n = u32be(b, f + 4).toInt
-        if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 8L * n)
-          stcoOff = Array.tabulate(n)(i => u64be(b, f + 8 + 8 * i))
-      case _ => ()
+        case ("stsc", f, t) if t - f >= 8 =>
+          val n = u32be(b, f + 4).toInt
+          if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 12L * n)
+            lStsc = Array.tabulate(n) { i =>
+              (u32be(b, f + 8 + 12 * i), u32be(b, f + 12 + 12 * i))
+            }
+        case ("stco", f, t) if t - f >= 8 =>
+          val n = u32be(b, f + 4).toInt
+          if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 4L * n)
+            lStco = Array.tabulate(n)(i => u32be(b, f + 8 + 4 * i))
+        case ("co64", f, t) if t - f >= 8 =>
+          val n = u32be(b, f + 4).toInt
+          if (n >= 0 && n <= (1 << 20) && t - f >= 8 + 8L * n)
+            lStco = Array.tabulate(n)(i => u64be(b, f + 8 + 8 * i))
+        case _ => ()
+      }
+      if (w > 0 && h > 0 && lStsz != null && lStco != null &&
+          lStsc != null && lStsc.nonEmpty && width < 0) {
+        width = w; height = h
+        stsz = lStsz; stcoOff = lStco; stscRuns = lStsc
+      }
     }
 
     boxes(0, b.length) {

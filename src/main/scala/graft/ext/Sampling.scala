@@ -60,13 +60,21 @@ object Sampling {
     * sampling can't bound a pathological group; this is the other half
     * of corpus re-balancing. One group-keyed shuffle; the rank ≤ k
     * filter is a WindowGroupLimit, so partial top-k runs map-side
-    * before the exchange (same shape as the posting-list build). */
+    * before the exchange (same shape as the posting-list build).
+    *
+    * Determinism: rows tie on the hash exactly when their key values
+    * are equal, so with DUPLICATE keys inside a group the rank among
+    * the duplicates would be partition-order-dependent. The window
+    * therefore orders by (hash, key, tieBreak*): callers whose keys
+    * are unique per group need nothing more; callers with duplicate
+    * keys pass `tieBreak` columns that distinguish the duplicates to
+    * keep membership (and the k5 ⊆ k9 monotonicity) reproducible. */
   def kPerGroup(df: DataFrame, keyCol: Column, groupCol: Column, k: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "", tieBreak: Seq[Column] = Nil): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val h = md5(concat(lit(salt), keyCol.cast("string")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(h)
+      .partitionBy(groupCol).orderBy((Seq(h, keyCol) ++ tieBreak): _*)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

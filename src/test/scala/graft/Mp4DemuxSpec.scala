@@ -95,6 +95,59 @@ class Mp4DemuxSpec extends SparkSpec {
     assert(Mp4Demux.mp4FrameStats(b, 1) === null)
   }
 
+  // ---- hand-rolled box assembly for multi-track adversarial files ----
+
+  private def b32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def b16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mkBox(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val payload = body.flatten.toArray
+    b32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+  }
+  /** 86-byte VisualSampleEntry with the given fourcc, w×h, depth 8. */
+  private def sampleEntry(fourcc: String, w: Int, h: Int): Array[Byte] =
+    mkBox(fourcc,
+      new Array[Byte](6), b16(1), new Array[Byte](16), // reserved/dref
+      b16(w), b16(h), b32(0x00480000L), b32(0x00480000L), b32(0L),
+      b16(1), new Array[Byte](32), b16(8), b16(0xffff))
+  private def stsdBox(entry: Array[Byte]): Array[Byte] =
+    mkBox("stsd", b32(0L), b32(1L), entry)
+  /** Complete one-sample tables: one chunk at `off`, sample size `sz`. */
+  private def tables(off: Long, sz: Long): Seq[Array[Byte]] = Seq(
+    mkBox("stsz", b32(0L), b32(sz), b32(1L)),
+    mkBox("stsc", b32(0L), b32(1L), b32(1L), b32(1L), b32(1L)),
+    mkBox("stco", b32(0L), b32(1L), b32(off)))
+  private def trakOf(stbl: Array[Byte]): Array[Byte] =
+    mkBox("trak", mkBox("mdia", mkBox("minf", stbl)))
+
+  test("a raw trak with incomplete tables never borrows another trak's") {
+    val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), b32(512L),
+      "isomiso2".getBytes("US-ASCII"))
+    val mdat = mkBox("mdat", Array.fill[Byte](9)(7)) // one 3x3 frame
+    val off = ftyp.length + 8L
+    // trak1: COMPLETE tables but a compressed codec (avc1) — no dims;
+    // trak2: raw stsd (dims) but NO sample tables at all.
+    val bad = ftyp ++ mdat ++ mkBox("moov",
+      trakOf(mkBox("stbl",
+        (stsdBox(sampleEntry("avc1", 3, 3)) +: tables(off, 9L)): _*)),
+      trakOf(mkBox("stbl", stsdBox(sampleEntry("raw ", 3, 3)))))
+    // pre-fix this demuxed as 3x3 with trak1's tables; must be null
+    assert(Mp4Demux.demux(bad) === null)
+    assert(Mp4Demux.mp4FrameStats(bad, 1) === null)
+
+    // control: the same layout with trak2 COMPLETE demuxes via trak2
+    val good = ftyp ++ mdat ++ mkBox("moov",
+      trakOf(mkBox("stbl",
+        (stsdBox(sampleEntry("avc1", 5, 5)) +: tables(off, 9L)): _*)),
+      trakOf(mkBox("stbl",
+        (stsdBox(sampleEntry("raw ", 3, 3)) +: tables(off, 9L)): _*)))
+    val s = Mp4Demux.demux(good)
+    assert(s != null && s.width === 3 && s.height === 3)
+    assert(s.offsets.toSeq === Seq(off) && s.sizes.toSeq === Seq(9))
+  }
+
   test("expression forms run inside codegen over a DataFrame") {
     val df = (0 until 20).map { i =>
       (i.toLong, i % 13 + 2, i % 7 + 2, i % 5 + 1, i % 251)

@@ -266,6 +266,24 @@ class KPerGroupSpec extends SparkSpec {
     assert(Sampling.kPerGroup(tiny, col("id"), col("g"), 5).count() === 2L)
   }
 
+  test("duplicate keys stay deterministic and monotone given a tie-break") {
+    // keys collide on purpose (id % 10): rows tie on the md5 hash, so
+    // only the tie-break column distinguishes them
+    val rows = for (g <- 0 until 4; k <- 0 until 30; p <- 0 until 2)
+      yield (g.toString, (k % 10).toLong, s"payload-$p-$k")
+    val df = rows.toDF("g", "id", "payload")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.kPerGroup(d, col("id"), col("g"), k,
+        tieBreak = Seq(col("payload")))
+        .as[(String, Long, String)].collect().toSet
+    val a = run(df, 5)
+    assert(a.groupBy(_._1).values.forall(_.size == 5))
+    // partition-layout independence despite the hash ties
+    assert(run(df.repartition(13), 5) === a)
+    // k5 ⊆ k9 monotonicity survives the ties
+    assert(a.subsetOf(run(df, 9)))
+  }
+
   test("kPerGroup plan gets the map-side WindowGroupLimit") {
     val df = (1L to 50L).map(i => (i, "g")).toDF("id", "g")
     val plan = Sampling.kPerGroup(df, col("id"), col("g"), 3)
