@@ -137,12 +137,21 @@ object Dedup {
   }
 
   /** Collapse near-dup pairs into groups: each doc labeled with the
-    * min doc id of its connected component (iterative min-label
-    * propagation — the standard large-graph CC pattern; rounds are
-    * O(log n) for realistic dup clusters, each round one shuffle).
+    * min doc id of its connected component.
+    *
+    * Distributed path: alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Each round is two grouped-min + join steps; the round count is
+    * O(log n) REGARDLESS of graph diameter — a chain-shaped component
+    * (crawl-duplicate chains do this at corpus scale) converges just
+    * as fast as a star, where per-hop min-label propagation would need
+    * O(diameter) rounds. Convergence is detected by an exact
+    * (count, hash-sum) signature of the edge set reaching a fixed
+    * point; exceeding `maxIters` still fails loudly — wrong group ids
+    * are silent data corruption for a dedup.
     */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 10,
+      bCol: String = "doc_b", maxIters: Int = 25,
       driverThreshold: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -174,39 +183,70 @@ object Dedup {
       return nodes.map(n => (n, find(n))).toSeq
         .toDF("doc_id", "group_id")
     }
-    var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("label", col("node")).cache()
+    // Large-star: every node u connects its LARGER neighbors to the
+    // minimum of its neighborhood (incl. itself) — hooks long chains
+    // toward the minimum several hops at once.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbrs.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // Small-star: orient edges parent-ward (src > dst), then connect
+    // each node's smaller neighbors (and itself) to the minimum —
+    // flattens the partial trees into stars.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or.join(m, Seq("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // Exact multiset signature of an edge set: row count + hash sum
+    // (mod a prime so the sum can't overflow at any scale). Equal
+    // signatures across a round = fixed point = star forest.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
+          lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    var prev = signature(e)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val propagated = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dst_label")).as("neighbor_min"))
-      val next = labels.join(propagated, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("neighbor_min"), col("label")))
-            .as("label")).cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
+      // localCheckpoint each round: truncates the iterative lineage so
+      // analysis/planning stays O(1) per round instead of compounding
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val sig = signature(next)
+      e = next
+      converged = sig == prev
+      prev = sig
       i += 1
     }
-    edges.unpersist()
     if (!converged)
-      // wrong group ids are silent data corruption for a dedup — fail
-      // loudly; callers raise maxIters (diameter bound) and retry
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds; " +
-          "increase maxIters (graph diameter exceeds it)")
-    val out = labels.select(col("node").as("doc_id"),
-      col("label").as("group_id")).localCheckpoint(true)
-    labels.unpersist(blocking = false)
-    out
+          "increase maxIters")
+    // At the fixed point every non-root node carries exactly one edge
+    // (node, component-min); roots label themselves.
+    e.select(col("src").as("doc_id"), col("dst").as("group_id"))
+      .unionByName(e.select(col("dst").as("doc_id"), col("dst").as("group_id"))
+        .distinct())
+      .localCheckpoint(true)
   }
 
   /** Corpus-level boilerplate line removal (CCNet/C4-style): drop

@@ -17,4 +17,50 @@ class ComponentsAdaptiveSpec extends SparkSpec {
     assert(fast === want)
     assert(dist === want)
   }
+
+  test("10k-node path graph converges in O(log n) rounds, not O(diameter)") {
+    // A chain 0-1-2-…-9999: diameter 9999. Per-hop min-label
+    // propagation would need ~10k rounds; the alternating large-star /
+    // small-star rounds hook toward the minimum multi-hop, so the
+    // default maxIters=25 bound must hold with room to spare.
+    val n = 10000L
+    val chain = spark.range(0L, n - 1, 1L, 8)
+      .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    val got = Dedup.components(chain, driverThreshold = 0L)
+    assert(got.count() === n)
+    // every node labeled with the chain's minimum
+    assert(got.filter(org.apache.spark.sql.functions.col("group_id") =!= 0L)
+      .count() === 0L)
+  }
+
+  test("random multi-component graphs: distributed ≡ driver union-find") {
+    val rnd = new scala.util.Random(7)
+    // 3 shapes per trial: chains, stars, and random pair soup
+    for (trial <- 1 to 3) {
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var base = 0L
+      for (_ <- 0 until 5) {
+        val size = 2 + rnd.nextInt(40)
+        val nodes = (0 until size).map(_ + base)
+        rnd.nextInt(3) match {
+          case 0 => // chain
+            nodes.sliding(2).foreach(p => edges += ((p(0), p(1))))
+          case 1 => // star
+            nodes.tail.foreach(v => edges += ((nodes.head, v)))
+          case _ => // soup: random spanning edges + extras
+            nodes.tail.foreach(v =>
+              edges += ((nodes(rnd.nextInt(nodes.indexOf(v))), v)))
+            (0 until size / 2).foreach { _ =>
+              edges += ((nodes(rnd.nextInt(size)), nodes(rnd.nextInt(size))))
+            }
+        }
+        base += size + rnd.nextInt(5)
+      }
+      val df = edges.filter(e => e._1 != e._2).toSeq.toDF("doc_a", "doc_b")
+      val fast = Dedup.components(df).as[(Long, Long)].collect().toMap
+      val dist = Dedup.components(df, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist === fast, s"trial $trial")
+    }
+  }
 }
