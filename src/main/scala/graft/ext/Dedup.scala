@@ -112,28 +112,73 @@ object Dedup {
   /** N-gram Jaccard dedup with an equi-bucket (e.g. language) to bound
     * the candidate space, exact set arithmetic via an exploded
     * gram-level join — fully SQL-expressible, used as the DuckDB-checked
-    * reference point for the sketch variants. */
+    * reference point for the sketch variants.
+    *
+    * Candidate-cap discipline: the gram-level self-join emits df² rows
+    * for a gram appearing in df documents of one bucket, so a
+    * stop-word-like hot gram is a task-killer at corpus scale. A gram
+    * whose in-bucket frequency exceeds `maxGramDf` FAILS LOUDLY here
+    * (wrongly-silent capping would change the exact semantics this
+    * operator exists to pin); callers that accept missing-pair
+    * (never fabricated-pair) results under hot grams use
+    * [[ngramJaccardCapped]], which drops the hot grams from candidate
+    * generation and reports each one. The frequency probe is one
+    * aggregate over the gram scan — the price of converge-or-throw. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      bucketCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+      bucketCol: String, n: Int = 3, threshold: Double = 0.2,
+      maxGramDf: Int = 1 << 14): DataFrame = {
+    val (pairs, hot) = ngramJaccardCapped(docs, idCol, textCol, bucketCol,
+      n, threshold, maxGramDf)
+    val examples = hot.limit(3).collect()
+    if (examples.nonEmpty)
+      throw new IllegalStateException(
+        s"ngramJaccard: gram frequency exceeds maxGramDf=$maxGramDf in " +
+          s"buckets ${examples.map(r => s"${r.get(0)} (df=${r.getLong(2)})")
+            .mkString(", ")}; raise maxGramDf or use ngramJaccardCapped")
+    pairs
+  }
+
+  /** [[ngramJaccard]] with hot grams DROPPED instead of fatal: grams
+    * above `maxGramDf` in-bucket frequency are excluded from candidate
+    * generation (doc gram-set sizes stay exact, so the reported
+    * jaccard is a lower bound — pairs can be missed, never invented)
+    * and every dropped gram is accounted for in the second frame.
+    *
+    * @return (pairs, overflow) — overflow rows are
+    *         (bkt, g, gram_df) per dropped gram, empty when no cap hit
+    */
+  def ngramJaccardCapped(docs: DataFrame, idCol: String, textCol: String,
+      bucketCol: String, n: Int = 3, threshold: Double = 0.2,
+      maxGramDf: Int = 1 << 14): (DataFrame, DataFrame) = {
+    require(maxGramDf >= 1, s"maxGramDf must be positive, got $maxGramDf")
     // gram identity is its 64-bit hash: intersection/union counts match
     // string grams up to hash collisions (~2^-64 per pair)
     val grams = docs.select(col(idCol).as("doc"), col(bucketCol).as("bkt"),
       explode(graft.functions.Expressions.ngramHashes(
         H.tokenHashes(T.tokens(col(textCol))), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = grams.alias("x")
-      .join(grams.alias("y"),
+    val hot = grams.groupBy(col("bkt"), col("g"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") > maxGramDf)
+    // hot is small by assumption (it lists pathological grams only), so
+    // the exclusion is a broadcast anti-join on the gram scan — the df²
+    // blowup never reaches the shuffle
+    val kept = grams.join(broadcast(hot.select(col("bkt"), col("g"))),
+      Seq("bkt", "g"), "left_anti")
+    val inter = kept.alias("x")
+      .join(kept.alias("y"),
         col("x.g") === col("y.g") && col("x.bkt") === col("y.bkt") &&
           col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(count(lit(1)).as("i"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sa")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sb")), "doc_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("sa") + col("sb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (pairs, hot)
   }
 
   /** Collapse near-dup pairs into groups: each doc labeled with the
@@ -278,18 +323,53 @@ object Dedup {
   }
 
   /** Embedding near-dedup: cosine ≥ threshold pairs, bucketed by a
-    * coarse key (label / LSH bucket) to avoid all-pairs. */
+    * coarse key (label / LSH bucket) to avoid all-pairs.
+    *
+    * Same cap discipline as [[ngramJaccard]]: a bucket of b rows emits
+    * b² comparison pairs, so a skewed bucket past `maxBucket` FAILS
+    * LOUDLY (the operator's contract is every in-bucket pair gets
+    * verified); [[embeddingCosineCapped]] is the opt-in that skips and
+    * reports oversized buckets instead. */
   def embeddingCosine(embeddings: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, threshold: Double = 0.95): DataFrame = {
+      bucketCol: String, threshold: Double = 0.95,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    val (pairs, hot) = embeddingCosineCapped(embeddings, idCol, vecCol,
+      bucketCol, threshold, maxBucket)
+    val examples = hot.limit(3).collect()
+    if (examples.nonEmpty)
+      throw new IllegalStateException(
+        s"embeddingCosine: bucket size exceeds maxBucket=$maxBucket for " +
+          s"${examples.map(r => s"${r.get(0)} (n=${r.getLong(1)})")
+            .mkString(", ")}; raise maxBucket, refine the bucket key, " +
+          "or use embeddingCosineCapped")
+    pairs
+  }
+
+  /** [[embeddingCosine]] with oversized buckets SKIPPED instead of
+    * fatal: no pair from a bucket larger than `maxBucket` is verified
+    * (pairs can be missed, never invented) and each skipped bucket is
+    * accounted for in the second frame.
+    *
+    * @return (pairs, overflow) — overflow rows are (bkt, n_rows) per
+    *         skipped bucket, empty when no cap hit
+    */
+  def embeddingCosineCapped(embeddings: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, threshold: Double = 0.95,
+      maxBucket: Int = 1 << 12): (DataFrame, DataFrame) = {
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val v = embeddings.select(col(idCol).as("vid"), col(bucketCol).as("bkt"),
       col(vecCol).as("vec"))
-    val a = v.select(col("bkt"), col("vid").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("bkt"), col("vid").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bkt"))
+    val hot = v.groupBy(col("bkt")).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxBucket)
+    val kept = v.join(broadcast(hot.select(col("bkt"))), Seq("bkt"), "left_anti")
+    val a = kept.select(col("bkt"), col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = kept.select(col("bkt"), col("vid").as("id_b"), col("vec").as("vec_b"))
+    val pairs = a.join(b, Seq("bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    (pairs, hot)
   }
 }

@@ -65,4 +65,56 @@ class DedupOpsSpec extends SparkSpec {
     assert(exact.exists(_._3 === 0L))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("ngramJaccard hot gram: loud failure by default, reported drop when capped") {
+    // "stop word stop word stop word…" puts ONE gram in every doc
+    // (stop-word shape); the distinctive tails pair 10/11 and 12/13.
+    val hotDocs = ((1L to 9L).map(i => (i, "common filler gram here plus " +
+      s"unique$i tail$i content$i")) ++ Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta")))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    // cap below the hot gram's df=9 → the exact operator must throw
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccard(hotDocs, "doc_id", "text", "lang",
+        n = 3, threshold = 0.1, maxGramDf = 5).collect()
+    }
+    assert(e.getMessage.contains("maxGramDf=5"))
+    // capped variant: the overflow frame names every dropped gram with
+    // its frequency, and non-hot grams still produce pairs
+    val (pairs, overflow) = Dedup.ngramJaccardCapped(hotDocs, "doc_id",
+      "text", "lang", n = 3, threshold = 0.1, maxGramDf = 5)
+    val hot = overflow.as[(String, Long, Long)].collect()
+    assert(hot.nonEmpty && hot.forall(_._3 > 5L),
+      s"overflow must report the hot grams, got ${hot.toSeq}")
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 11L)), "non-hot grams still pair")
+    // a generous cap reproduces the exact operator
+    val exact = Dedup.ngramJaccard(hotDocs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val (uncapped, none) = Dedup.ngramJaccardCapped(hotDocs, "doc_id",
+      "text", "lang", n = 3, threshold = 0.1)
+    assert(none.count() === 0L)
+    assert(uncapped.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet === exact)
+  }
+
+  test("embeddingCosine skewed bucket: loud failure by default, reported skip when capped") {
+    val vecs = ((1L to 8L).map(i => (i, Seq(1.0f, 0.0f, i.toFloat / 100), 1)) ++
+      Seq((20L, Seq(0.0f, 1.0f, 0.0f), 2), (21L, Seq(0.0f, 1.0f, 0.01f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalStateException] {
+      Dedup.embeddingCosine(vecs, "vec_id", "embedding", "label",
+        threshold = 0.9, maxBucket = 4).collect()
+    }
+    assert(e.getMessage.contains("maxBucket=4"))
+    val (pairs, overflow) = Dedup.embeddingCosineCapped(vecs, "vec_id",
+      "embedding", "label", threshold = 0.9, maxBucket = 4)
+    val hot = overflow.as[(Int, Long)].collect()
+    assert(hot.toSeq === Seq((1, 8L)), "bucket 1 (n=8) must be reported")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((20L, 21L)),
+      "small bucket verified, oversized bucket skipped")
+  }
 }
