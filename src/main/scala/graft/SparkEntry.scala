@@ -244,6 +244,49 @@ object SparkEntry {
       "user_id", "event_type", "ts_ms", "event_id")
       .orderBy(col("user_id"), col("version"))
 
+  /** Proto registry per-frame writer-id dispatch (the proto mirror of
+    * q14's Avro semantics; reference `proto_schema_registry.rb`): one
+    * binary column carries frames from TWO proto writers — even keys
+    * framed by v1 (id 11), which declares price_cents as SINT64
+    * (zigzag!), odd keys by v2 (id 12), which declares it plain INT64
+    * and adds o_custkey. The dispatching reader must decode each frame
+    * with ITS writer's descriptor — interpreting v1's zigzag bytes
+    * with the reader descriptor alone would silently corrupt every
+    * even-key price — then resolve by field number, defaulting the
+    * field v1 never wrote. The oracle recomputes the rows from
+    * `orders` with a CASE on key parity. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.ProtoRegistryFramedBackend
+    import graft.schema.ProtoWire._
+    val v1 = ProtoMessage("OrderEvt", Seq(
+      ProtoField("o_orderkey", 1, PInt64),
+      ProtoField("o_orderstatus", 2, PString),
+      ProtoField("price_cents", 3, PSInt64)))
+    val v2 = ProtoMessage("OrderEvt", Seq(
+      ProtoField("o_orderkey", 1, PInt64),
+      ProtoField("o_orderstatus", 2, PString),
+      ProtoField("price_cents", 3, PInt64),
+      ProtoField("o_custkey", 4, PInt64)))
+    val w1 = new ProtoRegistryFramedBackend(v1, schemaId = 11)
+    val w2 = new ProtoRegistryFramedBackend(v2, schemaId = 12)
+    val reader = new ProtoRegistryFramedBackend(v2, schemaId = 12,
+      writerMessages = Map(11 -> v1, 12 -> v2))
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_custkey"))
+    src.select(
+      when(col("o_orderkey") % 2 === 0,
+        w1.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("price_cents"))))
+        .otherwise(w2.encodeExpr(struct(col("o_orderkey"),
+          col("o_orderstatus"), col("price_cents"), col("o_custkey"))))
+        .as("bin"))
+      .select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*")
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -335,6 +378,7 @@ object SparkEntry {
     "q14_registry_evolution" -> (q14 _),
     "q15_snapshot_diff" -> (q15 _),
     "q16_scd2_history" -> (q16 _),
+    "q17_proto_registry" -> (q17 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -451,6 +495,15 @@ object SparkEntry {
         |FROM chg
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // the oracle recomputes the expected decode from plain columns:
+    // the whole encode→frame→dispatch→writer-decode→resolve chain is
+    // under test, incl. v1's zigzag price and v2's added field
+    "q17_proto_registry" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 0
+        |       ELSE o_custkey END AS o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

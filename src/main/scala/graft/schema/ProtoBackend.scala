@@ -46,6 +46,46 @@ object ProtoExpressions {
       copy(child = c)
   }
 
+  /** Per-frame registry dispatch (the proto analog of
+    * [[AvroExpressions.AvroResolvingDecodeExpr]]): validate the
+    * Confluent frame, look the embedded id up in the writer-descriptor
+    * map, decode the payload with THAT writer's descriptor, then
+    * re-shape to the reader schema by field number
+    * ([[ProtoWire.resolveRow]]). Unknown ids fail loudly with the id
+    * and the known set — decoding with a guessed descriptor would
+    * mis-read silently. */
+  case class ProtoResolvingDecodeExpr(child: Expression,
+      reader: ProtoMessage, writersById: Map[Int, ProtoMessage])
+      extends UnaryExpression {
+    override def dataType: DataType = ProtoWire.sparkSchemaOf(reader)
+    override def nullable: Boolean = true
+
+    def decodeRow(input: Any): InternalRow = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length < 6 || b(0) != 0x00)
+        throw new IllegalArgumentException(
+          s"registry frame mismatch: expected magic 0x00 + int32 schema " +
+            s"id, got ${b.length}-byte frame")
+      val id = ((b(1) & 0xff) << 24) | ((b(2) & 0xff) << 16) |
+        ((b(3) & 0xff) << 8) | (b(4) & 0xff)
+      val writer = writersById.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"unknown schema id $id in registry frame (known: " +
+            s"${writersById.keys.toSeq.sorted.mkString(",")})"))
+      ProtoWire.resolveRow(
+        ProtoWire.decodeRange(b, writer, 5, b.length), writer, reader)
+    }
+
+    override def nullSafeEval(input: Any): Any = decodeRow(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("protoResolve", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = (InternalRow) $ref.decodeRow($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): ProtoResolvingDecodeExpr =
+      copy(child = c)
+  }
+
   def encodeProto(payload: Column, message: ProtoMessage): Column =
     GraftSqlBridge.column(
       ProtoEncodeExpr(GraftSqlBridge.expression(payload), message))
@@ -53,6 +93,12 @@ object ProtoExpressions {
   def decodeProto(bytes: Column, message: ProtoMessage): Column =
     GraftSqlBridge.column(
       ProtoDecodeExpr(GraftSqlBridge.expression(bytes), message))
+
+  def decodeProtoResolving(framed: Column, reader: ProtoMessage,
+      writersById: Map[Int, ProtoMessage]): Column =
+    GraftSqlBridge.column(
+      ProtoResolvingDecodeExpr(GraftSqlBridge.expression(framed),
+        reader, writersById))
 }
 
 /** Protobuf schema backend — the engine's version of the reference's
@@ -105,11 +151,28 @@ class ProtoBackend(val message: ProtoMessage) extends SchemaBackend {
 /** Confluent-style registry framing over proto payloads — the
   * engine-side analog of the reference's `proto_schema_registry`
   * backend: 0x00 magic + int32 schema id + wire bytes, with the same
-  * loud frame validation as [[RegistryFramedBackend]]. */
-class ProtoRegistryFramedBackend(message: ProtoMessage, val schemaId: Int)
+  * loud frame validation as [[RegistryFramedBackend]].
+  *
+  * `writerMessages` mirrors the Avro backend's `writerSchemas`: when
+  * non-empty, decode DISPATCHES on each frame's embedded id, decodes
+  * with that writer's descriptor, and resolves to this reader schema
+  * by field number (reference `proto_schema_registry.rb:12-14`
+  * resolves the writer by embedded id) — so a topic with a mid-stream
+  * schema bump decodes in one scan, and representation changes
+  * (sint32 → int64, string → bytes) keep their values. Unknown ids
+  * fail loudly. When empty, decode validates strictly against this
+  * backend's own `schemaId` (any other id is corruption). */
+class ProtoRegistryFramedBackend(message: ProtoMessage, val schemaId: Int,
+    writerMessages: Map[Int, ProtoMessage] = Map.empty)
     extends ProtoBackend(message) {
   override def encodeExpr(payload: Column): Column =
     concat(lit(RegistryFraming.header(schemaId)), super.encodeExpr(payload))
   override def decodeExpr(bytes: Column): Column =
-    RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
+    if (writerMessages.nonEmpty)
+      ProtoExpressions.decodeProtoResolving(bytes, message,
+        // the backend's own message is always a known writer
+        writerMessages.updated(schemaId,
+          writerMessages.getOrElse(schemaId, message)))
+    else
+      RegistryFraming.decodeValidated(bytes, schemaId)(super.decodeExpr)
 }

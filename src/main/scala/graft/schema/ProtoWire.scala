@@ -320,6 +320,80 @@ object ProtoWire {
   def decode(bytes: Array[Byte], m: ProtoMessage): InternalRow =
     decode(bytes, m, 0, bytes.length)
 
+  /** Range form of [[decode]] for callers that strip framing without
+    * copying the payload (registry-framed messages). */
+  private[schema] def decodeRange(bytes: Array[Byte], m: ProtoMessage,
+      from: Int, to: Int): InternalRow = decode(bytes, m, from, to)
+
+  // ---- writer→reader resolution ---------------------------------------
+
+  private object Unconvertible
+
+  /** Writer-typed value → reader-typed value, by proto's evolution
+    * rules at the decoded-representation level: numeric widening AND
+    * narrowing (int32↔int64 truncate, proto's rule), float↔double,
+    * bool↔varint ints, string↔bytes, enum↔int32 (same repr), nested
+    * message recursion. Anything else is [[Unconvertible]] — the
+    * caller substitutes the reader default, same as an absent field. */
+  private def convertScalar(v: Any, wt: ProtoType, rt: ProtoType): Any = {
+    if (v == null) return null
+    (wt, rt) match {
+      case (PMessage(wm), PMessage(rm)) =>
+        resolveRow(v.asInstanceOf[InternalRow], wm, rm)
+      case (_: PMessage, _) | (_, _: PMessage) => Unconvertible
+      case _ => (sparkTypeOf(wt), sparkTypeOf(rt)) match {
+        case (a, b) if a == b => v
+        case (IntegerType, LongType) => v.asInstanceOf[Int].toLong
+        case (LongType, IntegerType) => v.asInstanceOf[Long].toInt
+        case (FloatType, DoubleType) => v.asInstanceOf[Float].toDouble
+        case (DoubleType, FloatType) => v.asInstanceOf[Double].toFloat
+        case (BooleanType, IntegerType) => if (v.asInstanceOf[Boolean]) 1 else 0
+        case (BooleanType, LongType) => if (v.asInstanceOf[Boolean]) 1L else 0L
+        case (IntegerType, BooleanType) => v.asInstanceOf[Int] != 0
+        case (LongType, BooleanType) => v.asInstanceOf[Long] != 0L
+        case (StringType, BinaryType) => v.asInstanceOf[UTF8String].getBytes
+        case (BinaryType, StringType) =>
+          UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
+        case _ => Unconvertible
+      }
+    }
+  }
+
+  /** Re-shape a row decoded with the WRITER descriptor into the
+    * READER's schema. Field NUMBER is the identity (the proto
+    * contract — names are documentation); a reader field absent from
+    * the writer gets the reader default, exactly as if the wire had
+    * omitted it. Decoding with the true writer descriptor first is
+    * what makes representation changes safe: e.g. a writer that
+    * declared a field sint32 (zigzag) keeps its values when the
+    * reader declares plain int64 — interpreting those bytes with the
+    * reader's descriptor alone would silently unzigzag-skip them. */
+  def resolveRow(row: InternalRow, writer: ProtoMessage,
+      reader: ProtoMessage): InternalRow = {
+    val values = new Array[Any](reader.fields.size)
+    var i = 0
+    reader.fields.foreach { rf =>
+      val resolved = writer.byNumber.get(rf.number) match {
+        case None => Unconvertible
+        case Some((wf, wi)) =>
+          val wv = row.asInstanceOf[GenericInternalRow].values(wi)
+          if (wf.repeated != rf.repeated) Unconvertible
+          else if (rf.repeated) {
+            val arr = wv.asInstanceOf[GenericArrayData].array
+            val out = arr.map(e => convertScalar(e, wf.ptype, rf.ptype))
+            if (out.contains(Unconvertible)) Unconvertible
+            else new GenericArrayData(out)
+          } else convertScalar(wv, wf.ptype, rf.ptype)
+      }
+      values(i) =
+        if (resolved.asInstanceOf[AnyRef] ne Unconvertible) resolved
+        else if (rf.repeated) new GenericArrayData(Array.empty[Any])
+        else defaultOf(rf.ptype)
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
   private def decode(bytes: Array[Byte], m: ProtoMessage, from: Int,
       to: Int): InternalRow = {
     val byNumber = m.byNumber

@@ -201,4 +201,81 @@ class ProtoSpec extends SparkSpec {
     assert(e.getMessage.contains("registry frame mismatch") ||
       Option(e.getCause).exists(_.getMessage.contains("registry frame mismatch")))
   }
+
+  test("registry reader dispatches per-frame on the embedded writer id") {
+    // v1 declares price as SINT64 (zigzag); v2 declares it INT64 and
+    // adds a note field. A mid-stream schema bump means one column
+    // carries both ids — the reader must decode each frame with its
+    // OWN writer descriptor (reader-descriptor decode would misread
+    // v1's zigzag bytes) and default the field v1 never wrote.
+    val v1 = ProtoMessage("E", Seq(
+      ProtoField("k", 1, PInt64), ProtoField("price", 2, PSInt64)))
+    val v2 = ProtoMessage("E", Seq(
+      ProtoField("k", 1, PInt64), ProtoField("price", 2, PInt64),
+      ProtoField("note", 3, PString)))
+    val w1 = new ProtoRegistryFramedBackend(v1, schemaId = 1)
+    val w2 = new ProtoRegistryFramedBackend(v2, schemaId = 2)
+    val reader = new ProtoRegistryFramedBackend(v2, schemaId = 2,
+      writerMessages = Map(1 -> v1, 2 -> v2))
+    val src = Seq((1L, -42L, "a"), (2L, 1000L, "b"), (3L, -7L, "c"))
+      .toDF("k", "price", "note")
+    val mixed = src.select(
+      when(col("k") % 2 === 1,
+        w1.encodeExpr(struct(col("k"), col("price"))))
+        .otherwise(w2.encodeExpr(struct(col("k"), col("price"), col("note"))))
+        .as("bin"))
+    val got = mixed.select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, Long, String)].collect().sortBy(_._1)
+    // v1 frames: zigzag price survives resolution, note defaults to ""
+    assert(got.toSeq === Seq((1L, -42L, ""), (2L, 1000L, "b"), (3L, -7L, "")))
+
+    // null frames (tombstones) decode to null rows, not errors
+    val withNull = mixed.unionByName(
+      Seq(Tuple1(null: Array[Byte])).toDF("bin"))
+    assert(withNull.select(reader.decodeExpr(col("bin")).as("p"))
+      .filter(col("p").isNull).count() === 1L)
+
+    // an id outside the map fails loudly, naming the id and known set
+    val w9 = new ProtoRegistryFramedBackend(v1, schemaId = 9)
+    val e = intercept[Exception] {
+      src.select(w9.encodeExpr(struct(col("k"), col("price"))).as("bin"))
+        .select(reader.decodeExpr(col("bin"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unknown schema id 9"), msgs)
+  }
+
+  test("resolveRow converts representations and recurses into nested messages") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val wInner = ProtoMessage("I", Seq(ProtoField("x", 1, PInt32)))
+    val rInner = ProtoMessage("I", Seq(ProtoField("x", 1, PInt64)))
+    val writer = ProtoMessage("W", Seq(
+      ProtoField("a", 1, PInt32),            // widens to int64
+      ProtoField("b", 2, PString),           // string → bytes
+      ProtoField("c", 3, PBool),             // bool → int32
+      ProtoField("d", 4, PMessage(wInner)),  // nested recursion
+      ProtoField("e", 5, PInt32, repeated = true))) // repeated widen
+    val reader = ProtoMessage("R", Seq(
+      ProtoField("a", 1, PInt64),
+      ProtoField("b", 2, PBytes),
+      ProtoField("c", 3, PInt32),
+      ProtoField("d", 4, PMessage(rInner)),
+      ProtoField("e", 5, PInt64, repeated = true),
+      ProtoField("f", 6, PString)))          // absent in writer → default
+    val row = ProtoWire.resolveRow(
+      new GenericInternalRow(Array[Any](7,
+        UTF8String.fromString("hi"), true,
+        new GenericInternalRow(Array[Any](3)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](1, 2)))),
+      writer, reader)
+    assert(row.getLong(0) === 7L)
+    assert(row.getBinary(1).toSeq === "hi".getBytes("UTF-8").toSeq)
+    assert(row.getInt(2) === 1)
+    assert(row.getStruct(3, 1).getLong(0) === 3L)
+    assert(row.getArray(4).toLongArray().toSeq === Seq(1L, 2L))
+    assert(row.getUTF8String(5).toString === "")
+  }
 }
