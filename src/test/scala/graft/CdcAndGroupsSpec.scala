@@ -251,6 +251,65 @@ class StreamCdcSpec extends SparkSpec {
       assert(batch((1L, 3L)) === (("A", 9L, None))) // resumed run is v3, open
     } finally q.stop()
   }
+
+  test("idle-timeout eviction bounds state; live keys still converge to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)] // (user, ts_ms, event_id, state)
+    // event-time watermark drives the idle clock: zero-delay watermark
+    // = max event ts of the previous batch
+    val withTs = input.toDS()
+      .withColumn("ets", timestamp_millis(col("_2")))
+      .withWatermark("ets", "0 milliseconds")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    // group the watermarked row type directly — a mapValues that drops
+    // the ets column would fail Spark's event-time-timeout analysis
+    val updates = StreamCdc.scd2UpdatesFrom(
+      withTs.groupByKey(_._1),
+      (v: (Long, Long, Long, String, java.sql.Timestamp)) =>
+        (v._2, v._3, v._4),
+      idleTimeoutMs = Some(100L))
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("scd2_evict")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scd2-ev").toString)
+      .start()
+    try {
+      // batch 1: user 1 opens A at 1000; user 2 opens X
+      input.addData((1L, 1000L, 1L, "A"), (2L, 1000L, 2L, "X"))
+      q.processAllAvailable()
+      // batch 2: only user 2; watermark is now 1000 — user 1's
+      // deadline (1100) not yet passed
+      input.addData((2L, 5000L, 3L, "X"))
+      q.processAllAvailable()
+      // batch 3: watermark advances to 5000 > 1100 → user 1 evicted
+      input.addData((2L, 6000L, 4L, "Y"))
+      q.processAllAvailable()
+      // batch 4: user 1 RETURNS after eviction: history restarts at
+      // version 1 with eff_from 7000 (un-evicted state would have
+      // collapsed the same-state run and kept eff_from 1000)
+      input.addData((1L, 7000L, 5L, "A"))
+      q.processAllAvailable()
+
+      val rows = spark.table("scd2_evict")
+        .withColumn("seq", monotonically_increasing_id())
+        .as[(Long, Long, String, Long, Option[Long], Long)]
+        .collect()
+      val lastPerKeyVersion = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> { val r = rs.maxBy(_._6); (r._3, r._4, r._5) } }
+      // eviction proof: user 1's version-1 row was re-opened at 7000
+      assert(lastPerKeyVersion((1L, 1L)) === (("A", 7000L, None)))
+      // live key: user 2 history matches the batch operator exactly
+      val liveEvents = Seq((2L, 1000L, 2L, "X"), (2L, 5000L, 3L, "X"),
+        (2L, 6000L, 4L, "Y"))
+        .toDF("user_id", "ts_ms", "event_id", "event_type")
+      val batch = graft.operators.Cdc
+        .scd2History(liveEvents, "user_id", "event_type", "ts_ms", "event_id")
+        .as[(Long, Long, String, Long, Option[Long])]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(lastPerKeyVersion.filter(_._1._1 == 2L) === batch)
+    } finally q.stop()
+  }
 }
 
 class ProfileSpec extends SparkSpec {
