@@ -47,6 +47,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("distributed Lloyd matches the driver path; only k×dim crosses the driver") {
+    val k = 4
+    val driver = Similarity.trainCentroids(corpus, "embedding", k,
+      "vec_id", iters = 5, sampleN = 128)
+    val dist = Similarity.trainCentroidsDistributed(corpus, "embedding", k,
+      "vec_id", iters = 5, sampleN = 128)
+    assert(dist.length === k && dist.forall(_.length === dim))
+    // same seeds, same sample, same iteration count: centroids agree to
+    // fp reduction-order noise (the tree combines partials in a
+    // different order than the driver's sequential fold)
+    for (c <- 0 until k; d <- 0 until dim)
+      assert(math.abs(dist(c)(d) - driver(c)(d)) < 1e-9,
+        s"centroid $c dim $d: ${dist(c)(d)} vs ${driver(c)(d)}")
+    // the distributed result must drive ivfTopK identically
+    val qs = corpus.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopK(corpus, qs, "vec_id", "embedding", driver,
+      nProbe = 2, k = 3).as[(Long, Long, Long, Double)].collect().toSet
+    val b = Similarity.ivfTopK(corpus, qs, "vec_id", "embedding", dist,
+      nProbe = 2, k = 3).as[(Long, Long, Long, Double)].collect().toSet
+    assert(a === b)
+    // empty-cluster rule matches the driver path: k > distinct points
+    // leaves the never-assigned seeds untouched on BOTH paths
+    val tiny = corpus.filter(col("vec_id") < 3)
+    val d2 = Similarity.trainCentroids(tiny, "embedding", 3, "vec_id",
+      iters = 3, sampleN = 3)
+    val t2 = Similarity.trainCentroidsDistributed(tiny, "embedding", 3,
+      "vec_id", iters = 3, sampleN = 3)
+    for (c <- 0 until 3; d <- 0 until dim)
+      assert(math.abs(d2(c)(d) - t2(c)(d)) < 1e-9)
+  }
+
   test("nearestCentroids: ascending L2 order, lowest index wins ties, reference-object codegen") {
     import graft.functions.{Expressions => E}
     val cents = Array(
