@@ -655,7 +655,25 @@ object ExtQueries {
       col("doc_id"), col("lang"), k = 30)
       .orderBy(col("doc_id"))
 
+  /** Connected components over a DETERMINISTIC dup-pair graph (x13's
+    * groups stage in isolation, oracle-checkable because the edges are
+    * key-arithmetic rather than LSH output): consecutive-id chains
+    * broken at irregular % 10 / % 7 points, labels = per-component min
+    * id via `Dedup.components`. The DuckDB oracle re-derives the
+    * labels GENERICALLY with a recursive transitive-closure CTE — no
+    * arithmetic shortcut — so the propagation machinery itself is
+    * under differential test. */
+  private def x44(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val edges = ids
+      .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 7 =!= 3)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    Dedup.components(edges).orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x44_components" -> (x44 _),
     "x43_cap_per_group" -> (x43 _),
     "x42_profile" -> (x42 _),
     "x41_media_dispatch5" -> (x41 _),
@@ -709,6 +727,24 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // generic min-reachable via recursive transitive closure — no
+    // knowledge of the chain arithmetic, so the oracle validates the
+    // operator's propagation, not the edge generator
+    "x44_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+        |  FROM documents d
+        |  WHERE d.doc_id % 10 <> 9 AND d.doc_id % 7 <> 3
+        |    AND EXISTS (SELECT 1 FROM documents x
+        |                WHERE x.doc_id = d.doc_id + 1)),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a)
+        |SELECT node AS doc_id,
+        |  CAST(least(node, min(r)) AS BIGINT) AS group_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "x5_dedup_embed" ->
       """WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses the bench contract line out of the LAST ~4 KB of
+  * stdout (round-3 lost a whole round's perf numbers to an oversized
+  * line). These pin the line's byte budget and the stats helpers —
+  * no SparkSession needed.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val calPair = Bench.RunSample(0.0843, 2.1412, 0.0123)
+
+  private def line(results: Seq[(String, Double)],
+      errors: Map[String, String]): String =
+    Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
+      errors, calPair, calPair, "/root/testdata/sf0.1")
+
+  test("contract line stays under 2 KB at 70 queries with no errors") {
+    // synthetic names at the REAL surface's average length (the live
+    // 64-query names average ~15 chars; the longest is 22)
+    val names = (1 to 70).map(i => f"x${i}%02d_operator_name")
+    val results = names.map(_ -> 1.2345)
+    val got = line(results, Map.empty)
+    assert(got.length < 2048, s"line is ${got.length} bytes")
+    assert(!got.contains("\"errors\""),
+      "empty errors map must be omitted entirely")
+    assert(got.startsWith("{\"metric\":\"total\""))
+    // and the REAL surface today, at full name length, keeps at least
+    // ~10 queries of headroom inside the 2 KB budget
+    val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
+    assert(line(real, Map.empty).length < 1792,
+      s"real surface line is ${line(real, Map.empty).length} bytes")
+  }
+
+  test("errors map appears (escaped) only when a query failed") {
+    val got = line(Seq("q1" -> -1.0),
+      Map("q1" -> "boom\nline2\t\"quoted\""))
+    assert(got.contains("\"errors\""))
+    assert(got.contains("boom\\nline2\\t\\\"quoted\\\""))
+    // still one physical line
+    assert(!got.contains('\n'))
+  }
+
+  test("median: odd, even, empty") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+    assert(Bench.median(Nil) === -1.0)
+  }
+
+  test("recorded baseline covers the query surface it predates") {
+    // every baseline key must still be a live query (a renamed query
+    // would silently lose adjudication), and the values are sane
+    val live = SparkEntry.queries.map(_._1).toSet
+    val stale = Bench.recordedBaseline.keySet.diff(live)
+    assert(stale.isEmpty, s"baseline entries for dead queries: $stale")
+    assert(Bench.recordedBaseline.values.forall(v => v > 0 && v < 60))
+  }
+}
