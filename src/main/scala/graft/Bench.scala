@@ -59,34 +59,36 @@ object Bench {
     * recording. Update together with BASELINE.md.
     */
   private[graft] val recordedBaseline: Map[String, Double] = Map(
-    "b1_pricing" -> 0.37, "b2_star_join" -> 1.06, "b3_top_orders" -> 0.43,
-    "b4_approx_agg" -> 0.67, "q10_fanout" -> 1.03, "q11_autofields" -> 0.31,
-    "q12_compound_key" -> 1.11, "q13_proto_codec" -> 0.63,
-    "q14_registry_evolution" -> 0.68, "q15_snapshot_diff" -> 0.49,
-    "q16_scd2_history" -> 0.55, "q1_project" -> 0.28, "q2_coerce" -> 0.47,
-    "q3_compact" -> 0.28, "q4_slice" -> 0.39, "q5_materialize" -> 0.28,
-    "q6_poll_scan" -> 0.12, "q7_watched" -> 0.47, "q8_pending" -> 0.21,
-    "q9_drain" -> 0.28, "x10_text_tokens" -> 0.59,
-    "x11_text_fingerprint" -> 0.45, "x12_multimodal_meta" -> 0.17,
-    "x13_dedup_groups" -> 1.86, "x14_vocab" -> 0.48,
-    "x15_top_tokens" -> 0.35, "x16_ann_ivf" -> 0.39,
-    "x17_sessions" -> 0.55, "x18_rollup" -> 0.32, "x19_asof_join" -> 0.49,
-    "x1_dedup_exact" -> 0.24, "x20_range_join" -> 0.41,
-    "x21_pii_redact" -> 0.33, "x22_repetition" -> 0.57,
-    "x23_audio_meta" -> 0.21, "x24_ann_recall" -> 1.06,
-    "x25_video_meta" -> 0.18, "x26_line_dedup" -> 0.52,
-    "x27_image_pixels" -> 0.46, "x28_audio_samples" -> 0.23,
-    "x29_pack" -> 0.41, "x2_dedup_minhash" -> 1.35, "x30_sample" -> 0.19,
-    "x31_bloom_semijoin" -> 1.04, "x32_skew_report" -> 0.24,
-    "x33_rare_terms" -> 0.77, "x34_gif_pixels" -> 0.48,
-    "x35_media_dispatch" -> 0.74, "x36_jpeg_decode" -> 1.35,
-    "x37_video_frames" -> 0.61, "x38_contamination" -> 0.82,
-    "x39_len_quantiles" -> 0.46, "x3_dedup_simhash" -> 1.66,
-    "x40_postings" -> 0.71, "x41_media_dispatch5" -> 1.53,
-    "x42_profile" -> 0.60, "x43_cap_per_group" -> 0.22,
-    "x4_dedup_ngram" -> 0.82, "x5_dedup_embed" -> 0.39,
-    "x6_ann_brute" -> 0.35, "x7_ann_lsh" -> 0.47,
-    "x8_text_langid" -> 0.69, "x9_text_quality" -> 0.39)
+    "b1_pricing" -> 0.32, "b2_star_join" -> 0.97, "b3_top_orders" -> 0.38,
+    "b4_approx_agg" -> 0.62, "q10_fanout" -> 1.01, "q11_autofields" -> 0.29,
+    "q12_compound_key" -> 0.97, "q13_proto_codec" -> 0.56,
+    "q14_registry_evolution" -> 0.62, "q15_snapshot_diff" -> 0.42,
+    "q16_scd2_history" -> 0.58, "q17_proto_registry" -> 0.61,
+    "q1_project" -> 0.28, "q2_coerce" -> 0.41,
+    "q3_compact" -> 0.25, "q4_slice" -> 0.40, "q5_materialize" -> 0.24,
+    "q6_poll_scan" -> 0.12, "q7_watched" -> 0.44, "q8_pending" -> 0.21,
+    "q9_drain" -> 0.28, "x10_text_tokens" -> 0.54,
+    "x11_text_fingerprint" -> 0.48, "x12_multimodal_meta" -> 0.15,
+    "x13_dedup_groups" -> 1.64, "x14_vocab" -> 0.49,
+    "x15_top_tokens" -> 0.33, "x16_ann_ivf" -> 0.41,
+    "x17_sessions" -> 0.54, "x18_rollup" -> 0.26, "x19_asof_join" -> 0.50,
+    "x1_dedup_exact" -> 0.21, "x20_range_join" -> 0.37,
+    "x21_pii_redact" -> 0.30, "x22_repetition" -> 0.53,
+    "x23_audio_meta" -> 0.17, "x24_ann_recall" -> 0.87,
+    "x25_video_meta" -> 0.17, "x26_line_dedup" -> 0.43,
+    "x27_image_pixels" -> 0.42, "x28_audio_samples" -> 0.22,
+    "x29_pack" -> 0.41, "x2_dedup_minhash" -> 1.32, "x30_sample" -> 0.18,
+    "x31_bloom_semijoin" -> 0.97, "x32_skew_report" -> 0.19,
+    "x33_rare_terms" -> 0.64, "x34_gif_pixels" -> 0.39,
+    "x35_media_dispatch" -> 0.76, "x36_jpeg_decode" -> 1.21,
+    "x37_video_frames" -> 0.57, "x38_contamination" -> 0.82,
+    "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.33,
+    "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.37,
+    "x42_profile" -> 0.64, "x43_cap_per_group" -> 0.20,
+    "x44_components" -> 0.77,
+    "x4_dedup_ngram" -> 1.64, "x5_dedup_embed" -> 0.47,
+    "x6_ann_brute" -> 0.28, "x7_ann_lsh" -> 0.46,
+    "x8_text_langid" -> 0.68, "x9_text_quality" -> 0.37)
 
   private[graft] val AdjudicateFactor = 2.0
 
