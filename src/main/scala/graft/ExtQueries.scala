@@ -672,7 +672,31 @@ object ExtQueries {
     Dedup.components(edges).orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle (`Shuffling.epochShuffle`): shard +
+    * intra-shard position, both pure functions of md5(epoch || key) —
+    * a reproducible per-epoch permutation with NO global sort (the one
+    * exchange is the shard partitioning; shard windows sort in
+    * parallel). The oracle replicates the hex arithmetic through
+    * DuckDB's independent md5/CAST. */
+  private def x45(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Shuffling.epochShuffle(
+      t(s, dir, "documents").select(col("doc_id")),
+      col("doc_id"), nShards = 8, epoch = "epoch-1")
+      .orderBy(col("doc_id"))
+
+  /** Leakage-free train/val/test split (`Sampling.groupSplit`): the
+    * split is a function of the GROUP key (source), so every doc of a
+    * source lands in one split — near-dups within a source can never
+    * straddle train and eval. Scan-side CASE, no shuffle. */
+  private def x46(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      col("source"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x46_group_split" -> (x46 _),
+    "x45_epoch_shuffle" -> (x45 _),
     "x44_components" -> (x44 _),
     "x43_cap_per_group" -> (x43 _),
     "x42_profile" -> (x42 _),
@@ -727,6 +751,28 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // DuckDB's independent md5 + '0x' CAST replicate the shard/pos
+    // arithmetic exactly; % on non-negative operands ≡ Spark's pmod
+    "x45_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch-1' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hx,
+        |    CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // thresholds = rateThreshold(0.8)/(0.9) literals; last split is the
+    // unconditional tail, mirroring Sampling.groupSplit
+    "x46_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(source), 1, 8) < 'cccccccd' THEN 'train'
+        |       WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // generic min-reachable via recursive transitive closure — no
     // knowledge of the chain arithmetic, so the oracle validates the
     // operator's propagation, not the edge generator

@@ -128,7 +128,7 @@ object Dedup {
       bucketCol: String, n: Int = 3, threshold: Double = 0.2,
       maxGramDf: Int = 1 << 14): DataFrame = {
     val (pairs, hot) = ngramJaccardCapped(docs, idCol, textCol, bucketCol,
-      n, threshold, maxGramDf)
+      n, threshold, maxGramDf, eagerHot = true)
     val examples = hot.limit(3).collect()
     if (examples.nonEmpty)
       throw new IllegalStateException(
@@ -149,7 +149,8 @@ object Dedup {
     */
   def ngramJaccardCapped(docs: DataFrame, idCol: String, textCol: String,
       bucketCol: String, n: Int = 3, threshold: Double = 0.2,
-      maxGramDf: Int = 1 << 14): (DataFrame, DataFrame) = {
+      maxGramDf: Int = 1 << 14,
+      eagerHot: Boolean = false): (DataFrame, DataFrame) = {
     require(maxGramDf >= 1, s"maxGramDf must be positive, got $maxGramDf")
     // gram identity is its 64-bit hash: intersection/union counts match
     // string grams up to hash collisions (~2^-64 per pair)
@@ -157,9 +158,14 @@ object Dedup {
       explode(graft.functions.Expressions.ngramHashes(
         H.tokenHashes(T.tokens(col(textCol))), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val hot = grams.groupBy(col("bkt"), col("g"))
+    val hotLazy = grams.groupBy(col("bkt"), col("g"))
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") > maxGramDf)
+    // eagerHot (the throwing wrapper's mode): materialize the tiny hot
+    // set ONCE — the wrapper's existence probe and the anti-join below
+    // then both read the checkpoint instead of each re-running the
+    // full gram-frequency aggregate (halves the cap discipline's cost)
+    val hot = if (eagerHot) hotLazy.localCheckpoint(true) else hotLazy
     // hot is small by assumption (it lists pathological grams only), so
     // the exclusion is a broadcast anti-join on the gram scan — the df²
     // blowup never reaches the shuffle
@@ -334,7 +340,7 @@ object Dedup {
       bucketCol: String, threshold: Double = 0.95,
       maxBucket: Int = 1 << 12): DataFrame = {
     val (pairs, hot) = embeddingCosineCapped(embeddings, idCol, vecCol,
-      bucketCol, threshold, maxBucket)
+      bucketCol, threshold, maxBucket, eagerHot = true)
     val examples = hot.limit(3).collect()
     if (examples.nonEmpty)
       throw new IllegalStateException(
@@ -355,12 +361,14 @@ object Dedup {
     */
   def embeddingCosineCapped(embeddings: DataFrame, idCol: String,
       vecCol: String, bucketCol: String, threshold: Double = 0.95,
-      maxBucket: Int = 1 << 12): (DataFrame, DataFrame) = {
+      maxBucket: Int = 1 << 12,
+      eagerHot: Boolean = false): (DataFrame, DataFrame) = {
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val v = embeddings.select(col(idCol).as("vid"), col(bucketCol).as("bkt"),
       col(vecCol).as("vec"))
-    val hot = v.groupBy(col("bkt")).agg(count(lit(1)).as("n_rows"))
+    val hotLazy = v.groupBy(col("bkt")).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > maxBucket)
+    val hot = if (eagerHot) hotLazy.localCheckpoint(true) else hotLazy
     val kept = v.join(broadcast(hot.select(col("bkt"))), Seq("bkt"), "left_anti")
     val a = kept.select(col("bkt"), col("vid").as("id_a"), col("vec").as("vec_a"))
     val b = kept.select(col("bkt"), col("vid").as("id_b"), col("vec").as("vec_b"))

@@ -53,6 +53,33 @@ object Sampling {
     substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8) <
       thresholdHex
 
+  /** Leakage-free train/val/test split: the split is a pure function
+    * of the GROUP key's hash, so every row of a group (all docs of one
+    * source/domain, all turns of one conversation) lands in the SAME
+    * split — the grouping is what keeps near-duplicates from straddling
+    * train and eval. Scan-side CASE over the md5 hex (no shuffle, no
+    * RNG state); split boundaries are cumulative rate thresholds, so
+    * membership is stable under corpus growth exactly like [[uniform]].
+    *
+    * @param splits (name, weight) pairs; weights are normalized
+    * @return df plus a `split` column
+    */
+  def groupSplit(df: DataFrame, groupCol: Column,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val h = substring(md5(concat(lit(salt), groupCol.cast("string"))), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    // last split is the unconditional tail — boundary rounding can
+    // never drop a row
+    val expr = splits.init.zip(cum.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), upper)) =>
+      when(h < lit(rateThreshold(upper)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Per-group CAP: deterministically keep at most `k` rows per group
     * (e.g. "≤100k docs per domain"), choosing the k smallest key
     * hashes so membership is reproducible and, like [[uniform]],

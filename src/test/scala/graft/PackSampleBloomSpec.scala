@@ -291,3 +291,89 @@ class KPerGroupSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
 }
+
+class GroupSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Sampling
+
+  private val docs = (1L to 600L)
+    .map(i => (i, s"source-${i % 211}")).toDF("doc_id", "src")
+
+  test("every row of a group lands in the same split (no leakage)") {
+    val got = Sampling.groupSplit(docs, col("src"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val perGroup = got.groupBy(col("src"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count()
+    assert(perGroup === 0L, "a group straddled two splits")
+    // all three splits materialize over 211 groups, ~80/10/10 by group
+    val bySplit = got.select(col("src"), col("split")).distinct()
+      .groupBy(col("split")).count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val"))
+  }
+
+  test("membership is stable under repartition and corpus growth") {
+    val base = Sampling.groupSplit(docs, col("src"),
+      Seq(("a", 0.5), ("b", 0.5))).as[(Long, String, String)].collect().toSet
+    val re = Sampling.groupSplit(docs.repartition(13), col("src"),
+      Seq(("a", 0.5), ("b", 0.5))).as[(Long, String, String)].collect().toSet
+    assert(re === base)
+    // growing the corpus never re-assigns an existing group
+    val grown = docs.unionByName(
+      (601L to 700L).map(i => (i, s"other-${i % 41}")).toDF("doc_id", "src"))
+    val after = Sampling.groupSplit(grown, col("src"),
+      Seq(("a", 0.5), ("b", 0.5))).as[(Long, String, String)].collect().toSet
+    assert(base.subsetOf(after))
+  }
+
+  test("weights are normalized; single split takes everything") {
+    val one = Sampling.groupSplit(docs, col("src"), Seq(("all", 3.0)))
+    assert(one.filter(col("split") =!= "all").count() === 0L)
+    // unnormalized (8,1,1) ≡ (0.8,0.1,0.1)
+    val a = Sampling.groupSplit(docs, col("src"),
+      Seq(("t", 8.0), ("v", 1.0), ("e", 1.0)))
+      .as[(Long, String, String)].collect().toSet
+    val b = Sampling.groupSplit(docs, col("src"),
+      Seq(("t", 0.8), ("v", 0.1), ("e", 0.1)))
+      .as[(Long, String, String)].collect().toSet
+    assert(a === b)
+  }
+}
+
+class EpochShuffleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Shuffling
+
+  private val docs = (1L to 500L).map(Tuple1(_)).toDF("doc_id")
+
+  test("a valid permutation: every (shard, pos) unique, pos dense per shard") {
+    val got = Shuffling.epochShuffle(docs, col("doc_id"), 8, "e1")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 500)
+    assert(got.map(r => (r._2, r._3)).distinct.length === 500)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
+  test("reproducible per epoch; different epochs permute differently") {
+    def run(epoch: String, d: org.apache.spark.sql.DataFrame = docs) =
+      Shuffling.epochShuffle(d, col("doc_id"), 8, epoch)
+        .as[(Long, Long, Long)].collect().toSet
+    val e1 = run("e1")
+    assert(run("e1", docs.repartition(11)) === e1,
+      "epoch permutation must not depend on partition layout")
+    val e2 = run("e2")
+    assert(e1 !== e2, "different epochs must give different permutations")
+  }
+
+  test("no global single-partition sort in the plan") {
+    val plan = Shuffling.epochShuffle(docs, col("doc_id"), 8, "e1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), s"plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+}
