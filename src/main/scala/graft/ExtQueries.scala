@@ -694,7 +694,24 @@ object ExtQueries {
       col("source"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
       .orderBy(col("doc_id"))
 
+  /** BPE tokenizer training (`BpeTrainer.train`): the merge table
+    * learned from the corpus — distributed word counting (the only
+    * corpus-sized stage), then the deterministic merge loop on the
+    * bounded dictionary. Iterative by nature, so no SQL oracle
+    * (rows-only); the trainer's statistics are pinned by golden specs
+    * (`BpeTrainerSpec`). Segmentation with the learned table is the
+    * codegen'd `BpeTrainer.segment` expression. */
+  private def x47(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ext.BpeTrainer.train(
+      t(s, dir, "documents"), "text", nMerges = 40)
+    s.createDataFrame(merges.map(m =>
+      (m.rank.toLong, m.left, m.right, m.pairCount)))
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_bpe_merges" -> (x47 _),
     "x46_group_split" -> (x46 _),
     "x45_epoch_shuffle" -> (x45 _),
     "x44_components" -> (x44 _),
