@@ -85,7 +85,8 @@ object Bench {
     "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.33,
     "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.37,
     "x42_profile" -> 0.64, "x43_cap_per_group" -> 0.20,
-    "x44_components" -> 0.77,
+    "x44_components" -> 0.77, "x45_epoch_shuffle" -> 0.19,
+    "x46_group_split" -> 0.30, "x47_bpe_merges" -> 0.39,
     "x4_dedup_ngram" -> 1.64, "x5_dedup_embed" -> 0.47,
     "x6_ann_brute" -> 0.28, "x7_ann_lsh" -> 0.46,
     "x8_text_langid" -> 0.68, "x9_text_quality" -> 0.37)
