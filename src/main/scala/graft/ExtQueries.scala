@@ -672,6 +672,17 @@ object ExtQueries {
     Dedup.components(edges).orderBy(col("doc_id"))
   }
 
+  /** Retrieval-style chunking (`Chunking.tokenWindows`): each document
+    * exploded into 40-token windows overlapping by 10 — the unit a RAG
+    * indexer embeds. Pure scan-side explode, zero shuffle; the DuckDB
+    * oracle re-derives the window starts and slices independently
+    * (`generate_series` per row, `list_slice`). */
+  private def x48(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Chunking.tokenWindows(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Deterministic epoch shuffle (`Shuffling.epochShuffle`): shard +
     * intra-shard position, both pure functions of md5(epoch || key) —
     * a reproducible per-epoch permutation with NO global sort (the one
@@ -711,6 +722,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_chunk" -> (x48 _),
     "x47_bpe_merges" -> (x47 _),
     "x46_group_split" -> (x46 _),
     "x45_epoch_shuffle" -> (x45 _),
@@ -768,6 +780,30 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // window starts re-derived per row: kmax mirrors the operator's
+    // floor((n - chunkSize + step - 1) / step) double arithmetic
+    // (exact at corpus-plausible counts), list_slice ≡ Spark slice
+    "x48_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t
+        |      WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks, n_tok,
+        |        CASE WHEN n_tok <= 40 THEN 0
+        |             ELSE CAST(floor((n_tok - 40 + 29) / 30.0) AS BIGINT)
+        |        END AS kmax
+        |      FROM n),
+        |e AS (SELECT doc_id, toks, n_tok,
+        |        unnest(generate_series(0, kmax)) AS k FROM k)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(k * 30 AS BIGINT) AS start_tok,
+        |  CAST(least(40, n_tok - k * 30) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, k * 30 + 1, k * 30 + 40), ' ')
+        |    AS chunk_text
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // DuckDB's independent md5 + '0x' CAST replicate the shard/pos
     // arithmetic exactly; % on non-negative operands ≡ Spark's pmod
     "x45_epoch_shuffle" ->
