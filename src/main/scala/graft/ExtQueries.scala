@@ -683,6 +683,21 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** BM25 lexical retrieval (`Retrieval.bm25TopK`): top-50 documents
+    * for a three-term query. Per-term tf is scan-side array math (no
+    * explode), corpus stats reduce to ONE row broadcast back, top-k is
+    * a TakeOrderedAndProject heap — zero wide shuffles. Scores round
+    * to 4 dp for the hash compare; margins validated at sf0.01/sf0.1:
+    * rank-50 gap >= 3e-4 and nearest rounding boundary >= 1e-7, vs
+    * ~1e-15 cross-engine ln noise. */
+  private def x49(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.bm25TopK(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", Seq("spark", "vector", "merge"), 50)
+      .select(col("doc_id"), col("n_matched"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic epoch shuffle (`Shuffling.epochShuffle`): shard +
     * intra-shard position, both pure functions of md5(epoch || key) —
     * a reproducible per-epoch permutation with NO global sort (the one
@@ -722,6 +737,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_bm25" -> (x49 _),
     "x48_chunk" -> (x48 _),
     "x47_bpe_merges" -> (x47 _),
     "x46_group_split" -> (x46 _),
@@ -780,6 +796,39 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // arithmetic replicated in the operator's evaluation order:
+    // (idf * (tf*(k1+1))) / (tf + (k1 * ((1-b) + ((b*dl)/avgdl))));
+    // avgdl is exact (integer-valued double sums < 2^53), so the only
+    // cross-engine noise is ln's last ulp — margins in the x49 scaladoc
+    "x49_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(toks, x -> x = 'merge'))  AS tf2 FROM t),
+        |s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM d),
+        |sc AS (SELECT doc_id,
+        |    CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matched,
+        |    ln(1 + ((n - df0) + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df1) + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df2) + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score
+        |  FROM d, s WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+        |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_matched, round(score, 4) AS score_r
+        |FROM top ORDER BY doc_id""".stripMargin,
     // window starts re-derived per row: kmax mirrors the operator's
     // floor((n - chunkSize + step - 1) / step) double arithmetic
     // (exact at corpus-plausible counts), list_slice ≡ Spark slice

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] BM25 lexical retrieval scoring: score every corpus document
+  * against a small bag of query terms with the Okapi BM25 function —
+  * the classic sparse-retrieval baseline a RAG stack runs next to its
+  * dense (embedding) index, and the relevance filter training
+  * pipelines use to mine topical subsets out of a crawl.
+  *
+  * 100 TB shape: the query side is a handful of terms known at plan
+  * time, so per-term term frequencies are computed SCAN-SIDE as array
+  * expressions over the token list — no explode, no (doc, term)
+  * shuffle. Corpus statistics (N, avgdl, per-term document frequency)
+  * reduce through one partial-aggregate to a single row, which joins
+  * back by broadcast; the scoring pass is a second scan that stays
+  * inside whole-stage codegen. Two corpus scans, zero wide shuffles —
+  * the only exchange anywhere is the single-row stats broadcast, so
+  * the plan is embarrassingly parallel at any corpus size.
+  *
+  * Scoring (Lucene-flavoured BM25):
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))` and
+  * `tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` per term; a document's
+  * score is the sum over query terms. Matching is case-insensitive on
+  * the shared whitespace tokenization ([[Contamination.wsTokens]]
+  * rule); non-matching documents (score 0) are dropped — at corpus
+  * scale the output is the relevant slice, not an annotation of every
+  * row.
+  *
+  * Reference scope: deimos has no retrieval; this extends the engine
+  * for LLM-corpus work alongside [[Dedup]]/[[Similarity]]
+  * (SURVEY.md §2.9).
+  */
+object Retrieval {
+
+  /** @param terms  query bag; matched case-insensitively, duplicates
+    *               and empties rejected (a duplicate term would double
+    *               its contribution silently)
+    * @param k1     tf saturation (Robertson k1, default 1.2)
+    * @param b      length normalization strength (default 0.75)
+    * @return one row per matching document: (id, n_matched, score) —
+    *         n_matched the count of distinct query terms present
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = terms.map(_.toLowerCase)
+    require(q.nonEmpty, "at least one query term required")
+    require(q.forall(_.nonEmpty), "empty query term")
+    require(q.distinct == q, s"duplicate query terms in $terms")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 params k1=$k1 b=$b")
+
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    def tfCol(i: Int) = col(s"__tf_$i")
+    // pass shape shared by both scans: doc length + one tf per term,
+    // all array expressions over the same token list (single codegen
+    // stage, token list evaluated once per row)
+    val perDoc = df.select(
+      col(idCol) +: size(toks).cast("long").as("__dl") +:
+        q.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+        }: _*)
+
+    // corpus statistics: one partial-aggregated job, one output row
+    val statCols = count(lit(1)).as("__n") +: avg(col("__dl")).as("__avgdl") +:
+      q.indices.map(i => sum((tfCol(i) > 0).cast("long")).as(s"__df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val contributions = q.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
+      idf * (tfCol(i) * (k1 + 1)) /
+        (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }
+    val matched = q.indices.map(i => (tfCol(i) > 0).cast("int"))
+    scored
+      .select(col(idCol),
+        matched.reduce(_ + _).cast("long").as("n_matched"),
+        contributions.reduce(_ + _).as("score"))
+      .filter(col("n_matched") > 0)
+  }
+
+  /** Top-k form: the k best-scoring documents, ties broken by id —
+    * plans as TakeOrderedAndProject (per-partition heaps, one tiny
+    * ordered exchange of k rows per partition), never a global sort. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    bm25(df, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Retrieval
+
+/** Specs for BM25 lexical retrieval scoring. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a a b"),
+    (2L, "b c"),
+    (3L, "c c c"),
+    (4L, "A b a")).toDF("doc_id", "text")
+
+  /** Independent scalar reference of the same published formula. */
+  private def ref(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+  }
+
+  test("single-term scores match the scalar formula; non-matches dropped") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("a"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // N=4, avgdl=11/4; 'a' appears in docs 1 (tf 2) and 4 (tf 2, one
+    // capitalized) with df=2
+    val avgdl = 11.0 / 4
+    assert(got.map(_._1) === Seq(1L, 4L))
+    assert(got.map(_._2) === Seq(1L, 1L))
+    assert(math.abs(got(0)._3 - ref(2, 3, 2, 4, avgdl)) < 1e-12)
+    assert(math.abs(got(1)._3 - ref(2, 3, 2, 4, avgdl)) < 1e-12)
+  }
+
+  test("multi-term scores add per-term contributions and count matches") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("b", "c"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val avgdl = 11.0 / 4
+    // b: df=3 (docs 1,2,4); c: df=2 (docs 2,3)
+    val expect = Seq(
+      (1L, 1L, ref(1, 3, 3, 4, avgdl)),
+      (2L, 2L, ref(1, 2, 3, 4, avgdl) + ref(1, 2, 2, 4, avgdl)),
+      (3L, 1L, ref(3, 3, 2, 4, avgdl)),
+      (4L, 1L, ref(1, 3, 3, 4, avgdl)))
+    assert(got.map(g => (g._1, g._2)) === expect.map(e => (e._1, e._2)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12, s"doc ${g._1}") }
+  }
+
+  test("topK orders by score desc with id tie-break and limits") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("b", "c"), 2)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 2 matches both terms (highest); docs 1 and 4 have identical
+    // score (same tf/dl) — tie-break picks neither here, doc 3's
+    // tf=3 'c' outscores them
+    assert(got.head === 2L)
+    assert(got.size === 2)
+  }
+
+  test("tie between identically-profiled docs breaks by id") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("b"), 3)
+      .select("doc_id").as[Long].collect().toSeq
+    // docs 1 and 4 tie exactly (tf 1, dl 3); doc 2 (dl 2) outscores
+    // both via length normalization; tie resolves 1 before 4
+    assert(got === Seq(2L, 1L, 4L))
+  }
+
+  test("matching is case-insensitive on both sides") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("A"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(1L, 4L))
+  }
+
+  test("invalid query bags are rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(corpus, "doc_id", "text", Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(corpus, "doc_id", "text", Seq("a", "A")) }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(corpus, "doc_id", "text", Seq("a"), b = 1.5) }
+  }
+
+  test("plan: broadcast stats join, no wide exchange, top-k via heap") {
+    // spark.range input: a LocalRelation corpus lets Catalyst fold the
+    // match filter into the scan and drop the limit (maxRows <= k),
+    // which would vacuously pass — this shape survives to real scans
+    val big = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), col("id").cast("string")).as("text"))
+    val plan = Retrieval.bm25TopK(big, "doc_id", "text", Seq("a"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+}
