@@ -683,6 +683,21 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Bigram-LM quality scoring (`LangModel.bigramNll`): every document
+    * scored by avg negative log-likelihood under an add-0.5-smoothed
+    * bigram model trained on the corpus itself — the perplexity-filter
+    * signal. Model = two vocabulary-sized count tables joined back by
+    * AQE choice; vocab size broadcasts as one row. Margins at 4 dp:
+    * >= 5.7e-8 (sf0.01) / 1.2e-9 (sf0.1) score units vs ~2e-12
+    * worst-case double-sum reordering noise. */
+  private def x50(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LangModel.bigramNll(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 4).as("nll_r"))
+      .orderBy(col("doc_id"))
+
   /** BM25 lexical retrieval (`Retrieval.bm25TopK`): top-50 documents
     * for a three-term query. Per-term tf is scan-side array math (no
     * explode), corpus stats reduce to ONE row broadcast back, top-k is
@@ -737,6 +752,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x50_bigram_nll" -> (x50 _),
     "x49_bm25" -> (x49 _),
     "x48_chunk" -> (x48 _),
     "x47_bpe_merges" -> (x47 _),
@@ -796,6 +812,29 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // same probability arithmetic and evaluation order as the
+    // operator: -ln((c_pw + 0.5) / (c_p + (0.5 * V))); avg = sum/count
+    // in double on both engines (reorder noise inside the margins
+    // documented at x50)
+    "x50_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        |  FROM base),
+        |pw AS (SELECT doc_id, z[1] AS p, z[2] AS w FROM bg),
+        |bc AS (SELECT p, w, count(*) AS c_pw FROM pw GROUP BY 1, 2),
+        |cc AS (SELECT p, count(*) AS c_p FROM pw GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS vs
+        |      FROM (SELECT unnest(toks) AS x FROM t)),
+        |sc AS (SELECT doc_id, -ln((c_pw + 0.5) / (c_p + 0.5 * vs)) AS nll
+        |  FROM pw JOIN bc USING (p, w) JOIN cc USING (p), v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll_r
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // arithmetic replicated in the operator's evaluation order:
     // (idf * (tf*(k1+1))) / (tf + (k1 * ((1-b) + ((b*dl)/avgdl))));
     // avgdl is exact (integer-valued double sums < 2^53), so the only

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] N-gram language-model quality scoring: train an add-alpha
+  * smoothed bigram model over the corpus and score every document by
+  * its average negative log-likelihood under that model — the
+  * KenLM-style "perplexity filter" training pipelines use to rank a
+  * crawl by fluency before sampling (high avg-NLL = gibberish /
+  * boilerplate / wrong-language text).
+  *
+  * 100 TB shape: the model is two count tables — bigram `(prev, word)`
+  * and context `prev` — each a standard partial-aggregated groupBy
+  * whose output is VOCABULARY-sized, not corpus-sized; the scoring
+  * pass joins the exploded bigram stream against them by key. The
+  * joins are left to AQE: a web-scale vocabulary still fits executor
+  * memory in aggregate (bigram types grow ~O(tokens^0.7), Heaps' law)
+  * and broadcasts when small, shuffles co-partitioned when not. The
+  * vocabulary size (smoothing denominator) reduces to ONE row and
+  * crosses back by broadcast exactly like [[Retrieval.bm25]]'s stats.
+  *
+  * Probability: `P(w|p) = (c(p,w) + alpha) / (c(p) + alpha * V)` with
+  * `V` = distinct token count of the corpus; a document's score is
+  * `avg(-ln P)` over its bigrams (documents with fewer than 2 tokens
+  * carry no evidence and are dropped). Tokenization is the shared
+  * case-folded whitespace rule ([[Retrieval.bm25]]).
+  *
+  * Train-on-self is the reference semantics here (one corpus argument
+  * scores itself); to score against a held-out model, pass the
+  * training frame to [[bigramNllAgainst]].
+  *
+  * Reference scope: deimos has no text analytics; this extends the
+  * engine for LLM-corpus work (SURVEY.md §2.9).
+  */
+object LangModel {
+
+  private def toks(textCol: String) =
+    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+
+  /** (id, p, w) bigram stream: scan-side zip of adjacent tokens —
+    * the explode is the only row-multiplying step anywhere. */
+  private def bigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = toks(textCol)
+    df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(
+        zip_with(slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (p, w) => struct(p.as("p"), w.as("w")))).as("__b"))
+      .select(col(idCol), col("__b.p").as("p"), col("__b.w").as("w"))
+  }
+
+  /** Score `score` documents under a bigram model trained on `train`.
+    * @return one row per scored document with >= 2 tokens:
+    *         (id, n_bigrams, avg_nll)
+    */
+  def bigramNllAgainst(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val trainBg = bigrams(train, idCol, textCol)
+    val bc = trainBg.groupBy(col("p"), col("w"))
+      .agg(count(lit(1)).as("__c_pw"))
+    val cc = trainBg.groupBy(col("p")).agg(count(lit(1)).as("__c_p"))
+    val vocab = train.select(explode(toks(textCol)).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    // left joins + zero-coalesce: a bigram or context unseen in
+    // training gets the smoothed floor (alpha / (c_p + alpha*V), down
+    // to 1/V for an unseen context) instead of being dropped — for
+    // self-scoring both counts always exist and the coalesces fold
+    bigrams(score, idCol, textCol)
+      .join(bc, Seq("p", "w"), "left")
+      .join(cc, Seq("p"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("__c_pw"), lit(0L)) + alpha) /
+          (coalesce(col("__c_p"), lit(0L)) + lit(alpha) * col("__v"))))
+          .as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
+  }
+
+  /** Self-scoring form: every bigram of `df` was seen in training, so
+    * the model joins are inner without loss. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame =
+    bigramNllAgainst(df, df, idCol, textCol, alpha)
+}
