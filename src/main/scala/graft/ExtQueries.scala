@@ -683,6 +683,25 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Incremental cross-corpus dedup (`Dedup.incrementalExact`): a
+    * synthetic crawl refresh — odd-id docs plus re-crawled copies of
+    * even-id docs (+1e6 ids) plus in-batch duplicate copies (+2e6 ids)
+    * — deduplicated against the even-id corpus. Bloom sketch on the
+    * batch filters the corpus scan; exact anti-join keeps it exact. */
+  private def x51(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(docs.filter(col("doc_id") % 20 === 1)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    graft.ext.Dedup.incrementalExact(existing, incoming, "doc_id", "text",
+        expectedItems = 100000L)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM quality scoring (`LangModel.bigramNll`): every document
     * scored by avg negative log-likelihood under an add-0.5-smoothed
     * bigram model trained on the corpus itself — the perplexity-filter
@@ -752,6 +771,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x51_incr_dedup" -> (x51 _),
     "x50_bigram_nll" -> (x50 _),
     "x49_bm25" -> (x49 _),
     "x48_chunk" -> (x48 _),
@@ -812,6 +832,30 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // same fingerprint normalization as x1; NOT IN is safe
+    // (md5 never null); row_number replicates first-in-batch
+    "x51_incr_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+        |      AS fingerprint
+        |  FROM documents),
+        |inc AS (
+        |  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, fingerprint FROM fp
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, fingerprint FROM fp
+        |  WHERE doc_id % 20 = 1),
+        |win AS (SELECT doc_id, fingerprint,
+        |    row_number() OVER (PARTITION BY fingerprint
+        |                       ORDER BY doc_id) AS rn
+        |  FROM inc)
+        |SELECT doc_id, fingerprint FROM win
+        |WHERE rn = 1 AND fingerprint NOT IN
+        |  (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // same probability arithmetic and evaluation order as the
     // operator: -ln((c_pw + 0.5) / (c_p + (0.5 * V))); avg = sum/count
     // in double on both engines (reorder noise inside the margins

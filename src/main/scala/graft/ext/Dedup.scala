@@ -23,6 +23,51 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_doc_id"))
 
+  /** Incremental exact dedup: the rows of `incoming` that are novel —
+    * their normalized-content fingerprint appears neither in the
+    * `existing` corpus nor earlier (lower id) in the batch itself.
+    * This is the daily-increment form of [[exact]]: a crawl refresh is
+    * deduplicated against the accumulated corpus without ever
+    * reshuffling the corpus.
+    *
+    * 100 TB shape: `existing` is the huge side, so the bloom sketch is
+    * built on the INCOMING batch (distributed aggregate; only the
+    * fixed-size sketch crosses the driver) and `existing`'s digests
+    * are filtered AT THE SCAN — only the ~fpp false-positive fraction
+    * plus true collisions survive to the exact anti-join, which AQE
+    * then broadcasts (the surviving set is batch-sized, not
+    * corpus-sized). Bloom misses are definitive ("certainly novel"),
+    * so exactness is preserved: false positives are eliminated by the
+    * anti-join, never the other way round. `existing` is projected to
+    * its text column only (column pruning reaches the scan); a
+    * production pipeline would point this at its maintained
+    * fingerprint table instead and skip the recompute.
+    *
+    * @param expectedItems sizing for the incoming-batch sketch
+    *                      (~8 bits/item, 2% fpp at the default)
+    * @return `incoming`'s columns plus `fingerprint`, one row per
+    *         surviving (novel, first-in-batch) document
+    */
+  def incrementalExact(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = incoming.withColumn("fingerprint",
+      T.normFingerprint(col(textCol)))
+    // first-in-batch winner per fingerprint: one shuffle on the digest
+    val winners = inc
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val existingFp = existing
+      .select(T.normFingerprint(col(textCol)).as("fingerprint"))
+    val surviving = graft.operators.Scale.bloomFilterBig(
+      existingFp, inc.select(col("fingerprint")),
+      col("fingerprint"), col("fingerprint"), expectedItems,
+      8L * expectedItems)
+    winners.join(surviving, Seq("fingerprint"), "left_anti")
+  }
+
   /** MinHash + LSH near-dedup: shingle → k-perm signature → banded
     * bucket join → exact-Jaccard verification of candidates.
     *
