@@ -683,6 +683,29 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Embedding int8 quantization (`Embeddings.int8Quantize` +
+    * `l2Norm`): per-vector integer summaries (component sum, min, max,
+    * saturation count) of the SQ8 quantized form, plus the L2 norm at
+    * 4 dp. All arithmetic is per-row strict left folds in array order
+    * — bit-deterministic, no distributed reduction — and the rounding
+    * margins were probed: min distance of any scaled component to a
+    * .5 boundary is 4.7e-5 (sf0.01) / 3.1e-6 (sf0.1), far above the
+    * zero noise of identical double arithmetic. */
+  private def x52(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.ext.Embeddings
+    t(s, dir, "embeddings").select(col("vec_id"),
+        E.int8Quantize(col("embedding")).getField("q").as("__q"),
+        round(E.l2Norm(col("embedding")), 4).as("nrm_r"))
+      .select(col("vec_id"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("qsum"),
+        array_min(col("__q")).cast("long").as("qmin"),
+        array_max(col("__q")).cast("long").as("qmax"),
+        size(filter(col("__q"), q => abs(q) === 127)).cast("long")
+          .as("n_sat"),
+        col("nrm_r"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Incremental cross-corpus dedup (`Dedup.incrementalExact`): a
     * synthetic crawl refresh — odd-id docs plus re-crawled copies of
     * even-id docs (+1e6 ids) plus in-batch duplicate copies (+2e6 ids)
@@ -771,6 +794,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x52_embed_quant" -> (x52 _),
     "x51_incr_dedup" -> (x51 _),
     "x50_bigram_nll" -> (x50 _),
     "x49_bm25" -> (x49 _),
@@ -832,6 +856,30 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // identical double arithmetic in identical order: cast-to-double
+    // per element, scale = (127.0 / mx), round = half-away-from-zero
+    // on both engines; sums of bigints cast back to BIGINT
+    "x52_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, nrm,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT))
+        |      AS qs
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+        |  CAST(list_aggregate(qs, 'min') AS BIGINT) AS qmin,
+        |  CAST(list_aggregate(qs, 'max') AS BIGINT) AS qmax,
+        |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT)
+        |    AS n_sat,
+        |  round(nrm, 4) AS nrm_r
+        |FROM q ORDER BY vec_id""".stripMargin,
     // same fingerprint normalization as x1; NOT IN is safe
     // (md5 never null); row_number replicates first-in-batch
     "x51_incr_dedup" ->
