@@ -683,6 +683,20 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Mixture-targeted sampling (`Sampling.mixtureSample`): resample
+    * three weighted sources to a 50/30/20 recipe at the largest
+    * feasible size (binding group kept whole), drop the rest. The
+    * oracle re-derives the per-group rates from counts and replicates
+    * `rateThreshold`'s exact arithmetic — Java `Math.round` is
+    * `floor(x + 0.5)`, spelled that way in SQL (DuckDB `round` is
+    * half-away-from-zero, which differs at exact halves). */
+  private def x53(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.mixtureSample(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy(col("doc_id"))
+
   /** Embedding int8 quantization (`Embeddings.int8Quantize` +
     * `l2Norm`): per-vector integer summaries (component sum, min, max,
     * saturation count) of the SQ8 quantized form, plus the L2 norm at
@@ -794,6 +808,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x53_mixture" -> (x53 _),
     "x52_embed_quant" -> (x52 _),
     "x51_incr_dedup" -> (x51 _),
     "x50_bigram_nll" -> (x50 _),
@@ -856,6 +871,24 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // rates re-derived from counts with the weight literals baked in;
+    // threshold replicates Sampling.rateThreshold bit-for-bit:
+    // floor(x + 0.5) IS Java Math.round (not DuckDB round)
+    "x53_mixture" ->
+      """WITH w(src, wt) AS (
+        |  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |n AS (SELECT src, wt, count(*) AS n FROM documents
+        |      JOIN w ON source = src GROUP BY src, wt),
+        |t AS (SELECT min(n / wt) AS t FROM n),
+        |thr AS (SELECT src,
+        |    format('{:08x}', CAST(least(floor(
+        |      least(greatest((wt * t) / n, 0), 1.0) * 4294967296 + 0.5),
+        |      4294967295) AS BIGINT)) AS th
+        |  FROM n, t)
+        |SELECT doc_id, source FROM documents
+        |JOIN thr ON source = src
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < th
+        |ORDER BY doc_id""".stripMargin,
     // identical double arithmetic in identical order: cast-to-double
     // per element, scale = (127.0 / mx), round = half-away-from-zero
     // on both engines; sums of bigints cast back to BIGINT

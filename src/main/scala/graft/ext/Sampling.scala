@@ -80,6 +80,38 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Mixture-targeted sampling: choose per-group keep rates so the
+    * sampled corpus hits target mixture WEIGHTS at the largest
+    * feasible size — the "dataset mixing" step that turns raw
+    * per-source counts into a training recipe (e.g. 50% web / 30%
+    * books / 20% code). The binding group (smallest `n_g / w_g`) is
+    * kept whole; every other group downsamples to match:
+    * `T = min_g n_g / w_g`, `rate_g = w_g * T / n_g`. Groups without a
+    * weight are dropped. Weights are RELATIVE (never normalized — the
+    * rates are scale-invariant, and skipping normalization keeps the
+    * arithmetic bit-identical to the x53 oracle's).
+    *
+    * One count aggregation whose result (≤ |weights| rows — the recipe
+    * size, not the corpus) crosses the driver to fix the rates; the
+    * sample itself is then the same scan-side md5-threshold filter as
+    * [[stratified]] — deterministic, no shuffle, stable under corpus
+    * growth within a group count. Weighted groups absent from the data
+    * fail loudly: silently emitting a mixture missing a requested
+    * component is the one wrong answer this op can produce. */
+  def mixtureSample(df: DataFrame, keyCol: Column, groupCol: Column,
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "at least one weighted group required")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val counts = df.filter(groupCol.isin(weights.keys.toSeq: _*))
+      .groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty, s"weighted groups absent from data: $missing")
+    val t = weights.map { case (g, w) => counts(g) / w }.min
+    val rates = weights.map { case (g, w) => g -> (w * t) / counts(g) }
+    stratified(df, keyCol, groupCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Per-group CAP: deterministically keep at most `k` rows per group
     * (e.g. "≤100k docs per domain"), choosing the k smallest key
     * hashes so membership is reproducible and, like [[uniform]],

@@ -377,3 +377,56 @@ class EpochShuffleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
 }
+
+/** Specs for mixture-targeted (dataset-mixing) sampling. */
+class MixtureSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Sampling
+
+  // 3 weighted groups of 200 + one unweighted group
+  private lazy val docs = spark.range(800).select(
+    col("id").as("doc_id"),
+    concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+  private val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  test("binding group kept whole; others near target proportions") {
+    val got = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+      weights).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // T = min(200/.5, 200/.3, 200/.2) = 400; targets 200/120/80
+    assert(got("src0") === 200L, "rate-1.0 group must keep every row")
+    assert(math.abs(got("src1") - 120L) < 25, got.toString)
+    assert(math.abs(got("src2") - 80L) < 25, got.toString)
+    assert(!got.contains("src3"), "unweighted groups must drop")
+  }
+
+  test("deterministic across runs and partition layouts") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureSample(d, col("doc_id"), col("source"), weights)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(docs)
+    assert(run(docs.repartition(13)) === a)
+  }
+
+  test("weighted group absent from the data fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+        weights + ("srcX" -> 0.1)) }
+    assert(e.getMessage.contains("srcX"))
+  }
+
+  test("weights are relative: scaling all weights changes nothing") {
+    def run(w: Map[String, Double]) =
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"), w)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(weights) === run(weights.view.mapValues(_ * 7.0).toMap))
+  }
+
+  test("invalid weights rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"), Map.empty) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+        Map("src0" -> -1.0)) }
+  }
+}
