@@ -683,6 +683,20 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** TF-IDF keyword extraction (`Keywords.tfidfTopK`): top-5 terms
+    * per document; per-doc top-k runs as a map-side WindowGroupLimit.
+    * Margins at 4 dp validated at both SFs: min nonzero rank-5/6 gap
+    * >= 2.6e-4 score units, min rounding-boundary distance >= 3.8e-8,
+    * vs ~1e-15 ln noise; exact score ties break on the ASCII term
+    * string identically in both engines (binary collation). */
+  private def x54(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Keywords.tfidfTopK(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), round(col("tfidf"), 4).as("tfidf_r"))
+      .orderBy(col("doc_id"), col("rank"))
+
   /** Mixture-targeted sampling (`Sampling.mixtureSample`): resample
     * three weighted sources to a 50/30/20 recipe at the largest
     * feasible size (binding group kept whole), drop the rest. The
@@ -808,6 +822,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_keywords" -> (x54 _),
     "x53_mixture" -> (x53 _),
     "x52_embed_quant" -> (x52 _),
     "x51_incr_dedup" -> (x51 _),
@@ -871,6 +886,28 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // same \W+ tokenization as x40's postings; score arithmetic in
+    // the operator's order: tf * ln(CAST(n AS DOUBLE) / df)
+    "x54_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    tf * ln(CAST(n AS DOUBLE) / df) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, term)
+        |      AS rank
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+        |  round(tfidf, 4) AS tfidf_r
+        |FROM sc WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     // rates re-derived from counts with the weight literals baked in;
     // threshold replicates Sampling.rateThreshold bit-for-bit:
     // floor(x + 0.5) IS Java Math.round (not DuckDB round)
