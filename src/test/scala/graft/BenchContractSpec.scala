@@ -16,20 +16,20 @@ class BenchContractSpec extends AnyFunSuite {
     Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
       errors, calPair, calPair, "/root/testdata/sf0.1")
 
-  test("contract line stays under 2 KB at 70 queries with no errors") {
+  test("contract line stays under 2.5 KB at 90 queries with no errors") {
     // synthetic names at the REAL surface's average length (the live
-    // 64-query names average ~15 chars; the longest is 22)
-    val names = (1 to 70).map(i => f"x${i}%02d_operator_name")
+    // 75-query names average ~15 chars; the longest is 22)
+    val names = (1 to 90).map(i => f"x${i}%02d_operator_name")
     val results = names.map(_ -> 1.2345)
     val got = line(results, Map.empty)
-    assert(got.length < 2048, s"line is ${got.length} bytes")
+    assert(got.length < 2560, s"line is ${got.length} bytes")
     assert(!got.contains("\"errors\""),
       "empty errors map must be omitted entirely")
     assert(got.startsWith("{\"metric\":\"total\""))
     // and the REAL surface today, at full name length, keeps at least
-    // ~10 queries of headroom inside the 2 KB budget
+    // ~15 queries of headroom inside the driver's ~4 KB tail window
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
-    assert(line(real, Map.empty).length < 1792,
+    assert(line(real, Map.empty).length < 2304,
       s"real surface line is ${line(real, Map.empty).length} bytes")
   }
 
