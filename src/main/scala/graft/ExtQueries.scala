@@ -683,6 +683,29 @@ object ExtQueries {
       col("doc_id"), col("text"), chunkSize = 40, overlap = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Fixed-width histogram (`Profile.histogram`): 12 equal buckets
+    * over documents.n_chars. Bucket arithmetic is identical double ops
+    * in identical order on both engines — no distributed float
+    * reduction anywhere (min/max/count only), so no margins needed. */
+  private def x55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+      t(s, dir, "documents").select(col("n_chars")), "n_chars", 12)
+      .select(col("bucket"), col("cnt"),
+        round(col("lo"), 4).as("lo_r"), round(col("hi"), 4).as("hi_r"))
+      .orderBy(col("bucket"))
+
+  /** Per-group z-score standardization (`Profile.standardize`):
+    * documents.n_chars standardized within source. stddev merge order
+    * differs across engines (~1e-13 absolute on these magnitudes);
+    * min 4 dp boundary distance probed at 4.7e-8 (sf0.01) / 1.7e-8
+    * (sf0.1) score units — 5 orders of headroom. */
+  private def x56(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.standardize(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")), "n_chars", "source")
+      .select(col("doc_id"), col("source"), round(col("z"), 4).as("z_r"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF keyword extraction (`Keywords.tfidfTopK`): top-5 terms
     * per document; per-doc top-k runs as a map-side WindowGroupLimit.
     * Margins at 4 dp validated at both SFs: min nonzero rank-5/6 gap
@@ -822,6 +845,8 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x56_zscore" -> (x56 _),
+    "x55_histogram" -> (x55 _),
     "x54_keywords" -> (x54 _),
     "x53_mixture" -> (x53 _),
     "x52_embed_quant" -> (x52 _),
@@ -886,6 +911,33 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // bucket = least(floor((x - mn)/w), n-1) with w = (mx - mn)/12,
+    // the operator's exact double arithmetic; top edge closed
+    "x55_histogram" ->
+      """WITH s AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
+        |                  max(CAST(n_chars AS DOUBLE)) AS mx
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |        CAST(least(floor((CAST(n_chars AS DOUBLE) - mn)
+        |          / ((mx - mn) / 12)), 11) AS BIGINT) END AS bucket,
+        |        mn, (mx - mn) / 12 AS w
+        |      FROM documents, s WHERE n_chars IS NOT NULL)
+        |SELECT bucket, count(*) AS cnt,
+        |  round(min(mn + bucket * w), 4) AS lo_r,
+        |  round(min(mn + (bucket + 1) * w), 4) AS hi_r
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // z = (x - mean)/sd with sample stddev; engines' variance merge
+    // orders differ ~1e-13 — inside the probed 4dp margins (x56 doc)
+    "x56_zscore" ->
+      """WITH s AS (SELECT source,
+        |    avg(CAST(n_chars AS DOUBLE)) AS m,
+        |    stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, source,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+        |    ELSE (CAST(n_chars AS DOUBLE) - m) / sd END, 4) AS z_r
+        |FROM documents JOIN s USING (source)
+        |ORDER BY doc_id""".stripMargin,
     // same \W+ tokenization as x40's postings; score arithmetic in
     // the operator's order: tf * ln(CAST(n AS DOUBLE) / df)
     "x54_keywords" ->

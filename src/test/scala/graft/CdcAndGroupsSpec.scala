@@ -342,3 +342,68 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Expand"), "approx mode must not Expand")
   }
 }
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Profile
+
+  test("equal-width buckets cover [min,max] with a closed top edge") {
+    val df = (0 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val got = Profile.histogram(df, "v", 5)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    // width 2: [0,2) [2,4) [4,6) [6,8) [8,10]; 10 lands in the last
+    assert(got.map(g => (g._1, g._2)) ===
+      Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 3L)))
+    assert(got.head._3 === 0.0 && got.head._4 === 2.0)
+    assert(got.last._3 === 8.0 && got.last._4 === 10.0)
+  }
+
+  test("empty buckets are absent; nulls ignored") {
+    val df = Seq(Some(0.0), Some(100.0), None).toDF("v")
+    val got = Profile.histogram(df, "v", 10)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(0L, 9L))
+    assert(got.map(_._2) === Seq(1L, 1L))
+  }
+
+  test("constant column degenerates to one bucket of width zero") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val got = Profile.histogram(df, "v", 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((0L, 3L, 7.0, 7.0)))
+  }
+
+  test("invalid bucket count rejected") {
+    intercept[IllegalArgumentException] {
+      Profile.histogram(Seq(1.0).toDF("v"), "v", 0) }
+  }
+}
+
+class StandardizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Profile
+
+  test("z-scores are (x - mean)/sd per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0),
+      ("b", 30.0)).toDF("g", "v")
+    val got = Profile.standardize(df, "v", "g")
+      .orderBy("g", "v").select("z").as[Double].collect().toSeq
+    // group a: mean 2 sd 1; group b: mean 20 sd sqrt(200)
+    assert(got(0) === -1.0 && got(1) === 0.0 && got(2) === 1.0)
+    assert(math.abs(got(3) - (-10.0 / math.sqrt(200))) < 1e-12)
+  }
+
+  test("singleton and zero-variance groups yield null z") {
+    val df = Seq(("solo", 5.0), ("flat", 2.0), ("flat", 2.0))
+      .toDF("g", "v")
+    val got = Profile.standardize(df, "v", "g")
+      .select("z").as[Option[Double]].collect().toSeq
+    assert(got.forall(_.isEmpty))
+  }
+
+  test("input columns pass through") {
+    val df = Seq(("a", 1.0, "k"), ("a", 3.0, "m")).toDF("g", "v", "tag")
+    val got = Profile.standardize(df, "v", "g")
+    assert(got.columns.toSet === Set("g", "v", "tag", "z"))
+  }
+}
