@@ -259,6 +259,30 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of with tolerance (`AsOfJoin.firstAfter`): each
+    * non-purchase event paired with the user's NEXT purchase, but only
+    * if it lands within one hour — the attribution-window join. The
+    * oracle uses DuckDB's native ASOF with the inequality flipped and
+    * a CASE for the window; both sides rely on (user, ts) purchase
+    * uniqueness for tie-freedom exactly like x19. */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val events = t(s, dir, "events")
+    val left = events.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = events.filter(col("event_type") === "purchase")
+    graft.operators.AsOfJoin.firstAfter(
+      left, right, Seq("user_id"), col("ts"), col("ts"),
+      rightCols = Seq(col("event_id").as("next_purchase_id"),
+        col("value").as("next_purchase_value")),
+      rightTieBreak = Seq(col("event_id")),
+      tolerance = Some(lit(hourNs)))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("next_purchase_id"), col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: for each purchase, how many other-user events landed
     * within ±60 s (event correlation via the binned window join). */
   private def x20(s: SparkSession, dir: String): DataFrame = {
@@ -845,6 +869,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x57_asof_fwd" -> (x57 _),
     "x56_zscore" -> (x56 _),
     "x55_histogram" -> (x55 _),
     "x54_keywords" -> (x54 _),
@@ -1451,6 +1476,18 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // native ASOF with the inequality flipped (forward); the one-hour
+    // attribution window applies as a CASE after the match
+    "x57_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(e.ts) <= 3600000000000 THEN p.event_id END
+        |    AS next_purchase_id,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(e.ts) <= 3600000000000 THEN p.value END
+        |    AS next_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "x19_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
         |  p.event_id AS last_purchase_id, p.value AS last_purchase_value

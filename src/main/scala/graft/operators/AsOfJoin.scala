@@ -5,52 +5,89 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: for each left row, the payload of the
-  * latest right row with rightTs ≤ leftTs within the same key — the
+  * latest right row with rightTs ≤ leftTs (backward) or the earliest
+  * with rightTs ≥ leftTs (forward) within the same key, optionally
+  * only within a `tolerance` of the left timestamp — the
   * feature-lookup / backfill join every training pipeline needs and
-  * Spark has no primitive for.
+  * Spark has no primitive for (the pandas `merge_asof` surface:
+  * direction + tolerance).
   *
   * Implementation is the scalable union trick, not a range join: tag
-  * both inputs, union, sort by (key, ts, side), carry the last right
-  * payload forward with `last(ignoreNulls)`, keep left rows. One
-  * shuffle on the key, within-partition sort, no range explosion —
-  * the plan a 100 TB backfill wants. (Preference (a) of SURVEY §7.3:
-  * composition beats a custom SparkPlan here.)
+  * both inputs, union, sort by (key, ts, side), carry the adjacent
+  * right payload across with `last`/`first(ignoreNulls)` over a
+  * half-open frame, keep left rows. One shuffle on the key,
+  * within-partition sort, no range explosion — the plan a 100 TB
+  * backfill wants. (Preference (a) of SURVEY §7.3: composition beats a
+  * custom SparkPlan here.) Tolerance is enforced AFTER the carry by
+  * nulling the payload when the matched timestamp is too far: the
+  * carry itself stays a single window pass.
   *
-  * The right payload is carried as ONE struct so all columns come from
-  * the same matched row even when some of its fields are null.
+  * The right payload is carried as ONE struct (with the matched
+  * timestamp alongside) so all columns come from the same matched row
+  * even when some of its fields are null.
   */
 object AsOfJoin {
 
-  /** @param rightCols right payload columns, already aliased as they
+  /** Backward as-of: latest right row with rightTs ≤ leftTs.
+    * @param rightCols right payload columns, already aliased as they
     *                  should appear in the output
     * @param rightTieBreak extra ordering among right rows at equal
     *                  (key, ts) — the last one wins
+    * @param tolerance max allowed `leftTs - matchedTs` (same units as
+    *                  the ts expressions); None = unbounded
     */
   def lastPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: Column, rightTs: Column, rightCols: Seq[Column],
-      rightTieBreak: Seq[Column] = Seq.empty): DataFrame = {
+      rightTieBreak: Seq[Column] = Seq.empty,
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, rightCols,
+      rightTieBreak, tolerance, forward = false)
+
+  /** Forward as-of: earliest right row with rightTs ≥ leftTs; ties at
+    * equal (key, ts) break by `rightTieBreak` ascending, first wins.
+    * @param tolerance max allowed `matchedTs - leftTs`; None = unbounded
+    */
+  def firstAfter(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: Column, rightTs: Column, rightCols: Seq[Column],
+      rightTieBreak: Seq[Column] = Seq.empty,
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, rightCols,
+      rightTieBreak, tolerance, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: Column, rightTs: Column, rightCols: Seq[Column],
+      rightTieBreak: Seq[Column], tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
+    // at equal ts the matching right row must fall INSIDE the left
+    // row's frame: backward frame ends at the left row (right sorts
+    // first), forward frame starts at it (left sorts first)
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     // tie-break is carried as ONE struct of all declared columns (any
     // types) — truncating to the first column or casting to a fixed
     // numeric type would silently break the documented ordering
     val tieType = if (rightTieBreak.isEmpty)
       org.apache.spark.sql.types.LongType
     else right.select(struct(rightTieBreak: _*).as("t")).schema("t").dataType
+    val payloadType = right.select(rightCols: _*).schema
+      .fields.foldLeft(new org.apache.spark.sql.types.StructType)(
+        (st, f) => st.add(f))
+    val carriedType = new org.apache.spark.sql.types.StructType()
+      .add("__mts", right.select(rightTs.as("t")).schema("t").dataType)
+      .add("__p", payloadType)
     val l = left
       .withColumn("__ts", leftTs)
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__tie", lit(null).cast(tieType))
-      .withColumn("__right",
-        lit(null).cast(right.select(rightCols: _*).schema
-          .fields.foldLeft(new org.apache.spark.sql.types.StructType)(
-            (st, f) => st.add(f))))
+      .withColumn("__right", lit(null).cast(carriedType))
     val tie = if (rightTieBreak.isEmpty) lit(0L)
       else struct(rightTieBreak: _*)
     val r = right
       .withColumn("__ts", rightTs)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__tie", tie)
-      .withColumn("__right", struct(rightCols: _*))
+      .withColumn("__right",
+        struct(rightTs.as("__mts"), struct(rightCols: _*).as("__p")))
       .select((Seq(col("__ts"), col("__side"), col("__tie"), col("__right")) ++
         keyCols.map(col)): _*)
     val lNorm = l.select((Seq(col("__ts"), col("__side"), col("__tie"),
@@ -60,14 +97,27 @@ object AsOfJoin {
       .foldLeft(r)((d, c) => d.withColumn(c,
         lit(null).cast(left.schema(c).dataType)))
       .select(lNorm.columns.toIndexedSeq.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val rightFields = right.select(rightCols: _*).schema.fieldNames.toIndexedSeq
+    val carried =
+      if (forward)
+        first(col("__right"), ignoreNulls = true)
+          .over(base.rowsBetween(0, Window.unboundedFollowing))
+      else
+        last(col("__right"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, 0))
+    val gap = tolerance.map { tol =>
+      val mts = col("__carried").getField("__mts")
+      if (forward) mts - col("__ts") <= tol
+      else col("__ts") - mts <= tol
+    }.getOrElse(lit(true))
+    val rightFields = payloadType.fieldNames.toIndexedSeq
     lNorm.unionByName(rNorm)
-      .withColumn("__carried", last(col("__right"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__carried", carried)
+      .filter(col("__side") === leftSide)
+      .withColumn("__ok", col("__carried").isNotNull && gap)
       .select((leftCols.map(col) ++
-        rightFields.map(f => col("__carried").getField(f).as(f))): _*)
+        rightFields.map(f => when(col("__ok"),
+          col("__carried").getField("__p").getField(f)).as(f))): _*)
   }
 }

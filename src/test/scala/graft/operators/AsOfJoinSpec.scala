@@ -59,3 +59,78 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === ((101L, None)))
   }
 }
+
+class AsOfDirectionToleranceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq((1L, "A", 10L), (2L, "A", 25L), (3L, "A", 5L),
+    (4L, "B", 50L)).toDF("id", "k", "ts")
+  private val right = Seq((100L, "A", 10L, "r@10"), (101L, "A", 20L, "r@20"),
+    (102L, "B", 60L, "r@60")).toDF("rid", "k", "ts", "rv")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "match_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("firstAfter picks the earliest right row at-or-after each left ts") {
+    val got = run(AsOfJoin.firstAfter(left, right, Seq("k"),
+      col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id")),
+      rightTieBreak = Seq(col("rid"))))
+    // id 1 (ts 10): r@10 qualifies (>=); id 2 (ts 25): none after;
+    // id 3 (ts 5): r@10; id 4 (ts 50): r@60
+    assert(got === Map(1L -> Some(100L), 2L -> None, 3L -> Some(100L),
+      4L -> Some(102L)))
+  }
+
+  test("backward tolerance nulls matches that are too old") {
+    val got = run(AsOfJoin.lastPrior(left, right, Seq("k"),
+      col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id")),
+      tolerance = Some(lit(4L))))
+    // id 1 (ts 10): r@10 gap 0 ok; id 2 (ts 25): r@20 gap 5 > 4 -> null;
+    // id 3 (ts 5): no prior; id 4 (ts 50): no prior for B
+    assert(got === Map(1L -> Some(100L), 2L -> None, 3L -> None,
+      4L -> None))
+  }
+
+  test("forward tolerance nulls matches that are too far ahead") {
+    val got = run(AsOfJoin.firstAfter(left, right, Seq("k"),
+      col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id")),
+      tolerance = Some(lit(5L))))
+    // id 3 (ts 5): r@10 gap 5 ok; id 4 (ts 50): r@60 gap 10 > 5 -> null
+    assert(got === Map(1L -> Some(100L), 2L -> None, 3L -> Some(100L),
+      4L -> None))
+  }
+
+  test("forward ties at equal ts take the first by tie-break") {
+    val l = Seq((1L, "A", 10L)).toDF("id", "k", "ts")
+    val r = Seq((7L, "A", 10L), (3L, "A", 10L)).toDF("rid", "k", "ts")
+    val got = run(AsOfJoin.firstAfter(l, r, Seq("k"), col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id")),
+      rightTieBreak = Seq(col("rid"))))
+    assert(got === Map(1L -> Some(3L)))
+  }
+
+  test("property: firstAfter equals the naive formulation") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+      .toDF("id", "k", "ts")
+    val r = (1 to 200).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+      .toDF("rid", "k", "ts")
+    val got = AsOfJoin.firstAfter(l, r, Seq("k"), col("ts"), col("ts"),
+      rightCols = Seq(col("rid").as("match_id")),
+      rightTieBreak = Seq(col("rid")))
+      .select("id", "match_id").as[(Long, Option[Long])].collect().toMap
+    val naive = l.as("l").join(r.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("id"))
+      .agg(min(struct(col("r.ts"), col("rid"))).as("m"))
+      .select(col("id"), col("m.rid").as("match_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === naive)
+  }
+}
