@@ -283,6 +283,19 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel (`Funnel.stages`): per user, how far through
+    * view -> click -> purchase (strictly increasing ts), with each
+    * stage's first qualifying timestamp. Every shuffle rides the same
+    * user key; no per-user event list is materialized. */
+  private def x58(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.stages(t(s, dir, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage_reached"),
+        expr("ts_1 div 1000000").as("t1_ms"),
+        expr("ts_2 div 1000000").as("t2_ms"),
+        expr("ts_3 div 1000000").as("t3_ms"))
+      .orderBy(col("user_id"))
+
   /** Range join: for each purchase, how many other-user events landed
     * within ±60 s (event correlation via the binned window join). */
   private def x20(s: SparkSession, dir: String): DataFrame = {
@@ -869,6 +882,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x58_funnel" -> (x58 _),
     "x57_asof_fwd" -> (x57 _),
     "x56_zscore" -> (x56 _),
     "x55_histogram" -> (x55 _),
@@ -1476,6 +1490,24 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // each stage = min ts strictly after the previous stage's ts;
+    // users without a first-stage event are absent by construction
+    "x58_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+        |SELECT t1.user_id,
+        |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT
+        |    AS BIGINT) AS stage_reached,
+        |  epoch_ms(t1) AS t1_ms, epoch_ms(t2) AS t2_ms,
+        |  epoch_ms(t3) AS t3_ms
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY t1.user_id""".stripMargin,
     // native ASOF with the inequality flipped (forward); the one-hour
     // attribution window applies as a CASE after the match
     "x57_asof_fwd" ->
