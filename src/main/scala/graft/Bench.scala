@@ -92,6 +92,7 @@ object Bench {
     "x53_mixture" -> 0.72, "x54_keywords" -> 1.72,
     "x55_histogram" -> 0.63, "x56_zscore" -> 0.66,
     "x57_asof_fwd" -> 1.00, "x58_funnel" -> 0.67,
+    "x59_unicode" -> 1.00,
     "x4_dedup_ngram" -> 1.64, "x5_dedup_embed" -> 0.47,
     "x6_ann_brute" -> 0.28, "x7_ann_lsh" -> 0.46,
     "x8_text_langid" -> 0.68, "x9_text_quality" -> 0.37)

@@ -283,6 +283,27 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Unicode normalization pin (`Expressions.normalizeNfc` +
+    * `stripAccents`): both engines inject DECOMPOSED accents
+    * (a -> a+U+0301, e -> e+U+0300) into the ASCII corpus, then NFC
+    * must compose them (java.text.Normalizer vs utf8proc) and the
+    * accent fold must recover the original text byte-for-byte —
+    * `fp_folded` equals md5(text) by construction. Lengths count code
+    * points on both engines (probed). */
+  private def x59(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.functions.Expressions
+    val inj = replace(replace(col("text"), lit("a"), lit("a\u0301")),
+      lit("e"), lit("e\u0300"))
+    t(s, dir, "documents").select(col("doc_id"), inj.as("__inj"))
+      .select(col("doc_id"),
+        length(col("__inj")).cast("long").as("n_raw"),
+        length(E.normalizeNfc(col("__inj"))).cast("long").as("n_nfc"),
+        md5(E.normalizeNfc(col("__inj"))).as("fp_nfc"),
+        md5(E.stripAccents(E.normalizeNfc(col("__inj"))))
+          .as("fp_folded"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Ordered funnel (`Funnel.stages`): per user, how far through
     * view -> click -> purchase (strictly increasing ts), with each
     * stage's first qualifying timestamp. Every shuffle rides the same
@@ -771,18 +792,18 @@ object ExtQueries {
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
       .orderBy(col("doc_id"))
 
-  /** Embedding int8 quantization (`Embeddings.int8Quantize` +
+  /** Embedding int8 quantization (`VectorFunctions.quantizeInt8` +
     * `l2Norm`): per-vector integer summaries (component sum, min, max,
     * saturation count) of the SQ8 quantized form, plus the L2 norm at
     * 4 dp. All arithmetic is per-row strict left folds in array order
     * — bit-deterministic, no distributed reduction — and the rounding
     * margins were probed: min distance of any scaled component to a
     * .5 boundary is 4.7e-5 (sf0.01) / 3.1e-6 (sf0.1), far above the
-    * zero noise of identical double arithmetic. */
+    * ~ulp-level difference between either engine's multiply order. */
   private def x52(s: SparkSession, dir: String): DataFrame = {
-    val E = graft.ext.Embeddings
+    val E = graft.functions.VectorFunctions
     t(s, dir, "embeddings").select(col("vec_id"),
-        E.int8Quantize(col("embedding")).getField("q").as("__q"),
+        E.quantizeInt8(col("embedding")).getField("q").as("__q"),
         round(E.l2Norm(col("embedding")), 4).as("nrm_r"))
       .select(col("vec_id"),
         aggregate(col("__q"), lit(0L), (a, x) => a + x).as("qsum"),
@@ -882,6 +903,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x59_unicode" -> (x59 _),
     "x58_funnel" -> (x58 _),
     "x57_asof_fwd" -> (x57 _),
     "x56_zscore" -> (x56 _),
@@ -1030,7 +1052,7 @@ object ExtQueries {
         |  FROM embeddings),
         |q AS (SELECT vec_id, nrm,
         |    list_transform(embedding, x ->
-        |      CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT))
+        |      CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
         |      AS qs
         |  FROM m)
         |SELECT vec_id,
@@ -1490,6 +1512,21 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // chr(769)/chr(768) are the combining acute/grave the Spark side
+    // injects; nfc_normalize is utf8proc vs the JDK's Normalizer —
+    // THE cross-engine pin; strip_accents must recover md5(text)
+    "x59_unicode" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, 'a', 'a' || chr(769)),
+        |            'e', 'e' || chr(768)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(i) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(i)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(i)) AS fp_nfc,
+        |  md5(strip_accents(nfc_normalize(i))) AS fp_folded
+        |FROM inj ORDER BY doc_id""".stripMargin,
     // each stage = min ts strictly after the previous stage's ts;
     // users without a first-stage event are absent by construction
     "x58_funnel" ->

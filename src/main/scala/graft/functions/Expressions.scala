@@ -117,6 +117,17 @@ object Expressions {
   /** Unicode NFC normalization (java.text.Normalizer) — canonical
     * composition so visually-identical strings dedup/fingerprint
     * identically. Not exposed by Spark SQL builtins. */
+  case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      SketchOps.stripAccents(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Ops.stripAccents($c);")
+    override protected def withNewChildInternal(c: Expression): StripAccentsExpr =
+      copy(child = c)
+  }
+
   case class NormalizeNfcExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(input: Any): Any =
@@ -237,6 +248,8 @@ object Expressions {
     col(WinnowFingerprintExpr(ex(bytes), k, w))
 
   def normalizeNfc(text: Column): Column = col(NormalizeNfcExpr(ex(text)))
+
+  def stripAccents(text: Column): Column = col(StripAccentsExpr(ex(text)))
 
   def cosineSim(a: Column, b: Column): Column =
     col(CosineSimExpr(ex(a), ex(b)))

@@ -132,6 +132,23 @@ object SketchOps {
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
 
+  /** Accent stripping: NFD decomposition with combining marks (Mn)
+    * removed — 'á' → 'a'. Matches utf8proc-based engines (DuckDB
+    * `strip_accents`) on Latin-script input; base letters, digits and
+    * symbols pass through untouched. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val b = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) b.append(c)
+      i += 1
+    }
+    UTF8String.fromString(b.toString)
+  }
+
   // element-type codes for the cosine kernel (avoid DataType in the
   // generated-code signature)
   val ElemFloat = 0

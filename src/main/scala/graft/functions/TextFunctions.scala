@@ -104,6 +104,10 @@ object TextFunctions {
     * composed/decomposed variants of the same text dedup together. */
   def normalizeUnicode(text: Column): Column = Expressions.normalizeNfc(text)
 
+  /** NFD-decompose and drop combining marks ('á' → 'a') — the accent
+    * fold a cleaning pipeline applies before exact/fuzzy matching. */
+  def stripAccents(text: Column): Column = Expressions.stripAccents(text)
+
   /** Within-document line dedup (boilerplate removal): keep the first
     * occurrence of each line, preserve order — the per-document half
     * of boilerplate stripping (cross-document boilerplate is the

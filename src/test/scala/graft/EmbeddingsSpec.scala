@@ -4,37 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.Embeddings
 
-/** Specs for embedding-vector hygiene ops. */
+/** Specs for DataFrame-level embedding pooling (the per-vector kernels
+  * are covered by `VectorFunctionsSpec`). */
 class EmbeddingsSpec extends SparkSpec {
   import spark.implicits._
-
-  test("l2Normalize yields unit vectors; zero vector passes through") {
-    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
-      .toDF("id", "v")
-    val got = df.select(col("id"), Embeddings.l2Normalize(col("v")).as("n"))
-      .orderBy("id").as[(Long, Seq[Double])].collect()
-    assert(got(0)._2 === Seq(0.6, 0.8))
-    assert(got(1)._2 === Seq(0.0, 0.0))
-  }
-
-  test("int8Quantize hits ±127 at the extremes and dequantizes back") {
-    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("id", "v")
-    val got = df.select(Embeddings.int8Quantize(col("v")).as("s"))
-      .select(col("s.q"), col("s.scale"))
-      .as[(Seq[Int], Double)].head()
-    assert(got._1 === Seq(64, -127, 32, 0)) // 0.5*127=63.5 rounds up
-    assert(math.abs(got._2 - 1.0 / 127) < 1e-15)
-    // dequantized error bounded by scale/2 per component
-    got._1.zip(Seq(0.5, -1.0, 0.25, 0.0)).foreach { case (q, v) =>
-      assert(math.abs(q * got._2 - v) <= got._2 / 2 + 1e-15) }
-  }
-
-  test("int8Quantize of the zero vector is zeros with scale 0") {
-    val df = Seq((1L, Array(0.0f, 0.0f))).toDF("id", "v")
-    val got = df.select(Embeddings.int8Quantize(col("v")).as("s"))
-      .select(col("s.q"), col("s.scale")).as[(Seq[Int], Double)].head()
-    assert(got === ((Seq(0, 0), 0.0)))
-  }
 
   test("meanPool averages element-wise per group and counts members") {
     val df = Seq(
@@ -54,10 +27,10 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got._2 === Seq.tabulate(dim)(_.toDouble))
   }
 
-  test("per-vector ops are shuffle-free") {
+  test("per-vector kernels stay shuffle-free") {
+    import graft.functions.{VectorFunctions => V}
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
-    val plan = df.select(Embeddings.l2Normalize(col("v")),
-        Embeddings.int8Quantize(col("v")))
+    val plan = df.select(V.normalize(col("v")), V.quantizeInt8(col("v")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }

@@ -52,6 +52,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps)
   }
 
+  test("stripAccents folds marks from any normalization form") {
+    // composed, decomposed (e + U+0301), umlaut, mark-free
+    val df = Seq(("caf\u00e9 d\u00e9j\u00e0", "cafe\u0301", "\u00dcber",
+      "no marks 123")).toDF("a", "b", "c", "d")
+    val got = df.select(T.stripAccents(col("a")), T.stripAccents(col("b")),
+      T.stripAccents(col("c")), T.stripAccents(col("d")))
+      .as[(String, String, String, String)].collect()(0)
+    assert(got === (("cafe deja", "cafe", "Uber", "no marks 123")))
+  }
+
   test("dedupeLines keeps first occurrence of each line in order") {
     val doc = "header\nbody one\nheader\nbody two\nbody one\nfooter"
     val got = Seq(doc).toDF("t").select(T.dedupeLines(col("t")))
