@@ -283,6 +283,32 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Recency-decayed activity score (`Decay.recencyScore`): per user,
+    * sum of exp(-(t_max - ts)/1day) over events — reference time from
+    * the data so both engines compute identical weights (long->double
+    * casts and exp are IEEE-deterministic; only the distributed sum
+    * reorders, margins probed at 4 dp). */
+  private def x61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decay.recencyScore(t(s, dir, "events"), "user_id",
+      "ts", tau = 86400e9)
+      .select(col("user_id"), col("n_events"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy(col("user_id"))
+
+  /** Semantic dup groups: the x5 embedding-cosine pair stream fed
+    * through `Dedup.components` — the end-to-end "cluster the
+    * near-duplicates" composition (pairs → union-find), with BOTH
+    * stages oracle-checked: DuckDB recomputes the pairs exactly (x5's
+    * validated cosine margins) and closes them with the same recursive
+    * CTE as x44. */
+  private def x60(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingCosine(t(s, dir, "embeddings"), "vec_id",
+      "embedding", bucketCol = "label", threshold = 0.4)
+    Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Unicode normalization pin (`Expressions.normalizeNfc` +
     * `stripAccents`): both engines inject DECOMPOSED accents
     * (a -> a+U+0301, e -> e+U+0300) into the ASCII corpus, then NFC
@@ -903,6 +929,8 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_decay" -> (x61 _),
+    "x60_semantic_groups" -> (x60 _),
     "x59_unicode" -> (x59 _),
     "x58_funnel" -> (x58 _),
     "x57_asof_fwd" -> (x57 _),
@@ -1512,6 +1540,33 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // weights exp((ts - max)/tau) with the long->double cast and
+    // division in the operator's order; ts is TIMESTAMP_NS in DuckDB
+    // -> epoch_ns() recovers the same integers Spark reads natively
+    "x61_decay" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(exp((epoch_ns(ts) - epoch_ns(m))
+        |    / 86400000000000.0)), 4) AS score_r
+        |FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // x5's exact pair predicate + x44's recursive closure, composed;
+    // group_id = min vec_id of the component on both sides
+    "x60_semantic_groups" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |      FROM v a JOIN v b
+        |        ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.4),
+        |und AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a)
+        |SELECT node AS vec_id,
+        |  CAST(least(node, min(r)) AS BIGINT) AS group_id
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     // chr(769)/chr(768) are the combining acute/grave the Spark side
     // injects; nfc_normalize is utf8proc vs the JDK's Normalizer —
     // THE cross-engine pin; strip_accents must recover md5(text)
