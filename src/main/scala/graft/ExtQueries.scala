@@ -295,6 +295,84 @@ object ExtQueries {
         round(col("score"), 4).as("score_r"))
       .orderBy(col("user_id"))
 
+  /** Cohort retention matrix (`Cohorts.retention`): users bucketed by
+    * the week of their first event; distinct active users per (cohort,
+    * offset) cell. All-integer arithmetic — the period index is an
+    * exact floor division of the nanosecond timestamp (doubles would
+    * misassign near-boundary events past 2^53). */
+  private def x62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retention(t(s, dir, "events"), "user_id",
+      "ts", periodNs = 604800000000000L)
+      .orderBy(col("cohort"), col("period_offset"))
+
+  /** Trailing-hour rolling aggregates (`Rolling.trailing`): per event,
+    * the same user's event count and value sum (in exact cents) over
+    * `[t-1h, t]`. RANGE frame on the raw nanos keeps ts-ties
+    * deterministic; integer cent sums make the distributed/window
+    * reduction order irrelevant. */
+  private def x63(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    graft.operators.Rolling.trailing(
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", windowSize = 3600000000000L,
+      aggs = Seq("n_1h" -> count(lit(1)), "cents_1h" -> sum(cents)))
+      .select(col("event_id"), col("user_id"), col("n_1h"),
+        col("cents_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Fuzzy vocabulary lookup (`FuzzyJoin.lookup`): two deterministic
+    * corruptions of every distinct part name — a char substitution and
+    * a char deletion — resolved back against the vocabulary by blocked
+    * levenshtein (prefix-2 + length-band-4 blocking, broadcast vocab).
+    * Integer distances, string ranks: exact cross-engine. */
+  private def x64(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "part").select(col("p_name"))
+    val names = vocab.distinct()
+    val probes = names.select(
+        concat(lit("sub:"), col("p_name")).as("probe_id"),
+        concat(substring(col("p_name"), 1, 2), lit("z"),
+          substring(col("p_name"), 4, 1000)).as("probe"))
+      .unionByName(names.select(
+        concat(lit("del:"), col("p_name")).as("probe_id"),
+        concat(substring(col("p_name"), 1, 3),
+          substring(col("p_name"), 5, 1000)).as("probe")))
+    graft.ext.FuzzyJoin.lookup(probes, "probe_id", "probe",
+      vocab, "p_name", maxDist = 2, k = 1, prefixLen = 2, lenBand = 4)
+      .select(col("probe_id"), col("probe"), col("matched"),
+        col("dist").cast("long").as("dist"), col("rank"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Weighted sampling without replacement
+    * (`Sampling.weightedKPerGroup`, A-ES): top-20 docs per source with
+    * inclusion odds proportional to n_chars. Priority = ln(u)/w with u
+    * from the md5 60-bit prefix; margins probed at both SFs — min
+    * rank-20/21 priority gap per group >= 8.9e-6 (sf0.01) / 4.2e-7
+    * (sf0.1), relative gap ~1.2e-3, vs ~1e-15 relative cross-engine
+    * ln noise. */
+  private def x65(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedKPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      col("doc_id"), col("source"), col("n_chars"), k = 20, salt = "w1")
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("doc_id"))
+
+  /** PMI collocation mining (`LangModel.pmiTopK`): top-30 adjacent
+    * word pairs by pointwise mutual information at support >= 20.
+    * Rank boundary and 4 dp rounding margins probed at both SFs:
+    * rank-30/31 gap >= 2.6e-3 (sf0.01) / 9.2e-4 (sf0.1) pmi units,
+    * nearest rounding boundary >= 1.2e-6, vs ~1e-15 ln noise. */
+  private def x66(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LangModel.pmiTopK(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 30, minCount = 20L)
+      .select(col("p"), col("w"), col("c_pw"),
+        round(col("pmi"), 4).as("pmi_r"))
+      .orderBy(col("pmi_r").desc, col("p"), col("w"))
+
   /** Semantic dup groups: the x5 embedding-cosine pair stream fed
     * through `Dedup.components` — the end-to-end "cluster the
     * near-duplicates" composition (pairs → union-find), with BOTH
@@ -929,6 +1007,11 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_pmi" -> (x66 _),
+    "x65_weighted_sample" -> (x65 _),
+    "x64_fuzzy_lookup" -> (x64 _),
+    "x63_rolling" -> (x63 _),
+    "x62_cohorts" -> (x62 _),
     "x61_decay" -> (x61 _),
     "x60_semantic_groups" -> (x60 _),
     "x59_unicode" -> (x59 _),
@@ -1540,6 +1623,91 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // all-integer: epoch_ns // period replicates Spark's DIV exactly
+    "x62_cohorts" ->
+      """WITH f AS (SELECT user_id, min(epoch_ns(ts)) AS first_ns
+        |           FROM events GROUP BY user_id),
+        |j AS (SELECT e.user_id,
+        |        f.first_ns // 604800000000000 AS cohort,
+        |        epoch_ns(e.ts) // 604800000000000
+        |          - f.first_ns // 604800000000000 AS period_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort, period_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM j GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+    // RANGE frame over raw nanos; cent sums are exact integers so the
+    // window reduction order can't diverge
+    "x63_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+        |    AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // same blocking predicate (prefix-2 + len//4 band) and the same
+    // deterministic corruptions; levenshtein is the classic integer
+    // edit distance in both engines
+    "x64_fuzzy_lookup" ->
+      """WITH v AS (SELECT DISTINCT p_name FROM part),
+        |pr AS (
+        |  SELECT 'sub:' || p_name AS probe_id,
+        |    substr(p_name, 1, 2) || 'z' || substr(p_name, 4) AS probe
+        |  FROM v
+        |  UNION ALL
+        |  SELECT 'del:' || p_name,
+        |    substr(p_name, 1, 3) || substr(p_name, 5) FROM v),
+        |cand AS (
+        |  SELECT pr.probe_id, pr.probe, v.p_name AS matched,
+        |    levenshtein(pr.probe, v.p_name) AS dist
+        |  FROM pr JOIN v
+        |    ON substr(lower(pr.probe), 1, 2) = substr(lower(v.p_name), 1, 2)
+        |   AND len(pr.probe) // 4 = len(v.p_name) // 4
+        |  WHERE levenshtein(pr.probe, v.p_name) <= 2),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY probe_id ORDER BY dist, matched) AS rank
+        |       FROM cand)
+        |SELECT probe_id, probe, matched, dist, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 1 ORDER BY probe_id""".stripMargin,
+    // priority ln(u)/w with u = (60-bit md5 prefix + 1) / 2^60, the
+    // exact arithmetic of weightedKPerGroup (margins in the scaladoc)
+    "x65_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    ln((CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)),
+        |          1, 15) AS BIGINT) + 1)
+        |       / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source, row_number() OVER
+        |         (PARTITION BY source ORDER BY pri DESC, doc_id) AS rank
+        |       FROM d)
+        |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 20 ORDER BY doc_id""".stripMargin,
+    // joint and positional-marginal counts over the same bigram
+    // stream; pmi arithmetic replicated in evaluation order
+    "x66_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT unnest(list_zip(toks[1:len(toks)-1],
+        |         toks[2:len(toks)])) AS z FROM base),
+        |pw AS (SELECT z[1] AS p, z[2] AS w FROM bg),
+        |j AS (SELECT p, w, count(*) AS c_pw FROM pw
+        |      GROUP BY 1, 2 HAVING count(*) >= 20),
+        |mp AS (SELECT p, count(*) AS c_p FROM pw GROUP BY 1),
+        |mw AS (SELECT w, count(*) AS c_w FROM pw GROUP BY 1),
+        |b AS (SELECT count(*) AS bt FROM pw),
+        |s AS (SELECT j.p, j.w, j.c_pw,
+        |        ln(CAST(j.c_pw AS DOUBLE) * bt
+        |           / (CAST(c_p AS DOUBLE) * c_w)) AS pmi
+        |      FROM j JOIN mp USING (p) JOIN mw USING (w), b),
+        |top AS (SELECT * FROM s ORDER BY pmi DESC, p, w LIMIT 30)
+        |SELECT p, w, c_pw, round(pmi, 4) AS pmi_r
+        |FROM top ORDER BY pmi_r DESC, p, w""".stripMargin,
     // weights exp((ts - max)/tau) with the long->double cast and
     // division in the operator's order; ts is TIMESTAMP_NS in DuckDB
     // -> epoch_ns() recovers the same integers Spark reads natively

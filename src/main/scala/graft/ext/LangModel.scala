@@ -86,4 +86,44 @@ object LangModel {
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame =
     bigramNllAgainst(df, df, idCol, textCol, alpha)
+
+  /** Top-k adjacent-word collocations by pointwise mutual information:
+    * `pmi(p, w) = ln(c(p,w) * B / (c(p,·) * c(·,w)))` with `B` the
+    * corpus bigram total and the marginals counted in bigram POSITION
+    * (first / second) — the standard collocation-mining pass that
+    * surfaces multi-word units ("new york", "machine learning") for
+    * tokenizer audits and phrase-aware dedup.
+    *
+    * 100 TB shape: three aggregations of the same scan-side bigram
+    * stream — the joint is (vocab²⁻ᵉᵖˢ)-sized, the two positional
+    * marginals vocabulary-sized (joined back by AQE choice, broadcast
+    * when small); the bigram total reduces to ONE broadcast row; and
+    * the global top-k is a TakeOrderedAndProject heap, never a full
+    * sort. `minCount` prunes the hapax tail BEFORE the marginal joins,
+    * which is what keeps the joint frame join-input-sized at corpus
+    * scale.
+    *
+    * @param minCount joint-count support floor (PMI is noise below it)
+    * @return (p, w, c_pw, pmi) top-k by (pmi desc, p, w)
+    */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val bg = bigrams(docs, idCol, textCol)
+    val joint = bg.groupBy(col("p"), col("w"))
+      .agg(count(lit(1)).as("c_pw"))
+      .filter(col("c_pw") >= minCount)
+    val firstM = bg.groupBy(col("p")).agg(count(lit(1)).as("__c_p"))
+    val secondM = bg.groupBy(col("w")).agg(count(lit(1)).as("__c_w"))
+    val total = bg.agg(count(lit(1)).as("__b"))
+    joint.join(firstM, Seq("p")).join(secondM, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        log(col("c_pw").cast("double") * col("__b") /
+          (col("__c_p").cast("double") * col("__c_w"))))
+      .orderBy(col("pmi").desc, col("p"), col("w"))
+      .limit(k)
+      .select(col("p"), col("w"), col("c_pw"), col("pmi"))
+  }
 }

@@ -138,4 +138,44 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** WEIGHTED k-per-group sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws priority
+    * `ln(u) / w` with `u` a pure hash function of its key, and the k
+    * highest-priority rows per group win — inclusion probability is
+    * proportional to weight, membership is deterministic and
+    * engine-reproducible like every sampler here (no RNG state).
+    * The importance-weighted counterpart of [[kPerGroup]]: "keep 20
+    * docs per source, preferring the long ones".
+    *
+    * `u` is the md5 60-bit hex prefix mapped into (0, 1] — wide enough
+    * that distinct keys never tie on `u` in practice; exact priority
+    * ties (identical key AND weight) still break on (key, tieBreak*)
+    * in the window order. `ln`/division are IEEE-deterministic given
+    * identical inputs, so cross-engine agreement holds whenever no two
+    * priorities sit within libm's last-ulp disagreement (~1e-15
+    * relative) of each other — callers hashing a differential gate
+    * should probe rank-boundary margins like the x65 query does.
+    *
+    * One group-keyed shuffle; rank <= k is a map-side
+    * WindowGroupLimit, same shape as [[kPerGroup]].
+    *
+    * @param weightCol strictly positive weight
+    * @return df plus the winner's `rank` (1..k, priority-descending)
+    */
+  def weightedKPerGroup(df: DataFrame, keyCol: Column, groupCol: Column,
+      weightCol: Column, k: Int, salt: String = "",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // 15 hex chars = 60 bits; +1 keeps u in (0, 1] so ln(u) is finite
+    val h = conv(substring(md5(concat(lit(salt), keyCol.cast("string"))),
+      1, 15), 16, 10).cast("long") + lit(1L)
+    val u = h.cast("double") / lit(1152921504606846976L).cast("double")
+    val priority = log(u) / weightCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy((Seq(priority.desc, keyCol) ++ tieBreak): _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -74,6 +74,42 @@ class LangModelSpec extends SparkSpec {
       LangModel.bigramNll(corpus, "doc_id", "text", alpha = 0.0) }
   }
 
+  test("pmi matches the hand formula and ranks collocations first") {
+    // "new york" always adjacent (5x); "the the" frequent but
+    // independent; support floor 2
+    val df = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "the a the b the c the d the e the f")).toDF("doc_id", "text")
+    val got = graft.ext.LangModel.pmiTopK(df, "doc_id", "text",
+      k = 3, minCount = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // doc1 (10 toks): (new,york)*5, (york,new)*4; doc2 (12 toks): 11
+    // singleton bigrams, all pruned by minCount. B = 20.
+    // pmi(york,new) = ln(4*20/(4*4)) = ln 5 beats
+    // pmi(new,york)  = ln(5*20/(5*5)) = ln 4
+    assert(got.map(g => (g._1, g._2)) === Seq(("york", "new"),
+      ("new", "york")))
+    assert(math.abs(got(0)._4 - math.log(5.0)) < 1e-12)
+    assert(math.abs(got(1)._4 - math.log(4.0)) < 1e-12)
+  }
+
+  test("pmi support floor prunes rare pairs") {
+    val df = Seq((1L, "p q p q r s")).toDF("doc_id", "text")
+    // (p,q)*2 survives minCount=2; (q,p),(q,r),(r,s) don't
+    val got = graft.ext.LangModel.pmiTopK(df, "doc_id", "text",
+      k = 10, minCount = 2)
+      .select("p", "w").as[(String, String)].collect().toSeq
+    assert(got === Seq(("p", "q")))
+  }
+
+  test("pmi invalid args rejected") {
+    intercept[IllegalArgumentException] {
+      graft.ext.LangModel.pmiTopK(corpus, "doc_id", "text", k = 0) }
+    intercept[IllegalArgumentException] {
+      graft.ext.LangModel.pmiTopK(corpus, "doc_id", "text", k = 1,
+        minCount = 0) }
+  }
+
   test("plan: no cartesian beyond the one-row vocab broadcast") {
     val big = spark.range(200).select(col("id").as("doc_id"),
       concat_ws(" ", lit("a"), col("id").cast("string"), lit("b")).as("text"))

@@ -290,6 +290,37 @@ class KPerGroupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
+
+  test("weightedKPerGroup: deterministic, monotone, weight-sensitive") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b",
+      1.0 + (i % 7))).toDF("id", "g", "w")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.weightedKPerGroup(d, col("id"), col("g"), col("w"), k)
+        .select("id", "g").as[(Long, String)].collect().toSet
+    val k5 = run(df, 5)
+    assert(k5.count(_._2 == "a") === 5 && k5.count(_._2 == "b") === 5)
+    assert(run(df.repartition(7), 5) === k5)
+    assert(k5.subsetOf(run(df, 9)))
+    // a dominating weight is effectively always selected: priority
+    // ln(u)/w -> 0- as w grows, beating any unit-weight row
+    val skew = ((1L to 100L).map(i => (i, "g", 1.0)) :+ (999L, "g", 1e12))
+      .toDF("id", "g", "w")
+    val top1 = Sampling.weightedKPerGroup(skew, col("id"), col("g"),
+      col("w"), 1).select("id").as[Long].collect().toSeq
+    assert(top1 === Seq(999L))
+  }
+
+  test("weightedKPerGroup emits ranks 1..k and gets WindowGroupLimit") {
+    val df = (1L to 50L).map(i => (i, "g", i.toDouble)).toDF("id", "g", "w")
+    val out = Sampling.weightedKPerGroup(df, col("id"), col("g"),
+      col("w"), 3)
+    assert(out.select("rank").as[Long].collect().toSeq.sorted
+      === Seq(1L, 2L, 3L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedKPerGroup(df, col("id"), col("g"), col("w"), 0) }
+  }
 }
 
 class GroupSplitSpec extends SparkSpec {
