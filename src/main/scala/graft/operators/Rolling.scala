@@ -30,8 +30,10 @@ object Rolling {
     require(aggs.nonEmpty, "at least one aggregate required")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rangeBetween(-windowSize, Window.currentRow)
-    aggs.foldLeft(df) { case (d, (name, a)) =>
-      d.withColumn(name, a.over(w))
-    }
+    // one select, not per-agg withColumn: all frames are identical, so
+    // this plans as ONE Window operator (a single sorted pass) instead
+    // of one stacked Window node per aggregate
+    df.select(col("*") +: aggs.map { case (name, a) =>
+      a.over(w).as(name) }: _*)
   }
 }
