@@ -93,7 +93,11 @@ object Bench {
     "x54_keywords" -> 0.90, "x55_histogram" -> 0.27, "x56_zscore" -> 0.28,
     "x57_asof_fwd" -> 0.70, "x58_funnel" -> 0.32, "x59_unicode" -> 0.35,
     "x5_dedup_embed" -> 0.53, "x6_ann_brute" -> 0.25, "x7_ann_lsh" -> 0.51,
-    "x8_text_langid" -> 0.58, "x9_text_quality" -> 0.36)
+    "x8_text_langid" -> 0.58, "x9_text_quality" -> 0.36,
+    "x60_semantic_groups" -> 0.68, "x61_decay" -> 0.20,
+    "x62_cohorts" -> 0.29, "x63_rolling" -> 0.52,
+    "x64_fuzzy_lookup" -> 0.35, "x65_weighted_sample" -> 0.15,
+    "x66_pmi" -> 0.44)
 
   private[graft] val AdjudicateFactor = 2.0
 
