@@ -373,6 +373,45 @@ object ExtQueries {
         round(col("pmi"), 4).as("pmi_r"))
       .orderBy(col("pmi_r").desc, col("p"), col("w"))
 
+  /** Corpus-overlap matrix (`Overlap.sourceOverlap`): three synthetic
+    * crawl snapshots (doc_id % 2 / % 3 / % 5 slices, so their ID sets
+    * genuinely intersect) crossed by shared exact fingerprint. Counts
+    * are integers; jaccard is one exact-integer division. */
+  private def x67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def snap(m: Int, tag: String) = docs.filter(col("doc_id") % m === 0)
+      .withColumn("snapshot", lit(tag))
+    val union = snap(2, "even").unionByName(snap(3, "third"))
+      .unionByName(snap(5, "fifth"))
+    graft.ext.Overlap.sourceOverlap(union, "text", "snapshot")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Length-percentile calibration (`Calibrate.percentRank`): each
+    * document's n_chars percent rank WITHIN its language — the
+    * cross-language threshold normalizer. Scale-correct formulation
+    * (counts-then-window, never a corpus-sized group sort); the rank
+    * division is exact-integer / exact-integer, identical IEEE in both
+    * engines, validated against DuckDB's native percent_rank. */
+  private def x68(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibrate.percentRank(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      col("lang"), col("n_chars"), outCol = "pct")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("pct"))
+      .orderBy(col("doc_id"))
+
+  /** Blocklist content screen (`TextFunctions.stopwordHits` over a
+    * blocklist): per-doc match count with word boundaries plus the
+    * keep/drop verdict — the lexical content-filter pass. */
+  private def x69(s: SparkSession, dir: String): DataFrame = {
+    val words = Seq("spark", "merge", "gamma")
+    t(s, dir, "documents").select(col("doc_id"),
+        T.stopwordHits(col("text"), words).as("hits"))
+      .withColumn("kept", col("hits") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic dup groups: the x5 embedding-cosine pair stream fed
     * through `Dedup.components` — the end-to-end "cluster the
     * near-duplicates" composition (pairs → union-find), with BOTH
@@ -1007,6 +1046,9 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_blocklist" -> (x69 _),
+    "x68_calibrate" -> (x68 _),
+    "x67_source_overlap" -> (x67 _),
     "x66_pmi" -> (x66 _),
     "x65_weighted_sample" -> (x65 _),
     "x64_fuzzy_lookup" -> (x64 _),
@@ -1623,6 +1665,41 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // fingerprint = the x1 rule; jaccard is exact-int / exact-int
+    "x67_source_overlap" ->
+      """WITH snap AS (
+        |  SELECT 'even' AS src, doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'third', doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'fifth', doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (SELECT DISTINCT src,
+        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS f
+        |  FROM snap),
+        |sz AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
+        |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+        |       FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+        |    AS jaccard
+        |FROM pr JOIN sz sa ON pr.src_a = sa.src
+        |        JOIN sz sb ON pr.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
+    // DuckDB's NATIVE percent_rank vs the counts-then-window
+    // formulation — an independent derivation of the same integers
+    "x68_calibrate" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same word-boundary pattern as x9's stopword oracle
+    "x69_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(spark|merge|gamma)\b')) AS BIGINT) AS hits,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(spark|merge|gamma)\b')) = 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // all-integer: epoch_ns // period replicates Spark's DIV exactly
     "x62_cohorts" ->
       """WITH f AS (SELECT user_id, min(epoch_ns(ts)) AS first_ns
