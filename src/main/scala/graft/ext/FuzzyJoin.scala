@@ -45,9 +45,14 @@ object FuzzyJoin {
         blockBand(col("matched")).as("__bb"))
     val p = probes.withColumn("__bp", blockPrefix(col(probeCol)))
       .withColumn("__bb", blockBand(col(probeCol)))
+    // threshold variant: the edit-distance DP early-exits (and returns
+    // -1) once the distance provably exceeds maxDist — O(maxDist·len)
+    // per comparison instead of O(len²), the difference that matters
+    // when a hot block meets a long vocabulary entry
     val cand = p.join(broadcast(v), Seq("__bp", "__bb"))
-      .withColumn("dist", levenshtein(col(probeCol), col("matched")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col(probeCol), col("matched"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("dist"), col("matched"))
     cand
