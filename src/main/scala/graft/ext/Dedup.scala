@@ -79,7 +79,33 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2): DataFrame =
+    minhashLshCapped(docs, idCol, textCol, shingleN, k, bands, threshold,
+      maxBucket = None)._1
+
+  /** [[minhashLsh]] with a candidate cap on LSH buckets: a (band,
+    * bucket) holding more than `maxBucket` docs emits b² candidate
+    * pairs — at corpus scale a bucket full of boilerplate-identical
+    * documents is a task-killer. With a cap set, oversized buckets are
+    * SKIPPED for candidate generation (their docs can still pair
+    * through their other bands — LSH's redundancy is exactly for this)
+    * and each one is accounted for in the overflow frame. Pairs can be
+    * missed, never invented: verification stays exact-Jaccard on full
+    * shingle sets either way, so this only moves recall — which is
+    * already the LSH contract — never precision. Unlike
+    * [[ngramJaccard]] (exact by contract → loud failure there), the
+    * cap here is drop-and-report and OPT-IN: `None` keeps the classic
+    * plan with zero extra jobs.
+    *
+    * @return (pairs, overflow) — overflow rows are (band, bucket,
+    *         n_docs) per skipped bucket; empty frame when no cap set
+    *         or no bucket over it
+    */
+  def minhashLshCapped(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.2,
+      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
     // Shingles are 64-bit hashes (one pass over hashed tokens) — set
     // arithmetic downstream is numeric, never strings.
     val shingled = docs.select(col(idCol).as("doc"),
@@ -89,10 +115,26 @@ object Dedup {
     // Bucket join carries only (doc, band, bucket) — never the shingle
     // arrays — so the LSH shuffle is a few bytes per row; shingles are
     // re-joined only for the (few) surviving candidate pairs.
-    val banded = shingled.select(col("doc"),
+    val allBanded = shingled.select(col("doc"),
       posexplode(H.bandKeys(
         graft.functions.Expressions.minhashSignature(col("shingles"), k),
         k, bands)).as(Seq("band", "bucket")))
+    val (banded, overflow) = maxBucket match {
+      case Some(cap) =>
+        // hot set is pathological-buckets-only (tiny): checkpoint once,
+        // broadcast anti-join keeps the b² blowup off the shuffle
+        val hot = allBanded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > cap)
+          .localCheckpoint(true)
+        (allBanded.join(broadcast(hot.select(col("band"), col("bucket"))),
+          Seq("band", "bucket"), "left_anti"), hot)
+      case None =>
+        val spark = docs.sparkSession
+        import spark.implicits._
+        (allBanded,
+          Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "n_docs"))
+    }
     val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     // Eager local checkpoint: the candidate set is tiny (surviving
@@ -118,7 +160,7 @@ object Dedup {
       .select(col(idCol).as("doc"),
         graft.functions.Expressions.ngramHashes(
           H.tokenHashes(T.tokens(col(textCol))), shingleN).as("shingles"))
-    candidates
+    val pairs = candidates
       .join(candShingled.select(col("doc").as("doc_a"), col("shingles").as("sh_a")),
         Seq("doc_a"))
       .join(candShingled.select(col("doc").as("doc_b"), col("shingles").as("sh_b")),
@@ -126,32 +168,68 @@ object Dedup {
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (pairs, overflow)
   }
 
   /** SimHash near-dedup: 64-bit fingerprints, candidates via 16-bit
     * chunk pigeonholing (dist ≤ 3 ⇒ some chunk equal), verified by
     * hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashCapped(docs, idCol, textCol, maxHamming, maxBucket = None)._1
+
+  /** [[simhash]] with a candidate cap on pigeonhole buckets: a 16-bit
+    * chunk value shared by b documents emits b² join rows, and at
+    * billions of documents hot chunk values are a certainty (65k
+    * distinct values per chunk position). Oversized buckets are
+    * SKIPPED and reported; a pair can still surface through its other
+    * three chunks (the pigeonhole guarantee needs only ONE equal
+    * chunk, so a d<=3 pair is missed only if ALL its equal chunks are
+    * hot). Same opt-in drop-and-report contract as
+    * [[minhashLshCapped]]; pairs are never invented — the hamming
+    * verify is exact either way.
+    *
+    * @return (pairs, overflow) — overflow rows are (chunk, cval,
+    *         n_docs) per skipped bucket
+    */
+  def simhashCapped(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
     // (doc, int64) is tiny — eager local checkpoint so the self-join's
     // two branches read materialized fingerprints instead of running
     // the tokenize+simhash scan twice (no session-cache leakage)
     val sim = docs.select(col(idCol).as("doc"),
       H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
       .localCheckpoint(true)
-    val chunked = sim.select(col("doc"), col("sim"),
+    val allChunked = sim.select(col("doc"), col("sim"),
       posexplode(H.simhashChunks(col("sim"))).as(Seq("chunk", "cval")))
+    val (chunked, overflow) = maxBucket match {
+      case Some(cap) =>
+        val hot = allChunked.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > cap)
+          .localCheckpoint(true)
+        (allChunked.join(broadcast(hot.select(col("chunk"), col("cval"))),
+          Seq("chunk", "cval"), "left_anti"), hot)
+      case None =>
+        val spark = docs.sparkSession
+        import spark.implicits._
+        (allChunked,
+          Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_docs"))
+    }
     val a = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_a"),
       col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_b"),
       col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "cval"))
+    val pairs = a.join(b, Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         H.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    (pairs, overflow)
   }
 
   /** N-gram Jaccard dedup with an equi-bucket (e.g. language) to bound

@@ -117,4 +117,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Set((20L, 21L)),
       "small bucket verified, oversized bucket skipped")
   }
+
+  test("minhashLsh bucket cap: hot buckets reported, recall via other bands survives") {
+    // 20 identical docs concentrate EVERY band bucket; two distinctive
+    // near-dups pair independently of them
+    val hotDocs = ((1L to 20L).map(i => (i, "same same same same same text")) ++
+      Seq((30L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (31L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val (pairs, overflow) = Dedup.minhashLshCapped(hotDocs, "doc_id",
+      "text", threshold = 0.1, maxBucket = Some(10))
+    val hot = overflow.as[(Int, Long, Long)].collect()
+    assert(hot.nonEmpty && hot.forall(_._3 === 20L),
+      s"every reported bucket holds the 20 clones: ${hot.toSeq}")
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((30L, 31L)), "non-hot buckets still pair")
+    assert(!got.exists(p => p._1 <= 20L && p._2 <= 20L),
+      "clone pairs only lived in capped buckets")
+    // no cap -> overflow empty, clone pairs present, and the capped
+    // pair set is a subset (pairs missed, never invented)
+    val (all, none) = Dedup.minhashLshCapped(hotDocs, "doc_id", "text",
+      threshold = 0.1, maxBucket = None)
+    assert(none.count() === 0L)
+    val allPairs = all.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    assert(allPairs.contains((1L, 2L)))
+    assert(got.subsetOf(allPairs))
+  }
+
+  test("simhash bucket cap: hot chunk values reported, other chunks keep the pair") {
+    // 20 clones own every chunk bucket of their fingerprint; a near-dup
+    // pair with a different token set pairs through its own chunks
+    val hotDocs = ((1L to 20L).map(i => (i, "filler words everywhere always")) ++
+      Seq((30L, "alpha beta gamma delta epsilon zeta"),
+        (31L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val (pairs, overflow) = Dedup.simhashCapped(hotDocs, "doc_id", "text",
+      maxBucket = Some(10))
+    val hot = overflow.as[(Int, Long, Long)].collect()
+    assert(hot.length === 4 && hot.forall(_._3 === 20L),
+      s"all four clone chunks reported: ${hot.toSeq}")
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((30L, 31L)), "pair survives via its own chunks")
+    assert(!got.exists(p => p._1 <= 20L && p._2 <= 20L))
+    val (all, none) = Dedup.simhashCapped(hotDocs, "doc_id", "text",
+      maxBucket = None)
+    assert(none.count() === 0L)
+    assert(got.subsetOf(all.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet))
+  }
 }
