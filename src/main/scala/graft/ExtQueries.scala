@@ -373,6 +373,19 @@ object ExtQueries {
         round(col("pmi"), 4).as("pmi_r"))
       .orderBy(col("pmi_r").desc, col("p"), col("w"))
 
+  /** Behavioral path mining (`Paths.sessionPaths` + `topPaths`): the
+    * x17 session rule (2h gap, epoch-ms arithmetic), each session
+    * folded to its ordered event-type path, top-25 paths by frequency.
+    * All-integer/string — exact cross-engine. */
+  private def x70(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.operators.Paths.sessionPaths(
+      t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000")),
+      "user_id", "ts_ms", "event_type", "event_id",
+      gap = 2L * 3600 * 1000)
+    graft.operators.Paths.topPaths(sessions, k = 25)
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
   /** Corpus-overlap matrix (`Overlap.sourceOverlap`): three synthetic
     * crawl snapshots (doc_id % 2 / % 3 / % 5 slices, so their ID sets
     * genuinely intersect) crossed by shared exact fingerprint. Counts
@@ -1046,6 +1059,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x70_event_paths" -> (x70 _),
     "x69_blocklist" -> (x69 _),
     "x68_calibrate" -> (x68 _),
     "x67_source_overlap" -> (x67 _),
@@ -1665,6 +1679,33 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // x17's session CTE + ordered string_agg; ranking is exact-int
+    "x70_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 7200000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        |  FROM sessions GROUP BY user_id, session_id),
+        |ranked AS (
+        |  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+        |  ORDER BY n_sessions DESC, path LIMIT 25)
+        |SELECT path, n_sessions FROM ranked
+        |ORDER BY n_sessions DESC, path""".stripMargin,
     // fingerprint = the x1 rule; jaccard is exact-int / exact-int
     "x67_source_overlap" ->
       """WITH snap AS (
