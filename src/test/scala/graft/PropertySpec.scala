@@ -62,4 +62,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 200L)
+    } yield (user, ts))
+  } yield rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+
+  private def eventSamples(n: Int): Seq[List[(Long, Long, Long)]] =
+    (1 to n).flatMap(i =>
+      eventsGen.apply(Gen.Parameters.default, Seed(100L + i)))
+
+  test("rolling trailing counts equal brute force on arbitrary event sets") {
+    val w = 25L
+    eventSamples(12).foreach { rows =>
+      val df = rows.toDF("id", "user", "ts")
+      val got = graft.operators.Rolling.trailing(df, "user", "ts", w,
+        Seq("n" -> count(lit(1))))
+        .select("id", "n").as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, u, t) =>
+        val want = rows.count { case (_, u2, t2) =>
+          u2 == u && t2 >= t - w && t2 <= t }
+        assert(got(id) === want.toLong, s"id=$id rows=$rows")
+      }
+    }
+  }
+
+  test("cohort retention equals brute force on arbitrary event sets") {
+    val period = 30L
+    eventSamples(12).foreach { rows =>
+      val df = rows.toDF("id", "user", "ts")
+      val got = graft.operators.Cohorts.retention(df, "user", "ts", period)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val firstSeen = rows.groupBy(_._2).view.mapValues(_.map(_._3).min)
+      val want = rows
+        .map { case (_, u, t) =>
+          (firstSeen(u) / period, t / period - firstSeen(u) / period, u) }
+        .distinct.groupBy(c => (c._1, c._2)).view.mapValues(_.size.toLong)
+        .toMap
+      assert(got === want, s"rows=$rows")
+    }
+  }
 }
