@@ -48,7 +48,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Per-query recorded baseline (seconds at sf0.1, min-of-N) — the
-    * round-5 FINAL 80-query table from BASELINE.md, shipped into the harness
+    * round-5 FINAL v2 91-query table from BASELINE.md, shipped into the harness
     * so a contended run can adjudicate ITSELF: when a query's best
     * sample exceeds [[AdjudicateFactor]] × its recorded value, the
     * sweep immediately interleaves a calibration probe and buys one
@@ -59,45 +59,46 @@ object Bench {
     * recording. Update together with BASELINE.md.
     */
   private[graft] val recordedBaseline: Map[String, Double] = Map(
-    "b1_pricing" -> 0.31, "b2_star_join" -> 1.06, "b3_top_orders" -> 0.47,
-    "b4_approx_agg" -> 0.68, "q10_fanout" -> 0.97,
-    "q11_autofields" -> 0.28, "q12_compound_key" -> 0.99,
-    "q13_proto_codec" -> 0.60, "q14_registry_evolution" -> 0.62,
-    "q15_snapshot_diff" -> 0.41, "q16_scd2_history" -> 0.45,
-    "q17_proto_registry" -> 0.59, "q1_project" -> 0.24,
-    "q2_coerce" -> 0.49, "q3_compact" -> 0.27, "q4_slice" -> 0.37,
-    "q5_materialize" -> 0.26, "q6_poll_scan" -> 0.13, "q7_watched" -> 0.38,
-    "q8_pending" -> 0.19, "q9_drain" -> 0.25, "x10_text_tokens" -> 0.52,
-    "x11_text_fingerprint" -> 0.43, "x12_multimodal_meta" -> 0.17,
-    "x13_dedup_groups" -> 1.69, "x14_vocab" -> 0.43,
-    "x15_top_tokens" -> 0.37, "x16_ann_ivf" -> 0.33,
-    "x17_sessions" -> 0.44, "x18_rollup" -> 0.26, "x19_asof_join" -> 0.48,
-    "x1_dedup_exact" -> 0.24, "x20_range_join" -> 0.38,
-    "x21_pii_redact" -> 0.29, "x22_repetition" -> 0.57,
-    "x23_audio_meta" -> 0.18, "x24_ann_recall" -> 1.03,
-    "x25_video_meta" -> 0.18, "x26_line_dedup" -> 0.40,
-    "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.20,
-    "x29_pack" -> 0.34, "x2_dedup_minhash" -> 1.28, "x30_sample" -> 0.15,
-    "x31_bloom_semijoin" -> 1.08, "x32_skew_report" -> 0.23,
-    "x33_rare_terms" -> 0.67, "x34_gif_pixels" -> 0.43,
-    "x35_media_dispatch" -> 0.67, "x36_jpeg_decode" -> 1.12,
-    "x37_video_frames" -> 0.56, "x38_contamination" -> 0.79,
-    "x39_len_quantiles" -> 0.40, "x3_dedup_simhash" -> 1.35,
-    "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.36,
-    "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.18,
-    "x44_components" -> 0.72, "x45_epoch_shuffle" -> 0.25,
-    "x46_group_split" -> 0.15, "x47_bpe_merges" -> 0.33,
-    "x48_chunk" -> 0.42, "x49_bm25" -> 0.68, "x4_dedup_ngram" -> 1.41,
-    "x50_bigram_nll" -> 1.03, "x51_incr_dedup" -> 0.53,
-    "x52_embed_quant" -> 0.99, "x53_mixture" -> 0.23,
-    "x54_keywords" -> 0.90, "x55_histogram" -> 0.27, "x56_zscore" -> 0.28,
-    "x57_asof_fwd" -> 0.70, "x58_funnel" -> 0.32, "x59_unicode" -> 0.35,
-    "x5_dedup_embed" -> 0.53, "x6_ann_brute" -> 0.25, "x7_ann_lsh" -> 0.51,
-    "x8_text_langid" -> 0.58, "x9_text_quality" -> 0.36,
-    "x60_semantic_groups" -> 0.68, "x61_decay" -> 0.20,
-    "x62_cohorts" -> 0.29, "x63_rolling" -> 0.52,
-    "x64_fuzzy_lookup" -> 0.35, "x65_weighted_sample" -> 0.15,
-    "x66_pmi" -> 0.44)
+    "b1_pricing" -> 0.24, "b2_star_join" -> 0.79, "b3_top_orders" -> 0.27,
+    "b4_approx_agg" -> 0.53, "q10_fanout" -> 0.68, "q11_autofields" -> 0.2,
+    "q12_compound_key" -> 0.85, "q13_proto_codec" -> 0.43,
+    "q14_registry_evolution" -> 0.51, "q15_snapshot_diff" -> 0.29,
+    "q16_scd2_history" -> 0.38, "q17_proto_registry" -> 0.45,
+    "q1_project" -> 0.17, "q2_coerce" -> 0.33, "q3_compact" -> 0.16,
+    "q4_slice" -> 0.26, "q5_materialize" -> 0.18, "q6_poll_scan" -> 0.08,
+    "q7_watched" -> 0.31, "q8_pending" -> 0.11, "q9_drain" -> 0.16,
+    "x10_text_tokens" -> 0.38, "x11_text_fingerprint" -> 0.3,
+    "x12_multimodal_meta" -> 0.1, "x13_dedup_groups" -> 1.26,
+    "x14_vocab" -> 0.3, "x15_top_tokens" -> 0.23, "x16_ann_ivf" -> 0.2,
+    "x17_sessions" -> 0.36, "x18_rollup" -> 0.18, "x19_asof_join" -> 0.34,
+    "x1_dedup_exact" -> 0.15, "x20_range_join" -> 0.23,
+    "x21_pii_redact" -> 0.21, "x22_repetition" -> 0.41,
+    "x23_audio_meta" -> 0.11, "x24_ann_recall" -> 0.64,
+    "x25_video_meta" -> 0.1, "x26_line_dedup" -> 0.28,
+    "x27_image_pixels" -> 0.33, "x28_audio_samples" -> 0.15,
+    "x29_pack" -> 0.23, "x2_dedup_minhash" -> 0.95, "x30_sample" -> 0.09,
+    "x31_bloom_semijoin" -> 0.71, "x32_skew_report" -> 0.13,
+    "x33_rare_terms" -> 0.47, "x34_gif_pixels" -> 0.29,
+    "x35_media_dispatch" -> 0.55, "x36_jpeg_decode" -> 0.94,
+    "x37_video_frames" -> 0.43, "x38_contamination" -> 0.53,
+    "x39_len_quantiles" -> 0.25, "x3_dedup_simhash" -> 1.12,
+    "x40_postings" -> 0.51, "x41_media_dispatch5" -> 1.16,
+    "x42_profile" -> 0.41, "x43_cap_per_group" -> 0.12,
+    "x44_components" -> 0.66, "x45_epoch_shuffle" -> 0.13,
+    "x46_group_split" -> 0.09, "x47_bpe_merges" -> 0.23,
+    "x48_chunk" -> 0.31, "x49_bm25" -> 0.54, "x4_dedup_ngram" -> 0.98,
+    "x50_bigram_nll" -> 0.69, "x51_incr_dedup" -> 0.33,
+    "x52_embed_quant" -> 0.94, "x53_mixture" -> 0.14,
+    "x54_keywords" -> 0.55, "x55_histogram" -> 0.16, "x56_zscore" -> 0.15,
+    "x57_asof_fwd" -> 0.45, "x58_funnel" -> 0.18, "x59_unicode" -> 0.26,
+    "x5_dedup_embed" -> 0.33, "x60_semantic_groups" -> 0.52,
+    "x61_decay" -> 0.18, "x62_cohorts" -> 0.21, "x63_rolling" -> 0.25,
+    "x64_fuzzy_lookup" -> 0.25, "x65_weighted_sample" -> 0.12,
+    "x66_pmi" -> 0.37, "x67_source_overlap" -> 0.35,
+    "x68_calibrate" -> 0.2, "x69_blocklist" -> 0.16,
+    "x6_ann_brute" -> 0.19, "x70_event_paths" -> 0.33,
+    "x7_ann_lsh" -> 0.33, "x8_text_langid" -> 0.5,
+    "x9_text_quality" -> 0.27)
 
   private[graft] val AdjudicateFactor = 2.0
 
