@@ -373,6 +373,36 @@ object ExtQueries {
         round(col("pmi"), 4).as("pmi_r"))
       .orderBy(col("pmi_r").desc, col("p"), col("w"))
 
+  /** Cross-corpus containment scoring (`Contamination
+    * .containmentScore`): odd-id docs graded by the fraction of their
+    * distinct 5-gram hashes present anywhere in the even-id reference
+    * — the novelty dial behind soft decontamination. Counts exact;
+    * ratio = exact-int / exact-int (same differential-on-hashing
+    * design as x38: the oracle joins literal gram strings). */
+  private def x71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    Contamination.containmentScore(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Lexical diversity (`TextFunctions.lexicalDiversity`): per-doc
+    * type-token ratio and hapax share, computed scan-side from one
+    * sorted token array (no explode/shuffle); the oracle re-derives
+    * the same integers through an exploded GROUP BY — independent
+    * formulations of identical counts. */
+  private def x72(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        T.lexicalDiversity(col("text")).as("ld"))
+      .select(col("doc_id"), col("ld.n_tokens").as("n_tokens"),
+        col("ld.n_types").as("n_types"), col("ld.hapax").as("hapax"),
+        (col("ld.n_types").cast("double") /
+          col("ld.n_tokens").cast("double")).as("ttr"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("doc_id"))
+
   /** Behavioral path mining (`Paths.sessionPaths` + `topPaths`): the
     * x17 session rule (2h gap, epoch-ms arithmetic), each session
     * folded to its ordered event-type path, top-25 paths by frequency.
@@ -1059,6 +1089,8 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_lexdiv" -> (x72 _),
+    "x71_containment" -> (x71 _),
     "x70_event_paths" -> (x70 _),
     "x69_blocklist" -> (x69 _),
     "x68_calibrate" -> (x68 _),
@@ -1679,6 +1711,47 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // literal gram strings vs the engine's 64-bit hashes (x38's
+    // differential-on-hashing design); whitespace tokens, n=5
+    "x71_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks)),
+        |ref AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0),
+        |dg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+        |mat AS (SELECT dg.doc_id, count(*) AS n_matched
+        |        FROM dg JOIN ref USING (gram) GROUP BY dg.doc_id)
+        |SELECT tot.doc_id, n_grams,
+        |  coalesce(n_matched, 0) AS n_matched,
+        |  CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    AS containment
+        |FROM tot LEFT JOIN mat ON tot.doc_id = mat.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    // independent formulation: exploded GROUP BY re-derives the
+    // scan-side sorted-neighbor hapax integers
+    "x72_lexdiv" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          count(*) AS n_types,
+        |          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS hapax
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, hapax,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+        |FROM agg WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     // x17's session CTE + ordered string_agg; ranking is exact-int
     "x70_event_paths" ->
       """WITH e AS (

@@ -71,4 +71,38 @@ object Contamination {
       .select(col(idCol))
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
+
+  /** Graded form of [[sharedGrams]]: every document's CONTAINMENT in a
+    * reference corpus — the fraction of its distinct token n-grams
+    * that appear anywhere in the reference. Where the binary screen
+    * asks "does it overlap at all", containment is the dial: novelty
+    * scoring of a new crawl against the held corpus, quote-heavy
+    * document detection, and the soft-decontamination threshold
+    * ("drop above 80% contained").
+    *
+    * 100 TB shape: both sides reduce to 8-byte gram hashes scan-side;
+    * the reference's distinct gram set joins by hash (AQE broadcasts a
+    * benchmark-sized reference, shuffles co-partitioned for a
+    * corpus-sized one — no broadcast assumption baked in, unlike the
+    * screen). Per-doc totals and matched counts are two aggregations
+    * of the same deduped (doc, gram) frame. The ratio is exact-int /
+    * exact-int.
+    *
+    * @return one row per document with >= 1 gram:
+    *         (id, n_grams, n_matched, containment) */
+  def containmentScore(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
+    val refGrams = gramHashes(reference, idCol, textCol, n)
+      .select(col("g")).distinct()
+    val docGrams = gramHashes(docs, idCol, textCol, n)
+      .dropDuplicates(idCol, "g")
+    val matched = docGrams.join(refGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+  }
 }

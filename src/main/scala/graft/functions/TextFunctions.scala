@@ -119,6 +119,29 @@ object TextFunctions {
         array_position(slice(lines, lit(1), i + 1), l) - 1 === i), "\n")
   }
 
+  /** Lexical-diversity stats as a struct (n_tokens, n_types, hapax):
+    * type-token ratio and hapax share are the standard cheap signals
+    * separating natural prose from keyword-stuffed / template text.
+    * Computed entirely scan-side over ONE sorted copy of the token
+    * array: a token is a hapax iff it differs from both sorted
+    * neighbors — O(n log n) per document, no explode, no shuffle
+    * (the exploded groupBy formulation shuffles the whole token
+    * stream; this never leaves the scan). */
+  def lexicalDiversity(text: Column): Column = {
+    val s = array_sort(tokens(text))
+    val n = size(s)
+    // element_at is 1-based: element i (0-based) = element_at(s, i+1)
+    val hapax = size(filter(sequence(lit(0), n - 1), i =>
+      (i === 0 || element_at(s, i + 1) =!= element_at(s, i)) &&
+        (i === n - 1 || element_at(s, i + 1) =!= element_at(s, i + 2))))
+    when(n === 0,
+      struct(lit(0L).as("n_tokens"), lit(0L).as("n_types"),
+        lit(0L).as("hapax")))
+      .otherwise(struct(n.cast("long").as("n_tokens"),
+        size(array_distinct(s)).cast("long").as("n_types"),
+        hapax.cast("long").as("hapax")))
+  }
+
   /** Word n-grams (joined by single spaces), distinct. */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -53,4 +53,27 @@ class ContaminationSpec extends SparkSpec {
     val emptyC = corpus.filter(lit(false))
     assert(Contamination.sharedGrams(emptyC, benchmark, "doc_id", "text", 3).count() === 0L)
   }
+
+  test("containmentScore grades partial overlap exactly") {
+    // doc 1 bigrams: {a b, b c, c d} — ref holds {a b, b c} -> 2/3;
+    // doc 3 fully novel -> 0/2; doc 5 fully contained -> 1.0
+    val ref = Seq((100L, "a b c x y z")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d"), (3L, "q r s"), (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Contamination.containmentScore(docs, ref, "doc_id", "text",
+      n = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 2L, 2.0 / 3.0), (3L, 2L, 0L, 0.0),
+      (5L, 2L, 2L, 1.0)))
+  }
+
+  test("containmentScore dedups in-doc gram repeats before counting") {
+    val ref = Seq((100L, "a b")).toDF("doc_id", "text")
+    // "a b a b a b" has bigrams {a b, b a} distinct -> 1/2 matched
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = Contamination.containmentScore(docs, ref, "doc_id", "text",
+      n = 2).as[(Long, Long, Long, Double)].head()
+    assert(got === ((1L, 2L, 1L, 0.5)))
+  }
 }

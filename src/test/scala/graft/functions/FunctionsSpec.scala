@@ -13,6 +13,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("hello", "world"))
   }
 
+  test("lexicalDiversity counts types and hapaxes from the sorted array") {
+    // "a b a c c c" -> 6 tokens, 3 types, hapax = {b} = 1
+    val got = Seq("a b a c c c", "", "solo")
+      .toDF("t").select(T.lexicalDiversity(col("t")).as("ld"))
+      .select("ld.n_tokens", "ld.n_types", "ld.hapax")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((6L, 3L, 1L), (0L, 0L, 0L), (1L, 1L, 1L)))
+  }
+
+  test("lexicalDiversity agrees with the exploded-count formulation") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1L to (i % 13 + 2)).map(j => s"w${j % (i % 5 + 2)}")
+        .mkString(" "))).toDF("doc_id", "t")
+    val scan = docs.select(col("doc_id"),
+        T.lexicalDiversity(col("t")).as("ld"))
+      .select(col("doc_id"), col("ld.n_tokens"), col("ld.n_types"),
+        col("ld.hapax")).as[(Long, Long, Long, Long)].collect().toSet
+    val exploded = docs.select(col("doc_id"),
+        explode(T.tokens(col("t"))).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(sum("count").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("count") === 1, 1L).otherwise(0L)).as("hapax"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(scan === exploded)
+  }
+
   test("wordNGrams produces sliding distinct n-grams; short text → empty") {
     val df = Seq("a b c d", "a b").toDF("t")
     val got = df.select(T.wordNGrams(col("t"), 3)).as[Seq[String]].collect()
