@@ -192,4 +192,24 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .groupBy((window(col(tsCol), window_) +: groupCols.map(col)).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n"))
+
+  /** [EXT] T4: event-time SESSION windows — the streaming counterpart
+    * of the batch gap-rule sessionization (x17/x70): a session closes
+    * when `gap` passes with no further event for its keys, which in
+    * append mode means a session row is emitted exactly once, when the
+    * watermark passes its end. Same growing-window semantics as the
+    * batch lag/cumsum rule: an event within `gap` of the session's
+    * LAST event extends it. State is per (key, open session) in the
+    * state store and is evicted at emission — bounded by live keys,
+    * not history. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: groupCols.map(col))
+        .toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(groupCols.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
 }

@@ -259,4 +259,37 @@ class StreamsSpec extends SparkSpec {
       assert(got === Set(("x", 2L), ("y", 1L)))
     } finally q.stop()
   }
+
+  test("session windows close on gap and match the batch gap rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = Streams.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "0 seconds", "30 seconds",
+      Seq("user"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sesscounts").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user u: events at :00, :20 (one session, chained extension),
+      // then :70 (new session — 50s > 30s gap)
+      input.addData((ts("2024-01-01 00:00:00"), "u"),
+        (ts("2024-01-01 00:00:20"), "u"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:01:10"), "u"))
+      q.processAllAvailable()
+      // push the watermark far past both sessions so they emit
+      input.addData((ts("2024-01-01 00:10:00"), "w"))
+      q.processAllAvailable()
+      val got = spark.table("sesscounts")
+        .filter(col("user") === "u")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      // session 1: [“00:00”, last event 00:20 + 30s gap); session 2:
+      // [01:10, 01:40) — exactly the batch lag/cumsum gap rule
+      assert(got === Set(
+        ("2024-01-01 00:00:00", "2024-01-01 00:00:50", 2L),
+        ("2024-01-01 00:01:10", "2024-01-01 00:01:40", 1L)))
+    } finally q.stop()
+  }
 }
