@@ -373,6 +373,17 @@ object ExtQueries {
         round(col("pmi"), 4).as("pmi_r"))
       .orderBy(col("pmi_r").desc, col("p"), col("w"))
 
+  /** Robust outlier report (`Profile.robustOutliers`): median + MAD
+    * per event type (both PERCENTILE_DISC — exact element selection,
+    * cross-engine exact on raw doubles) and the count beyond 3 MADs.
+    * Oracle = DuckDB's native quantile_disc — independent derivation
+    * of the same order statistics. */
+  private def x73(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.robustOutliers(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value", k = 3.0)
+      .orderBy(col("event_type"))
+
   /** Cross-corpus containment scoring (`Contamination
     * .containmentScore`): odd-id docs graded by the fraction of their
     * distinct 5-gram hashes present anywhere in the even-id reference
@@ -1089,6 +1100,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x73_robust_outliers" -> (x73 _),
     "x72_lexdiv" -> (x72 _),
     "x71_containment" -> (x71 _),
     "x70_event_paths" -> (x70 _),
@@ -1711,6 +1723,24 @@ object ExtQueries {
         |             AND p.ts + INTERVAL 60 SECOND
         |  AND e.user_id <> p.user_id
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    // native quantile_disc vs the counts-then-window formulation;
+    // med/mad are exact data elements, dev arithmetic is exact IEEE
+    "x73_robust_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_disc(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med,
+        |        abs(e.value - m.med) AS dev
+        |      FROM events e JOIN med m USING (event_type)
+        |      WHERE e.value IS NOT NULL),
+        |mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // literal gram strings vs the engine's 64-bit hashes (x38's
     // differential-on-hashing design); whitespace tokens, n=5
     "x71_containment" ->

@@ -92,4 +92,38 @@ object Profile {
           .otherwise((x - col("__mean")) / col("__sd")))
       .drop("__mean", "__sd")
   }
+
+  /** Robust per-group outlier report: median + MAD (both SQL-standard
+    * PERCENTILE_DISC — exact ELEMENT selection, no interpolation, so
+    * the statistics are actual data values and cross-engine exact) and
+    * the count of rows beyond `k` MADs. The mean/stddev z-score breaks
+    * down exactly when outliers are present (they drag the mean and
+    * inflate the stddev toward themselves); median/MAD is the
+    * detection rule that doesn't move.
+    *
+    * 100 TB shape: two quantile passes, each the counts-then-window
+    * formulation of [[Scale.discreteQuantiles]] (windows see DISTINCT
+    * values per group, never raw rows); the per-group med/mad frames
+    * are group-cardinality-sized and broadcast back onto the scan; the
+    * report is one final group aggregation.
+    *
+    * @return (group, n, med, mad, n_outliers) */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = Scale.discreteQuantiles(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("q").as("__med"))
+    val withDev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = Scale.discreteQuantiles(withDev, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol), col("q").as("__mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

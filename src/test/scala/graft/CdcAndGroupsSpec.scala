@@ -341,6 +341,35 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "approx mode must not Expand")
   }
+
+  test("robustOutliers: disc median/MAD and the 3-MAD rule by hand") {
+    // group g values: 1..9 plus a 1000 outlier; disc-median of 10
+    // values = 5th element = 5; devs |x-5| = {4,3,2,1,0,1,2,3,4,995},
+    // sorted {0,1,1,2,2,3,3,4,4,995}: disc-median = 2;
+    // outliers: dev > 6 -> only 1000. Group h: 2 rows, mad 0 ->
+    // any nonzero dev is an outlier (dev > 0 = k*0).
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) ++
+      Seq(("g", 1000.0), ("h", 7.0), ("h", 9.0)))
+      .toDF("grp", "v")
+    val got = Profile.robustOutliers(df, "grp", "v", k = 3.0)
+      .orderBy("grp").as[(String, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(got === Seq(("g", 10L, 5.0, 2.0, 1L),
+      ("h", 2L, 7.0, 0.0, 1L)))
+  }
+
+  test("robustOutliers ignores nulls and stays partition-stable") {
+    val df = ((1 to 50).map(i => ("g", Some(i.toDouble))) :+
+      ("g", None: Option[Double])).toDF("grp", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.robustOutliers(d, "grp", "v")
+        .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val a = run(df)
+    assert(a.head._2 === 50L)
+    assert(run(df.repartition(7)) === a)
+    intercept[IllegalArgumentException] {
+      Profile.robustOutliers(df, "grp", "v", k = 0.0) }
+  }
 }
 
 class HistogramSpec extends SparkSpec {
