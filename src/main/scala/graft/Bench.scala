@@ -97,6 +97,8 @@ object Bench {
     "x66_pmi" -> 0.37, "x67_source_overlap" -> 0.35,
     "x68_calibrate" -> 0.2, "x69_blocklist" -> 0.16,
     "x6_ann_brute" -> 0.19, "x70_event_paths" -> 0.33,
+    "x71_containment" -> 0.66, "x72_lexdiv" -> 1.20,
+    "x73_robust_outliers" -> 0.62,
     "x7_ann_lsh" -> 0.33, "x8_text_langid" -> 0.5,
     "x9_text_quality" -> 0.27)
 

@@ -122,24 +122,32 @@ object TextFunctions {
   /** Lexical-diversity stats as a struct (n_tokens, n_types, hapax):
     * type-token ratio and hapax share are the standard cheap signals
     * separating natural prose from keyword-stuffed / template text.
-    * Computed entirely scan-side over ONE sorted copy of the token
-    * array: a token is a hapax iff it differs from both sorted
-    * neighbors — O(n log n) per document, no explode, no shuffle
-    * (the exploded groupBy formulation shuffles the whole token
-    * stream; this never leaves the scan). */
+    * Computed entirely scan-side from the sorted token array: a type
+    * is REPEATED iff it equals its sorted successor somewhere, so
+    * hapax = types − distinct(equal-neighbor values). No explode, no
+    * shuffle.
+    *
+    * PERF TRAP (measured, 60× on the sf0.1 surface): indexing the
+    * sorted array per element inside a higher-order lambda
+    * (`filter(sequence(...), i => element_at(s, i))`) re-evaluates the
+    * ENTIRE `array_sort(tokens(...))` subtree per element — lambda
+    * bodies run interpreted with no subexpression reuse — turning the
+    * row cost quadratic. The zip-of-slices form below references the
+    * array only from non-lambda argument positions, so the sort runs
+    * a constant number of times per row. */
   def lexicalDiversity(text: Column): Column = {
     val s = array_sort(tokens(text))
     val n = size(s)
-    // element_at is 1-based: element i (0-based) = element_at(s, i+1)
-    val hapax = size(filter(sequence(lit(0), n - 1), i =>
-      (i === 0 || element_at(s, i + 1) =!= element_at(s, i)) &&
-        (i === n - 1 || element_at(s, i + 1) =!= element_at(s, i + 2))))
-    when(n === 0,
-      struct(lit(0L).as("n_tokens"), lit(0L).as("n_types"),
-        lit(0L).as("hapax")))
-      .otherwise(struct(n.cast("long").as("n_tokens"),
-        size(array_distinct(s)).cast("long").as("n_types"),
-        hapax.cast("long").as("hapax")))
+    val sliceLen = greatest(n - 1, lit(0))
+    // value v appears at an equal-neighbor position iff count(v) >= 2
+    val dupValues = filter(
+      zip_with(slice(s, lit(1), sliceLen), slice(s, lit(2), sliceLen),
+        (a, b) => when(a === b, a)),
+      x => x.isNotNull)
+    val nTypes = size(array_distinct(s))
+    struct(n.cast("long").as("n_tokens"),
+      nTypes.cast("long").as("n_types"),
+      (nTypes - size(array_distinct(dupValues))).cast("long").as("hapax"))
   }
 
   /** Word n-grams (joined by single spaces), distinct. */
