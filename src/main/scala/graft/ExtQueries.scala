@@ -384,6 +384,27 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Composite quality gate (`TextFunctions.qualityGate`): the
+    * Gopher-rules-shaped document filter — word-count window, mean
+    * word length window, ≥1 stopword, top-token-share repetition cap —
+    * with every metric surfaced next to the verdict. All exact ints /
+    * exact-int ratios, zero shuffle; the oracle re-derives the same
+    * integers through an exploded GROUP BY. */
+  private def x74(s: SparkSession, dir: String): DataFrame =
+    // struct computed ONCE below the range exchange; field extraction
+    // sits ABOVE the Sort so CollapseProject can't inline the
+    // (CSE-exempt) higher-order subtree 8× — see qualityGate's scaladoc
+    t(s, dir, "documents")
+      .filter(size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        T.qualityGate(col("text"), T.StopwordLists.head._2).as("qg"))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("qg.n_words").as("n_words"),
+        col("qg.mean_len").as("mean_len"), col("qg.max_len").as("max_len"),
+        col("qg.stop_hits").as("stop_hits"),
+        col("qg.top_count").as("top_count"),
+        col("qg.top_share").as("top_share"), col("qg.kept").as("kept"))
+
   /** Cross-corpus containment scoring (`Contamination
     * .containmentScore`): odd-id docs graded by the fraction of their
     * distinct 5-gram hashes present anywhere in the even-id reference
@@ -1100,6 +1121,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_quality_gate" -> (x74 _),
     "x73_robust_outliers" -> (x73 _),
     "x72_lexdiv" -> (x72 _),
     "x71_containment" -> (x71 _),
@@ -1725,6 +1747,38 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // exploded GROUP BY re-derives the scan-side integers; the two
+    // ratios are exact-int/exact-int so the verdict compares identically
+    "x74_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |          CAST(sum(c * len(tok)) AS BIGINT) AS total_chars,
+        |          CAST(max(len(tok)) AS BIGINT) AS max_len,
+        |          CAST(max(c) AS BIGINT) AS top_count
+        |        FROM cnt GROUP BY doc_id),
+        |hits AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT a.doc_id, n_words,
+        |  CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_len,
+        |  max_len, h.stop_hits, top_count,
+        |  CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_share,
+        |  (n_words >= 5 AND n_words <= 200
+        |   AND CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= 2.0
+        |   AND CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |   AND h.stop_hits >= 1
+        |   AND CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2)
+        |    AS kept
+        |FROM agg a JOIN hits h USING (doc_id)
+        |WHERE n_words > 0
+        |ORDER BY a.doc_id""".stripMargin,
     "x73_robust_outliers" ->
       """WITH med AS (SELECT event_type,
         |    quantile_disc(value, 0.5) AS med

@@ -150,6 +150,61 @@ object TextFunctions {
       (nTypes - size(array_distinct(dupValues))).cast("long").as("hapax"))
   }
 
+  /** Composite Gopher/C4-style quality gate as one scan-side struct:
+    * word count, mean/max word length, stopword hits, top-token share
+    * (max in-doc token multiplicity / word count), and the combined
+    * keep verdict. Every metric is exact integers or an exact-int
+    * ratio, so the gate is cross-engine hash-checkable with no
+    * rounding discipline. The max-multiplicity scan runs over the
+    * sorted token array via `aggregate` with O(1) work per element —
+    * the array itself is only referenced from a non-lambda argument
+    * position (see the PERF TRAP note on [[lexicalDiversity]]).
+    *
+    * Reference thresholds follow the published Gopher rules shape
+    * (word-count window, mean-word-length window, ≥1 stopword,
+    * repetition cap); all are parameters.
+    */
+  def qualityGate(text: Column, stopwords: Seq[String],
+      minWords: Long = 5L, maxWords: Long = 200L,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+      maxTopShare: Double = 0.2): Column = {
+    val hits = stopwordHits(text, stopwords)
+    // ONE pass over ONE sorted-array reference computes every counter;
+    // higher-order subtrees are exempt from Spark's subexpression
+    // elimination, so naming each metric as its own struct field would
+    // re-run tokenize+sort per field. Callers should extract the struct
+    // fields ABOVE an exchange (orderBy first, select fields after) so
+    // the struct itself is materialized once per row.
+    aggregate(array_sort(tokens(text)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("total"), lit(0L).as("n"), lit(0L).as("max_len")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        val len = length(x).cast("long")
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("total") + len).as("total"),
+          (acc.getField("n") + 1L).as("n"),
+          greatest(acc.getField("max_len"), len).as("max_len"))
+      },
+      acc => {
+        val n = acc.getField("n")
+        val topCnt = acc.getField("best")
+        val meanLen =
+          when(n > 0, acc.getField("total").cast("double") / n.cast("double"))
+        val topShare =
+          when(n > 0, topCnt.cast("double") / n.cast("double"))
+        val kept = n >= minWords && n <= maxWords &&
+          meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+          hits >= 1L && topShare <= maxTopShare
+        struct(n.as("n_words"), meanLen.as("mean_len"),
+          acc.getField("max_len").as("max_len"), hits.as("stop_hits"),
+          topCnt.as("top_count"), topShare.as("top_share"),
+          coalesce(kept, lit(false)).as("kept"))
+      })
+  }
+
   /** Word n-grams (joined by single spaces), distinct. */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -40,6 +40,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scan === exploded)
   }
 
+  test("qualityGate: metrics and verdict on crafted docs") {
+    val en = T.StopwordLists.head._2
+    val docs = Seq(
+      // passes every rule: 6 words, mean 2.5, has "the", top share 1/6
+      "the cat sat on my mat",
+      // repetition cap: "spam" 5/8 > 0.2
+      "the spam spam spam spam spam cat dog",
+      // no stopword hit
+      "quick brown foxes jump over lazy dogs",
+      // too short
+      "the end",
+      // empty
+      "")
+      .toDF("t").select(T.qualityGate(col("t"), en).as("q"))
+      .select("q.n_words", "q.top_count", "q.stop_hits", "q.kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(docs(0) === ((6L, 1L, 1L, true)))
+    assert(docs(1) === ((8L, 5L, 1L, false)))
+    assert(docs(2)._3 === 0L && !docs(2)._4)
+    assert(docs(3) === ((2L, 1L, 1L, false)))
+    assert(docs(4) === ((0L, 0L, 0L, false)))
+  }
+
+  test("qualityGate top_count equals exploded max multiplicity") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1L to (i % 17 + 3)).map(j => s"w${j % (i % 7 + 2)}")
+        .mkString(" "))).toDF("doc_id", "t")
+    val scan = docs.select(col("doc_id"),
+        col("t"), T.qualityGate(col("t"), Seq("w0")).as("q"))
+      .select(col("doc_id"), col("q.top_count"))
+      .as[(Long, Long)].collect().toSet
+    val exploded = docs.select(col("doc_id"),
+        explode(T.tokens(col("t"))).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("top"))
+      .as[(Long, Long)].collect().toSet
+    assert(scan === exploded)
+  }
+
   test("wordNGrams produces sliding distinct n-grams; short text → empty") {
     val df = Seq("a b c d", "a b").toDF("t")
     val got = df.select(T.wordNGrams(col("t"), 3)).as[Seq[String]].collect()
