@@ -384,6 +384,21 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** First-occurrence span dedup (`Dedup.firstOccurrenceSpans`): the
+    * C4-style "drop any 10-token span seen earlier anywhere in the
+    * corpus" pass. A 10-token boilerplate prefix is injected into
+    * EVERY document (x26's injection design) so span 0 is a genuine
+    * corpus-wide duplicate: exactly one document keeps it. The oracle
+    * elects winners over literal span strings — differential on the
+    * engine's xxhash64 keying. */
+  private def x75(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates and follow us today"
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit(boiler + " "), col("text")).as("text"))
+    Dedup.firstOccurrenceSpans(docs, "doc_id", "text", spanTokens = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite quality gate (`TextFunctions.qualityGate`): the
     * Gopher-rules-shaped document filter — word-count window, mean
     * word length window, ≥1 stopword, top-token-share repetition cap —
@@ -1121,6 +1136,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_span_dedup" -> (x75 _),
     "x74_quality_gate" -> (x74 _),
     "x73_robust_outliers" -> (x73 _),
     "x72_lexdiv" -> (x72 _),
@@ -1747,6 +1763,34 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // winner election over literal span strings (differential on the
+    // engine's xxhash64 keying); string_agg skips the dropped spans'
+    // NULLs exactly as collect_list does
+    "x75_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'subscribe to our newsletter for updates and follow us today '
+        |      || text AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM d),
+        |nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        |spans AS (SELECT doc_id, i AS span_idx,
+        |    array_to_string(t[i*10+1 : i*10+10], ' ') AS span_text
+        |  FROM (SELECT doc_id, t,
+        |      unnest(generate_series(0,
+        |        CAST(floor((len(t)-1)/10) AS BIGINT))) AS i
+        |    FROM nz)),
+        |flagged AS (SELECT doc_id, span_idx, span_text,
+        |    row_number() OVER (PARTITION BY span_text
+        |      ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_spans,
+        |  string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+        |    ORDER BY span_idx) AS out_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exploded GROUP BY re-derives the scan-side integers; the two
     // ratios are exact-int/exact-int so the verdict compares identically
     "x74_quality_gate" ->

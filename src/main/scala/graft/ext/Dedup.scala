@@ -423,6 +423,53 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Corpus-level first-occurrence span dedup (the C4-style "remove
+    * any span that already occurred anywhere earlier in the corpus"
+    * pass): documents are cut into consecutive `spanTokens`-token
+    * spans ([[Chunking.tokenWindows]] with zero overlap), each span
+    * keyed by its 64-bit content hash, and only the globally FIRST
+    * occurrence — minimum (id, span index) per hash — survives;
+    * surviving spans are reassembled in order per document.
+    *
+    * Scale shape (3 exchanges, all on bounded keys):
+    *  1. winner election is a groupBy on the 8-byte span hash with
+    *     map-side partial aggregation, so a corpus-hot span (the
+    *     failure mode of the window formulation: one task sorting
+    *     every copy of a boilerplate span) collapses to one row per
+    *     map task before the shuffle;
+    *  2. spans join winners back on the same 8-byte hash (AQE handles
+    *     residual skew — it is a join, not a window);
+    *  3. per-document regroup to reassemble text.
+    * Span identity is the hash, not the text: a 64-bit collision could
+    * drop a non-duplicate span (odds ~n²/2⁶⁵ corpus-wide); the oracle
+    * joins literal span strings — the same differential-on-hashing
+    * design as x38/x71.
+    *
+    * @return one row per non-empty document: (id, n_spans, kept_spans,
+    *         out_text) — out_text null when every span was dropped
+    */
+  def firstOccurrenceSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val spans = Chunking.tokenWindows(docs, col(idCol), col(textCol),
+        chunkSize = spanTokens, overlap = 0)
+      .select(col(idCol), col("chunk_idx").as("span_idx"),
+        col("chunk_text").as("span_text"))
+      .withColumn("__h", xxhash64(col("span_text")))
+    val winners = spans.groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("span_idx").as("i"))).as("w"))
+      .select(col("__h"), col("w.d").as("__wd"), col("w.i").as("__wi"))
+    spans.join(winners, Seq("__h"))
+      .withColumn("__kept",
+        col(idCol) === col("__wd") && col("span_idx") === col("__wi"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("kept_spans"),
+        nullif(array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("span_idx"), col("span_text"))))),
+          s => s.getField("span_text")), " "), lit("")).as("out_text"))
+  }
+
   /** Corpus-level boilerplate line removal (CCNet/C4-style): drop
     * lines that appear in more than `maxDocFreq` DISTINCT documents
     * (navigation chrome, cookie banners, footers), rebuild each

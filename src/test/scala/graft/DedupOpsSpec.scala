@@ -34,6 +34,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("firstOccurrenceSpans keeps only the global first occurrence of each span") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // both spans original
+      (2L, "a b c d e f"),        // full duplicate of doc 1 → nothing kept
+      (3L, "x y z a b c"),        // second span duplicates doc 1's first
+      (4L, "p q r s"),            // partial final span, all kept
+      (5L, ""))                   // empty doc → no output row
+      .toDF("doc_id", "text")
+    val got = Dedup.firstOccurrenceSpans(corpus, "doc_id", "text",
+        spanTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, Some("a b c d e f")),
+      (2L, 2L, 0L, None),
+      (3L, 2L, 1L, Some("x y z")),
+      (4L, 2L, 2L, Some("p q r s"))))
+  }
+
+  test("firstOccurrenceSpans: within-doc repeated span keeps only the earlier copy") {
+    val corpus = Seq((7L, "m n o m n o tail end x")).toDF("doc_id", "text")
+    val got = Dedup.firstOccurrenceSpans(corpus, "doc_id", "text",
+        spanTokens = 3)
+      .as[(Long, Long, Long, Option[String])].collect().head
+    assert(got === ((7L, 3L, 2L, Some("m n o tail end x"))))
+  }
+
   test("dropCommonLines strips corpus-frequent lines, keeps order, drops all-boilerplate docs") {
     val corpus = Seq(
       (1L, "unique one\nCOOKIE BANNER\nmore unique"),
