@@ -384,6 +384,15 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Token-budget truncation (`Chunking.truncateTokens`): every doc
+    * cut to its first 48 whitespace tokens — the context-window guard.
+    * All-integer metrics plus the exact truncated string; zero
+    * shuffle. */
+  private def x76(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Chunking.truncateTokens(
+      t(s, dir, "documents"), col("doc_id"), col("text"), maxTokens = 48)
+      .orderBy(col("doc_id"))
+
   /** First-occurrence span dedup (`Dedup.firstOccurrenceSpans`): the
     * C4-style "drop any 10-token span seen earlier anywhere in the
     * corpus" pass. A 10-token boilerplate prefix is injected into
@@ -1136,6 +1145,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_doc_trunc" -> (x76 _),
     "x75_span_dedup" -> (x75 _),
     "x74_quality_gate" -> (x74 _),
     "x73_robust_outliers" -> (x73 _),
@@ -1763,6 +1773,17 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // list slice replicates the whole-token cut; booleans and counts
+    // are exact
+    "x76_doc_trunc" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(least(len(t), 48) AS BIGINT) AS kept_tokens,
+        |  len(t) > 48 AS truncated,
+        |  array_to_string(t[1:48], ' ') AS out_text
+        |FROM toks ORDER BY doc_id""".stripMargin,
     // winner election over literal span strings (differential on the
     // engine's xxhash64 keying); string_agg skips the dropped spans'
     // NULLs exactly as collect_list does

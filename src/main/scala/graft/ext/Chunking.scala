@@ -65,4 +65,28 @@ object Chunking {
           slice(col("__toks"), (col("chunk_idx") * step + 1).cast("int"),
             lit(chunkSize)), " ").as("chunk_text"))
   }
+
+  /** Token-budget truncation: cut each document to its first
+    * `maxTokens` whitespace tokens (whole tokens only — the cheap
+    * context-window guard applied before packing/embedding). Pure
+    * scan-side row transform, no shuffle; the token array is
+    * materialized once per row (x48's two-Project shape) and sliced
+    * with plain expressions.
+    *
+    * @return (id, n_tokens, kept_tokens, truncated, out_text); empty
+    *         documents pass through with n_tokens = 0, out_text ""
+    */
+  def truncateTokens(df: DataFrame, idCol: Column, textCol: Column,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    val base = df.select(idCol,
+      filter(split(textCol, "\\s+"), t => t =!= "").as("__toks"))
+    val id = col(base.columns.head)
+    val n = size(col("__toks")).cast("long")
+    base.select(id,
+      n.as("n_tokens"),
+      least(n, lit(maxTokens.toLong)).as("kept_tokens"),
+      (n > maxTokens).as("truncated"),
+      array_join(slice(col("__toks"), 1, maxTokens), " ").as("out_text"))
+  }
 }

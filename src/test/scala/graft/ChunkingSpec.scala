@@ -66,6 +66,30 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("truncateTokens cuts at whole tokens and flags only real cuts") {
+    val df = Seq(
+      (1L, "a b c d e"),   // over budget
+      (2L, "a b c"),       // exactly at budget
+      (3L, "a b"),         // under
+      (4L, ""))            // empty passes through
+      .toDF("doc_id", "text")
+    val got = Chunking.truncateTokens(df, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 3L, true, "a b c"),
+      (2L, 3L, 3L, false, "a b c"),
+      (3L, 2L, 2L, false, "a b"),
+      (4L, 0L, 0L, false, "")))
+  }
+
+  test("truncateTokens plan is shuffle-free") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Chunking.truncateTokens(df, col("doc_id"), col("text"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("plan is shuffle-free (pure scan-side explode)") {
     val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Chunking.tokenWindows(df, col("doc_id"), col("text"), 3, 1)
