@@ -384,6 +384,27 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Referential-integrity audit (`Integrity.fkReport`): three FK
+    * relationships with injected defects — a parent snapshot missing
+    * 1/7 of customers (orphans), a child with 1/13 of keys nulled (SQL
+    * FK semantics: NULL is not a violation), and one intact relation
+    * as the zero case. All-integer counts + one exact-int coverage
+    * ratio. */
+  private def x77(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("fk", when(col("o_custkey") % 13 === 0, lit(null))
+        .otherwise(col("o_custkey")))
+    val custPart = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+    val li = t(s, dir, "lineitem")
+    val partPart = t(s, dir, "part").filter(col("p_partkey") % 5 =!= 0)
+    graft.operators.Integrity.fkReports(Seq(
+      ("orders->customer_drop7", orders, "fk", custPart, "c_custkey"),
+      ("lineitem->orders", li, "l_orderkey", t(s, dir, "orders"),
+        "o_orderkey"),
+      ("lineitem->part_drop5", li, "l_partkey", partPart, "p_partkey")))
+      .orderBy(col("relation"))
+  }
+
   /** Token-budget truncation (`Chunking.truncateTokens`): every doc
     * cut to its first 48 whitespace tokens — the context-window guard.
     * All-integer metrics plus the exact truncated string; zero
@@ -1145,6 +1166,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x77_integrity" -> (x77 _),
     "x76_doc_trunc" -> (x76 _),
     "x75_span_dedup" -> (x75 _),
     "x74_quality_gate" -> (x74 _),
@@ -1773,6 +1795,67 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // per-relation CTE quartet (keyed counts → totals + anti-join
+    // orphans); coverage is exact-int / exact-int
+    "x77_integrity" ->
+      """WITH c1 AS (SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL
+        |      ELSE o_custkey END AS k FROM orders),
+        |p1 AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |       WHERE c_custkey % 7 <> 0),
+        |k1 AS (SELECT k, count(*) AS cnt FROM c1 GROUP BY k),
+        |t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS child_rows,
+        |    CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0)
+        |      AS BIGINT) AS null_rows,
+        |    CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS distinct_keys
+        |  FROM k1),
+        |o1 AS (SELECT CAST(count(*) AS BIGINT) AS orphan_keys,
+        |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS orphan_rows
+        |  FROM k1 WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM p1)),
+        |c2 AS (SELECT l_orderkey AS k FROM lineitem),
+        |p2 AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |k2 AS (SELECT k, count(*) AS cnt FROM c2 GROUP BY k),
+        |t2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS child_rows,
+        |    CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0)
+        |      AS BIGINT) AS null_rows,
+        |    CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS distinct_keys
+        |  FROM k2),
+        |o2 AS (SELECT CAST(count(*) AS BIGINT) AS orphan_keys,
+        |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS orphan_rows
+        |  FROM k2 WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM p2)),
+        |c3 AS (SELECT l_partkey AS k FROM lineitem),
+        |p3 AS (SELECT DISTINCT p_partkey AS k FROM part
+        |       WHERE p_partkey % 5 <> 0),
+        |k3 AS (SELECT k, count(*) AS cnt FROM c3 GROUP BY k),
+        |t3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS child_rows,
+        |    CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0)
+        |      AS BIGINT) AS null_rows,
+        |    CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS distinct_keys
+        |  FROM k3),
+        |o3 AS (SELECT CAST(count(*) AS BIGINT) AS orphan_keys,
+        |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS orphan_rows
+        |  FROM k3 WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM p3))
+        |SELECT * FROM (
+        |  SELECT 'orders->customer_drop7' AS relation, t1.child_rows,
+        |    t1.null_rows, t1.distinct_keys, o1.orphan_keys, o1.orphan_rows,
+        |    CAST(t1.child_rows - t1.null_rows - o1.orphan_rows AS DOUBLE)
+        |      / CAST(t1.child_rows - t1.null_rows AS DOUBLE) AS coverage
+        |  FROM t1, o1
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', t2.child_rows, t2.null_rows,
+        |    t2.distinct_keys, o2.orphan_keys, o2.orphan_rows,
+        |    CAST(t2.child_rows - t2.null_rows - o2.orphan_rows AS DOUBLE)
+        |      / CAST(t2.child_rows - t2.null_rows AS DOUBLE)
+        |  FROM t2, o2
+        |  UNION ALL
+        |  SELECT 'lineitem->part_drop5', t3.child_rows, t3.null_rows,
+        |    t3.distinct_keys, o3.orphan_keys, o3.orphan_rows,
+        |    CAST(t3.child_rows - t3.null_rows - o3.orphan_rows AS DOUBLE)
+        |      / CAST(t3.child_rows - t3.null_rows AS DOUBLE)
+        |  FROM t3, o3)
+        |ORDER BY relation""".stripMargin,
     // list slice replicates the whole-token cut; booleans and counts
     // are exact
     "x76_doc_trunc" ->
