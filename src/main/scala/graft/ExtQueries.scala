@@ -15,8 +15,15 @@ import graft.functions.{TextFunctions => T}
   */
 object ExtQueries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is TIMESTAMP(NANOS) parquet — same read rule as
+      // SparkEntry.t, set here too so each query is self-sufficient
+      // (a filtered Verify run must not depend on some OTHER query
+      // having set the session conf first)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def x1(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -383,6 +390,22 @@ object ExtQueries {
       t(s, dir, "events").select(col("event_type"), col("value")),
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
+
+  /** CUBE aggregate with grouping_id: the full lattice over
+    * (event_type, day-of-week) — every subtotal plane plus the grand
+    * total, with gid disambiguating rolled-up NULLs from data NULLs.
+    * Day-of-week is pure integer arithmetic on the nano epoch
+    * (1970-01-01 = Thursday = 4) so both engines derive it exactly;
+    * money sums are exact cents. Catalyst plans CUBE as ONE Expand +
+    * one aggregate — no per-plane re-scan. */
+  private def x78(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("dow", (expr("ts div 86400000000000") + 4) % 7)
+      .cube(col("event_type"), col("dow"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("dow").asc_nulls_first)
 
   /** Referential-integrity audit (`Integrity.fkReport`): three FK
     * relationships with injected defects — a parent snapshot missing
@@ -1166,6 +1189,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_cube" -> (x78 _),
     "x77_integrity" -> (x77 _),
     "x76_doc_trunc" -> (x76 _),
     "x75_span_dedup" -> (x75 _),
@@ -1795,6 +1819,20 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // GROUPING() bitmask uses the same first-arg-most-significant
+    // convention in both engines; dow is exact integer epoch math
+    "x78_cube" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow, value
+        |  FROM events)
+        |SELECT event_type, dow,
+        |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM e GROUP BY CUBE (event_type, dow)
+        |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"""
+        .stripMargin,
     // per-relation CTE quartet (keyed counts → totals + anti-join
     // orphans); coverage is exact-int / exact-int
     "x77_integrity" ->
