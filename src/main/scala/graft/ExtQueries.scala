@@ -391,6 +391,20 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Differentially-private cohort histogram (`Privacy.noisyCounts`):
+    * user-cohort counts with deterministic seed-keyed Laplace noise
+    * (ε = 1) — the reproducible-release form of the mechanism. The
+    * oracle re-derives the identical 60-bit hex prefix and inverse-CDF
+    * transform; distance to the nearest 4-dp rounding boundary probed
+    * at both SFs: min 3.3e-3 cell-units (3.4e-7 absolute) vs ulp-scale
+    * engine drift ~1e-12. */
+  private def x79(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.noisyCounts(
+      t(s, dir, "events"), col("user_id") % 256, epsilon = 1.0,
+      seed = "x79")
+      .select(col("grp"), col("n"), round(col("noisy"), 4).as("noisy_r"))
+      .orderBy(col("grp"))
+
   /** CUBE aggregate with grouping_id: the full lattice over
     * (event_type, day-of-week) — every subtotal plane plus the grand
     * total, with gid disambiguating rolled-up NULLs from data NULLs.
@@ -1189,6 +1203,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_dp_counts" -> (x79 _),
     "x78_cube" -> (x78 _),
     "x77_integrity" -> (x77 _),
     "x76_doc_trunc" -> (x76 _),
@@ -1819,6 +1834,24 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // same 60-bit hex-prefix uniform as the engine (x45 precedent) and
+    // the same inverse-CDF Laplace transform; 4-dp margins probed
+    "x79_dp_counts" ->
+      """WITH c AS (SELECT user_id % 256 AS grp, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT grp, n,
+        |    CAST(('0x' || substr(md5('x79' || CAST(grp AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS hv
+        |  FROM c),
+        |u AS (SELECT grp, n,
+        |    (CAST(hv AS DOUBLE) + 0.5) / 1152921504606846976.0 - 0.5
+        |      AS ctr
+        |  FROM h)
+        |SELECT grp, n,
+        |  round(CAST(n AS DOUBLE)
+        |    + (-1.0) * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)), 4)
+        |    AS noisy_r
+        |FROM u ORDER BY grp""".stripMargin,
     // GROUPING() bitmask uses the same first-arg-most-significant
     // convention in both engines; dow is exact integer epoch math
     "x78_cube" ->
