@@ -391,6 +391,37 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** OOV-rate audit (`LangModel.oovReport`): per-doc out-of-vocabulary
+    * share against the corpus vocabulary at minCount = 20 — exact-int
+    * counts and one exact-int ratio. */
+  private def x80(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LangModel.oovReport(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", minCount = 20L)
+      .orderBy(col("doc_id"))
+
+  /** Composed cleaning pipeline: boilerplate injection → quality gate
+    * (x74 rules) → corpus first-occurrence span dedup (x75) → token
+    * budget truncation (x76), end-to-end in ONE lazy plan. The oracle
+    * stitches the three stages' CTEs — any drift in stage semantics or
+    * inter-stage hand-off surfaces as a diff. */
+  private def x81(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates and follow us today"
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit(boiler + " "), col("text")).as("text"))
+    val gated = injected
+      .filter(size(T.tokens(col("text"))) > 0)
+      .filter(T.qualityGate(col("text"), T.StopwordLists.head._2)
+        .getField("kept"))
+    val deduped = Dedup.firstOccurrenceSpans(gated, "doc_id", "text",
+        spanTokens = 10)
+      .filter(col("out_text").isNotNull)
+      .select(col("doc_id"), col("out_text").as("text"))
+    graft.ext.Chunking.truncateTokens(deduped, col("doc_id"), col("text"),
+        maxTokens = 48)
+      .orderBy(col("doc_id"))
+  }
+
   /** Differentially-private cohort histogram (`Privacy.noisyCounts`):
     * user-cohort counts with deterministic seed-keyed Laplace noise
     * (ε = 1) — the reproducible-release form of the mechanism. The
@@ -1203,6 +1234,8 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x81_pipeline" -> (x81 _),
+    "x80_oov" -> (x80 _),
     "x79_dp_counts" -> (x79 _),
     "x78_cube" -> (x78 _),
     "x77_integrity" -> (x77 _),
@@ -1834,6 +1867,78 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // vocab = tokens with count >= 20; left join re-derives the same
+    // exact integers; rate is exact-int / exact-int
+    "x80_oov" ->
+      """WITH ex AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM
+        |    (SELECT tok, count(*) AS c FROM ex GROUP BY tok)
+        |  WHERE c >= 20)
+        |SELECT e.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM ex e LEFT JOIN v ON e.tok = v.tok
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // the three stage oracles (x74 gate, x75 span dedup, x76 cut)
+    // stitched into one chain — validates the inter-stage hand-off
+    "x81_pipeline" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    'subscribe to our newsletter for updates and follow us today '
+        |      || text AS text
+        |  FROM documents),
+        |gt AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '') AS t
+        |  FROM d0),
+        |gex AS (SELECT doc_id, unnest(t) AS tok FROM gt),
+        |gcnt AS (SELECT doc_id, tok, count(*) AS c FROM gex GROUP BY 1, 2),
+        |gagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(c * len(tok)) AS BIGINT) AS total_chars,
+        |    CAST(max(c) AS BIGINT) AS top_count
+        |  FROM gcnt GROUP BY doc_id),
+        |ghit AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS stop_hits
+        |  FROM d0),
+        |kept AS (SELECT a.doc_id FROM gagg a JOIN ghit h USING (doc_id)
+        |  WHERE n_words > 0 AND n_words >= 5 AND n_words <= 200
+        |    AND CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= 2.0
+        |    AND CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |    AND h.stop_hits >= 1
+        |    AND CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2),
+        |d1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN kept USING (doc_id)),
+        |st AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM d1),
+        |snz AS (SELECT doc_id, t FROM st WHERE len(t) > 0),
+        |spans AS (SELECT doc_id, i AS span_idx,
+        |    array_to_string(t[i*10+1 : i*10+10], ' ') AS span_text
+        |  FROM (SELECT doc_id, t,
+        |      unnest(generate_series(0,
+        |        CAST(floor((len(t)-1)/10) AS BIGINT))) AS i
+        |    FROM snz)),
+        |flagged AS (SELECT doc_id, span_idx, span_text,
+        |    row_number() OVER (PARTITION BY span_text
+        |      ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans),
+        |reb AS (SELECT doc_id,
+        |    string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+        |      ORDER BY span_idx) AS text
+        |  FROM flagged GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, text FROM reb WHERE text IS NOT NULL),
+        |tt AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM d2)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(least(len(t), 48) AS BIGINT) AS kept_tokens,
+        |  len(t) > 48 AS truncated,
+        |  array_to_string(t[1:48], ' ') AS out_text
+        |FROM tt ORDER BY doc_id""".stripMargin,
     // same 60-bit hex-prefix uniform as the engine (x45 precedent) and
     // the same inverse-CDF Laplace transform; 4-dp margins probed
     "x79_dp_counts" ->

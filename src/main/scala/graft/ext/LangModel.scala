@@ -126,4 +126,34 @@ object LangModel {
       .limit(k)
       .select(col("p"), col("w"), col("c_pw"), col("pmi"))
   }
+
+  /** Out-of-vocabulary report: per-document token count, OOV count,
+    * and OOV rate against the corpus vocabulary of tokens occurring at
+    * least `minCount` times — the "will my tokenizer/embedding table
+    * cover this corpus" audit.
+    *
+    * 100 TB shape: the vocabulary is a partial-aggregated token count
+    * bounded above by total_tokens / minCount entries, hinted for
+    * broadcast so the exploded token stream joins it WITHOUT a
+    * shuffle; the only wide exchange is the per-document regroup.
+    * Tokenization is the shared case-folded `\W+` rule
+    * ([[graft.functions.TextFunctions.tokens]]). Documents with no
+    * tokens carry no rows.
+    */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val ex = docs.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("tok"), lit(1).as("__in"))
+    ex.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
 }

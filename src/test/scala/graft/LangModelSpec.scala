@@ -69,6 +69,29 @@ class LangModelSpec extends SparkSpec {
     assert(got.size === 2 && math.abs(got(0) - got(1)) < 1e-12)
   }
 
+  test("oovReport counts tokens outside the min-count vocabulary") {
+    // "a" x3 and "b" x2 reach minCount=2; "c","d" are OOV
+    val docs = Seq(
+      (1L, "a b c"),   // 1 OOV of 3
+      (2L, "a b d"),   // 1 OOV of 3
+      (3L, "a"))       // 0 OOV of 1
+      .toDF("doc_id", "text")
+    val got = LangModel.oovReport(docs, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("oovReport with minCount=1 has zero OOV everywhere") {
+    val docs = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    val got = LangModel.oovReport(docs, "doc_id", "text", minCount = 1L)
+      .select(sum("oov_tokens")).as[Long].collect().head
+    assert(got === 0L)
+  }
+
   test("invalid alpha rejected") {
     intercept[IllegalArgumentException] {
       LangModel.bigramNll(corpus, "doc_id", "text", alpha = 0.0) }
