@@ -391,6 +391,14 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Markov transition matrix (`Paths.transitions`): prev→next event
+    * counts and conditional probabilities over per-user timelines —
+    * exact ints and exact-int ratios. */
+  private def x82(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Paths.transitions(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("prev"), col("next"))
+
   /** OOV-rate audit (`LangModel.oovReport`): per-doc out-of-vocabulary
     * share against the corpus vocabulary at minCount = 20 — exact-int
     * counts and one exact-int ratio. */
@@ -1234,6 +1242,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x82_transitions" -> (x82 _),
     "x81_pipeline" -> (x81 _),
     "x80_oov" -> (x80 _),
     "x79_dp_counts" -> (x79 _),
@@ -1867,6 +1876,21 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // lag over the same (ts, event_id) order; probability is
+    // exact-int / exact-int
+    "x82_transitions" ->
+      """WITH p AS (SELECT event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, next, count(*) AS n FROM p
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY prev)
+        |SELECT c.prev, c.next, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+        |FROM c JOIN tot USING (prev) ORDER BY c.prev, c.next"""
+        .stripMargin,
     // vocab = tokens with count >= 20; left join re-derives the same
     // exact integers; rate is exact-int / exact-int
     "x80_oov" ->

@@ -46,6 +46,39 @@ object Paths {
           s => s.getField("t")), sep).as("path"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and conditional probabilities of
+    * `prev_type → next_type` across consecutive events — the
+    * behavioral-model summary next to [[sessionPaths]] (and the
+    * event-stream sibling of the token bigram model).
+    *
+    * 100 TB shape: one user-keyed window shuffle produces the lag
+    * pairs; the pair counting is a partial-aggregated groupBy on the
+    * (prev, next) key whose output is |type-alphabet|² rows; per-prev
+    * totals derive from the SAME counted frame (no second corpus
+    * scan) and join back broadcast. The probability is exact-int /
+    * exact-int.
+    *
+    * @return (prev, next, n, p) — p conditional on prev
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("next"))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
+  }
+
   /** Global path frequencies, top `k` by (count desc, path). */
   def topPaths(paths: DataFrame, k: Int,
       pathCol: Column = col("path")): DataFrame = {

@@ -47,6 +47,31 @@ class PathsSpec extends SparkSpec {
     assert(run(events) === run(events.repartition(13)))
   }
 
+  test("transitions count lag pairs per user; p conditions on prev") {
+    // user 1: a->b->b ; user 2: a->b ; user 3: c (no pair)
+    val events = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "b"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b"), (3L, 9L, 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Paths.transitions(events, "user_id", "ts", "event_type",
+        "event_id")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 1.0),
+      ("b", "b", 1L, 1.0)))
+  }
+
+  test("transitions never cross users and respect tie order") {
+    val events = Seq(
+      (1L, 5L, 1L, "x"), (2L, 5L, 2L, "y"),   // different users: no pair
+      (3L, 7L, 3L, "a"), (3L, 7L, 4L, "b"))   // same ts: tie by event_id
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Paths.transitions(events, "user_id", "ts", "event_type",
+        "event_id")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(("a", "b", 1L, 1.0)))
+  }
+
   test("invalid args rejected") {
     val df = Seq((1L, 1L, 1L, "a")).toDF("user_id", "ts", "event_id", "event_type")
     intercept[IllegalArgumentException] {
