@@ -391,6 +391,20 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Snapshot drift report (`Profile.snapshotDrift`): snapshot A drops
+    * the 'error' type and every third event, snapshot B drops every
+    * fifth — so the diff exercises added, common-with-drift, and both
+    * count/cents deltas. All exact ints / exact cents. */
+  private def x83(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val snapA = ev.filter(col("event_type") =!= "error" &&
+      col("event_id") % 3 =!= 0)
+    val snapB = ev.filter(col("event_id") % 5 =!= 0)
+    graft.operators.Profile.snapshotDrift(snapA, snapB,
+      "event_type", "value")
+      .orderBy(col("key"))
+  }
+
   /** Markov transition matrix (`Paths.transitions`): prev→next event
     * counts and conditional probabilities over per-user timelines —
     * exact ints and exact-int ratios. */
@@ -1242,6 +1256,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x83_drift" -> (x83 _),
     "x82_transitions" -> (x82 _),
     "x81_pipeline" -> (x81 _),
     "x80_oov" -> (x80 _),
@@ -1876,6 +1891,33 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // profiles join FULL OUTER after aggregation; counters coalesce
+    // to 0, cents stay NULL on a missing side
+    "x83_drift" ->
+      """WITH a AS (SELECT event_type AS key, count(*) AS n_a,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls_a,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents_a
+        |  FROM events WHERE event_type <> 'error' AND event_id % 3 <> 0
+        |  GROUP BY 1),
+        |b AS (SELECT event_type AS key, count(*) AS n_b,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls_b,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents_b
+        |  FROM events WHERE event_id % 5 <> 0 GROUP BY 1)
+        |SELECT coalesce(a.key, b.key) AS key,
+        |  CASE WHEN a.n_a IS NULL THEN 'added'
+        |       WHEN b.n_b IS NULL THEN 'removed'
+        |       ELSE 'common' END AS status,
+        |  coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b,
+        |  coalesce(b.n_b, 0) - coalesce(a.n_a, 0) AS delta_n,
+        |  coalesce(a.nulls_a, 0) AS nulls_a,
+        |  coalesce(b.nulls_b, 0) AS nulls_b,
+        |  a.cents_a, b.cents_b
+        |FROM a FULL OUTER JOIN b ON a.key = b.key
+        |ORDER BY key""".stripMargin,
     // lag over the same (ts, event_id) order; probability is
     // exact-int / exact-int
     "x82_transitions" ->

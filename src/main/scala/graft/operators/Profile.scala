@@ -126,4 +126,38 @@ object Profile {
         sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Snapshot-to-snapshot drift report: per key, row counts, null
+    * counts, and exact-cent value sums of two snapshots side by side,
+    * with the delta and an added/removed/common status — the
+    * day-over-day data-quality diff a pipeline runs before promoting
+    * a new snapshot.
+    *
+    * Scale shape: each snapshot collapses to a key-cardinality profile
+    * via partial-aggregated groupBy BEFORE the full-outer join, so the
+    * join touches profiles, never raw rows. Counters coalesce to 0 for
+    * a missing side; value sums stay NULL there (sum over nothing is
+    * undefined, and that distinction matters in an audit).
+    */
+  def snapshotDrift(a: DataFrame, b: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    def prof(df: DataFrame, suf: String) =
+      df.groupBy(col(keyCol).as("key")).agg(
+        count(lit(1)).as("n" + suf),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L))
+          .as("nulls" + suf),
+        sum(round(col(valueCol) * 100).cast("long")).as("cents" + suf))
+    prof(a, "_a").join(prof(b, "_b"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("n_a").isNull, lit("added"))
+          .when(col("n_b").isNull, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_b"), lit(0L)) - coalesce(col("n_a"), lit(0L)))
+          .as("delta_n"),
+        coalesce(col("nulls_a"), lit(0L)).as("nulls_a"),
+        coalesce(col("nulls_b"), lit(0L)).as("nulls_b"),
+        col("cents_a"), col("cents_b"))
+  }
 }
