@@ -99,6 +99,11 @@ object Bench {
     "x6_ann_brute" -> 0.19, "x70_event_paths" -> 0.33,
     "x71_containment" -> 0.66, "x72_lexdiv" -> 1.20,
     "x73_robust_outliers" -> 0.62,
+    "x74_quality_gate" -> 0.76, "x75_span_dedup" -> 0.58,
+    "x76_doc_trunc" -> 0.20, "x77_integrity" -> 0.49,
+    "x78_cube" -> 0.16, "x79_dp_counts" -> 0.12, "x80_oov" -> 0.35,
+    "x81_pipeline" -> 1.46, "x82_transitions" -> 0.29,
+    "x83_drift" -> 0.17,
     "x7_ann_lsh" -> 0.33, "x8_text_langid" -> 0.5,
     "x9_text_quality" -> 0.27)
 
