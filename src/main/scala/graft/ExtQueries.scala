@@ -391,6 +391,23 @@ object ExtQueries {
       "event_type", "value", k = 3.0)
       .orderBy(col("event_type"))
 
+  /** Keep-best exact dedup (`Dedup.keepBest`): three re-keyed snapshot
+    * copies of the corpus (x67's synthetic-snapshot design) deduped
+    * back to one survivor per content fingerprint — the survivor is
+    * the max-quality copy (min id on ties), so both the argmax and the
+    * deterministic tie-break are exercised. Quality is id-derived so
+    * copies of the same text genuinely differ. */
+  private def x84(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def snap(m: Int, tag: Int) = docs.filter(col("doc_id") % m === 0)
+      .select((col("doc_id") * 10 + tag).as("doc_id"), col("text"))
+    val union = snap(2, 1).unionByName(snap(3, 2)).unionByName(snap(5, 3))
+      .withColumn("quality", col("doc_id") % 7)
+    Dedup.keepBest(union, "doc_id", "text", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Snapshot drift report (`Profile.snapshotDrift`): snapshot A drops
     * the 'error' type and every third event, snapshot B drops every
     * fifth — so the diff exercises added, common-with-drift, and both
@@ -1256,6 +1273,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x84_keep_best" -> (x84 _),
     "x83_drift" -> (x83 _),
     "x82_transitions" -> (x82 _),
     "x81_pipeline" -> (x81 _),
@@ -1891,6 +1909,26 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // same fingerprint rule as x1/x67; survivor = first row ordered by
+    // (quality DESC, id ASC) within the fingerprint group
+    "x84_keep_best" ->
+      """WITH u AS (
+        |  SELECT doc_id * 10 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 2, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 3, text FROM documents WHERE doc_id % 5 = 0),
+        |q AS (SELECT doc_id, text, doc_id % 7 AS quality,
+        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS f
+        |  FROM u),
+        |r AS (SELECT doc_id, quality, f,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY f) AS n_copies
+        |  FROM q)
+        |SELECT doc_id, quality, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // profiles join FULL OUTER after aggregation; counters coalesce
     // to 0, cents stay NULL on a missing side
     "x83_drift" ->

@@ -423,6 +423,40 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Exact dedup that keeps the BEST copy of each duplicate group
+    * rather than an arbitrary one: rows group by the normalized
+    * content fingerprint (the x1 rule) and the survivor is the row
+    * with maximum `quality` (ties broken by minimum id — fully
+    * deterministic, unlike a bare max_by).
+    *
+    * Scale shape: winner election is ONE map-side-combining groupBy on
+    * the 16-byte fingerprint — `min(struct(-quality, id))` gives the
+    * argmax with tie-break in a single partial-aggregable expression
+    * (no window over the dup group); survivors join back on
+    * (fingerprint, id), AQE choosing the join strategy (the winner
+    * frame is fingerprint-cardinality, not broadcastable at corpus
+    * scale).
+    *
+    * @param qualityCol numeric column; higher survives
+    * @return the surviving rows with all original columns plus
+    *         (fingerprint, n_copies)
+    */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame = {
+    val withFp = docs.withColumn("fingerprint",
+      T.normFingerprint(col(textCol)))
+    val winners = withFp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct((-col(qualityCol)).as("nq"), col(idCol).as("wid")))
+          .as("__w"))
+      .select(col("fingerprint"), col("n_copies"),
+        col("__w.wid").as("__wid"))
+    withFp.join(winners,
+        withFp("fingerprint") === winners("fingerprint") &&
+          col(idCol) === col("__wid"))
+      .drop(winners("fingerprint")).drop("__wid")
+  }
+
   /** Corpus-level first-occurrence span dedup (the C4-style "remove
     * any span that already occurred anywhere earlier in the corpus"
     * pass): documents are cut into consecutive `spanTokens`-token

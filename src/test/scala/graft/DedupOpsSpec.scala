@@ -34,6 +34,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("keepBest survives the max-quality copy, min id on ties") {
+    val corpus = Seq(
+      (1L, "same text here", 5L),   // dup group A: quality 5
+      (2L, "same text here", 9L),   //   winner (max quality)
+      (3L, "same text here", 9L),   //   loses tie to id 2
+      (4L, "unique content", 1L))   // singleton survives
+      .toDF("doc_id", "text", "quality")
+    val got = Dedup.keepBest(corpus, "doc_id", "text", "quality")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L), (4L, 1L)))
+  }
+
+  test("keepBest fingerprints normalize case and punctuation") {
+    val corpus = Seq(
+      (1L, "Hello,  World!", 1L),
+      (2L, "hello world", 2L))
+      .toDF("doc_id", "text", "quality")
+    val got = Dedup.keepBest(corpus, "doc_id", "text", "quality")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(2L), "normalized variants are one group")
+  }
+
   test("firstOccurrenceSpans keeps only the global first occurrence of each span") {
     val corpus = Seq(
       (1L, "a b c d e f"),        // both spans original
