@@ -15,10 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter (unset for the driver's full gate)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // local-iteration filter (unset for the driver's full gate).
+    // Comma-separated regexes, ANY-match — accepts both Bench's
+    // documented comma-list of exact names and anchored regexes
+    // ('^x8' would otherwise silently select nothing as one pattern
+    // with a comma in it, or '^x8[0-4]' vs 'x8' substring-match x80+).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.r).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.findFirstIn(name).isDefined)
+      only.forall(_.exists(_.findFirstIn(name).isDefined))
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
