@@ -408,6 +408,32 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Point-in-time join (`AsOfJoin.pointInTime`): each probe fact
+    * (every 7th event, probing the instant BEFORE its own timestamp)
+    * joined to the SCD2 state interval (q16's history) that was
+    * current at that instant — the leakage-free feature-store lookup.
+    * Probing ts-1 makes the first interval of every user a genuine
+    * no-match (null state) and lands same-millisecond state flips on
+    * the zero-width-interval edge, so the half-open `[from, to)`
+    * semantics are exercised, not just the happy path. One key
+    * shuffle (window carry), no interval join. */
+  private def x85(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+    val hist = graft.operators.Cdc.scd2History(
+      ev, "user_id", "event_type", "ts_ms", "event_id")
+    val facts = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"),
+        (col("ts_ms") - 1).as("probe_ts"))
+    graft.operators.AsOfJoin.pointInTime(
+      facts, hist, Seq("user_id"),
+      factTs = col("probe_ts"),
+      validFrom = col("eff_from"), validTo = col("eff_to"),
+      dimCols = Seq(col("event_type").as("state_at"),
+        col("version").as("state_version")),
+      dimTieBreak = Seq(col("version")))
+      .orderBy(col("event_id"))
+  }
+
   /** Snapshot drift report (`Profile.snapshotDrift`): snapshot A drops
     * the 'error' type and every third event, snapshot B drops every
     * fifth — so the diff exercises added, common-with-drift, and both
@@ -1273,6 +1299,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x85_pit_join" -> (x85 _),
     "x84_keep_best" -> (x84 _),
     "x83_drift" -> (x83 _),
     "x82_transitions" -> (x82 _),
@@ -1909,6 +1936,32 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // SCD2 rebuilt with q16's oracle CTE, then a direct half-open
+    // interval join — an independent formulation of the carry
+    "x85_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lag(event_type) OVER w0 AS prev_state,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, ts_ms
+        |  FROM e WHERE rn = 1 OR event_type IS DISTINCT FROM prev_state),
+        |h AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |    event_type, ts_ms AS eff_from, lead(ts_ms) OVER w AS eff_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) - 1 AS probe_ts
+        |  FROM events WHERE event_id % 7 = 0)
+        |SELECT f.event_id, f.user_id, f.probe_ts,
+        |  h.event_type AS state_at, h.version AS state_version
+        |FROM f LEFT JOIN h ON f.user_id = h.user_id
+        |  AND h.eff_from <= f.probe_ts
+        |  AND (h.eff_to IS NULL OR f.probe_ts < h.eff_to)
+        |ORDER BY f.event_id""".stripMargin,
     // same fingerprint rule as x1/x67; survivor = first row ordered by
     // (quality DESC, id ASC) within the fingerprint group
     "x84_keep_best" ->

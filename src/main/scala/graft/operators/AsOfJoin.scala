@@ -54,6 +54,47 @@ object AsOfJoin {
     asOf(left, right, keyCols, leftTs, rightTs, rightCols,
       rightTieBreak, tolerance, forward = true)
 
+  /** Point-in-time join against an SCD2 dimension: for each fact row,
+    * the dimension row whose half-open validity interval
+    * `[validFrom, validTo)` contains the fact timestamp (`validTo`
+    * null = still open). The feature-store lookup that makes training
+    * features leakage-free: a fact only ever sees dimension state that
+    * was current when it happened.
+    *
+    * Within a key the intervals of an SCD2 history partition the
+    * timeline, so the containing interval is exactly the latest row
+    * with `validFrom ≤ factTs` — a backward as-of carry, NOT an
+    * interval join: one shuffle on the key, no range explosion, and a
+    * fact in a coverage gap (after a closed interval, before the next)
+    * is nulled by the `validTo` check after the carry. Zero-width
+    * intervals (`validFrom == validTo`, produced by same-timestamp
+    * state flips) contain nothing and are skipped by the same check
+    * because the carry's tie-break takes the LAST row at equal
+    * `validFrom` — callers must pass a tie-break that sorts the
+    * surviving interval last (an SCD2 `version` column does).
+    *
+    * @param dimCols dimension payload columns as they should appear in
+    *                the output (aliased); `validFrom`/`validTo` are
+    *                referenced separately and may also appear here
+    * @param dimTieBreak ordering among dimension rows at equal
+    *                (key, validFrom); the last one wins — pass the
+    *                SCD2 version column
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      factTs: Column, validFrom: Column, validTo: Column,
+      dimCols: Seq[Column], dimTieBreak: Seq[Column]): DataFrame = {
+    val carried = asOf(facts, dim, keyCols, factTs, validFrom,
+      dimCols :+ validTo.as("__valid_to"), dimTieBreak,
+      tolerance = None, forward = false)
+    val inInterval = col("__valid_to").isNull || factTs < col("__valid_to")
+    val payload = carried.columns.toIndexedSeq
+      .filterNot(_ == "__valid_to")
+      .filterNot(facts.columns.contains)
+    payload.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, when(inInterval, col(c)))
+    }.drop("__valid_to")
+  }
+
   private def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: Column, rightTs: Column, rightCols: Seq[Column],
       rightTieBreak: Seq[Column], tolerance: Option[Column],

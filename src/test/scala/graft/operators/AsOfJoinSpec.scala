@@ -133,4 +133,50 @@ class AsOfDirectionToleranceSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(got === naive)
   }
+
+  // SCD2 history for key A: v1 [10, 20) "a", v2 [20, 20) "b" (zero
+  // width: two changes in the same tick), v3 [20, 40) "c", v4 [40, ∞)
+  // "d"; key B: v1 [5, 8) "x" CLOSED with no successor (a gap).
+  private val pitDim = Seq(
+    ("A", 1L, "a", 10L, Option(20L)), ("A", 2L, "b", 20L, Option(20L)),
+    ("A", 3L, "c", 20L, Option(40L)), ("A", 4L, "d", 40L, None),
+    ("B", 1L, "x", 5L, Option(8L)))
+
+  private def pit(facts: Seq[(Long, String, Long)]) = {
+    val f = facts.toDF("id", "k", "ts")
+    val d = pitDim.toDF("k", "version", "state", "eff_from", "eff_to")
+    AsOfJoin.pointInTime(f, d, Seq("k"), col("ts"),
+      col("eff_from"), col("eff_to"),
+      dimCols = Seq(col("state"), col("version")),
+      dimTieBreak = Seq(col("version")))
+      .select("id", "state", "version")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("pointInTime picks the interval containing the fact") {
+    val got = pit(Seq((1L, "A", 15L), (2L, "A", 39L), (3L, "A", 40L),
+      (4L, "A", 1000L)))
+    assert(got(1L) === ((Some("a"), Some(1L))))
+    assert(got(2L) === ((Some("c"), Some(3L))))
+    assert(got(3L) === ((Some("d"), Some(4L)))) // eff_from inclusive
+    assert(got(4L) === ((Some("d"), Some(4L)))) // open interval
+  }
+
+  test("pointInTime boundaries are half-open and zero-width is skipped") {
+    val got = pit(Seq((1L, "A", 20L), (2L, "A", 19L)))
+    // at ts=20 v1 has expired (eff_to exclusive) and v2 is zero-width:
+    // the containing interval is v3
+    assert(got(1L) === ((Some("c"), Some(3L))))
+    assert(got(2L) === ((Some("a"), Some(1L))))
+  }
+
+  test("pointInTime nulls facts before the history and in gaps") {
+    val got = pit(Seq((1L, "A", 9L), (2L, "B", 9L), (3L, "B", 6L),
+      (4L, "C", 50L)))
+    assert(got(1L) === ((None, None))) // before first interval
+    assert(got(2L) === ((None, None))) // gap after B's closed interval
+    assert(got(3L) === ((Some("x"), Some(1L))))
+    assert(got(4L) === ((None, None))) // key with no history at all
+  }
 }
