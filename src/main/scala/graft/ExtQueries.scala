@@ -434,6 +434,21 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Dup-cluster size profile (`Dedup.clusterSizeProfile`): the QA
+    * histogram over x44's connected-component labeling — groups per
+    * size, docs held, and the keep-one drop count. Oracle re-derives
+    * the labels with the generic transitive-closure CTE and
+    * re-aggregates independently. */
+  private def x86(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val edges = ids
+      .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 7 =!= 3)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    Dedup.clusterSizeProfile(Dedup.components(edges), "group_id")
+      .orderBy(col("group_size"))
+  }
+
   /** Snapshot drift report (`Profile.snapshotDrift`): snapshot A drops
     * the 'error' type and every third event, snapshot B drops every
     * fifth — so the diff exercises added, common-with-drift, and both
@@ -1299,6 +1314,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x86_dup_profile" -> (x86 _),
     "x85_pit_join" -> (x85 _),
     "x84_keep_best" -> (x84 _),
     "x83_drift" -> (x83 _),
@@ -1936,6 +1952,26 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // x44's closure CTE re-aggregated to the size histogram
+    "x86_dup_profile" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+        |  FROM documents d
+        |  WHERE d.doc_id % 10 <> 9 AND d.doc_id % 7 <> 3
+        |    AND EXISTS (SELECT 1 FROM documents x
+        |                WHERE x.doc_id = d.doc_id + 1)),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(node, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a),
+        |labels AS (
+        |  SELECT node, least(node, min(r)) AS g FROM reach GROUP BY node),
+        |sizes AS (SELECT g, count(*) AS sz FROM labels GROUP BY g)
+        |SELECT sz AS group_size, count(*) AS n_groups,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST(sz * count(*) - count(*) AS BIGINT) AS dropped_by_keep_one
+        |FROM sizes GROUP BY sz ORDER BY group_size""".stripMargin,
     // SCD2 rebuilt with q16's oracle CTE, then a direct half-open
     // interval join — an independent formulation of the carry
     "x85_pit_join" ->

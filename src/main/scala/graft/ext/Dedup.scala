@@ -584,4 +584,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     (pairs, hot)
   }
+
+  /** Cluster-size profile of a dedup labeling — the QA report read
+    * after every clustering run: how many groups of each size, how
+    * many docs they hold, and the dedup ratio implied (docs minus
+    * groups = rows a keep-one policy would drop). Input is any
+    * (id, group) labeling (`components` output, exact-dedup
+    * fingerprints, …).
+    *
+    * Two aggregations: per-group sizes shuffle on the group key with
+    * map-side partial counts; the histogram over sizes then shuffles
+    * only |distinct sizes| rows — at 100 TB the second stage is a few
+    * hundred rows no matter the corpus.
+    */
+  def clusterSizeProfile(labels: DataFrame, groupCol: String): DataFrame =
+    labels.groupBy(col(groupCol)).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("group_size") * col("n_groups"))
+      .withColumn("dropped_by_keep_one", col("n_docs") - col("n_groups"))
 }

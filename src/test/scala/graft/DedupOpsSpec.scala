@@ -215,4 +215,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.subsetOf(all.select("doc_a", "doc_b").as[(Long, Long)]
       .collect().toSet))
   }
+
+  test("clusterSizeProfile histograms group sizes with drop accounting") {
+    // groups: {1,2,3} size 3, {10,11} and {20,21} size 2, {30} size 1
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L)).toDF("doc_id", "group_id")
+    val got = Dedup.clusterSizeProfile(labels, "group_id")
+      .orderBy("group_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, 0L), (2L, 2L, 4L, 2L),
+      (3L, 1L, 3L, 2L)))
+  }
 }
