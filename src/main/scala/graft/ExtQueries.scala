@@ -434,6 +434,24 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Semantic decontamination (`Contamination.semanticScreen`): every
+    * corpus vector's nearest benchmark vector (vec_id % 17 split) and
+    * the verdict at tau=0.4 — the embedding-space complement of x38's
+    * verbatim-gram screen. Margins probed at both SFs before trusting
+    * the oracle: argmax top-1/top-2 gap ≥ 6.6e-6, |max_cos − tau| ≥
+    * 1.1e-4, 4 dp rounding-boundary distance ≥ 9.5e-9 — all far above
+    * ~1e-12 engine drift. */
+  private def x87(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Contamination.semanticScreen(
+      emb.filter(col("vec_id") % 17 =!= 0),
+      emb.filter(col("vec_id") % 17 === 0),
+      "vec_id", "embedding", tau = 0.4)
+      .select(col("vec_id"), col("bench_id"),
+        round(col("max_cos"), 4).as("max_cos"), col("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Dup-cluster size profile (`Dedup.clusterSizeProfile`): the QA
     * histogram over x44's connected-component labeling — groups per
     * size, docs held, and the keep-one drop count. Oracle re-derives
@@ -1314,6 +1332,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x87_semantic_screen" -> (x87 _),
     "x86_dup_profile" -> (x86 _),
     "x85_pit_join" -> (x85 _),
     "x84_keep_best" -> (x84 _),
@@ -1952,6 +1971,24 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // the cross-join + row_number formulation the engine deliberately
+    // avoids — an independent derivation of the same argmax
+    "x87_semantic_screen" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 17 = 0),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 17 <> 0),
+        |s AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    list_cosine_similarity(cv, bv) AS cos,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(cv, bv) DESC, b.bench_id) AS rn
+        |  FROM c CROSS JOIN b)
+        |SELECT vec_id, bench_id, round(cos, 4) AS max_cos,
+        |  cos >= 0.4 AS contaminated
+        |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // x44's closure CTE re-aggregated to the size histogram
     "x86_dup_profile" ->
       """WITH RECURSIVE e AS (

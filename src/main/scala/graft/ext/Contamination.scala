@@ -90,6 +90,45 @@ object Contamination {
     *
     * @return one row per document with >= 1 gram:
     *         (id, n_grams, n_matched, containment) */
+  /** Semantic decontamination: every corpus vector's nearest benchmark
+    * vector by cosine, with the `contaminated` verdict at `tau` — the
+    * embedding-space complement of the n-gram screen (paraphrased
+    * benchmark leakage that shares no verbatim grams still sits close
+    * in embedding space).
+    *
+    * 100 TB shape: the benchmark is an eval suite (bounded by
+    * contract, enforced at `maxBench`), collected ONCE and shipped as
+    * a single codegen reference object
+    * ([[graft.functions.Expressions.MaxCosineExpr]]) — the corpus side
+    * is one scan with zero shuffle and zero row expansion, vs the
+    * |corpus|×|bench| intermediate a cross-join formulation would
+    * push through an aggregate. Benchmark rows are scanned in id order
+    * so exact cosine ties resolve to the lowest benchmark id.
+    *
+    * @return corpus frame (id, bench_id, max_cos, contaminated) — one
+    *         row per corpus vector, flag true when max_cos ≥ tau
+    */
+  def semanticScreen(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      maxBench: Int = 65536): DataFrame = {
+    import graft.functions.{Expressions => E}
+    val rows = benchmark.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(maxBench + 1).collect()
+    require(rows.length <= maxBench,
+      s"benchmark side exceeds maxBench=$maxBench — the semantic screen " +
+        "broadcasts the whole benchmark; raise maxBench deliberately or " +
+        "bucket the benchmark first")
+    require(rows.nonEmpty, "benchmark side is empty")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Number](1).map(_.doubleValue).toArray)
+    corpus
+      .withColumn("__m", E.maxCosineAgainst(col(vecCol), ids, vecs))
+      .withColumn("bench_id", col("__m").getField("best_id"))
+      .withColumn("max_cos", col("__m").getField("cos"))
+      .withColumn("contaminated", col("max_cos") >= tau)
+      .drop("__m")
+  }
+
   def containmentScore(docs: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"gram size must be positive, got $n")

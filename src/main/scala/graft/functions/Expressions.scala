@@ -232,6 +232,70 @@ object Expressions {
       nProbe: Int): Column =
     col(NearestCentroidsExpr(ex(vec), centroids, nProbe))
 
+  /** Argmax cosine against a bounded reference matrix: for each input
+    * vector, the id of the reference vector with the highest cosine
+    * (lowest id on exact ties — references are scanned in the id
+    * order the caller sorted them into) and that cosine. One tight
+    * loop per row over a SINGLE codegen reference object (the
+    * [[NearestCentroidsExpr]] pattern): zero shuffle, zero extra
+    * rows, plan size O(1) in the reference count. Reference norms are
+    * precomputed once per executor. */
+  case class MaxCosineExpr(child: Expression, refIds: Array[Long],
+      refVecs: Array[Array[Double]]) extends UnaryExpression {
+    require(refIds.nonEmpty && refIds.length == refVecs.length,
+      s"ids/vecs mismatch: ${refIds.length} vs ${refVecs.length}")
+    override def dataType: DataType = new StructType()
+      .add("best_id", LongType, nullable = false)
+      .add("cos", DoubleType, nullable = false)
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val refNorms: Array[Double] =
+      refVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+
+    def maxCos(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = refVecs(0).length
+      val x = new Array[Double](dim)
+      var i = 0
+      var nx = 0.0
+      while (i < dim) {
+        val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        x(i) = xi
+        nx += xi * xi
+        i += 1
+      }
+      nx = math.sqrt(nx)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var r = 0
+      while (r < refVecs.length) {
+        val rv = refVecs(r)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += x(j) * rv(j); j += 1 }
+        val denom = nx * refNorms(r)
+        val cos = if (denom == 0.0) 0.0 else dot / denom
+        if (cos > bestCos) { bestCos = cos; best = r }
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](refIds(best), bestCos))
+    }
+
+    override def nullSafeEval(input: Any): Any = maxCos(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("maxCosine", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.maxCos($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): MaxCosineExpr =
+      copy(child = c)
+  }
+
+  def maxCosineAgainst(vec: Column, refIds: Array[Long],
+      refVecs: Array[Array[Double]]): Column =
+    col(MaxCosineExpr(ex(vec), refIds, refVecs))
+
   def simhash64(tokenHashes: Column): Column =
     col(SimHash64Expr(ex(tokenHashes)))
 

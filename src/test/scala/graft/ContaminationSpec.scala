@@ -76,4 +76,62 @@ class ContaminationSpec extends SparkSpec {
       n = 2).as[(Long, Long, Long, Double)].head()
     assert(got === ((1L, 2L, 1L, 0.5)))
   }
+
+  test("semanticScreen finds the max-cosine benchmark vector and flags at tau") {
+    val bench = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),   // nearest 10, cos ≈ 0.994 → flagged
+      (2L, Array(0.1f, 0.9f)),   // nearest 20, flagged
+      (3L, Array(1.0f, -1.0f)))  // cos 0.707 / -0.707 → not flagged at 0.9
+      .toDF("vec_id", "embedding")
+    val got = Contamination.semanticScreen(corpus, bench, "vec_id",
+      "embedding", tau = 0.9)
+      .select("vec_id", "bench_id", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10L, true), (2L, 20L, true), (3L, 10L, false)))
+  }
+
+  test("semanticScreen resolves exact cosine ties to the lowest bench id") {
+    // both benchmark vectors identical -> every cosine ties exactly
+    val bench = Seq((7L, Array(1.0, 1.0)), (3L, Array(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Array(2.0, 0.5))).toDF("vec_id", "embedding")
+    val got = Contamination.semanticScreen(corpus, bench, "vec_id",
+      "embedding", tau = 2.0).select("bench_id").as[Long].head()
+    assert(got === 3L)
+  }
+
+  test("semanticScreen matches the brute-force cross join") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val bench = (1L to 9L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val corpus = (100L to 160L).map(i => (i, vec()))
+      .toDF("vec_id", "embedding")
+    val got = Contamination.semanticScreen(corpus, bench, "vec_id",
+      "embedding", tau = 0.5)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toMap
+    val naive = corpus.as("c").crossJoin(bench.as("b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(
+        org.apache.spark.sql.functions.col("c.embedding"),
+        org.apache.spark.sql.functions.col("b.embedding")))
+      .groupBy(org.apache.spark.sql.functions.col("c.vec_id").as("cid"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(col("cos"),
+          (-col("b.vec_id")).as("nid"))).as("m"))
+      .select(col("cid"), (-col("m.nid")).as("bid"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === naive)
+  }
+
+  test("semanticScreen fails loudly past maxBench") {
+    val bench = (1L to 5L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Contamination.semanticScreen(corpus, bench, "vec_id", "embedding",
+        tau = 0.5, maxBench = 4)
+    }
+    assert(e.getMessage.contains("maxBench"))
+  }
 }
