@@ -434,6 +434,21 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Exact heavy hitters (`Scale.heavyHittersExact`): whitespace
+    * tokens above 1/31 corpus share via the Misra-Gries candidate
+    * pass + exact re-count. capacity=30 sits BELOW the corpus vocab,
+    * so the summary genuinely decrements and merges shrink; the
+    * order-dependent extra candidates are culled by the exact integer
+    * threshold, making the result deterministic and oracle-equal to a
+    * full groupBy-HAVING. */
+  private def x88(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(filter(split(col("text"), "\\s+"),
+        tk => tk =!= "")).as("token"))
+    graft.operators.Scale.heavyHittersExact(toks, "token", capacity = 30)
+      .orderBy(col("token"))
+  }
+
   /** Semantic decontamination (`Contamination.semanticScreen`): every
     * corpus vector's nearest benchmark vector (vec_id % 17 split) and
     * the verdict at tau=0.4 — the embedding-space complement of x38's
@@ -1332,6 +1347,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x88_heavy_hitters" -> (x88 _),
     "x87_semantic_screen" -> (x87 _),
     "x86_dup_profile" -> (x86 _),
     "x85_pit_join" -> (x85 _),
@@ -1971,6 +1987,20 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // the full-cardinality groupBy-HAVING the engine's two bounded
+    // passes replace; capacity+1 = 31 baked into both sides
+    "x88_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS t FROM toks)
+        |SELECT token, count(*) AS n_occurrences,
+        |  (SELECT t FROM tot) AS n_total,
+        |  count(*) * 1000000 // (SELECT t FROM tot) AS share_ppm
+        |FROM toks GROUP BY token
+        |HAVING count(*) * 31 > (SELECT t FROM tot)
+        |ORDER BY token""".stripMargin,
     // the cross-join + row_number formulation the engine deliberately
     // avoids — an independent derivation of the same argmax
     "x87_semantic_screen" ->

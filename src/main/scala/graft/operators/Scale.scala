@@ -151,4 +151,50 @@ object Scale {
       .groupBy(col(groupCol), col("p"))
       .agg(min(col(valCol)).as("q"))
   }
+
+  /** EXACT heavy hitters — every item with frequency strictly above
+    * N/(capacity+1) — in two bounded passes, never a full-cardinality
+    * shuffle:
+    *
+    *  1. one scan aggregates a [[graft.functions.MisraGriesAgg]]
+    *     summary (plus the exact total) — O(capacity) state per
+    *     partition, and the MG guarantee makes the surviving items a
+    *     SUPERSET of every true heavy hitter regardless of merge order;
+    *  2. a second scan counts ONLY the ≤ capacity candidates exactly
+    *     (map-side partial aggregation means the shuffle carries at
+    *     most `capacity` keys per partition) and applies the threshold
+    *     with integer arithmetic.
+    *
+    * Order-dependent extra candidates from pass 1 are filtered by the
+    * exact threshold, so the result is deterministic: exactly the
+    * items a full groupBy-count-filter would return, at a fraction of
+    * the shuffle when item cardinality is corpus-sized (URLs, grams,
+    * user agents). Returns (item, n_occurrences, n_total, share_ppm),
+    * all integer-exact.
+    */
+  def heavyHittersExact(items: DataFrame, itemCol: String,
+      capacity: Int): DataFrame = {
+    val first = items.select(
+        GraftSqlBridge.column(graft.functions.MisraGriesAgg(
+          GraftSqlBridge.expression(col(itemCol)), capacity)
+          .toAggregateExpression()).as("cands"),
+        count(col(itemCol)).as("n_total"))
+      .head()
+    val cands = first.getSeq[String](0)
+    val total = first.getLong(1)
+    if (cands.isEmpty) {
+      items.sparkSession.emptyDataFrame
+        .select(lit("").as(itemCol), lit(0L).as("n_occurrences"),
+          lit(0L).as("n_total"), lit(0L).as("share_ppm"))
+        .limit(0)
+    } else {
+      items.filter(col(itemCol).isInCollection(cands))
+        .groupBy(col(itemCol))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") * (capacity + 1) > total)
+        .withColumn("n_total", lit(total))
+        .withColumn("share_ppm",
+          expr(s"n_occurrences * 1000000 div $total"))
+    }
+  }
 }
