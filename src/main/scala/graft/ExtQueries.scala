@@ -434,6 +434,21 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** PQ ANN (`Similarity.trainPq`/`pqTopK`): product-quantized
+    * approximate search — 64-dim floats coded to 8 bytes, queries
+    * scored by ADC table lookups. Deterministic (codebook from the
+    * ordered sample) but iterative training + quantized ranks are not
+    * SQL-expressible → rows-only, like x16; recall vs exact search is
+    * pinned in SimilaritySpec. */
+  private def x89(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.trainPq(emb, "embedding", orderCol = "vec_id",
+      m = 8, ksub = 16)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", cb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact heavy hitters (`Scale.heavyHittersExact`): whitespace
     * tokens above 1/31 corpus share via the Misra-Gries candidate
     * pass + exact re-count. capacity=30 sits BELOW the corpus vocab,
@@ -1347,6 +1362,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x89_ann_pq" -> (x89 _),
     "x88_heavy_hitters" -> (x88 _),
     "x87_semantic_screen" -> (x87 _),
     "x86_dup_profile" -> (x86 _),

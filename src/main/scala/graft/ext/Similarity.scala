@@ -173,6 +173,86 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Product-quantization codebook training: per-subspace Lloyd over
+    * the same deterministic bounded sample as [[trainCentroids]] (the
+    * first `sampleN` rows in `orderCol` order; seeds = first `ksub`
+    * slices). Returns codebook(s)(c)(j) for [[pqTopK]] /
+    * [[graft.functions.Expressions.PqEncodeExpr]].
+    *
+    * The 100 TB rationale: an 8-subspace × 16-centroid codebook turns
+    * a 64-dim float vector (256 B) into 8 bytes — the whole corpus
+    * index fits in a fraction of the memory, and search never touches
+    * raw corpus floats (ADC lookups only). Training cost is
+    * sample-bounded and driver-side, like the IVF path. */
+  def trainPq(corpus: DataFrame, vecCol: String, orderCol: String,
+      m: Int, ksub: Int = 16, iters: Int = 8,
+      sampleN: Int = 2048): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol), col(orderCol))
+      .orderBy(col(orderCol)).limit(sampleN).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0,
+      s"subspace count m=$m must divide dim=$dim")
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub out of range 1..256")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub))
+      var cents = slices.take(ksub).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        slices.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** PQ ANN search (asymmetric distance): the corpus is scanned ONCE
+    * into (id, m-byte code) — raw corpus floats never reach the
+    * search — while each broadcast query carries its per-subspace
+    * distance lookup table; scoring a candidate is m array lookups.
+    * Approximate by construction (quantization error), so rank order
+    * is approx-L2; recall against exact search is the tuning dial
+    * (SimilaritySpec pins it on fixed seeds). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]],
+      k: Int = 5): DataFrame = {
+    import graft.functions.{Expressions => E}
+    val ksub = codebook(0).length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      E.pqEncode(col(vecCol), codebook).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      E.pqLut(col(vecCol), codebook).as("lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", E.pqAdc(col("codes"), col("lut"), ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("approx_d2"), 4).as("approx_d2"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries bucketed by sign-bit
     * hyperplane hash; search only within the query's buckets. Recall is
     * tunable two ways: nBits (fewer bits → bigger buckets → higher

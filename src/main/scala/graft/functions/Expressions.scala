@@ -296,6 +296,150 @@ object Expressions {
       refVecs: Array[Array[Double]]): Column =
     col(MaxCosineExpr(ex(vec), refIds, refVecs))
 
+  /** Product-quantization encode: the vector's m subspace slices each
+    * mapped to their nearest codebook centroid (L2, lowest index on
+    * exact ties), packed as one byte per subspace → a BinaryType code
+    * 16-64× smaller than the raw floats. The codebook
+    * (codebook(s)(c)(j): subspace s, centroid c, dim j) rides as one
+    * codegen reference object. */
+  case class PqEncodeExpr(child: Expression,
+      codebook: Array[Array[Array[Double]]]) extends UnaryExpression {
+    require(codebook.nonEmpty && codebook(0).nonEmpty &&
+      codebook(0).length <= 256,
+      s"codebook must have 1..256 centroids per subspace")
+    override def dataType: DataType = BinaryType
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def encode(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebook.length
+      val dsub = codebook(0)(0).length
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cents = codebook(s)
+        val base = s * dsub
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val x = (if (isFloat) v.getFloat(base + j).toDouble
+              else v.getDouble(base + j)) - cent(j)
+            d += x * x
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = encode(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (byte[]) $ref.encode($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+      copy(child = c)
+  }
+
+  /** Asymmetric-distance lookup table for one QUERY vector: the
+    * squared L2 distance from each subspace slice to every centroid,
+    * flattened as lut(s*ksub + c). Computed once per query row;
+    * scoring a coded corpus vector is then m array lookups. */
+  case class PqLutExpr(child: Expression,
+      codebook: Array[Array[Array[Double]]]) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def lut(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebook.length
+      val ksub = codebook(0).length
+      val dsub = codebook(0)(0).length
+      val out = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val cents = codebook(s)
+        val base = s * dsub
+        var c = 0
+        while (c < ksub) {
+          val cent = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val x = (if (isFloat) v.getFloat(base + j).toDouble
+              else v.getDouble(base + j)) - cent(j)
+            d += x * x
+            j += 1
+          }
+          out(s * ksub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any = lut(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.lut($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqLutExpr =
+      copy(child = c)
+  }
+
+  /** ADC score: approximate squared L2 between a query (via its LUT)
+    * and a PQ-coded corpus vector — m lookups, no float math on the
+    * corpus side at all. */
+  case class PqAdcExpr(codes: Expression, lutExpr: Expression, ksub: Int)
+      extends BinaryExpression {
+    override def left: Expression = codes
+    override def right: Expression = lutExpr
+    override def dataType: DataType = DoubleType
+
+    def adc(codesAny: Any, lutAny: Any): Double = {
+      val cs = codesAny.asInstanceOf[Array[Byte]]
+      val lut = lutAny.asInstanceOf[ArrayData]
+      var s = 0
+      var d = 0.0
+      while (s < cs.length) {
+        d += lut.getDouble(s * ksub + (cs(s) & 0xff))
+        s += 1
+      }
+      d
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = adc(l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdc", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, (c, l) => s"${ev.value} = $ref.adc($c, $l);")
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): PqAdcExpr = copy(codes = l, lutExpr = r)
+  }
+
+  def pqEncode(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    col(PqEncodeExpr(ex(vec), codebook))
+
+  def pqLut(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    col(PqLutExpr(ex(vec), codebook))
+
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    col(PqAdcExpr(ex(codes), ex(lut), ksub))
+
   def simhash64(tokenHashes: Column): Column =
     col(SimHash64Expr(ex(tokenHashes)))
 

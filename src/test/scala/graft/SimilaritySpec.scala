@@ -141,4 +141,101 @@ class SimilaritySpec extends SparkSpec {
     assert(mpCand > spCand,
       s"multi-probe examined $mpCand candidates vs $spCand — expansion inert")
   }
+
+  private def pqData(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    // clustered data (what PQ is built for): 10 anchors + small noise
+    val anchors = Array.fill(10)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    (0 until n).map { i =>
+      val a = anchors(i % 10)
+      (i.toLong, a.map(x => (x + (rnd.nextFloat() - 0.5f) * 0.2f).toFloat))
+    }
+  }
+
+  test("trainPq validates subspace split and sample size") {
+    import spark.implicits._
+    val df = pqData(40, 8, 3).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(df, "embedding", "vec_id", m = 3) // 3 ∤ 8
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(df, "embedding", "vec_id", m = 2, ksub = 64)
+    }
+  }
+
+  test("pq codes are m bytes and centroid vectors round-trip exactly") {
+    import spark.implicits._
+    val df = pqData(60, 8, 5).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPq(df, "embedding", "vec_id", m = 2, ksub = 4)
+    // vectors placed EXACTLY on codebook centroids quantize losslessly:
+    // ADC distance to themselves is 0
+    val cents = (0 until 4).map(c =>
+      (100L + c, (cb(0)(c) ++ cb(1)(c)).map(_.toFloat)))
+    val cdf = cents.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(cdf, cdf, "vec_id", "embedding", cb, k = 1)
+      .select("query_id", "approx_d2").as[(Long, Double)].collect()
+    // each centroid-vector's nearest OTHER point has the exact
+    // centroid-to-centroid squared distance; its own would be 0 —
+    // check the self-exclusion held and distances are nonnegative
+    assert(got.length === 4 && got.forall(_._2 >= 0.0))
+    val codes = cdf.select(graft.functions.Expressions.pqEncode(
+      org.apache.spark.sql.functions.col("embedding"), cb).as("c"))
+      .as[Array[Byte]].collect()
+    assert(codes.forall(_.length === 2))
+    assert(codes.map(_.toSeq).distinct.length === 4) // 4 distinct codes
+  }
+
+  test("pq ADC equals exact distance at zero quantization error") {
+    import spark.implicits._
+    val df = pqData(60, 8, 7).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPq(df, "embedding", "vec_id", m = 2, ksub = 4)
+    val cents = (0 until 4).map(c =>
+      (200L + c, (cb(0)(c) ++ cb(1)(c)).map(_.toFloat)))
+    val exact = for ((ia, va) <- cents; (ib, vb) <- cents if ia != ib)
+      yield ((ia, ib),
+        va.zip(vb).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val adc = Similarity.pqTopK(cents.toDF("vec_id", "embedding"),
+      cents.toDF("vec_id", "embedding"), "vec_id", "embedding", cb, k = 3)
+      .select("query_id", "neighbor_id", "approx_d2")
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact.toMap
+    adc.foreach { case (q, nbr, d) =>
+      assert(math.abs(d - exactMap((q, nbr))) < 1e-3,
+        s"ADC $d vs exact ${exactMap((q, nbr))} for ($q,$nbr)")
+    }
+  }
+
+  test("pq recall@5 on clustered data beats the random-guess floor") {
+    import spark.implicits._
+    val data = pqData(500, 64, 11)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val cb = Similarity.trainPq(df, "embedding", "vec_id", m = 8, ksub = 16)
+    val got = Similarity.pqTopK(df, queries, "vec_id", "embedding", cb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-5 by squared L2, computed locally
+    val vecs = data.toMap
+    val exact = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val recall = (0L until 10L).map(q =>
+      (got(q) intersect exact(q)).size / 5.0).sum / 10.0
+    // PQ's guarantee is coarse: quantization error ~ the intra-cluster
+    // noise scale, so fine ranking WITHIN a cluster is approximate
+    // (measured recall@5 0.2 vs random-guess 0.01) — but the cluster
+    // itself is never missed: inter-anchor distances (~85) dwarf the
+    // quantization error (<1), so every returned neighbor must share
+    // the query's anchor. Both properties pinned.
+    assert(recall >= 0.1, s"recall@5 = $recall below the 0.1 floor")
+    got.foreach { case (q, nbrs) =>
+      assert(nbrs.forall(n => n % 10 == q % 10),
+        s"query $q got cross-cluster neighbors ${nbrs.filter(_ % 10 != q % 10)}")
+    }
+  }
 }
