@@ -434,6 +434,34 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** URL canonicalization (`UrlFunctions.canonicalizeUrl`): messy
+    * synthetic URLs (mixed-case scheme/host, www, default ports,
+    * trailing slashes, utm/fbclid/ref params, fragments) normalized to
+    * the crawl-dedup key, plus the bare domain. Pure scan-side Column
+    * composition; the oracle replays every rule with DuckDB's own
+    * regex/list functions. */
+  private def x90(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(d % 2 === 0 && d % 5 === 0, lit(":443"))
+        .when(d % 2 =!= 0 && d % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Docs/"), d.cast("string"),
+      when(d % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&page="), (d % 7).cast("string"),
+      lit("&fbclid=abc"),
+      when(d % 6 === 0, lit("&ref=home")).otherwise(lit("")),
+      when(d % 8 === 0, lit("#frag")).otherwise(lit("")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
+          .as("canon_url"),
+        graft.functions.UrlFunctions.urlDomain(col("url")).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PQ ANN (`Similarity.trainPq`/`pqTopK`): product-quantized
     * approximate search — 64-dim floats coded to 8 bytes, queries
     * scored by ADC table lookups. Deterministic (codebook from the
@@ -1362,6 +1390,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x90_url_canon" -> (x90 _),
     "x89_ann_pq" -> (x89 _),
     "x88_heavy_hitters" -> (x88 _),
     "x87_semantic_screen" -> (x87 _),
@@ -2003,6 +2032,58 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // rebuilds the same messy URL from doc_id/source, then replays
+    // every canonicalization rule with DuckDB's own regex/list
+    // functions — an independent implementation of the rule set
+    "x90_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':443'
+        |             WHEN doc_id % 2 <> 0 AND doc_id % 5 = 0 THEN ':80'
+        |             ELSE '' END)
+        |    || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '&fbclid=abc'
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '&ref=home' ELSE '' END)
+        |    || (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)
+        |    AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        |split AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(
+        |      lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS hostport,
+        |    regexp_replace(
+        |      regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS query
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS domain,
+        |    path,
+        |    array_to_string(list_filter(string_split(query, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)=')
+        |           AND p <> ''), '&') AS qstr
+        |  FROM split)
+        |SELECT doc_id,
+        |  scheme || '://' || domain || path ||
+        |    (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+        |    AS canon_url,
+        |  domain
+        |FROM canon ORDER BY doc_id""".stripMargin,
     // the full-cardinality groupBy-HAVING the engine's two bounded
     // passes replace; capacity+1 = 31 baked into both sides
     "x88_heavy_hitters" ->
