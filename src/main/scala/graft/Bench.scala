@@ -48,7 +48,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Per-query recorded baseline (seconds at sf0.1, min-of-N) — the
-    * round-5 FINAL v2 91-query table from BASELINE.md, shipped into the harness
+    * round-5 FINAL v2 table plus addenda from BASELINE.md, shipped into the harness
     * so a contended run can adjudicate ITSELF: when a query's best
     * sample exceeds [[AdjudicateFactor]] × its recorded value, the
     * sweep immediately interleaves a calibration probe and buys one
@@ -103,7 +103,10 @@ object Bench {
     "x76_doc_trunc" -> 0.20, "x77_integrity" -> 0.49,
     "x78_cube" -> 0.16, "x79_dp_counts" -> 0.12, "x80_oov" -> 0.35,
     "x81_pipeline" -> 1.46, "x82_transitions" -> 0.29,
-    "x83_drift" -> 0.17,
+    "x83_drift" -> 0.17, "x84_keep_best" -> 0.34, "x85_pit_join" -> 0.43,
+    "x86_dup_profile" -> 0.63, "x87_semantic_screen" -> 0.16,
+    "x88_heavy_hitters" -> 0.29, "x89_ann_pq" -> 0.31,
+    "x90_url_canon" -> 0.17,
     "x7_ann_lsh" -> 0.33, "x8_text_langid" -> 0.5,
     "x9_text_quality" -> 0.27)
 
