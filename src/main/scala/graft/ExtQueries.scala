@@ -462,6 +462,38 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML boilerplate strip (`TextFunctions.stripHtml`): synthetic
+    * crawl pages (head/style/script blocks, comments, entities,
+    * conditional footers) reduced to clean text. The script body
+    * deliberately contains `1 < 2`, a fake `<p>` inside a comment,
+    * and a quoted `</div>` — the block rules must eat them before the
+    * generic tag rule runs. `&amp;amp;` pins the single-decode rule.
+    * Scan-side chained regex; oracle replays every rule with DuckDB
+    * flags ('g','i','s'). */
+  private def x91(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>D"), d.cast("string"),
+      lit("</title><style type=\"text/css\">p { color: #333; }</style>"),
+      when(d % 3 === 0, lit("<script>var x = 1 < 2; // <p>not a tag</p>\n" +
+        "var y = \"</div>\";</script>")).otherwise(lit("")),
+      lit("</head><body><!-- trail: "), d.cast("string"),
+      lit(" --><h1 class=\"t\">Doc &amp;amp; "), d.cast("string"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(d % 4 === 0,
+        lit("<br/><footer>&copy; Example &nbsp;&#39;Site&#39;</footer>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    t(s, dir, "documents").select(d, html.as("html"))
+      .select(d, length(col("html")).cast("long").as("n_html_chars"),
+        graft.functions.TextFunctions.stripHtml(col("html")).as("clean"))
+      .select(d, col("n_html_chars"),
+        length(col("clean")).cast("long").as("n_clean_chars"),
+        md5(col("clean").cast("binary")).as("clean_md5"),
+        substring(col("clean"), 1, 48).as("clean_head"))
+      .orderBy(d)
+  }
+
   /** PQ ANN (`Similarity.trainPq`/`pqTopK`): product-quantized
     * approximate search — 64-dim floats coded to 8 bytes, queries
     * scored by ADC table lookups. Deterministic (codebook from the
@@ -1390,6 +1422,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x91_html_strip" -> (x91 _),
     "x90_url_canon" -> (x90 _),
     "x89_ann_pq" -> (x89 _),
     "x88_heavy_hitters" -> (x88 _),
@@ -2032,6 +2065,46 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // rebuilds the same synthetic page, then replays the strip rules
+    // with DuckDB's regex engine (flags g/i/s); entity decode order
+    // is part of the contract — &amp; decodes LAST (single-decode)
+    "x91_html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style type="text/css">p { color: #333; }</style>'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN
+        |          '<script>var x = 1 < 2; // <p>not a tag</p>' || chr(10)
+        |          || 'var y = "</div>";</script>' ELSE '' END)
+        |    || '</head><body><!-- trail: ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><h1 class="t">Doc &amp;amp; ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text || '</p>'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN
+        |          '<br/><footer>&copy; Example &nbsp;&#39;Site&#39;</footer>'
+        |        ELSE '' END)
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, length(html) AS n_html_chars,
+        |  regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS h FROM raw),
+        |c2 AS (SELECT doc_id, n_html_chars,
+        |  regexp_replace(h, '<script[^>]*>.*?</script\s*>', ' ', 'gis')
+        |  AS h FROM c1),
+        |c3 AS (SELECT doc_id, n_html_chars,
+        |  regexp_replace(h, '<style[^>]*>.*?</style\s*>', ' ', 'gis')
+        |  AS h FROM c2),
+        |c4 AS (SELECT doc_id, n_html_chars,
+        |  regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM c3),
+        |c5 AS (SELECT doc_id, n_html_chars,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    h, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |    '&apos;', chr(39), 'g'), '&amp;', '&', 'g') AS h FROM c4),
+        |clean AS (SELECT doc_id, n_html_chars,
+        |  trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM c5)
+        |SELECT doc_id, n_html_chars, length(clean) AS n_clean_chars,
+        |  md5(clean) AS clean_md5, substr(clean, 1, 48) AS clean_head
+        |FROM clean ORDER BY doc_id""".stripMargin,
     // rebuilds the same messy URL from doc_id/source, then replays
     // every canonicalization rule with DuckDB's own regex/list
     // functions — an independent implementation of the rule set

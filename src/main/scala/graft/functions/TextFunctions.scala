@@ -205,6 +205,37 @@ object TextFunctions {
       })
   }
 
+  /** Entity → replacement pairs for [[stripHtml]], applied in order.
+    * `&amp;` decodes LAST so double-escaped text (`&amp;lt;`) yields
+    * the literal entity, not a second decode pass — the conservative
+    * single-decode rule crawl pipelines use. Mirrored 1:1 by the
+    * DuckDB oracle. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** HTML → text: comments, `<script>`/`<style>` blocks (with their
+    * contents), then all remaining tags are replaced by a space (never
+    * deleted — deletion would weld `…word</p><p>word…` together);
+    * entities decode per [[HtmlEntities]]; whitespace collapses to
+    * single spaces. Pure chained `regexp_replace` — codegen'd,
+    * scan-side, no UDF. Unknown entities (`&copy;`) pass through
+    * unchanged by design: silently guessing decodes corrupts corpora.
+    */
+  def stripHtml(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (ent, rep)) =>
+      regexp_replace(c, ent, rep)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Word n-grams (joined by single spaces), distinct. */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -198,6 +198,37 @@ class HashFunctionsSpec extends SparkSpec {
       .select(H.hamming64(col("a"), col("b"))).as[Long].collect()(0)
     assert(bits === 2) // 101 vs 110
   }
+
+  private def stripped(html: String): String =
+    Seq(html).toDF("h").select(T.stripHtml(col("h"))).as[String]
+      .collect()(0)
+
+  test("stripHtml: tags become spaces, never weld words") {
+    assert(stripped("<p>one</p><p>two</p>") === "one two")
+  }
+
+  test("stripHtml: script/style blocks removed with contents") {
+    assert(stripped("a<script>var x = 1 < 2; \"</div>\"</script>b") === "a b")
+    assert(stripped("a<STYLE>p { color: red }</STYLE>b") === "a b")
+    assert(stripped("a<script src=\"x.js\"></script>b") === "a b")
+  }
+
+  test("stripHtml: comments removed, including fake tags inside") {
+    assert(stripped("x<!-- <p>hidden</p> -->y") === "x y")
+  }
+
+  test("stripHtml: entities decode once, &amp; last") {
+    assert(stripped("&lt;b&gt; &quot;q&quot; &#39;a&#39; &nbsp;z") ===
+      "<b> \"q\" 'a' z")
+    // double-escaped: &amp;lt; -> literal "&lt;", NOT "<"
+    assert(stripped("&amp;lt;") === "&lt;")
+    // unknown entities pass through
+    assert(stripped("&copy; 2026") === "&copy; 2026")
+  }
+
+  test("stripHtml: whitespace collapses and trims") {
+    assert(stripped("  <div>\n  a \t b  </div>\n ") === "a b")
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {
