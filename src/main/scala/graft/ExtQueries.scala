@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Contamination, Dedup, GifDecode, ImageIoDecode, MediaProbe, Mp4Demux, Multimodal, Packing, PixelDecode, Sampling, Similarity}
@@ -440,20 +440,31 @@ object ExtQueries {
     * the crawl-dedup key, plus the bare domain. Pure scan-side Column
     * composition; the oracle replays every rule with DuckDB's own
     * regex/list functions. */
+  /** The synthetic messy URL x90 and x92 derive from (doc_id,
+    * source) — mixed case, www, default ports, tracking params,
+    * fragments. The modulus mix guarantees every rule fires on some
+    * row at sf0.001. `pathId` names the logical page (x90 passes
+    * doc_id — every doc its own page; x92 collapses it for half the
+    * domains so the dup-share rule fires). The canonical-surviving
+    * parts (path id, page param) are functions of pathId ONLY;
+    * everything canonicalization strips varies with doc_id. Mirrored
+    * literally by both oracles. */
+  private def messyUrl(d: Column, pathId: Column): Column = concat(
+    when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+    when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example.COM"),
+    when(d % 2 === 0 && d % 5 === 0, lit(":443"))
+      .when(d % 2 =!= 0 && d % 5 === 0, lit(":80")).otherwise(lit("")),
+    lit("/Docs/"), pathId.cast("string"),
+    when(d % 4 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&page="), (pathId % 7).cast("string"),
+    lit("&fbclid=abc"),
+    when(d % 6 === 0, lit("&ref=home")).otherwise(lit("")),
+    when(d % 8 === 0, lit("#frag")).otherwise(lit("")))
+
   private def x90(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val url = concat(
-      when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
-      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
-      col("source"), lit(".Example.COM"),
-      when(d % 2 === 0 && d % 5 === 0, lit(":443"))
-        .when(d % 2 =!= 0 && d % 5 === 0, lit(":80")).otherwise(lit("")),
-      lit("/Docs/"), d.cast("string"),
-      when(d % 4 === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=feed&page="), (d % 7).cast("string"),
-      lit("&fbclid=abc"),
-      when(d % 6 === 0, lit("&ref=home")).otherwise(lit("")),
-      when(d % 8 === 0, lit("#frag")).otherwise(lit("")))
+    val url = messyUrl(d, d)
     t(s, dir, "documents").select(col("doc_id"), url.as("url"))
       .select(col("doc_id"),
         graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
@@ -492,6 +503,24 @@ object ExtQueries {
         md5(col("clean").cast("binary")).as("clean_md5"),
         substring(col("clean"), 1, 48).as("clean_head"))
       .orderBy(d)
+  }
+
+  /** Domain-level crawl curation (`Crawl.domainStats`): per-domain
+    * doc count, distinct canonical pages, token mass, and the keep
+    * rule (mean tokens/doc >= 53 by integer cross-multiply, AND
+    * distinct pages > half the docs). Domains src10..src19 serve
+    * every doc under one of five canonical pages (pathId = doc_id %
+    * 50 within a residue class mod 20 hits exactly {0,10,20,30,40})
+    * — the dup rule drops them; src0..src9 split on the token rule.
+    * Integer-exact end to end. */
+  private def x92(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val pathId = when(d % 20 < 10, d).otherwise(d % 50)
+    val docs = t(s, dir, "documents")
+      .select(d, messyUrl(d, pathId).as("url"), col("text"))
+    graft.ext.Crawl.domainStats(docs, col("url"), col("text"),
+        minTokensPerDoc = 53L)
+      .orderBy(col("domain"))
   }
 
   /** PQ ANN (`Similarity.trainPq`/`pqTopK`): product-quantized
@@ -1422,6 +1451,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x92_domain_stats" -> (x92 _),
     "x91_html_strip" -> (x91 _),
     "x90_url_canon" -> (x90 _),
     "x89_ann_pq" -> (x89 _),
@@ -2065,6 +2095,72 @@ object ExtQueries {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     // native quantile_disc vs the counts-then-window formulation;
     // med/mad are exact data elements, dev arithmetic is exact IEEE
+    // same URL replay as x90 (with the page-collapsing pathId), then
+    // the aggregation: counts, distinct canonical pages, token sums,
+    // and the integer cross-multiplied keep rule — all exact
+    "x92_domain_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN doc_id % 20 < 10 THEN doc_id
+        |         ELSE doc_id % 50 END AS pid
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':443'
+        |             WHEN doc_id % 2 <> 0 AND doc_id % 5 = 0 THEN ':80'
+        |             ELSE '' END)
+        |    || '/Docs/' || CAST(pid AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&page=' || CAST(pid % 7 AS VARCHAR)
+        |    || '&fbclid=abc'
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '&ref=home' ELSE '' END)
+        |    || (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)
+        |    AS url
+        |  FROM base),
+        |parts AS (
+        |  SELECT doc_id, text, regexp_replace(url, '#.*$', '') AS u
+        |  FROM raw),
+        |split AS (
+        |  SELECT doc_id, text,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(
+        |      lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS hostport,
+        |    regexp_replace(
+        |      regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS query
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id, text, scheme,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS domain,
+        |    path,
+        |    array_to_string(list_filter(string_split(query, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)=')
+        |           AND p <> ''), '&') AS qstr
+        |  FROM split),
+        |per_doc AS (
+        |  SELECT domain,
+        |    scheme || '://' || domain || path ||
+        |      (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+        |      AS canon_url,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS n_toks
+        |  FROM canon)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT canon_url) AS n_pages,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+        |  (sum(n_toks) >= 53 * count(*)
+        |    AND count(DISTINCT canon_url) * 2 > count(*)) AS kept
+        |FROM per_doc GROUP BY domain ORDER BY domain""".stripMargin,
     // rebuilds the same synthetic page, then replays the strip rules
     // with DuckDB's regex engine (flags g/i/s); entity decode order
     // is part of the contract — &amp; decodes LAST (single-decode)
