@@ -523,6 +523,22 @@ object ExtQueries {
       .orderBy(col("domain"))
   }
 
+  /** Dictionary encoding (`Encoding.topKVocab` + `dictionaryEncode`):
+    * the top-20 frequency-ranked vocabulary (ids 1..20, ties by
+    * token) and every document mapped to its id sequence — OOV id 0
+    * for tokens past the budget (the corpus vocab is larger than 20,
+    * so the OOV path genuinely fires). Output pins the head of each
+    * sequence AND a position-weighted checksum over the whole of it.
+    * Vocab = heap top-k (TakeOrderedAndProject), encode = broadcast
+    * join + one doc-keyed regroup. */
+  private def x93(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.ext.Encoding.topKVocab(docs, "text", vocabSize = 20)
+    graft.ext.Encoding.dictionaryEncode(docs, "doc_id", "text", vocab,
+        headLen = 12)
+      .orderBy(col("doc_id"))
+  }
+
   /** PQ ANN (`Similarity.trainPq`/`pqTopK`): product-quantized
     * approximate search — 64-dim floats coded to 8 bytes, queries
     * scored by ADC table lookups. Deterministic (codebook from the
@@ -1451,6 +1467,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x93_token_ids" -> (x93 _),
     "x92_domain_stats" -> (x92 _),
     "x91_html_strip" -> (x91 _),
     "x90_url_canon" -> (x90 _),
@@ -2098,6 +2115,36 @@ object ExtQueries {
     // same URL replay as x90 (with the page-collapsing pathId), then
     // the aggregation: counts, distinct canonical pages, token sums,
     // and the integer cross-multiplied keep rule — all exact
+    // same \W+ tokenization + 1-based positions as x22's oracle; vocab
+    // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
+    // checksum replays sum(id * pos) over the full sequence
+    "x93_token_ids" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1)
+        |      AS ord0
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS pos
+        |  FROM tok0 WHERE tok <> ''),
+        |vc AS (SELECT tok AS token, count(*) AS n_occ FROM tok GROUP BY 1),
+        |vocab AS (
+        |  SELECT token,
+        |    row_number() OVER (ORDER BY n_occ DESC, token) AS id
+        |  FROM vc QUALIFY id <= 20),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
+        |  FROM tok t LEFT JOIN vocab v ON v.token = t.tok)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  list_slice(list(CAST(tid AS BIGINT) ORDER BY pos), 1, 12)
+        |    AS ids_head,
+        |  CAST(sum(tid * pos) AS BIGINT) AS id_checksum
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x92_domain_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text, source,

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Dictionary encoding for tokenizer-style pipelines: build a bounded,
+  * frequency-ranked vocabulary (ids 1..K, most frequent first) and map
+  * every document to its integer-id sequence — the step that turns a
+  * text corpus into the int arrays a training job actually reads.
+  * Tokens outside the vocabulary map to the reserved OOV id 0, the
+  * convention every real vocab file (word2vec, fastText, BPE ranks)
+  * follows.
+  *
+  * 100 TB shape: the vocabulary is computed with a heap — the token
+  * counts partial-aggregate map-side and `orderBy().limit(K)` plans as
+  * TakeOrderedAndProject, so no global sort ever materializes; the id
+  * assignment window runs single-partition but over exactly K rows
+  * (the vocab budget, ≤1e6 — bounded by contract, not by data). The
+  * encode pass broadcast-joins the exploded token stream against the
+  * K-row vocab (no shuffle on the corpus side) and regroups by
+  * document — ONE wide exchange, keyed by doc id, same shape as
+  * [[LangModel.oovReport]]. Positions ride along and
+  * `array_sort(collect_list(struct(pos, id)))` rebuilds the in-order
+  * id sequence without a per-group sort task.
+  *
+  * Determinism: ties in count break by token (lexicographic), so the
+  * vocab — and therefore every encoded sequence — is a pure function
+  * of the corpus.
+  *
+  * Reference scope: deimos has no text analytics; this extends the
+  * engine for LLM-corpus work (SURVEY.md §2.9).
+  */
+object Encoding {
+
+  /** The top-`vocabSize` tokens by (count desc, token) with dense ids
+    * 1..K. Shared case-folded `\W+` tokenization
+    * ([[TextFunctions.tokens]]).
+    *
+    * @return (id, token, n_occ), id contiguous from 1
+    */
+  def topKVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(vocabSize)
+    // K bounded rows: the unpartitioned window is a K-row single task
+    counts.withColumn("id",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("token")))
+          .cast("long"))
+      .select(col("id"), col("token"), col("n_occ"))
+  }
+
+  /** Encode every document against `vocab` (a [[topKVocab]] frame or
+    * anything with (id, token)): per document, the token count, OOV
+    * count, the first `headLen` ids in token order, and a
+    * position-weighted checksum `sum(id * pos)` (pos 1-based) that
+    * pins the FULL sequence, not just the head. Documents with zero
+    * tokens emit no row (they carry no evidence, same contract as
+    * [[LangModel.bigramNll]]).
+    *
+    * @return (idCol, n_tokens, n_oov, ids_head, id_checksum)
+    */
+  def dictionaryEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, headLen: Int = 12): DataFrame = {
+    require(headLen >= 1, s"headLen must be positive, got $headLen")
+    val ex = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("__pos", "token")))
+    ex.join(broadcast(vocab.select(col("token"), col("id"))),
+        Seq("token"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("id"), lit(0L)).as("__tid"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_sort(collect_list(struct(col("__pos"), col("__tid"))))
+          .as("__seq"),
+        sum(col("__tid") * (col("__pos") + 1L)).as("id_checksum"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        slice(transform(col("__seq"), e => e.getField("__tid")),
+          1, headLen).as("ids_head"),
+        col("id_checksum"))
+  }
+}
