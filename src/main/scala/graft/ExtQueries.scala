@@ -17,12 +17,20 @@ object ExtQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is TIMESTAMP(NANOS) parquet — same read rule as
-      // SparkEntry.t, set here too so each query is self-sufficient
-      // (a filtered Verify run must not depend on some OTHER query
-      // having set the session conf first)
+      // legacy nanos-unit testdata — same read rule as SparkEntry.t,
+      // set here too so each query is self-sufficient (a filtered
+      // Verify run must not depend on some OTHER query having set the
+      // session conf first)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // normalize event time to nanos-since-epoch BIGINT whatever the
+    // parquet unit (current testdata: TIMESTAMP(MICROS); session tz is
+    // UTC everywhere, so this equals the oracle's epoch_ns(ts))
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    else df
   }
 
   private def x1(s: SparkSession, dir: String): DataFrame =
@@ -536,6 +544,10 @@ object ExtQueries {
     val vocab = graft.ext.Encoding.topKVocab(docs, "text", vocabSize = 20)
     graft.ext.Encoding.dictionaryEncode(docs, "doc_id", "text", vocab,
         headLen = 12)
+      // the compare harness hashes flat values — emit the head as a
+      // comma-joined string (the library keeps the typed array)
+      .withColumn("ids_head",
+        array_join(transform(col("ids_head"), _.cast("string")), ","))
       .orderBy(col("doc_id"))
   }
 
@@ -2141,7 +2153,8 @@ object ExtQueries {
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_oov,
-        |  list_slice(list(CAST(tid AS BIGINT) ORDER BY pos), 1, 12)
+        |  array_to_string(
+        |    list_slice(list(CAST(tid AS BIGINT) ORDER BY pos), 1, 12), ',')
         |    AS ids_head,
         |  CAST(sum(tid * pos) AS BIGINT) AS id_checksum
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -27,13 +27,21 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is TIMESTAMP(NANOS) parquet, unreadable by Spark's
-      // vectorized reader as a timestamp; read it as nanos-since-epoch
-      // BIGINT (queries emit epoch millis, so the oracle sees identical
-      // values either way). Set here so it also holds on the driver's
-      // own smoke-check session.
+      // older testdata generations wrote events.ts as TIMESTAMP(NANOS)
+      // parquet, unreadable by Spark's vectorized reader as a timestamp;
+      // this conf reads that unit as nanos-since-epoch BIGINT. Set here
+      // so it also holds on the driver's own smoke-check session.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // the engine's event-time convention is nanos-since-epoch BIGINT
+    // (exact integer arithmetic; no tz ambiguity). Newer testdata
+    // generations write ts as TIMESTAMP(MICROS) — normalize at the scan
+    // (session tz is UTC everywhere, matching the oracle's epoch_ns()).
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    else df
   }
 
   /** Tombstone convention for the events stream. */
