@@ -394,11 +394,22 @@ object Bench {
       s"""{"w":${ms(s.wallSec)},"c":${ms(s.cpuSec)},"g":${ms(s.gcSec)}}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // Error budget: round-5's driver artifact recorded parsed:null
+    // because 22 × 200-char analysis exceptions pushed the contract
+    // line past the driver's ~4 KB tail window. The line carries at
+    // most 8 errors at 80 chars each (~0.8 KB worst case) plus an
+    // overflow count; full messages stay in stderr and the diag file.
     val errStr =
       if (errors.isEmpty) ""
-      else ",\"errors\":" + errors.map { case (k, m) =>
-        "\"" + k + "\":\"" + jstr(m) + "\""
-      }.mkString("{", ",", "}")
+      else {
+        val shown = errors.take(8).map { case (k, m) =>
+          "\"" + k + "\":\"" + jstr(m.take(80)) + "\""
+        }.mkString("{", ",", "}")
+        val more =
+          if (errors.size > 8) s""","more_errors":${errors.size - 8}"""
+          else ""
+        s""","errors":$shown$more"""
+      }
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errStr,"cal_before":${calShort(calBefore)},"cal_after":${calShort(calAfter)},"sf":"$sfDir"}"""
   }
 }

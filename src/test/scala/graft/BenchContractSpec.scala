@@ -46,6 +46,19 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!got.contains('\n'))
   }
 
+  test("mass failure cannot blow the tail window (round-5 regression)") {
+    // round 5's driver artifact recorded parsed:null — 22 × 200-char
+    // analysis exceptions pushed the line past the ~4 KB tail window.
+    // The line inlines at most 8 errors at 80 chars, plus a count.
+    val names = (1 to 30).map(i => f"x${i}%03d_operator_name")
+    val errs = names.map(_ -> ("org.apache.spark.sql.AnalysisException: " +
+      "x" * 180)).toMap
+    val ok = names.map(_ -> 1.2345) ++ (1 to 84).map(i => f"q$i%03d_ok" -> 0.5)
+    val got = line(ok, errs)
+    assert(got.length < 3584, s"line is ${got.length} bytes")
+    assert(got.contains("\"more_errors\":22"), got.takeRight(200))
+  }
+
   test("median: odd, even, empty") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
