@@ -1478,7 +1478,33 @@ object ExtQueries {
       .orderBy(col("rank"))
   }
 
+  /** PageRank (`Graph.pageRank`) over the customer→supplier→nation
+    * trade graph: who-buys-from-whom edges from orders⋈lineitem plus
+    * supplier→nation affiliation edges; nations are dangling (no
+    * out-edges), so the mass-redistribution path genuinely fires.
+    * Fixed 3 iterations, fully deterministic; the oracle unrolls the
+    * identical recurrence as three CTE steps. Ranks emitted rounded to
+    * 9dp on both sides (group-sum reduction order is the only
+    * cross-engine difference, ~1e-15 — margin probed). */
+  private def x94(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val supplier = t(s, dir, "supplier")
+    val trade = orders
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val affil = supplier.select(
+      concat(lit("s"), col("s_suppkey")).as("src"),
+      concat(lit("n"), col("s_nationkey")).as("dst"))
+    graft.operators.Graph.pageRank(trade.union(affil), "src", "dst",
+        iterations = 3)
+      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_pagerank" -> (x94 _),
     "x93_token_ids" -> (x93 _),
     "x92_domain_stats" -> (x92 _),
     "x91_html_strip" -> (x91 _),
@@ -2130,6 +2156,50 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // the identical PageRank recurrence unrolled: r_{k+1}(v) =
+    // (1-d)/N + d*(sum_{u->v} r_k(u)/deg(u) + dangling_k/N); literals
+    // written as the same IEEE ops Spark performs (1.0 - 0.85, double
+    // divisions); only group-sum order differs (~1e-15, under 9dp)
+    "x94_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  UNION
+        |  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) u),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT n AS node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        |dm1 AS (SELECT coalesce(sum(r0.r), 0) AS m FROM r0
+        |  LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT nodes.n AS node,
+        |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c1.c, 0)
+        |    + (SELECT m FROM dm1) / (SELECT n FROM nn)) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.n),
+        |dm2 AS (SELECT coalesce(sum(r1.r), 0) AS m FROM r1
+        |  LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT nodes.n AS node,
+        |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c2.c, 0)
+        |    + (SELECT m FROM dm2) / (SELECT n FROM nn)) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.n),
+        |dm3 AS (SELECT coalesce(sum(r2.r), 0) AS m FROM r2
+        |  LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r2 ON r2.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT nodes.n AS node,
+        |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c3.c, 0)
+        |    + (SELECT m FROM dm3) / (SELECT n FROM nn)) AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.node = nodes.n)
+        |SELECT node, round(r, 9) AS rank_r FROM r3
+        |ORDER BY node""".stripMargin,
     "x93_token_ids" ->
       """WITH tok0 AS (
         |  SELECT doc_id,

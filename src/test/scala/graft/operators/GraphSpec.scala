@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference implementation of the identical formula. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("matches the reference on a dangling chain + hub graph") {
+    // a -> b -> c (c dangling), hub d -> {a,b,c}, e isolated-ish (e -> a)
+    val edges = Seq("a" -> "b", "b" -> "c", "d" -> "a", "d" -> "b",
+      "d" -> "c", "e" -> "a")
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val want = refPageRank(edges, 4)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}") }
+  }
+
+  test("rank mass is conserved and uniform on a cycle") {
+    // pure cycle: every node keeps exactly 1/N at every iteration
+    val edges = (0 until 7).map(i => (s"n$i", s"n${(i + 1) % 7}"))
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iterations = 3)
+      .as[(String, Double)].collect()
+    assert(got.length === 7)
+    got.foreach { case (_, r) => assert(math.abs(r - 1.0 / 7) < 1e-15) }
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("mass conserved with dangling nodes; duplicates edges ignored") {
+    val edges = Seq("a" -> "b", "a" -> "b", "b" -> "c", "x" -> "c")
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iterations = 5)
+      .as[(String, Double)].collect()
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-12)
+    val want = refPageRank(edges, 5)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+  }
+
+  test("materializeEvery cuts lineage without changing the answer") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a")
+    val plain = Graph.pageRank(edges.toDF("s", "t"), "s", "t", 6)
+      .as[(String, Double)].collect().toMap
+    val cut = Graph.pageRank(edges.toDF("s", "t"), "s", "t", 6,
+      materializeEvery = 2).as[(String, Double)].collect().toMap
+    plain.foreach { case (k, v) => assert(math.abs(v - cut(k)) < 1e-15) }
+  }
+
+  test("invalid args rejected") {
+    val e = Seq("a" -> "b").toDF("s", "t")
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "t", 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "t", 1, damping = 1.0) }
+  }
+}
