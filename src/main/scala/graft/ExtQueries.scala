@@ -1503,7 +1503,41 @@ object ExtQueries {
       .orderBy(col("node"))
   }
 
+  /** Hybrid retrieval (`Retrieval.rrfFuse`): three queries, each with a
+    * lexical BM25 top-20 (its own term bag) and a dense cosine top-20
+    * (its embedding, doc_id ≡ vec_id by synthesis), fused by
+    * reciprocal-rank fusion (rrfK=60) into a top-10 per query. Each
+    * RRF contribution is one exact small-integer division and the
+    * two-system sum is a single commutative add, so scores are
+    * bit-identical cross-engine; the component rankings' margins are
+    * probed (adjacent BM25 score gaps ≫ ln's ulp noise; cosine ranks
+    * validated by x6). */
+  private def x95(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val emb = t(s, dir, "embeddings")
+    val termSets = Seq(
+      0L -> Seq("spark", "vector", "merge"),
+      1L -> Seq("join", "filter", "scan"),
+      2L -> Seq("batch", "window", "stream"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = termSets.map { case (qid, terms) =>
+      graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+    }.reduce(_ unionAll _)
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.ext.Retrieval.rrfFuse(Seq(lex, sem), "query_id", "doc_id", "rank",
+        rrfK = 60, topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf_score"), 9).as("score_r"), col("n_systems"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x95_hybrid_rrf" -> (x95 _),
     "x94_pagerank" -> (x94 _),
     "x93_token_ids" -> (x93 _),
     "x92_domain_stats" -> (x92 _),
@@ -2156,6 +2190,93 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // three x49-style BM25 rankings (one term bag per query) + the x6
+    // cosine ranking, fused by sum(1.0/(60+rank)) — each contribution
+    // an exact small-integer division, two-system sums commutative
+    "x95_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark'))  AS tf00,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf01,
+        |    len(list_filter(toks, x -> x = 'merge'))  AS tf02,
+        |    len(list_filter(toks, x -> x = 'join'))   AS tf10,
+        |    len(list_filter(toks, x -> x = 'filter')) AS tf11,
+        |    len(list_filter(toks, x -> x = 'scan'))   AS tf12,
+        |    len(list_filter(toks, x -> x = 'batch'))  AS tf20,
+        |    len(list_filter(toks, x -> x = 'window')) AS tf21,
+        |    len(list_filter(toks, x -> x = 'stream')) AS tf22 FROM t),
+        |s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf00 > 0 THEN 1 ELSE 0 END) AS df00,
+        |    sum(CASE WHEN tf01 > 0 THEN 1 ELSE 0 END) AS df01,
+        |    sum(CASE WHEN tf02 > 0 THEN 1 ELSE 0 END) AS df02,
+        |    sum(CASE WHEN tf10 > 0 THEN 1 ELSE 0 END) AS df10,
+        |    sum(CASE WHEN tf11 > 0 THEN 1 ELSE 0 END) AS df11,
+        |    sum(CASE WHEN tf12 > 0 THEN 1 ELSE 0 END) AS df12,
+        |    sum(CASE WHEN tf20 > 0 THEN 1 ELSE 0 END) AS df20,
+        |    sum(CASE WHEN tf21 > 0 THEN 1 ELSE 0 END) AS df21,
+        |    sum(CASE WHEN tf22 > 0 THEN 1 ELSE 0 END) AS df22 FROM d),
+        |sc0 AS (SELECT doc_id,
+        |    ln(1 + ((n - df00) + 0.5) / (df00 + 0.5)) * (tf00 * 2.2)
+        |      / (tf00 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df01) + 0.5) / (df01 + 0.5)) * (tf01 * 2.2)
+        |      / (tf01 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df02) + 0.5) / (df02 + 0.5)) * (tf02 * 2.2)
+        |      / (tf02 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score
+        |  FROM d, s WHERE tf00 > 0 OR tf01 > 0 OR tf02 > 0),
+        |sc1 AS (SELECT doc_id,
+        |    ln(1 + ((n - df10) + 0.5) / (df10 + 0.5)) * (tf10 * 2.2)
+        |      / (tf10 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df11) + 0.5) / (df11 + 0.5)) * (tf11 * 2.2)
+        |      / (tf11 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df12) + 0.5) / (df12 + 0.5)) * (tf12 * 2.2)
+        |      / (tf12 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score
+        |  FROM d, s WHERE tf10 > 0 OR tf11 > 0 OR tf12 > 0),
+        |sc2 AS (SELECT doc_id,
+        |    ln(1 + ((n - df20) + 0.5) / (df20 + 0.5)) * (tf20 * 2.2)
+        |      / (tf20 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df21) + 0.5) / (df21 + 0.5)) * (tf21 * 2.2)
+        |      / (tf21 + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |  + ln(1 + ((n - df22) + 0.5) / (df22 + 0.5)) * (tf22 * 2.2)
+        |      / (tf22 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score
+        |  FROM d, s WHERE tf20 > 0 OR tf21 > 0 OR tf22 > 0),
+        |l0 AS (SELECT 0 AS query_id, doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT * FROM sc0 ORDER BY score DESC, doc_id LIMIT 20)),
+        |l1 AS (SELECT 1 AS query_id, doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT * FROM sc1 ORDER BY score DESC, doc_id LIMIT 20)),
+        |l2 AS (SELECT 2 AS query_id, doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT * FROM sc2 ORDER BY score DESC, doc_id LIMIT 20)),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |semr AS (SELECT query_id, neighbor_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+        |      AS rank
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |u AS (SELECT query_id, doc_id, rank FROM l0
+        |  UNION ALL SELECT query_id, doc_id, rank FROM l1
+        |  UNION ALL SELECT query_id, doc_id, rank FROM l2
+        |  UNION ALL SELECT query_id, doc_id, rank FROM semr WHERE rank <= 20),
+        |f AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS score,
+        |    count(*) AS n_systems
+        |  FROM u GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank,
+        |    score, n_systems FROM f)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rank AS BIGINT) AS rank, round(score, 9) AS score_r,
+        |  CAST(n_systems AS BIGINT) AS n_systems
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // the identical PageRank recurrence unrolled: r_{k+1}(v) =
     // (1-d)/N + d*(sum_{u->v} r_k(u)/deg(u) + dangling_k/N); literals
     // written as the same IEEE ops Spark performs (1.0 - 0.85, double

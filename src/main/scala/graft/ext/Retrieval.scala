@@ -91,4 +91,51 @@ object Retrieval {
     bm25(df, idCol, textCol, terms, k1, b)
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
+
+  /** Reciprocal-rank fusion: merge ranked lists from heterogeneous
+    * retrievers (lexical BM25 next to a dense ANN index — the standard
+    * hybrid-retrieval combiner) into one ranking per query:
+    * `score(d) = Σ_systems 1/(rrfK + rank_s(d))` (Cormack et al.'s
+    * RRF), ties broken by document id.
+    *
+    * 100 TB shape: the inputs are already top-k frames — each upstream
+    * retriever reduced the corpus to k rows per query — so the fusion
+    * works on query-keyed slivers: one union, one (query, doc) group
+    * (partial-aggregated map-side), one per-query k-row window. The
+    * heavy lifting stays in the retrievers; fusion never touches the
+    * corpus.
+    *
+    * Determinism: each contribution `1/(rrfK + rank)` is one exact
+    * IEEE division of small integers; with two systems the sum is a
+    * single commutative add, bit-identical in any engine. Exact score
+    * ties (identical rank multisets) break by doc id. (With >2 systems
+    * the reduction order can differ in the last ulp across engines;
+    * round the emitted score when oracle-comparing such fusions.)
+    *
+    * @param rankings frames each carrying (queryCol, docCol, rankCol),
+    *                 rank 1-based within its system
+    * @return (query_id, doc_id, rank, rrf_score, n_systems) — the
+    *         fused top `topK` per query, rank re-assigned 1..topK
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val shaped = rankings.map(_.select(
+      col(queryCol).cast("long").as("query_id"),
+      col(docCol).cast("long").as("doc_id"),
+      col(rankCol).cast("long").as("__rank")))
+    val fused = shaped.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(lit(1.0) / (lit(rrfK.toLong) + col("__rank"))).as("rrf_score"),
+        count(lit(1)).as("n_systems"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("rrf_score"), col("n_systems"))
+  }
 }

@@ -81,6 +81,41 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25(corpus, "doc_id", "text", Seq("a"), b = 1.5) }
   }
 
+  test("rrf fusion matches the hand computation, ranks and ties included") {
+    // system A ranks: q0 -> d1(1), d2(2), d3(3); system B: d2(1), d4(2)
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("q", "d", "r")
+    val b = Seq((0L, 2L, 1L), (0L, 4L, 2L)).toDF("q", "d", "r")
+    val got = Retrieval.rrfFuse(Seq(a, b), "q", "d", "r", rrfK = 60, topK = 10)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+    // d2 in both: 1/62 + 1/61; d1: 1/61; d4: 1/62; d3: 1/63
+    assert(math.abs(got(2L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(got(2L)._1 === 1L && got(2L)._3 === 2L)
+    assert(got(1L)._1 === 2L && math.abs(got(1L)._2 - 1.0 / 61) < 1e-15)
+    assert(got(4L)._1 === 3L)
+    assert(got(3L)._1 === 4L)
+    // exact tie (same single rank in one system each) breaks by doc id
+    val t1 = Seq((1L, 7L, 5L)).toDF("q", "d", "r")
+    val t2 = Seq((1L, 3L, 5L)).toDF("q", "d", "r")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), "q", "d", "r")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._3)
+    assert(tied.map(_._2).toSeq === Seq(3L, 7L))
+  }
+
+  test("rrf fusion: topK truncates per query; invalid args rejected") {
+    val a = (1L to 5L).map(d => (0L, d, d)).toDF("q", "d", "r")
+    val got = Retrieval.rrfFuse(Seq(a), "q", "d", "r", topK = 2)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.length === 2 && got.map(_._2).sorted.toSeq === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, "q", "d", "r") }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a), "q", "d", "r", rrfK = -1) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a), "q", "d", "r", topK = 0) }
+  }
+
   test("plan: broadcast stats join, no wide exchange, top-k via heap") {
     // spark.range input: a LocalRelation corpus lets Catalyst fold the
     // match filter into the scan and drop the limit (maxRows <= k),
