@@ -1536,7 +1536,29 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DSIR importance reweighting (`ImportanceSampling.dsirLogWeights`):
+    * hashed unigram+bigram log-ratio weights against the src0 slice as
+    * the target distribution, rounded to 6dp, with a keep rule at the
+    * exact discrete median of the ROUNDED weights (both engines
+    * threshold on identical values — the x73 quantile_disc pairing).
+    * Margins probed: per-doc sums differ cross-engine by ln-ulp ×
+    * reduction order (~1e-14) vs the 5e-7 rounding grid. */
+  private def x96(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.ext.ImportanceSampling.dsirLogWeights(docs, "doc_id",
+        "text", col("source") === "src0", buckets = 1024)
+      .withColumn("logw_r", round(col("logw"), 6))
+    val med = graft.operators.Scale.discreteQuantiles(
+        w.withColumn("__g", lit(1L)), "__g", "logw_r", Seq(0.5))
+      .select(col("q").as("__med"))
+    w.crossJoin(broadcast(med))
+      .select(col("doc_id"), col("n_feats"), col("logw_r"),
+        (col("logw_r") >= col("__med")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x96_dsir_weights" -> (x96 _),
     "x95_hybrid_rrf" -> (x95 _),
     "x94_pagerank" -> (x94 _),
     "x93_token_ids" -> (x93 _),
@@ -2190,6 +2212,40 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // hashed-bucket counts via the same md5 hex-prefix arithmetic as
+    // x45; smoothing and divisions written as the identical IEEE ops;
+    // keep threshold = native quantile_disc on the ROUNDED weights
+    "x96_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(toks) AS g FROM t),
+        |bi AS (SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT) + 1] AS g
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |feats AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |cnt AS (SELECT b,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+        |    count(*) AS sc
+        |  FROM feats GROUP BY b),
+        |tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM cnt),
+        |lr AS (SELECT b,
+        |    ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+        |  - ln(CAST(sc + 1 AS DOUBLE) / CAST(st + 1024 AS DOUBLE)) AS logr
+        |  FROM cnt, tot),
+        |pw AS (SELECT f.doc_id, count(*) AS n_feats, sum(lr.logr) AS logw
+        |  FROM feats f JOIN lr ON lr.b = f.b GROUP BY f.doc_id),
+        |r AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |    round(logw, 6) AS logw_r FROM pw),
+        |m AS (SELECT quantile_disc(logw_r, 0.5) AS med FROM r)
+        |SELECT doc_id, n_feats, logw_r,
+        |  logw_r >= (SELECT med FROM m) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // three x49-style BM25 rankings (one term bag per query) + the x6
     // cosine ranking, fused by sum(1.0/(60+rank)) — each contribution
     // an exact small-integer division, two-system sums commutative
