@@ -1557,7 +1557,34 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Maximal duplicated-substring extents (`Dedup.duplicateExtents`,
+    * ExactSubstr geometry): the corpus plus a re-keyed 60%-prefix copy
+    * of every even doc (unique tail tokens), so each even doc and its
+    * copy carry a genuine shared run; extents are the merged stride-1
+    * duplicated 8-token windows. Prefix length is exact integer
+    * arithmetic (n*3 DIV 5) mirrored by the oracle; the operator
+    * fingerprints windows (xxhash64) while the oracle groups the
+    * literal window text — identical results absent a 64-bit
+    * collision, the x26 discipline. */
+  private def x97(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withToks = base.filter(col("doc_id") % 2 === 0)
+      .withColumn("__toks", filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .withColumn("__keep", expr("size(__toks) * 3 DIV 5").cast("int"))
+      .filter(col("__keep") >= 1)
+    val copies = withToks.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ",
+        array_join(slice(col("__toks"), lit(1), col("__keep")), " "),
+        concat(lit("zz"), col("doc_id").cast("string")),
+        concat(lit("ww"), col("doc_id").cast("string"))).as("text"))
+    Dedup.duplicateExtents(base.unionByName(copies), "doc_id", "text",
+        spanTokens = 8)
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_dup_extents" -> (x97 _),
     "x96_dsir_weights" -> (x96 _),
     "x95_hybrid_rrf" -> (x95 _),
     "x94_pagerank" -> (x94 _),
@@ -2212,6 +2239,40 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // same synthetic prefix-copy corpus (integer DIV prefix length),
+    // then the extent geometry on literal window text: dup windows =
+    // count>1 groups, islands split where the position gap exceeds k
+    "x97_dup_extents" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM b WHERE doc_id % 2 = 0),
+        |cp AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(toks, 1, (len(toks) * 3) // 5), ' ')
+        |      || ' zz' || CAST(doc_id AS VARCHAR)
+        |      || ' ww' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM tk WHERE (len(toks) * 3) // 5 >= 1),
+        |corpus AS (SELECT * FROM b UNION ALL SELECT * FROM cp),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM corpus),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(toks, CAST(i AS BIGINT) + 1,
+        |      CAST(i AS BIGINT) + 8), ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, len(toks) - 8)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |f AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+        |d AS (SELECT doc_id, pos FROM w JOIN f USING (g)),
+        |i AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      > 8 THEN 1 ELSE 0 END AS gap FROM d),
+        |sgrp AS (SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM i)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM sgrp GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_tok""".stripMargin,
     // hashed-bucket counts via the same md5 hex-prefix arithmetic as
     // x45; smoothing and divisions written as the identical IEEE ops;
     // keep threshold = native quantile_disc on the ROUNDED weights

@@ -504,6 +504,57 @@ object Dedup {
           s => s.getField("span_text")), " "), lit("")).as("out_text"))
   }
 
+  /** Maximal duplicated-substring extents (ExactSubstr-style, Lee et
+    * al. 2022, arXiv:2107.06499 — reference geometry; the suffix-array
+    * construction is replaced by stride-1 window fingerprints, exact
+    * for extents built from length-`spanTokens` repeats): every
+    * position whose k-token window occurs more than once corpus-wide
+    * is "duplicated"; per document, consecutive duplicated positions
+    * (gap ≤ k) merge into maximal extents `[start_tok, end_tok)` — the
+    * cut list an ExactSubstr pass hands the cleaning stage, where x75
+    * ([[firstOccurrenceSpans]]) removes fixed non-overlapping blocks.
+    *
+    * 100 TB shape: window text never crosses a shuffle — occurrences
+    * reduce to (doc, pos, 64-bit window hash), the frequency aggregate
+    * and re-join key on the hash (8-byte keys, partial map-side
+    * combine), and the extent merge is one doc-keyed window pass
+    * (lag → running group id → group) — three exchanges total, the
+    * x26 shape. The stride-1 explode is the method's inherent cost
+    * (one row per token position, same as the suffix array it
+    * replaces).
+    *
+    * @return (idCol, start_tok, end_tok, n_windows) — one row per
+    *         maximal extent; documents with no duplicated full-length
+    *         window emit nothing
+    */
+  def duplicateExtents(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
+    val occ = Chunking.tokenWindows(docs, col(idCol), col(textCol),
+        chunkSize = spanTokens, overlap = spanTokens - 1)
+      .filter(col("chunk_tokens") === spanTokens.toLong) // full windows only
+      .select(col(idCol), col("start_tok").as("__pos"),
+        xxhash64(col("chunk_text")).as("__h"))
+    val dupHashes = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1L)
+      .select(col("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    occ.join(dupHashes, Seq("__h"))
+      // new extent when the previous duplicated position can't reach
+      // this one: prev covers [prev, prev+k), so gap > k splits
+      .withColumn("__gap",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) > spanTokens.toLong,
+          1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__gap")).over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).as("start_tok"),
+        (max(col("__pos")) + spanTokens.toLong).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
   /** Corpus-level boilerplate line removal (CCNet/C4-style): drop
     * lines that appear in more than `maxDocFreq` DISTINCT documents
     * (navigation chrome, cookie banners, footers), rebuild each
