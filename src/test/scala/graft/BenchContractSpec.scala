@@ -16,24 +16,26 @@ class BenchContractSpec extends AnyFunSuite {
     Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
       errors, calPair, calPair, "/root/testdata/sf0.1")
 
-  test("contract line stays under 3 KB at 110 queries with no errors") {
+  test("contract line stays under 3.7 KB at 130 queries with no errors") {
     // synthetic names at the REAL surface's average length (the live
     // names average ~14 chars; the longest is 22)
     // 18-char synthetic names run LONGER than the real average — a
-    // conservative bound: 110 such queries still leave ~0.9 KB of the
-    // driver's ~4 KB tail window
-    val names = (1 to 110).map(i => f"x${i}%03d_operator_name")
+    // conservative bound: 130 such queries still leave ~0.4 KB of the
+    // driver's ~4 KB tail window. The NEXT growth step past ~130
+    // queries needs an actual shrink (shorter names or a split line),
+    // not another pin bump.
+    val names = (1 to 130).map(i => f"x${i}%03d_operator_name")
     val results = names.map(_ -> 1.2345)
     val got = line(results, Map.empty)
-    assert(got.length < 3200, s"line is ${got.length} bytes")
+    assert(got.length < 3712, s"line is ${got.length} bytes")
     assert(!got.contains("\"errors\""),
       "empty errors map must be omitted entirely")
     assert(got.startsWith("{\"metric\":\"total\""))
-    // and the REAL surface today (104 queries ≈ 2.5 KB), at full name
-    // length, keeps at least ~12 queries of headroom under this pin
-    // and ~1.2 KB inside the driver's ~4 KB tail window
+    // and the REAL surface today (118 queries ≈ 2.9 KB), at full name
+    // length, keeps ~8 queries of headroom under this pin and ~1 KB
+    // inside the driver's ~4 KB tail window
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
-    assert(line(real, Map.empty).length < 2816,
+    assert(line(real, Map.empty).length < 3072,
       s"real surface line is ${line(real, Map.empty).length} bytes")
   }
 
