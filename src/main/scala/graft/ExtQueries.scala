@@ -1583,7 +1583,23 @@ object ExtQueries {
       .orderBy(col("doc_id"), col("start_tok"))
   }
 
+  /** Temperature-scaled mixture recipe (`Sampling.temperatureWeights`):
+    * per-source token mass to `T^0.7` sampling rates — the
+    * multilingual rebalancing rule, emitted as the recipe frame x53's
+    * mixtureSample consumes. Mass is an exact integer sum; weight and
+    * rate are rounded (6/9 dp) with grid margins probed against libm
+    * pow's last-ulp cross-engine disagreement. */
+  private def x98(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(
+      t(s, dir, "documents"), col("source"),
+      T.wsTokenCount(col("text")), alpha = 0.7)
+      .select(col("group").as("source"), col("n_rows").as("n_docs"),
+        col("mass").as("n_tokens"), round(col("weight"), 6).as("weight_r"),
+        round(col("rate"), 9).as("rate_r"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x98_temperature_mix" -> (x98 _),
     "x97_dup_extents" -> (x97 _),
     "x96_dsir_weights" -> (x96 _),
     "x95_hybrid_rrf" -> (x95 _),
@@ -2239,6 +2255,22 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // exact integer token mass per source, then pow/divide written as
+    // the identical IEEE ops; emitted values rounded, margins probed
+    "x98_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    pow(CAST(n_tokens AS DOUBLE), 0.7) AS weight FROM per),
+        |t AS (SELECT sum(weight) AS tw FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(weight, 6) AS weight_r,
+        |  round(weight / (SELECT tw FROM t), 9) AS rate_r
+        |FROM w ORDER BY source""".stripMargin,
     // same synthetic prefix-copy corpus (integer DIV prefix length),
     // then the extent geometry on literal window text: dup windows =
     // count>1 groups, islands split where the position gap exceeds k

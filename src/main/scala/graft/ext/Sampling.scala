@@ -178,4 +178,38 @@ object Sampling {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Temperature-scaled mixture weights over domains — the standard
+    * multilingual/multi-domain rebalancing rule (mBERT/XLM-R's
+    * `p^alpha` sampling, and the starting point DoReMi-style methods
+    * iterate from): a domain with token mass `T_d` samples at rate
+    * `T_d^alpha / Σ_d T_d^alpha`. `alpha = 1` reproduces natural
+    * proportions; lower alpha flattens toward uniform, upweighting
+    * low-resource domains.
+    *
+    * 100 TB shape: one group aggregate (domain-count keys, partial
+    * map-side combine) and a one-row total broadcast — the output is a
+    * RECIPE frame (one row per domain) that feeds [[mixtureSample]]'s
+    * per-group rates; nothing here scales with corpus size.
+    *
+    * Determinism: mass is an exact integer sum; `pow`/division are the
+    * only float ops. Cross-engine, libm `pow` can differ in the last
+    * ulp — round emitted weights and probe grid margins when hashing a
+    * differential (the x98 discipline).
+    *
+    * @param massExpr per-row mass (e.g. a token count) — summed
+    *                 exactly per group
+    * @return (group, n_rows, mass, weight, rate), one row per group
+    */
+  def temperatureWeights(df: DataFrame, groupCol: Column, massExpr: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val per = df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n_rows"), sum(massExpr).as("mass"))
+      .withColumn("weight", pow(col("mass").cast("double"), lit(alpha)))
+    val tot = per.agg(sum(col("weight")).as("__tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("group"), col("n_rows"), col("mass"), col("weight"),
+        (col("weight") / col("__tw")).as("rate"))
+  }
 }
