@@ -1598,7 +1598,33 @@ object ExtQueries {
         round(col("rate"), 9).as("rate_r"))
       .orderBy(col("source"))
 
+  /** Mutual-best entity matching (`FuzzyJoin.mutualBestMatch`): noisy
+    * probes (each doc's first token, last char replaced by 'q') linked
+    * one-to-one against the corpus vocabulary — many probes contest
+    * the same word, and only the pair BOTH sides rank first survives
+    * (ties by value then id, replayed exactly by the oracle). Blocking
+    * (2-char prefix + length band) is part of the contract and is
+    * mirrored in the oracle's candidate join. */
+  private def x99(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val firstTok = element_at(T.tokens(col("text")), 1)
+    val lefts = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), firstTok.as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(col("doc_id"),
+        concat(expr("substring(__w, 1, length(__w) - 1)"), lit("q"))
+          .as("noisy"))
+    val vocab = docs.select(explode(T.tokens(col("text"))).as("word"))
+      .distinct()
+    graft.ext.FuzzyJoin.mutualBestMatch(lefts, "doc_id", "noisy",
+        vocab, "word", "word", maxDist = 2)
+      .select(col("left_id").as("doc_id"), col("left_val").as("noisy"),
+        col("right_val").as("matched"), col("dist").cast("long").as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_entity_match" -> (x99 _),
     "x98_temperature_mix" -> (x98 _),
     "x97_dup_extents" -> (x97 _),
     "x96_dsir_weights" -> (x96 _),
@@ -2255,6 +2281,33 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // same perturbation, the same blocking predicate in the candidate
+    // join, and both best-of windows replayed with identical tie-break
+    // order — DuckDB's native levenshtein is the independent verifier
+    "x99_entity_match" ->
+      """WITH v AS (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(text), '\W+'))
+        |    AS word FROM documents),
+        |v2 AS (SELECT word FROM v WHERE word <> ''),
+        |l0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '')[1] AS w
+        |  FROM documents WHERE doc_id < 200),
+        |l AS (SELECT doc_id, substr(w, 1, len(w) - 1) || 'q' AS noisy
+        |  FROM l0 WHERE len(w) >= 2),
+        |cand AS (SELECT l.doc_id, l.noisy, v2.word,
+        |    levenshtein(l.noisy, v2.word) AS dist
+        |  FROM l JOIN v2
+        |    ON substr(lower(l.noisy), 1, 2) = substr(lower(v2.word), 1, 2)
+        |    AND len(l.noisy) // 4 = len(v2.word) // 4
+        |  WHERE levenshtein(l.noisy, v2.word) <= 2),
+        |rl AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY dist, word) AS rl FROM cand),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY word
+        |    ORDER BY dist, noisy, doc_id) AS rr FROM rl)
+        |SELECT doc_id, noisy, word AS matched, CAST(dist AS BIGINT) AS dist
+        |FROM rr WHERE rl = 1 AND rr = 1
+        |ORDER BY doc_id""".stripMargin,
     // exact integer token mass per source, then pow/divide written as
     // the identical IEEE ops; emitted values rounded, margins probed
     "x98_temperature_mix" ->

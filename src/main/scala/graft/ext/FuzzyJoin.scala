@@ -60,4 +60,61 @@ object FuzzyJoin {
       .filter(col("rank") <= k)
       .drop("__bp", "__bb")
   }
+
+  /** Mutual-best entity matching between two record sets — the linkage
+    * step after blocking: a (left, right) pair is emitted iff each side
+    * is the OTHER's single best candidate (minimum edit distance, ties
+    * broken lexicographically then by id). One round of stable
+    * matching: deterministic, one-to-one by construction, and exactly
+    * what record-linkage pipelines run to merge two noisy catalogs —
+    * a left that several rights prefer keeps only its own best, a
+    * right contested by several lefts goes to the one it prefers.
+    *
+    * Same blocking contract as [[lookup]] (shared first-`prefixLen`
+    * chars + length band): candidates never go all-pairs; pairs whose
+    * edit crosses the block boundary are missed by design.
+    *
+    * 100 TB shape: both sides can be large — the candidate generation
+    * is an equi-join on the block key (AQE picks broadcast when one
+    * side is small), the threshold `levenshtein` early-exits inside
+    * the join, and the two best-of windows are key-partitioned
+    * shuffles of the ALREADY-thresholded candidate frame, not of
+    * either input.
+    *
+    * @return (left_id, left_val, right_id, right_val, dist), at most
+    *         one row per left_id and per right_id
+    */
+  def mutualBestMatch(left: DataFrame, leftId: String, leftCol: String,
+      right: DataFrame, rightId: String, rightCol: String,
+      maxDist: Int = 2, prefixLen: Int = 2, lenBand: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(lenBand >= 1, s"lenBand must be positive, got $lenBand")
+    def blockPrefix(c: org.apache.spark.sql.Column) =
+      substring(lower(c), 1, prefixLen)
+    def blockBand(c: org.apache.spark.sql.Column) =
+      floor(length(c) / lenBand).cast("long")
+    val l = left.select(col(leftId).as("left_id"), col(leftCol).as("left_val"))
+      .withColumn("__bp", blockPrefix(col("left_val")))
+      .withColumn("__bb", blockBand(col("left_val")))
+    val r = right.select(col(rightId).as("right_id"),
+        col(rightCol).as("right_val"))
+      .withColumn("__bp", blockPrefix(col("right_val")))
+      .withColumn("__bb", blockBand(col("right_val")))
+    val cand = l.join(r, Seq("__bp", "__bb"))
+      .withColumn("dist",
+        levenshtein(col("left_val"), col("right_val"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("left_id"), col("left_val"), col("right_id"),
+        col("right_val"), col("dist"))
+    val wl = Window.partitionBy(col("left_id"))
+      .orderBy(col("dist"), col("right_val"), col("right_id"))
+    val wr = Window.partitionBy(col("right_id"))
+      .orderBy(col("dist"), col("left_val"), col("left_id"))
+    cand
+      .withColumn("__rl", row_number().over(wl))
+      .withColumn("__rr", row_number().over(wr))
+      .filter(col("__rl") === 1 && col("__rr") === 1)
+      .select(col("left_id"), col("left_val"), col("right_id"),
+        col("right_val"), col("dist"))
+  }
 }

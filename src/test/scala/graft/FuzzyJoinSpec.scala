@@ -81,4 +81,34 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FuzzyJoin.lookup(p, "pid", "s", vocab, "name", lenBand = 0) }
   }
+
+  test("mutual-best: contested rights go to the side they prefer, one-to-one") {
+    // rights: widget, gadget. lefts: two candidates for widget (dists
+    // 1 and 1, tie broken by value then id), one for gadget, one junk.
+    val l = Seq(
+      (1L, "widgut"),   // dist 1 to widget
+      (2L, "widgek"),   // dist 1 to widget — loses: "widgek" < "widgut"? yes -> wins instead
+      (3L, "gadgex"),   // dist 1 to gadget
+      (4L, "zzzzzz"))   // no candidate
+      .toDF("lid", "lval")
+    val r = Seq((10L, "widget"), (20L, "gadget")).toDF("rid", "rval")
+    val got = FuzzyJoin.mutualBestMatch(l, "lid", "lval", r, "rid", "rval",
+      maxDist = 2).as[(Long, String, Long, String, Long)].collect().toSet
+    // widget prefers min (dist, left_val): "widgek" (2) over "widgut" (1)
+    assert(got === Set(
+      (2L, "widgek", 10L, "widget", 1L),
+      (3L, "gadgex", 20L, "gadget", 1L)))
+    // one-to-one: no left or right appears twice
+    assert(got.map(_._1).size === got.size && got.map(_._3).size === got.size)
+  }
+
+  test("mutual-best: a pair is dropped when either side prefers elsewhere") {
+    // left 1 is closer to right B, but right B prefers left 2; left 1's
+    // own best (B) is taken, and B's best (2) is mutual -> only (2, B)
+    val l = Seq((1L, "abcx"), (2L, "abcd")).toDF("lid", "lval")
+    val r = Seq((5L, "abcd")).toDF("rid", "rval")
+    val got = FuzzyJoin.mutualBestMatch(l, "lid", "lval", r, "rid", "rval",
+      maxDist = 2).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got === Set((2L, "abcd", 5L, "abcd", 0L)))
+  }
 }
