@@ -1623,7 +1623,24 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental statistics maintenance (`Profile.momentPartials` /
+    * `momentsCombine` / `momentsFinalize`): per-source moment partials
+    * (n, nulls, Σx, Σx², min, max — exact BIGINT sums) plus the
+    * COMBINED corpus row folded from the partials without rescanning;
+    * the oracle computes both directly, proving merge ≡ direct. Mean/
+    * variance are single IEEE expressions over exact integers —
+    * bit-equal cross-engine, no rounding discipline needed. */
+  private def x100(s: SparkSession, dir: String): DataFrame = {
+    val partials = graft.operators.Profile.momentPartials(
+      t(s, dir, "documents"), col("source"), col("n_chars"))
+    graft.operators.Profile.momentsFinalize(partials)
+      .unionByName(graft.operators.Profile.momentsFinalize(
+        graft.operators.Profile.momentsCombine(partials)))
+      .orderBy(col("slice"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_incr_stats" -> (x100 _),
     "x99_entity_match" -> (x99 _),
     "x98_temperature_mix" -> (x98 _),
     "x97_dup_extents" -> (x97 _),
@@ -2281,6 +2298,29 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // per-source and whole-table profiles computed DIRECTLY (the
+    // operator folds partials instead); mean/var written as the same
+    // IEEE expressions over exact integer sums
+    "x100_incr_stats" ->
+      """WITH base AS (
+        |  SELECT source AS slice, count(*) AS n_rows,
+        |    count(*) - count(n_chars) AS n_nulls,
+        |    coalesce(sum(n_chars), 0) AS s1,
+        |    coalesce(sum(n_chars * n_chars), 0) AS s2,
+        |    min(n_chars) AS min_val, max(n_chars) AS max_val
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT '__ALL__', count(*), count(*) - count(n_chars),
+        |    coalesce(sum(n_chars), 0), coalesce(sum(n_chars * n_chars), 0),
+        |    min(n_chars), max(n_chars)
+        |  FROM documents)
+        |SELECT slice, n_rows, n_nulls, s1, min_val, max_val,
+        |  CAST(s1 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE) AS mean,
+        |  CAST(s2 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE))
+        |    AS var_pop
+        |FROM base ORDER BY slice""".stripMargin,
     // same perturbation, the same blocking predicate in the candidate
     // join, and both best-of windows replayed with identical tie-break
     // order — DuckDB's native levenshtein is the independent verifier

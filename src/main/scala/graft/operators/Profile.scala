@@ -39,6 +39,64 @@ object Profile {
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Mergeable moment partials — incremental statistics maintenance:
+    * profile each new data slice (a day's drop, a source) ONCE into
+    * (n, nulls, Σx, Σx², min, max), then combine partials
+    * associatively into any coarser profile WITHOUT rescanning the
+    * data. The monoid every warehouse rollup runs on; at 100 TB the
+    * whole point is that yesterday's corpus stats never get recomputed
+    * — only the new slice is scanned and one `momentsCombine` over the
+    * (slices)-row partial frame refreshes the total.
+    *
+    * Exactness contract: `valueCol` must be integer-valued (counts,
+    * cents — the money discipline). Sums accumulate as BIGINT, so
+    * partials and any merge order produce IDENTICAL results, and the
+    * derived mean/variance are single IEEE expressions over exact
+    * integers — bit-equal across engines with no rounding discipline
+    * needed. (Float inputs would make Σx order-dependent; exact
+    * distincts are deliberately absent — distinct is not a monoid
+    * without sketches.)
+    */
+  def momentPartials(df: DataFrame, sliceCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val x = valueCol.cast("long")
+    df.groupBy(sliceCol.as("slice")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(x)).as("n_nulls"),
+      coalesce(sum(x), lit(0L)).as("s1"),
+      coalesce(sum(x * x), lit(0L)).as("s2"),
+      min(x).as("min_val"),
+      max(x).as("max_val"))
+  }
+
+  /** Fold a partial frame to ONE combined row (slice = the given
+    * label). Associative and exact: integer adds, min/max. */
+  def momentsCombine(partials: DataFrame,
+      label: String = "__ALL__"): DataFrame =
+    partials.agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("n_nulls")).as("n_nulls"),
+      sum(col("s1")).as("s1"),
+      sum(col("s2")).as("s2"),
+      min(col("min_val")).as("min_val"),
+      max(col("max_val")).as("max_val"))
+      .select(lit(label).as("slice"), col("n_rows"), col("n_nulls"),
+        col("s1"), col("s2"), col("min_val"), col("max_val"))
+
+  /** Derive mean and population variance from partials:
+    * `mean = s1/nv`, `var = s2/nv - mean²` over the non-null count —
+    * plain IEEE expressions on exact integers, identical in any
+    * engine. Null when the slice has no non-null values. */
+  def momentsFinalize(partials: DataFrame): DataFrame = {
+    val nv = (col("n_rows") - col("n_nulls")).cast("double")
+    val mean = col("s1").cast("double") / nv
+    val varP = col("s2").cast("double") / nv - mean * mean
+    partials.select(col("slice"), col("n_rows"), col("n_nulls"),
+      col("s1"), col("min_val"), col("max_val"),
+      when(nv > 0, mean).as("mean"),
+      when(nv > 0, varP).as("var_pop"))
+  }
+
   /** Fixed-width histogram of a numeric column: `nBuckets` equal
     * ranges over the observed [min, max], the distribution report
     * that pairs with [[table]] (and the input to choosing packing/

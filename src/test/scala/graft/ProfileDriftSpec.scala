@@ -32,4 +32,46 @@ class ProfileDriftSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got.forall(r => r._1 == "common" && r._2 == 0L))
   }
+
+  test("moment partials merge to exactly the direct whole-table profile") {
+    val df = Seq(
+      ("a", Some(4L)), ("a", Some(6L)), ("a", None),
+      ("b", Some(10L)), ("b", Some(2L)), ("c", Some(7L)))
+      .toDF("s", "v")
+    val partials = graft.operators.Profile.momentPartials(
+      df, org.apache.spark.sql.functions.col("s"),
+      org.apache.spark.sql.functions.col("v"))
+    val merged = graft.operators.Profile.momentsFinalize(
+      graft.operators.Profile.momentsCombine(partials))
+      .as[(String, Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // direct: values 4,6,10,2,7 -> n=6, nulls=1, s1=29, min=2, max=10
+    assert(merged._2 === 6L && merged._3 === 1L && merged._4 === 29L)
+    assert(merged._5 === 2L && merged._6 === 10L)
+    val mean = 29.0 / 5
+    val varP = (16.0 + 36 + 100 + 4 + 49) / 5 - mean * mean
+    assert(merged._7.get === mean)   // bit-exact, not approx
+    assert(merged._8.get === varP)
+    // merge order can't matter: combine in two stages
+    val half1 = graft.operators.Profile.momentsCombine(
+      partials.filter($"slice" === "a"))
+    val half2 = graft.operators.Profile.momentsCombine(
+      partials.filter($"slice" =!= "a"))
+    val twoStage = graft.operators.Profile.momentsFinalize(
+      graft.operators.Profile.momentsCombine(half1.unionByName(half2)))
+      .as[(String, Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(twoStage === merged)
+  }
+
+  test("all-null slice finalizes to null mean/variance") {
+    val df = Seq(("a", None: Option[Long])).toDF("s", "v")
+    val got = graft.operators.Profile.momentsFinalize(
+      graft.operators.Profile.momentPartials(
+        df, org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("v")))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long],
+        Option[Double], Option[Double])].collect().head
+    assert(got._7.isEmpty && got._8.isEmpty)
+  }
 }
