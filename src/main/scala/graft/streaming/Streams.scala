@@ -212,4 +212,29 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events")): _*)
+
+  /** [EXT] T4: watermarked stream-stream interval join — the streaming
+    * counterpart of the batch range join (x20): a left event matches
+    * right events with the same key whose timestamps fall in
+    * `[leftTs - before, leftTs + after]`. Both sides carry watermarks,
+    * so Spark bounds the join state on each side to the interval plus
+    * the watermark delay and evicts as the watermark advances — the
+    * state never grows with stream length, only with the window's
+    * in-flight volume. Inner join ⇒ append mode; results emit when
+    * the watermark proves no further match can arrive.
+    *
+    * Column-name contract: the two frames must not share column names
+    * other than `keyCol` (rename upstream, the usual stream-join
+    * hygiene).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, watermark: String,
+      before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r, l(keyCol) === r(keyCol) &&
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $before") &&
+      col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $after"))
+      .drop(r(keyCol))
+  }
 }

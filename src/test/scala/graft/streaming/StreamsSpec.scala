@@ -292,4 +292,36 @@ class StreamsSpec extends SparkSpec {
         ("2024-01-01 00:01:10", "2024-01-01 00:01:40", 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user", "click_ts", "page"),
+      buys.toDF().toDF("user", "buy_ts", "amount"),
+      keyCol = "user", leftTsCol = "click_ts", rightTsCol = "buy_ts",
+      watermark = "0 seconds", before = "10 seconds", after = "60 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 00:00:00"), "home"),
+        (2L, ts("2024-01-01 00:00:30"), "search"))
+      buys.addData(
+        (1L, ts("2024-01-01 00:00:40"), 9.99),   // +40s: in window
+        (1L, ts("2024-01-01 00:02:00"), 5.0),    // +120s: out
+        (2L, ts("2024-01-01 00:00:25"), 3.5))    // -5s: in (before=10s)
+      q.processAllAvailable()
+      // advance both watermarks far past the interval so matches emit
+      clicks.addData((99L, ts("2024-01-01 01:00:00"), "w"))
+      buys.addData((99L, ts("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select(col("user"), col("page"), col("amount"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(got.filter(_._1 < 99L) === Set(
+        (1L, "home", 9.99), (2L, "search", 3.5)))
+    } finally q.stop()
+  }
 }
