@@ -1639,7 +1639,26 @@ object ExtQueries {
       .orderBy(col("slice"))
   }
 
+  /** EXIF metadata extraction (`ExifProbe`): per-row JPEGs synthesized
+    * with a REAL APP1/TIFF IFD (orientation/make/datetime derived from
+    * doc_id), parsed back by the segment-walk + IFD decoder — the x12
+    * discipline: the oracle computes expected fields from doc_id
+    * arithmetic alone, independent of both synthesizer and parser, so
+    * a broken offset/endianness/NUL rule hash-fails. */
+  private def x101(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.ExifProbe.exifMeta(graft.ext.ExifProbe.synthExifJpeg(
+        (col("doc_id") % 8 + 1).cast("int"),
+        (col("doc_id") % 5).cast("int"),
+        (col("doc_id") % 60).cast("int"),
+        (col("doc_id") * 7 % 60).cast("int"))).as("m"))
+      .select(col("doc_id"),
+        col("m.orientation").cast("long").as("orientation"),
+        col("m.make").as("make"), col("m.datetime").as("datetime"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x101_exif_meta" -> (x101 _),
     "x100_incr_stats" -> (x100 _),
     "x99_entity_match" -> (x99 _),
     "x98_temperature_mix" -> (x98 _),
@@ -2298,6 +2317,16 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // expected EXIF fields from doc_id arithmetic alone — never from
+    // the bytes — so synthesis AND parsing must both be right
+    "x101_exif_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 8 + 1 AS orientation,
+        |  'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  '2024:01:01 00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+        |    AS datetime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // per-source and whole-table profiles computed DIRECTLY (the
     // operator folds partials instead); mean/var written as the same
     // IEEE expressions over exact integer sums
