@@ -106,4 +106,131 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"rows=$rows")
     }
   }
+
+  // ---- round-6 operators -------------------------------------------------
+
+  private val edgeGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(1, 60)
+    edges <- Gen.listOfN(n, for {
+      s <- Gen.choose(0, 12).map(i => s"n$i")
+      t <- Gen.choose(0, 12).map(i => s"n$i")
+    } yield (s, t))
+  } yield edges.filter(e => e._1 != e._2)
+
+  test("pagerank equals the driver reference on random graphs") {
+    def ref(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+      val nN = nodes.size.toDouble
+      var r = nodes.map(_ -> 1.0 / nN).toMap
+      for (_ <- 1 to iters) {
+        val dm = nodes.filterNot(deg.contains).map(r).sum
+        val c = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+        r = nodes.map(v =>
+          v -> (0.15 / nN + 0.85 * (c.getOrElse(v, 0.0) + dm / nN))).toMap
+      }
+      r
+    }
+    (1 to 8).flatMap(i => edgeGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .filter(_.nonEmpty).foreach { edges =>
+        val got = graft.operators.Graph.pageRank(
+          edges.toDF("s", "t"), "s", "t", iterations = 3)
+          .as[(String, Double)].collect().toMap
+        val want = ref(edges, 3)
+        assert(got.keySet === want.keySet, s"edges=$edges")
+        got.foreach { case (k, v) =>
+          assert(math.abs(v - want(k)) < 1e-12, s"node $k edges=$edges") }
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+  }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("duplicate extents equal brute force on random tiny-vocab corpora") {
+    def ref(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+      val wins = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        (0 to toks.length - k).map(p => (id, p.toLong, toks.slice(p, p + k).mkString(" ")))
+      }
+      val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      wins.filter(w => freq(w._3) > 1)
+        .groupBy(_._1).flatMap { case (id, ws) =>
+          val ps = ws.map(_._2).sorted
+          // merge runs where the gap <= k
+          val groups = ps.foldLeft(List.empty[List[Long]]) {
+            case (Nil, p) => List(List(p))
+            case (h :: t, p) if p - h.head <= k => (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }
+          groups.map(g => (id, g.min, g.max + k, g.size.toLong))
+        }.toSet
+    }
+    (1 to 10).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(200L + i)))
+      .foreach { docs =>
+        val got = graft.ext.Dedup.duplicateExtents(
+          docs.toDF("id", "text"), "id", "text", spanTokens = 2)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got === ref(docs, 2), s"docs=$docs")
+      }
+  }
+
+  test("mutual-best matching is one-to-one and mutually optimal") {
+    val strGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 15)
+      ss <- Gen.listOfN(n, for {
+        len <- Gen.choose(2, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ss
+    (1 to 8).foreach { i =>
+      val ls = strGen.apply(Gen.Parameters.default, Seed(300L + i)).get
+        .zipWithIndex.map { case (s, j) => (j.toLong, s) }
+      val rs = strGen.apply(Gen.Parameters.default, Seed(400L + i)).get
+        .zipWithIndex.map { case (s, j) => (j.toLong, s) }
+      val got = graft.ext.FuzzyJoin.mutualBestMatch(
+        ls.toDF("lid", "lval"), "lid", "lval",
+        rs.toDF("rid", "rval"), "rid", "rval",
+        maxDist = 2, prefixLen = 1, lenBand = 4)
+        .as[(Long, String, Long, String, Long)].collect()
+      // one-to-one
+      assert(got.map(_._1).distinct.length === got.length)
+      assert(got.map(_._3).distinct.length === got.length)
+      // reference candidate set under the same blocking
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val cand = for {
+        (li, lv) <- ls; (ri, rv) <- rs
+        if lv.take(1) == rv.take(1) && lv.length / 4 == rv.length / 4
+        d = lev(lv, rv) if d <= 2
+      } yield (li, lv, ri, rv, d)
+      got.foreach { case (li, lv, ri, rv, d) =>
+        val bestOfLeft = cand.filter(_._1 == li)
+          .minBy(c => (c._5, c._4, c._3))
+        val bestOfRight = cand.filter(_._3 == ri)
+          .minBy(c => (c._5, c._2, c._1))
+        assert((bestOfLeft._3, bestOfLeft._5) === ((ri, d)), s"seed=$i left=$li")
+        assert((bestOfRight._1, bestOfRight._5) === ((li, d)), s"seed=$i right=$ri")
+      }
+      // completeness: every mutual-best candidate pair is emitted
+      val mutual = cand.filter { c =>
+        cand.filter(_._1 == c._1).minBy(x => (x._5, x._4, x._3))._3 == c._3 &&
+        cand.filter(_._3 == c._3).minBy(x => (x._5, x._2, x._1))._1 == c._1
+      }
+      assert(got.length === mutual.length, s"seed=$i")
+    }
+  }
 }
