@@ -113,7 +113,8 @@ object Bench {
     "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 2.01,
     "x97_dup_extents" -> 1.38, "x98_temperature_mix" -> 0.35,
     "x99_entity_match" -> 0.52, "x100_incr_stats" -> 0.36,
-    "x101_exif_meta" -> 0.23, "x9_text_quality" -> 0.36)
+    "x101_exif_meta" -> 0.23, "x102_ppr" -> 4.79,
+    "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

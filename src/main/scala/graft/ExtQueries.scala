@@ -1657,7 +1657,33 @@ object ExtQueries {
         col("m.make").as("make"), col("m.datetime").as("datetime"))
       .orderBy(col("doc_id"))
 
+  /** Personalized PageRank (`Graph.personalizedPageRank`): teleport to
+    * the first-50-customers seed set over the same trade graph as x94
+    * — graph-proximity scoring ("how close to these seeds via links"),
+    * non-degenerate because mass flows customer→supplier→nation while
+    * teleport returns it to the seeds. Same unrolled-CTE oracle
+    * discipline and 9dp rounding as x94. */
+  private def x102(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val supplier = t(s, dir, "supplier")
+    val trade = orders
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val affil = supplier.select(
+      concat(lit("s"), col("s_suppkey")).as("src"),
+      concat(lit("n"), col("s_nationkey")).as("dst"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") < 50)
+      .select(concat(lit("c"), col("c_custkey")).as("seed"))
+    graft.operators.Graph.personalizedPageRank(trade.union(affil),
+        "src", "dst", seeds, "seed", iterations = 3)
+      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_ppr" -> (x102 _),
     "x101_exif_meta" -> (x101 _),
     "x100_incr_stats" -> (x100 _),
     "x99_entity_match" -> (x99 _),
@@ -2317,6 +2343,55 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // x94's skeleton with seed-conditional teleport: r_{k+1}(v) =
+    // (1-d)*tp_v + d*(contrib + dangling*tp_v), tp = 1/|S| on seeds
+    "x102_ppr" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  UNION
+        |  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) u),
+        |sd AS (SELECT DISTINCT 'c' || c_custkey AS n FROM customer
+        |  WHERE c_custkey < 50),
+        |sd2 AS (SELECT sd.n FROM sd JOIN nodes ON nodes.n = sd.n),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd2),
+        |tp AS (SELECT nodes.n AS node,
+        |    CASE WHEN sd2.n IS NULL THEN 0.0
+        |         ELSE 1.0 / (SELECT k FROM ns) END AS tp
+        |  FROM nodes LEFT JOIN sd2 ON sd2.n = nodes.n),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT node, tp AS r FROM tp),
+        |dm1 AS (SELECT coalesce(sum(r0.r), 0) AS m FROM r0
+        |  LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT tp.node,
+        |  (1.0 - 0.85) * tp.tp + 0.85 * (coalesce(c1.c, 0)
+        |    + (SELECT m FROM dm1) * tp.tp) AS r
+        |  FROM tp LEFT JOIN c1 ON c1.node = tp.node),
+        |dm2 AS (SELECT coalesce(sum(r1.r), 0) AS m FROM r1
+        |  LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT tp.node,
+        |  (1.0 - 0.85) * tp.tp + 0.85 * (coalesce(c2.c, 0)
+        |    + (SELECT m FROM dm2) * tp.tp) AS r
+        |  FROM tp LEFT JOIN c2 ON c2.node = tp.node),
+        |dm3 AS (SELECT coalesce(sum(r2.r), 0) AS m FROM r2
+        |  LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r / deg.d) AS c FROM e
+        |  JOIN deg ON deg.src = e.src JOIN r2 ON r2.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT tp.node,
+        |  (1.0 - 0.85) * tp.tp + 0.85 * (coalesce(c3.c, 0)
+        |    + (SELECT m FROM dm3) * tp.tp) AS r
+        |  FROM tp LEFT JOIN c3 ON c3.node = tp.node)
+        |SELECT node, round(r, 9) AS rank_r FROM r3
+        |ORDER BY node""".stripMargin,
     // expected EXIF fields from doc_id arithmetic alone — never from
     // the bytes — so synthesis AND parsing must both be right
     "x101_exif_meta" ->

@@ -71,4 +71,45 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "t", 0) }
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "t", 1, damping = 1.0) }
   }
+
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int, d: Double = 0.85): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val s = seeds.intersect(nodes.toSet)
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    def tp(v: String): Double = if (s(v)) 1.0 / s.size else 0.0
+    var r = nodes.map(v => v -> tp(v)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      val c = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum }
+      r = nodes.map(v =>
+        v -> ((1 - d) * tp(v) + d * (c.getOrElse(v, 0.0) + dm * tp(v)))).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank matches the reference; mass stays near seeds") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d",
+      "d" -> "e", "x" -> "a")
+    val got = Graph.personalizedPageRank(edges.toDF("s", "t"), "s", "t",
+      Seq("a", "zzz-not-in-graph").toDF("n"), "n", iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val want = refPpr(edges, Set("a"), 4)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}") }
+    // total mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // node x (no inbound, not a seed) holds zero rank — the PPR signature
+    assert(got("x") === 0.0)
+  }
+
+  test("personalized pagerank rejects an empty seed intersection") {
+    val e = Seq("a" -> "b").toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "s", "t", Seq("zzz").toDF("n"), "n", 2)
+    }
+  }
 }
