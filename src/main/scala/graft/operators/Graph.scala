@@ -38,9 +38,12 @@ object Graph {
     *        iterations. Default 1 — every superstep materializes, the
     *        way any graph engine runs: a fully lazy chain re-executes
     *        iteration k-1 inside BOTH the contribution join and the
-    *        dangling aggregate of iteration k, doubling work per level
-    *        (O(2^iters) recomputation; measured 2.4× on the 3-iteration
-    *        x94). 0 = never (plan-purity / tiny-graph option).
+    *        dangling aggregate of iteration k, doubling the rank
+    *        subtree per level (O(2^iters) plan growth — a structural
+    *        fact of the two consumers; at bench scale the measured
+    *        difference is noise because the per-iteration frames are
+    *        tiny, but at depth or data scale the lazy chain is
+    *        unrunnable). 0 = never (plan-purity / tiny-graph option).
     * @return (node, rank) — one row per node
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
