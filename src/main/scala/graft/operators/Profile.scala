@@ -97,6 +97,38 @@ object Profile {
       when(nv > 0, varP).as("var_pop"))
   }
 
+  /** Mergeable DISTINCT partials — the sketch companion to
+    * [[momentPartials]] (exact distinct is not a monoid; an HLL sketch
+    * is): per-slice HyperLogLog sketches (Spark's bundled DataSketches
+    * HLL_4) that union associatively into any coarser slice's distinct
+    * estimate WITHOUT rescanning. Store the binary sketch column next
+    * to the moment partials and yesterday's corpus cardinality never
+    * gets recomputed — union and estimate are sketch-sized operations.
+    *
+    * @param lgK sketch precision (log2 of K); Spark's default 12 ⇒
+    *        ~1.6% relative standard error, 4 KB per sketch
+    * @return (slice, n_rows, distinct_sketch BINARY, distinct_est)
+    */
+  def distinctPartials(df: DataFrame, sliceCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, lgK: Int = 12): DataFrame =
+    df.groupBy(sliceCol.as("slice")).agg(
+      count(lit(1)).as("n_rows"),
+      hll_sketch_agg(valueCol, lit(lgK)).as("distinct_sketch"))
+      .withColumn("distinct_est",
+        hll_sketch_estimate(col("distinct_sketch")))
+
+  /** Union a partial frame's sketches to ONE combined row — the
+    * rollup step; estimates come from the merged sketch, never by
+    * adding per-slice estimates (distincts overlap). */
+  def distinctCombine(partials: DataFrame,
+      label: String = "__ALL__"): DataFrame =
+    partials.agg(
+      sum(col("n_rows")).as("n_rows"),
+      hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
+      .select(lit(label).as("slice"), col("n_rows"),
+        col("distinct_sketch"),
+        hll_sketch_estimate(col("distinct_sketch")).as("distinct_est"))
+
   /** Fixed-width histogram of a numeric column: `nBuckets` equal
     * ranges over the observed [min, max], the distribution report
     * that pairs with [[table]] (and the input to choosing packing/

@@ -64,6 +64,32 @@ class ProfileDriftSpec extends SparkSpec {
     assert(twoStage === merged)
   }
 
+  test("hll distinct partials union to the direct whole-table sketch") {
+    val df = (1L to 2000L).map(i => (s"s${i % 4}", i % 700))
+      .toDF("s", "v")
+    val partials = graft.operators.Profile.distinctPartials(
+      df, org.apache.spark.sql.functions.col("s"),
+      org.apache.spark.sql.functions.col("v"))
+    assert(partials.count() === 4)
+    val merged = graft.operators.Profile.distinctCombine(partials)
+      .select("n_rows", "distinct_est").as[(Long, Long)].collect().head
+    assert(merged._1 === 2000L)
+    // a union of per-slice sketches is NOT byte-identical to one
+    // direct sketch (HLL_4 sparse->dense promotion depends on the
+    // update/merge path), but both estimates carry the same error
+    // guarantee — assert proximity to each other and to the truth
+    val direct = graft.operators.Profile.distinctPartials(
+      df.withColumn("g", org.apache.spark.sql.functions.lit("all")),
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v"))
+      .select("distinct_est").as[Long].collect().head
+    assert(math.abs(merged._2 - direct) <= 0.05 * 700,
+      s"merged ${merged._2} vs direct $direct")
+    // both land near the true 700 (HLL_4 lgK=12 ~1.6% rse)
+    assert(math.abs(merged._2 - 700L) <= 35, s"est ${merged._2}")
+    assert(math.abs(direct - 700L) <= 35, s"direct $direct")
+  }
+
   test("all-null slice finalizes to null mean/variance") {
     val df = Seq(("a", None: Option[Long])).toDF("s", "v")
     val got = graft.operators.Profile.momentsFinalize(
