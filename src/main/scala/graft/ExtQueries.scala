@@ -2418,7 +2418,8 @@ object ExtQueries {
         |    coalesce(sum(n_chars), 0), coalesce(sum(n_chars * n_chars), 0),
         |    min(n_chars), max(n_chars)
         |  FROM documents)
-        |SELECT slice, n_rows, n_nulls, s1, min_val, max_val,
+        |SELECT slice, n_rows, n_nulls, CAST(s1 AS BIGINT) AS s1,
+        |  min_val, max_val,
         |  CAST(s1 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE) AS mean,
         |  CAST(s2 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE)
         |    - (CAST(s1 AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE))
@@ -2476,12 +2477,13 @@ object ExtQueries {
         |tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         |  FROM b WHERE doc_id % 2 = 0),
-        |cp AS (SELECT doc_id + 1000000 AS doc_id,
+        |cp AS (SELECT doc_id + 1000000 AS new_doc_id,
         |    array_to_string(list_slice(toks, 1, (len(toks) * 3) // 5), ' ')
         |      || ' zz' || CAST(doc_id AS VARCHAR)
         |      || ' ww' || CAST(doc_id AS VARCHAR) AS text
         |  FROM tk WHERE (len(toks) * 3) // 5 >= 1),
-        |corpus AS (SELECT * FROM b UNION ALL SELECT * FROM cp),
+        |corpus AS (SELECT * FROM b
+        |  UNION ALL SELECT new_doc_id AS doc_id, text FROM cp),
         |t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         |  FROM corpus),

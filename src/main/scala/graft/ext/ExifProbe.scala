@@ -76,16 +76,25 @@ object ExifProbe {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     var i = 2
-    while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
-      val marker = b(i + 1) & 0xff
+    while (i + 2 <= b.length && (b(i) & 0xff) == 0xff) {
+      // real-world JPEGs pad with extra 0xFF fill bytes before markers
+      var j = i
+      while (j + 2 <= b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 2 > b.length) return null
+      val marker = b(j + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS: none found
-      val segLen = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      if (segLen < 2 || i + 2 + segLen > b.length) return null
-      if (marker == 0xe1 && segLen >= 2 + 6 + 8 &&
-          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
-          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
-        return parseTiff(b, i + 10, i + 2 + segLen)
-      i += 2 + segLen
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 2 // TEM / RSTn are standalone: no length word follows
+      } else {
+        if (j + 4 > b.length) return null
+        val segLen = ((b(j + 2) & 0xff) << 8) | (b(j + 3) & 0xff)
+        if (segLen < 2 || j + 2 + segLen > b.length) return null
+        if (marker == 0xe1 && segLen >= 2 + 6 + 8 &&
+            b(j + 4) == 'E' && b(j + 5) == 'x' && b(j + 6) == 'i' &&
+            b(j + 7) == 'f' && b(j + 8) == 0 && b(j + 9) == 0)
+          return parseTiff(b, j + 10, j + 2 + segLen)
+        i = j + 2 + segLen
+      }
     }
     null
   }

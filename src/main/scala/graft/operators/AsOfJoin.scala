@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * direction + tolerance).
   *
   * Implementation is the scalable union trick, not a range join: tag
-  * both inputs, union, sort by (key, ts, side), carry the adjacent
-  * right payload across with `last`/`first(ignoreNulls)` over a
-  * half-open frame, keep left rows. One shuffle on the key,
+  * both inputs, union, sort by (key, ts, side) — ascending for
+  * backward, descending for forward — and carry the nearest preceding
+  * right payload with `last(ignoreNulls)` over the RUNNING frame
+  * (unboundedPreceding..currentRow, a single O(n) pass in both
+  * directions), keep left rows. One shuffle on the key,
   * within-partition sort, no range explosion — the plan a 100 TB
   * backfill wants. (Preference (a) of SURVEY §7.3: composition beats a
   * custom SparkPlan here.) Tolerance is enforced AFTER the carry by
@@ -138,15 +140,28 @@ object AsOfJoin {
       .foldLeft(r)((d, c) => d.withColumn(c,
         lit(null).cast(left.schema(c).dataType)))
       .select(lNorm.columns.toIndexedSeq.map(col): _*)
-    val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
-    val carried =
+    // Both directions are the O(n) RUNNING frame (unboundedPreceding ..
+    // currentRow): Spark evaluates it as a single forward pass, while
+    // the naive forward frame (currentRow .. unboundedFollowing with
+    // first(ignoreNulls)) rescans from each row to the partition end —
+    // quadratic in rows-per-key. Forward is therefore expressed as the
+    // MIRRORED backward carry: sort (ts, side, tie) descending, and
+    // "earliest right row at-or-after this left row" becomes "nearest
+    // preceding non-null", which last(ignoreNulls) over the running
+    // frame answers in one pass. Descending side order keeps the
+    // equal-ts right row inside the left row's frame, and descending
+    // tie order makes the SMALLEST tie the nearest preceding — the
+    // documented first-wins tie-break.
+    val base =
       if (forward)
-        first(col("__right"), ignoreNulls = true)
-          .over(base.rowsBetween(0, Window.unboundedFollowing))
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts").desc, col("__side").desc, col("__tie").desc)
       else
-        last(col("__right"), ignoreNulls = true)
-          .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts"), col("__side"), col("__tie"))
+    val carried =
+      last(col("__right"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, 0))
     val gap = tolerance.map { tol =>
       val mts = col("__carried").getField("__mts")
       if (forward) mts - col("__ts") <= tol

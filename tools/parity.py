@@ -53,7 +53,12 @@ def main(sf_dir, out_dir):
         tdiff = {c: (stypes.get(c), dtypes.get(c)) for c in set(stypes) | set(dtypes)
                  if stypes.get(c) != dtypes.get(c)}
         if tdiff:
-            print(f"  TYPE-WARN {name}: {tdiff}")
+            # Hard failure: the driver's comparator hashes typed values, so
+            # any arrow-type divergence (e.g. DuckDB DECIMAL(38,0) vs engine
+            # BIGINT from an un-cast SUM) can hash-fail even when the values
+            # are numerically equal. Keep this gate at least as strict.
+            results[name] = f"TYPE MISMATCH {tdiff}"
+            continue
         if sc != dc:
             results[name] = f"SCHEMA MISMATCH spark={sc} duck={dc}"
         elif len(sr) != len(dr):
