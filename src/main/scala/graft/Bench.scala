@@ -348,12 +348,31 @@ object Bench {
         System.err.println(s"[bench] diag write failed: ${e.getClass.getName}")
     }
 
+    // Close the adjudication loop (round-6 verdict item 8): a query
+    // whose best sample exceeded 2× its recorded baseline AND whose
+    // interleaved calibration probe was itself ≥2× degraded (vs the
+    // sweep's best calibration) is flagged "contended" IN the contract
+    // line — the driver can discount the entry as slow-box, not
+    // slow-code, without opening the diag file.
+    val calRef = Seq(calBefore.wallSec, calAfter.wallSec).filter(_ > 0) match {
+      case Nil => -1.0
+      case ws => ws.min
+    }
+    val contended = adjDiag.keys.toSeq.sorted.filter { name =>
+      val slow = recordedBaseline.get(name).exists(b =>
+        results.toMap.get(name).exists(v => v > AdjudicateFactor * b))
+      val probeDegraded = calRef > 0 && adjDiag(name).exists {
+        case (probe, _) => probe.wallSec >= AdjudicateFactor * calRef
+      }
+      slow && probeDegraded
+    }
+
     // Compact environment summary that DOES fit the contract line: the
     // calibration pair alone distinguishes "box degraded during the
     // sweep" from "queries are slow" — the per-query breakdown is in
     // stderr and the diag file.
     println(contractLine(total, results.toSeq, errors.toMap, calBefore,
-      calAfter, sfDir))
+      calAfter, sfDir, contended))
     spark.stop()
   }
 
@@ -384,38 +403,66 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Adaptive seconds encoding for the contract line: centisecond
+    * precision below 10 s (the recorded baselines are 2-decimal
+    * anyway, so nothing the judge's ratio compare can see is lost),
+    * coarser above, and trailing zeros / bare dots trimmed — "0.36"
+    * not "0.360", "67" not "67.000". Valid JSON numbers throughout;
+    * full millisecond precision stays in the diag file. */
+  private[graft] def secStr(v: Double): String = {
+    val s = if (v >= 100 || v <= -100) f"$v%.1f" else f"$v%.2f"
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+  }
+
   /** The ONE stdout line the driver parses from its ~4 KB tail window.
     * Grows with every query, so the byte budget is engineered (and
-    * asserted by `BenchContractSpec` at 70 queries): the errors map is
-    * omitted when empty (the common case), per-query seconds carry
-    * millisecond precision (sub-ms on a 0.1–2 s query is noise), and
-    * the embedded calibration pair uses short keys
-    * ({"w":wall,"c":cpu,"g":gc} — full-precision long-key samples
-    * live in the diag file). */
+    * asserted by `BenchContractSpec`): the errors map is omitted when
+    * empty (the common case), per-query seconds use the adaptive
+    * [[secStr]] encoding, and the calibration pair is two compact
+    * [wall,cpu,gc] triples ({"cal":{"b":[...],"a":[...]}} — full
+    * long-key samples live in the diag file). `contended` closes the
+    * self-adjudication loop: names listed there exceeded 2× their
+    * recorded baseline WHILE their interleaved calibration probe was
+    * ≥2× degraded — slow box, not slow code. */
   private[graft] def contractLine(total: Double,
       results: Seq[(String, Double)], errors: Map[String, String],
-      calBefore: RunSample, calAfter: RunSample, sfDir: String): String = {
-    def ms(v: Double): String = f"$v%.3f"
+      calBefore: RunSample, calAfter: RunSample, sfDir: String,
+      contended: Seq[String] = Nil): String = {
     def calShort(s: RunSample): String =
-      s"""{"w":${ms(s.wallSec)},"c":${ms(s.cpuSec)},"g":${ms(s.gcSec)}}"""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      s"[${secStr(s.wallSec)},${secStr(s.cpuSec)},${secStr(s.gcSec)}]"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + secStr(v) }
       .mkString("{", ",", "}")
     // Error budget: round-5's driver artifact recorded parsed:null
     // because 22 × 200-char analysis exceptions pushed the contract
     // line past the driver's ~4 KB tail window. The line carries at
-    // most 8 errors at 80 chars each (~0.8 KB worst case) plus an
-    // overflow count; full messages stay in stderr and the diag file.
+    // most 4 errors at 56 chars each (sorted by query name so the
+    // sample set is stable across runs) plus an overflow count; the
+    // exception's package prefix is dropped first so the budget goes
+    // to the class + message, not "org.apache.spark.sql.". Full
+    // messages stay in stderr and the diag file.
     val errStr =
       if (errors.isEmpty) ""
       else {
-        val shown = errors.take(8).map { case (k, m) =>
-          "\"" + k + "\":\"" + jstr(m.take(80)) + "\""
+        val shown = errors.toSeq.sortBy(_._1).take(4).map { case (k, m) =>
+          val compact = m.replaceFirst("^[A-Za-z0-9_$]+(\\.[A-Za-z0-9_$]+)*\\.(?=[A-Z])", "")
+          "\"" + k + "\":\"" + jstr(compact.take(56)) + "\""
         }.mkString("{", ",", "}")
         val more =
-          if (errors.size > 8) s""","more_errors":${errors.size - 8}"""
+          if (errors.size > 4) s""","more_errors":${errors.size - 4}"""
           else ""
         s""","errors":$shown$more"""
       }
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errStr,"cal_before":${calShort(calBefore)},"cal_after":${calShort(calAfter)},"sf":"$sfDir"}"""
+    val contStr =
+      if (contended.isEmpty) ""
+      else {
+        val shown = contended.take(8)
+        val body = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val more = if (contended.size > 8)
+          s""","more_contended":${contended.size - 8}""" else ""
+        s""","contended":$body$more"""
+      }
+    s"""{"metric":"total","value":${secStr(total)},"unit":"sec","queries":$qs$errStr$contStr,"cal":{"b":${calShort(calBefore)},"a":${calShort(calAfter)}},"sf":"$sfDir"}"""
   }
 }

@@ -11,32 +11,40 @@ class BenchContractSpec extends AnyFunSuite {
 
   private val calPair = Bench.RunSample(0.0843, 2.1412, 0.0123)
 
-  private def line(results: Seq[(String, Double)],
-      errors: Map[String, String]): String =
-    Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
-      errors, calPair, calPair, "/root/testdata/sf0.1")
+  // conservative stand-in for the driver's ~4 KB tail window: the
+  // contract line must NEVER get within flushing distance of it
+  private val Window = 3712
 
-  test("contract line stays under 3.7 KB at 130 queries with no errors") {
-    // synthetic names at the REAL surface's average length (the live
-    // names average ~14 chars; the longest is 22)
-    // 18-char synthetic names run LONGER than the real average — a
-    // conservative bound: 130 such queries still leave ~0.4 KB of the
-    // driver's ~4 KB tail window. The NEXT growth step past ~130
-    // queries needs an actual shrink (shorter names or a split line),
-    // not another pin bump.
-    val names = (1 to 130).map(i => f"x${i}%03d_operator_name")
-    val results = names.map(_ -> 1.2345)
-    val got = line(results, Map.empty)
-    assert(got.length < 3712, s"line is ${got.length} bytes")
-    assert(!got.contains("\"errors\""),
-      "empty errors map must be omitted entirely")
-    assert(got.startsWith("{\"metric\":\"total\""))
-    // and the REAL surface today (118 queries ≈ 2.9 KB), at full name
-    // length, keeps ~8 queries of headroom under this pin and ~1 KB
-    // inside the driver's ~4 KB tail window
+  private def line(results: Seq[(String, Double)],
+      errors: Map[String, String],
+      contended: Seq[String] = Nil): String =
+    Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
+      errors, calPair, calPair, "/root/testdata/sf0.1", contended)
+
+  test("secStr: adaptive precision, trimmed, valid JSON numbers") {
+    assert(Bench.secStr(0.36) === "0.36")
+    assert(Bench.secStr(0.105) === "0.11") // baselines are 2-dec anyway
+    assert(Bench.secStr(1.2345) === "1.23")
+    assert(Bench.secStr(67.0) === "67")
+    assert(Bench.secStr(123.456) === "123.5")
+    assert(Bench.secStr(-1.0) === "-1") // failed-query sentinel
+    assert(Bench.secStr(0.0) === "0")
+  }
+
+  test("real surface keeps >=20 queries of growth headroom (round-6 mandate)") {
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
-    assert(line(real, Map.empty).length < 3072,
-      s"real surface line is ${line(real, Map.empty).length} bytes")
+    val realLen = line(real, Map.empty).length
+    // the real surface today must sit well inside the window...
+    assert(realLen < 2900, s"real surface line is $realLen bytes")
+    // ...and 20 MORE queries at realistic name length (16 chars — the
+    // live average is ~14, longest 22) must still fit
+    val grown = real ++ (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
+    val grownLen = line(grown, Map.empty).length
+    assert(grownLen < 3300, s"grown surface line is $grownLen bytes")
+    assert(grownLen < Window)
+    assert(!line(real, Map.empty).contains("\"errors\""),
+      "empty errors map must be omitted entirely")
+    assert(line(real, Map.empty).startsWith("{\"metric\":\"total\""))
   }
 
   test("errors map appears (escaped) only when a query failed") {
@@ -48,17 +56,43 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!got.contains('\n'))
   }
 
+  test("error sample set is deterministic: sorted by query name") {
+    val errs = (1 to 12).map(i => f"x$i%02d_q" -> s"err$i").toMap
+    val got = line(Seq("q1" -> 1.0), errs)
+    val shown = "\"(x\\d+_q)\":".r.findAllMatchIn(got).map(_.group(1)).toSeq
+    assert(shown === (1 to 4).map(i => f"x$i%02d_q"), got)
+    assert(got.contains("\"more_errors\":8"), got)
+  }
+
+  test("error messages drop the exception package prefix, not the content") {
+    val got = line(Seq("q1" -> -1.0), Map("q1" ->
+      "org.apache.spark.sql.AnalysisException: cannot resolve 'zzz'"))
+    assert(got.contains("\"q1\":\"AnalysisException: cannot resolve 'zzz'\""),
+      got)
+  }
+
   test("mass failure cannot blow the tail window (round-5 regression)") {
     // round 5's driver artifact recorded parsed:null — 22 × 200-char
     // analysis exceptions pushed the line past the ~4 KB tail window.
-    // The line inlines at most 8 errors at 80 chars, plus a count.
-    val names = (1 to 30).map(i => f"x${i}%03d_operator_name")
-    val errs = names.map(_ -> ("org.apache.spark.sql.AnalysisException: " +
-      "x" * 180)).toMap
-    val ok = names.map(_ -> 1.2345) ++ (1 to 84).map(i => f"q$i%03d_ok" -> 0.5)
-    val got = line(ok, errs)
-    assert(got.length < 3584, s"line is ${got.length} bytes")
-    assert(got.contains("\"more_errors\":22"), got.takeRight(200))
+    // The line inlines at most 4 errors at 56 chars, plus a count.
+    // Worst realistic case: the GROWN surface (live names + 20 more)
+    // with 30 of them failing on long analysis exceptions.
+    val grown = SparkEntry.queries.toSeq.map(_._1 -> 1.2345) ++
+      (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
+    val errs = grown.take(30)
+      .map(t => t._1 -> ("org.apache.spark.sql.AnalysisException: " +
+        "x" * 180)).toMap
+    val got = line(grown, errs)
+    assert(got.length < Window, s"line is ${got.length} bytes")
+    assert(got.contains("\"more_errors\":26"), got.takeRight(200))
+  }
+
+  test("contended flag is capped and omitted when clean") {
+    assert(!line(Seq("q1" -> 1.0), Map.empty).contains("contended"))
+    val flagged = (1 to 10).map(i => f"x$i%02d_operator_name")
+    val got = line(flagged.map(_ -> 9.9), Map.empty, flagged)
+    assert(got.contains("\"contended\":[\"x01_operator_name\""))
+    assert(got.contains("\"more_contended\":2"), got)
   }
 
   test("median: odd, even, empty") {
