@@ -23,10 +23,19 @@ object JdbcMerger {
     * reference's 3-database test matrix (`spec/spec_helper.rb:102-142`
     * runs SQLite + Postgres + MySQL). */
   case object Sqlite extends Dialect
+  /** ANSI/DB2-family engines (Derby, DB2): upsert is the SQL-standard
+    * single-row `MERGE INTO … USING SYSIBM.SYSDUMMY1` (no multi-row
+    * VALUES source, no `INSERT … ON CONFLICT`), and compound-key
+    * delete is OR-of-ANDs (no row-constructor IN). This is the one
+    * dialect the sandbox can execute against a REAL database — the
+    * embedded Derby on Spark's own classpath — so it live-validates
+    * the shared merge machinery (`JdbcMergerDerbySpec`) that the
+    * MySQL/Postgres/SQLite strings share. */
+  case object Ansi extends Dialect
 
   private def q(ident: String, d: Dialect): String = d match {
     case MySql => s"`$ident`"
-    case Postgres | Sqlite => "\"" + ident + "\""
+    case Postgres | Sqlite | Ansi => "\"" + ident + "\""
   }
 
   /** Upsert statement for one batch of `rows` width-`cols`. Keyless →
@@ -50,6 +59,27 @@ object JdbcMerger {
     else {
       val updatable = cols.filterNot(keyCols.contains)
       dialect match {
+        case Ansi =>
+          // Derby/DB2 have no upsert clause on INSERT and reject a
+          // VALUES-derived MERGE source — the upsert is the standard
+          // single-row MERGE against the one-row dummy table, version
+          // guard as WHEN MATCHED AND. Parameter layout follows
+          // [[upsertParamOrder]], not the per-row cols order.
+          require(nRows == 1,
+            "Ansi dialect merges row-at-a-time (no multi-row MERGE source)")
+          val t = q(table, dialect)
+          val on = keyCols.map(k => s"$t.${q(k, dialect)} = ?")
+            .mkString(" AND ")
+          val guard = versionCol
+            .map(v => s" AND ? > $t.${q(v, dialect)}").getOrElse("")
+          val set = updatable
+            .map(c => s"${q(c, dialect)} = ?").mkString(", ")
+          val matched =
+            if (updatable.isEmpty) "" // keys-only table: insert-if-absent
+            else s" WHEN MATCHED$guard THEN UPDATE SET $set"
+          val insPh = cols.map(_ => "?").mkString(", ")
+          s"MERGE INTO $t USING SYSIBM.SYSDUMMY1 ON $on$matched" +
+            s" WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insPh)"
         case MySql =>
           val upd = versionCol match {
             case Some(v) =>
@@ -82,11 +112,36 @@ object JdbcMerger {
     }
   }
 
+  /** The column-name sequence (with repeats) a prepared [[upsertSql]]
+    * statement binds, in `?` position order, for ONE row. The VALUES
+    * dialects bind each row's `cols` in order; the Ansi MERGE binds
+    * ON keys, then the version guard, then the UPDATE SET columns,
+    * then the full INSERT row. Binding through this sequence keeps
+    * the executor-side appliers dialect-agnostic.
+    */
+  def upsertParamOrder(cols: Seq[String], keyCols: Seq[String],
+      dialect: Dialect, versionCol: Option[String] = None): Seq[String] =
+    dialect match {
+      case Ansi if keyCols.nonEmpty =>
+        val updatable = cols.filterNot(keyCols.contains)
+        if (updatable.isEmpty) keyCols ++ cols
+        else keyCols ++ versionCol.toSeq ++ updatable ++ cols
+      case _ => cols
+    }
+
   /** Bulk delete by (possibly compound) key — compound keys use a row
     * constructor IN list, as the reference builds `WHERE (k1,k2) IN …`
-    * (`batch_consumption.rb:241-247`). */
+    * (`batch_consumption.rb:241-247`); the Ansi dialect (Derby rejects
+    * row constructors in IN) uses the equivalent OR-of-ANDs with the
+    * same parameter order. */
   def deleteSql(table: String, keyCols: Seq[String], nRows: Int,
       dialect: Dialect): String = {
+    if (keyCols.size > 1 && dialect == Ansi) {
+      val one = keyCols.map(k => s"${q(k, dialect)} = ?")
+        .mkString("(", " AND ", ")")
+      val all = Seq.fill(nRows)(one).mkString(" OR ")
+      return s"DELETE FROM ${q(table, dialect)} WHERE $all"
+    }
     val keyTuple =
       if (keyCols.size == 1) q(keyCols.head, dialect)
       else keyCols.map(q(_, dialect)).mkString("(", ", ", ")")
@@ -143,6 +198,7 @@ object JdbcMerger {
       val upSt = conn.prepareStatement(
         upsertSql(table, cols, keyCols, 1, dialect, versionCol))
       val delSt = conn.prepareStatement(deleteSql(table, keyCols, 1, dialect))
+      val paramOrder = upsertParamOrder(cols, keyCols, dialect, versionCol)
       try rows.foreach { r =>
         withDeadlockRetry(sleeper = retrySleeper) {
           if (isTombstone(r)) {
@@ -151,7 +207,7 @@ object JdbcMerger {
             }
             delSt.executeUpdate()
           } else {
-            cols.zipWithIndex.foreach { case (c, i) =>
+            paramOrder.zipWithIndex.foreach { case (c, i) =>
               upSt.setObject(i + 1, r.getAs[Any](c))
             }
             upSt.executeUpdate()
@@ -174,15 +230,22 @@ object JdbcMerger {
       retrySleeper: Long => Unit = Thread.sleep): Unit = {
     val (upserts, deletes) = Materialize.splitTombstones(batch, tombstone)
     val cols = upserts.columns.toSeq
+    // the Ansi MERGE has no multi-row source: one row per statement,
+    // prepared once per partition and reused
+    val effBatch =
+      if (dialect == Ansi && keyCols.nonEmpty) 1 else maxBatchSize
+    val paramOrder = upsertParamOrder(cols, keyCols, dialect, versionCol)
+    val colIdx = cols.zipWithIndex.toMap
+    val paramIdx = paramOrder.map(colIdx)
     upserts.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
-      try rows.grouped(maxBatchSize).foreach { group =>
+      try rows.grouped(effBatch).foreach { group =>
         val sql = upsertSql(table, cols, keyCols, group.size, dialect,
           versionCol)
         withDeadlockRetry(sleeper = retrySleeper) {
           val st = conn.prepareStatement(sql)
           var i = 1
-          group.foreach(r => cols.indices.foreach { c =>
+          group.foreach(r => paramIdx.foreach { c =>
             st.setObject(i, r.get(c)); i += 1
           })
           st.executeUpdate(); st.close()
