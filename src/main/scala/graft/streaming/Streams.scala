@@ -165,17 +165,47 @@ object Streams {
     }
   }
 
-  /** Kafka source reader for a topic config (S5). */
+  /** Kafka source reader for a topic config (S5). The full option
+    * matrix is pinned by `KafkaWiringSpec` — the sandbox has neither a
+    * broker nor the kafka connector jar, so the constructed reader is
+    * the deepest testable boundary (COVERAGE.md §2.1): per-topic
+    * bootstrap override (T10), prefixed subscribe, earliest offsets,
+    * and an optional per-trigger offset cap (T8 pacing at the source —
+    * what bounds a micro-batch when a 1000-executor job falls behind
+    * by a week of history).
+    */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
-      cfg: TopicConfig, bootstrapServers: String): DataStreamReader =
-    spark.readStream.format("kafka")
+      cfg: TopicConfig, bootstrapServers: String,
+      maxOffsetsPerTrigger: Option[Long] = None): DataStreamReader = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers",
         cfg.bootstrapServers.getOrElse(bootstrapServers))
       .option("subscribe", cfg.fullTopic)
       .option("startingOffsets", "earliest")
+    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
+  }
+
+  /** Multi-topic source: ONE reader subscribed to several configs'
+    * full topics (Spark's comma-list subscribe). All configs must
+    * agree on the cluster — a mixed list would silently read only one
+    * cluster's topics, so it fails loudly instead (T10). */
+  def kafkaSourceMulti(spark: org.apache.spark.sql.SparkSession,
+      cfgs: Seq[TopicConfig], bootstrapServers: String): DataStreamReader = {
+    require(cfgs.nonEmpty, "kafkaSourceMulti needs at least one topic")
+    val servers = cfgs.flatMap(_.bootstrapServers).distinct
+    require(servers.size <= 1,
+      s"topic configs span clusters $servers: one reader reads one cluster")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers",
+        servers.headOption.getOrElse(bootstrapServers))
+      .option("subscribe", cfgs.map(_.fullTopic).mkString(","))
+      .option("startingOffsets", "earliest")
+  }
 
   /** Kafka sink writer for a produced frame (S1/S2; async-ness is a
-    * client-level concern in Spark's Kafka sink). */
+    * client-level concern in Spark's Kafka sink). The frame's `topic`
+    * column routes each row (so one sink serves many topics); options
+    * + trigger pinned by `KafkaWiringSpec`. */
   def kafkaSink(frame: DataFrame, bootstrapServers: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
