@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.schema.AvroBackend
+import graft.streaming.Streams
+
+/** The declarative config surface (reference
+  * `lib/deimos/config/configuration.rb`): file → typed configs →
+  * running pipeline, plus the removed-setting guidance and
+  * all-errors-at-once discipline.
+  */
+class ConfigFileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fullConfig = """
+    |# engine-wide
+    |producers.topic_prefix = prod.
+    |producers.backend      = outbox
+    |producers.truncate_columns = true
+    |kafka.bootstrap_servers = broker-a:9092
+    |schema.backend = avro
+    |schema.path = /schemas            # trailing comment
+    |schema.use_schema_classes = true
+    |outbox.compact_topics = all
+    |outbox.log_topics = orders,audit
+    |
+    |topic.orders.schema = Order
+    |topic.orders.namespace = com.example
+    |topic.orders.key_config = field:order_id
+    |topic.orders.max_db_batch_size = 500
+    |topic.orders.bootstrap_servers = cluster-b:9092
+    |topic.audit.schema = Audit
+    |topic.audit.key_config = none
+    |topic.audit.compacted = false
+    |
+    |db_poller.users.mode = time_based
+    |db_poller.users.run_every = 120
+    |db_poller.users.timestamp_column = changed_at
+    |db_poller.flags.mode = state_based
+    |db_poller.flags.state_column = publish_state
+    |db_poller.flags.published_state = done
+    |""".stripMargin
+
+  test("a full config file parses into the typed settings") {
+    val cfg = GraftConfigFile.parse(fullConfig)
+    assert(cfg.producers === ProducersSettings(topicPrefix = "prod.",
+      backend = "outbox", truncateColumns = true))
+    assert(cfg.kafkaBootstrapServers === Some("broker-a:9092"))
+    assert(cfg.schema.backend === "avro")
+    assert(cfg.schema.path === Some("/schemas"))
+    assert(cfg.schema.useSchemaClasses)
+    assert(cfg.outbox.compactTopics === TopicSelector.All)
+    assert(cfg.outbox.logTopics.matches("audit"))
+    assert(!cfg.outbox.logTopics.matches("other"))
+
+    val orders = cfg.topic("orders")
+    assert(orders.fullTopic === "prod.orders") // global prefix applied
+    assert(orders.schemaName === "Order")
+    assert(orders.namespace === "com.example")
+    assert(orders.keyConfig === KeyConfig.Field("order_id"))
+    assert(orders.maxDbBatchSize === Some(500))
+    assert(orders.bootstrapServers === Some("cluster-b:9092")) // T10
+    assert(orders.compacted)
+    assert(!cfg.topic("audit").compacted)
+    assert(cfg.topic("audit").keyConfig === KeyConfig.NoKey)
+
+    assert(cfg.poller("users").runEverySec === 120)
+    assert(cfg.poller("users").timestampColumn === "changed_at")
+    assert(cfg.poller("users").delaySec === 2) // reference default
+    assert(cfg.poller("flags").mode === "state_based")
+    assert(cfg.poller("flags").stateColumn === Some("publish_state"))
+    // schema file resolution mirrors the reference's schema.path layout
+    assert(cfg.schema.schemaFile("com.example", "Order").toString ===
+      "/schemas/com.example/Order.avsc")
+  }
+
+  test("every problem is reported at once, removed settings carry guidance") {
+    val bad = """
+      |kafka.seed_brokers = localhost:9092
+      |producers.backend = phobos
+      |producers.disabled = yes
+      |made.up.key = 1
+      |topic.orders.namespace = com.example
+      |topic.orders.partition_count = 3
+      |db_poller.flags.mode = state_based
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfigFile.parse(bad))
+    val msg = e.getMessage
+    assert(msg.contains("7 problem(s)"), msg)
+    assert(msg.contains("kafka.seed_brokers was removed: use kafka.bootstrap_servers"))
+    assert(msg.contains("producers.backend: 'phobos' is not one of"))
+    assert(msg.contains("producers.disabled: expected true/false"))
+    assert(msg.contains("unknown setting: made.up.key"))
+    assert(msg.contains("topic.orders: schema is required"))
+    assert(msg.contains("topic.orders.partition_count: unknown topic setting"))
+    assert(msg.contains("db_poller.flags: state_based mode requires state_column"))
+  }
+
+  test("duplicate keys and malformed lines are load errors") {
+    val e = intercept[IllegalArgumentException](GraftConfigFile.parse(
+      "producers.topic_prefix = a\nproducers.topic_prefix = b\nnot a setting\n"))
+    assert(e.getMessage.contains("duplicate key producers.topic_prefix"))
+    assert(e.getMessage.contains("expected key = value"))
+  }
+
+  test("a loaded config file drives the produce/decode pipeline end-to-end") {
+    // schema file on disk where schema.path points, resolved by
+    // (namespace, schemaName) exactly as the reference resolves .avsc
+    val schemaDir = java.nio.file.Files.createTempDirectory("graft-schemas")
+    val ns = schemaDir.resolve("com.example")
+    java.nio.file.Files.createDirectories(ns)
+    java.nio.file.Files.writeString(ns.resolve("Order.avsc"),
+      """{"type":"record","name":"Order","namespace":"com.example","fields":[
+        | {"name":"order_id","type":"string"},
+        | {"name":"amount","type":"long"},
+        | {"name":"message_id","type":["null","string"],"default":null},
+        | {"name":"timestamp","type":["null","string"],"default":null}
+        |]}""".stripMargin)
+    val cfg = GraftConfigFile.load(writeTemp(
+      s"""producers.topic_prefix = prod.
+         |schema.backend = avro
+         |schema.path = $schemaDir
+         |topic.orders.schema = Order
+         |topic.orders.namespace = com.example
+         |topic.orders.key_config = field:order_id
+         |""".stripMargin))
+    val topicCfg = cfg.topic("orders")
+    val backend = new AvroBackend(java.nio.file.Files.readString(
+      cfg.schema.schemaFile(topicCfg.namespace, topicCfg.schemaName)))
+    val payloads = Seq(("o1", 5L), ("o2", 7L)).toDF("order_id", "amount")
+      .withColumn("message_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit(null).cast("string"))
+    val frame = Streams.toKafkaFrame(payloads, topicCfg, backend)
+    val rows = Streams.fromKafkaFrame(frame, backend,
+      backend.keyBackend(topicCfg.keyConfig))
+      .select(col("topic"), col("decoded_key").getField("order_id").as("k"),
+        col("payload").getField("amount").as("a"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows === Set(("prod.orders", "o1", 5L), ("prod.orders", "o2", 7L)))
+  }
+
+  test("the file's kill-switch reaches the engine-wide producer gate") {
+    val wasDisabled = EngineConfig.producersDisabled
+    try {
+      GraftConfigFile.parse("producers.disabled = true").applyKillSwitch()
+      val cfg = TopicConfig("t", "T")
+      val payloads = Seq(("a", 1L)).toDF("k", "v")
+      intercept[IllegalArgumentException] {
+        Streams.toKafkaFrame(payloads, cfg,
+          new graft.schema.MockBackend(payloads.schema))
+      }
+      GraftConfigFile.parse("producers.disabled = false").applyKillSwitch()
+      assert(!EngineConfig.producersDisabled)
+    } finally EngineConfig.producersDisabled = wasDisabled
+  }
+
+  private def writeTemp(text: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("graft-config", ".properties")
+    java.nio.file.Files.writeString(p, text)
+    p
+  }
+}
