@@ -23,7 +23,14 @@ object SchemaClassGen {
   /** (className, source) for every named type reachable from the
     * schema, main record first, nested types in discovery order. */
   def generate(schemaJson: String): Seq[(String, String)] = {
-    val root = new AvroSchema.Parser().parse(schemaJson)
+    // lenient NAME validation only (defaults stay validated): the
+    // reference ecosystem carries hyphenated namespaces like
+    // `com.my-namespace` (its own fixture suite does), which Avro's
+    // Java parser rejects by default — the generator accepts them and
+    // emits backtick-quoted package segments instead. Wire codecs
+    // (AvroBackend) keep the strict parser.
+    val root = new AvroSchema.Parser(org.apache.avro.NameValidator.NO_VALIDATION)
+      .parse(schemaJson)
     // named-type identity is the FULL name (Avro's own rule) — keying
     // on simple names would silently drop the second of two same-named
     // records in different namespaces and mis-type its references
@@ -72,7 +79,16 @@ object SchemaClassGen {
     }
   }
 
-  private def scalaType(s: AvroSchema): String = s.getType match {
+  /** Reference to a named type from code living in package
+    * `fromPkg`: simple name within the same package, fully-qualified
+    * (sanitized) otherwise — cross-namespace references (e.g. a union
+    * of records in a sub-namespace) must compile without imports. */
+  private def typeRef(s: AvroSchema, fromPkg: String): String = {
+    val pkg = pkgName(Option(s.getNamespace))
+    if (pkg == fromPkg) s.getName else s"$pkg.${s.getName}"
+  }
+
+  private def scalaType(s: AvroSchema, fromPkg: String): String = s.getType match {
     case AvroSchema.Type.INT => "Int"
     case AvroSchema.Type.LONG => "Long"
     case AvroSchema.Type.FLOAT => "Float"
@@ -80,26 +96,26 @@ object SchemaClassGen {
     case AvroSchema.Type.BOOLEAN => "Boolean"
     case AvroSchema.Type.STRING => "String"
     case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED => "Array[Byte]"
-    case AvroSchema.Type.ARRAY => s"Seq[${scalaType(s.getElementType)}]"
-    case AvroSchema.Type.MAP => s"Map[String, ${scalaType(s.getValueType)}]"
-    case AvroSchema.Type.RECORD => s.getName
-    case AvroSchema.Type.ENUM => s.getName + ".Value"
+    case AvroSchema.Type.ARRAY => s"Seq[${scalaType(s.getElementType, fromPkg)}]"
+    case AvroSchema.Type.MAP => s"Map[String, ${scalaType(s.getValueType, fromPkg)}]"
+    case AvroSchema.Type.RECORD => typeRef(s, fromPkg)
+    case AvroSchema.Type.ENUM => typeRef(s, fromPkg) + ".Value"
     case AvroSchema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL)
       val nullable = s.getTypes.size != nonNull.size
       val inner =
-        if (nonNull.size == 1) scalaType(nonNull.head)
+        if (nonNull.size == 1) scalaType(nonNull.head, fromPkg)
         else
           // multi-branch union: mirror the Catalyst member0/member1
           // struct convention (AvroConverters.toSparkType) as a tuple
           // of Options — exactly one member is populated
-          nonNull.map(t => s"Option[${scalaType(t)}]")
+          nonNull.map(t => s"Option[${scalaType(t, fromPkg)}]")
             .mkString("(", ", ", ")")
       if (nullable) s"Option[$inner]" else inner
     case AvroSchema.Type.NULL => "Null"
   }
 
-  private def defaultFor(f: AvroSchema.Field): Option[String] = {
+  private def defaultFor(f: AvroSchema.Field, fromPkg: String): Option[String] = {
     if (IgnoreDefaults.contains(f.name)) {
       if (f.schema.getType == AvroSchema.Type.UNION &&
         f.schema.getTypes.asScala.exists(_.getType == AvroSchema.Type.NULL))
@@ -121,17 +137,29 @@ object SchemaClassGen {
         case (AvroSchema.Type.FLOAT, n: java.lang.Number) => Some(s"${n.floatValue}f")
         case (AvroSchema.Type.DOUBLE, n: java.lang.Number) => Some(n.doubleValue.toString)
         case (AvroSchema.Type.BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
-        case (AvroSchema.Type.ENUM, s: String) => Some(s"${f.schema.getName}.$s")
+        case (AvroSchema.Type.ENUM, s: String) =>
+          Some(s"${typeRef(f.schema, fromPkg)}.$s")
         case _ => None
       }
     }
   }
 
+  /** Namespace → Scala package: segments that are keywords or not
+    * valid identifiers (the reference's fixtures use hyphenated
+    * namespaces like `com.my-namespace`) are backtick-quoted so the
+    * emitted file still compiles. */
+  private def pkgName(ns: Option[String]): String =
+    ns.filter(_.nonEmpty).getOrElse("generated")
+      .split('.').map(seg =>
+        if (seg.matches("[A-Za-z_][A-Za-z0-9_]*") && !ScalaKeywords(seg)) seg
+        else s"`$seg`")
+      .mkString(".")
+
   private def recordSource(s: AvroSchema): String = {
-    val pkg = Option(s.getNamespace).getOrElse("generated")
+    val pkg = pkgName(Option(s.getNamespace))
     val fields = s.getFields.asScala.map { f =>
-      val t = scalaType(f.schema)
-      val default = defaultFor(f).map(" = " + _).getOrElse("")
+      val t = scalaType(f.schema, pkg)
+      val default = defaultFor(f, pkg).map(" = " + _).getOrElse("")
       s"  ${sanitize(f.name)}: $t$default"
     }
     val doc = Option(s.getDoc).map(d => s"/** $d */\n").getOrElse("")
@@ -149,7 +177,7 @@ object SchemaClassGen {
   }
 
   private def enumSource(s: AvroSchema): String = {
-    val pkg = Option(s.getNamespace).getOrElse("generated")
+    val pkg = pkgName(Option(s.getNamespace))
     val symbols = s.getEnumSymbols.asScala
     s"""package $pkg
        |
