@@ -1682,7 +1682,44 @@ object ExtQueries {
       .orderBy(col("node"))
   }
 
+  /** Mergeable binned-quantile partials (`Profile.binnedQuantilePartials`
+    * / `binnedQuantileCombine` / `binnedQuantileFinalize`): per-source
+    * bin counts over the DECLARED [0, 1024]×64 domain plus the corpus
+    * row folded from the partials without rescanning, both finalized
+    * to interpolated p50/p90/p99. The oracle replays binning,
+    * cumulation, and interpolation directly — merge ≡ direct, and the
+    * bin arithmetic (double floor/clamp, `ceil(p·n)` discrete rank,
+    * within-bin linear interpolation) is pinned cross-engine. */
+  private def x103(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.operators.Profile
+    val partials = P.binnedQuantilePartials(t(s, dir, "documents"),
+      col("source"), col("n_chars"), lo = 0.0, hi = 1024.0, nBins = 64)
+    P.binnedQuantileFinalize(
+        partials.unionByName(P.binnedQuantileCombine(partials)),
+        lo = 0.0, hi = 1024.0, nBins = 64, ps = Seq(0.5, 0.9, 0.99))
+      .select(col("slice"), col("p"),
+        round(col("q_est"), 9).as("q_est_r"), col("n"))
+      .orderBy(col("slice"), col("p"))
+  }
+
+  /** Padding-waste report for bucketed batching (`Packing.paddingWaste`):
+    * each doc lands in the smallest boundary ≥ its whitespace-token
+    * count (over-long docs truncate to the last boundary — counted),
+    * and the report prices each bucket's padding overhead — the
+    * numbers that pick a bucketing config before a training run. The
+    * last boundary (80) sits BELOW the corpus max length so the
+    * truncation path is exercised, not just declared. */
+  private def x104(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.paddingWaste(t(s, dir, "documents"),
+      T.wsTokenCount(col("text")), Seq(16L, 32L, 48L, 64L, 80L))
+      .select(col("boundary"), col("n_docs"), col("sum_tokens"),
+        col("padded_tokens"), col("truncated_tokens"),
+        round(col("waste_frac"), 9).as("waste_frac_r"))
+      .orderBy(col("boundary"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_pad_waste" -> (x104 _),
+    "x103_quantile_bins" -> (x103 _),
     "x102_ppr" -> (x102 _),
     "x101_exif_meta" -> (x101 _),
     "x100_incr_stats" -> (x100 _),
@@ -2343,6 +2380,55 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // identical double binning (clamp, floor, last-bin fold), the same
+    // ceil(p*n) discrete rank, and the same within-bin interpolation
+    // expression — per-source AND the __ALL__ union branch, so
+    // merge ≡ direct is proven by the differential itself
+    "x103_quantile_bins" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (
+        |  SELECT source AS slice,
+        |    CAST(least(floor(least(greatest(x, 0.0), 1024.0) / 16.0),
+        |      63.0) AS BIGINT) AS bin,
+        |    count(*) AS cnt FROM v GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '__ALL__',
+        |    CAST(least(floor(least(greatest(x, 0.0), 1024.0) / 16.0),
+        |      63.0) AS BIGINT),
+        |    count(*) FROM v GROUP BY 1, 2),
+        |c AS (SELECT slice, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY slice ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY slice) AS n FROM g),
+        |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS p)
+        |SELECT slice, p,
+        |  round(0.0 + bin * 16.0 + 16.0 *
+        |    CAST(ceil(p * n) - (cum - cnt) AS DOUBLE)
+        |    / CAST(cnt AS DOUBLE), 9) AS q_est_r,
+        |  CAST(n AS BIGINT) AS n
+        |FROM c JOIN p ON ceil(p * n) > cum - cnt AND ceil(p * n) <= cum
+        |ORDER BY slice, p""".stripMargin,
+    // same whitespace token count as x98, the same smallest-boundary
+    // bucket rule, least() truncation at the last boundary, and the
+    // waste fraction written as the identical IEEE expression
+    "x104_pad_waste" ->
+      """WITH t AS (SELECT CAST(len(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+        |    AS len FROM documents),
+        |b AS (SELECT CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+        |    WHEN len <= 48 THEN 48 WHEN len <= 64 THEN 64
+        |    ELSE 80 END AS boundary,
+        |  len, least(len, 80) AS used FROM t WHERE len > 0)
+        |SELECT CAST(boundary AS BIGINT) AS boundary,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * boundary AS BIGINT) AS padded_tokens,
+        |  CAST(sum(len - used) AS BIGINT) AS truncated_tokens,
+        |  round(CAST(count(*) * boundary
+        |      - (sum(len) - sum(len - used)) AS DOUBLE)
+        |    / CAST(count(*) * boundary AS DOUBLE), 9) AS waste_frac_r
+        |FROM b GROUP BY boundary ORDER BY boundary""".stripMargin,
     // x94's skeleton with seed-conditional teleport: r_{k+1}(v) =
     // (1-d)*tp_v + d*(contrib + dangling*tp_v), tp = 1/|S| on seeds
     "x102_ppr" ->

@@ -129,4 +129,49 @@ object Packing {
             - col("seq_id") + 1))
       .drop("__n")
   }
+
+  /** Padding-waste report for BUCKETED batching — the evaluation
+    * companion to [[binPackFFD]]/[[concatChunk]]: when batches are
+    * formed by length bucket (every sequence padded to its bucket's
+    * boundary, the common alternative to concat-packing), how much of
+    * the compute is padding? Each document lands in the smallest
+    * boundary ≥ its length; documents longer than the last boundary
+    * are TRUNCATED to it (counted, never silently). Per bucket:
+    * document count, real token mass, padded mass (`n_docs ×
+    * boundary`), truncated-token mass, and the padding fraction —
+    * the numbers that decide between bucketing configs before an
+    * expensive training run.
+    *
+    * One scan + one ≤`boundaries.size`-key aggregation: report-sized
+    * output at any corpus scale.
+    *
+    * @param boundaries ascending bucket capacities (e.g. 64, 128, …,
+    *        2048); the last is the model's max sequence length
+    * @return (boundary, n_docs, sum_tokens, padded_tokens,
+    *         truncated_tokens, waste_frac) one row per non-empty bucket
+    */
+  def paddingWaste(df: DataFrame, lenCol: Column,
+      boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be ascending and distinct: $boundaries")
+    require(boundaries.head > 0, "boundaries must be positive")
+    val maxB = boundaries.last
+    val len = lenCol.cast("long")
+    // smallest boundary >= len, else the last (truncation bucket)
+    val bucket = boundaries.init.reverse.foldLeft(lit(maxB)) {
+      (acc, b) => when(len <= b, lit(b)).otherwise(acc)
+    }
+    val used = least(len, lit(maxB))
+    df.filter(len.isNotNull && len > 0)
+      .select(bucket.as("boundary"), len.as("__len"), used.as("__used"))
+      .groupBy(col("boundary"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_tokens"),
+        (count(lit(1)) * col("boundary")).as("padded_tokens"),
+        sum(col("__len") - col("__used")).as("truncated_tokens"))
+      .withColumn("waste_frac",
+        (col("padded_tokens") - (col("sum_tokens") - col("truncated_tokens")))
+          .cast("double") / col("padded_tokens").cast("double"))
+  }
 }

@@ -83,7 +83,16 @@ object TopicSelector {
 
 final case class OutboxSettings(
     logTopics: TopicSelector = TopicSelector.Names(Set.empty),
-    compactTopics: TopicSelector = TopicSelector.Names(Set.empty))
+    compactTopics: TopicSelector = TopicSelector.Names(Set.empty)) {
+
+  /** `Outbox.drainBatch`-shaped arguments: (compactAll, compactTopics). */
+  def compactArgs: (Boolean, Set[String]) = args(compactTopics)
+  def logArgs: (Boolean, Set[String]) = args(logTopics)
+  private def args(s: TopicSelector): (Boolean, Set[String]) = s match {
+    case TopicSelector.All => (true, Set.empty)
+    case TopicSelector.Names(n) => (false, n)
+  }
+}
 
 /** One `db_poller.<name>.*` block (reference setting_object
   * `db_poller`, `configuration.rb:275-315`; defaults mirrored). */

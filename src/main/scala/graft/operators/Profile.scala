@@ -162,6 +162,83 @@ object Profile {
         first(col("__mn") + (col("bucket") + 1) * col("__w")).as("hi"))
   }
 
+  /** Mergeable QUANTILE partials — the rank companion to
+    * [[momentPartials]] (exact quantiles are not a monoid; counts over
+    * a FIXED binning are): clamp values into the declared domain
+    * `[lo, hi]`, bin into `nBins` equal widths, count per (slice,
+    * bin). The bin domain is declared up front — that is precisely
+    * what makes yesterday's partials reusable (a data-derived range
+    * like [[histogram]]'s would shift between runs and make old
+    * partials unmergeable). Partials fold associatively by integer
+    * addition; the quantile estimate from merged partials therefore
+    * EQUALS the estimate computed directly on the union, and its error
+    * vs the exact quantile is bounded by one bin width, at any number
+    * of merge levels. At 100 TB: each new slice is scanned once into a
+    * ≤`nBins`-row frame; rollups never touch data again.
+    *
+    * Bin rule (both engines in the oracle pair compute it
+    * identically): `bin = min(floor((clamp(x) - lo) / width), nBins-1)`
+    * in double arithmetic, `width = (hi - lo) / nBins`.
+    *
+    * @return (slice, bin, cnt) — only non-empty bins, non-null values
+    */
+  def binnedQuantilePartials(df: DataFrame,
+      sliceCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
+    val bin = least(floor((x - lit(lo)) / lit(width)), lit(nBins - 1L))
+      .cast("long")
+    df.filter(valueCol.isNotNull)
+      .groupBy(sliceCol.as("slice"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a partial frame to ONE slice's partials (integer adds per
+    * bin — associative, exact). */
+  def binnedQuantileCombine(partials: DataFrame,
+      label: String = "__ALL__"): DataFrame =
+    partials.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(lit(label).as("slice"), col("bin"), col("cnt"))
+
+  /** Quantile estimates from binned partials: for each requested
+    * `p`, the discrete rank `ceil(p * n)` is located in the cumulative
+    * bin counts and linearly interpolated inside its bin —
+    * `lo + bin*width + width * (rank - cum_before) / cnt`. Plain IEEE
+    * expressions over exact integer counts: cross-engine identical,
+    * and within one bin width of the exact quantile. The cumulative
+    * window is per-slice (partitioned) over ≤nBins rows.
+    *
+    * @return (slice, p, q_est, n) one row per slice × p
+    */
+  def binnedQuantileFinalize(partials: DataFrame, lo: Double, hi: Double,
+      nBins: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0, 1], got $ps")
+    val width = (hi - lo) / nBins
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("slice")).orderBy(col("bin"))
+    val cum = partials
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))))
+    val pFrame = ps.toDF("p")
+    cum.join(broadcast(pFrame),
+        ceil(col("p") * col("n")) > col("cum") - col("cnt") &&
+          ceil(col("p") * col("n")) <= col("cum"))
+      .select(col("slice"), col("p"),
+        (lit(lo) + col("bin") * lit(width) + lit(width) *
+          (ceil(col("p") * col("n")) - (col("cum") - col("cnt"))).cast("double")
+          / col("cnt").cast("double")).as("q_est"),
+        col("n"))
+  }
+
   /** Per-group z-score standardization: `(x - mean_g) / stddev_g`
     * (sample stddev), the feature-scaling step before any
     * distance/threshold logic that mixes groups. One group-keyed

@@ -35,12 +35,12 @@ class BenchContractSpec extends AnyFunSuite {
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
     val realLen = line(real, Map.empty).length
     // the real surface today must sit well inside the window...
-    assert(realLen < 2900, s"real surface line is $realLen bytes")
+    assert(realLen < 2950, s"real surface line is $realLen bytes")
     // ...and 20 MORE queries at realistic name length (16 chars — the
     // live average is ~14, longest 22) must still fit
     val grown = real ++ (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
     val grownLen = line(grown, Map.empty).length
-    assert(grownLen < 3300, s"grown surface line is $grownLen bytes")
+    assert(grownLen < 3400, s"grown surface line is $grownLen bytes")
     assert(grownLen < Window)
     assert(!line(real, Map.empty).contains("\"errors\""),
       "empty errors map must be omitted entirely")

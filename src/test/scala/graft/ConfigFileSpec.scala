@@ -141,6 +141,22 @@ class ConfigFileSpec extends SparkSpec {
     assert(rows === Set(("prod.orders", "o1", 5L), ("prod.orders", "o2", 7L)))
   }
 
+  test("outbox selectors from the file drive drainBatch compaction") {
+    val cfg = GraftConfigFile.parse("outbox.compact_topics = orders\n")
+    val (compactAll, compactSet) = cfg.outbox.compactArgs
+    val staged = Seq(
+      (1L, "orders", "k1", "v1"), (2L, "orders", "k1", "v2"),
+      (3L, "audit", "k1", "a1"), (4L, "audit", "k1", "a2"))
+      .toDF("id", "topic", "key", "value")
+    val got = graft.operators.Outbox.drainBatch(staged, "topic", "id", "key",
+        compactTopics = compactSet, compactAll = compactAll)
+      .select("id").as[Long].collect().toSet
+    // orders compacts to the last version; audit keeps both rows
+    assert(got === Set(2L, 3L, 4L))
+    assert(GraftConfigFile.parse("outbox.compact_topics = all\n")
+      .outbox.compactArgs === ((true, Set.empty[String])))
+  }
+
   test("the file's kill-switch reaches the engine-wide producer gate") {
     val wasDisabled = EngineConfig.producersDisabled
     try {

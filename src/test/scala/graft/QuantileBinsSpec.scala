@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Mergeable binned-quantile partials + the padding-waste report. */
+class QuantileBinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Lo = 0.0
+  private val Hi = 100.0
+  private val Bins = 20 // width 5
+
+  test("merge of per-slice partials equals direct partials on the union") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(i =>
+      (s"s${rnd.nextInt(6)}", rnd.nextInt(120).toLong - 10)) // incl. out-of-domain
+    val df = rows.toDF("src", "v")
+    val partials = Profile.binnedQuantilePartials(df, col("src"), col("v"),
+      Lo, Hi, Bins)
+    val merged = Profile.binnedQuantileCombine(partials)
+      .select(col("bin"), col("cnt")).as[(Long, Long)].collect().toMap
+    val direct = Profile.binnedQuantilePartials(df, lit("__ALL__"), col("v"),
+      Lo, Hi, Bins)
+      .select(col("bin"), col("cnt")).as[(Long, Long)].collect().toMap
+    assert(merged === direct)
+    // and the finalized estimates agree too (same counts ⇒ same IEEE ops)
+    def fin(p: org.apache.spark.sql.DataFrame) =
+      Profile.binnedQuantileFinalize(p, Lo, Hi, Bins, Seq(0.5, 0.9))
+        .select(col("p"), col("q_est")).as[(Double, Double)].collect().toMap
+    assert(fin(Profile.binnedQuantileCombine(partials)) ===
+      fin(Profile.binnedQuantilePartials(df, lit("__ALL__"), col("v"),
+        Lo, Hi, Bins)))
+  }
+
+  test("estimates are within one bin width of the exact quantile") {
+    val rnd = new scala.util.Random(13)
+    val vals = (1 to 5000).map(_ => rnd.nextInt(100).toLong)
+    val df = vals.map(("a", _)).toDF("src", "v")
+    val partials = Profile.binnedQuantilePartials(df, col("src"), col("v"),
+      Lo, Hi, Bins)
+    val width = (Hi - Lo) / Bins
+    val got = Profile.binnedQuantileFinalize(partials, Lo, Hi, Bins,
+      Seq(0.5, 0.9, 0.99))
+      .select(col("p"), col("q_est")).as[(Double, Double)].collect()
+    val sorted = vals.sorted
+    got.foreach { case (p, est) =>
+      val exact = sorted(math.ceil(p * sorted.size).toInt - 1).toDouble
+      assert(math.abs(est - exact) <= width,
+        s"p=$p est=$est exact=$exact width=$width")
+    }
+  }
+
+  test("out-of-domain values clamp into the edge bins, nulls drop") {
+    val df = Seq(("a", Some(-50L)), ("a", Some(999L)), ("a", None))
+      .toDF("src", "v")
+    val bins = Profile.binnedQuantilePartials(df, col("src"), col("v"),
+      Lo, Hi, Bins)
+      .select(col("bin"), col("cnt")).as[(Long, Long)].collect().toMap
+    assert(bins === Map(0L -> 1L, (Bins - 1).toLong -> 1L))
+  }
+
+  test("finalize windows run over partials, never raw rows") {
+    val df = spark.range(100000).select(
+      (col("id") % 7).cast("string").as("src"), (col("id") % 97).as("v"))
+    val partials = Profile.binnedQuantilePartials(df, col("src"), col("v"),
+      Lo, Hi, Bins)
+    val plan = Profile.binnedQuantileFinalize(partials, Lo, Hi, Bins,
+      Seq(0.5)).queryExecution.executedPlan.toString
+    // the aggregation reduces to ≤ slices×bins rows BEFORE any window:
+    // the Window operators must sit above the partial aggregate, and
+    // the raw-row side contributes only scan+partial-agg exchanges
+    assert(plan.contains("Window"), plan)
+    val aggBeforeWindow = plan.indexOf("HashAggregate") >= 0 &&
+      plan.indexOf("Window") < plan.indexOf("Range")
+    assert(aggBeforeWindow, plan)
+  }
+
+  test("paddingWaste: bucket rule, truncation, waste fraction") {
+    val df = Seq(10L, 16L, 17L, 40L, 90L, 0L).map(("d", _)).toDF("k", "len")
+    val got = graft.ext.Packing.paddingWaste(df, col("len"),
+      Seq(16L, 32L, 64L))
+      .orderBy(col("boundary"))
+      .select(col("boundary"), col("n_docs"), col("sum_tokens"),
+        col("padded_tokens"), col("truncated_tokens"), col("waste_frac"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // len 10,16 → 16; len 17 → 32; len 40,90 → 64 (90 truncates 26); 0 drops
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ===
+      Seq((16L, 2L, 26L, 32L, 0L), (32L, 1L, 17L, 32L, 0L),
+        (64L, 2L, 130L, 128L, 26L)))
+    // bucket 64: padded 128, used mass 104 → waste 24/128
+    assert(math.abs(got(2)._6 - 24.0 / 128.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.paddingWaste(df, col("len"), Seq(32L, 16L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.paddingWaste(df, col("len"), Seq.empty)
+    }
+  }
+}
