@@ -115,7 +115,7 @@ object Bench {
     "x99_entity_match" -> 0.52, "x100_incr_stats" -> 0.36,
     "x101_exif_meta" -> 0.23, "x102_ppr" -> 4.79,
     "x103_quantile_bins" -> 0.51, "x104_pad_waste" -> 0.39,
-    "x9_text_quality" -> 0.36)
+    "x105_salted_join" -> 0.73, "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

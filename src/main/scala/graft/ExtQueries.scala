@@ -1717,7 +1717,29 @@ object ExtQueries {
         round(col("waste_frac"), 9).as("waste_frac_r"))
       .orderBy(col("boundary"))
 
+  /** Salted skew-join equivalence (`Scale.saltedJoinDeterministic`):
+    * 70% of lineitem rows are forced onto ONE join key (the hot-key
+    * pattern that stalls a plain shuffle join at scale), the engine
+    * joins through the deterministic salt (hot key spread across
+    * `salts` sub-partitions, dim side replicated), and the oracle runs
+    * the PLAIN join — hash equality proves salting changes the
+    * execution shape and nothing else. */
+  private def x105(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 7, lit(1L))
+        .otherwise(col("l_suppkey")).as("k"),
+      col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"),
+      col("s_nationkey"))
+    graft.operators.Scale.saltedJoinDeterministic(li, sup, "k",
+        saltFrom = "l_orderkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x105_salted_join" -> (x105 _),
     "x104_pad_waste" -> (x104 _),
     "x103_quantile_bins" -> (x103 _),
     "x102_ppr" -> (x102 _),
@@ -2380,6 +2402,18 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // the PLAIN join — no salt anywhere — so the hash compare proves
+    // the salted execution is semantics-preserving
+    "x105_salted_join" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_orderkey % 10 < 7 THEN 1
+        |      ELSE l_suppkey END AS k,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem)
+        |SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS qty
+        |FROM li JOIN supplier ON s_suppkey = li.k
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // identical double binning (clamp, floor, last-bin fold), the same
     // ceil(p*n) discrete rank, and the same within-bin interpolation
     // expression — per-source AND the __ALL__ union branch, so
