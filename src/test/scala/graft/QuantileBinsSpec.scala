@@ -77,6 +77,38 @@ class QuantileBinsSpec extends SparkSpec {
     assert(aggBeforeWindow, plan)
   }
 
+  test("partials maintain incrementally under Structured Streaming") {
+    // the monoid's point: the same partials expression runs as a
+    // streaming aggregation, so a live pipeline maintains the bin
+    // counts (and therefore any quantile rollup) without batch rescans
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val agg = Profile.binnedQuantilePartials(
+      input.toDF().toDF("src", "v"), col("src"), col("v"), Lo, Hi, Bins)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("qbins").start()
+    try {
+      input.addData(("a", 3L), ("a", 7L), ("b", 50L))
+      q.processAllAvailable()
+      input.addData(("a", 97L), ("a", 2L)) // second micro-batch updates
+      q.processAllAvailable()
+      val got = spark.table("qbins")
+        .select(col("slice"), col("bin"), col("cnt"))
+        .as[(String, Long, Long)].collect().toSet
+      // width 5: 3,7,2 → bins 0,1,0 for a; 97 → bin 19; 50 → bin 10
+      assert(got === Set(("a", 0L, 2L), ("a", 1L, 1L), ("a", 19L, 1L),
+        ("b", 10L, 1L)))
+      // finalize runs on the maintained partials as a plain batch read
+      val p50 = Profile.binnedQuantileFinalize(
+        spark.table("qbins").filter(col("slice") === "a"),
+        Lo, Hi, Bins, Seq(0.5))
+        .select(col("q_est")).as[Double].collect().head
+      // rank ceil(0.5*4)=2 in bin 0 (cnt 2): 0 + 5*(2-0)/2 = 5.0
+      assert(p50 === 5.0)
+    } finally q.stop()
+  }
+
   test("paddingWaste: bucket rule, truncation, waste fraction") {
     val df = Seq(10L, 16L, 17L, 40L, 90L, 0L).map(("d", _)).toDF("k", "len")
     val got = graft.ext.Packing.paddingWaste(df, col("len"),
