@@ -29,6 +29,8 @@ import java.nio.file.{Files, Path, Paths}
   * topic.orders.compacted          = true
   * topic.orders.max_db_batch_size  = 500
   * topic.orders.bootstrap_servers  = cluster-b:9092
+  * topic.orders.error_policy       = fatal          # fatal | skip (T6)
+  * topic.orders.payload_log        = keys           # full | keys | count (P14)
   * db_poller.users.mode             = time_based  # time_based | state_based
   * db_poller.users.run_every        = 60
   * db_poller.users.delay_time       = 2
@@ -276,6 +278,19 @@ object GraftConfigFile {
         case "max_db_batch_size" =>
           t = t.copy(maxDbBatchSize = Some(int(s"topic.$name.$s", v)))
         case "bootstrap_servers" => t = t.copy(bootstrapServers = Some(v))
+        case "error_policy" => v match {
+          case "fatal" => t = t.copy(errorPolicy = ErrorPolicy.Fatal)
+          case "skip" => t = t.copy(errorPolicy = ErrorPolicy.Skip)
+          case other =>
+            errors += s"topic.$name.error_policy: expected fatal|skip, got '$other'"
+        }
+        case "payload_log" => v match {
+          case "full" => t = t.copy(payloadLog = PayloadLog.Full)
+          case "keys" => t = t.copy(payloadLog = PayloadLog.Keys)
+          case "count" => t = t.copy(payloadLog = PayloadLog.Count)
+          case other =>
+            errors += s"topic.$name.payload_log: expected full|keys|count, got '$other'"
+        }
         case other => errors += s"topic.$name.$other: unknown topic setting"
       }}
       if (t.schemaName.isEmpty) errors += s"topic.$name: schema is required"

@@ -42,6 +42,31 @@ object KeyConfig {
   final case class Schema(name: String) extends KeyConfig
 }
 
+/** T6 per-topic error policy — the reference's `reraise_errors` /
+  * `fatal_error?` pair (`consumer.rb:42-54`) as a typed setting:
+  * `Fatal` fails the query (our safer default), `Skip` swallows the
+  * batch after `onError`. Consumers wire it as
+  * `override def fatalError(e) = cfg.errorPolicy.isFatal(e)`. */
+sealed trait ErrorPolicy { def isFatal(e: Throwable): Boolean }
+object ErrorPolicy {
+  case object Fatal extends ErrorPolicy {
+    def isFatal(e: Throwable): Boolean = true
+  }
+  case object Skip extends ErrorPolicy {
+    def isFatal(e: Throwable): Boolean = false
+  }
+}
+
+/** P14 payload-log shaping style per topic (reference
+  * `topic.payload_log`: log full payloads, keys only, or only a
+  * count). Applied by [[graft.observe.Observe.payloadLogFrame]]. */
+sealed trait PayloadLog
+object PayloadLog {
+  case object Full extends PayloadLog
+  case object Keys extends PayloadLog
+  case object Count extends PayloadLog
+}
+
 /** Per-topic configuration mirroring the reference routing DSL
   * (reference: `lib/deimos/ext/schema_route.rb:31-95`,
   * `consumer_route.rb:5-35`, `producer_route.rb:5-33`).
@@ -67,7 +92,9 @@ final case class TopicConfig(
     topicPrefix: String = "",
     compacted: Boolean = true,
     maxDbBatchSize: Option[Int] = None,
-    bootstrapServers: Option[String] = None) {
+    bootstrapServers: Option[String] = None,
+    errorPolicy: ErrorPolicy = ErrorPolicy.Fatal,
+    payloadLog: PayloadLog = PayloadLog.Full) {
   def fullTopic: String = topicPrefix + topic
 }
 

@@ -57,6 +57,21 @@ object Observe {
   def counted(df: DataFrame, name: String): DataFrame =
     df.observe(name, count(lit(1)).as("rows"))
 
+  /** P14: shape a batch for payload logging per the topic's
+    * `payload_log` style (reference `payload_log: :full/:keys/:count`,
+    * karafka ext): `Full` passes the frame through, `Keys` projects
+    * the key columns, `Count` reduces to one count row — so the
+    * logging sink's volume is a per-topic decision, not a code change.
+    */
+  def payloadLogFrame(df: DataFrame, style: graft.model.PayloadLog,
+      keyCols: Seq[String]): DataFrame = style match {
+    case graft.model.PayloadLog.Full => df
+    case graft.model.PayloadLog.Keys =>
+      df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    case graft.model.PayloadLog.Count =>
+      df.agg(count(lit(1)).as("rows"))
+  }
+
   /** StreamingQueryListener that forwards batch progress (rows/sec,
     * observed metrics) to a Metrics facade — the engine's
     * `producer_metrics_listener.rb` equivalent. */

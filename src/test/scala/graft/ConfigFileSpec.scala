@@ -141,6 +141,34 @@ class ConfigFileSpec extends SparkSpec {
     assert(rows === Set(("prod.orders", "o1", 5L), ("prod.orders", "o2", 7L)))
   }
 
+  test("per-topic error policy and payload-log style parse and apply") {
+    val cfg = GraftConfigFile.parse(
+      """topic.orders.schema = Order
+        |topic.orders.error_policy = skip
+        |topic.orders.payload_log = keys
+        |topic.audit.schema = Audit
+        |""".stripMargin)
+    assert(cfg.topic("orders").errorPolicy === ErrorPolicy.Skip)
+    assert(!cfg.topic("orders").errorPolicy.isFatal(new RuntimeException))
+    assert(cfg.topic("audit").errorPolicy === ErrorPolicy.Fatal) // default
+    assert(cfg.topic("orders").payloadLog === PayloadLog.Keys)
+
+    // the style shapes the logging frame (P14)
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "k", "v")
+    import graft.observe.Observe
+    assert(Observe.payloadLogFrame(df, cfg.topic("orders").payloadLog,
+      Seq("id", "k")).columns.toSeq === Seq("id", "k"))
+    assert(Observe.payloadLogFrame(df, PayloadLog.Count, Seq("id"))
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(Observe.payloadLogFrame(df, PayloadLog.Full, Seq("id"))
+      .columns.toSeq === Seq("id", "k", "v"))
+
+    val e = intercept[IllegalArgumentException](GraftConfigFile.parse(
+      "topic.t.schema = T\ntopic.t.error_policy = retry\ntopic.t.payload_log = verbose\n"))
+    assert(e.getMessage.contains("error_policy: expected fatal|skip"))
+    assert(e.getMessage.contains("payload_log: expected full|keys|count"))
+  }
+
   test("outbox selectors from the file drive drainBatch compaction") {
     val cfg = GraftConfigFile.parse("outbox.compact_topics = orders\n")
     val (compactAll, compactSet) = cfg.outbox.compactArgs
