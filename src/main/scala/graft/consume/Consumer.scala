@@ -85,7 +85,11 @@ class BatchConsumer(
   /** Streaming-mode consume via foreachBatch, with the T6 error
     * policy: non-fatal sink errors skip the batch (offsets advance,
     * at-least-once preserved by the next batch's key-idempotent
-    * merge); fatal errors fail the query. */
+    * merge); fatal errors fail the query. An error is fatal only when
+    * BOTH the hook (`fatalError`, code-level) and the topic's
+    * declarative `errorPolicy` (config-level) say so — either layer
+    * can downgrade to skip, and the defaults (both fatal) preserve
+    * fail-fast. */
   def stream(kafka: DataFrame)(
       sink: (DataFrame, DataFrame, Long) => Unit) = {
     val decoded = Streams.fromKafkaFrame(kafka, backend)
@@ -93,7 +97,9 @@ class BatchConsumer(
     val guarded: (DataFrame, DataFrame, Long) => Unit = (up, del, id) =>
       try sink(up, del, id)
       catch {
-        case e: Throwable if !hooks.fatalError(e) => hooks.onError(e, id)
+        case e: Throwable
+            if !hooks.fatalError(e) || !cfg.errorPolicy.isFatal(e) =>
+          hooks.onError(e, id)
       }
     Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,
       col(orderCol), hooks.isTombstone, cfg.compacted)(guarded)

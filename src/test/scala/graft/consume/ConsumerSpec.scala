@@ -64,4 +64,39 @@ class ConsumerSpec extends SparkSpec {
     assert(up.count() === 3) // A@1, A@2, C@4
     assert(del.count() === 1)
   }
+
+  test("T6: the topic's declarative error_policy downgrades sink errors to skip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(policy: graft.model.ErrorPolicy): (Boolean, Long) = {
+      val consumer = new BatchConsumer(
+        TopicConfig("widgets", "Widget",
+          keyConfig = KeyConfig.Plain("widget_id"), errorPolicy = policy),
+        backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+      val input = MemoryStream[(Long, String, String)]
+      val frame = input.toDF().toDF("offset", "k", "json")
+        .select(col("offset"), col("k").cast("binary").as("key"),
+          col("json").cast("binary").as("value"))
+      val errors = new java.util.concurrent.atomic.AtomicLong(0)
+      val writer = consumer.stream(frame) { (_, _, _) =>
+        errors.incrementAndGet()
+        throw new RuntimeException("sink down")
+      }
+      val q = writer.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+      try {
+        input.addData((1L, "A", """{"widget_id":"A","amount":5}"""))
+        q.processAllAvailable()
+        (true, errors.get()) // survived: batch skipped, offsets advanced
+      } catch {
+        case _: Throwable => (false, errors.get())
+      } finally q.stop()
+    }
+
+    val (skipSurvived, skipAttempts) = run(graft.model.ErrorPolicy.Skip)
+    assert(skipSurvived && skipAttempts >= 1)
+    val (fatalSurvived, _) = run(graft.model.ErrorPolicy.Fatal)
+    assert(!fatalSurvived) // default policy keeps fail-fast semantics
+  }
 }
