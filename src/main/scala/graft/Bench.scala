@@ -115,7 +115,8 @@ object Bench {
     "x99_entity_match" -> 0.52, "x100_incr_stats" -> 0.36,
     "x101_exif_meta" -> 0.23, "x102_ppr" -> 4.79,
     "x103_quantile_bins" -> 0.51, "x104_pad_waste" -> 0.39,
-    "x105_salted_join" -> 0.73, "x9_text_quality" -> 0.36)
+    "x105_salted_join" -> 0.73, "x106_wilson_domains" -> 0.33,
+    "x107_token_budget" -> 0.44, "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 
@@ -438,7 +439,7 @@ object Bench {
     // Error budget: round-5's driver artifact recorded parsed:null
     // because 22 × 200-char analysis exceptions pushed the contract
     // line past the driver's ~4 KB tail window. The line carries at
-    // most 4 errors at 56 chars each (sorted by query name so the
+    // most 3 errors at 48 chars each (sorted by query name so the
     // sample set is stable across runs) plus an overflow count; the
     // exception's package prefix is dropped first so the budget goes
     // to the class + message, not "org.apache.spark.sql.". Full
@@ -446,12 +447,12 @@ object Bench {
     val errStr =
       if (errors.isEmpty) ""
       else {
-        val shown = errors.toSeq.sortBy(_._1).take(4).map { case (k, m) =>
+        val shown = errors.toSeq.sortBy(_._1).take(3).map { case (k, m) =>
           val compact = m.replaceFirst("^[A-Za-z0-9_$]+(\\.[A-Za-z0-9_$]+)*\\.(?=[A-Z])", "")
-          "\"" + k + "\":\"" + jstr(compact.take(56)) + "\""
+          "\"" + k + "\":\"" + jstr(compact.take(48)) + "\""
         }.mkString("{", ",", "}")
         val more =
-          if (errors.size > 4) s""","more_errors":${errors.size - 4}"""
+          if (errors.size > 3) s""","more_errors":${errors.size - 3}"""
           else ""
         s""","errors":$shown$more"""
       }

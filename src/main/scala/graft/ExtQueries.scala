@@ -1738,7 +1738,40 @@ object ExtQueries {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Wilson-bound domain ranking (`Profile.wilsonPassRates`): pass
+    * rates per source with the Wilson-score lower bound, so a 3/3
+    * fluke can't outrank 900/1000 evidence when allocating curation
+    * budget. The bound is one IEEE expression over exact integer
+    * counts; the oracle replays it with the same association order
+    * (and computes z² as 1.96·1.96 in DOUBLE — a 3.8416 literal is a
+    * DIFFERENT double). */
+  private def x106(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.wilsonPassRates(t(s, dir, "documents"),
+      col("source"),
+      col("n_chars") >= 150 && T.wsTokenCount(col("text")) >= 30)
+      .select(col("group").as("source"), col("n"), col("k"),
+        round(col("rate"), 9).as("rate_r"),
+        round(col("wilson_lb"), 9).as("wilson_lb_r"))
+      .orderBy(col("source"))
+
+  /** Per-source token-budget selection (`Sampling.tokenBudgetTake`):
+    * docs taken in doc_id order per source until 300 cumulative
+    * tokens — the allocation step that turns mixture rates into an
+    * actual subset. Crossing doc kept (bounded overshoot); oracle
+    * replays the running-frame cumsum and the strict
+    * `cum − n < budget` keep rule. */
+  private def x107(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.tokenBudgetTake(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        T.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 300L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x107_token_budget" -> (x107 _),
+    "x106_wilson_domains" -> (x106 _),
     "x105_salted_join" -> (x105 _),
     "x104_pad_waste" -> (x104 _),
     "x103_quantile_bins" -> (x103 _),
@@ -2402,6 +2435,43 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // same integer counts, z-squared as 1.96*1.96 in DOUBLE (the
+    // 3.8416 literal is a different double), identical association
+    // order throughout the bound expression
+    "x106_wilson_domains" ->
+      """WITH a AS (
+        |  SELECT source AS grp, count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 150 AND
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x <> '')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT grp, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+        |  FROM a)
+        |SELECT grp AS source, n, k, round(p, 9) AS rate_r,
+        |  round(greatest((p + z2 / (2.0 * nd)
+        |      - CAST(1.96 AS DOUBLE)
+        |        * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
+        |    / (1.0 + z2 / nd), 0.0), 9) AS wilson_lb_r
+        |FROM b ORDER BY source""".stripMargin,
+    // the same running-frame cumsum per source and the same strict
+    // keep rule (preceding mass < budget: the crossing doc is kept)
+    "x107_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 300
+        |ORDER BY doc_id""".stripMargin,
     // the PLAIN join — no salt anywhere — so the hash compare proves
     // the salted execution is semantics-preserving
     "x105_salted_join" ->

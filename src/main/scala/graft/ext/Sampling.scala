@@ -212,4 +212,33 @@ object Sampling {
       .select(col("group"), col("n_rows"), col("mass"), col("weight"),
         (col("weight") / col("__tw")).as("rate"))
   }
+
+  /** Per-group TOKEN-BUDGET selection — "take N tokens per domain",
+    * the allocation step that turns mixture rates (x53/x98) into an
+    * actual training subset: within each group, documents are taken
+    * in deterministic `orderCol` order until the group's cumulative
+    * token mass reaches `budget` (the document that crosses the
+    * budget is the last one kept, so every non-empty group gets at
+    * least one document and the overshoot is bounded by one document).
+    *
+    * One key-partitioned window (shuffle on the group, per-group sort)
+    * — the x63-rolling shape. For a corpus where ONE group's rows
+    * exceed a task, pre-slice by a secondary hash or use the
+    * hierarchical `Packing.prefixSum` per group; at realistic domain
+    * cardinalities the per-group window is the right plan.
+    *
+    * @return input columns + `cum_tokens` (cumulative including the
+    *         row) for the selected rows only
+    */
+  def tokenBudgetTake(df: DataFrame, groupCol: Column, orderCol: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("cum_tokens",
+        sum(nTokens.cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .filter(col("cum_tokens") - nTokens.cast("long") < budget)
+  }
 }

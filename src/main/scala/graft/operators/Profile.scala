@@ -239,6 +239,36 @@ object Profile {
         col("n"))
   }
 
+  /** Per-group pass-rate report with a Wilson-score LOWER bound — the
+    * curation ranking that doesn't let small samples win: a domain
+    * with 3/3 passing docs scores a raw rate of 1.0 but a Wilson
+    * lower bound far below a domain at 900/1000, so budget flows to
+    * evidence, not luck. One group aggregation; the bound
+    * `(p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)` is a single
+    * IEEE expression over exact integer counts — cross-engine
+    * deterministic, replayable by the oracle.
+    *
+    * @param passCol boolean predicate per row (the quality gate)
+    * @param z       normal quantile (1.96 ≈ 95% one-sided-ish default)
+    * @return (group, n, k, rate, wilson_lb)
+    */
+  def wilsonPassRates(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      passCol: org.apache.spark.sql.Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val agg = df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(passCol, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * nD) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))) / (lit(1.0) + z2 / nD)
+    agg.select(col("group"), col("n"), col("k"), p.as("rate"),
+      greatest(lb, lit(0.0)).as("wilson_lb"))
+  }
+
   /** Per-group z-score standardization: `(x - mean_g) / stddev_g`
     * (sample stddev), the feature-scaling step before any
     * distance/threshold logic that mixes groups. One group-keyed

@@ -109,6 +109,53 @@ class QuantileBinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wilsonPassRates: evidence beats luck, bound clamps at zero") {
+    val rows = (1 to 3).map(i => ("fluke", true)) ++
+      (1 to 1000).map(i => ("solid", i <= 900)) ++
+      (1 to 5).map(_ => ("allfail", false))
+    val got = Profile.wilsonPassRates(rows.toDF("src", "ok"),
+      col("src"), col("ok"))
+      .select(col("group"), col("n"), col("k"), col("rate"),
+        col("wilson_lb"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // raw rate ranks the 3/3 fluke first; the Wilson lower bound
+    // ranks the 900/1000 evidence first — the whole point
+    assert(got("fluke")._4 === 1.0)
+    assert(got("fluke")._5 < got("solid")._5)
+    // hand check (z=1.96): n=3,k=3 → lb = (1 + z²/6 − z·√(z²/36))/(1+z²/3)
+    val z2 = 1.96 * 1.96
+    val expected = (1.0 + z2 / 6.0 - 1.96 * math.sqrt(z2 / 36.0)) /
+      (1.0 + z2 / 3.0)
+    assert(math.abs(got("fluke")._5 - expected) < 1e-12)
+    assert(got("allfail")._5 === 0.0) // clamped, never negative
+  }
+
+  test("tokenBudgetTake: crossing doc kept, deterministic order, per-group") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 100L), ("a", 4L, 10L),
+      ("b", 1L, 999L), // first doc alone crosses: still kept
+      ("c", 1L, 10L), ("c", 2L, 10L))
+      .toDF("src", "id", "toks")
+    val got = graft.ext.Sampling.tokenBudgetTake(df, col("src"), col("id"),
+      col("toks"), budget = 300L)
+      .select(col("src"), col("id"), col("cum_tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    // a: 100, 250, 350 (crosses at id 3 — kept), id 4 dropped
+    // b: single over-budget doc kept (every group yields >= 1 doc)
+    // c: both under budget
+    assert(got === Set(("a", 1L, 100L), ("a", 2L, 250L), ("a", 3L, 350L),
+      ("b", 1L, 999L), ("c", 1L, 10L), ("c", 2L, 20L)))
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.tokenBudgetTake(df, col("src"), col("id"),
+        col("toks"), budget = 0L)
+    }
+    // plan: group-partitioned running frame, no unpartitioned window
+    val plan = graft.ext.Sampling.tokenBudgetTake(df, col("src"), col("id"),
+      col("toks"), budget = 300L).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("unboundedfollowing"), plan)
+  }
+
   test("paddingWaste: bucket rule, truncation, waste fraction") {
     val df = Seq(10L, 16L, 17L, 40L, 90L, 0L).map(("d", _)).toDF("k", "len")
     val got = graft.ext.Packing.paddingWaste(df, col("len"),
