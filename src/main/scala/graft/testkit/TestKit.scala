@@ -58,9 +58,10 @@ object TestKit {
         }))
   }
 
-  /** Drive a consumer with literal rows, the `test_consume_batch`
-    * analog: build a Kafka-shaped frame from (offset, key, jsonValue)
-    * triples (null json ⇒ tombstone). */
+  /** Drive a consumer with literal rows, the raw-frame variant: build
+    * a Kafka-shaped frame from (offset, key, jsonValue) triples (null
+    * json ⇒ tombstone). For the schema-validating path use
+    * [[testConsumeBatch]]. */
   def kafkaFrameOf(spark: org.apache.spark.sql.SparkSession,
       rows: Seq[(Long, String, String)]): DataFrame = {
     import spark.implicits._
@@ -69,4 +70,56 @@ object TestKit {
       col("k").cast("binary").as(MessageCols.Key),
       col("json").cast("binary").as(MessageCols.Value))
   }
+
+  /** `test_consume_batch` analog (`test_helpers.rb:219-264`): drive a
+    * BatchConsumer with literal payload rows THROUGH THE REAL ENCODE
+    * PATH — payloads are encoded with the consumer's backend, framed
+    * kafka-shaped, then decoded/hooked/compacted by `consumeBatch` —
+    * so one call validates the schema round-trip AND the consumer
+    * logic, which is exactly what the reference's helper exists for
+    * (a payload that doesn't fit the schema fails the encode loudly
+    * instead of silently producing garbage frames).
+    *
+    * @param payloads   rows with an `offset` column (explicit
+    *                   ordering beats hidden arrival order in tests)
+    *                   plus the payload fields
+    * @param keyCol     expression over the payload row producing the
+    *                   message key (encoded as a UTF-8 string key)
+    * @param tombstones keys to append as null-value tombstone frames,
+    *                   at offsets after every payload
+    * @return consumeBatch's (upserts, deletes)
+    */
+  def testConsumeBatch(consumer: graft.consume.BatchConsumer,
+      payloads: DataFrame, keyCol: org.apache.spark.sql.Column,
+      tombstones: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    require(payloads.columns.contains("offset"),
+      "payloads need an explicit offset column")
+    val payloadCols = payloads.columns.filterNot(_ == "offset").toIndexedSeq
+    val frame = payloads.select(
+      col("offset"),
+      keyCol.cast("string").cast("binary").as(MessageCols.Key),
+      consumer.backend.encodeExpr(struct(payloadCols.map(col): _*))
+        .as(MessageCols.Value))
+    val withTombs =
+      if (tombstones.isEmpty) frame
+      else {
+        val spark = payloads.sparkSession
+        import spark.implicits._
+        val maxOff = payloads.agg(max(col("offset"))).head.getLong(0)
+        frame.unionByName(
+          tombstones.zipWithIndex.map { case (k, i) => (maxOff + i + 1, k) }
+            .toDF("offset", "k")
+            .select(col("offset"),
+              col("k").cast("binary").as(MessageCols.Key),
+              lit(null).cast("binary").as(MessageCols.Value)))
+      }
+    consumer.consumeBatch(withTombs)
+  }
+
+  /** `test_consume_message` analog: the single-row sugar. */
+  def testConsumeMessage(consumer: graft.consume.BatchConsumer,
+      payload: DataFrame,
+      keyCol: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
+    testConsumeBatch(consumer,
+      payload.withColumn("offset", lit(1L)), keyCol)
 }

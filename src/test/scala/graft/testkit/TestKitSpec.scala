@@ -55,4 +55,47 @@ class TestKitSpec extends SparkSpec {
     assert(decoded.filter(org.apache.spark.sql.functions.col("payload").isNull)
       .count() === 1)
   }
+
+  test("testConsumeBatch: real encode path + consumer logic in one call") {
+    import org.apache.spark.sql.functions._
+    object Hooks extends graft.consume.ConsumerHooks {
+      override def isTombstone = col("payload").isNull
+    }
+    val consumer = new graft.consume.BatchConsumer(
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.Plain("wid")),
+      backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    val payloads = Seq((1L, "A", 5L), (2L, "A", 6L), (3L, "B", 9L))
+      .toDF("offset", "wid", "n")
+      .withColumn("message_id", lit("m")).withColumn("timestamp", lit("t"))
+    val (up, del) = TestKit.testConsumeBatch(consumer, payloads,
+      keyCol = col("wid"), tombstones = Seq("B"))
+    val ups = up.select(col("decoded_key"), col("payload.n"))
+      .as[(String, Long)].collect().toSet
+    assert(ups === Set(("A", 6L))) // compacted to the last version
+    assert(del.select("decoded_key").as[String].collect().toSeq === Seq("B"))
+  }
+
+  test("testConsumeMessage validates the schema: a misfit payload fails loudly") {
+    import org.apache.spark.sql.functions._
+    object Hooks extends graft.consume.ConsumerHooks {
+      override def isTombstone = col("payload").isNull
+    }
+    // Avro backend: encode enforces the declared record shape
+    val avro = new graft.schema.AvroBackend(
+      """{"type":"record","name":"W","fields":[
+        | {"name":"wid","type":"string"},{"name":"n","type":"long"}
+        |]}""".stripMargin)
+    val consumer = new graft.consume.BatchConsumer(
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.Plain("wid")),
+      avro, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    val good = Seq(("A", 5L)).toDF("wid", "n")
+    val (up, _) = TestKit.testConsumeMessage(consumer, good, col("wid"))
+    assert(up.select(col("payload.n")).as[Long].collect().toSeq === Seq(5L))
+    // wrong shape (missing required field): the ENCODE fails — the
+    // reference helper's "schema is correct" check
+    val bad = Seq(Tuple1("A")).toDF("wid")
+    intercept[Exception] {
+      TestKit.testConsumeMessage(consumer, bad, col("wid"))._1.collect()
+    }
+  }
 }
