@@ -116,7 +116,8 @@ object Bench {
     "x101_exif_meta" -> 0.23, "x102_ppr" -> 4.79,
     "x103_quantile_bins" -> 0.51, "x104_pad_waste" -> 0.39,
     "x105_salted_join" -> 0.73, "x106_wilson_domains" -> 0.33,
-    "x107_token_budget" -> 0.44, "x9_text_quality" -> 0.36)
+    "x107_token_budget" -> 0.44, "x108_join_profile" -> 0.46,
+    "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

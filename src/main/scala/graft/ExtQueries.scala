@@ -1769,7 +1769,22 @@ object ExtQueries {
         col("cum_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Join-cardinality profile (`Scale.joinProfile`): the pre-flight
+    * report for x105's skewed join — per-side rows/keys, max
+    * multiplicities, EXACT output cardinality and worst single-key
+    * output, all from the two key-count frames without running the
+    * join. The oracle recomputes every statistic from the same
+    * full-outer counts join. */
+  private def x108(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 7, lit(1L))
+        .otherwise(col("l_suppkey")).as("k"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+    graft.operators.Scale.joinProfile(li, col("k"), sup, col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_join_profile" -> (x108 _),
     "x107_token_budget" -> (x107 _),
     "x106_wilson_domains" -> (x106 _),
     "x105_salted_join" -> (x105 _),
@@ -2435,6 +2450,31 @@ object ExtQueries {
     // same \W+ tokenization + 1-based positions as x22's oracle; vocab
     // ranked by (n_occ DESC, token) with QUALIFY, OOV -> id 0; the
     // checksum replays sum(id * pos) over the full sequence
+    // every statistic recomputed from the same full-outer join of the
+    // two key-count frames (x105's skewed key on the left side)
+    "x108_join_profile" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+        |    ELSE l_suppkey END AS k, count(*) AS lc
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT s_suppkey AS k, count(*) AS rc
+        |  FROM supplier GROUP BY 1),
+        |j AS (SELECT lc, rc FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT
+        |  CAST(sum(coalesce(lc, 0)) AS BIGINT) AS left_rows,
+        |  CAST(sum(coalesce(rc, 0)) AS BIGINT) AS right_rows,
+        |  CAST(sum(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS left_keys,
+        |  CAST(sum(CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS right_keys,
+        |  CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS match_keys,
+        |  CAST(max(coalesce(lc, 0)) AS BIGINT) AS left_max_dup,
+        |  CAST(max(coalesce(rc, 0)) AS BIGINT) AS right_max_dup,
+        |  CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+        |    THEN lc * rc ELSE 0 END) AS BIGINT) AS out_rows,
+        |  CAST(max(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+        |    THEN lc * rc ELSE 0 END) AS BIGINT) AS max_key_out
+        |FROM j""".stripMargin,
     // same integer counts, z-squared as 1.96*1.96 in DOUBLE (the
     // 3.8416 literal is a different double), identical association
     // order throughout the bound expression

@@ -102,6 +102,48 @@ object Scale {
       .select(col("key"), col("cnt"), col("share_ppm"))
   }
 
+  /** Join-cardinality profile — what a planner (or an engineer) needs
+    * to know about an equi-join BEFORE running it at corpus scale:
+    * per-side row and distinct-key counts, the heaviest key's
+    * multiplicity on each side, the EXACT output cardinality
+    * (Σ_k l_k·r_k over matching keys — computed from the two
+    * key-count frames, never by running the join), and the worst
+    * single-key output (the straggler-task bound that says whether to
+    * salt). Each side is one partial-aggregated count shuffle; the
+    * count frames join on the key (key-cardinality-sized, not
+    * data-sized) and reduce to ONE report row.
+    *
+    * Reading it: `out_rows` >> max(left, right) ⇒ fan-out join (check
+    * the keys); `max_key_out` ≈ `out_rows` ⇒ one hot key dominates ⇒
+    * salt ([[saltedJoinDeterministic]], x105) or AQE skew-join;
+    * distinct counts tell which side broadcasts.
+    *
+    * @return one row: (left_rows, right_rows, left_keys, right_keys,
+    *         match_keys, left_max_dup, right_max_dup, out_rows,
+    *         max_key_out)
+    */
+  def joinProfile(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val l = left.filter(leftKey.isNotNull)
+      .groupBy(leftKey.as("k")).agg(count(lit(1)).as("lc"))
+    val r = right.filter(rightKey.isNotNull)
+      .groupBy(rightKey.as("k")).agg(count(lit(1)).as("rc"))
+    val joined = l.join(r, Seq("k"), "full_outer")
+    joined.agg(
+      sum(coalesce(col("lc"), lit(0L))).as("left_rows"),
+      sum(coalesce(col("rc"), lit(0L))).as("right_rows"),
+      sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("left_keys"),
+      sum(when(col("rc").isNotNull, 1L).otherwise(0L)).as("right_keys"),
+      sum(when(col("lc").isNotNull && col("rc").isNotNull, 1L)
+        .otherwise(0L)).as("match_keys"),
+      max(coalesce(col("lc"), lit(0L))).as("left_max_dup"),
+      max(coalesce(col("rc"), lit(0L))).as("right_max_dup"),
+      sum(when(col("lc").isNotNull && col("rc").isNotNull,
+        col("lc") * col("rc")).otherwise(0L)).as("out_rows"),
+      max(when(col("lc").isNotNull && col("rc").isNotNull,
+        col("lc") * col("rc")).otherwise(0L)).as("max_key_out"))
+  }
+
   /** Deterministic variant: salt derived from another column's hash —
     * reproducible plans (tests, oracles). */
   def saltedJoinDeterministic(big: DataFrame, small: DataFrame, key: String,

@@ -43,6 +43,22 @@ class ScaleSpec extends SparkSpec {
       .select("k", "payload", "dim").collect().toSet
     assert(randomSalted === plain)
   }
+
+  test("joinProfile: exact output cardinality, hot-key bound, null keys dropped") {
+    // left: key 1 ×3, key 2 ×2, key 9 ×1 (unmatched), null ×1 (dropped)
+    // right: key 1 ×2, key 2 ×1, key 5 ×1 (unmatched)
+    val left = Seq(Some(1), Some(1), Some(1), Some(2), Some(2), Some(9),
+      None).toDF("k")
+    val right = Seq(1, 1, 2, 5).toDF("k")
+    val got = Scale.joinProfile(left, col("k"), right, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got === ((6L, 4L, 3L, 3L, 2L, 3L, 2L, 8L, 6L)))
+    // out_rows equals the ACTUAL join's cardinality
+    val actual = left.filter(col("k").isNotNull)
+      .join(right, Seq("k")).count()
+    assert(actual === got._8)
+  }
 }
 
 class WinnowSpec extends SparkSpec {
