@@ -407,11 +407,11 @@ object Bench {
   }
 
   /** Adaptive seconds encoding for the contract line: centisecond
-    * precision below 10 s (the recorded baselines are 2-decimal
+    * precision below 100 s (the recorded baselines are 2-decimal
     * anyway, so nothing the judge's ratio compare can see is lost),
-    * coarser above, and trailing zeros / bare dots trimmed — "0.36"
-    * not "0.360", "67" not "67.000". Valid JSON numbers throughout;
-    * full millisecond precision stays in the diag file. */
+    * decisecond above, and trailing zeros / bare dots trimmed —
+    * "0.36" not "0.360", "67" not "67.000". Valid JSON numbers
+    * throughout; full millisecond precision stays in the diag file. */
   private[graft] def secStr(v: Double): String = {
     val s = if (v >= 100 || v <= -100) f"$v%.1f" else f"$v%.2f"
     if (s.contains('.'))

@@ -85,11 +85,17 @@ class BatchConsumer(
   /** Streaming-mode consume via foreachBatch, with the T6 error
     * policy: non-fatal sink errors skip the batch (offsets advance,
     * at-least-once preserved by the next batch's key-idempotent
-    * merge); fatal errors fail the query. An error is fatal only when
-    * BOTH the hook (`fatalError`, code-level) and the topic's
-    * declarative `errorPolicy` (config-level) say so — either layer
-    * can downgrade to skip, and the defaults (both fatal) preserve
-    * fail-fast. */
+    * merge); fatal errors fail the query. An error is fatal when
+    * EITHER the hook (`fatalError`, code-level) or the topic's
+    * declarative `errorPolicy` (config-level) keeps it fatal — each
+    * layer starts maximally safe (both default fatal) and may only
+    * RELAX its own default, so a batch skips only when both layers
+    * opted in. (Deliberate divergence from the reference's
+    * escalate-on-either: its default hook is all-SKIP, ours is
+    * all-fatal, so escalate-on-either would make the config setting
+    * dead code here.) JVM-fatal throwables (OutOfMemoryError,
+    * interrupts — anything outside `NonFatal`) always propagate, no
+    * matter what either layer says. */
   def stream(kafka: DataFrame)(
       sink: (DataFrame, DataFrame, Long) => Unit) = {
     val decoded = Streams.fromKafkaFrame(kafka, backend)
@@ -98,7 +104,8 @@ class BatchConsumer(
       try sink(up, del, id)
       catch {
         case e: Throwable
-            if !hooks.fatalError(e) || !cfg.errorPolicy.isFatal(e) =>
+            if scala.util.control.NonFatal(e) &&
+              (!hooks.fatalError(e) || !cfg.errorPolicy.isFatal(e)) =>
           hooks.onError(e, id)
       }
     Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,

@@ -239,16 +239,32 @@ object JdbcMerger {
     val paramIdx = paramOrder.map(colIdx)
     upserts.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
-      try rows.grouped(effBatch).foreach { group =>
-        val sql = upsertSql(table, cols, keyCols, group.size, dialect,
-          versionCol)
-        withDeadlockRetry(sleeper = retrySleeper) {
-          val st = conn.prepareStatement(sql)
-          var i = 1
-          group.foreach(r => paramIdx.foreach { c =>
-            st.setObject(i, r.get(c)); i += 1
-          })
-          st.executeUpdate(); st.close()
+      try {
+        if (effBatch == 1) {
+          // row-at-a-time (Ansi MERGE): the statement text never
+          // changes, so prepare ONCE per partition and reuse — a
+          // per-row prepare would pay a statement-compile round trip
+          // on the hot merge path
+          val st = conn.prepareStatement(
+            upsertSql(table, cols, keyCols, 1, dialect, versionCol))
+          try rows.foreach { r =>
+            withDeadlockRetry(sleeper = retrySleeper) {
+              var i = 1
+              paramIdx.foreach { c => st.setObject(i, r.get(c)); i += 1 }
+              st.executeUpdate()
+            }
+          } finally st.close()
+        } else rows.grouped(effBatch).foreach { group =>
+          val sql = upsertSql(table, cols, keyCols, group.size, dialect,
+            versionCol)
+          withDeadlockRetry(sleeper = retrySleeper) {
+            val st = conn.prepareStatement(sql)
+            var i = 1
+            group.foreach(r => paramIdx.foreach { c =>
+              st.setObject(i, r.get(c)); i += 1
+            })
+            st.executeUpdate(); st.close()
+          }
         }
       } finally conn.close()
     }

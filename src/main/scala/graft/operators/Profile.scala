@@ -222,9 +222,16 @@ object Profile {
     val width = (hi - lo) / nBins
     val spark = partials.sparkSession
     import spark.implicits._
+    // pre-fold duplicate (slice, bin) rows: a union of several runs'
+    // partials (the advertised reuse path) is valid input here — with
+    // duplicates, the cumulative frame would skip some ranks and
+    // double-emit others, so finalize folds first (integer adds, the
+    // same monoid as binnedQuantileCombine)
+    val folded = partials.groupBy(col("slice"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("slice")).orderBy(col("bin"))
-    val cum = partials
+    val cum = folded
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("slice"))))

@@ -85,7 +85,8 @@ object SchemaClassGen {
     * of records in a sub-namespace) must compile without imports. */
   private def typeRef(s: AvroSchema, fromPkg: String): String = {
     val pkg = pkgName(Option(s.getNamespace))
-    if (pkg == fromPkg) s.getName else s"$pkg.${s.getName}"
+    if (pkg == fromPkg) sanitize(s.getName)
+    else s"$pkg.${sanitize(s.getName)}"
   }
 
   private def scalaType(s: AvroSchema, fromPkg: String): String = s.getType match {
@@ -138,7 +139,7 @@ object SchemaClassGen {
         case (AvroSchema.Type.DOUBLE, n: java.lang.Number) => Some(n.doubleValue.toString)
         case (AvroSchema.Type.BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
         case (AvroSchema.Type.ENUM, s: String) =>
-          Some(s"${typeRef(f.schema, fromPkg)}.$s")
+          Some(s"${typeRef(f.schema, fromPkg)}.${sanitize(s)}")
         case _ => None
       }
     }
@@ -165,10 +166,10 @@ object SchemaClassGen {
     val doc = Option(s.getDoc).map(d => s"/** $d */\n").getOrElse("")
     s"""package $pkg
        |
-       |${doc}final case class ${s.getName}(
+       |${doc}final case class ${sanitize(s.getName)}(
        |${fields.mkString(",\n")})
        |
-       |object ${s.getName} {
+       |object ${sanitize(s.getName)} {
        |  /** Writer/reader schema this class was generated from. */
        |  val SchemaJson: String =
        |    \"\"\"${s.toString}\"\"\"
@@ -182,8 +183,8 @@ object SchemaClassGen {
     s"""package $pkg
        |
        |/** Generated from enum ${s.getFullName}. */
-       |object ${s.getName} extends Enumeration {
-       |${symbols.map(sym => s"  val $sym: Value = Value(\"$sym\")").mkString("\n")}
+       |object ${sanitize(s.getName)} extends Enumeration {
+       |${symbols.map(sym => s"  val ${sanitize(sym)}: Value = Value(\"$sym\")").mkString("\n")}
        |}
        |""".stripMargin
   }
@@ -192,6 +193,11 @@ object SchemaClassGen {
     "var", "new", "match", "case", "if", "else", "for", "while", "return",
     "import", "package", "sealed", "final", "implicit", "lazy", "override")
 
+  /** Backtick-quote anything that is not a plain Scala identifier —
+    * keywords AND invalid simple names (the lenient Avro parser above
+    * admits hyphenated record/field names, which must emit as
+    * `` `my-record` ``, never bare). */
   private def sanitize(name: String): String =
-    if (ScalaKeywords.contains(name)) s"`$name`" else name
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*") && !ScalaKeywords(name)) name
+    else s"`$name`"
 }

@@ -192,12 +192,17 @@ object Streams {
   def kafkaSourceMulti(spark: org.apache.spark.sql.SparkSession,
       cfgs: Seq[TopicConfig], bootstrapServers: String): DataStreamReader = {
     require(cfgs.nonEmpty, "kafkaSourceMulti needs at least one topic")
-    val servers = cfgs.flatMap(_.bootstrapServers).distinct
-    require(servers.size <= 1,
-      s"topic configs span clusters $servers: one reader reads one cluster")
+    // compare each config's EFFECTIVE cluster (override or the engine
+    // default) — comparing only the explicit overrides would let one
+    // overridden config drag default-cluster topics onto its cluster
+    // silently, the exact failure this guard exists to prevent
+    val effective = cfgs
+      .map(c => c.fullTopic -> c.bootstrapServers.getOrElse(bootstrapServers))
+    val clusters = effective.map(_._2).distinct
+    require(clusters.size == 1,
+      s"topic configs span clusters ($effective): one reader reads one cluster")
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers",
-        servers.headOption.getOrElse(bootstrapServers))
+      .option("kafka.bootstrap.servers", clusters.head)
       .option("subscribe", cfgs.map(_.fullTopic).mkString(","))
       .option("startingOffsets", "earliest")
   }

@@ -96,7 +96,8 @@ object TestKit {
       "payloads need an explicit offset column")
     val payloadCols = payloads.columns.filterNot(_ == "offset").toIndexedSeq
     val frame = payloads.select(
-      col("offset"),
+      // tolerate Int offsets (Seq((1, ...)).toDF infers IntegerType)
+      col("offset").cast("long").as("offset"),
       keyCol.cast("string").cast("binary").as(MessageCols.Key),
       consumer.backend.encodeExpr(struct(payloadCols.map(col): _*))
         .as(MessageCols.Value))
@@ -105,7 +106,11 @@ object TestKit {
       else {
         val spark = payloads.sparkSession
         import spark.implicits._
-        val maxOff = payloads.agg(max(col("offset"))).head.getLong(0)
+        // coalesce handles an empty payload frame (null max): the
+        // tombstones then start at offset 1
+        val maxOff = payloads
+          .agg(coalesce(max(col("offset").cast("long")), lit(0L)))
+          .head.getLong(0)
         frame.unionByName(
           tombstones.zipWithIndex.map { case (k, i) => (maxOff + i + 1, k) }
             .toDF("offset", "k")

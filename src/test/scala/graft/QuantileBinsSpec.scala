@@ -52,6 +52,28 @@ class QuantileBinsSpec extends SparkSpec {
     }
   }
 
+  test("finalize tolerates unmerged multi-run partials (duplicate slice,bin rows)") {
+    val df = (1 to 2000).map(i => ("a", (i % 90).toLong)).toDF("src", "v")
+    val partials = Profile.binnedQuantilePartials(df, col("src"), col("v"),
+      Lo, Hi, Bins)
+    // two runs' partials unioned WITHOUT pre-folding — the advertised
+    // reuse path; finalize must fold internally, not skip/double ranks
+    val doubled = Profile.binnedQuantileFinalize(
+      partials.unionByName(partials), Lo, Hi, Bins, Seq(0.5, 0.9, 0.99))
+      .select(col("p"), col("q_est"), col("n"))
+      .as[(Double, Double, Long)].collect()
+    assert(doubled.length === 3) // exactly one row per p — none lost, none doubled
+    assert(doubled.forall(_._3 === 4000L)) // counts folded
+    // doubling every count leaves the distribution identical: the
+    // estimate stays within one bin width of the exact quantile
+    val width = (Hi - Lo) / Bins
+    val sorted = (1 to 2000).map(i => (i % 90).toLong).sorted
+    doubled.foreach { case (p, est, _) =>
+      val exact = sorted(math.ceil(p * sorted.size).toInt - 1).toDouble
+      assert(math.abs(est - exact) <= width, s"p=$p est=$est exact=$exact")
+    }
+  }
+
   test("out-of-domain values clamp into the edge bins, nulls drop") {
     val df = Seq(("a", Some(-50L)), ("a", Some(999L)), ("a", None))
       .toDF("src", "v")

@@ -99,4 +99,31 @@ class ConsumerSpec extends SparkSpec {
     val (fatalSurvived, _) = run(graft.model.ErrorPolicy.Fatal)
     assert(!fatalSurvived) // default policy keeps fail-fast semantics
   }
+
+  test("T6: JVM-fatal throwables propagate even when both layers say skip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    object SkipAllHooks extends ConsumerHooks {
+      override def isTombstone = col("payload").isNull
+      override def fatalError(e: Throwable): Boolean = false // skip everything
+    }
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget",
+        keyConfig = KeyConfig.Plain("widget_id"),
+        errorPolicy = graft.model.ErrorPolicy.Skip),
+      backend, SkipAllHooks, keyCols = Seq("decoded_key"),
+      orderCol = "offset")
+    val input = MemoryStream[(Long, String, String)]
+    val frame = input.toDF().toDF("offset", "k", "json")
+      .select(col("offset"), col("k").cast("binary").as("key"),
+        col("json").cast("binary").as("value"))
+    val q = consumer.stream(frame) { (_, _, _) =>
+      throw new LinkageError("classpath corruption") // outside NonFatal
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-ck").toString).start()
+    try {
+      input.addData((1L, "A", """{"widget_id":"A","amount":5}"""))
+      intercept[Exception](q.processAllAvailable())
+    } finally q.stop()
+  }
 }

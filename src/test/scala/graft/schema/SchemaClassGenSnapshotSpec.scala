@@ -89,4 +89,28 @@ class SchemaClassGenSnapshotSpec extends AnyFunSuite {
     // keyword-named field is backtick-quoted too
     assert(srcs("CatalogComplex").contains("`type`: ItemKind.Value"))
   }
+
+  test("invalid simple names the lenient parser admits emit backticked, never bare") {
+    // the lenient-name parser exists for hyphenated NAMESPACES, but it
+    // also admits hyphenated record/field/enum-symbol names — those
+    // must quote everywhere they appear or the emitted file won't
+    // compile
+    val srcs = SchemaClassGen.generate(
+      """{"type":"record","name":"my-rec","namespace":"com.x","fields":[
+        | {"name":"my-field","type":"string"},
+        | {"name":"mode","type":{"type":"enum","name":"my-enum",
+        |   "symbols":["on","class"]},"default":"class"},
+        | {"name":"child","type":{"type":"record","name":"ok-child",
+        |   "namespace":"com.x.sub","fields":[
+        |     {"name":"v","type":"long"}]}}
+        |]}""".stripMargin).toMap
+    val rec = srcs("my-rec")
+    assert(rec.contains("final case class `my-rec`("))
+    assert(rec.contains("`my-field`: String"))
+    assert(rec.contains("mode: `my-enum`.Value = `my-enum`.`class`"))
+    // cross-namespace reference to a quoted name stays quoted
+    assert(rec.contains("child: com.x.sub.`ok-child`"))
+    assert(srcs("my-enum").contains("object `my-enum` extends Enumeration"))
+    assert(srcs("my-enum").contains("val `class`: Value = Value(\"class\")"))
+  }
 }

@@ -88,6 +88,16 @@ class KafkaWiringSpec extends SparkSpec {
       Streams.kafkaSourceMulti(spark,
         Seq(c1, b.copy(bootstrapServers = Some("y:1"))), "b:9092")
     }
+    // one override + one default-cluster config is ALSO mixed: the
+    // comparison is on EFFECTIVE clusters, so the override can't drag
+    // default-cluster topics onto its cluster silently
+    intercept[IllegalArgumentException] {
+      Streams.kafkaSourceMulti(spark, Seq(c1, b), "b:9092")
+    }
+    // ...unless the override matches the default (same effective cluster)
+    assert(options(Streams.kafkaSourceMulti(spark,
+      Seq(a.copy(bootstrapServers = Some("b:9092")), b), "b:9092"))(
+      "kafka.bootstrap.servers") === "b:9092")
     intercept[IllegalArgumentException] {
       Streams.kafkaSourceMulti(spark, Seq.empty, "b:9092")
     }

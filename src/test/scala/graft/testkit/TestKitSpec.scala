@@ -75,6 +75,28 @@ class TestKitSpec extends SparkSpec {
     assert(del.select("decoded_key").as[String].collect().toSeq === Seq("B"))
   }
 
+  test("testConsumeBatch tolerates Int offsets and empty payload frames") {
+    import org.apache.spark.sql.functions._
+    object Hooks extends graft.consume.ConsumerHooks {
+      override def isTombstone = col("payload").isNull
+    }
+    val consumer = new graft.consume.BatchConsumer(
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.Plain("wid")),
+      backend, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    // Scala Int tuples infer IntegerType for offset — must not crash
+    val intOffsets = Seq((1, "A", 5L)).toDF("offset", "wid", "n")
+      .withColumn("message_id", lit("m")).withColumn("timestamp", lit("t"))
+    val (up, _) = TestKit.testConsumeBatch(consumer, intOffsets,
+      keyCol = col("wid"), tombstones = Seq("Z"))
+    assert(up.count() === 1)
+    // empty payloads + tombstones: deletes only, no NPE on the max
+    val empty = intOffsets.filter(lit(false))
+    val (up2, del2) = TestKit.testConsumeBatch(consumer, empty,
+      keyCol = col("wid"), tombstones = Seq("Z"))
+    assert(up2.count() === 0)
+    assert(del2.select("decoded_key").as[String].collect().toSeq === Seq("Z"))
+  }
+
   test("testConsumeMessage validates the schema: a misfit payload fails loudly") {
     import org.apache.spark.sql.functions._
     object Hooks extends graft.consume.ConsumerHooks {
