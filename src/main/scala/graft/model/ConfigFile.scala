@@ -130,6 +130,70 @@ final case class GraftConfigFile(
     topics.getOrElse(name, throw new IllegalArgumentException(
       s"no topic.$name block in config (known: ${topics.keys.mkString(",")})"))
 
+  /** Render the EFFECTIVE configuration back to the file syntax —
+    * the dump-what-is-actually-running ops surface (every setting
+    * explicit, defaults included), and a round-trip contract:
+    * `parse(render(c)) == c` for any parseable config. */
+  def render: String = {
+    def sel(s: TopicSelector): String = s match {
+      case TopicSelector.All => "all"
+      case TopicSelector.Names(n) => n.toSeq.sorted.mkString(",")
+    }
+    def key(k: KeyConfig): String = k match {
+      case KeyConfig.NoKey => "none"
+      case KeyConfig.Plain(f) => s"plain:$f"
+      case KeyConfig.Field(p) => s"field:$p"
+      case KeyConfig.Schema(n) => s"schema:$n"
+    }
+    val b = new StringBuilder
+    b ++= s"producers.topic_prefix = ${producers.topicPrefix}\n"
+    b ++= s"producers.disabled = ${producers.disabled}\n"
+    b ++= s"producers.backend = ${producers.backend}\n"
+    b ++= s"producers.truncate_columns = ${producers.truncateColumns}\n"
+    kafkaBootstrapServers.foreach(v => b ++= s"kafka.bootstrap_servers = $v\n")
+    b ++= s"schema.backend = ${schema.backend}\n"
+    schema.path.foreach(v => b ++= s"schema.path = $v\n")
+    b ++= s"schema.registry_url = ${schema.registryUrl}\n"
+    b ++= s"schema.generated_class_path = ${schema.generatedClassPath}\n"
+    b ++= s"schema.use_schema_classes = ${schema.useSchemaClasses}\n"
+    b ++= s"schema.nest_child_schemas = ${schema.nestChildSchemas}\n"
+    b ++= s"schema.use_full_namespace = ${schema.useFullNamespace}\n"
+    b ++= s"outbox.log_topics = ${sel(outbox.logTopics)}\n"
+    b ++= s"outbox.compact_topics = ${sel(outbox.compactTopics)}\n"
+    topics.toSeq.sortBy(_._1).foreach { case (name, t) =>
+      b ++= s"topic.$name.schema = ${t.schemaName}\n"
+      if (t.namespace.nonEmpty) b ++= s"topic.$name.namespace = ${t.namespace}\n"
+      b ++= s"topic.$name.key_config = ${key(t.keyConfig)}\n"
+      b ++= s"topic.$name.compacted = ${t.compacted}\n"
+      t.maxDbBatchSize.foreach(v => b ++= s"topic.$name.max_db_batch_size = $v\n")
+      t.bootstrapServers.foreach(v => b ++= s"topic.$name.bootstrap_servers = $v\n")
+      b ++= s"topic.$name.error_policy = ${
+        if (t.errorPolicy == ErrorPolicy.Fatal) "fatal" else "skip"}\n"
+      b ++= s"topic.$name.payload_log = ${t.payloadLog match {
+        case PayloadLog.Full => "full"
+        case PayloadLog.Keys => "keys"
+        case PayloadLog.Count => "count"
+      }}\n"
+    }
+    pollers.toSeq.sortBy(_._1).foreach { case (name, p) =>
+      b ++= s"db_poller.$name.mode = ${p.mode}\n"
+      b ++= s"db_poller.$name.run_every = ${p.runEverySec}\n"
+      b ++= s"db_poller.$name.retries = ${p.retries}\n"
+      b ++= s"db_poller.$name.skip_too_large_messages = ${p.skipTooLargeMessages}\n"
+      b ++= s"db_poller.$name.delay_time = ${p.delaySec}\n"
+      b ++= s"db_poller.$name.timestamp_column = ${p.timestampColumn}\n"
+      b ++= s"db_poller.$name.full_table = ${p.fullTable}\n"
+      b ++= s"db_poller.$name.start_from_beginning = ${p.startFromBeginning}\n"
+      p.stateColumn.foreach(v => b ++= s"db_poller.$name.state_column = $v\n")
+      p.publishTimestampColumn.foreach(v =>
+        b ++= s"db_poller.$name.publish_timestamp_column = $v\n")
+      p.publishedState.foreach(v => b ++= s"db_poller.$name.published_state = $v\n")
+      p.failedState.foreach(v => b ++= s"db_poller.$name.failed_state = $v\n")
+      b ++= s"db_poller.$name.batch_size = ${p.batchSize}\n"
+    }
+    b.toString
+  }
+
   def poller(name: String): PollerSettings =
     pollers.getOrElse(name, throw new IllegalArgumentException(
       s"no db_poller.$name block in config (known: ${pollers.keys.mkString(",")})"))

@@ -79,6 +79,20 @@ object SchemaClassGen {
     }
   }
 
+  /** Emit the CREATE TABLE migration for a value schema — the
+    * reference's `active_record_generator` surface (it writes a Rails
+    * migration per consumed schema) re-aimed at a plain SQL file:
+    * `<dir>/V<version>__create_<table>.sql` with the DDL from
+    * [[AvroBackend.createTableSql]]. */
+  def writeMigration(dir: java.nio.file.Path, backend: AvroBackend,
+      table: String, keyCols: Seq[String],
+      version: Int = 1): java.nio.file.Path = {
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve(f"V$version%03d__create_$table.sql"),
+      (backend.createTableSql(table, keyCols) + ";\n").getBytes("UTF-8"))
+  }
+
   /** Reference to a named type from code living in package
     * `fromPkg`: simple name within the same package, fully-qualified
     * (sanitized) otherwise — cross-namespace references (e.g. a union

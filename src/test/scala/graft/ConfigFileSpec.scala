@@ -98,6 +98,19 @@ class ConfigFileSpec extends SparkSpec {
     assert(msg.contains("db_poller.flags: state_based mode requires state_column"))
   }
 
+  test("render dumps the effective config and round-trips through parse") {
+    val cfg = GraftConfigFile.parse(fullConfig)
+    val rendered = cfg.render
+    // every effective setting appears explicitly (defaults included)
+    assert(rendered.contains("producers.backend = outbox"))
+    assert(rendered.contains("db_poller.users.delay_time = 2")) // a default
+    assert(rendered.contains("topic.orders.error_policy = fatal")) // a default
+    assert(GraftConfigFile.parse(rendered) === cfg)
+    // and the empty config round-trips too (all defaults)
+    val empty = GraftConfigFile.parse("")
+    assert(GraftConfigFile.parse(empty.render) === empty)
+  }
+
   test("duplicate keys and malformed lines are load errors") {
     val e = intercept[IllegalArgumentException](GraftConfigFile.parse(
       "producers.topic_prefix = a\nproducers.topic_prefix = b\nnot a setting\n"))

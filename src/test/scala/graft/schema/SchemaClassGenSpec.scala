@@ -110,6 +110,23 @@ class SchemaClassGenSpec extends AnyFunSuite {
     assert(order.contains("final case class Order("))
   }
 
+  test("writeMigration emits the CREATE TABLE file from the value schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mig")
+    val backend = new AvroBackend(
+      """{"type":"record","name":"Widget","fields":[
+        | {"name":"wid","type":"string"},
+        | {"name":"amount","type":"long"},
+        | {"name":"note","type":["null","string"],"default":null}
+        |]}""".stripMargin)
+    val p = SchemaClassGen.writeMigration(dir, backend, "widgets",
+      keyCols = Seq("wid"), version = 3)
+    assert(p.getFileName.toString === "V003__create_widgets.sql")
+    val sql = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    assert(sql ===
+      "CREATE TABLE IF NOT EXISTS widgets (wid TEXT NOT NULL, " +
+        "amount BIGINT, note TEXT, PRIMARY KEY (wid));\n")
+  }
+
   test("generated source for a self-contained record parses as the expected snapshot") {
     val tiny =
       """{"type":"record","name":"Ping","namespace":"g.t","fields":[
