@@ -1783,7 +1783,54 @@ object ExtQueries {
     graft.operators.Scale.joinProfile(li, col("k"), sup, col("k"))
   }
 
+  /** k-anonymity risk profile (`Privacy.kAnonymityProfile`): documents
+    * quasi-identified by (lang, source, 64-char length band), swept at
+    * k ∈ {2, 5, 25} — classes below k and the row fraction at
+    * re-identification risk, the governance report DP releases (x79)
+    * assume has already been read. All-integer until the one final
+    * division. */
+  private def x109(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.kAnonymityProfile(t(s, dir, "documents"),
+      Seq(col("lang"), col("source"), expr("n_chars div 64")),
+      Seq(2, 5, 25))
+      .select(col("k"), col("n_classes"), col("classes_below"),
+        col("rows_at_risk"), col("n_rows"),
+        round(col("risk_frac"), 9).as("risk_frac_r"))
+      .orderBy(col("k"))
+
+  /** Per-doc n-gram novelty curve (`Dedup.noveltyProfile`): the
+    * fraction of each document's 8-token windows first seen in THIS
+    * document (arrival order = doc_id) — the marginal-contribution
+    * metric behind data ordering and dedup-budget decisions. The
+    * oracle replays gram identity on the gram TEXT while the engine
+    * shuffles 64-bit hashes — the hash equality also certifies the
+    * hash-key discipline loses nothing. */
+  private def x110(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.noveltyProfile(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("novelty_frac"), 9).as("novelty_r"))
+      .orderBy(col("doc_id"))
+
+  /** Winsorized per-language length stats (`Profile.winsorize`):
+    * n_chars clipped to the exact discrete [p12.5, p87.5] bounds per
+    * lang, with clip counts and the clipped (exact BIGINT) sum — the
+    * robust mean a few giant documents can't own. Dyadic ps keep the
+    * `ceil(p·n)` rank engine-exact (the x39 discipline). */
+  private def x111(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.winsorize(
+      t(s, dir, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars", pLo = 0.125, pHi = 0.875)
+      .select(col("lang"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"), col("winsorized_sum"),
+        round(col("winsorized_mean"), 9).as("winsorized_mean_r"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_winsorize" -> (x111 _),
+    "x110_novelty" -> (x110 _),
+    "x109_kanon" -> (x109 _),
     "x108_join_profile" -> (x108 _),
     "x107_token_budget" -> (x107 _),
     "x106_wilson_domains" -> (x106 _),
@@ -1902,6 +1949,76 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // equivalence classes over the same QI tuple (64-char length
+    // band via integer division), per-k conditional integer sums,
+    // one final double division — all CAST to BIGINT (DuckDB sums
+    // are HUGEINT)
+    "x109_kanon" ->
+      """WITH c AS (SELECT lang, source, n_chars // 64 AS b,
+        |    count(*) AS sz
+        |  FROM documents GROUP BY 1, 2, 3),
+        |k AS (SELECT CAST(unnest([2, 5, 25]) AS BIGINT) AS k)
+        |SELECT k, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(sz) AS DOUBLE), 9) AS risk_frac_r
+        |FROM c, k GROUP BY k ORDER BY k""".stripMargin,
+    // gram identity replayed on the gram TEXT (x97's window
+    // machinery); first occurrence = min doc_id; within-first-doc
+    // instances all count novel — same rule as the engine
+    "x110_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    array_to_string(list_slice(toks, CAST(i AS BIGINT) + 1,
+        |      CAST(i AS BIGINT) + 8), ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, len(toks) - 8)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |dg AS (SELECT doc_id, g, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) AS novelty_r
+        |FROM dg JOIN f USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bounds replayed with the operator's own rank rule (min value
+    // with cum >= ceil(p*n) over per-group distinct values — dyadic
+    // ps make the double product exact), then the same clip and
+    // integer sum
+    "x111_winsorize" ->
+      """WITH v AS (SELECT lang, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |c AS (SELECT lang, n_chars AS val, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |cm AS (SELECT lang, val, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY val) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+        |q AS (SELECT lang,
+        |    min(CASE WHEN cum >= ceil(0.125 * n) THEN val END) AS lo,
+        |    min(CASE WHEN cum >= ceil(0.875 * n) THEN val END) AS hi
+        |  FROM cm GROUP BY lang)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  min(lo) AS lo, min(hi) AS hi,
+        |  CAST(sum(least(greatest(n_chars, lo), hi)) AS BIGINT)
+        |    AS winsorized_sum,
+        |  round(CAST(sum(least(greatest(n_chars, lo), hi)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS winsorized_mean_r
+        |FROM v JOIN q USING (lang)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // bucket = least(floor((x - mn)/w), n-1) with w = (mx - mn)/12,
     // the operator's exact double arithmetic; top edge closed
     "x55_histogram" ->

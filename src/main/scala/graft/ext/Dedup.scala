@@ -555,6 +555,50 @@ object Dedup {
       .drop("__grp")
   }
 
+  /** Per-document n-gram NOVELTY profile: for each document, the
+    * fraction of its length-`n` token windows whose first corpus-wide
+    * occurrence (by ascending id — "arrival order") is this document.
+    * The curve data-ordering and memorization studies read: a corpus
+    * whose tail documents contribute almost no novel windows is
+    * re-serving its head, and a curriculum that front-loads
+    * high-novelty documents changes what a fixed token budget buys.
+    * The complement of [[duplicateExtents]]' view: extents localize
+    * WHERE repeats sit, novelty prices each document's marginal
+    * contribution. Within a gram's FIRST document every instance
+    * counts as novel (including same-doc repeats) — the first doc is
+    * the one that introduced it.
+    *
+    * 100 TB shape: window text collapses to (doc, 64-bit hash, count)
+    * in one map-side-combined aggregate; the first-occurrence
+    * aggregate (`min` — skew-safe partial combine, no window sort over
+    * hot grams) and the re-join key on the hash — 8-byte keys, the
+    * x26/x97 shuffle discipline; the final rollup is one doc-keyed
+    * aggregate. Stride-1 explode is the method's inherent cost, same
+    * as [[duplicateExtents]].
+    *
+    * @return one row per document with >= n tokens:
+    *         (idCol, n_grams, n_novel, novelty_frac)
+    */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val occ = Chunking.tokenWindows(docs, col(idCol), col(textCol),
+        chunkSize = n, overlap = n - 1)
+      .filter(col("chunk_tokens") === n.toLong) // full windows only
+      .select(col(idCol), xxhash64(col("chunk_text")).as("__h"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__cnt"))
+    val firsts = occ.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__first"))
+    occ.join(firsts, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), col("__cnt"))
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Corpus-level boilerplate line removal (CCNet/C4-style): drop
     * lines that appear in more than `maxDocFreq` DISTINCT documents
     * (navigation chrome, cookie banners, footers), rebuild each

@@ -47,4 +47,46 @@ object Privacy {
       log(lit(1.0) - lit(2.0) * abs(centered))
     counts.withColumn("noisy", col("n").cast("double") + noise)
   }
+
+  /** k-anonymity risk profile over quasi-identifier columns — the
+    * re-identification report that precedes a data release: how many
+    * equivalence classes (distinct QI combinations) fall below each
+    * candidate k, and what fraction of ROWS sits inside them. A
+    * release is k-anonymous exactly when `classes_below = 0` for that
+    * k; the per-k sweep shows where the knee is before choosing a
+    * generalization level.
+    *
+    * Everything is integer-exact (class sizes, conditional sums); the
+    * only float op is the final risk fraction — one IEEE division
+    * over exact BIGINTs, the x100 discipline.
+    *
+    * Scale shape: one map-side-combining groupBy over the QI tuple is
+    * the only corpus-sized shuffle; the per-k rollup then runs over
+    * the CLASS frame (|classes| × |ks| exploded rows aggregated to
+    * |ks|), already orders of magnitude smaller than the corpus.
+    *
+    * @param qiCols quasi-identifier columns (generalize/bucket BEFORE
+    *               calling — e.g. `n_chars div 64`, zip3, age range)
+    * @param ks     candidate anonymity thresholds, each >= 2
+    * @return one row per k: (k, n_classes, classes_below,
+    *         rows_at_risk, n_rows, risk_frac)
+    */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[Column],
+      ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier required")
+    require(ks.nonEmpty && ks.forall(_ >= 2),
+      s"every k must be >= 2 (k=1 is vacuous): $ks")
+    val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("__sz"))
+    classes.select(col("__sz"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("__sz")).as("n_rows"))
+      .withColumn("risk_frac",
+        col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+  }
 }

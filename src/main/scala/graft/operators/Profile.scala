@@ -331,6 +331,54 @@ object Profile {
           .as("n_outliers"))
   }
 
+  /** Winsorized per-group statistics: values clipped to the group's
+    * exact discrete [pLo, pHi] quantiles, then aggregated — the
+    * clip-then-aggregate companion to [[robustOutliers]]' flag-only
+    * report (a mean a few extreme documents can't own, without
+    * dropping the rows the way a filter would).
+    *
+    * Exactness: the bounds are exact selected ELEMENTS
+    * ([[Scale.discreteQuantiles]] — never interpolated), and with an
+    * integer-valued column the clipped sum accumulates as BIGINT, so
+    * every output but the mean is engine-exact; the mean is one IEEE
+    * division over exact integers (the x100 money discipline). Pass
+    * dyadic ps (0.125, 0.875, ...) when a differential gate replays
+    * `ceil(p·n)` cross-engine — dyadic doubles make the rank exact.
+    *
+    * Scale shape: the bounds frame is |groups|×2 rows out of
+    * discreteQuantiles' distinct-value shuffle; it broadcast-joins
+    * back onto the scan and the rollup is one map-side-combined
+    * groupBy — no per-group sort of raw rows anywhere.
+    *
+    * @return one row per group: (groupCol, n, n_lo, n_hi, lo, hi,
+    *         winsorized_sum, winsorized_mean)
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = Scale.discreteQuantiles(
+        df.select(col(groupCol), col(valueCol)), groupCol, valueCol,
+        Seq(pLo, pHi))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p") === pLo, col("q"))).as("__lo"),
+        min(when(col("p") === pHi, col("q"))).as("__hi"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("__lo"), 1L).otherwise(0L))
+          .as("n_lo"),
+        sum(when(col(valueCol) > col("__hi"), 1L).otherwise(0L))
+          .as("n_hi"),
+        min(col("__lo")).as("lo"), min(col("__hi")).as("hi"),
+        sum(col("__w")).as("winsorized_sum"))
+      .withColumn("winsorized_mean",
+        col("winsorized_sum").cast("double") / col("n").cast("double"))
+  }
+
   /** Snapshot-to-snapshot drift report: per key, row counts, null
     * counts, and exact-cent value sums of two snapshots side by side,
     * with the delta and an added/removed/common status — the

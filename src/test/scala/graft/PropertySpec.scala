@@ -233,4 +233,90 @@ class PropertySpec extends SparkSpec {
       assert(got.length === mutual.length, s"seed=$i")
     }
   }
+
+  test("novelty profile equals brute force on random tiny-vocab corpora") {
+    val corpusGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 12)
+        ts <- Gen.listOfN(len, Gen.oneOf("u", "v", "w", "x", "y", "z"))
+      } yield ts.mkString(" "))
+    } yield docs
+    (1 to 10).foreach { i =>
+      val docs = corpusGen.apply(Gen.Parameters.default, Seed(500L + i))
+        .get.zipWithIndex.map { case (s, j) => (j.toLong, s) }
+      val got = graft.ext.Dedup.noveltyProfile(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+        .select("doc_id", "n_grams", "n_novel")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val grams = docs.map { case (id, s) =>
+        id -> s.split("\\s+").filter(_.nonEmpty).toSeq
+          .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      }
+      val first = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+      val want = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+        (id, gs.size.toLong, gs.count(g => first(g) == id).toLong)
+      }
+      assert(got.toSeq === want, s"seed=$i")
+    }
+  }
+
+  test("winsorize equals brute force on random grouped values") {
+    val rowsGen: Gen[List[(String, Option[Long])]] = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("A", "B", "C")
+        v <- Gen.option(Gen.choose(0L, 20L))
+      } yield (g, v))
+    } yield rows
+    (1 to 10).foreach { i =>
+      val rows = rowsGen.apply(Gen.Parameters.default, Seed(600L + i)).get
+      if (rows.exists(_._2.isDefined)) {
+        val got = graft.operators.Profile.winsorize(
+          rows.toDF("grp", "v"), "grp", "v", pLo = 0.25, pHi = 0.75)
+          .select("grp", "n", "n_lo", "n_hi", "lo", "hi", "winsorized_sum")
+          .as[(String, Long, Long, Long, Long, Long, Long)]
+          .collect().sortBy(_._1)
+        val want = rows.collect { case (g, Some(v)) => (g, v) }
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (g, gv) =>
+            val vs = gv.map(_._2).sorted
+            // the operator's rank rule: smallest value whose cumulative
+            // count reaches ceil(p·n) — on sorted raw values that is
+            // the element at index ceil(p·n)-1
+            def q(p: Double): Long =
+              vs(math.ceil(p * vs.size).toLong.toInt - 1)
+            val (lo, hi) = (q(0.25), q(0.75))
+            (g, vs.size.toLong, vs.count(_ < lo).toLong,
+              vs.count(_ > hi).toLong, lo, hi,
+              vs.map(v => math.min(math.max(v, lo), hi)).sum)
+          }
+        assert(got.toSeq === want, s"seed=$i")
+      }
+    }
+  }
+
+  test("k-anonymity profile equals brute force on random QI tables") {
+    val rowsGen: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf("p", "q", "r")
+        b <- Gen.choose(0L, 3L)
+      } yield (a, b))
+    } yield rows
+    (1 to 10).foreach { i =>
+      val rows = rowsGen.apply(Gen.Parameters.default, Seed(700L + i)).get
+      val ks = Seq(2, 4, 9)
+      val got = graft.ext.Privacy.kAnonymityProfile(
+        rows.toDF("a", "b"), Seq(col("a"), col("b")), ks)
+        .select("k", "n_classes", "classes_below", "rows_at_risk", "n_rows")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val sizes = rows.groupBy(identity).values.map(_.size.toLong).toSeq
+      val want = ks.map { k =>
+        (k.toLong, sizes.size.toLong, sizes.count(_ < k).toLong,
+          sizes.filter(_ < k).sum, sizes.sum)
+      }
+      assert(got.toSeq === want, s"seed=$i")
+    }
+  }
 }
