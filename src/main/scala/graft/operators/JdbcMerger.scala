@@ -33,7 +33,7 @@ object JdbcMerger {
     * MySQL/Postgres/SQLite strings share. */
   case object Ansi extends Dialect
 
-  private def q(ident: String, d: Dialect): String = d match {
+  private[graft] def q(ident: String, d: Dialect): String = d match {
     case MySql => s"`$ident`"
     case Postgres | Sqlite | Ansi => "\"" + ident + "\""
   }
