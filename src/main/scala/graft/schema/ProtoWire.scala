@@ -61,6 +61,69 @@ object ProtoWire {
       fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
   }
 
+  /** proto3 text name of a type, for `.proto` emission. */
+  def typeName(t: ProtoType): String = t match {
+    case PInt32 => "int32"
+    case PInt64 => "int64"
+    case PUInt32 => "uint32"
+    case PUInt64 => "uint64"
+    case PSInt32 => "sint32"
+    case PSInt64 => "sint64"
+    case PFixed32 => "fixed32"
+    case PFixed64 => "fixed64"
+    case PSFixed32 => "sfixed32"
+    case PSFixed64 => "sfixed64"
+    case PBool => "bool"
+    case PEnum => "int32" // enums are carried by number in this model
+    case PFloat => "float"
+    case PDouble => "double"
+    case PString => "string"
+    case PBytes => "bytes"
+    case PMessage(m) => m.name
+  }
+
+  /** Key-schema `.proto` text: a `<Name>Key` message carrying only the
+    * named key field, same package — what the registry needs to
+    * validate keys independently of values (reference:
+    * `proto_schema_registry.rb:61-80` `write_key_proto`, driven by the
+    * `deimos:generate_key_protos` rake task). The field keeps its
+    * original number so key frames produced from the value descriptor
+    * stay wire-compatible. Message-typed key fields fail loudly — a
+    * nested message is not a valid partition key and the emitted file
+    * would not compile stand-alone. */
+  def keyProtoText(m: ProtoMessage, pkg: String, fieldName: String): String = {
+    val f = m.fields.find(_.name == fieldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"key field $fieldName not in message ${m.name} " +
+          s"(has ${m.fields.map(_.name).mkString(", ")})"))
+    f.ptype match {
+      case PMessage(_) => throw new IllegalArgumentException(
+        s"key field $fieldName of ${m.name} is message-typed — " +
+          "not a valid partition key")
+      case _ => ()
+    }
+    val rep = if (f.repeated) "repeated " else ""
+    s"""syntax = "proto3";
+       |package $pkg;
+       |
+       |message ${m.name}Key {
+       |  $rep${typeName(f.ptype)} ${f.name} = ${f.number};
+       |}
+       |""".stripMargin
+  }
+
+  /** Write [[keyProtoText]] under `dir/<pkg as path>/<name>_key.proto`
+    * with the message name snake_cased — the reference's output path
+    * convention. */
+  def writeKeyProto(dir: java.nio.file.Path, m: ProtoMessage, pkg: String,
+      fieldName: String): java.nio.file.Path = {
+    val snake = m.name.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    val out = dir.resolve(pkg.replace('.', '/')).resolve(s"${snake}_key.proto")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      keyProtoText(m, pkg, fieldName).getBytes("UTF-8"))
+  }
+
   /** Spark type for a proto scalar (reference SQL_MAP parity:
     * 32-bit ints → int, 64-bit → bigint, bool/float/double/string/
     * bytes as themselves, enum carried by number). */

@@ -278,4 +278,41 @@ class ProtoSpec extends SparkSpec {
     assert(row.getArray(4).toLongArray().toSeq === Seq(1L, 2L))
     assert(row.getUTF8String(5).toString === "")
   }
+
+  test("key proto emission: field keeps its number, path is snake_cased") {
+    val m = ProtoMessage("MyOrder", Seq(
+      ProtoField("note", 1, PString),
+      ProtoField("order_id", 3, PInt64)))
+    val text = keyProtoText(m, "com.example.orders", "order_id")
+    assert(text ===
+      """syntax = "proto3";
+        |package com.example.orders;
+        |
+        |message MyOrderKey {
+        |  int64 order_id = 3;
+        |}
+        |""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyproto")
+    val out = writeKeyProto(dir, m, "com.example.orders", "order_id")
+    assert(out.endsWith(
+      java.nio.file.Paths.get("com/example/orders/my_order_key.proto")))
+    assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      === text)
+  }
+
+  test("key proto emission fails loudly on bad key fields") {
+    val nested = ProtoMessage("Inner", Seq(ProtoField("x", 1, PInt32)))
+    val m = ProtoMessage("Outer", Seq(
+      ProtoField("inner", 1, PMessage(nested)),
+      ProtoField("tags", 2, PString, repeated = true)))
+    intercept[IllegalArgumentException] {
+      keyProtoText(m, "p", "inner") // message-typed
+    }
+    intercept[IllegalArgumentException] {
+      keyProtoText(m, "p", "absent") // unknown field
+    }
+    // repeated scalar keys emit with the repeated label
+    assert(keyProtoText(m, "p", "tags")
+      .contains("repeated string tags = 2;"))
+  }
 }
