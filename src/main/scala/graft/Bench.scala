@@ -118,7 +118,9 @@ object Bench {
     "x105_salted_join" -> 0.73, "x106_wilson_domains" -> 0.33,
     "x107_token_budget" -> 0.44, "x108_join_profile" -> 0.46,
     "x109_kanon" -> 0.15, "x110_novelty" -> 0.84,
-    "x111_winsorize" -> 0.39, "x9_text_quality" -> 0.36)
+    "x111_winsorize" -> 0.39, "x112_reliability" -> 0.27,
+    "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
+    "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

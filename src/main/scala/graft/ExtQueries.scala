@@ -1827,7 +1827,71 @@ object ExtQueries {
         round(col("winsorized_mean"), 9).as("winsorized_mean_r"))
       .orderBy(col("lang"))
 
+  /** Reliability diagram (`Calibrate.reliability`): the within-lang
+    * length percent rank (x68's calibrated score) read as a "long
+    * document" classifier confidence, binned into deciles against the
+    * n_chars >= 150 label — per-bin accuracy and calibration gap, the
+    * check run before trusting a scorer's thresholds. Oracle replays
+    * DuckDB's native percent_rank (independent derivation, the x68
+    * precedent) plus the same clamp/bin/division arithmetic. */
+  private def x112(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.Calibrate.percentRank(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      col("lang"), col("n_chars"), outCol = "pct")
+    graft.operators.Calibrate.reliability(scored, col("pct"),
+        col("n_chars") >= 150, nBins = 10)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("conf_mid"), 9).as("conf_mid_r"),
+        round(col("acc"), 9).as("acc_r"),
+        round(col("gap"), 9).as("gap_r"))
+      .orderBy(col("bin"))
+  }
+
+  /** Heaps-law vocabulary growth (`Encoding.vocabGrowth`): cumulative
+    * tokens and distinct types at doc-id checkpoints from ONE pass
+    * (types counted via their first-occurrence doc — x110's
+    * attribution trick, no per-checkpoint distinct). The oracle
+    * counts types on the token TEXT while the engine shuffles 64-bit
+    * hashes — the hash equality certifies the hash-key discipline
+    * again. */
+  private def x113(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Encoding.vocabGrowth(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", checkpoints = Seq(25L, 50L, 100L, 250L, 500L))
+      .select(col("k"), col("n_tokens"), col("vocab_size"),
+        round(col("ttr"), 9).as("ttr_r"))
+      .orderBy(col("k"))
+
+  /** Concurrent-session analysis (`RangeJoin.intervalOverlap`): x17's
+    * sessions (users < 300) self-joined on interval overlap across
+    * DISTINCT users, rolled up per first user — pair count and total
+    * overlapped milliseconds. The binned join's exactly-once
+    * attribution (pair → the bin holding the overlap start) is what
+    * the exact pair counts certify; the oracle runs the PLAIN
+    * inequality join (DuckDB IEJoin — an independent algorithm). */
+  private def x114(s: SparkSession, dir: String): DataFrame = {
+    val sess = x17(s, dir)
+      .filter(col("user_id") < 300)
+      .select(col("user_id"), col("session_id"), col("start_ms"),
+        col("end_ms"))
+    def side(suf: String) = sess.select(
+      col("user_id").as("u" + suf), col("session_id").as("s" + suf),
+      col("start_ms").as("lo" + suf), col("end_ms").as("hi" + suf))
+    graft.operators.RangeJoin.intervalOverlap(side("_a"), side("_b"),
+        "lo_a", "hi_a", "lo_b", "hi_b", binWidth = 21600000L)
+      .filter(col("u_a") < col("u_b"))
+      .groupBy(col("u_a"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("hi_a"), col("hi_b")) -
+          greatest(col("lo_a"), col("lo_b"))).as("overlap_ms"))
+      .orderBy(col("u_a"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x114_session_overlap" -> (x114 _),
+    "x113_vocab_growth" -> (x113 _),
+    "x112_reliability" -> (x112 _),
     "x111_winsorize" -> (x111 _),
     "x110_novelty" -> (x110 _),
     "x109_kanon" -> (x109 _),
@@ -1949,6 +2013,83 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // the PLAIN inequality self-join (DuckDB plans IEJoin — an
+    // independent algorithm vs the engine's binned exactly-once
+    // attribution); x17's session CTE chain verbatim, users < 300
+    "x114_session_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events WHERE user_id < 300),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 7200000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(ts_ms) AS lo, MAX(ts_ms) AS hi
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT a.user_id AS u_a, count(*) AS n_pairs,
+        |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+        |    AS overlap_ms
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY a.user_id ORDER BY u_a""".stripMargin,
+    // DuckDB's NATIVE percent_rank (x68 precedent), then the same
+    // clamp / equal-width bin / midpoint arithmetic; counts exact,
+    // one IEEE division per derived column
+    "x112_reliability" ->
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS pct
+        |  FROM documents),
+        |b AS (SELECT
+        |    CAST(least(floor(greatest(least(pct, 1.0), 0.0) * 10),
+        |      9.0) AS BIGINT) AS bin,
+        |    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pos
+        |  FROM p)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round((CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE), 9)
+        |    AS conf_mid_r,
+        |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |    AS acc_r,
+        |  round(abs(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - (CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE)), 9)
+        |    AS gap_r
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // type identity replayed on the token TEXT; first-occurrence
+    // attribution (min doc_id), per-doc counts exploded per
+    // checkpoint — the engine's exact shape in SQL
+    "x113_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |k AS (SELECT CAST(unnest([25, 50, 100, 250, 500]) AS BIGINT)
+        |    AS k),
+        |f AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+        |v AS (SELECT k,
+        |    CAST(sum(CASE WHEN first_doc < k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vocab_size
+        |  FROM f, k GROUP BY k),
+        |pd AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY doc_id),
+        |c AS (SELECT k,
+        |    CAST(sum(CASE WHEN doc_id < k THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_tokens
+        |  FROM pd, k GROUP BY k)
+        |SELECT k, n_tokens, vocab_size,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    END, 9) AS ttr_r
+        |FROM c JOIN v USING (k) ORDER BY k""".stripMargin,
     // equivalence classes over the same QI tuple (64-char length
     // band via integer division), per-k conditional integer sums,
     // one final double division — all CAST to BIGINT (DuckDB sums

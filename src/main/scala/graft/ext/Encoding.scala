@@ -87,4 +87,53 @@ object Encoding {
           1, headLen).as("ids_head"),
         col("id_checksum"))
   }
+
+  /** Heaps-law vocabulary growth curve: for each id-space checkpoint
+    * k, the cumulative token count and distinct-type count over
+    * documents with id < k (arrival order) — the curve that says
+    * whether more corpus still buys vocabulary (and where the
+    * type/token ratio flattens), read before sizing a tokenizer or
+    * the next crawl.
+    *
+    * ONE pass over the exploded tokens serves both series: the
+    * distinct-type count at every checkpoint falls out of each type's
+    * FIRST-occurrence doc (min-aggregate — x110's attribution trick:
+    * a type is "in the vocabulary at k" iff its first doc < k), so no
+    * per-checkpoint distinct pass exists. Types collapse to 64-bit
+    * hashes before shuffling (whitespace tokenization — raw surface
+    * forms, not the case-folded [[topKVocab]] normalization); the
+    * checkpoint explode runs over the type frame, never the corpus.
+    *
+    * @param checkpoints ascending doc-id cutoffs (id-space, not row
+    *                    ranks — dense ids make these equivalent)
+    * @return one row per checkpoint: (k, n_tokens, vocab_size, ttr)
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ > 0),
+      s"checkpoints must be positive: $checkpoints")
+    require(checkpoints == checkpoints.sorted,
+      s"checkpoints must ascend: $checkpoints")
+    val ks = array(checkpoints.map(lit): _*)
+    val toks = docs.select(col(idCol).as("__d"),
+      explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        .as("__tok"))
+    val perDoc = toks.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val counts = perDoc.select(col("__d"), col("__c"), explode(ks).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__d") < col("k"), col("__c")).otherwise(0L))
+        .as("n_tokens"))
+    val vocab = toks
+      .groupBy(xxhash64(col("__tok")).as("__h"))
+      .agg(min(col("__d")).as("__first"))
+      .select(col("__first"), explode(ks).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__first") < col("k"), 1L).otherwise(0L))
+        .as("vocab_size"))
+    counts.join(vocab, Seq("k"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("vocab_size").cast("double") /
+            col("n_tokens").cast("double")))
+  }
 }

@@ -47,4 +47,40 @@ object Calibrate {
             (col("__n") - 1L).cast("double")))
       .drop("__g", "__g2", "__v", "__c", "__below", "__n")
   }
+
+  /** Reliability diagram for a [0,1] score against a boolean label —
+    * the calibration check run before trusting a quality/relevance
+    * scorer's thresholds: per equal-width score bin, how often the
+    * label actually holds vs the bin's nominal confidence.
+    *
+    * Output is PER-BIN rows only, deliberately: bin accuracy and gap
+    * are exact-integer counts plus one IEEE expression each
+    * (engine-exact, the x100 discipline), while a single-row ECE
+    * would sum doubles in engine-dependent row order. ECE is a
+    * trivial fold over the ≤nBins output rows for the caller.
+    *
+    * Scores are clamped into [0, 1]; the top edge closes into the
+    * last bin (the x55 histogram rule). One map-side-combining
+    * groupBy on the bin — nothing here scales past the scan.
+    *
+    * @return one row per non-empty bin: (bin, n, n_pos, conf_mid,
+    *         acc, gap)
+    */
+  def reliability(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val clamped = greatest(least(scoreCol.cast("double"), lit(1.0)),
+      lit(0.0))
+    val bin = least(floor(clamped * nBins), lit((nBins - 1).toDouble))
+      .cast("long")
+    df.filter(scoreCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("conf_mid",
+        (col("bin").cast("double") + lit(0.5)) / lit(nBins.toDouble))
+      .withColumn("acc",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("acc") - col("conf_mid")))
+  }
 }

@@ -70,4 +70,29 @@ class EncodingSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("vocabGrowth counts cumulative tokens and types per checkpoint") {
+    val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Encoding.vocabGrowth(d, "doc_id", "text",
+        Seq(1L, 2L, 3L, 10L))
+      .select("k", "n_tokens", "vocab_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L),   // doc 0: tokens a,b,a → types {a,b}
+      (2L, 5L, 3L),   // + doc 1: b,c → +{c}
+      (3L, 6L, 4L),   // + doc 2: d
+      (10L, 6L, 4L))) // empty doc 3 adds nothing
+  }
+
+  test("vocabGrowth: checkpoint before the first doc reports zero") {
+    val d = Seq((5L, "x y")).toDF("doc_id", "text")
+    val got = Encoding.vocabGrowth(d, "doc_id", "text", Seq(1L, 6L))
+      .select("k", "n_tokens", "vocab_size", "ttr")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, 0L, 0.0), (6L, 2L, 2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Encoding.vocabGrowth(d, "doc_id", "text", Seq(5L, 1L)) // unsorted
+    }
+  }
 }

@@ -77,4 +77,27 @@ class OverlapCalibrateSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSet
     assert(run(df) === run(df.repartition(11)))
   }
+
+  test("reliability bins, clamps, and computes per-bin gaps exactly") {
+    val df = Seq(
+      (0.04, false), (-0.5, false), // clamp → both bin 0, no positives
+      (0.95, true), (0.95, false), (1.0, true) // top edge closes → bin 9
+    ).toDF("score", "label")
+    val got = Calibrate.reliability(df, col("score"), col("label"), 10)
+      .select("bin", "n", "n_pos", "conf_mid", "acc")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0L, 0.05, 0.0),
+      (9L, 3L, 2L, 0.95, 2.0 / 3.0)))
+  }
+
+  test("reliability skips null scores and rejects bad bin counts") {
+    val df = Seq((Some(0.5), true), (None, true)).toDF("score", "label")
+    val got = Calibrate.reliability(df, col("score"), col("label"), 4)
+      .select("bin", "n").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Calibrate.reliability(df, col("score"), col("label"), 0)
+    }
+  }
 }

@@ -31,6 +31,52 @@ class RangeJoinSpec extends SparkSpec {
       .select("b_id").as[Long].collect().toSet
     assert(got === Set(10L)) // -59s in window, +61s out
   }
+
+  test("interval overlap equals the naive join, exactly once per pair") {
+    // intervals crafted so pairs share 0, 1, 2 and 3+ bins at width 10
+    val a = Seq((1L, 0L, 35L), (2L, 5L, 7L), (3L, 90L, 95L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 3L, 4L), (11L, 30L, 60L), (12L, 7L, 7L),
+      (13L, 96L, 99L)).toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", binWidth = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // SEQUENCES compared: a pair emitted from two bins would show as a
+    // duplicate here, not collapse into a set
+    assert(got.sorted === naive.sorted && got.nonEmpty)
+    assert(got.size === got.distinct.size, "pair emitted more than once")
+  }
+
+  test("interval overlap: multi-bin containment still emits once") {
+    val a = Seq((1L, 0L, 100L)).toDF("a_id", "a_lo", "a_hi") // 11 bins
+    val b = Seq((2L, 0L, 100L), (3L, 50L, 55L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi",
+        "b_lo", "b_hi", binWidth = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.sorted === Seq((1L, 2L), (1L, 3L)))
+  }
+
+  test("interval overlap fails loudly on inverted or runaway intervals") {
+    val a = Seq((1L, 50L, 10L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, 0L, 5L)).toDF("b_id", "b_lo", "b_hi")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 10L).collect()
+    }
+    assert(e.getMessage != null)
+    val wide = Seq((1L, 0L, 1000000L)).toDF("a_id", "a_lo", "a_hi")
+    intercept[Exception] {
+      RangeJoin.intervalOverlap(wide, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 10L, maxBinsPerInterval = 100L).collect()
+    }
+    intercept[IllegalArgumentException] { // shared column names
+      RangeJoin.intervalOverlap(a, a, "a_lo", "a_hi", "a_lo", "a_hi", 10L)
+    }
+  }
 }
 
 class PartitionPruningSpec extends SparkSpec {
