@@ -284,4 +284,159 @@ object JdbcMerger {
       } finally conn.close()
     }
   }
+
+  // ---- additive (monoid) accumulation ---------------------------------
+
+  /** Per-column merge rule for [[accumulateSql]]: how an incoming
+    * partial folds into the stored row when the key already exists.
+    * Exactly the monoid column set `Profile.momentPartials` emits —
+    * counters add, extrema take min/max. Merge columns are treated as
+    * NOT NULL (a NULL poisons an Add visibly; don't feed one). */
+  sealed trait MergeOp
+  case object Add extends MergeOp
+  case object TakeMin extends MergeOp
+  case object TakeMax extends MergeOp
+
+  /** Accumulating upsert: INSERT new keys, FOLD existing ones with the
+    * per-column [[MergeOp]] — the statement that lets a streaming job
+    * maintain mergeable partials (x100's moment monoid, x103's bins)
+    * in a real database without read-modify-write. Extrema use CASE
+    * (portable — Derby has no LEAST/GREATEST; SQLite's min/max
+    * scalars shadow the aggregates). Every non-key column must have
+    * an op: an accumulator table is keys + monoid state, nothing
+    * else. NOT idempotent under replay by construction — pair it with
+    * the [[accumulateBatchIntoJdbc]] ledger for exactly-once.
+    */
+  def accumulateSql(table: String, cols: Seq[String], keyCols: Seq[String],
+      ops: Map[String, MergeOp], nRows: Int, dialect: Dialect): String = {
+    require(keyCols.nonEmpty, "accumulate requires key columns")
+    val mergeCols = cols.filterNot(keyCols.contains)
+    require(mergeCols.nonEmpty, "accumulate requires merge columns")
+    require(mergeCols.forall(ops.contains),
+      s"every merge column needs a MergeOp; missing: " +
+        s"${mergeCols.filterNot(ops.contains).mkString(", ")}")
+    val colList = cols.map(q(_, dialect)).mkString(", ")
+    val rowPh = cols.map(_ => "?").mkString("(", ", ", ")")
+    val t = q(table, dialect)
+    def fold(c: String, stored: String, incoming: String): String =
+      ops(c) match {
+        case Add => s"$stored + $incoming"
+        case TakeMin =>
+          s"CASE WHEN $incoming < $stored THEN $incoming ELSE $stored END"
+        case TakeMax =>
+          s"CASE WHEN $incoming > $stored THEN $incoming ELSE $stored END"
+      }
+    dialect match {
+      case Ansi =>
+        require(nRows == 1,
+          "Ansi dialect merges row-at-a-time (no multi-row MERGE source)")
+        val on = keyCols.map(k => s"$t.${q(k, dialect)} = ?")
+          .mkString(" AND ")
+        val set = mergeCols.map { c =>
+          s"${q(c, dialect)} = ${fold(c, s"$t.${q(c, dialect)}", "?")}"
+        }.mkString(", ")
+        val insPh = cols.map(_ => "?").mkString(", ")
+        s"MERGE INTO $t USING SYSIBM.SYSDUMMY1 ON $on" +
+          s" WHEN MATCHED THEN UPDATE SET $set" +
+          s" WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insPh)"
+      case MySql =>
+        val base = s"INSERT INTO $t ($colList) VALUES " +
+          Seq.fill(nRows)(rowPh).mkString(", ")
+        val upd = mergeCols.map { c =>
+          val qc = q(c, dialect)
+          s"$qc = ${fold(c, qc, s"VALUES($qc)")}"
+        }.mkString(", ")
+        s"$base ON DUPLICATE KEY UPDATE $upd"
+      case Postgres | Sqlite =>
+        val base = s"INSERT INTO $t ($colList) VALUES " +
+          Seq.fill(nRows)(rowPh).mkString(", ")
+        val conflict = keyCols.map(q(_, dialect)).mkString(", ")
+        val upd = mergeCols.map { c =>
+          val qc = q(c, dialect)
+          s"$qc = ${fold(c, s"$t.$qc", s"EXCLUDED.$qc")}"
+        }.mkString(", ")
+        s"$base ON CONFLICT ($conflict) DO UPDATE SET $upd"
+    }
+  }
+
+  /** `?`-position column sequence (with repeats) for one
+    * [[accumulateSql]] row — the Ansi CASE folds bind the incoming
+    * value twice for extrema. */
+  def accumulateParamOrder(cols: Seq[String], keyCols: Seq[String],
+      ops: Map[String, MergeOp], dialect: Dialect): Seq[String] =
+    dialect match {
+      case Ansi =>
+        val mergeCols = cols.filterNot(keyCols.contains)
+        keyCols ++ mergeCols.flatMap { c =>
+          ops(c) match {
+            case Add => Seq(c)
+            case TakeMin | TakeMax => Seq(c, c)
+          }
+        } ++ cols
+      case _ => cols
+    }
+
+  /** Exactly-once accumulation of one micro-batch into a JDBC
+    * accumulator table, for `foreachBatch((df, id) => ...)`: additive
+    * merges are NOT replay-idempotent (a redelivered batch would
+    * double-count — the failure mode `mergeIntoJdbc`'s overwrite
+    * semantics don't have), so each partition applies inside ONE
+    * transaction that first claims its `(job, batch_id, partition_id)`
+    * row in the ledger table (PRIMARY KEY — see
+    * `InfraMigrations.ledgerTableSql`). A replayed partition hits the
+    * key violation, rolls back, and skips: at-least-once delivery in,
+    * exactly-once accumulation out, per partition.
+    *
+    * The batch must carry ONE row per key per partition (aggregate
+    * before calling — `momentPartials` output already does), and the
+    * frame's partitioning must be DETERMINISTIC across replays of the
+    * same batch id (a groupBy output is — same key lands in the same
+    * partition).
+    */
+  def accumulateBatchIntoJdbc(batch: DataFrame, batchId: Long,
+      job: String, url: String, table: String, keyCols: Seq[String],
+      ops: Map[String, MergeOp], dialect: Dialect,
+      props: java.util.Properties,
+      ledgerTable: String = "graft_apply_ledger"): Unit = {
+    val cols = batch.columns.toSeq
+    val paramIdx = accumulateParamOrder(cols, keyCols, ops, dialect)
+      .map(cols.zipWithIndex.toMap)
+    val ledgerSql = s"INSERT INTO ${q(ledgerTable, dialect)} " +
+      s"(${Seq("job", "batch_id", "partition_id").map(q(_, dialect)).mkString(", ")}) " +
+      "VALUES (?, ?, ?)"
+    val sql = accumulateSql(table, cols, keyCols, ops, 1, dialect)
+    batch.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val claimed =
+            try {
+              val lg = conn.prepareStatement(ledgerSql)
+              try {
+                lg.setString(1, job); lg.setLong(2, batchId)
+                lg.setInt(3, pid); lg.executeUpdate(); true
+              } finally lg.close()
+            } catch {
+              case _: java.sql.SQLIntegrityConstraintViolationException =>
+                conn.rollback(); false // replayed partition: skip whole
+            }
+          if (claimed) {
+            val st = conn.prepareStatement(sql)
+            try rows.foreach { r =>
+              var i = 1
+              paramIdx.foreach { c => st.setObject(i, r.get(c)); i += 1 }
+              st.executeUpdate()
+            } finally st.close()
+            conn.commit()
+          }
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally conn.close()
+      }
+    }
+  }
 }

@@ -122,6 +122,23 @@ object InfraMigrations {
         s"ON $t (${qq("producer", d)})")
   }
 
+  /** Apply ledger for exactly-once additive accumulation
+    * (`JdbcMerger.accumulateBatchIntoJdbc`): one row per applied
+    * (job, batch, partition) — the PRIMARY KEY is the idempotence
+    * guard, claimed in the same transaction as the merge. */
+  def ledgerTableSql(d: Dialect,
+      table: String = "graft_apply_ledger"): Seq[String] = {
+    val t = qq(table, d)
+    Seq(
+      s"""CREATE TABLE $t (
+         |  ${qq("job", d)} VARCHAR(255) NOT NULL,
+         |  ${qq("batch_id", d)} BIGINT NOT NULL,
+         |  ${qq("partition_id", d)} INTEGER NOT NULL,
+         |  PRIMARY KEY (${qq("job", d)}, ${qq("batch_id", d)},
+         |    ${qq("partition_id", d)})
+         |)""".stripMargin)
+  }
+
   /** Bulk-import surrogate column on a consumer target table
     * (`Materialize.assignSurrogate`'s join key): add + index. */
   def bulkImportIdSql(table: String, d: Dialect,

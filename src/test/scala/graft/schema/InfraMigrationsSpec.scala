@@ -110,6 +110,9 @@ class InfraMigrationsSpec extends AnyFunSuite {
       assert(InfraMigrations.topicInfoTableSql(d).size === 4)
       assert(InfraMigrations.pollInfoTableSql(d).size === 2)
       assert(InfraMigrations.bulkImportIdSql("t", d).size === 2)
+      assert(InfraMigrations.ledgerTableSql(d).size === 1)
+      assert(InfraMigrations.ledgerTableSql(d).head
+        .contains("PRIMARY KEY"))
     }
   }
 
