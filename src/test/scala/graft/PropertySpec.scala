@@ -296,6 +296,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval overlap equals brute force at random widths") {
+    val ivGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 25)
+      ivs <- Gen.listOfN(n, for {
+        lo <- Gen.choose(-50L, 150L)
+        len <- Gen.choose(0L, 60L)
+      } yield (lo, lo + len))
+    } yield ivs.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+    (1 to 8).foreach { i =>
+      val as = ivGen.apply(Gen.Parameters.default, Seed(800L + i)).get
+      val bs = ivGen.apply(Gen.Parameters.default, Seed(900L + i)).get
+      val width = Seq(7L, 10L, 64L)(i % 3)
+      val got = graft.operators.RangeJoin.intervalOverlap(
+        as.toDF("a_id", "a_lo", "a_hi"), bs.toDF("b_id", "b_lo", "b_hi"),
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = width)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        (ai, al, ah) <- as; (bi, bl, bh) <- bs
+        if al <= bh && bl <= ah
+      } yield (ai, bi)).sorted
+      assert(got === want, s"seed=$i width=$width")
+    }
+  }
+
   test("k-anonymity profile equals brute force on random QI tables") {
     val rowsGen: Gen[List[(String, Long)]] = for {
       n <- Gen.choose(1, 60)
