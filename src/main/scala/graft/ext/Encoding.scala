@@ -112,8 +112,9 @@ object Encoding {
       checkpoints: Seq[Long]): DataFrame = {
     require(checkpoints.nonEmpty && checkpoints.forall(_ > 0),
       s"checkpoints must be positive: $checkpoints")
-    require(checkpoints == checkpoints.sorted,
-      s"checkpoints must ascend: $checkpoints")
+    require(checkpoints.zip(checkpoints.drop(1)).forall(p => p._1 < p._2),
+      s"checkpoints must strictly ascend (a duplicate would " +
+        s"double-count its row after the rollup): $checkpoints")
     val ks = array(checkpoints.map(lit): _*)
     val toks = docs.select(col(idCol).as("__d"),
       explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))

@@ -76,6 +76,8 @@ object Privacy {
     require(qiCols.nonEmpty, "at least one quasi-identifier required")
     require(ks.nonEmpty && ks.forall(_ >= 2),
       s"every k must be >= 2 (k=1 is vacuous): $ks")
+    require(ks.distinct.size == ks.size,
+      s"duplicate k would double-count its row after the rollup: $ks")
     val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("__sz"))
     classes.select(col("__sz"),
         explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))

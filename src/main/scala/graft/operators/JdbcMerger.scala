@@ -393,18 +393,32 @@ object JdbcMerger {
     * same batch id (a groupBy output is — same key lands in the same
     * partition).
     */
+  /** A key/unique violation, portably: the dedicated subclass (Derby,
+    * MySQL Connector/J) OR SQLState class 23 (integrity constraint —
+    * what the PostgreSQL and SQLite drivers report without subclassing).
+    */
+  private[operators] def isIntegrityViolation(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
+
   def accumulateBatchIntoJdbc(batch: DataFrame, batchId: Long,
       job: String, url: String, table: String, keyCols: Seq[String],
       ops: Map[String, MergeOp], dialect: Dialect,
       props: java.util.Properties,
-      ledgerTable: String = "graft_apply_ledger"): Unit = {
+      ledgerTable: String = "graft_apply_ledger",
+      maxBatchSize: Int = 1000): Unit = {
     val cols = batch.columns.toSeq
+    val colIdx = cols.zipWithIndex.toMap
     val paramIdx = accumulateParamOrder(cols, keyCols, ops, dialect)
-      .map(cols.zipWithIndex.toMap)
+      .map(colIdx)
     val ledgerSql = s"INSERT INTO ${q(ledgerTable, dialect)} " +
       s"(${Seq("job", "batch_id", "partition_id").map(q(_, dialect)).mkString(", ")}) " +
       "VALUES (?, ?, ?)"
-    val sql = accumulateSql(table, cols, keyCols, ops, 1, dialect)
+    // the Ansi MERGE has no multi-row source; the VALUES dialects
+    // batch up to maxBatchSize rows per statement (the mergeIntoJdbc
+    // discipline — per-row round trips would dominate a large partial
+    // frame)
+    val effBatch = if (dialect == Ansi) 1 else maxBatchSize
     batch.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -415,20 +429,37 @@ object JdbcMerger {
             try {
               val lg = conn.prepareStatement(ledgerSql)
               try {
-                lg.setString(1, job); lg.setLong(2, batchId)
-                lg.setInt(3, pid); lg.executeUpdate(); true
+                // setObject throughout — the binding style the whole
+                // merge path uses (and the statement recorder sees)
+                lg.setObject(1, job)
+                lg.setObject(2, java.lang.Long.valueOf(batchId))
+                lg.setObject(3, java.lang.Integer.valueOf(pid))
+                lg.executeUpdate(); true
               } finally lg.close()
             } catch {
-              case _: java.sql.SQLIntegrityConstraintViolationException =>
+              case e: java.sql.SQLException if isIntegrityViolation(e) =>
                 conn.rollback(); false // replayed partition: skip whole
             }
           if (claimed) {
-            val st = conn.prepareStatement(sql)
-            try rows.foreach { r =>
-              var i = 1
-              paramIdx.foreach { c => st.setObject(i, r.get(c)); i += 1 }
-              st.executeUpdate()
-            } finally st.close()
+            if (effBatch == 1) {
+              val st = conn.prepareStatement(
+                accumulateSql(table, cols, keyCols, ops, 1, dialect))
+              try rows.foreach { r =>
+                var i = 1
+                paramIdx.foreach { c => st.setObject(i, r.get(c)); i += 1 }
+                st.executeUpdate()
+              } finally st.close()
+            } else rows.grouped(effBatch).foreach { group =>
+              val st = conn.prepareStatement(accumulateSql(
+                table, cols, keyCols, ops, group.size, dialect))
+              try {
+                var i = 1
+                group.foreach(r => paramIdx.foreach { c =>
+                  st.setObject(i, r.get(c)); i += 1
+                })
+                st.executeUpdate()
+              } finally st.close()
+            }
             conn.commit()
           }
         } catch {

@@ -156,7 +156,8 @@ object InfraMigrations {
     val parts = Seq(
       "create_kafka_messages" -> outboxTableSql(d),
       "create_kafka_topic_info" -> topicInfoTableSql(d),
-      "create_deimos_poll_info" -> pollInfoTableSql(d))
+      "create_deimos_poll_info" -> pollInfoTableSql(d),
+      "create_graft_apply_ledger" -> ledgerTableSql(d))
     parts.zipWithIndex.map { case ((name, stmts), i) =>
       java.nio.file.Files.write(
         dir.resolve(f"V${startVersion + i}%03d__$name.sql"),

@@ -94,5 +94,8 @@ class EncodingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Encoding.vocabGrowth(d, "doc_id", "text", Seq(5L, 1L)) // unsorted
     }
+    intercept[IllegalArgumentException] { // a dup would double-count
+      Encoding.vocabGrowth(d, "doc_id", "text", Seq(5L, 5L))
+    }
   }
 }

@@ -40,6 +40,9 @@ class GovernanceOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityProfile(kdf, Seq(col("qi")), Seq(2, 1))
     }
+    intercept[IllegalArgumentException] { // a dup k would double-count
+      Privacy.kAnonymityProfile(kdf, Seq(col("qi")), Seq(5, 5))
+    }
   }
 
   // ---- noveltyProfile --------------------------------------------------

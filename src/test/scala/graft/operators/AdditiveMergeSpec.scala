@@ -127,6 +127,36 @@ class AdditiveMergeSpec extends SparkSpec {
     assert(readAcc(url) === want)
   }
 
+  test("VALUES dialects batch multi-row accumulate statements") {
+    graft.testkit.MockJdbc.install()
+    val d = graft.testkit.MockJdbc.reset("accbatch")
+    val partials = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "n")
+      .repartition(1).sortWithinPartitions("k")
+    JdbcMerger.accumulateBatchIntoJdbc(partials, 7L, "mb",
+      "jdbc:graftmock:accbatch", "acc", Seq("k"), Map("n" -> Add),
+      Postgres, new java.util.Properties)
+    val execs = d.execList
+    val ledger = execs.filter(_.sql.contains("graft_apply_ledger"))
+    assert(ledger.map(_.params) === Seq(Seq("mb", 7L, 0)))
+    val accs = execs.filter(_.sql.contains("ON CONFLICT"))
+    assert(accs.size === 1, accs.map(_.sql)) // ONE statement, not 3
+    assert(accs.head.sql.contains("VALUES (?, ?), (?, ?), (?, ?)"),
+      accs.head.sql)
+    assert(accs.head.params === Seq("a", 1L, "b", 2L, "c", 3L))
+  }
+
+  test("integrity violations are recognized portably (SQLState class 23)") {
+    // PostgreSQL/SQLite drivers report 23xxx WITHOUT subclassing
+    assert(JdbcMerger.isIntegrityViolation(
+      new java.sql.SQLException("duplicate key", "23505")))
+    assert(JdbcMerger.isIntegrityViolation(
+      new java.sql.SQLIntegrityConstraintViolationException("dup")))
+    assert(!JdbcMerger.isIntegrityViolation(
+      new java.sql.SQLException("syntax error", "42601")))
+    assert(!JdbcMerger.isIntegrityViolation(
+      new java.sql.SQLException("no state", null.asInstanceOf[String])))
+  }
+
   test("a replayed batch id is a no-op (ledger exactly-once)") {
     val url = freshDb("accreplay")
     setupTables(url)

@@ -122,7 +122,8 @@ class InfraMigrationsSpec extends AnyFunSuite {
     assert(files.map(_.getFileName.toString) === Seq(
       "V004__create_kafka_messages.sql",
       "V005__create_kafka_topic_info.sql",
-      "V006__create_deimos_poll_info.sql"))
+      "V006__create_deimos_poll_info.sql",
+      "V007__create_graft_apply_ledger.sql"))
     val body = new String(
       java.nio.file.Files.readAllBytes(files.head), "UTF-8")
     assert(body.contains("CREATE TABLE") && body.trim.endsWith(";"))
