@@ -65,9 +65,20 @@ object ImportanceSampling {
     val ex = docs.select(col(idCol),
       explode(featureBuckets(col(textCol), buckets)).as("__b"),
       isTarget.cast("boolean").as("__t"))
-    val counts = ex.groupBy(col("__b")).agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-      count(lit(1)).as("__sc"))
+    // collapse to per-(doc, bucket) multiplicities FIRST and
+    // materialize them ONCE (localCheckpoint — the pagerank lineage
+    // discipline): both consumers (bucket counts, per-doc weights)
+    // would otherwise re-run the corpus tokenize+hash pass, the
+    // operator's dominant cost, because their different column
+    // prunings defeat exchange reuse. The materialized frame is
+    // min(features, buckets) rows per doc — far below the exploded
+    // stream. __t is constant per doc; max() carries it through.
+    val dcounts = ex.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__t")).as("__t"))
+      .localCheckpoint(false)
+    val counts = dcounts.groupBy(col("__b")).agg(
+      sum(when(col("__t"), col("__c")).otherwise(0L)).as("__tc"),
+      sum(col("__c")).as("__sc"))
     val totals = counts.agg(sum(col("__tc")).as("__tt"),
       sum(col("__sc")).as("__st"))
     // one log-ratio per bucket, computed once from exact integers;
@@ -77,8 +88,13 @@ object ImportanceSampling {
           (col("__tt") + lit(buckets.toLong)).cast("double")) -
         log((col("__sc") + 1L).cast("double") /
           (col("__st") + lit(buckets.toLong)).cast("double"))).as("__logr"))
-    ex.join(broadcast(bucketLogr), Seq("__b"))
+    // logw folds multiplicity-weighted: Σ_b c·logr — a different (and
+    // shorter) IEEE reduction order than per-instance summing, inside
+    // the same ~1e-14 noise class the 6dp rounding grid was probed
+    // against (ln-ulp × order already varies cross-engine)
+    dcounts.join(broadcast(bucketLogr), Seq("__b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), sum(col("__logr")).as("logw"))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c").cast("double") * col("__logr")).as("logw"))
   }
 }
