@@ -120,7 +120,7 @@ object Bench {
     "x109_kanon" -> 0.15, "x110_novelty" -> 0.84,
     "x111_winsorize" -> 0.39, "x112_reliability" -> 0.27,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
-    "x9_text_quality" -> 0.36)
+    "x115_image_resize" -> 0.51, "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 
@@ -442,22 +442,23 @@ object Bench {
       .mkString("{", ",", "}")
     // Error budget: round-5's driver artifact recorded parsed:null
     // because 22 × 200-char analysis exceptions pushed the contract
-    // line past the driver's ~4 KB tail window. The line carries at
-    // most 2 errors at 44 chars each (sorted by query name so the
-    // sample set is stable across runs) plus an overflow count; the
-    // exception's package prefix is dropped first so the budget goes
-    // to the class + message, not "org.apache.spark.sql.". Full
-    // messages stay in stderr and the diag file. (Was 3×48 — shrunk
-    // when the x109-x111 growth step ate the mass-failure margin.)
+    // line past the driver's ~4 KB tail window. The line carries the
+    // FIRST failing query (by name — stable across runs) at 44 chars
+    // plus an overflow count; the exception's package prefix is
+    // dropped first so the budget goes to the class + message, not
+    // "org.apache.spark.sql.". Full messages stay in stderr and the
+    // diag file. (Was 3×48, then 2×44 — each query-surface growth
+    // step buys its mass-failure margin here; the per-query entries
+    // themselves own the rest of the window.)
     val errStr =
       if (errors.isEmpty) ""
       else {
-        val shown = errors.toSeq.sortBy(_._1).take(2).map { case (k, m) =>
+        val shown = errors.toSeq.sortBy(_._1).take(1).map { case (k, m) =>
           val compact = m.replaceFirst("^[A-Za-z0-9_$]+(\\.[A-Za-z0-9_$]+)*\\.(?=[A-Z])", "")
           "\"" + k + "\":\"" + jstr(compact.take(44)) + "\""
         }.mkString("{", ",", "}")
         val more =
-          if (errors.size > 2) s""","more_errors":${errors.size - 2}"""
+          if (errors.size > 1) s""","more_errors":${errors.size - 1}"""
           else ""
         s""","errors":$shown$more"""
       }

@@ -1888,7 +1888,32 @@ object ExtQueries {
       .orderBy(col("u_a"))
   }
 
+  /** Decode → RESIZE → stats (`PixelDecode.pngResizeNearestStats`):
+    * the thumbnail/feature-extract step after decode — x27's real
+    * per-row PNGs fully decoded, nearest-neighbor resampled to 8×6,
+    * stats over the RESIZED samples. The oracle replays the resample
+    * arithmetically (src col = x'·w/8 integer floor on the known
+    * pixel formula), so a wrong mapping or dropped row hash-fails. */
+  private def x115(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 97 + 4).cast("int").as("w"),
+      (col("doc_id") % 53 + 3).cast("int").as("h"),
+      (col("doc_id") % 251).cast("int").as("seed"))
+    docs.select(col("doc_id"),
+        PixelDecode.pngResizeStats(PixelDecode.synthPngPixels(
+          col("w"), col("h"), col("seed")), tw = 8, th = 6).as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_samples").as("n_samples"),
+        col("st.sum_val").as("sum_val"),
+        col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x115_image_resize" -> (x115 _),
     "x114_session_overlap" -> (x114 _),
     "x113_vocab_growth" -> (x113 _),
     "x112_reliability" -> (x112 _),
@@ -2013,6 +2038,25 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // nearest-neighbor replayed arithmetically: resized col x' reads
+    // source col (x'*w)//8 of the known pixel formula
+    // (seed + col) % 256, constant down rows → sum = th * Σ_x'
+    "x115_image_resize" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(6 AS BIGINT) AS height,
+        |  CAST(48 AS BIGINT) AS n_samples,
+        |  CAST(6 * sum((d.doc_id % 251
+        |      + ((t.x * (d.doc_id % 97 + 4)) // 8)) % 256) AS BIGINT)
+        |    AS sum_val,
+        |  CAST(min((d.doc_id % 251
+        |      + ((t.x * (d.doc_id % 97 + 4)) // 8)) % 256) AS INTEGER)
+        |    AS min_val,
+        |  CAST(max((d.doc_id % 251
+        |      + ((t.x * (d.doc_id % 97 + 4)) // 8)) % 256) AS INTEGER)
+        |    AS max_val
+        |FROM documents d CROSS JOIN generate_series(0, 7) t(x)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // the PLAIN inequality self-join (DuckDB plans IEJoin — an
     // independent algorithm vs the engine's binned exactly-once
     // attribution); x17's session CTE chain verbatim, users < 300

@@ -23,6 +23,8 @@ import graft.schema.AvroExpressions._
   * graft_winnow(bin, k, w), graft_nfc(str),
   * graft_probe_media(bin) → struct(width, height, media_type),
   * graft_png_stats(bin) / graft_wav_stats(bin) / graft_gif_stats(bin),
+  * graft_png_resize_stats(bin, tw, th) — nearest-neighbor resample
+  * stats,
   * graft_mp4_frame_stats(bin, stride) / graft_mp4_frames(bin, stride),
   * → full-decode statistics structs,
   * graft_probe_wav(bin) → struct(n_channels, sample_rate,
@@ -84,6 +86,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.MediaProbe.ProbeVideoExpr(es.head)),
     (FunctionIdentifier("graft_png_stats"), info("graft_png_stats"),
       (es: Seq[Expression]) => graft.ext.PixelDecode.PngStatsExpr(es.head)),
+    (FunctionIdentifier("graft_png_resize_stats"),
+      info("graft_png_resize_stats"),
+      (es: Seq[Expression]) => graft.ext.PixelDecode.PngResizeStatsExpr(
+        es.head, litInt(es(1), "tw"), litInt(es(2), "th"))),
     (FunctionIdentifier("graft_wav_stats"), info("graft_wav_stats"),
       (es: Seq[Expression]) => graft.ext.PixelDecode.WavStatsExpr(es.head)),
     (FunctionIdentifier("graft_gif_stats"), info("graft_gif_stats"),

@@ -65,10 +65,78 @@ object PixelDecode {
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
+  /** Fully decoded PNG: reconstructed (de-filtered) scanlines in
+    * `raw`, pixel bytes at `y * stride + 1 + x` for x in
+    * [0, w*channels). */
+  private[ext] final case class DecodedPng(w: Long, h: Long,
+      channels: Int, raw: Array[Byte], stride: Int)
+
   /** PNG → image stats. Supports bit depth 8, color types 0 (gray),
     * 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace — the shapes a
     * training-data pipeline actually stores. Anything else → null. */
   def pngPixelStats(b: Array[Byte]): GenericInternalRow = {
+    val d = decodePng(b)
+    if (d == null) return null
+    val rowBytes = (d.w * d.channels).toInt
+    var sum = 0L
+    var min = 255
+    var max = 0
+    var y = 0
+    while (y < d.h) {
+      val rowAt = y * d.stride + 1
+      var x = 0
+      while (x < rowBytes) {
+        val v = d.raw(rowAt + x) & 0xff
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](d.w, d.h, d.channels,
+      rowBytes.toLong * d.h, sum, min, max))
+  }
+
+  /** Decode + NEAREST-NEIGHBOR resize + stats — the feature-extract /
+    * thumbnail step after decode: the (tw × th) resample maps output
+    * pixel (x', y') to source pixel (x'·w/tw, y'·h/th) (integer floor
+    * — the standard nearest rule), and the emitted stats run over the
+    * RESIZED samples, so a wrong mapping or a dropped row hash-fails
+    * against an arithmetic oracle. Same scan-side scale shape as
+    * [[pngPixelStats]]: stats out, never a pixel array column. */
+  def pngResizeNearestStats(b: Array[Byte], tw: Int,
+      th: Int): GenericInternalRow = {
+    if (tw <= 0 || th <= 0) return null
+    val d = decodePng(b)
+    if (d == null) return null
+    var sum = 0L
+    var min = 255
+    var max = 0
+    var y = 0
+    while (y < th) {
+      val srcY = (y.toLong * d.h / th).toInt
+      val rowAt = srcY * d.stride + 1
+      var x = 0
+      while (x < tw) {
+        val srcX = (x.toLong * d.w / tw).toInt
+        var c = 0
+        while (c < d.channels) {
+          val v = d.raw(rowAt + srcX * d.channels + c) & 0xff
+          sum += v
+          if (v < min) min = v
+          if (v > max) max = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](tw.toLong, th.toLong, d.channels,
+      tw.toLong * th * d.channels, sum, min, max))
+  }
+
+  private[ext] def decodePng(b: Array[Byte]): DecodedPng = {
     if (b == null || b.length < 45) return null
     var i = 0
     while (i < 8) { if (b(i) != PngSig(i)) return null; i += 1 }
@@ -168,24 +236,7 @@ object PixelDecode {
       y += 1
     }
 
-    // stats over all channel samples
-    var sum = 0L
-    var min = 255
-    var max = 0
-    y = 0
-    while (y < h) {
-      val rowAt = y * stride + 1
-      var x = 0
-      while (x < rowBytes) {
-        val v = raw(rowAt + x) & 0xff
-        sum += v
-        if (v < min) min = v
-        if (v > max) max = v
-        x += 1
-      }
-      y += 1
-    }
-    new GenericInternalRow(Array[Any](w, h, channels, rowBytes * h, sum, min, max))
+    DecodedPng(w, h, channels, raw, stride)
   }
 
   /** WAV → PCM-16 sample stats over ALL interleaved samples. Reuses
@@ -373,6 +424,24 @@ object PixelDecode {
       copy(c)
   }
 
+  /** binary → stats of the nearest-neighbor (tw × th) resample, null
+    * when not a decodable PNG. Target dims are plan-time constants —
+    * a resize spec is pipeline config, not data. */
+  case class PngResizeStatsExpr(child: Expression, tw: Int, th: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ImageStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      pngResizeNearestStats(input.asInstanceOf[Array[Byte]], tw, th)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.ext.PixelDecode.pngResizeNearestStats($c, $tw, $th);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): PngResizeStatsExpr =
+      copy(child = c)
+  }
+
   /** binary → PCM sample stats struct, null when not PCM-16 WAV. */
   case class WavStatsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = AudioStatsType
@@ -419,6 +488,10 @@ object PixelDecode {
 
   def pngStats(bytes: Column): Column =
     GraftSqlBridge.column(PngStatsExpr(GraftSqlBridge.expression(bytes)))
+
+  def pngResizeStats(bytes: Column, tw: Int, th: Int): Column =
+    GraftSqlBridge.column(
+      PngResizeStatsExpr(GraftSqlBridge.expression(bytes), tw, th))
 
   def wavStats(bytes: Column): Column =
     GraftSqlBridge.column(WavStatsExpr(GraftSqlBridge.expression(bytes)))

@@ -63,8 +63,8 @@ class BenchContractSpec extends AnyFunSuite {
     val errs = (1 to 12).map(i => f"x$i%02d_q" -> s"err$i").toMap
     val got = line(Seq("q1" -> 1.0), errs)
     val shown = "\"(x\\d+_q)\":".r.findAllMatchIn(got).map(_.group(1)).toSeq
-    assert(shown === (1 to 2).map(i => f"x$i%02d_q"), got)
-    assert(got.contains("\"more_errors\":10"), got)
+    assert(shown === Seq("x01_q"), got)
+    assert(got.contains("\"more_errors\":11"), got)
   }
 
   test("error messages drop the exception package prefix, not the content") {
@@ -77,9 +77,9 @@ class BenchContractSpec extends AnyFunSuite {
   test("mass failure cannot blow the tail window (round-5 regression)") {
     // round 5's driver artifact recorded parsed:null — 22 × 200-char
     // analysis exceptions pushed the line past the ~4 KB tail window.
-    // The line inlines at most 2 errors at 44 chars, plus a count.
-    // Worst realistic case: the GROWN surface (live names + 20 more)
-    // with 30 of them failing on long analysis exceptions.
+    // The line inlines ONE error at 44 chars, plus a count. Worst
+    // realistic case: the GROWN surface (live names + 20 more) with
+    // 30 of them failing on long analysis exceptions.
     val grown = SparkEntry.queries.toSeq.map(_._1 -> 1.2345) ++
       (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
     val errs = grown.take(30)
@@ -87,7 +87,7 @@ class BenchContractSpec extends AnyFunSuite {
         "x" * 180)).toMap
     val got = line(grown, errs)
     assert(got.length < Window, s"line is ${got.length} bytes")
-    assert(got.contains("\"more_errors\":28"), got.takeRight(200))
+    assert(got.contains("\"more_errors\":29"), got.takeRight(200))
   }
 
   test("contended flag is capped and omitted when clean") {

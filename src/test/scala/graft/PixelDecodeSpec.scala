@@ -33,6 +33,47 @@ class PixelDecodeSpec extends SparkSpec {
     }
   }
 
+  test("resize: identity equals full stats; down/up-sample match brute force") {
+    val (w, h, seed) = (10, 6, 37)
+    val png = PixelDecode.pngPixelBytes(w, h, seed)
+    // identity resample: x'·w/w = x' exactly — stats must equal the
+    // unresized decode
+    val full = PixelDecode.pngPixelStats(png)
+    val ident = PixelDecode.pngResizeNearestStats(png, w, h)
+    assert(ident.getLong(4) === full.getLong(4))
+    assert(ident.getInt(5) === full.getInt(5))
+    assert(ident.getInt(6) === full.getInt(6))
+    // brute force the nearest rule for a downsample and an upsample
+    for ((tw, th) <- Seq((4, 2), (3, 1), (20, 9))) {
+      val st = PixelDecode.pngResizeNearestStats(png, tw, th)
+      val vals = for (y <- 0 until th; x <- 0 until tw)
+        yield (seed + (x.toLong * w / tw).toInt) & 0xff
+      assert(st.getLong(0) === tw.toLong && st.getLong(1) === th.toLong)
+      assert(st.getLong(3) === tw.toLong * th)
+      assert(st.getLong(4) === vals.map(_.toLong).sum, s"${tw}x$th")
+      assert(st.getInt(5) === vals.min && st.getInt(6) === vals.max)
+    }
+  }
+
+  test("resize: garbage bytes and degenerate targets are null") {
+    assert(PixelDecode.pngResizeNearestStats(Array[Byte](1, 2, 3), 4, 4)
+      == null)
+    val png = PixelDecode.pngPixelBytes(5, 5, 1)
+    assert(PixelDecode.pngResizeNearestStats(png, 0, 4) == null)
+    assert(PixelDecode.pngResizeNearestStats(png, 4, -1) == null)
+  }
+
+  test("resize expression runs in a plan via the SQL surface") {
+    GraftExtensions.register(spark)
+    val row = Seq(Tuple1(PixelDecode.pngPixelBytes(6, 4, 10)))
+      .toDF("b")
+      .selectExpr("graft_png_resize_stats(b, 3, 2).sum_val AS s")
+      .as[Long].head()
+    val want = (for (y <- 0 until 2; x <- 0 until 3)
+      yield ((10 + x * 6 / 3) & 0xff).toLong).sum
+    assert(row === want)
+  }
+
   test("our PNG bytes decode identically under the JDK's ImageIO") {
     // independent decoder agreement rules out complementary bugs in
     // synth-filter + our-unfilter
