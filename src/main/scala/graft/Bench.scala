@@ -120,7 +120,8 @@ object Bench {
     "x109_kanon" -> 0.15, "x110_novelty" -> 0.84,
     "x111_winsorize" -> 0.39, "x112_reliability" -> 0.27,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
-    "x115_image_resize" -> 0.51, "x9_text_quality" -> 0.36)
+    "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.23,
+    "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

@@ -1912,7 +1912,30 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decode → DECIMATE → stats (`PixelDecode.wavDecimateStats`): the
+    * audio transform sibling of x115 — x28's real PCM-16 WAVs decoded
+    * and stride-3 decimated, stats over the KEPT samples only. The
+    * oracle replays the decimation arithmetically on the known tone
+    * formula (i = 0, 3, 6, ...), so a wrong step or phase
+    * hash-fails. */
+  private def x116(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 400 + 100).cast("int").as("n"),
+      (col("doc_id") % 1777).cast("int").as("seed"))
+    docs.select(col("doc_id"),
+        PixelDecode.wavDecimate(PixelDecode.synthWavTone(
+          lit(1), lit(8000), col("n"), col("seed")), stride = 3).as("st"))
+      .select(col("doc_id"),
+        col("st.n_samples").as("n_samples"),
+        col("st.sum_val").as("sum_val"),
+        col("st.sum_sq").as("sum_sq"),
+        col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x116_audio_decimate" -> (x116 _),
     "x115_image_resize" -> (x115 _),
     "x114_session_overlap" -> (x114 _),
     "x113_vocab_growth" -> (x113 _),
@@ -2038,6 +2061,25 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // decimation replayed arithmetically: sample(i) =
+    // ((seed + i*7919) % 2003) - 1001 over i = 0, 3, 6, ... < n —
+    // generate_series with the stride as its step
+    "x116_audio_decimate" ->
+      """SELECT d.doc_id,
+        |  CAST((d.doc_id % 400 + 100 + 2) // 3 AS BIGINT) AS n_samples,
+        |  CAST(sum((d.doc_id % 1777 + t.i*7919) % 2003 - 1001)
+        |    AS BIGINT) AS sum_val,
+        |  CAST(sum(((d.doc_id % 1777 + t.i*7919) % 2003 - 1001)
+        |         * ((d.doc_id % 1777 + t.i*7919) % 2003 - 1001))
+        |    AS BIGINT) AS sum_sq,
+        |  CAST(min((d.doc_id % 1777 + t.i*7919) % 2003 - 1001)
+        |    AS INTEGER) AS min_val,
+        |  CAST(max((d.doc_id % 1777 + t.i*7919) % 2003 - 1001)
+        |    AS INTEGER) AS max_val
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 499, 3) t(i)
+        |WHERE t.i < d.doc_id % 400 + 100
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // nearest-neighbor replayed arithmetically: resized col x' reads
     // source col (x'*w)//8 of the known pixel formula
     // (seed + col) % 256, constant down rows → sum = th * Σ_x'

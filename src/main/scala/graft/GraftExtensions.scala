@@ -92,6 +92,10 @@ object GraftExtensions {
         es.head, litInt(es(1), "tw"), litInt(es(2), "th"))),
     (FunctionIdentifier("graft_wav_stats"), info("graft_wav_stats"),
       (es: Seq[Expression]) => graft.ext.PixelDecode.WavStatsExpr(es.head)),
+    (FunctionIdentifier("graft_wav_decimate_stats"),
+      info("graft_wav_decimate_stats"),
+      (es: Seq[Expression]) => graft.ext.PixelDecode.WavDecimateStatsExpr(
+        es.head, litInt(es(1), "stride"))),
     (FunctionIdentifier("graft_gif_stats"), info("graft_gif_stats"),
       (es: Seq[Expression]) => graft.ext.GifDecode.GifStatsExpr(es.head)),
     (FunctionIdentifier("graft_jpeg_stats"), info("graft_jpeg_stats"),

@@ -243,7 +243,21 @@ object PixelDecode {
     * the RIFF walk discipline of [[MediaProbe.probeWav]] (null on
     * garbage, Long cursor against corrupt lengths); only PCM format 1
     * at 16 bits is decoded — anything else → null. */
-  def wavSampleStats(b: Array[Byte]): GenericInternalRow = {
+  def wavSampleStats(b: Array[Byte]): GenericInternalRow =
+    wavStatsCore(b, 1)
+
+  /** Decode + DECIMATE + stats — the audio transform step after
+    * decode (sample-rate reduction / feature extraction): every
+    * `stride`-th interleaved sample is kept and the stats run over
+    * the KEPT samples, so a wrong step or phase hash-fails against an
+    * arithmetic oracle. For multi-channel audio pass a stride that is
+    * a multiple of the channel count to stay frame-aligned.
+    * `n_samples` reports the DECIMATED count. */
+  def wavDecimateStats(b: Array[Byte], stride: Int): GenericInternalRow =
+    if (stride < 1) null else wavStatsCore(b, stride)
+
+  private def wavStatsCore(b: Array[Byte],
+      stride: Int): GenericInternalRow = {
     if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
@@ -284,6 +298,7 @@ object PixelDecode {
     var sumSq = 0L
     var min = Int.MaxValue
     var max = Int.MinValue
+    var taken = 0L
     var k = 0L
     while (k < n) {
       val at = (dataAt + k * 2).toInt
@@ -293,11 +308,12 @@ object PixelDecode {
       sumSq += v.toLong * v
       if (v < min) min = v
       if (v > max) max = v
-      k += 1
+      taken += 1
+      k += stride
     }
-    if (n == 0) { min = 0; max = 0 }
-    new GenericInternalRow(Array[Any](channels, sampleRate, n, sum, sumSq,
-      min, max))
+    if (taken == 0) { min = 0; max = 0 }
+    new GenericInternalRow(Array[Any](channels, sampleRate, taken, sum,
+      sumSq, min, max))
   }
 
   // ---- synthesizers (fixtures with REAL pixel/sample payloads) ---------
@@ -442,6 +458,23 @@ object PixelDecode {
       copy(child = c)
   }
 
+  /** binary → stats of every stride-th PCM sample, null when not
+    * PCM-16 WAV. Stride is a plan-time constant. */
+  case class WavDecimateStatsExpr(child: Expression, stride: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = AudioStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      wavDecimateStats(input.asInstanceOf[Array[Byte]], stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.ext.PixelDecode.wavDecimateStats($c, $stride);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): WavDecimateStatsExpr =
+      copy(child = c)
+  }
+
   /** binary → PCM sample stats struct, null when not PCM-16 WAV. */
   case class WavStatsExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = AudioStatsType
@@ -495,6 +528,10 @@ object PixelDecode {
 
   def wavStats(bytes: Column): Column =
     GraftSqlBridge.column(WavStatsExpr(GraftSqlBridge.expression(bytes)))
+
+  def wavDecimate(bytes: Column, stride: Int): Column =
+    GraftSqlBridge.column(
+      WavDecimateStatsExpr(GraftSqlBridge.expression(bytes), stride))
 
   def synthPngPixels(w: Column, h: Column, seed: Column): Column =
     GraftSqlBridge.column(PngPixelSynthExpr(GraftSqlBridge.expression(w),

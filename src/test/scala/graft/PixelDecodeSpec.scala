@@ -74,6 +74,30 @@ class PixelDecodeSpec extends SparkSpec {
     assert(row === want)
   }
 
+  test("decimation: stride 1 equals full stats; stride k matches brute") {
+    val wav = PixelDecode.wavToneBytes(1, 8000, 50, 321)
+    val full = PixelDecode.wavSampleStats(wav)
+    val s1 = PixelDecode.wavDecimateStats(wav, 1)
+    assert(s1.getLong(2) === full.getLong(2) &&
+      s1.getLong(3) === full.getLong(3) &&
+      s1.getLong(4) === full.getLong(4))
+    def tone(i: Int) = ((321 + i * 7919) % 2003) - 1001
+    for (stride <- Seq(2, 3, 7)) {
+      val st = PixelDecode.wavDecimateStats(wav, stride)
+      val vals = (0 until 50 by stride).map(tone)
+      assert(st.getLong(2) === vals.size.toLong, s"stride=$stride")
+      assert(st.getLong(3) === vals.map(_.toLong).sum, s"stride=$stride")
+      assert(st.getLong(4) === vals.map(v => v.toLong * v).sum)
+      assert(st.getInt(5) === vals.min && st.getInt(6) === vals.max)
+    }
+    assert(PixelDecode.wavDecimateStats(wav, 0) == null)
+    GraftExtensions.register(spark)
+    val viaSql = Seq(Tuple1(wav)).toDF("b")
+      .selectExpr("graft_wav_decimate_stats(b, 3).sum_val AS s")
+      .as[Long].head()
+    assert(viaSql === (0 until 50 by 3).map(tone).map(_.toLong).sum)
+  }
+
   test("our PNG bytes decode identically under the JDK's ImageIO") {
     // independent decoder agreement rules out complementary bugs in
     // synth-filter + our-unfilter
