@@ -121,7 +121,7 @@ object Bench {
     "x111_winsorize" -> 0.39, "x112_reliability" -> 0.27,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.23,
-    "x9_text_quality" -> 0.36)
+    "x117_triangles" -> 2.63, "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 
@@ -428,7 +428,7 @@ object Bench {
     * asserted by `BenchContractSpec`): the errors map is omitted when
     * empty (the common case), per-query seconds use the adaptive
     * [[secStr]] encoding, and the calibration pair is two compact
-    * [wall,cpu,gc] triples ({"cal":{"b":[...],"a":[...]}} — full
+    * [wall,cpu,gc] triples ({"cal":[[before],[after]]} — full
     * long-key samples live in the diag file). `contended` closes the
     * self-adjudication loop: names listed there exceeded 2× their
     * recorded baseline WHILE their interleaved calibration probe was
@@ -472,6 +472,6 @@ object Bench {
           s""","more_contended":${contended.size - 8}""" else ""
         s""","contended":$body$more"""
       }
-    s"""{"metric":"total","value":${secStr(total)},"unit":"sec","queries":$qs$errStr$contStr,"cal":{"b":${calShort(calBefore)},"a":${calShort(calAfter)}},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${secStr(total)},"unit":"sec","queries":$qs$errStr$contStr,"cal":[${calShort(calBefore)},${calShort(calAfter)}],"sf":"$sfDir"}"""
   }
 }

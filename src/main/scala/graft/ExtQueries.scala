@@ -1934,7 +1934,30 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-node triangles + clustering coefficient
+    * (`Graph.nodeTriangles`): a deterministic chain graph over doc
+    * ids (+1/+2/+3 edges under modular gates — the x86 synthetic-edge
+    * style, dense in closed triples) counted by the engine's
+    * degree-ordered wedge enumeration while the oracle closes wedges
+    * with plain id-ordered joins — two different algorithms, one
+    * hash. */
+  private def x117(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    def rule(offset: Int, keep: Column) = ids.filter(keep)
+      .select(col("doc_id").as("a"),
+        (col("doc_id") + offset.toLong).as("b"))
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val edges = rule(1, col("doc_id") % 3 =!= 2)
+      .unionByName(rule(2, col("doc_id") % 5 < 4))
+      .unionByName(rule(3, col("doc_id") % 7 === 0))
+    graft.operators.Graph.nodeTriangles(edges, "a", "b")
+      .select(col("node"), col("degree"), col("n_tri"),
+        round(col("cc"), 9).as("cc_r"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_triangles" -> (x117 _),
     "x116_audio_decimate" -> (x116 _),
     "x115_image_resize" -> (x115 _),
     "x114_session_overlap" -> (x114 _),
@@ -2061,6 +2084,40 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // triangles closed with plain id-ordered joins (edges are
+    // canonical u < v by construction) — independent of the engine's
+    // degree-ordered wedge orientation; each triangle credits all
+    // three nodes
+    "x117_triangles" ->
+      """WITH ids AS (SELECT doc_id AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+        |    WHERE doc_id % 3 <> 2
+        |  UNION SELECT doc_id, doc_id + 2 FROM documents
+        |    WHERE doc_id % 5 < 4
+        |  UNION SELECT doc_id, doc_id + 3 FROM documents
+        |    WHERE doc_id % 7 = 0),
+        |ee AS (SELECT u, v FROM raw JOIN ids ON raw.v = ids.n),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM ee UNION ALL SELECT v FROM ee)
+        |  GROUP BY n),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ee e1
+        |  JOIN ee e2 ON e2.u = e1.v
+        |  JOIN ee e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT n, count(*) AS t FROM (
+        |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY n)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tn.t, 0) AS BIGINT) AS n_tri,
+        |  round(CASE WHEN deg.d >= 2 THEN
+        |      2.0 * CAST(coalesce(tn.t, 0) AS DOUBLE)
+        |        / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END, 9) AS cc_r
+        |FROM deg LEFT JOIN tn ON tn.n = deg.n
+        |ORDER BY node""".stripMargin,
     // decimation replayed arithmetically: sample(i) =
     // ((seed + i*7919) % 2003) - 1001 over i = 0, 3, 6, ... < n —
     // generate_series with the stride as its step

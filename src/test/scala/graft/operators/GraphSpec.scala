@@ -112,4 +112,53 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPageRank(e, "s", "t", Seq("zzz").toDF("n"), "n", 2)
     }
   }
+
+  test("triangles: K4 closes everywhere; a tail node closes nothing") {
+    // K4 on 1..4 (every pair), node 5 hangs off node 4
+    val edges = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toSeq ++ Seq((4L, 5L))
+    val got = Graph.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+      .select("node", "degree", "n_tri", "cc")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // K4: each node sits in C(3,2) = 3 triangles, cc = 1 except node 4
+    // whose degree is 4 (the tail): cc = 2*3/(4*3) = 0.5
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 4L, 3L, 0.5), (5L, 1L, 0L, 0.0)))
+  }
+
+  test("triangles: direction, duplicates and self-loops normalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 2L),
+      (2L, 2L)).toDF("a", "b")
+    val got = Graph.nodeTriangles(messy, "a", "b")
+      .select("node", "degree", "n_tri")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("triangles equal brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 12
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val got = Graph.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+          .select("node", "n_tri").as[(Long, Long)].collect().toMap
+        val es = edges.toSet
+        def adj(x: Long, y: Long) = es((x min y, x max y))
+        val want = (0L until n).map { v =>
+          v -> (for {
+            (a, b) <- edges if adj(a, v) && adj(b, v)
+          } yield 1).size.toLong
+        }.filter { case (v, _) => edges.exists(e => e._1 == v || e._2 == v) }
+          .toMap
+        want.foreach { case (v, t) =>
+          assert(got.getOrElse(v, 0L) === t, s"node $v")
+        }
+      }
+    }
+  }
 }
