@@ -1956,7 +1956,29 @@ object ExtQueries {
       .orderBy(col("node"))
   }
 
+  /** Nearest as-of join (`AsOfJoin.nearest` — merge_asof
+    * direction='nearest'): each error event matched to the CLOSEST
+    * purchase by the same user within ±1 h, backward preferred on
+    * distance ties. The engine composes two running-frame carries;
+    * the oracle ranks ALL in-tolerance candidates with a window — the
+    * equivalence (nearest-per-side dominates its side) is what the
+    * hash certifies. */
+  private def x118(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("rid"),
+        col("ts_ms").as("rts"))
+    graft.operators.AsOfJoin.nearest(l, r, Seq("user_id"),
+        col("ts_ms"), col("rts"), Seq(col("rid") -> "match_id"),
+        rightTieBreak = Seq(col("rid")),
+        tolerance = Some(lit(3600000L)))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x118_nearest_join" -> (x118 _),
     "x117_triangles" -> (x117 _),
     "x116_audio_decimate" -> (x116 _),
     "x115_image_resize" -> (x115 _),
@@ -2084,6 +2106,30 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // ALL in-tolerance candidates ranked in one window: distance,
+    // then backward-before-forward, then the side's own tie rule
+    // (backward: largest id; forward: smallest) — an independent
+    // formulation of the two-carry composition
+    "x118_nearest_join" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS t
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, event_id AS rid, epoch_ms(ts) AS rt
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT l.user_id, l.event_id, l.t, r.rid, r.rt,
+        |    abs(l.t - r.rt) AS d,
+        |    CASE WHEN r.rt <= l.t THEN 0 ELSE 1 END AS fwd
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |    AND abs(l.t - r.rt) <= 3600000),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_id
+        |    ORDER BY d, fwd, CASE WHEN fwd = 0 THEN -rid ELSE rid END)
+        |    AS rn
+        |  FROM c)
+        |SELECT l.user_id, l.event_id, l.t AS ts_ms,
+        |  rk.rid AS match_id, rk.rt AS nearest_ts
+        |FROM l LEFT JOIN rk ON rk.user_id = l.user_id
+        |  AND rk.event_id = l.event_id AND rk.rn = 1
+        |ORDER BY l.event_id""".stripMargin,
     // triangles closed with plain id-ordered joins (edges are
     // canonical u < v by construction) — independent of the engine's
     // degree-ordered wedge orientation; each triangle credits all

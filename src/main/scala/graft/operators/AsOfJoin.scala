@@ -56,6 +56,55 @@ object AsOfJoin {
     asOf(left, right, keyCols, leftTs, rightTs, rightCols,
       rightTieBreak, tolerance, forward = true)
 
+  /** NEAREST as-of: for each left row, the right row minimizing
+    * |rightTs − leftTs| within the key (pandas merge_asof
+    * `direction='nearest'`) — sensor alignment, closest-reading
+    * lookup. Composes the two running-frame carries ([[lastPrior]] +
+    * [[firstAfter]] — still two single-pass windows over one key
+    * shuffle each, never a range join) and picks the closer side per
+    * row; equal distances prefer the BACKWARD match (the
+    * earlier-information rule). Side-internal ties keep the sibling
+    * semantics: backward takes the largest `rightTieBreak`, forward
+    * the smallest.
+    *
+    * @param rightCols (column, output name) pairs — explicit names
+    *        because BOTH directional carries materialize each column
+    *        before the pick; the matched timestamp is emitted as
+    *        `nearestTsCol`
+    * @param tolerance max |rightTs − leftTs|; a left row with no
+    *        right row inside it keeps nulls
+    */
+  def nearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: Column, rightTs: Column, rightCols: Seq[(Column, String)],
+      rightTieBreak: Seq[Column] = Seq.empty,
+      tolerance: Option[Column] = None,
+      nearestTsCol: String = "nearest_ts"): DataFrame = {
+    val named = rightCols
+    require(!named.exists(_._2 == nearestTsCol),
+      s"rightCols may not alias to nearestTsCol ($nearestTsCol)")
+    def side(prefix: String) =
+      named.map { case (c, n) => c.as(prefix + n) } :+
+        rightTs.as(prefix + "ts")
+    val withB = lastPrior(left, right, keyCols, leftTs, rightTs,
+      side("__b_"), rightTieBreak, tolerance = None)
+    val withBF = firstAfter(withB, right, keyCols, leftTs, rightTs,
+      side("__f_"), rightTieBreak, tolerance = None)
+    val bd = leftTs - col("__b_ts")
+    val fd = col("__f_ts") - leftTs
+    val bOk = col("__b_ts").isNotNull &&
+      tolerance.map(t => bd <= t).getOrElse(lit(true))
+    val fOk = col("__f_ts").isNotNull &&
+      tolerance.map(t => fd <= t).getOrElse(lit(true))
+    val useB = bOk && (!fOk || bd <= fd)
+    val useF = fOk && !useB
+    val out = named.map { case (_, n) =>
+      when(useB, col("__b_" + n)).when(useF, col("__f_" + n)).as(n)
+    } :+ when(useB, col("__b_ts")).when(useF, col("__f_ts"))
+      .as(nearestTsCol)
+    val keep = left.columns.map(col).toSeq
+    withBF.select(keep ++ out: _*)
+  }
+
   /** Point-in-time join against an SCD2 dimension: for each fact row,
     * the dimension row whose half-open validity interval
     * `[validFrom, validTo)` contains the fact timestamp (`validTo`

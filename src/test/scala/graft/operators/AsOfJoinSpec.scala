@@ -179,4 +179,69 @@ class AsOfDirectionToleranceSpec extends SparkSpec {
     assert(got(3L) === ((Some("x"), Some(1L))))
     assert(got(4L) === ((None, None))) // key with no history at all
   }
+
+  test("nearest picks the closer side, backward on distance ties") {
+    val left = Seq((1L, "A", 10L), (2L, "A", 16L), (3L, "A", 30L),
+      (4L, "B", 5L)).toDF("id", "k", "ts")
+    val right = Seq((100L, "A", 8L), (101L, "A", 20L), (102L, "A", 40L))
+      .toDF("rid", "k", "rts")
+    val got = AsOfJoin.nearest(left, right, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid") -> "match_id"),
+      rightTieBreak = Seq(col("rid")))
+      .select("id", "match_id", "nearest_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(100L), Some(8L))))   // 2 back vs 10 fwd
+    assert(got(2L) === ((Some(101L), Some(20L))))  // 8 back vs 4 fwd
+    assert(got(3L) === ((Some(101L), Some(20L)))) // tie 10/10 → backward
+    assert(got(4L) === ((None, None)))            // no B rows at all
+  }
+
+  test("nearest tolerance bounds both directions independently") {
+    val left = Seq((1L, "A", 100L)).toDF("id", "k", "ts")
+    val right = Seq((9L, "A", 80L), (10L, "A", 150L))
+      .toDF("rid", "k", "rts")
+    def run(tol: Long) = AsOfJoin.nearest(left, right, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid") -> "m"),
+      tolerance = Some(lit(tol)))
+      .select("m").as[Option[Long]].head()
+    assert(run(100L) === Some(9L))  // both in range: 20 back beats 50 fwd
+    assert(run(30L) === Some(9L))   // forward out of range
+    assert(run(10L) === None)       // both out
+    // backward out, forward in
+    val left2 = Seq((1L, "A", 145L)).toDF("id", "k", "ts")
+    val got2 = AsOfJoin.nearest(left2, right, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid") -> "m"),
+      tolerance = Some(lit(20L)))
+      .select("m").as[Option[Long]].head()
+    assert(got2 === Some(10L))
+  }
+
+  test("property: nearest equals ranking every candidate") {
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val lefts = (1 to 40).map(i =>
+        (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(200).toLong))
+      val rights = (1 to 30).map(i =>
+        (1000L + i, s"k${rnd.nextInt(4)}", rnd.nextInt(200).toLong))
+      val tol = 25L
+      val got = AsOfJoin.nearest(lefts.toDF("id", "k", "ts"),
+        rights.toDF("rid", "k", "rts"), Seq("k"),
+        col("ts"), col("rts"), Seq(col("rid") -> "m"),
+        rightTieBreak = Seq(col("rid")), tolerance = Some(lit(tol)))
+        .select("id", "m").as[(Long, Option[Long])].collect().toMap
+      lefts.foreach { case (id, k, ts) =>
+        val cands = rights.filter(r => r._2 == k &&
+          math.abs(r._3 - ts) <= tol)
+        val want =
+          if (cands.isEmpty) None
+          else Some(cands.minBy { case (rid, _, rts) =>
+            val fwd = if (rts <= ts) 0 else 1
+            (math.abs(rts - ts), fwd,
+              if (fwd == 0) -rid else rid)
+          }._1)
+        assert(got(id) === want, s"left $id at $ts key $k")
+      }
+    }
+  }
 }
