@@ -121,7 +121,7 @@ object Bench {
     "x111_winsorize" -> 0.39, "x112_reliability" -> 0.27,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.23,
-    "x117_triangles" -> 2.63, "x118_nearest_join" -> 0.73,
+    "x117_triangles" -> 1.19, "x118_nearest_join" -> 0.73,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0

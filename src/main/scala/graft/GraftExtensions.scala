@@ -24,7 +24,8 @@ import graft.schema.AvroExpressions._
   * graft_probe_media(bin) → struct(width, height, media_type),
   * graft_png_stats(bin) / graft_wav_stats(bin) / graft_gif_stats(bin),
   * graft_png_resize_stats(bin, tw, th) — nearest-neighbor resample
-  * stats,
+  * stats, graft_wav_decimate_stats(bin, stride) — stride-decimated
+  * PCM sample stats,
   * graft_mp4_frame_stats(bin, stride) / graft_mp4_frames(bin, stride),
   * → full-decode statistics structs,
   * graft_probe_wav(bin) → struct(n_channels, sample_rate,

@@ -82,6 +82,12 @@ object AsOfJoin {
     val named = rightCols
     require(!named.exists(_._2 == nearestTsCol),
       s"rightCols may not alias to nearestTsCol ($nearestTsCol)")
+    // "ts" would collide with the internal matched-timestamp slot
+    // after prefixing ("__b_ts"); "__"-prefixed names with the
+    // internal columns themselves
+    require(!named.exists(n => n._2 == "ts" || n._2.startsWith("__")),
+      s"rightCols output names may not be 'ts' or start with '__': " +
+        s"${named.map(_._2).mkString(", ")}")
     def side(prefix: String) =
       named.map { case (c, n) => c.as(prefix + n) } :+
         rightTs.as(prefix + "ts")
@@ -91,9 +97,12 @@ object AsOfJoin {
       side("__f_"), rightTieBreak, tolerance = None)
     val bd = leftTs - col("__b_ts")
     val fd = col("__f_ts") - leftTs
-    val bOk = col("__b_ts").isNotNull &&
+    // a null left timestamp is unmatchable in EITHER direction — the
+    // descending forward sort would otherwise place null-ts left rows
+    // after every right row and hand them the earliest right match
+    val bOk = leftTs.isNotNull && col("__b_ts").isNotNull &&
       tolerance.map(t => bd <= t).getOrElse(lit(true))
-    val fOk = col("__f_ts").isNotNull &&
+    val fOk = leftTs.isNotNull && col("__f_ts").isNotNull &&
       tolerance.map(t => fd <= t).getOrElse(lit(true))
     val useB = bOk && (!fOk || bd <= fd)
     val useF = fOk && !useB

@@ -196,9 +196,14 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
+    // deg and oriented each feed multiple branches whose different
+    // column prunings defeat exchange reuse (the ImportanceSampling
+    // lesson) — materialize them once, the pageRank adjacency
+    // discipline
     val deg = norm.select(col("u").as("n"))
       .unionAll(norm.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(false)
     val keyed = norm
       .join(deg.select(col("n").as("u"), col("degree").as("__du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("degree").as("__dv")), Seq("v"))
@@ -207,9 +212,10 @@ object Graph {
     val ku = struct(col("__du").as("d"), col("u").as("n"))
     val kv = struct(col("__dv").as("d"), col("v").as("n"))
     val oriented = keyed.select(
-      when(ku < kv, col("u")).otherwise(col("v")).as("src"),
-      when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
-      when(ku < kv, kv).otherwise(ku).as("__dstKey"))
+        when(ku < kv, col("u")).otherwise(col("v")).as("src"),
+        when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
+        when(ku < kv, kv).otherwise(ku).as("__dstKey"))
+      .localCheckpoint(false)
     val w1 = oriented.select(col("src"), col("dst").as("w1"),
       col("__dstKey").as("__k1"))
     val w2 = oriented.select(col("src"), col("dst").as("w2"),

@@ -42,10 +42,14 @@ class PlanPinsR7bSpec extends SparkSpec {
     val plan = planOf(graft.operators.Profile.winsorize(
       df, "grp", "v", 0.125, 0.875))
     assert(plan.contains("BroadcastExchange"), plan)
-    // discreteQuantiles' windows run over (group, value) aggregates —
-    // the raw rows are never globally sorted
-    assert(!plan.contains("Sort [grp") || plan.contains("HashAggregate"),
-      plan)
+    // discreteQuantiles' windows run over (group, value) COUNT
+    // aggregates: every Window operator must be summing the post-
+    // aggregation cnt column — a window regressed onto raw rows would
+    // reference the value column and have no cnt to sum
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach(l => assert(l.contains("cnt"),
+      s"window must run over aggregated counts, got:\n$l"))
   }
 
   test("intervalOverlap never plans a nested-loop or cartesian join") {

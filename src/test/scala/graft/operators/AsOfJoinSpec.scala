@@ -217,6 +217,33 @@ class AsOfDirectionToleranceSpec extends SparkSpec {
     assert(got2 === Some(10L))
   }
 
+  test("nearest: a null left timestamp is unmatchable in any direction") {
+    val left = Seq((1L, "A", Some(10L)), (2L, "A", None))
+      .toDF("id", "k", "ts")
+    val right = Seq((9L, "A", 8L)).toDF("rid", "k", "rts")
+    val got = AsOfJoin.nearest(left, right, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid") -> "m"))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(9L))
+    assert(got(2L) === None, "null left ts must never match")
+  }
+
+  test("nearest rejects reserved output names") {
+    val df = Seq((1L, "A", 1L)).toDF("id", "k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(df, df, Seq("k"), col("ts"), col("ts"),
+        Seq(col("id") -> "ts"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(df, df, Seq("k"), col("ts"), col("ts"),
+        Seq(col("id") -> "__x"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(df, df, Seq("k"), col("ts"), col("ts"),
+        Seq(col("id") -> "nearest_ts"))
+    }
+  }
+
   test("property: nearest equals ranking every candidate") {
     val rnd = new scala.util.Random(7)
     (1 to 6).foreach { _ =>
