@@ -1977,7 +1977,26 @@ object ExtQueries {
       .orderBy(col("event_id"))
   }
 
+  /** SQL-surface end-to-end (`GraftExtensions` → `spark.sql`): the
+    * consecutive-vector cosine drift series written as PURE SQL over
+    * a temp view with the registered `graft_cosine` expression — the
+    * notebook/BI path a library user actually types, now inside the
+    * differential gate. Same float-cosine discipline as x5/x6 (both
+    * engines accumulate in double over the same element order;
+    * 4 dp rounding margins probed there). */
+  private def x119(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
+    s.sql("""SELECT a.vec_id AS vec_id,
+            |  round(graft_cosine(a.embedding, b.embedding), 4)
+            |    AS cos_next
+            |FROM graft_sql_emb a
+            |JOIN graft_sql_emb b ON b.vec_id = a.vec_id + 1
+            |ORDER BY vec_id""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x119_sql_surface" -> (x119 _),
     "x118_nearest_join" -> (x118 _),
     "x117_triangles" -> (x117 _),
     "x116_audio_decimate" -> (x116 _),
@@ -2106,6 +2125,16 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // DuckDB's NATIVE list_cosine_similarity (the x6 precedent) —
+    // an independent implementation of the same dot/norm series
+    "x119_sql_surface" ->
+      """SELECT a.vec_id AS vec_id,
+        |  round(list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cos_next
+        |FROM embeddings a
+        |JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
     // ALL in-tolerance candidates ranked in one window: distance,
     // then backward-before-forward, then the side's own tie rule
     // (backward: largest id; forward: smallest) — an independent
