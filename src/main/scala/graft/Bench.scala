@@ -122,7 +122,8 @@ object Bench {
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.61,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.23,
     "x117_triangles" -> 1.19, "x118_nearest_join" -> 0.73,
-    "x119_sql_surface" -> 0.15, "x9_text_quality" -> 0.36)
+    "x119_sql_surface" -> 0.15, "x120_sentences" -> 0.39,
+    "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
 

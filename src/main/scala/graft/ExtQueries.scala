@@ -1999,7 +1999,33 @@ object ExtQueries {
             |ORDER BY vec_id""".stripMargin)
   }
 
+  /** Sentence segmentation stats: per-doc sentence count, mean and max
+    * words-per-sentence — the readability-class signal quality
+    * filters read (long run-on sentences and fragment storms both
+    * mark low-quality text). Split on `[.!?]+\s+` — RE2-compatible
+    * (no lookbehind; the x21 regex-parity discipline) so DuckDB
+    * replays segmentation identically; zero-word fragments drop on
+    * both sides. Scan-side array work, no shuffle before the sort. */
+  private def x120(s: SparkSession, dir: String): DataFrame = {
+    val sentences = filter(
+      transform(split(col("text"), "[.!?]+\\s+"),
+        p => size(filter(split(p, "\\s+"), t => t =!= ""))),
+      n => n > 0)
+    t(s, dir, "documents").select(col("doc_id"),
+        sentences.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_sentences"),
+        aggregate(col("__w"), lit(0L), (a, x) => a + x).as("n_words"),
+        array_max(col("__w")).cast("long").as("max_sent_words"))
+      .withColumn("mean_sent_words_r",
+        round(col("n_words").cast("double") /
+          col("n_sentences").cast("double"), 9))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x120_sentences" -> (x120 _),
     "x119_sql_surface" -> (x119 _),
     "x118_nearest_join" -> (x118 _),
     "x117_triangles" -> (x117 _),
@@ -2129,6 +2155,25 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // identical RE2/Java segmentation regex, zero-word fragments
+    // dropped on both sides, exact-integer sums, one IEEE division
+    "x120_sentences" ->
+      """WITH sw AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(p, '\s+'),
+        |      t -> t <> '')) AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(text, '[.!?]+\s+')) AS p
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_sentences,
+        |    CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(max(w) AS BIGINT) AS max_sent_words
+        |  FROM sw WHERE w > 0 GROUP BY doc_id)
+        |SELECT doc_id, n_sentences, n_words, max_sent_words,
+        |  round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE),
+        |    9) AS mean_sent_words_r
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // DuckDB's NATIVE list_cosine_similarity (the x6 precedent) —
     // an independent implementation of the same dot/norm series
     "x119_sql_surface" ->
