@@ -2024,7 +2024,53 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Functional-dependency / candidate-key discovery
+    * (`Profile.functionalDependencies`): one scan of `customer`
+    * answers five schema hypotheses at once — which columns are
+    * unique keys, which determine which. The declared list mixes
+    * holders (c_custkey→segment, c_name→balance) with violators
+    * (nation↔segment both ways, (nation,segment)→custkey) so both
+    * verdict branches are exercised. Exact integer counts only. */
+  private def x121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.functionalDependencies(
+      t(s, dir, "customer"), Seq(
+        (Seq("c_custkey"), "c_mktsegment"),
+        (Seq("c_name"), "c_acctbal"),
+        (Seq("c_nationkey"), "c_mktsegment"),
+        (Seq("c_mktsegment"), "c_nationkey"),
+        (Seq("c_nationkey", "c_mktsegment"), "c_custkey")))
+      .orderBy(col("hypothesis"))
+
+  /** Benford first-digit audit (`Profile.benfordProfile`) over
+    * l_extendedprice — the fabricated-data screen. The leading digit
+    * comes from the exact-cent DECIMAL STRING (no log10 near
+    * power-of-ten boundaries; cents verified ≤1e-9 from integer at
+    * every sf), expected shares are identical 15-digit literals on
+    * both sides, and the only runtime floats are single IEEE
+    * divisions over exact integers. */
+  private def x122(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.benfordProfile(
+      t(s, dir, "lineitem"), "l_extendedprice")
+      .orderBy(col("digit"))
+
+  /** CUSUM change-point profile (`Profile.cusumChangePoint`) over
+    * daily event volume. The statistic is emitted ×D (bucket count)
+    * so it stays pure BIGINT — no float mean anywhere — and the peak
+    * day (max |cusum|) is flagged. The oracle replays the integer
+    * recurrence with window functions: an independent formulation
+    * (cumulative count vs closed form) over the same 30-day frame. */
+  private def x123(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.cusumChangePoint(
+      t(s, dir, "events"),
+      // `div` (integer division) — ts nanos exceed double's 53-bit
+      // mantissa, so floor(ts / 86400e9) could misbucket a boundary
+      expr("ts div 86400000000000"))
+      .orderBy(col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x123_changepoint" -> (x123 _),
+    "x122_benford" -> (x122 _),
+    "x121_fd_profile" -> (x121 _),
     "x120_sentences" -> (x120 _),
     "x119_sql_surface" -> (x119 _),
     "x118_nearest_join" -> (x118 _),
@@ -2155,6 +2201,78 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // one tall (hypothesis, det, dep) frame grouped twice — group
+    // strings never cross engines (only counts do), so cast-to-string
+    // formatting only needs to be injective WITHIN each engine
+    "x121_fd_profile" ->
+      """WITH t AS (
+        |  SELECT 'c_custkey->c_mktsegment' AS hypothesis,
+        |    CAST(c_custkey AS VARCHAR) AS det, c_mktsegment AS dep
+        |  FROM customer
+        |  UNION ALL SELECT 'c_name->c_acctbal', c_name,
+        |    CAST(c_acctbal AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_nationkey->c_mktsegment',
+        |    CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+        |  UNION ALL SELECT 'c_mktsegment->c_nationkey', c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_nationkey,c_mktsegment->c_custkey',
+        |    CAST(c_nationkey AS VARCHAR) || chr(1) || c_mktsegment,
+        |    CAST(c_custkey AS VARCHAR) FROM customer),
+        |g AS (SELECT hypothesis, det, count(DISTINCT dep) AS n_dep,
+        |        count(*) AS nr
+        |      FROM t GROUP BY 1, 2)
+        |SELECT hypothesis, count(*) AS n_groups,
+        |  CAST(sum(nr) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_groups,
+        |  CAST(max(n_dep) AS BIGINT) AS max_dep_per_det,
+        |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |    AS holds,
+        |  count(*) = CAST(sum(nr) AS BIGINT) AS det_is_unique
+        |FROM g GROUP BY hypothesis ORDER BY hypothesis""".stripMargin,
+    // leading digit from the exact-cent decimal string; expected
+    // shares are the same 15-digit literals the engine embeds, cast
+    // to DOUBLE so DuckDB's DECIMAL literal type can't leak out
+    "x122_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |e AS (SELECT c.digit, c.n,
+        |    round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 9)
+        |      AS frac_r,
+        |    CAST(CASE c.digit
+        |      WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+        |      WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+        |      WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+        |      WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+        |      WHEN 9 THEN 0.045757490560675 END AS DOUBLE) AS expected
+        |  FROM c, tot)
+        |SELECT digit, n, frac_r, expected,
+        |  round(frac_r - expected, 9) AS excess_r
+        |FROM e ORDER BY digit""".stripMargin,
+    // integer CUSUM replayed with window functions: cumulative count
+    // minus the i·T closed form, all BIGINT — an independent
+    // formulation of the same recurrence
+    "x123_changepoint" ->
+      """WITH c AS (SELECT epoch_ms(ts) // 86400000 AS bucket,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT bucket, n,
+        |    count(*) OVER () AS d,
+        |    sum(n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY bucket) AS i,
+        |    sum(n) OVER () AS t
+        |  FROM c)
+        |SELECT bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(d * cum - i * t AS BIGINT) AS cusum_scaled,
+        |  abs(d * cum - i * t) =
+        |    max(abs(d * cum - i * t)) OVER () AS is_peak
+        |FROM w ORDER BY bucket""".stripMargin,
     // identical RE2/Java segmentation regex, zero-word fragments
     // dropped on both sides, exact-integer sums, one IEEE division
     "x120_sentences" ->

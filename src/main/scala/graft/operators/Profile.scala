@@ -412,4 +412,132 @@ object Profile {
         coalesce(col("nulls_b"), lit(0L)).as("nulls_b"),
         col("cents_a"), col("cents_b"))
   }
+
+  /** Functional-dependency / candidate-key discovery over a DECLARED
+    * hypothesis list — the schema-inference profile a pipeline runs on
+    * an unfamiliar drop ("is this column a key? does region determine
+    * segment?") before choosing merge keys and partition columns.
+    *
+    * Each hypothesis is (determinant columns → dependent column); the
+    * FD holds iff no determinant-value group contains two distinct
+    * dependent values. The output also answers candidate-key-ness for
+    * free: a determinant with `n_groups == n_rows` is unique.
+    *
+    * Scale shape: ONE scan. Every row explodes into |hypotheses| light
+    * (pair_id, det, dep) tuples — strings only, no payload — which
+    * partial-aggregate map-side on (pair_id, det) before the single
+    * shuffle; the per-pair rollup then runs over group frames, never
+    * raw rows. P scans (one groupBy per hypothesis) would re-read the
+    * corpus P times at 100 TB; this shape reads it once and pays one
+    * P×-wider exchange of narrow keys instead.
+    *
+    * Null semantics (document, don't guess): a NULL determinant column
+    * folds into the group of its non-null siblings via concat_ws (all
+    * determinants NULL ⇒ empty-string group); NULL dependents are
+    * ignored by the distinct count (SQL COUNT(DISTINCT) semantics), so
+    * a group of only-NULL dependents counts zero dependents and cannot
+    * violate.
+    */
+  def functionalDependencies(df: DataFrame,
+      hypotheses: Seq[(Seq[String], String)]): DataFrame = {
+    require(hypotheses.nonEmpty, "need at least one FD hypothesis")
+    val tuples = hypotheses.zipWithIndex.map { case ((det, dep), i) =>
+      struct(lit(i).as("pair_id"),
+        concat_ws("\u0001", det.map(c => col(c).cast("string")): _*)
+          .as("det_val"),
+        col(dep).cast("string").as("dep_val"))
+    }
+    val labels = hypotheses.map { case (det, dep) =>
+      det.mkString(",") + "->" + dep }
+    val groups = df
+      .select(explode(array(tuples: _*)).as("t")).select("t.*")
+      .groupBy(col("pair_id"), col("det_val"))
+      .agg(countDistinct(col("dep_val")).as("n_dep"),
+        count(lit(1)).as("n_rows"))
+    groups.groupBy(col("pair_id"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("n_dep") > 1, 1L).otherwise(0L))
+          .as("violating_groups"),
+        max(col("n_dep")).as("max_dep_per_det"))
+      .select(
+        element_at(array(labels.map(lit): _*), col("pair_id") + 1)
+          .as("hypothesis"),
+        col("n_groups"), col("n_rows"), col("violating_groups"),
+        col("max_dep_per_det"),
+        (col("violating_groups") === 0).as("holds"),
+        (col("n_groups") === col("n_rows")).as("det_is_unique"))
+  }
+
+  /** Benford first-significant-digit audit over an exact-cent money
+    * column — the classic fabricated-data screen: organically grown
+    * magnitudes follow log10(1+1/d); synthetic or tampered columns
+    * drift from it, and the per-digit excess localizes where.
+    *
+    * Exactness discipline: values quantize to integer cents
+    * (`round(x*100)` — the money rule momentPartials documents), the
+    * leading digit comes from the cents' DECIMAL STRING (locale-free,
+    * identical across engines — no log10/floor near power-of-ten
+    * boundaries), and the expected shares are 15-digit decimal
+    * LITERALS replicated on both sides, so the only runtime floats are
+    * single IEEE divisions/subtractions over exact integers.
+    *
+    * Scale shape: scan-side arithmetic, one 9-key partial-aggregated
+    * groupBy; the share window runs over the 9-row digit frame.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9, printed to 15 significant decimals —
+    // decimal→double parse is correctly rounded in both engines
+    val expected = Seq(
+      0.301029995663981, 0.176091259055681, 0.124938736608300,
+      0.096910013008056, 0.079181246047625, 0.066946789630613,
+      0.057991946977687, 0.051152522447381, 0.045757490560675)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val cents = round(col(valueCol) * 100).cast("long")
+    df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac_r",
+        round(col("n").cast("double") /
+          sum(col("n")).over(w).cast("double"), 9))
+      .withColumn("expected",
+        element_at(array(expected.map(lit): _*), col("digit")))
+      .withColumn("excess_r", round(col("frac_r") - col("expected"), 9))
+  }
+
+  /** Exact-integer CUSUM change-point profile over per-bucket event
+    * counts — "did the volume regime shift, and on which day?" for a
+    * pipeline watching its own intake. The standard CUSUM statistic
+    * C_i = Σ_{j≤i}(c_j − mean) peaks at the shift point; to keep it
+    * oracle-exact it is emitted SCALED by the bucket count D:
+    * D·C_i = D·Σ_{j≤i}c_j − i·T — pure BIGINT arithmetic, no float
+    * mean anywhere. The peak row (max |D·C_i|) is flagged.
+    *
+    * Scale shape: the only corpus-sized operation is the bucket
+    * groupBy (partial-aggregated map-side). The running sum and the
+    * peak flag are windows over the |buckets|-row aggregate frame —
+    * the unpartitioned window is deliberate and safe because it never
+    * sees raw rows (the x103/x112 counts-then-window discipline).
+    */
+  def cusumChangePoint(df: DataFrame,
+      bucketCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    df.groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("bucket"))).cast("long"))
+      .withColumn("cusum_scaled",
+        count(lit(1)).over(all) * sum(col("n")).over(ordered) -
+          col("i") * sum(col("n")).over(all))
+      .withColumn("is_peak",
+        abs(col("cusum_scaled")) ===
+          max(abs(col("cusum_scaled"))).over(all))
+      .drop("i")
+  }
 }

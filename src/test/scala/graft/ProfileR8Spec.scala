@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Hand-computed fixtures for the round-8 profiling trio: FD /
+  * candidate-key discovery, Benford first-digit audit, integer CUSUM
+  * change-point.
+  */
+class ProfileR8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- functionalDependencies -----------------------------------------
+
+  // id unique; city -> country holds; country -> city violated (us has
+  // nyc+sf); (country, city) unique
+  private val fdDf = Seq(
+    (1L, "nyc", "us"),
+    (2L, "nyc", "us"),
+    (3L, "sf", "us"),
+    (4L, "paris", "fr")
+  ).toDF("id", "city", "country")
+
+  test("functionalDependencies verdicts, counts, and key detection") {
+    val out = Profile.functionalDependencies(fdDf, Seq(
+      (Seq("id"), "city"),
+      (Seq("city"), "country"),
+      (Seq("country"), "city"),
+      (Seq("country", "city"), "id")))
+      .select("hypothesis", "n_groups", "n_rows", "violating_groups",
+        "max_dep_per_det", "holds", "det_is_unique")
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("id->city") === ("id->city", 4L, 4L, 0L, 1L, true, true))
+    assert(out("city->country") ===
+      ("city->country", 3L, 4L, 0L, 1L, true, false))
+    // us -> {nyc, sf}: 1 violating group, 2 distinct cities
+    assert(out("country->city") ===
+      ("country->city", 2L, 4L, 1L, 2L, false, false))
+    // (us,nyc) holds ids {1,2} -> violated; 3 groups over 4 rows
+    assert(out("country,city->id") ===
+      ("country,city->id", 3L, 4L, 1L, 2L, false, false))
+  }
+
+  test("functionalDependencies multi-column determinant cannot collide") {
+    // ("1","23") vs ("12","3") — same concatenation without the 
+    // separator; a->b holds per-pair, so any violation would be a
+    // collision artifact
+    val df = Seq((1L, "1", "23", "x"), (2L, "12", "3", "y"))
+      .toDF("id", "a", "b", "dep")
+    val out = Profile.functionalDependencies(df,
+      Seq((Seq("a", "b"), "dep")))
+      .select("n_groups", "violating_groups")
+      .as[(Long, Long)].head()
+    assert(out === ((2L, 0L)))
+  }
+
+  test("functionalDependencies ignores null dependents") {
+    val df = Seq((1L, "a", Some("x")), (2L, "a", None), (3L, "b", None))
+      .toDF("id", "k", "dep")
+    val out = Profile.functionalDependencies(df, Seq((Seq("k"), "dep")))
+      .select("n_groups", "violating_groups", "max_dep_per_det", "holds")
+      .as[(Long, Long, Long, Boolean)].head()
+    // group a: one distinct dep; group b: zero — neither violates
+    assert(out === ((2L, 0L, 1L, true)))
+  }
+
+  // ---- benfordProfile -------------------------------------------------
+
+  test("benfordProfile digits from exact cents, shares sum to one") {
+    // values: 1.23 -> 123 cents -> digit 1; 0.04 -> 4; 9.5 -> 950 -> 9;
+    // 12.00 -> 1200 -> 1; zero and null dropped
+    val df = Seq(Some(1.23), Some(0.04), Some(9.5), Some(12.0),
+      Some(0.0), None).flatMap(v => Seq(v)).toDF("v")
+    val out = Profile.benfordProfile(df, "v")
+      .select("digit", "n", "frac_r")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1, 2L, 0.5), (4, 1L, 0.25), (9, 1L, 0.25)))
+  }
+
+  test("benfordProfile expected shares are log10(1+1/d)") {
+    val df = (1 to 9).map(d => d * 1.0).toDF("v")
+    val out = Profile.benfordProfile(df, "v")
+      .select("digit", "expected").as[(Int, Double)].collect().toMap
+    (1 to 9).foreach { d =>
+      assert(math.abs(out(d) - math.log10(1.0 + 1.0 / d)) < 1e-14,
+        s"digit $d")
+    }
+  }
+
+  // ---- cusumChangePoint -----------------------------------------------
+
+  test("cusumChangePoint flags the shift bucket on a step series") {
+    // counts per bucket: 2,2,2,8,8 (T=22, D=5)
+    // D*cum - i*T: 5*2-22=-12, 5*4-44=-24, 5*6-66=-36, 5*14-88=-18,
+    // 5*22-110=0 — peak at bucket 3 (|−36|)
+    val rows = Seq.tabulate(5) { b =>
+      val n = if (b < 3) 2 else 8
+      Seq.fill(n)(b.toLong)
+    }.flatten.toDF("bucket_src")
+    val out = Profile.cusumChangePoint(rows, col("bucket_src"))
+      .select("bucket", "n", "cusum_scaled", "is_peak")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (0L, 2L, -12L, false), (1L, 2L, -24L, false),
+      (2L, 2L, -36L, true), (3L, 8L, -18L, false),
+      (4L, 8L, 0L, false)))
+  }
+
+  test("cusumChangePoint is flat-zero on a constant series") {
+    val rows = Seq.tabulate(4)(b => Seq.fill(3)(b.toLong)).flatten
+      .toDF("b")
+    val out = Profile.cusumChangePoint(rows, col("b"))
+      .select("cusum_scaled").as[Long].collect()
+    assert(out.forall(_ === 0L))
+  }
+}
