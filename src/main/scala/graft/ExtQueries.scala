@@ -2067,7 +2067,43 @@ object ExtQueries {
       expr("ts div 86400000000000"))
       .orderBy(col("bucket"))
 
+  /** EXACT prefix-filtered Jaccard self-join (`Dedup.
+    * prefixJaccardJoin`): the lossless set-similarity join, verified
+    * against a BRUTE-FORCE all-pairs DuckDB oracle — hash equality
+    * proves the prefix pruning missed nothing. Fixture: each doc gets
+    * three unique salt tokens (the rare discriminative tokens real
+    * corpora have and this 31-word synthetic vocabulary lacks) and an
+    * 80%-prefix mutant; at τ=0.9 the result is exactly the
+    * orig↔mutant pairs while candidates stay ~8% of all-pairs. */
+  private def x124(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("u"), col("doc_id"), lit("a u"), col("doc_id"),
+        lit("b u"), col("doc_id"), lit("c "), col("text")).as("text"))
+    val toksArr = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val mut = salted.select((col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toksArr, lit(1),
+        ceil(lit(0.8) * size(toksArr)).cast("int")), " ").as("text"))
+    Dedup.prefixJaccardJoin(salted.unionByName(mut), "doc_id", "text",
+      threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Z-order layout report (`Scale.zOrderBuckets`): Morton-interleave
+    * (l_partkey, l_suppkey), bucket by the top 6 z bits (64
+    * stand-in files), and report per-bucket min/max/span of BOTH
+    * dims — the data-skipping effectiveness measurement (span
+    * product ≈ 1.6% of the full grid here vs 100% for a heap
+    * layout). All integer arithmetic; the oracle replays the
+    * magic-mask interleave with DuckDB's native bit operators. */
+  private def x125(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.zOrderBuckets(
+      t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+      bits = 16, bucketBits = 6)
+      .orderBy(col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x125_zorder" -> (x125 _),
+    "x124_prefix_jaccard" -> (x124 _),
     "x123_changepoint" -> (x123 _),
     "x122_benford" -> (x122 _),
     "x121_fd_profile" -> (x121 _),
@@ -2201,6 +2237,75 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // BRUTE-FORCE all-pairs Jaccard (no prefix filter, no ordering):
+    // hash equality certifies the engine's pruning is lossless
+    "x124_prefix_jaccard" ->
+      """WITH salted AS (
+        |  SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) || 'a u'
+        |    || CAST(doc_id AS VARCHAR) || 'b u'
+        |    || CAST(doc_id AS VARCHAR) || 'c ' || text AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM salted
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(toks, 1,
+        |      CAST(ceil(0.8 * len(toks)) AS BIGINT)), ' ')
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS toks
+        |        FROM salted)),
+        |toksets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM corpus),
+        |sz AS (SELECT doc_id, len(t) AS n FROM toksets WHERE len(t) > 0),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toksets),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS o
+        |       FROM ex a JOIN ex b
+        |         ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b, CAST(o AS BIGINT) AS overlap,
+        |  round(CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE), 9)
+        |    AS jaccard_r
+        |FROM ov
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the same magic-mask Morton interleave in DuckDB's native bit
+    // operators; normalization is pure integer `//` — bit-for-bit
+    "x125_zorder" ->
+      """WITH st AS (SELECT min(l_partkey) amn, max(l_partkey) amx,
+        |    min(l_suppkey) bmn, max(l_suppkey) bmx FROM lineitem),
+        |nm AS (SELECT l_partkey, l_suppkey,
+        |    (l_partkey - amn) * 65536 // (amx - amn + 1) AS an,
+        |    (l_suppkey - bmn) * 65536 // (bmx - bmn + 1) AS bn
+        |  FROM lineitem, st),
+        |s1 AS (SELECT l_partkey, l_suppkey,
+        |    ((an | (an << 8)) & 16711935) AS a1,
+        |    ((bn | (bn << 8)) & 16711935) AS b1 FROM nm),
+        |s2 AS (SELECT l_partkey, l_suppkey,
+        |    ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |    ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+        |s3 AS (SELECT l_partkey, l_suppkey,
+        |    ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |    ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        |zz AS (SELECT l_partkey, l_suppkey,
+        |    (((a3 | (a3 << 1)) & 1431655765)
+        |     | (((b3 | (b3 << 1)) & 1431655765) << 1)) AS z FROM s3)
+        |SELECT z // (1::BIGINT << 26) AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(l_partkey) AS BIGINT) AS a_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS a_max,
+        |  CAST(min(l_suppkey) AS BIGINT) AS b_min,
+        |  CAST(max(l_suppkey) AS BIGINT) AS b_max,
+        |  CAST(max(l_partkey) - min(l_partkey) + 1 AS BIGINT) AS span_a,
+        |  CAST(max(l_suppkey) - min(l_suppkey) + 1 AS BIGINT) AS span_b
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
     // one tall (hypothesis, det, dep) frame grouped twice — group
     // strings never cross engines (only counts do), so cast-to-string
     // formatting only needs to be injective WITHIN each engine

@@ -698,4 +698,89 @@ object Dedup {
       .agg(count(lit(1)).as("n_groups"))
       .withColumn("n_docs", col("group_size") * col("n_groups"))
       .withColumn("dropped_by_keep_one", col("n_docs") - col("n_groups"))
+
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * AllPairs/PPJoin family) — the lossless counterpart to the
+    * approximate stack above: unlike MinHash-LSH ([[minhashLsh]],
+    * probabilistic misses) or the df-capped gram join
+    * ([[ngramJaccardCapped]], deliberate drops), this finds EVERY pair
+    * with whitespace-token-set Jaccard ≥ `threshold`, with pruning
+    * that is provably lossless.
+    *
+    * Prefix principle: order each doc's tokens by GLOBAL (df asc,
+    * token asc) — rarest first. J(X,Y) ≥ τ forces overlap
+    * o ≥ ⌈τ·max(|X|,|Y|)⌉ (from o ≥ τ(|X|+|Y|)/(1+τ) and |Y| ≥ o), so
+    * if the first |X|−⌈τ|X|⌉+1 tokens of X shared nothing with Y the
+    * remaining ⌈τ|X|⌉−1 suffix tokens could not reach o — every
+    * qualifying pair shares a token inside BOTH prefixes, and the
+    * candidate equi-join on prefix tokens misses nothing. Candidates
+    * then verify exactly via full-set intersection.
+    *
+    * Scale shape: df is one token-keyed aggregate; the per-doc ordered
+    * array build is a doc-keyed shuffle (arrays bounded by doc
+    * length); candidate generation shuffles only PREFIX tokens — the
+    * rarest ~(1−τ) fraction — so hot corpus-wide tokens never reach
+    * the pair join. The quadratic residue is Σ df_prefix(t)², which
+    * the (df asc) ordering drives toward the rare tail; a prefix
+    * token whose df still exceeds `maxPrefixDf` FAILS LOUDLY
+    * (capping would break the exactness this operator exists for —
+    * callers with pathological corpora should lower τ's length band
+    * or fall back to the capped approximate joins).
+    *
+    * @return (doc_a, doc_b, n_a, n_b, overlap, jaccard_r) with
+    *         doc_a < doc_b and exact Jaccard ≥ threshold
+    */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxPrefixDf: Int = 1 << 14): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val toks = docs.select(col(idCol).as("doc"),
+      array_distinct(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+        .as("tset"))
+      .filter(size(col("tset")) > 0)
+    val ex = toks.select(col("doc"), explode(col("tset")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // canonical global order = (df asc, token asc); the ORDER is the
+    // key, a numeric rank is never materialized (no global window)
+    val ordered = ex.join(dfreq, "tok")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc"),
+        transform(col("ord"), e => e.getField("tok")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+    val prefix = ordered.select(col("doc"), col("toks"), col("sz"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("ptok"))
+    val hotRows = prefix.groupBy(col("ptok"))
+      .agg(count(lit(1)).as("pdf"))
+      .filter(col("pdf") > maxPrefixDf).limit(3).collect()
+    if (hotRows.nonEmpty)
+      throw new IllegalStateException(
+        "prefixJaccardJoin: prefix-token df exceeds " +
+          s"maxPrefixDf=$maxPrefixDf for ${hotRows.map(r =>
+            s"'${r.get(0)}' (df=${r.getLong(1)})").mkString(", ")}; " +
+          "the corpus lacks rare discriminative tokens — use the " +
+          "capped approximate joins or raise maxPrefixDf")
+    val a = prefix.select(col("doc").as("doc_a"), col("toks").as("ta"),
+      col("sz").as("n_a"), col("ptok"))
+    val b = prefix.select(col("doc").as("doc_b"), col("toks").as("tb"),
+      col("sz").as("n_b"), col("ptok"))
+    a.join(b, Seq("ptok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // length band: J ≥ τ ⇒ τ·max(|X|,|Y|) ≤ min(|X|,|Y|)
+        col("n_a") * lit(threshold) <= col("n_b") &&
+        col("n_b") * lit(threshold) <= col("n_a"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("overlap",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("j", col("overlap").cast("double") /
+        (col("n_a") + col("n_b") - col("overlap")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("overlap"), round(col("j"), 9).as("jaccard_r"))
+  }
 }

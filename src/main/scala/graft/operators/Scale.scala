@@ -239,4 +239,96 @@ object Scale {
           expr(s"n_occurrences * 1000000 div $total"))
     }
   }
+
+  /** Morton bit-spread: the low 16 bits of x moved to even bit
+    * positions via the classic magic-mask doubling steps — closed
+    * form, branch-free, whole-stage-codegen'd. */
+  private def spreadBits(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L))
+      .foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (acc, (s, m)) =>
+        acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+      }
+
+  /** Z-value (Morton interleave) of two already-normalized
+    * non-negative ints (< 2^16 each): a's bits land on even
+    * positions, b's on odd — points close in BOTH dimensions get
+    * close z-values, which is the whole data-skipping trick. */
+  def mortonInterleave(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Z-order layout effectiveness report — the multi-dimensional
+    * clustering decision a 100 TB table owner makes BEFORE rewriting
+    * files: range-partitioning by a Morton interleave of two filter
+    * columns bounds BOTH dimensions inside every file, so min/max
+    * file statistics prune scans on either predicate (linear order
+    * by one column bounds only that column). Each output row is one
+    * z-range bucket (the top `bucketBits` bits of z — a deterministic
+    * stand-in for one written file) with its row count and per-
+    * dimension min/max/span: the span product over the full grid is
+    * exactly the fraction of the table a point/range filter would
+    * have to read.
+    *
+    * Determinism discipline: dimensions min-max normalize to
+    * [0, 2^bits) with pure integer arithmetic
+    * ((x − min)·2^bits div (range+1)) off one broadcast stats row —
+    * no sampling (repartitionByRange samples; bit-prefix buckets
+    * don't), so the oracle replays bucket assignment bit-for-bit.
+    *
+    * Scale shape: one stats aggregate (one row, broadcast), then
+    * scan-side codegen arithmetic and a single ≤2^bucketBits-key
+    * partial-aggregated groupBy. The report never shuffles raw rows.
+    */
+  def zOrderBuckets(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16, bucketBits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1,${2 * bits}], got $bucketBits")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
+      min(b).as("__bmn"), max(b).as("__bmx"))
+    val scale = 1L << bits
+    df.crossJoin(broadcast(stats))
+      // integer `div` — products stay ≤ range·2^16 < 2^63, and the
+      // oracle's `//` replays the same truncation exactly
+      .withColumn("__an", expr(s"(cast(`$aCol` as bigint) - __amn) " +
+        s"* $scale div (__amx - __amn + 1)"))
+      .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
+        s"* $scale div (__bmx - __bmn + 1)"))
+      .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
+      .groupBy(shiftright(col("__z"), 2 * bits - bucketBits).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(a).as("a_min"), max(a).as("a_max"),
+        min(b).as("b_min"), max(b).as("b_max"))
+      .withColumn("span_a", col("a_max") - col("a_min") + 1)
+      .withColumn("span_b", col("b_max") - col("b_min") + 1)
+  }
+
+  /** The production write path the report above justifies: compute z,
+    * range-partition on it (`numPartitions` output files), sort
+    * within partitions so file-level AND page-level min/max stats
+    * stay tight, and drop the helper column. Range boundaries come
+    * from Spark's reservoir sampling — fine for a layout rewrite,
+    * NOT deterministic; use [[zOrderBuckets]] when replayability
+    * matters.
+    */
+  def zOrderLayout(df: DataFrame, aCol: String, bCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    require(numPartitions >= 1, s"need numPartitions >= 1")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
+      min(b).as("__bmn"), max(b).as("__bmx"))
+    val scale = 1L << bits
+    df.crossJoin(broadcast(stats))
+      .withColumn("__an", expr(s"(cast(`$aCol` as bigint) - __amn) " +
+        s"* $scale div (__amx - __amn + 1)"))
+      .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
+        s"* $scale div (__bmx - __bmn + 1)"))
+      .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__an", "__bn", "__z", "__amn", "__amx", "__bmn", "__bmx")
+  }
 }
