@@ -2101,7 +2101,28 @@ object ExtQueries {
       bits = 16, bucketBits = 6)
       .orderBy(col("bucket"))
 
+  /** Gate-attrition funnel (`Pipeline.gateAttrition`) over the x74
+    * quality gate's four rules in declared order — WHICH rule eats
+    * the data, not just kept-or-not. First-fail attribution is one
+    * scan-side CASE over the same qualityGate struct x74 verifies;
+    * the oracle re-derives the funnel from exploded token counts and
+    * its own CASE chain. Exact integers + one rounded division. */
+  private def x126(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        T.qualityGate(col("text"), T.StopwordLists.head._2).as("qg"))
+    graft.operators.Pipeline.gateAttrition(d, Seq(
+      "word_count" -> col("qg.n_words").between(5, 200),
+      "mean_word_len" ->
+        (col("qg.mean_len") >= 2.0 && col("qg.mean_len") <= 10.0),
+      "stopwords" -> (col("qg.stop_hits") >= 1),
+      "repetition" -> (col("qg.top_share") <= 0.2)))
+      .orderBy(col("stage_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x126_gate_attrition" -> (x126 _),
     "x125_zorder" -> (x125 _),
     "x124_prefix_jaccard" -> (x124 _),
     "x123_changepoint" -> (x123 _),
@@ -2237,6 +2258,56 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // x74's metric derivation (exploded GROUP BY) + an independent
+    // first-fail CASE chain and window-cumulative funnel
+    "x126_gate_attrition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |          CAST(sum(c * len(tok)) AS BIGINT) AS total_chars,
+        |          CAST(max(c) AS BIGINT) AS top_count
+        |        FROM cnt GROUP BY doc_id),
+        |hits AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |m AS (SELECT a.doc_id, n_words,
+        |    CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      AS mean_len,
+        |    h.stop_hits,
+        |    CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |      AS top_share
+        |  FROM agg a JOIN hits h USING (doc_id) WHERE n_words > 0),
+        |ff AS (SELECT doc_id, CASE
+        |    WHEN NOT (n_words >= 5 AND n_words <= 200) THEN 0
+        |    WHEN NOT (mean_len >= 2.0 AND mean_len <= 10.0) THEN 1
+        |    WHEN NOT (stop_hits >= 1) THEN 2
+        |    WHEN NOT (top_share <= 0.2) THEN 3
+        |    ELSE 4 END AS fs FROM m),
+        |c AS (SELECT fs, count(*) AS n FROM ff GROUP BY fs),
+        |s(stage_idx, stage) AS (VALUES (0, 'word_count'),
+        |  (1, 'mean_word_len'), (2, 'stopwords'), (3, 'repetition')),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+        |      FROM c),
+        |j AS (SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx, s.stage,
+        |        CAST(coalesce(c.n, 0) AS BIGINT) AS n_failed
+        |      FROM s LEFT JOIN c ON c.fs = s.stage_idx),
+        |f AS (SELECT j.stage_idx, j.stage, j.n_failed,
+        |    t.total - CAST(sum(j.n_failed) OVER (ORDER BY j.stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) + j.n_failed AS n_in
+        |  FROM j, t)
+        |SELECT stage_idx, stage, n_in, n_failed,
+        |  n_in - n_failed AS n_out,
+        |  CAST(CASE WHEN n_in > 0 THEN round(CAST(n_failed AS DOUBLE)
+        |      / CAST(n_in AS DOUBLE), 9) ELSE 0.0 END AS DOUBLE)
+        |    AS drop_rate_r
+        |FROM f ORDER BY stage_idx""".stripMargin,
     // BRUTE-FORCE all-pairs Jaccard (no prefix filter, no ordering):
     // hash equality certifies the engine's pruning is lossless
     "x124_prefix_jaccard" ->

@@ -118,4 +118,55 @@ object Pipeline {
     (flagged.filter(size(col(errCol)) === 0).drop(errCol),
       flagged.filter(size(col(errCol)) > 0))
   }
+
+  /** Gate-attrition funnel: given an ORDERED list of named filter
+    * stages, attribute each row to the FIRST stage it fails and report
+    * the per-stage funnel (rows entering, rows dropped here, rows
+    * surviving) — the pipeline-debugging report behind every corpus
+    * quality gate ("which rule is eating my data?"). A composite gate
+    * ([[graft.functions.TextFunctions.qualityGate]]) answers kept-or-
+    * not; this answers WHY, stage by stage, in declared order.
+    *
+    * A predicate evaluating NULL does not fail its row here (CASE
+    * falls through) — matching SQL filter semantics where only TRUE
+    * keeps, means a NULL predicate row is attributed to the final
+    * no-stage-failed bucket unless a later stage rejects it outright.
+    *
+    * Scale shape: first-fail attribution is one scan-side CASE chain;
+    * the only shuffle carries ≤|stages|+1 keys with map-side partial
+    * counts. The funnel arithmetic (cumulative drops) runs on the
+    * |stages|-row frame; the lone `.head()` reads one total row.
+    */
+  def gateAttrition(df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one gate stage")
+    val firstFail = stages.zipWithIndex
+      .foldLeft(when(lit(false), lit(-1))) {
+        case (acc, ((_, pred), i)) => acc.when(not(pred), lit(i))
+      }.otherwise(lit(stages.size))
+    val counts = df.select(firstFail.as("fs"))
+      .groupBy(col("fs")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ≤|stages|+1 rows; scanned twice below
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
+      .head().getLong(0)
+    val stageLits = array(stages.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(i).as("stage_idx"), lit(n).as("stage")) }: _*)
+    val stageFrame = counts.sparkSession.range(1)
+      .select(explode(stageLits).as("s")).select("s.*")
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(lit(1)).orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stageFrame
+      .join(counts, col("fs") === col("stage_idx"), "left")
+      .select(col("stage_idx").cast("long").as("stage_idx"),
+        col("stage"), coalesce(col("c"), lit(0L)).as("n_failed"))
+      .withColumn("n_in",
+        lit(total) - sum(col("n_failed")).over(cum) + col("n_failed"))
+      .withColumn("n_out", col("n_in") - col("n_failed"))
+      .withColumn("drop_rate_r",
+        when(col("n_in") > 0, round(col("n_failed").cast("double") /
+          col("n_in").cast("double"), 9)).otherwise(lit(0.0)))
+      .select(col("stage_idx"), col("stage"), col("n_in"),
+        col("n_failed"), col("n_out"), col("drop_rate_r"))
+  }
 }
