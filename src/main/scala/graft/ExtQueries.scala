@@ -2121,7 +2121,28 @@ object ExtQueries {
       .orderBy(col("stage_idx"))
   }
 
+  /** The SQL text-curation surface, driver-gated end-to-end (x119's
+    * discipline widened from one function to the whole text stack):
+    * a pure `spark.sql` query through five registered graft_*
+    * functions vs DuckDB's independent regex/split replays. Proves a
+    * BI/SQL user gets the same curation primitives — and the same
+    * answers — as the DataFrame API. */
+  private def x127(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+    s.sql("""SELECT doc_id,
+            |  graft_ws_tokens(text) AS n_tokens,
+            |  graft_bpeish_tokens(text) AS bpeish_tokens,
+            |  graft_langid(text) AS pred_lang,
+            |  graft_stop_hits(text) AS stop_hits,
+            |  graft_punct_count(text) AS n_punct
+            |FROM graft_sql_docs
+            |WHERE graft_ws_tokens(text) > 0
+            |ORDER BY doc_id""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x127_sql_text" -> (x127 _),
     "x126_gate_attrition" -> (x126 _),
     "x125_zorder" -> (x125 _),
     "x124_prefix_jaccard" -> (x124 _),
@@ -2258,6 +2279,43 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // the x8/x9/x10 replays composed: independent DuckDB regex/split
+    // formulations of every registered function in the SQL query
+    "x127_sql_text" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS bpeish_tokens,
+        |  CASE
+        |    WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es
+        |      AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_de
+        |      AND hits_fr >= hits_zh THEN 'fr'
+        |    WHEN hits_es > 0 AND hits_es >= hits_de AND hits_es >= hits_zh
+        |      THEN 'es'
+        |    WHEN hits_de > 0 AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS pred_lang,
+        |  CAST(hits_en AS BIGINT) AS stop_hits,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_punct
+        |FROM (SELECT doc_id, text,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(the|and|of|to|in|a|is)\b')) AS hits_en,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(le|la|les|et|des|un|est)\b')) AS hits_fr,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(el|los|las|y|que|un|es)\b')) AS hits_es,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |  FROM documents)
+        |WHERE len(list_filter(string_split_regex(text, '\s+'),
+        |  x -> x <> '')) > 0
+        |ORDER BY doc_id""".stripMargin,
     // x74's metric derivation (exploded GROUP BY) + an independent
     // first-fail CASE chain and window-cumulative funnel
     "x126_gate_attrition" ->

@@ -29,7 +29,11 @@ import graft.schema.AvroExpressions._
   * graft_mp4_frame_stats(bin, stride) / graft_mp4_frames(bin, stride),
   * → full-decode statistics structs,
   * graft_probe_wav(bin) → struct(n_channels, sample_rate,
-  * bits_per_sample, duration_ms, media_type).
+  * bits_per_sample, duration_ms, media_type),
+  * and the text/quality stack: graft_ws_tokens(str),
+  * graft_bpeish_tokens(str), graft_langid(str), graft_stop_hits(str),
+  * graft_punct_count(str), graft_quality_gate(str) → struct(n_words,
+  * mean_len, max_len, stop_hits, top_count, top_share, kept).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -53,6 +57,17 @@ object GraftExtensions {
 
   private def info(name: String) =
     new ExpressionInfo("graft.functions.Expressions", name)
+
+  /** Lift a Column→Column combinator (the TextFunctions surface —
+    * compositions of codegen'd builtins, not custom expressions) into
+    * a SQL function builder: argument expression → classic Column →
+    * combinator → back to the catalyst expression the registry needs.
+    * The result is unresolved until the analyzer runs — exactly like
+    * any builtin's builder output. */
+  private def colFn1(f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column)(es: Seq[Expression]): Expression =
+    org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+      f(org.apache.spark.sql.GraftSqlBridge.column(es.head)))
 
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -105,6 +120,22 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.ext.Mp4Demux.Mp4FrameStatsExpr(es.head, es(1))),
     (FunctionIdentifier("graft_mp4_frames"), info("graft_mp4_frames"),
       (es: Seq[Expression]) => graft.ext.Mp4Demux.Mp4SampleFramesExpr(es.head, es(1))),
+    // text/quality stack (Column-combinator lifts — BI/SQL users get
+    // the same curation primitives the DataFrame API exposes)
+    (FunctionIdentifier("graft_ws_tokens"), info("graft_ws_tokens"),
+      colFn1(graft.functions.TextFunctions.wsTokenCount) _),
+    (FunctionIdentifier("graft_bpeish_tokens"), info("graft_bpeish_tokens"),
+      colFn1(graft.functions.TextFunctions.bpeishTokenCount) _),
+    (FunctionIdentifier("graft_langid"), info("graft_langid"),
+      colFn1(graft.functions.TextFunctions.langId) _),
+    (FunctionIdentifier("graft_stop_hits"), info("graft_stop_hits"),
+      colFn1(c => graft.functions.TextFunctions.stopwordHits(c,
+        graft.functions.TextFunctions.StopwordLists.head._2)) _),
+    (FunctionIdentifier("graft_punct_count"), info("graft_punct_count"),
+      colFn1(graft.functions.TextFunctions.punctCount) _),
+    (FunctionIdentifier("graft_quality_gate"), info("graft_quality_gate"),
+      colFn1(c => graft.functions.TextFunctions.qualityGate(c,
+        graft.functions.TextFunctions.StopwordLists.head._2)) _),
   )
 
   /** Register on a live session (temp functions). */

@@ -82,4 +82,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) === 108L) // 9*4*3 rgb samples
     assert(row.getLong(2) === 9L)
   }
+
+  test("text stack from SQL equals the DataFrame API") {
+    GraftExtensions.register(spark)
+    import graft.functions.{TextFunctions => T}
+    val docs = Seq(
+      (1L, "the cat and the hat, le chat!"),
+      (2L, "der die und das ist"),
+      (3L, "   "),
+      (4L, "x1 y2 z3")).toDF("id", "text")
+    docs.createOrReplaceTempView("sql_text_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_ws_tokens(text) AS n,
+        |  graft_bpeish_tokens(text) AS b, graft_langid(text) AS l,
+        |  graft_stop_hits(text) AS s, graft_punct_count(text) AS p,
+        |  graft_quality_gate(text).n_words AS qn
+        |FROM sql_text_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val viaDf = docs.select(col("id"), T.wsTokenCount(col("text")),
+      T.bpeishTokenCount(col("text")), T.langId(col("text")),
+      T.stopwordHits(col("text"), T.StopwordLists.head._2),
+      T.punctCount(col("text")),
+      T.qualityGate(col("text"), T.StopwordLists.head._2)
+        .getField("n_words")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(viaSql === viaDf)
+    // spot-check absolute values so both paths can't be wrong together
+    assert(viaSql(1L).take(4) === Seq(7L, 9L, "en", 3L))
+    assert(viaSql(2L)(2) === "de")
+    assert(viaSql(3L).head === 0L)
+  }
 }
