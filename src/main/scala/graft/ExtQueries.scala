@@ -2141,7 +2141,72 @@ object ExtQueries {
             |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Scene-change detection (`Mp4Demux.frameSums`): decode→temporal
+    * analysis over real MP4 containers — per-frame mean luma, lag
+    * diff, cut flagging (|Δmean| > 98, a threshold probed ≥1.0 from
+    * every attained value across all SFs), first-cut frame and max
+    * jump. The expression emits exact per-frame INTEGER sums; every
+    * float (mean, diff) is a declared IEEE expression the oracle
+    * replays from doc_id arithmetic alone — independent of both the
+    * muxer and the demuxer (the x37 discipline, extended to a frame
+    * SERIES). */
+  private def x128(s: SparkSession, dir: String): DataFrame = {
+    val tau = 98.0
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 31 + 4).cast("int").as("w"),
+      (col("doc_id") % 17 + 3).cast("int").as("h"),
+      (col("doc_id") % 9 + 2).cast("int").as("nf"),
+      (col("doc_id") % 241).cast("int").as("seed"))
+    val withSums = docs.select(col("doc_id"),
+      Mp4Demux.frameSums(Mp4Demux.synthMp4Frames(
+        col("w"), col("h"), col("nf"), col("seed"))).as("sums"),
+      (col("w") * col("h")).cast("long").as("np"))
+    val means = transform(col("sums"),
+      x => x.cast("double") / col("np").cast("double"))
+    val withDiffs = withSums.select(col("doc_id"),
+      size(col("sums")).cast("long").as("n_frames"),
+      zip_with(
+        slice(means, lit(2), size(col("sums")) - 1),
+        slice(means, lit(1), size(col("sums")) - 1),
+        (a, b) => a - b).as("diffs"))
+    withDiffs.select(col("doc_id"), col("n_frames"),
+      size(filter(col("diffs"), d => abs(d) > tau)).cast("long")
+        .as("n_cuts"),
+      array_min(zip_with(col("diffs"),
+        sequence(lit(1), size(col("diffs"))),
+        (d, i) => when(abs(d) > tau, i))).cast("long").as("first_cut"),
+      round(array_max(transform(col("diffs"), d => abs(d))), 9)
+        .as("max_jump_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Count-min frequency sketch (`Profile.cmsPartials/Combine/
+    * Estimate`): per-event-type partials merged into one sketch, then
+    * point estimates for the first 20 user ids next to their exact
+    * counts — the overcount column shows the one-sided error live.
+    * Hashing is declared integer arithmetic, so the oracle rebuilds
+    * the SAME sketch cell-for-cell in SQL and the estimates
+    * hash-match exactly (the sketch family's only frequency member,
+    * and its only fully-replayable one). */
+  private def x129(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val partials = graft.operators.Profile.cmsPartials(
+      ev, col("event_type"), col("user_id"))
+    val sketch = graft.operators.Profile.cmsCombine(partials)
+    val probes = ev.filter(col("user_id") < 20)
+      .select(col("user_id")).distinct()
+    val exact = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    graft.operators.Profile.cmsEstimate(sketch, probes, "user_id")
+      .withColumnRenamed("key", "user_id")
+      .join(exact, "user_id")
+      .withColumn("overcount", col("est") - col("n_exact"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x129_cms" -> (x129 _),
+    "x128_scene_cuts" -> (x128 _),
     "x127_sql_text" -> (x127 _),
     "x126_gate_attrition" -> (x126 _),
     "x125_zorder" -> (x125 _),
@@ -2279,6 +2344,64 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // the sketch rebuilt cell-for-cell in SQL (declared mod-hash):
+    // GROUP BY (i, bucket) = the d×w matrix, min over rows = estimate
+    "x129_cms" ->
+      """WITH cms AS (
+        |  SELECT t.i,
+        |    ((user_id * (2*t.i + 3) + (5*t.i + 11)) % 2147483647) % 64
+        |      AS bucket,
+        |    count(*) AS cnt
+        |  FROM events CROSS JOIN generate_series(0, 3) t(i)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id < 20),
+        |pb AS (SELECT p.user_id, t.i,
+        |    ((p.user_id * (2*t.i + 3) + (5*t.i + 11)) % 2147483647)
+        |      % 64 AS bucket
+        |  FROM probes p CROSS JOIN generate_series(0, 3) t(i)),
+        |est AS (SELECT pb.user_id,
+        |    CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+        |  FROM pb LEFT JOIN cms
+        |    ON cms.i = pb.i AND cms.bucket = pb.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT user_id, count(*) AS n_exact FROM events
+        |       WHERE user_id < 20 GROUP BY 1)
+        |SELECT est.user_id, est.est, ex.n_exact,
+        |  CAST(est.est - ex.n_exact AS BIGINT) AS overcount
+        |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin,
+    // the frame-mean series replayed from doc_id arithmetic alone
+    // (pixel (f,x,y) = (seed + f*31 + x) % 256, y-independent):
+    // independent of muxer AND demuxer; same IEEE mean/diff shapes
+    "x128_scene_cuts" ->
+      """WITH p AS (SELECT doc_id, doc_id % 31 + 4 AS w,
+        |    doc_id % 17 + 3 AS h, doc_id % 9 + 2 AS nf,
+        |    doc_id % 241 AS seed
+        |  FROM documents),
+        |fx AS (SELECT doc_id, w, h, nf, f.f AS f,
+        |    CAST(sum((seed + f.f * 31 + x.x) % 256) AS BIGINT) AS sx
+        |  FROM p
+        |  CROSS JOIN generate_series(0, 9) f(f)
+        |  CROSS JOIN generate_series(0, 34) x(x)
+        |  WHERE f.f < nf AND x.x < w
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |m AS (SELECT doc_id, f,
+        |    CAST(sx * h AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean
+        |  FROM fx),
+        |d AS (SELECT doc_id, f,
+        |    mean - lag(mean) OVER (PARTITION BY doc_id ORDER BY f)
+        |      AS diff
+        |  FROM m),
+        |dd AS (SELECT doc_id, f, diff FROM d WHERE diff IS NOT NULL)
+        |SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN abs(diff) >
+        |    CAST(98.0 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(min(CASE WHEN abs(diff) > CAST(98.0 AS DOUBLE)
+        |    THEN f END) AS BIGINT) AS first_cut,
+        |  round(max(abs(diff)), 9) AS max_jump_r
+        |FROM p LEFT JOIN dd ON dd.doc_id = p.doc_id
+        |GROUP BY p.doc_id, p.nf ORDER BY p.doc_id""".stripMargin,
     // the x8/x9/x10 replays composed: independent DuckDB regex/split
     // formulations of every registered function in the SQL query
     "x127_sql_text" ->

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -233,6 +233,34 @@ object Mp4Demux {
       nSampled * frameLen, sum, mn, mx))
   }
 
+  /** Per-frame pixel sums over ALL frames, in frame order — the
+    * integer series temporal analyses (scene-change detection) build
+    * on. Emitting exact integer sums (not floats) keeps every derived
+    * mean/diff a declared IEEE expression both an oracle and the
+    * engine compute identically. Null when not a demuxable raw-luma
+    * MP4 or any sample size disagrees with width×height. */
+  def mp4FrameSums(b: Array[Byte]): GenericArrayData = {
+    val s = demux(b)
+    if (s == null) return null
+    val frameLen = s.width * s.height
+    val n = s.sizes.length
+    val sums = new Array[Any](n)
+    var f = 0
+    while (f < n) {
+      if (s.sizes(f) != frameLen) return null
+      val base = s.offsets(f).toInt
+      var sum = 0L
+      var i = 0
+      while (i < frameLen) {
+        sum += b(base + i) & 0xff
+        i += 1
+      }
+      sums(f) = sum
+      f += 1
+    }
+    new GenericArrayData(sums)
+  }
+
   /** Frame extraction proper: the sampled frames' raw bytes, in frame
     * order — the real replacement for byte-window "frame" stubs. */
   def mp4SampleFrames(b: Array[Byte], stride: Int): GenericArrayData = {
@@ -445,6 +473,21 @@ object Mp4Demux {
         r: Expression): Mp4SampleFramesExpr = copy(l, r)
   }
 
+  /** bytes → array of per-frame pixel sums (exact longs). */
+  case class Mp4FrameSumsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(b: Any): Any =
+      mp4FrameSums(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = graft.ext.Mp4Demux.mp4FrameSums($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(c: Expression): Mp4FrameSumsExpr =
+      copy(c)
+  }
+
   /** (w, h, nFrames, seed) → full raw-luma MP4 bytes. */
   case class Mp4FramesSynthExpr(first: Expression, second: Expression,
       third: Expression, fourth: Expression) extends QuaternaryExpression {
@@ -466,6 +509,9 @@ object Mp4Demux {
   def sampleFrames(bytes: Column, stride: Column): Column =
     GraftSqlBridge.column(Mp4SampleFramesExpr(GraftSqlBridge.expression(bytes),
       GraftSqlBridge.expression(stride)))
+
+  def frameSums(bytes: Column): Column =
+    GraftSqlBridge.column(Mp4FrameSumsExpr(GraftSqlBridge.expression(bytes)))
 
   def synthMp4Frames(w: Column, h: Column, nFrames: Column,
       seed: Column): Column =

@@ -508,6 +508,75 @@ object Profile {
       .withColumn("excess_r", round(col("frac_r") - col("expected"), 9))
   }
 
+  /** Mergeable count-min sketch partials — the FREQUENCY member of
+    * the sketch family ([[momentPartials]] moments,
+    * [[distinctPartials]] HLL, [[binnedQuantilePartials]] ranks):
+    * per-slice d×w integer count matrices that merge by addition into
+    * any coarser slice's sketch, answering "how often does key k
+    * appear" with one-sided error (estimate ≥ truth, over by at most
+    * εN with ε = e/w at the usual guarantees) without storing per-key
+    * state.
+    *
+    * Hashing is DECLARED integer arithmetic —
+    * h_i(k) = ((k·(2i+3) + 5i+11) mod (2³¹−1)) mod w — so sketches
+    * are deterministic across engines, epochs, and partitionings
+    * (an oracle replays bucket assignment exactly; a seeded-xxhash
+    * variant would be opaque). Keys are integers by contract; hash
+    * string keys to longs first.
+    *
+    * Scale shape: one scan exploding each row into `depth` light
+    * (slice, i, bucket) tuples that partial-aggregate map-side; the
+    * sketch is slices×d×w rows no matter the corpus.
+    */
+  def cmsPartials(df: DataFrame, sliceCol: org.apache.spark.sql.Column,
+      keyCol: org.apache.spark.sql.Column, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"depth/width must be positive, got $depth/$width")
+    val entries = (0 until depth).map { i =>
+      struct(lit(i).as("row_i"), cmsBucket(keyCol, i, width).as("bucket"))
+    }
+    df.select(sliceCol.as("slice"), explode(array(entries: _*)).as("e"))
+      .groupBy(col("slice"), col("e.row_i").as("row_i"),
+        col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmsBucket(key: org.apache.spark.sql.Column, i: Int,
+      width: Int): org.apache.spark.sql.Column =
+    pmod(pmod(key.cast("long") * lit(2L * i + 3) + lit(5L * i + 11),
+      lit(2147483647L)), lit(width.toLong))
+
+  /** Add a partial frame into ONE combined sketch (slice = label).
+    * Associative and exact: integer adds per (row, bucket) cell. */
+  def cmsCombine(partials: DataFrame,
+      label: String = "__ALL__"): DataFrame =
+    partials.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(lit(label).as("slice"), col("row_i"), col("bucket"),
+        col("cnt"))
+
+  /** Point-frequency estimates for a probe-key frame: min over sketch
+    * rows of the key's bucket count (0 when the bucket is empty).
+    * Any partial frame is accepted — cells pre-sum per (row, bucket)
+    * so a multi-slice input can't double-join. The sketch side is
+    * d×w rows, so the join broadcasts. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val cells = sketch.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val pk = (0 until depth).map { i =>
+      struct(lit(i).as("row_i"),
+        cmsBucket(col(keyCol), i, width).as("bucket"))
+    }
+    probes.select(col(keyCol).as("key"), explode(array(pk: _*)).as("e"))
+      .select(col("key"), col("e.row_i").as("row_i"),
+        col("e.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("row_i", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Exact-integer CUSUM change-point profile over per-bucket event
     * counts — "did the volume regime shift, and on which day?" for a
     * pipeline watching its own intake. The standard CUSUM statistic
