@@ -2073,8 +2073,12 @@ object ExtQueries {
     * proves the prefix pruning missed nothing. Fixture: each doc gets
     * three unique salt tokens (the rare discriminative tokens real
     * corpora have and this 31-word synthetic vocabulary lacks) and an
-    * 80%-prefix mutant; at τ=0.9 the result is exactly the
-    * orig↔mutant pairs while candidates stay ~8% of all-pairs. */
+    * 80%-prefix mutant; at τ=0.95 every prefix is salts-only, so
+    * candidates are exactly the orig↔mutant pairs (~0.1% of
+    * all-pairs) — τ=0.9 on THIS 31-word corpus puts one common word
+    * into prefixes and candidates balloon 350×, the adversarial
+    * case the operator's maxPrefixDf cap and the τ lever exist for
+    * (see PLANS.md). */
   private def x124(s: SparkSession, dir: String): DataFrame = {
     val salted = t(s, dir, "documents").select(col("doc_id"),
       concat(lit("u"), col("doc_id"), lit("a u"), col("doc_id"),
@@ -2084,7 +2088,7 @@ object ExtQueries {
       array_join(slice(toksArr, lit(1),
         ceil(lit(0.8) * size(toksArr)).cast("int")), " ").as("text"))
     Dedup.prefixJaccardJoin(salted.unionByName(mut), "doc_id", "text",
-      threshold = 0.9)
+      threshold = 0.95)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -2526,7 +2530,8 @@ object ExtQueries {
         |FROM ov
         |JOIN sz sa ON sa.doc_id = doc_a
         |JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE) >= 0.9
+        |WHERE CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE)
+        |  >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the same magic-mask Morton interleave in DuckDB's native bit
     // operators; normalization is pure integer `//` — bit-for-bit

@@ -763,16 +763,28 @@ object Dedup {
             s"'${r.get(0)}' (df=${r.getLong(1)})").mkString(", ")}; " +
           "the corpus lacks rare discriminative tokens — use the " +
           "capped approximate joins or raise maxPrefixDf")
-    val a = prefix.select(col("doc").as("doc_a"), col("toks").as("ta"),
-      col("sz").as("n_a"), col("ptok"))
-    val b = prefix.select(col("doc").as("doc_b"), col("toks").as("tb"),
-      col("sz").as("n_b"), col("ptok"))
-    a.join(b, Seq("ptok"))
+    // candidate generation stays NARROW — (id, id, sz, sz) only. A
+    // shared prefix token yields its pair df² times, so deduping
+    // BEFORE the token arrays attach keeps the wide rows off the big
+    // shuffle (the first cut of this join carried both arrays through
+    // the candidate exchange and paid for it ~30× at sf0.1).
+    val a = prefix.select(col("doc").as("doc_a"), col("sz").as("n_a"),
+      col("ptok"))
+    val b = prefix.select(col("doc").as("doc_b"), col("sz").as("n_b"),
+      col("ptok"))
+    val candIds = a.join(b, Seq("ptok"))
       .filter(col("doc_a") < col("doc_b") &&
         // length band: J ≥ τ ⇒ τ·max(|X|,|Y|) ≤ min(|X|,|Y|)
         col("n_a") * lit(threshold) <= col("n_b") &&
         col("n_b") * lit(threshold) <= col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val arrays = ordered.select(col("doc"), col("toks"))
+    candIds
+      .join(arrays.select(col("doc").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(arrays.select(col("doc").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
       .withColumn("overlap",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("j", col("overlap").cast("double") /

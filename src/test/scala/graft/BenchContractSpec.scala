@@ -11,19 +11,26 @@ class BenchContractSpec extends AnyFunSuite {
 
   private val calPair = Bench.RunSample(0.0843, 2.1412, 0.0123)
 
-  // Stand-in for the driver's ~4 KB (4096 B) tail window. The line is
-  // the LAST thing Bench prints; only sbt's epilogue ("[success] Total
-  // time: ..." ≈ 60-80 B) follows it in stdout. 3800 keeps ~300 B for
-  // that epilogue plus flush slack. (Was 3712 when the surface was 118
-  // queries; the name-keyed queries map is the irreducible cost and
-  // every other field is already at its floor — error budget 1×44,
-  // cal as a bare array pair.)
-  private val Window = 3800
+  // The driver's OBSERVED tail capture: every BENCH_r1..r6 artifact
+  // records tail length exactly 2000 and parsed:null at every surface
+  // size — the ~4 KB window earlier rounds engineered against never
+  // existed, and the full line's HEAD (metric/value + early queries)
+  // was truncated away each round. Round 8 therefore emits a compact
+  // summary line LAST: it must fit the 2000-char tail whole, with
+  // ~200 B left for sbt's epilogue and flush slack.
+  private val TailWindow = 2000
+  private val SummaryBudget = 1800
 
   private def line(results: Seq[(String, Double)],
       errors: Map[String, String],
       contended: Seq[String] = Nil): String =
     Bench.contractLine(results.map(_._2).filter(_ >= 0).sum, results,
+      errors, calPair, calPair, "/root/testdata/sf0.1", contended)
+
+  private def summary(results: Seq[(String, Double)],
+      errors: Map[String, String],
+      contended: Seq[String] = Nil): String =
+    Bench.summaryLine(results.map(_._2).filter(_ >= 0).sum, results,
       errors, calPair, calPair, "/root/testdata/sf0.1", contended)
 
   test("secStr: adaptive precision, trimmed, valid JSON numbers") {
@@ -36,23 +43,54 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.secStr(0.0) === "0")
   }
 
-  test("real surface keeps >=20 queries of growth headroom (round-6 mandate)") {
+  test("summary line fits the OBSERVED 2000-char driver tail, whole") {
+    // the growth-proof pin lives on the SUMMARY now: its size is
+    // O(worst-12 + flags), independent of the query count, so any
+    // future surface growth is free. Worst realistic load: the grown
+    // surface, 30 errors, 10 contended flags.
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
-    val realLen = line(real, Map.empty).length
-    // STRUCTURAL pin, not an absolute that chases every added query:
-    // whatever the live surface is, 20 MORE queries at realistic name
-    // length (16 chars — the live average is ~14, longest 22) must
-    // still clear the window stand-in. The absolute bound below only
-    // trips if the surface grows far past the planned envelope.
     val grown = real ++ (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
-    val grownLen = line(grown, Map.empty).length
-    assert(grownLen < Window,
-      s"real=$realLen grown(+20)=$grownLen vs window $Window")
-    assert(realLen < 3300, s"real surface line is $realLen bytes — " +
-      "the next growth step needs a real encoding shrink, not a pin bump")
-    assert(!line(real, Map.empty).contains("\"errors\""),
+    val errs = grown.take(30)
+      .map(t => t._1 -> ("org.apache.spark.sql.AnalysisException: " +
+        "x" * 180)).toMap
+    val flagged = grown.take(10).map(_._1)
+    val worst = summary(grown, errs, flagged)
+    assert(worst.length < SummaryBudget,
+      s"summary is ${worst.length} bytes vs budget $SummaryBudget " +
+        s"(tail window $TailWindow)")
+    assert(!worst.contains('\n'))
+    assert(worst.startsWith("{\"metric\":\"total\""))
+    assert(worst.endsWith("\"}"))
+    assert(worst.contains("\"n_queries\":" + grown.size))
+    assert(worst.contains("\"n_errors\":30"))
+    assert(worst.contains("\"queries_full\":\"bench_diag.json\""))
+  }
+
+  test("summary line is emitted LAST; full line still carries all queries") {
+    val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
+    val lines = Bench.outputLines(1.0, real, Map.empty, calPair, calPair,
+      "/root/testdata/sf0.1")
+    assert(lines.size === 2)
+    assert(lines.last.contains("\"queries_full\""))
+    assert(!lines.head.contains("\"queries_full\""))
+    // the full line remains the complete per-query record
+    assert(real.forall { case (k, _) => lines.head.contains("\"" + k + "\":") })
+    assert(!lines.head.contains("\"errors\""),
       "empty errors map must be omitted entirely")
-    assert(line(real, Map.empty).startsWith("{\"metric\":\"total\""))
+    assert(lines.head.startsWith("{\"metric\":\"total\""))
+    // sanity cap only — the full line is a log/diag artifact, not the
+    // parse target; pathological growth should still trip something
+    assert(lines.head.length < 8192)
+  }
+
+  test("summary ratios come from the recorded baselines") {
+    // q1_project base 0.23 -> ratio 2.0 at 0.46; x1_dedup_exact base
+    // 0.22 -> ratio 0.5 at 0.11; a no-baseline query is excluded
+    val got = summary(Seq("q1_project" -> 0.46, "x1_dedup_exact" -> 0.11,
+      "zz_new_query" -> 9.9), Map.empty)
+    assert(got.contains("\"median_ratio_vs_baseline\":1.25"), got)
+    assert(got.contains("\"worst_ratios\":{\"q1_project\":2,"), got)
+    assert(!got.contains("zz_new_query"), got)
   }
 
   test("errors map appears (escaped) only when a query failed") {
@@ -79,19 +117,20 @@ class BenchContractSpec extends AnyFunSuite {
       got)
   }
 
-  test("mass failure cannot blow the tail window (round-5 regression)") {
-    // round 5's driver artifact recorded parsed:null — 22 × 200-char
-    // analysis exceptions pushed the line past the ~4 KB tail window.
-    // The line inlines ONE error at 44 chars, plus a count. Worst
-    // realistic case: the GROWN surface (live names + 20 more) with
-    // 30 of them failing on long analysis exceptions.
+  test("mass failure stays within the full line's error budget") {
+    // the round-5 regression class (22 × 200-char exceptions inlined)
+    // now threatens only the diagnostic full line — the parse target
+    // (summary, above) carries a count, never messages. Still pin the
+    // 1×44 inline so the full line cannot grow unboundedly on errors.
     val grown = SparkEntry.queries.toSeq.map(_._1 -> 1.2345) ++
       (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 1.2345)
     val errs = grown.take(30)
       .map(t => t._1 -> ("org.apache.spark.sql.AnalysisException: " +
         "x" * 180)).toMap
     val got = line(grown, errs)
-    assert(got.length < Window, s"line is ${got.length} bytes")
+    val clean = line(grown, Map.empty)
+    assert(got.length - clean.length < 120,
+      s"30 errors added ${got.length - clean.length} bytes")
     assert(got.contains("\"more_errors\":29"), got.takeRight(200))
   }
 
