@@ -435,8 +435,12 @@ object Bench {
       "\"" + k + "\":" + secStr(r) }.mkString("{", ",", "}")
     val contStr =
       if (contended.isEmpty) ""
-      else s""","contended":${contended.take(8)
-        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else {
+        val more = if (contended.size > 8)
+          s""","more_contended":${contended.size - 8}""" else ""
+        s""","contended":${contended.take(8)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}$more"""
+      }
     val errStr =
       if (errors.isEmpty) "" else s""","n_errors":${errors.size}"""
     s"""{"metric":"total","value":${secStr(total)},"unit":"sec",""" +

@@ -2600,7 +2600,8 @@ object ExtQueries {
         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
         |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) >= 1),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
         |e AS (SELECT c.digit, c.n,
@@ -2633,7 +2634,8 @@ object ExtQueries {
         |SELECT bucket, CAST(n AS BIGINT) AS n,
         |  CAST(d * cum - i * t AS BIGINT) AS cusum_scaled,
         |  abs(d * cum - i * t) =
-        |    max(abs(d * cum - i * t)) OVER () AS is_peak
+        |    max(abs(d * cum - i * t)) OVER ()
+        |    AND max(abs(d * cum - i * t)) OVER () > 0 AS is_peak
         |FROM w ORDER BY bucket""".stripMargin,
     // identical RE2/Java segmentation regex, zero-word fragments
     // dropped on both sides, exact-integer sums, one IEEE division

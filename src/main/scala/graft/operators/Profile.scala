@@ -431,20 +431,27 @@ object Profile {
     * corpus P times at 100 TB; this shape reads it once and pays one
     * P×-wider exchange of narrow keys instead.
     *
-    * Null semantics (document, don't guess): a NULL determinant column
-    * folds into the group of its non-null siblings via concat_ws (all
-    * determinants NULL ⇒ empty-string group); NULL dependents are
-    * ignored by the distinct count (SQL COUNT(DISTINCT) semantics), so
-    * a group of only-NULL dependents counts zero dependents and cannot
+    * Null semantics (document, don't guess): determinant tuples group
+    * by SQL row equality — NULLs compare equal to each other and
+    * distinct from every value, position preserved ((NULL,"x") and
+    * ("x",NULL) are different groups); NULL dependents are ignored by
+    * the distinct count (SQL COUNT(DISTINCT) semantics), so a group
+    * of only-NULL dependents counts zero dependents and cannot
     * violate.
     */
   def functionalDependencies(df: DataFrame,
       hypotheses: Seq[(Seq[String], String)]): DataFrame = {
     require(hypotheses.nonEmpty, "need at least one FD hypothesis")
     val tuples = hypotheses.zipWithIndex.map { case ((det, dep), i) =>
+      // INJECTIVE determinant encoding: to_json of a positionally-
+      // named struct. JSON escaping kills separator-in-data
+      // collisions, and the default null-field omission makes NULL
+      // position-distinguishing ({"c1":"x"} vs {"c0":"x"}) — a
+      // concat_ws encoding collapsed (NULL,"x") with ("x",NULL) and
+      // fabricated violations (round-8 review finding)
       struct(lit(i).as("pair_id"),
-        concat_ws("\u0001", det.map(c => col(c).cast("string")): _*)
-          .as("det_val"),
+        to_json(struct(det.zipWithIndex.map { case (c, j) =>
+          col(c).cast("string").as(s"c$j") }: _*)).as("det_val"),
         col(dep).cast("string").as("dep_val"))
     }
     val labels = hypotheses.map { case (det, dep) =>
@@ -495,7 +502,11 @@ object Profile {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
     val cents = round(col(valueCol) * 100).cast("long")
-    df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+    // gate on CENTS >= 1, not value > 0: a positive value below half
+    // a cent rounds to zero cents, whose "first digit" is 0 — and
+    // element_at(expected, 0) is a runtime error (round-8 review
+    // finding). No first significant cent digit exists ⇒ excluded.
+    df.filter(col(valueCol).isNotNull && cents >= 1)
       .select(substring(cents.cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit"))
@@ -565,6 +576,24 @@ object Profile {
       depth: Int = 4, width: Int = 64): DataFrame = {
     val cells = sketch.groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+    // dimension guard: estimating with a depth larger than the build
+    // depth would min() over rows the sketch never filled, silently
+    // returning 0 — UNDER the truth, inverting the CMS one-sided
+    // guarantee (round-8 review finding). The sketch frame carries no
+    // metadata, so validate observationally: rows must be exactly
+    // 0..depth-1 and buckets inside [0, width). One bounded action on
+    // a ≤d×w frame.
+    val dims = cells.agg(min(col("row_i")), max(col("row_i")),
+      max(col("bucket")), count(lit(1))).head()
+    if (dims.getLong(3) > 0) {
+      require(dims.getInt(0) == 0 && dims.getInt(1) == depth - 1,
+        s"cmsEstimate: sketch rows ${dims.getInt(0)}..${dims.getInt(1)} " +
+          s"do not match depth=$depth — estimate with the sketch's " +
+          "build parameters")
+      require(dims.getLong(2) < width,
+        s"cmsEstimate: sketch bucket ${dims.getLong(2)} outside " +
+          s"width=$width — estimate with the sketch's build parameters")
+    }
     val pk = (0 until depth).map { i =>
       struct(lit(i).as("row_i"),
         cmsBucket(col(keyCol), i, width).as("bucket"))
@@ -605,8 +634,12 @@ object Profile {
         count(lit(1)).over(all) * sum(col("n")).over(ordered) -
           col("i") * sum(col("n")).over(all))
       .withColumn("is_peak",
+        // a flat series (cusum 0 everywhere) has NO change-point —
+        // without the max > 0 guard every row of a constant series
+        // would tie as "the peak" (round-8 review finding)
         abs(col("cusum_scaled")) ===
-          max(abs(col("cusum_scaled"))).over(all))
+          max(abs(col("cusum_scaled"))).over(all) &&
+          max(abs(col("cusum_scaled"))).over(all) > 0)
       .drop("i")
   }
 }

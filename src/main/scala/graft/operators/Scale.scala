@@ -279,11 +279,12 @@ object Scale {
     * scan-side codegen arithmetic and a single ≤2^bucketBits-key
     * partial-aggregated groupBy. The report never shuffles raw rows.
     */
-  def zOrderBuckets(df: DataFrame, aCol: String, bCol: String,
-      bits: Int = 16, bucketBits: Int = 6): DataFrame = {
+  /** Shared z-computation: the frame with a `__z` Morton column (plus
+    * the normalization helpers) — ONE definition so the report and
+    * the write path provably bucket on the same value. */
+  private def withZ(df: DataFrame, aCol: String, bCol: String,
+      bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
-    require(bucketBits >= 1 && bucketBits <= 2 * bits,
-      s"bucketBits must be in [1,${2 * bits}], got $bucketBits")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
@@ -297,6 +298,15 @@ object Scale {
       .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
         s"* $scale div (__bmx - __bmn + 1)"))
       .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
+  }
+
+  def zOrderBuckets(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16, bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1,${2 * bits}], got $bucketBits")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    withZ(df, aCol, bCol, bits)
       .groupBy(shiftright(col("__z"), 2 * bits - bucketBits).as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(a).as("a_min"), max(a).as("a_max"),
@@ -316,17 +326,7 @@ object Scale {
   def zOrderLayout(df: DataFrame, aCol: String, bCol: String,
       numPartitions: Int, bits: Int = 16): DataFrame = {
     require(numPartitions >= 1, s"need numPartitions >= 1")
-    val a = col(aCol).cast("long")
-    val b = col(bCol).cast("long")
-    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
-      min(b).as("__bmn"), max(b).as("__bmx"))
-    val scale = 1L << bits
-    df.crossJoin(broadcast(stats))
-      .withColumn("__an", expr(s"(cast(`$aCol` as bigint) - __amn) " +
-        s"* $scale div (__amx - __amn + 1)"))
-      .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
-        s"* $scale div (__bmx - __bmn + 1)"))
-      .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
+    withZ(df, aCol, bCol, bits)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__an", "__bn", "__z", "__amn", "__amx", "__bmn", "__bmx")

@@ -83,6 +83,14 @@ class BenchContractSpec extends AnyFunSuite {
     assert(lines.head.length < 8192)
   }
 
+  test("summary contended cap carries a more_contended marker") {
+    val flagged = (1 to 10).map(i => f"x$i%02d_operator_name")
+    val got = summary(flagged.map(_ -> 9.9), Map.empty, flagged)
+    assert(got.contains("\"contended\":[\"x01_operator_name\""))
+    assert(got.contains("\"more_contended\":2"), got)
+    assert(!summary(Seq("q1" -> 1.0), Map.empty).contains("contended"))
+  }
+
   test("summary ratios come from the recorded baselines") {
     // q1_project base 0.23 -> ratio 2.0 at 0.46; x1_dedup_exact base
     // 0.22 -> ratio 0.5 at 0.11; a no-baseline query is excluded

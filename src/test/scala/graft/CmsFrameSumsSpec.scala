@@ -70,6 +70,24 @@ class CmsFrameSumsSpec extends SparkSpec {
     assert(est.map(_._2).sum > 20L) // collisions must show somewhere
   }
 
+  test("cms estimate with mismatched dimensions fails loudly") {
+    val df = keyRows.toDF("k", "slice")
+    val small = Profile.cmsCombine(
+      Profile.cmsPartials(df, col("slice"), col("k"), depth = 2,
+        width = 2))
+    // estimating a depth-2 sketch with the depth-4 default would
+    // min() over never-filled rows and return 0 — UNDER the truth
+    val e = intercept[IllegalArgumentException] {
+      Profile.cmsEstimate(small, Seq(0L).toDF("k"), "k").collect()
+    }
+    assert(e.getMessage.contains("build parameters"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.cmsEstimate(small, Seq(0L).toDF("k"), "k", depth = 2,
+        width = 1).collect()
+    }
+    assert(e2.getMessage.contains("build parameters"))
+  }
+
   // ---- mp4 frame sums -------------------------------------------------
 
   test("frameSums matches the synthetic pixel formula per frame") {

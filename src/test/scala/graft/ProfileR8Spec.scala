@@ -56,6 +56,28 @@ class ProfileR8Spec extends SparkSpec {
     assert(out === ((2L, 0L)))
   }
 
+  test("functionalDependencies distinguishes NULL position in determinants") {
+    // (NULL,"x") and ("x",NULL) are DIFFERENT determinant tuples; a
+    // null-skipping concat collapsed them and fabricated a violation
+    val df = Seq((1L, None, Some("x"), "d1"), (2L, Some("x"), None, "d2"))
+      .toDF("id", "a", "b", "dep")
+    val out = Profile.functionalDependencies(df, Seq((Seq("a", "b"), "dep")))
+      .select("n_groups", "violating_groups", "holds")
+      .as[(Long, Long, Boolean)].head()
+    assert(out === ((2L, 0L, true)))
+  }
+
+  test("functionalDependencies survives separator-looking data") {
+    // values embedding quotes/braces/control-ish chars must stay
+    // injective through the JSON determinant encoding
+    val df = Seq((1L, "a\"b", "c", "d1"), (2L, "a", "\"b,c", "d2"))
+      .toDF("id", "x", "y", "dep")
+    val out = Profile.functionalDependencies(df, Seq((Seq("x", "y"), "dep")))
+      .select("n_groups", "violating_groups")
+      .as[(Long, Long)].head()
+    assert(out === ((2L, 0L)))
+  }
+
   test("functionalDependencies ignores null dependents") {
     val df = Seq((1L, "a", Some("x")), (2L, "a", None), (3L, "b", None))
       .toDF("id", "k", "dep")
@@ -77,6 +99,15 @@ class ProfileR8Spec extends SparkSpec {
       .select("digit", "n", "frac_r")
       .as[(Int, Long, Double)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((1, 2L, 0.5), (4, 1L, 0.25), (9, 1L, 0.25)))
+  }
+
+  test("benfordProfile excludes sub-half-cent values instead of crashing") {
+    // 0.004 rounds to 0 cents — digit "0" would index expected[0]
+    // (a runtime error); the cents >= 1 gate drops it
+    val df = Seq(0.004, 1.23).toDF("v")
+    val out = Profile.benfordProfile(df, "v")
+      .select("digit", "n").as[(Int, Long)].collect()
+    assert(out.toSeq === Seq((1, 1L)))
   }
 
   test("benfordProfile expected shares are log10(1+1/d)") {
@@ -108,11 +139,13 @@ class ProfileR8Spec extends SparkSpec {
       (4L, 8L, 0L, false)))
   }
 
-  test("cusumChangePoint is flat-zero on a constant series") {
+  test("cusumChangePoint is flat-zero on a constant series, no peaks") {
     val rows = Seq.tabulate(4)(b => Seq.fill(3)(b.toLong)).flatten
       .toDF("b")
     val out = Profile.cusumChangePoint(rows, col("b"))
-      .select("cusum_scaled").as[Long].collect()
-    assert(out.forall(_ === 0L))
+      .select("cusum_scaled", "is_peak").as[(Long, Boolean)].collect()
+    assert(out.forall(_._1 === 0L))
+    // a flat series has NO change-point — nothing may be flagged
+    assert(out.forall(!_._2))
   }
 }
