@@ -157,6 +157,82 @@ class AdditiveMergeSpec extends SparkSpec {
       new java.sql.SQLException("no state", null.asInstanceOf[String])))
   }
 
+  test("streaming CMS cells accumulate exactly-once into Derby") {
+    // the frequency sketch joins the momentPartials story: per
+    // micro-batch cells Add-merge into the (row_i, bucket) table, and
+    // the accumulated sketch estimates EXACTLY like a one-shot build
+    // over everything fed — the cell-level monoid survives batching,
+    // the ledger survives replay
+    val url = freshDb("cmsstream")
+    val c0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c0.createStatement()
+      st.execute("""CREATE TABLE "cms" ("row_i" INT NOT NULL,
+        "bucket" BIGINT NOT NULL, "cnt" BIGINT,
+        PRIMARY KEY ("row_i", "bucket"))""")
+      graft.schema.InfraMigrations.ledgerTableSql(Ansi).foreach(st.execute)
+    } finally c0.close()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    var lastBatch = -1L
+    val q = input.toDS().toDF("k").writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        lastBatch = id
+        val cells = Profile.cmsCombine(Profile.cmsPartials(
+          df, lit("mb"), col("k"), depth = 2, width = 8))
+          .select(col("row_i"), col("bucket"), col("cnt"))
+        JdbcMerger.accumulateBatchIntoJdbc(cells, id, "cms-job", url,
+          "cms", Seq("row_i", "bucket"), Map("cnt" -> Add), Ansi,
+          new java.util.Properties)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cmss").toString)
+      .start()
+    val fed = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      Seq(Seq(1L, 2L, 2L, 9L), Seq(2L, 3L, 17L), Seq(1L, 1L, 42L))
+        .foreach { b => fed ++= b; input.addData(b: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    def readCells(): Seq[(Int, Long, Long)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT "row_i", "bucket", "cnt" FROM "cms"""")
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        while (rs.next())
+          out += ((rs.getInt(1), rs.getLong(2), rs.getLong(3)))
+        out.toSeq.sorted
+      } finally c.close()
+    }
+    val accumulated = readCells()
+    // accumulated table ≡ one-shot sketch over everything fed
+    val oneShot = Profile.cmsCombine(Profile.cmsPartials(
+      fed.toSeq.toDF("k"), lit("all"), col("k"), depth = 2, width = 8))
+      .select(col("row_i"), col("bucket"), col("cnt"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(accumulated === oneShot)
+    // estimates off the DATABASE sketch are never below truth
+    val sketchDf = accumulated.toDF("row_i", "bucket", "cnt")
+      .withColumn("slice", lit("db"))
+    val est = Profile.cmsEstimate(sketchDf,
+      fed.toSeq.distinct.toDF("k"), "k", depth = 2, width = 8)
+      .as[(Long, Long)].collect().toMap
+    val truth = fed.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    truth.foreach { case (k, t) => assert(est(k) >= t, s"key $k") }
+    // replaying the final micro-batch is a ledger no-op
+    val replayCells = Profile.cmsCombine(Profile.cmsPartials(
+      Seq(1L, 1L, 42L).toDF("k"), lit("mb"), col("k"), depth = 2,
+      width = 8)).select(col("row_i"), col("bucket"), col("cnt"))
+    JdbcMerger.accumulateBatchIntoJdbc(replayCells, lastBatch, "cms-job",
+      url, "cms", Seq("row_i", "bucket"), Map("cnt" -> Add), Ansi,
+      new java.util.Properties)
+    assert(readCells() === accumulated, "replay must not double-count")
+  }
+
   test("a replayed batch id is a no-op (ledger exactly-once)") {
     val url = freshDb("accreplay")
     setupTables(url)
