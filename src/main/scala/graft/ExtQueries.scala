@@ -2208,7 +2208,41 @@ object ExtQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group OLS volume trend (`Profile.groupTrend`): slope /
+    * intercept / r² of daily event counts per type, from six BIGINT
+    * sums and single IEEE divisions — bit-exact across engines (the
+    * x100 integer discipline applied to regression). Day buckets via
+    * integer `div` (the x123 rule). */
+  private def x130(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_day"))
+    graft.operators.Profile.groupTrend(daily, col("event_type"),
+      col("day"), col("n_day"))
+      .withColumnRenamed("group", "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  /** Population stability index (`Profile.psi`): value-distribution
+    * drift between the first and second half of the event stream
+    * (declared split day, declared [0,600]×12 domain — the x103
+    * comparable-across-epochs rule). Per-bin rows with exact counts
+    * and shares; the ln-based PSI term rounds to 4 dp (x49's ln
+    * discipline — margins probed ≥3.6e-6 from every boundary at all
+    * SFs vs ~1e-15 cross-engine ln noise). */
+  private def x131(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("__day", expr("ts div 86400000000000"))
+    graft.operators.Profile.psi(
+      ev.filter(col("__day") < 19738), ev.filter(col("__day") >= 19738),
+      "value", lo = 0.0, hi = 600.0, nBins = 12)
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x131_psi" -> (x131 _),
+    "x130_trend" -> (x130 _),
     "x129_cms" -> (x129 _),
     "x128_scene_cuts" -> (x128 _),
     "x127_sql_text" -> (x127 _),
@@ -2348,6 +2382,57 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // identical six-BIGINT-sum closed forms; min-x shift replayed
+    "x130_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day, count(*) AS n_day
+        |  FROM events GROUP BY 1, 2),
+        |mn AS (SELECT min(day) AS xmin FROM daily),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(day - xmin) AS BIGINT) AS sx,
+        |    CAST(sum(n_day) AS BIGINT) AS sy,
+        |    CAST(sum((day - xmin) * n_day) AS BIGINT) AS sxy,
+        |    CAST(sum((day - xmin) * (day - xmin)) AS BIGINT) AS sxx,
+        |    CAST(sum(n_day * n_day) AS BIGINT) AS syy
+        |  FROM daily, mn GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) END AS slope_r,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) END AS intercept_r,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
+        |      / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 9)
+        |    END AS r2_r
+        |FROM s ORDER BY event_type""".stripMargin,
+    // same clamped declared bins, same share divisions, same
+    // (p_a−p_b)·ln(p_a/p_b) expression shape
+    "x131_psi" ->
+      """WITH tagged AS (
+        |  SELECT least(greatest(CAST(floor((value - 0.0) / 50.0)
+        |      AS BIGINT), 0), 11) AS bin,
+        |    CASE WHEN epoch_ms(ts) // 86400000 < 19738 THEN 0 ELSE 1
+        |      END AS side
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM tagged GROUP BY bin),
+        |p AS (SELECT bin, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE)
+        |      AS p_a,
+        |    CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE)
+        |      AS p_b
+        |  FROM c)
+        |SELECT bin, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((p_a - p_b) * ln(p_a / p_b), 4) END AS psi_term_r,
+        |  round(p_a, 9) AS p_a_r, round(p_b, 9) AS p_b_r
+        |FROM p ORDER BY bin""".stripMargin,
     // the sketch rebuilt cell-for-cell in SQL (declared mod-hash):
     // GROUP BY (i, bucket) = the d×w matrix, min over rows = estimate
     "x129_cms" ->

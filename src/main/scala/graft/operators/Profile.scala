@@ -606,6 +606,94 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Per-group OLS trend over integer-valued observations — "is this
+    * source's volume growing, and how fast" as a closed-form
+    * regression: slope, intercept (at the frame's min x — x shifts
+    * there so the Σ products stay small), and r² per group, all
+    * derived from six BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy²) with
+    * single IEEE divisions — deterministic across engines because
+    * both sides compute identical integer sums and identical
+    * division shapes.
+    *
+    * Integer contract (documented like [[momentPartials]]): x and y
+    * must be integer-valued and modest (the r² numerator squares
+    * n·Σxy−ΣxΣy in BIGINT — magnitudes beyond ~3·10⁹ need a scaled
+    * variant). Degenerate groups (single x value ⇒ denom 0) emit
+    * null slope/intercept/r².
+    *
+    * Scale shape: one (group)-keyed partial-aggregated groupBy over
+    * the observation frame; the min-x normalization is a one-row
+    * broadcast. Observations are usually an aggregate themselves
+    * (daily counts), so nothing corpus-sized reaches this operator.
+    */
+  def groupTrend(obs: DataFrame, groupCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    val xmin = obs.agg(min(xCol.cast("long")).as("__xmin"))
+    val x = xCol.cast("long") - col("__xmin")
+    val y = yCol.cast("long")
+    val sums = obs.crossJoin(broadcast(xmin))
+      .groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("group"), col("n"),
+      when(denX > 0, round(num.cast("double") / denX.cast("double"), 9))
+        .as("slope_r"),
+      when(denX > 0, round(
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / denX.cast("double"), 9)).as("intercept_r"),
+      when(denX > 0 && denY > 0, round(
+        (num * num).cast("double") / (denX * denY).cast("double"), 9))
+        .as("r2_r"))
+  }
+
+  /** Population stability index between two snapshots of a numeric
+    * column — THE distribution-drift monitor ML pipelines run between
+    * training and serving data. Bins are a DECLARED [lo,hi]×nBins
+    * domain (the x103 rule: declared ⇒ comparable across epochs;
+    * data-derived ranges would not be), edges clamped so outliers
+    * land in the boundary bins. Output is per-bin rows (n_a, n_b,
+    * exact shares, and the PSI term (p_a−p_b)·ln(p_a/p_b)) — a
+    * single-row Σ would sum doubles in engine order; the reader sums
+    * the 4-dp terms. Bins empty on EITHER side emit a null term
+    * (the standard smoothing choices are a policy, not a fact — the
+    * counts are there for the caller's own epsilon).
+    *
+    * Scale shape: both snapshots collapse map-side to ≤nBins keys in
+    * one union scan; shares and terms are windows/arithmetic over
+    * the bin frame.
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String, lo: Double,
+      hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, s"bad psi domain [$lo,$hi]×$nBins")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+          lit(nBins - 1L)).cast("long").as("bin"), lit(tag).as("side"))
+    binned(a, 0).unionByName(binned(b, 1))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("p_a", col("n_a").cast("double") /
+        sum(col("n_a")).over(w).cast("double"))
+      .withColumn("p_b", col("n_b").cast("double") /
+        sum(col("n_b")).over(w).cast("double"))
+      .withColumn("psi_term_r",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")),
+            4)))
+      .withColumn("p_a_r", round(col("p_a"), 9))
+      .withColumn("p_b_r", round(col("p_b"), 9))
+      .drop("p_a", "p_b")
+  }
+
   /** Exact-integer CUSUM change-point profile over per-bucket event
     * counts — "did the volume regime shift, and on which day?" for a
     * pipeline watching its own intake. The standard CUSUM statistic

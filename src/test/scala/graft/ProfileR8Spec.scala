@@ -120,6 +120,63 @@ class ProfileR8Spec extends SparkSpec {
     }
   }
 
+  // ---- groupTrend -----------------------------------------------------
+
+  test("groupTrend recovers exact slopes, intercepts, and r2") {
+    val obs = Seq(
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),   // y = 2x + 1
+      ("flat", 0L, 5L), ("flat", 1L, 5L),               // constant y
+      ("point", 2L, 1L), ("point", 2L, 3L)              // single x
+    ).toDF("g", "x", "y")
+    val out = Profile.groupTrend(obs, col("g"), col("x"), col("y"))
+      .select("group", "n", "slope_r", "intercept_r", "r2_r")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("up") === (("up", 3L, Some(2.0), Some(1.0), Some(1.0))))
+    // constant y: slope 0, r2 undefined (denY = 0)
+    assert(out("flat") === (("flat", 2L, Some(0.0), Some(5.0), None)))
+    // degenerate x: no regression exists
+    assert(out("point") === (("point", 2L, None, None, None)))
+  }
+
+  test("groupTrend intercept is reported at the frame's min x") {
+    // same line y = 2x + 1 sampled at x = 10..12: after the min-x
+    // shift the intercept is y(10) = 21, slope unchanged
+    val obs = Seq(("g", 10L, 21L), ("g", 11L, 23L), ("g", 12L, 25L))
+      .toDF("g", "x", "y")
+    val r = Profile.groupTrend(obs, col("g"), col("x"), col("y"))
+      .select("slope_r", "intercept_r").as[(Double, Double)].head()
+    assert(r === ((2.0, 21.0)))
+  }
+
+  // ---- psi ------------------------------------------------------------
+
+  test("psi terms, shares, and clamping are exact") {
+    val a = (Seq.fill(5)(10.0) ++ Seq.fill(5)(60.0)).toDF("v")
+    // 999.0 is far above hi=100: clamps into the last bin
+    val b = (Seq.fill(2)(10.0) ++ Seq.fill(7)(60.0) ++ Seq(999.0))
+      .toDF("v")
+    val out = Profile.psi(a, b, "v", lo = 0.0, hi = 100.0, nBins = 2)
+      .select("bin", "n_a", "n_b", "psi_term_r")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((0L, 5L, 2L), (1L, 5L, 8L)))
+    val t0 = (0.5 - 0.2) * math.log(0.5 / 0.2)
+    val t1 = (0.5 - 0.8) * math.log(0.5 / 0.8)
+    assert(out(0)._4.get === math.rint(t0 * 1e4) / 1e4)
+    assert(out(1)._4.get === math.rint(t1 * 1e4) / 1e4)
+  }
+
+  test("psi emits null terms for one-sided bins") {
+    val a = Seq(10.0, 90.0).toDF("v")
+    val b = Seq(10.0).toDF("v") // nothing from b in the upper bin
+    val out = Profile.psi(a, b, "v", 0.0, 100.0, 2)
+      .select("bin", "psi_term_r").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L) === None)
+    assert(out(0L).isDefined)
+  }
+
   // ---- cusumChangePoint -----------------------------------------------
 
   test("cusumChangePoint flags the shift bucket on a step series") {
