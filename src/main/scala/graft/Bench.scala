@@ -127,7 +127,7 @@ object Bench {
     "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.57,
     "x125_zorder" -> 0.34, "x126_gate_attrition" -> 0.74,
     "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.66,
-    "x129_cms" -> 0.34,
+    "x129_cms" -> 0.34, "x130_trend" -> 0.30, "x131_psi" -> 0.23,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
