@@ -2240,7 +2240,33 @@ object ExtQueries {
       .orderBy(col("bin"))
   }
 
+  /** Per-source Gini concentration (`Profile.giniIndex`) of document
+    * length mass — the inequality statistic behind mixture
+    * re-weighting. Rank-weighted sums fold over ties in closed form
+    * on the (source, value, count) frame (x111's counts-then-window
+    * rule — no ranking of raw rows); pure BIGINT until two final
+    * IEEE divisions. */
+  private def x132(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.giniIndex(
+      t(s, dir, "documents"), "source", "n_chars")
+      .withColumnRenamed("group", "source")
+      .orderBy(col("source"))
+
+  /** Cohen's kappa (`Calibrate.cohenKappa`) between the declared
+    * `lang` column and the x8 language-ID heuristic — the
+    * label-quality audit: chance-corrected agreement from pure
+    * integer counts (confusion cells, marginal products), bit-exact
+    * across engines. The oracle recomputes the full confusion matrix
+    * through its own langid CASE chain. */
+  private def x133(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibrate.cohenKappa(
+      t(s, dir, "documents").select(col("lang"),
+        T.langId(col("text")).as("pred")),
+      col("lang"), col("pred"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x133_kappa" -> (x133 _),
+    "x132_gini" -> (x132 _),
     "x131_psi" -> (x131 _),
     "x130_trend" -> (x130 _),
     "x129_cms" -> (x129 _),
@@ -2382,6 +2408,73 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // identical tie-closed-form rank sums over the (source, value,
+    // count) frame; two final IEEE divisions
+    "x132_gini" ->
+      """WITH bv AS (SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1, 2),
+        |w AS (SELECT source, v, c,
+        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM bv),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS total,
+        |    CAST(sum(v * c * (2*cb + c + 1)) AS BIGINT) AS num
+        |  FROM w GROUP BY source)
+        |SELECT source, n, total,
+        |  CASE WHEN total > 0 AND n > 1 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    END AS gini_r
+        |FROM g ORDER BY source""".stripMargin,
+    // confusion cells through the independent langid CASE; kappa from
+    // pure integer counts
+    "x133_kappa" ->
+      """WITH pred AS (SELECT lang, CASE
+        |    WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es
+        |      AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_de
+        |      AND hits_fr >= hits_zh THEN 'fr'
+        |    WHEN hits_es > 0 AND hits_es >= hits_de AND hits_es >= hits_zh
+        |      THEN 'es'
+        |    WHEN hits_de > 0 AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS pred
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|a|is)\b')) AS hits_en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(le|la|les|et|des|un|est)\b')) AS hits_fr,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(el|los|las|y|que|un|es)\b')) AS hits_es,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |    FROM documents)),
+        |cells AS (SELECT lang AS a, pred AS b, count(*) AS c
+        |  FROM pred WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_agree
+        |  FROM cells WHERE a = b),
+        |mp AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS ps
+        |  FROM (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells
+        |        GROUP BY a) r
+        |  JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells
+        |        GROUP BY b) cc ON r.a = cc.b)
+        |SELECT tot.n, ag.n_agree,
+        |  CASE WHEN tot.n > 0 THEN round(CAST(ag.n_agree AS DOUBLE)
+        |    / CAST(tot.n AS DOUBLE), 9) END AS po_r,
+        |  CASE WHEN tot.n > 0 THEN round(CAST(mp.ps AS DOUBLE)
+        |    / CAST(tot.n * tot.n AS DOUBLE), 9) END AS pe_r,
+        |  CASE WHEN tot.n > 0 AND mp.ps <> tot.n * tot.n THEN
+        |    round((CAST(ag.n_agree AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |      - CAST(mp.ps AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE))
+        |      / (1.0 - CAST(mp.ps AS DOUBLE)
+        |         / CAST(tot.n * tot.n AS DOUBLE)), 9) END AS kappa_r
+        |FROM tot, ag, mp""".stripMargin,
     // identical six-BIGINT-sum closed forms; min-x shift replayed
     "x130_trend" ->
       """WITH daily AS (SELECT event_type,

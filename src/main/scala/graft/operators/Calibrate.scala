@@ -83,4 +83,53 @@ object Calibrate {
         col("n_pos").cast("double") / col("n").cast("double"))
       .withColumn("gap", abs(col("acc") - col("conf_mid")))
   }
+
+  /** Cohen's kappa between two categorical label columns —
+    * chance-corrected agreement, the label-quality audit a pipeline
+    * runs when validating a heuristic labeler against gold labels
+    * (or two annotators against each other). κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement share and p_e the expected-by-
+    * chance share Σ row_i·col_i / N².
+    *
+    * Exactness: every input to the two final IEEE expressions is a
+    * BIGINT count (N, agreements, Σ marginal products) — bit-exact
+    * across engines. κ is null when p_e = 1 (both raters constant —
+    * agreement is vacuous, not perfect).
+    *
+    * Scale shape: one (a,b)-keyed map-side-combined groupBy over the
+    * rows (≤|labels|² cells); marginals and the product sum are
+    * aggregates over the CELL frame. One corpus-sized exchange.
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ≤|labels|² rows; read by three aggs
+    val n = cells.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val rows = cells.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+    val colsM = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val prodSum = rows.join(colsM, col("a") === col("b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)))
+      .head().getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, agree, prodSum)).toDF("n", "n_agree", "marginal_prod_sum")
+      .select(col("n"), col("n_agree"),
+        when(col("n") > 0, round(
+          col("n_agree").cast("double") / col("n").cast("double"), 9))
+          .as("po_r"),
+        when(col("n") > 0, round(col("marginal_prod_sum").cast("double") /
+          (col("n") * col("n")).cast("double"), 9)).as("pe_r"),
+        when(col("n") > 0 &&
+          col("marginal_prod_sum") =!= col("n") * col("n"), round(
+          (col("n_agree").cast("double") / col("n").cast("double") -
+            col("marginal_prod_sum").cast("double") /
+              (col("n") * col("n")).cast("double")) /
+            (lit(1.0) - col("marginal_prod_sum").cast("double") /
+              (col("n") * col("n")).cast("double")), 9))
+          .as("kappa_r"))
+  }
 }

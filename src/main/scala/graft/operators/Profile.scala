@@ -651,6 +651,45 @@ object Profile {
         .as("r2_r"))
   }
 
+  /** Per-group Gini concentration index over a non-negative integer
+    * column — "is this source's token mass spread evenly or owned by
+    * a few documents", the inequality statistic behind mixture
+    * re-weighting decisions. For sorted values x_1..x_n,
+    * G = 2Σi·x_i/(nΣx) − (n+1)/n; the rank-weighted sum folds over
+    * TIES in closed form — 2Σi·x_i = Σ_v x_v·c_v·(2·cum_before + c_v
+    * + 1) — so it is computed on the (group, value, count) frame,
+    * never by ranking raw rows. Pure BIGINT until two final IEEE
+    * divisions: bit-exact across engines.
+    *
+    * Scale shape: one map-side-combined (group, value) groupBy — the
+    * only corpus-sized exchange; the cumulative window runs per group
+    * over distinct-value frames (the x111 counts-then-window
+    * discipline).
+    */
+  def giniIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val byVal = df.filter(v.isNotNull && v >= 0)
+      .groupBy(col(groupCol).as("group"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Window.partitionBy(col("group")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("__cb", coalesce(sum(col("__c")).over(cum), lit(0L)))
+      .withColumn("__rw",
+        col("__v") * col("__c") * (lit(2) * col("__cb") + col("__c") + 1))
+      .groupBy(col("group"))
+      .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c")).as("total"),
+        sum(col("__rw")).as("__num"))
+      .select(col("group"), col("n"), col("total"),
+        when(col("total") > 0 && col("n") > 1, round(
+          col("__num").cast("double") /
+            (col("n") * col("total")).cast("double") -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 9))
+          .as("gini_r"))
+  }
+
   /** Population stability index between two snapshots of a numeric
     * column — THE distribution-drift monitor ML pipelines run between
     * training and serving data. Bins are a DECLARED [lo,hi]×nBins

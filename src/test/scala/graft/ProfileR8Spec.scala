@@ -177,6 +177,41 @@ class ProfileR8Spec extends SparkSpec {
     assert(out(0L).isDefined)
   }
 
+  // ---- giniIndex ------------------------------------------------------
+
+  test("giniIndex hand values: equality, concentration, ties") {
+    val df = Seq(
+      ("mix", 1L), ("mix", 1L), ("mix", 2L),   // G = 2*9/(3*4) - 4/3
+      ("equal", 5L), ("equal", 5L),            // G = 0
+      ("conc", 0L), ("conc", 0L), ("conc", 10L) // G = 2/3 (max for n=3)
+    ).toDF("g", "v")
+    val out = Profile.giniIndex(df, "g", "v")
+      .select("group", "n", "total", "gini_r")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("mix") === (("mix", 3L, 4L,
+      Some(math.rint((18.0 / 12.0 - 4.0 / 3.0) * 1e9) / 1e9))))
+    assert(out("equal") === (("equal", 2L, 10L, Some(0.0))))
+    assert(out("conc")._4.get === math.rint(2.0 / 3.0 * 1e9) / 1e9)
+  }
+
+  test("giniIndex equals the brute-force rank formula on random data") {
+    val rnd = new scala.util.Random(88)
+    val rows = Seq.tabulate(300)(i =>
+      (s"g${i % 4}", rnd.nextInt(50).toLong))
+    val got = Profile.giniIndex(rows.toDF("g", "v"), "g", "v")
+      .select("group", "gini_r").as[(String, Double)].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.size.toLong
+      val tot = xs.sum
+      val num = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = 2.0 * num / (n * tot).toDouble -
+        (n + 1).toDouble / n.toDouble
+      assert(math.abs(got(g) - want) < 1e-9, g)
+    }
+  }
+
   // ---- cusumChangePoint -----------------------------------------------
 
   test("cusumChangePoint flags the shift bucket on a step series") {
@@ -204,5 +239,27 @@ class ProfileR8Spec extends SparkSpec {
     assert(out.forall(_._1 === 0L))
     // a flat series has NO change-point — nothing may be flagged
     assert(out.forall(!_._2))
+  }
+
+  // ---- cohenKappa -----------------------------------------------------
+
+  test("cohenKappa matches the textbook example") {
+    import graft.operators.Calibrate
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Calibrate.cohenKappa(rows.toDF("a", "b"),
+      col("a"), col("b"))
+      .select("n", "n_agree", "po_r", "pe_r", "kappa_r")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out === ((50L, 35L, 0.7, 0.5, 0.4)))
+  }
+
+  test("cohenKappa is null when agreement is vacuous (pe = 1)") {
+    import graft.operators.Calibrate
+    val out = Calibrate.cohenKappa(
+      Seq.fill(5)(("x", "x")).toDF("a", "b"), col("a"), col("b"))
+      .select("po_r", "kappa_r").as[(Double, Option[Double])].head()
+    assert(out === ((1.0, None)))
   }
 }
