@@ -2456,7 +2456,8 @@ object ExtQueries {
         |    FROM documents)),
         |cells AS (SELECT lang AS a, pred AS b, count(*) AS c
         |  FROM pred WHERE lang IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+        |  FROM cells),
         |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_agree
         |  FROM cells WHERE a = b),
         |mp AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS ps

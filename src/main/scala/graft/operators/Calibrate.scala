@@ -94,7 +94,9 @@ object Calibrate {
     * Exactness: every input to the two final IEEE expressions is a
     * BIGINT count (N, agreements, Σ marginal products) — bit-exact
     * across engines. κ is null when p_e = 1 (both raters constant —
-    * agreement is vacuous, not perfect).
+    * agreement is vacuous, not perfect). Magnitude contract (the
+    * groupTrend rule): N² and Σ row·col products stay in BIGINT, so
+    * N must stay under ~3·10⁹ — beyond that, sample.
     *
     * Scale shape: one (a,b)-keyed map-side-combined groupBy over the
     * rows (≤|labels|² cells); marginals and the product sum are

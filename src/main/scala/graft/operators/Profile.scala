@@ -551,6 +551,11 @@ object Profile {
       .groupBy(col("slice"), col("e.row_i").as("row_i"),
         col("e.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      // build parameters ride IN the frame so estimates can verify
+      // them — width is otherwise unverifiable (a width-8 sketch is
+      // indistinguishable from a sparse width-64 one)
+      .withColumn("cms_depth", lit(depth))
+      .withColumn("cms_width", lit(width))
   }
 
   private def cmsBucket(key: org.apache.spark.sql.Column, i: Int,
@@ -559,40 +564,70 @@ object Profile {
       lit(2147483647L)), lit(width.toLong))
 
   /** Add a partial frame into ONE combined sketch (slice = label).
-    * Associative and exact: integer adds per (row, bucket) cell. */
+    * Associative and exact: integer adds per (row, bucket) cell; the
+    * build-parameter columns propagate when present. */
   def cmsCombine(partials: DataFrame,
-      label: String = "__ALL__"): DataFrame =
-    partials.groupBy(col("row_i"), col("bucket"))
-      .agg(sum(col("cnt")).as("cnt"))
-      .select(lit(label).as("slice"), col("row_i"), col("bucket"),
-        col("cnt"))
+      label: String = "__ALL__"): DataFrame = {
+    val hasMeta = partials.columns.contains("cms_depth")
+    val metaAggs =
+      if (hasMeta) Seq(first(col("cms_depth")).as("cms_depth"),
+        first(col("cms_width")).as("cms_width"))
+      else Nil
+    val combined = partials.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"), metaAggs: _*)
+    val base = Seq(lit(label).as("slice"), col("row_i"), col("bucket"),
+      col("cnt"))
+    combined.select(base ++ (if (hasMeta)
+      Seq(col("cms_depth"), col("cms_width")) else Nil): _*)
+  }
 
   /** Point-frequency estimates for a probe-key frame: min over sketch
     * rows of the key's bucket count (0 when the bucket is empty).
     * Any partial frame is accepted — cells pre-sum per (row, bucket)
     * so a multi-slice input can't double-join. The sketch side is
-    * d×w rows, so the join broadcasts. */
+    * d×w rows, so the join broadcasts.
+    *
+    * Dimension guard (round-8 review findings, both passes): a
+    * depth/width mismatch between build and estimate silently
+    * UNDERcounts — the inverted CMS guarantee. Frames built by
+    * [[cmsPartials]] carry their parameters and are verified
+    * exactly; bare frames (e.g. read back from a database) get the
+    * observational check — depth fully, width only as an upper
+    * bound, because a narrow sketch is indistinguishable from a
+    * sparse wide one. Callers reconstructing frames are responsible
+    * for passing the build parameters. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
+    // ≤d×w rows, read by the guard AND the estimate join: checkpoint
+    // once so the sketch's (possibly corpus-sized) lineage is not
+    // recomputed per consumer — meta rides through the same pass
+    val hasMeta = sketch.columns.contains("cms_depth")
+    val metaAggs = if (hasMeta)
+      Seq(first(col("cms_depth")).as("cms_depth"),
+        first(col("cms_width")).as("cms_width")) else Nil
     val cells = sketch.groupBy(col("row_i"), col("bucket"))
-      .agg(sum(col("cnt")).as("cnt"))
-    // dimension guard: estimating with a depth larger than the build
-    // depth would min() over rows the sketch never filled, silently
-    // returning 0 — UNDER the truth, inverting the CMS one-sided
-    // guarantee (round-8 review finding). The sketch frame carries no
-    // metadata, so validate observationally: rows must be exactly
-    // 0..depth-1 and buckets inside [0, width). One bounded action on
-    // a ≤d×w frame.
-    val dims = cells.agg(min(col("row_i")), max(col("row_i")),
-      max(col("bucket")), count(lit(1))).head()
-    if (dims.getLong(3) > 0) {
-      require(dims.getInt(0) == 0 && dims.getInt(1) == depth - 1,
-        s"cmsEstimate: sketch rows ${dims.getInt(0)}..${dims.getInt(1)} " +
-          s"do not match depth=$depth — estimate with the sketch's " +
-          "build parameters")
-      require(dims.getLong(2) < width,
-        s"cmsEstimate: sketch bucket ${dims.getLong(2)} outside " +
-          s"width=$width — estimate with the sketch's build parameters")
+      .agg(sum(col("cnt")).as("cnt"), metaAggs: _*)
+      .localCheckpoint(true)
+    if (hasMeta) {
+      cells.select(col("cms_depth"), col("cms_width")).take(1)
+        .foreach { meta =>
+          require(meta.getInt(0) == depth && meta.getInt(1) == width,
+            s"cmsEstimate: sketch was built with depth=${meta.getInt(0)} " +
+              s"width=${meta.getInt(1)}, estimate called with " +
+              s"depth=$depth width=$width")
+        }
+    } else {
+      val dims = cells.agg(min(col("row_i")), max(col("row_i")),
+        max(col("bucket")), count(lit(1))).head()
+      if (dims.getLong(3) > 0) {
+        require(dims.getInt(0) == 0 && dims.getInt(1) == depth - 1,
+          s"cmsEstimate: sketch rows ${dims.getInt(0)}.." +
+            s"${dims.getInt(1)} do not match depth=$depth — estimate " +
+            "with the sketch's build parameters")
+        require(dims.getLong(2) < width,
+          s"cmsEstimate: sketch bucket ${dims.getLong(2)} outside " +
+            s"width=$width — estimate with the sketch's build parameters")
+      }
     }
     val pk = (0 until depth).map { i =>
       struct(lit(i).as("row_i"),
@@ -629,10 +664,15 @@ object Profile {
   def groupTrend(obs: DataFrame, groupCol: org.apache.spark.sql.Column,
       xCol: org.apache.spark.sql.Column,
       yCol: org.apache.spark.sql.Column): DataFrame = {
-    val xmin = obs.agg(min(xCol.cast("long")).as("__xmin"))
+    // NULL x or y rows are excluded entirely — counting them in n
+    // while the sums skip them would make the six sums internally
+    // inconsistent and the regression silently wrong (round-8 review
+    // finding, second pass)
+    val clean = obs.filter(xCol.isNotNull && yCol.isNotNull)
+    val xmin = clean.agg(min(xCol.cast("long")).as("__xmin"))
     val x = xCol.cast("long") - col("__xmin")
     val y = yCol.cast("long")
-    val sums = obs.crossJoin(broadcast(xmin))
+    val sums = clean.crossJoin(broadcast(xmin))
       .groupBy(groupCol.as("group"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"),
@@ -660,6 +700,11 @@ object Profile {
     * + 1) — so it is computed on the (group, value, count) frame,
     * never by ranking raw rows. Pure BIGINT until two final IEEE
     * divisions: bit-exact across engines.
+    *
+    * Magnitude contract (the groupTrend rule): n·total and the rank
+    * sum (≈2·n·total) must stay under 2⁶³ — n·mean(value) beyond
+    * ~4·10¹⁸ needs the value column scaled down first (e.g. chars →
+    * KB); Spark would wrap silently where the oracle errors.
     *
     * Scale shape: one map-side-combined (group, value) groupBy — the
     * only corpus-sized exchange; the cumulative window runs per group
@@ -720,10 +765,14 @@ object Profile {
       .groupBy(col("bin"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
-      .withColumn("p_a", col("n_a").cast("double") /
-        sum(col("n_a")).over(w).cast("double"))
-      .withColumn("p_b", col("n_b").cast("double") /
-        sum(col("n_b")).over(w).cast("double"))
+      // null shares (not 0/0 = NaN) when a snapshot is empty — NaN
+      // would leak into every row of the surviving side's report
+      .withColumn("p_a", when(sum(col("n_a")).over(w) > 0,
+        col("n_a").cast("double") /
+          sum(col("n_a")).over(w).cast("double")))
+      .withColumn("p_b", when(sum(col("n_b")).over(w) > 0,
+        col("n_b").cast("double") /
+          sum(col("n_b")).over(w).cast("double")))
       .withColumn("psi_term_r",
         when(col("n_a") > 0 && col("n_b") > 0,
           round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")),

@@ -257,6 +257,27 @@ object Scale {
   def mortonInterleave(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  /** Shared z-computation: the frame with a `__z` Morton column (plus
+    * the normalization helpers) — ONE definition so the report and
+    * the write path provably bucket on the same value. */
+  private def withZ(df: DataFrame, aCol: String, bCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
+      min(b).as("__bmn"), max(b).as("__bmx"))
+    val scale = 1L << bits
+    df.crossJoin(broadcast(stats))
+      // integer `div` — products stay ≤ range·2^16 < 2^63, and the
+      // oracle's `//` replays the same truncation exactly
+      .withColumn("__an", expr(s"(cast(`$aCol` as bigint) - __amn) " +
+        s"* $scale div (__amx - __amn + 1)"))
+      .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
+        s"* $scale div (__bmx - __bmn + 1)"))
+      .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
+  }
+
   /** Z-order layout effectiveness report — the multi-dimensional
     * clustering decision a 100 TB table owner makes BEFORE rewriting
     * files: range-partitioning by a Morton interleave of two filter
@@ -279,27 +300,6 @@ object Scale {
     * scan-side codegen arithmetic and a single ≤2^bucketBits-key
     * partial-aggregated groupBy. The report never shuffles raw rows.
     */
-  /** Shared z-computation: the frame with a `__z` Morton column (plus
-    * the normalization helpers) — ONE definition so the report and
-    * the write path provably bucket on the same value. */
-  private def withZ(df: DataFrame, aCol: String, bCol: String,
-      bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
-    val a = col(aCol).cast("long")
-    val b = col(bCol).cast("long")
-    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
-      min(b).as("__bmn"), max(b).as("__bmx"))
-    val scale = 1L << bits
-    df.crossJoin(broadcast(stats))
-      // integer `div` — products stay ≤ range·2^16 < 2^63, and the
-      // oracle's `//` replays the same truncation exactly
-      .withColumn("__an", expr(s"(cast(`$aCol` as bigint) - __amn) " +
-        s"* $scale div (__amx - __amn + 1)"))
-      .withColumn("__bn", expr(s"(cast(`$bCol` as bigint) - __bmn) " +
-        s"* $scale div (__bmx - __bmn + 1)"))
-      .withColumn("__z", mortonInterleave(col("__an"), col("__bn")))
-  }
-
   def zOrderBuckets(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, bucketBits: Int = 6): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 2 * bits,

@@ -76,16 +76,35 @@ class CmsFrameSumsSpec extends SparkSpec {
       Profile.cmsPartials(df, col("slice"), col("k"), depth = 2,
         width = 2))
     // estimating a depth-2 sketch with the depth-4 default would
-    // min() over never-filled rows and return 0 — UNDER the truth
+    // min() over never-filled rows and return 0 — UNDER the truth;
+    // the metadata the frame carries catches it exactly
     val e = intercept[IllegalArgumentException] {
       Profile.cmsEstimate(small, Seq(0L).toDF("k"), "k").collect()
     }
-    assert(e.getMessage.contains("build parameters"))
+    assert(e.getMessage.contains("was built with"))
     val e2 = intercept[IllegalArgumentException] {
       Profile.cmsEstimate(small, Seq(0L).toDF("k"), "k", depth = 2,
         width = 1).collect()
     }
-    assert(e2.getMessage.contains("build parameters"))
+    assert(e2.getMessage.contains("was built with"))
+    // width UNDERSHOOT (built 8, estimated 64): observationally
+    // invisible (sparse wide == narrow), caught only via metadata —
+    // the round-8 second-pass finding
+    val narrow = Profile.cmsCombine(
+      Profile.cmsPartials(df, col("slice"), col("k"), depth = 4,
+        width = 8))
+    val e3 = intercept[IllegalArgumentException] {
+      Profile.cmsEstimate(narrow, Seq(0L).toDF("k"), "k", depth = 4,
+        width = 64).collect()
+    }
+    assert(e3.getMessage.contains("was built with"))
+    // a BARE frame (metadata stripped — the read-back-from-DB path)
+    // still gets the observational depth check
+    val bare = small.select("slice", "row_i", "bucket", "cnt")
+    val e4 = intercept[IllegalArgumentException] {
+      Profile.cmsEstimate(bare, Seq(0L).toDF("k"), "k").collect()
+    }
+    assert(e4.getMessage.contains("build parameters"))
   }
 
   // ---- mp4 frame sums -------------------------------------------------

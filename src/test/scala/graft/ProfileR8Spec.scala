@@ -139,6 +139,18 @@ class ProfileR8Spec extends SparkSpec {
     assert(out("point") === (("point", 2L, None, None, None)))
   }
 
+  test("groupTrend excludes NULL observations entirely") {
+    // a NULL y row must not count into n while the sums skip it —
+    // that would silently corrupt the regression (review finding)
+    val obs = Seq(("g", Some(0L), Some(10L)), ("g", Some(1L), None),
+      ("g", Some(2L), Some(10L)), ("g", None, Some(7L)))
+      .toDF("g", "x", "y")
+    val out = Profile.groupTrend(obs, col("g"), col("x"), col("y"))
+      .select("n", "slope_r", "intercept_r")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(out === ((2L, Some(0.0), Some(10.0))))
+  }
+
   test("groupTrend intercept is reported at the frame's min x") {
     // same line y = 2x + 1 sampled at x = 10..12: after the min-x
     // shift the intercept is y(10) = 21, slope unchanged
@@ -165,6 +177,17 @@ class ProfileR8Spec extends SparkSpec {
     val t1 = (0.5 - 0.8) * math.log(0.5 / 0.8)
     assert(out(0)._4.get === math.rint(t0 * 1e4) / 1e4)
     assert(out(1)._4.get === math.rint(t1 * 1e4) / 1e4)
+  }
+
+  test("psi emits null shares (not NaN) when a snapshot is empty") {
+    val a = Seq(10.0, 60.0).toDF("v")
+    val b = a.filter(col("v") < 0) // empty snapshot
+    val out = Profile.psi(a, b, "v", 0.0, 100.0, 2)
+      .select("bin", "p_b_r", "psi_term_r")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2.isEmpty && r._3.isEmpty),
+      out.mkString(","))
   }
 
   test("psi emits null terms for one-sided bins") {
