@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench headline from the LAST ~2000 stdout
+// chars. Two sbt behaviors break that: the logger's "[info] " line
+// prefix, and the "[success] Total time..." epilogue printed AFTER
+// the program's final JSON line (observed verbatim in the BENCH_r08
+// tail — the summary object was whole but not last, parsed:null).
+// StdoutOutput passes the forked JVM's stdout through raw, and
+// showSuccess drops the epilogue, so graft.Bench's summary line is
+// the true last line of the process output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Contamination, Dedup, GifDecode, ImageIoDecode, MediaProbe, Mp4Demux, Multimodal, Packing, PixelDecode, Sampling, Similarity}
 import graft.functions.{TextFunctions => T}
+import graft.functions.Num.roundz
 
 /** [EXT] query inventory: dedup, similarity search, text analysis,
   * multimodal — the training-data-pipeline operators (SURVEY.md §2.9).
@@ -126,7 +127,7 @@ object ExtQueries {
         truth("query_id") === approx("query_id") &&
           col("neighbor_id") === col("approx_id"), "left")
         .groupBy(truth("query_id").as("query_id"))
-        .agg(round(count(col("approx_id")).cast("double") /
+        .agg(roundz(count(col("approx_id")).cast("double") /
           count(lit(1)).cast("double"), 2).as(alias))
     }
     // single-probe vs multi-probe recall side by side — the tuning
@@ -307,7 +308,7 @@ object ExtQueries {
     graft.operators.Decay.recencyScore(t(s, dir, "events"), "user_id",
       "ts", tau = 86400e9)
       .select(col("user_id"), col("n_events"),
-        round(col("score"), 4).as("score_r"))
+        roundz(col("score"), 4).as("score_r"))
       .orderBy(col("user_id"))
 
   /** Cohort retention matrix (`Cohorts.retention`): users bucketed by
@@ -385,7 +386,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", k = 30, minCount = 20L)
       .select(col("p"), col("w"), col("c_pw"),
-        round(col("pmi"), 4).as("pmi_r"))
+        roundz(col("pmi"), 4).as("pmi_r"))
       .orderBy(col("pmi_r").desc, col("p"), col("w"))
 
   /** Robust outlier report (`Profile.robustOutliers`): median + MAD
@@ -595,7 +596,7 @@ object ExtQueries {
       emb.filter(col("vec_id") % 17 === 0),
       "vec_id", "embedding", tau = 0.4)
       .select(col("vec_id"), col("bench_id"),
-        round(col("max_cos"), 4).as("max_cos"), col("contaminated"))
+        roundz(col("max_cos"), 4).as("max_cos"), col("contaminated"))
       .orderBy(col("vec_id"))
   }
 
@@ -678,7 +679,7 @@ object ExtQueries {
     graft.ext.Privacy.noisyCounts(
       t(s, dir, "events"), col("user_id") % 256, epsilon = 1.0,
       seed = "x79")
-      .select(col("grp"), col("n"), round(col("noisy"), 4).as("noisy_r"))
+      .select(col("grp"), col("n"), roundz(col("noisy"), 4).as("noisy_r"))
       .orderBy(col("grp"))
 
   /** CUBE aggregate with grouping_id: the full lattice over
@@ -1325,7 +1326,7 @@ object ExtQueries {
     graft.operators.Profile.histogram(
       t(s, dir, "documents").select(col("n_chars")), "n_chars", 12)
       .select(col("bucket"), col("cnt"),
-        round(col("lo"), 4).as("lo_r"), round(col("hi"), 4).as("hi_r"))
+        roundz(col("lo"), 4).as("lo_r"), roundz(col("hi"), 4).as("hi_r"))
       .orderBy(col("bucket"))
 
   /** Per-group z-score standardization (`Profile.standardize`):
@@ -1337,7 +1338,7 @@ object ExtQueries {
     graft.operators.Profile.standardize(
       t(s, dir, "documents").select(col("doc_id"), col("source"),
         col("n_chars")), "n_chars", "source")
-      .select(col("doc_id"), col("source"), round(col("z"), 4).as("z_r"))
+      .select(col("doc_id"), col("source"), roundz(col("z"), 4).as("z_r"))
       .orderBy(col("doc_id"))
 
   /** TF-IDF keyword extraction (`Keywords.tfidfTopK`): top-5 terms
@@ -1351,7 +1352,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", 5)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
-        col("df"), round(col("tfidf"), 4).as("tfidf_r"))
+        col("df"), roundz(col("tfidf"), 4).as("tfidf_r"))
       .orderBy(col("doc_id"), col("rank"))
 
   /** Mixture-targeted sampling (`Sampling.mixtureSample`): resample
@@ -1380,7 +1381,7 @@ object ExtQueries {
     val E = graft.functions.VectorFunctions
     t(s, dir, "embeddings").select(col("vec_id"),
         E.quantizeInt8(col("embedding")).getField("q").as("__q"),
-        round(E.l2Norm(col("embedding")), 4).as("nrm_r"))
+        roundz(E.l2Norm(col("embedding")), 4).as("nrm_r"))
       .select(col("vec_id"),
         aggregate(col("__q"), lit(0L), (a, x) => a + x).as("qsum"),
         array_min(col("__q")).cast("long").as("qmin"),
@@ -1422,7 +1423,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text")
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("avg_nll"), 4).as("nll_r"))
+        roundz(col("avg_nll"), 4).as("nll_r"))
       .orderBy(col("doc_id"))
 
   /** BM25 lexical retrieval (`Retrieval.bm25TopK`): top-50 documents
@@ -1437,7 +1438,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", Seq("spark", "vector", "merge"), 50)
       .select(col("doc_id"), col("n_matched"),
-        round(col("score"), 4).as("score_r"))
+        roundz(col("score"), 4).as("score_r"))
       .orderBy(col("doc_id"))
 
   /** Deterministic epoch shuffle (`Shuffling.epochShuffle`): shard +
@@ -1499,7 +1500,7 @@ object ExtQueries {
       concat(lit("n"), col("s_nationkey")).as("dst"))
     graft.operators.Graph.pageRank(trade.union(affil), "src", "dst",
         iterations = 3)
-      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+      .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
       .orderBy(col("node"))
   }
 
@@ -1532,7 +1533,7 @@ object ExtQueries {
     graft.ext.Retrieval.rrfFuse(Seq(lex, sem), "query_id", "doc_id", "rank",
         rrfK = 60, topK = 10)
       .select(col("query_id"), col("doc_id"), col("rank"),
-        round(col("rrf_score"), 9).as("score_r"), col("n_systems"))
+        roundz(col("rrf_score"), 9).as("score_r"), col("n_systems"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1547,7 +1548,7 @@ object ExtQueries {
     val docs = t(s, dir, "documents")
     val w = graft.ext.ImportanceSampling.dsirLogWeights(docs, "doc_id",
         "text", col("source") === "src0", buckets = 1024)
-      .withColumn("logw_r", round(col("logw"), 6))
+      .withColumn("logw_r", roundz(col("logw"), 6))
     val med = graft.operators.Scale.discreteQuantiles(
         w.withColumn("__g", lit(1L)), "__g", "logw_r", Seq(0.5))
       .select(col("q").as("__med"))
@@ -1594,8 +1595,8 @@ object ExtQueries {
       t(s, dir, "documents"), col("source"),
       T.wsTokenCount(col("text")), alpha = 0.7)
       .select(col("group").as("source"), col("n_rows").as("n_docs"),
-        col("mass").as("n_tokens"), round(col("weight"), 6).as("weight_r"),
-        round(col("rate"), 9).as("rate_r"))
+        col("mass").as("n_tokens"), roundz(col("weight"), 6).as("weight_r"),
+        roundz(col("rate"), 9).as("rate_r"))
       .orderBy(col("source"))
 
   /** Mutual-best entity matching (`FuzzyJoin.mutualBestMatch`): noisy
@@ -1678,7 +1679,7 @@ object ExtQueries {
       .select(concat(lit("c"), col("c_custkey")).as("seed"))
     graft.operators.Graph.personalizedPageRank(trade.union(affil),
         "src", "dst", seeds, "seed", iterations = 3)
-      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+      .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
       .orderBy(col("node"))
   }
 
@@ -1698,7 +1699,7 @@ object ExtQueries {
         partials.unionByName(P.binnedQuantileCombine(partials)),
         lo = 0.0, hi = 1024.0, nBins = 64, ps = Seq(0.5, 0.9, 0.99))
       .select(col("slice"), col("p"),
-        round(col("q_est"), 9).as("q_est_r"), col("n"))
+        roundz(col("q_est"), 9).as("q_est_r"), col("n"))
       .orderBy(col("slice"), col("p"))
   }
 
@@ -1714,7 +1715,7 @@ object ExtQueries {
       T.wsTokenCount(col("text")), Seq(16L, 32L, 48L, 64L, 80L))
       .select(col("boundary"), col("n_docs"), col("sum_tokens"),
         col("padded_tokens"), col("truncated_tokens"),
-        round(col("waste_frac"), 9).as("waste_frac_r"))
+        roundz(col("waste_frac"), 9).as("waste_frac_r"))
       .orderBy(col("boundary"))
 
   /** Salted skew-join equivalence (`Scale.saltedJoinDeterministic`):
@@ -1750,8 +1751,8 @@ object ExtQueries {
       col("source"),
       col("n_chars") >= 150 && T.wsTokenCount(col("text")) >= 30)
       .select(col("group").as("source"), col("n"), col("k"),
-        round(col("rate"), 9).as("rate_r"),
-        round(col("wilson_lb"), 9).as("wilson_lb_r"))
+        roundz(col("rate"), 9).as("rate_r"),
+        roundz(col("wilson_lb"), 9).as("wilson_lb_r"))
       .orderBy(col("source"))
 
   /** Per-source token-budget selection (`Sampling.tokenBudgetTake`):
@@ -1795,7 +1796,7 @@ object ExtQueries {
       Seq(2, 5, 25))
       .select(col("k"), col("n_classes"), col("classes_below"),
         col("rows_at_risk"), col("n_rows"),
-        round(col("risk_frac"), 9).as("risk_frac_r"))
+        roundz(col("risk_frac"), 9).as("risk_frac_r"))
       .orderBy(col("k"))
 
   /** Per-doc n-gram novelty curve (`Dedup.noveltyProfile`): the
@@ -1810,7 +1811,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", n = 8)
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("novelty_frac"), 9).as("novelty_r"))
+        roundz(col("novelty_frac"), 9).as("novelty_r"))
       .orderBy(col("doc_id"))
 
   /** Winsorized per-language length stats (`Profile.winsorize`):
@@ -1824,7 +1825,7 @@ object ExtQueries {
       "lang", "n_chars", pLo = 0.125, pHi = 0.875)
       .select(col("lang"), col("n"), col("n_lo"), col("n_hi"),
         col("lo"), col("hi"), col("winsorized_sum"),
-        round(col("winsorized_mean"), 9).as("winsorized_mean_r"))
+        roundz(col("winsorized_mean"), 9).as("winsorized_mean_r"))
       .orderBy(col("lang"))
 
   /** Reliability diagram (`Calibrate.reliability`): the within-lang
@@ -1842,9 +1843,9 @@ object ExtQueries {
     graft.operators.Calibrate.reliability(scored, col("pct"),
         col("n_chars") >= 150, nBins = 10)
       .select(col("bin"), col("n"), col("n_pos"),
-        round(col("conf_mid"), 9).as("conf_mid_r"),
-        round(col("acc"), 9).as("acc_r"),
-        round(col("gap"), 9).as("gap_r"))
+        roundz(col("conf_mid"), 9).as("conf_mid_r"),
+        roundz(col("acc"), 9).as("acc_r"),
+        roundz(col("gap"), 9).as("gap_r"))
       .orderBy(col("bin"))
   }
 
@@ -1860,7 +1861,7 @@ object ExtQueries {
       t(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", checkpoints = Seq(25L, 50L, 100L, 250L, 500L))
       .select(col("k"), col("n_tokens"), col("vocab_size"),
-        round(col("ttr"), 9).as("ttr_r"))
+        roundz(col("ttr"), 9).as("ttr_r"))
       .orderBy(col("k"))
 
   /** Concurrent-session analysis (`RangeJoin.intervalOverlap`): x17's
@@ -1952,7 +1953,7 @@ object ExtQueries {
       .unionByName(rule(3, col("doc_id") % 7 === 0))
     graft.operators.Graph.nodeTriangles(edges, "a", "b")
       .select(col("node"), col("degree"), col("n_tri"),
-        round(col("cc"), 9).as("cc_r"))
+        roundz(col("cc"), 9).as("cc_r"))
       .orderBy(col("node"))
   }
 
@@ -1987,12 +1988,17 @@ object ExtQueries {
     * the tightest pair sits 4.4e-9 from a rounding half-boundary
     * (sf0.1 — a latent gate-flipper), at 3 dp the minimum margin is
     * 1.2e-7 across all three SFs, above the ~1e-12 cross-engine
-    * drift by five orders. Hence 3 dp. */
+    * drift by five orders. Hence 3 dp — EXCEPT at zero itself, which
+    * is a boundary whose rounded SIGN flips on that same 1e-12 drift
+    * (the round-8 red row: vec_id=137 rounded to +0.0 here and −0.0
+    * in DuckDB — equal values, different IEEE bits, driver hash
+    * fail). `+ 0.0` normalizes signed zero on BOTH sides (IEEE:
+    * `-0.0 + 0.0 = +0.0`; identity for every other value). */
   private def x119(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
     t(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
     s.sql("""SELECT a.vec_id AS vec_id,
-            |  round(graft_cosine(a.embedding, b.embedding), 3)
+            |  round(graft_cosine(a.embedding, b.embedding), 3) + 0.0
             |    AS cos_next
             |FROM graft_sql_emb a
             |JOIN graft_sql_emb b ON b.vec_id = a.vec_id + 1
@@ -2019,7 +2025,7 @@ object ExtQueries {
         aggregate(col("__w"), lit(0L), (a, x) => a + x).as("n_words"),
         array_max(col("__w")).cast("long").as("max_sent_words"))
       .withColumn("mean_sent_words_r",
-        round(col("n_words").cast("double") /
+        roundz(col("n_words").cast("double") /
           col("n_sentences").cast("double"), 9))
       .orderBy(col("doc_id"))
   }
@@ -2084,7 +2090,11 @@ object ExtQueries {
       concat(lit("u"), col("doc_id"), lit("a u"), col("doc_id"),
         lit("b u"), col("doc_id"), lit("c "), col("text")).as("text"))
     val toksArr = filter(split(col("text"), "\\s+"), x => x =!= "")
-    val mut = salted.select((col("doc_id") + 100000).as("doc_id"),
+    // +1000000L (the repo-wide mutant offset): +100000 collides with
+    // real doc ids once documents reaches 100k rows (larger SFs),
+    // where the engine's groupBy(doc) would merge both texts' token
+    // sets while the brute-force oracle keeps per-row sets
+    val mut = salted.select((col("doc_id") + 1000000L).as("doc_id"),
       array_join(slice(toksArr, lit(1),
         ceil(lit(0.8) * size(toksArr)).cast("int")), " ").as("text"))
     Dedup.prefixJaccardJoin(salted.unionByName(mut), "doc_id", "text",
@@ -2179,7 +2189,7 @@ object ExtQueries {
       array_min(zip_with(col("diffs"),
         sequence(lit(1), size(col("diffs"))),
         (d, i) => when(abs(d) > tau, i))).cast("long").as("first_cut"),
-      round(array_max(transform(col("diffs"), d => abs(d))), 9)
+      roundz(array_max(transform(col("diffs"), d => abs(d))), 9)
         .as("max_jump_r"))
       .orderBy(col("doc_id"))
   }
@@ -2426,7 +2436,7 @@ object ExtQueries {
         |SELECT source, n, total,
         |  CASE WHEN total > 0 AND n > 1 THEN
         |    round(CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE)
-        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9) + 0.0
         |    END AS gini_r
         |FROM g ORDER BY source""".stripMargin,
     // confusion cells through the independent langid CASE; kappa from
@@ -2467,14 +2477,14 @@ object ExtQueries {
         |        GROUP BY b) cc ON r.a = cc.b)
         |SELECT tot.n, ag.n_agree,
         |  CASE WHEN tot.n > 0 THEN round(CAST(ag.n_agree AS DOUBLE)
-        |    / CAST(tot.n AS DOUBLE), 9) END AS po_r,
+        |    / CAST(tot.n AS DOUBLE), 9) + 0.0 END AS po_r,
         |  CASE WHEN tot.n > 0 THEN round(CAST(mp.ps AS DOUBLE)
-        |    / CAST(tot.n * tot.n AS DOUBLE), 9) END AS pe_r,
+        |    / CAST(tot.n * tot.n AS DOUBLE), 9) + 0.0 END AS pe_r,
         |  CASE WHEN tot.n > 0 AND mp.ps <> tot.n * tot.n THEN
         |    round((CAST(ag.n_agree AS DOUBLE) / CAST(tot.n AS DOUBLE)
         |      - CAST(mp.ps AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE))
         |      / (1.0 - CAST(mp.ps AS DOUBLE)
-        |         / CAST(tot.n * tot.n AS DOUBLE)), 9) END AS kappa_r
+        |         / CAST(tot.n * tot.n AS DOUBLE)), 9) + 0.0 END AS kappa_r
         |FROM tot, ag, mp""".stripMargin,
     // identical six-BIGINT-sum closed forms; min-x shift replayed
     "x130_trend" ->
@@ -2492,13 +2502,13 @@ object ExtQueries {
         |SELECT event_type, n,
         |  CASE WHEN n*sxx - sx*sx > 0 THEN
         |    round(CAST(n*sxy - sx*sy AS DOUBLE)
-        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) END AS slope_r,
+        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) + 0.0 END AS slope_r,
         |  CASE WHEN n*sxx - sx*sx > 0 THEN
         |    round(CAST(sy*sxx - sx*sxy AS DOUBLE)
-        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) END AS intercept_r,
+        |      / CAST(n*sxx - sx*sx AS DOUBLE), 9) + 0.0 END AS intercept_r,
         |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
         |    round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE)
-        |      / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 9)
+        |      / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 9) + 0.0
         |    END AS r2_r
         |FROM s ORDER BY event_type""".stripMargin,
     // same clamped declared bins, same share divisions, same
@@ -2524,8 +2534,8 @@ object ExtQueries {
         |  FROM c)
         |SELECT bin, n_a, n_b,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
-        |    round((p_a - p_b) * ln(p_a / p_b), 4) END AS psi_term_r,
-        |  round(p_a, 9) AS p_a_r, round(p_b, 9) AS p_b_r
+        |    round((p_a - p_b) * ln(p_a / p_b), 4) + 0.0 END AS psi_term_r,
+        |  round(p_a, 9) + 0.0 AS p_a_r, round(p_b, 9) + 0.0 AS p_b_r
         |FROM p ORDER BY bin""".stripMargin,
     // the sketch rebuilt cell-for-cell in SQL (declared mod-hash):
     // GROUP BY (i, bucket) = the d×w matrix, min over rows = estimate
@@ -2582,7 +2592,7 @@ object ExtQueries {
         |    AS n_cuts,
         |  CAST(min(CASE WHEN abs(diff) > CAST(98.0 AS DOUBLE)
         |    THEN f END) AS BIGINT) AS first_cut,
-        |  round(max(abs(diff)), 9) AS max_jump_r
+        |  round(max(abs(diff)), 9) + 0.0 AS max_jump_r
         |FROM p LEFT JOIN dd ON dd.doc_id = p.doc_id
         |GROUP BY p.doc_id, p.nf ORDER BY p.doc_id""".stripMargin,
     // the x8/x9/x10 replays composed: independent DuckDB regex/split
@@ -2669,7 +2679,7 @@ object ExtQueries {
         |SELECT stage_idx, stage, n_in, n_failed,
         |  n_in - n_failed AS n_out,
         |  CAST(CASE WHEN n_in > 0 THEN round(CAST(n_failed AS DOUBLE)
-        |      / CAST(n_in AS DOUBLE), 9) ELSE 0.0 END AS DOUBLE)
+        |      / CAST(n_in AS DOUBLE), 9) + 0.0 ELSE 0.0 END AS DOUBLE)
         |    AS drop_rate_r
         |FROM f ORDER BY stage_idx""".stripMargin,
     // BRUTE-FORCE all-pairs Jaccard (no prefix filter, no ordering):
@@ -2683,7 +2693,7 @@ object ExtQueries {
         |corpus AS (
         |  SELECT doc_id, text FROM salted
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 1000000,
         |    array_to_string(list_slice(toks, 1,
         |      CAST(ceil(0.8 * len(toks)) AS BIGINT)), ' ')
         |  FROM (SELECT doc_id,
@@ -2704,7 +2714,7 @@ object ExtQueries {
         |       GROUP BY 1, 2)
         |SELECT doc_a, doc_b, CAST(sa.n AS BIGINT) AS n_a,
         |  CAST(sb.n AS BIGINT) AS n_b, CAST(o AS BIGINT) AS overlap,
-        |  round(CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE), 9)
+        |  round(CAST(o AS DOUBLE) / CAST(sa.n + sb.n - o AS DOUBLE), 9) + 0.0
         |    AS jaccard_r
         |FROM ov
         |JOIN sz sa ON sa.doc_id = doc_a
@@ -2784,7 +2794,7 @@ object ExtQueries {
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
         |e AS (SELECT c.digit, c.n,
-        |    round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 9)
+        |    round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 9) + 0.0
         |      AS frac_r,
         |    CAST(CASE c.digit
         |      WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
@@ -2794,7 +2804,7 @@ object ExtQueries {
         |      WHEN 9 THEN 0.045757490560675 END AS DOUBLE) AS expected
         |  FROM c, tot)
         |SELECT digit, n, frac_r, expected,
-        |  round(frac_r - expected, 9) AS excess_r
+        |  round(frac_r - expected, 9) + 0.0 AS excess_r
         |FROM e ORDER BY digit""".stripMargin,
     // integer CUSUM replayed with window functions: cumulative count
     // minus the i·T closed form, all BIGINT — an independent
@@ -2833,7 +2843,7 @@ object ExtQueries {
         |  FROM sw WHERE w > 0 GROUP BY doc_id)
         |SELECT doc_id, n_sentences, n_words, max_sent_words,
         |  round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE),
-        |    9) AS mean_sent_words_r
+        |    9) + 0.0 AS mean_sent_words_r
         |FROM agg ORDER BY doc_id""".stripMargin,
     // DuckDB's NATIVE list_cosine_similarity (the x6 precedent) —
     // an independent implementation of the same dot/norm series
@@ -2841,7 +2851,7 @@ object ExtQueries {
       """SELECT a.vec_id AS vec_id,
         |  round(list_cosine_similarity(
         |    CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_next
+        |    CAST(b.embedding AS DOUBLE[])), 3) + 0.0 AS cos_next
         |FROM embeddings a
         |JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_id""".stripMargin,
@@ -2900,7 +2910,7 @@ object ExtQueries {
         |  round(CASE WHEN deg.d >= 2 THEN
         |      2.0 * CAST(coalesce(tn.t, 0) AS DOUBLE)
         |        / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
-        |    ELSE 0.0 END, 9) AS cc_r
+        |    ELSE 0.0 END, 9) + 0.0 AS cc_r
         |FROM deg LEFT JOIN tn ON tn.n = deg.n
         |ORDER BY node""".stripMargin,
     // decimation replayed arithmetically: sample(i) =
@@ -2985,12 +2995,12 @@ object ExtQueries {
         |  FROM p)
         |SELECT bin, count(*) AS n,
         |  CAST(sum(pos) AS BIGINT) AS n_pos,
-        |  round((CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE), 9)
+        |  round((CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE), 9) + 0.0
         |    AS conf_mid_r,
-        |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |  round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) + 0.0
         |    AS acc_r,
         |  round(abs(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    - (CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE)), 9)
+        |    - (CAST(bin AS DOUBLE) + 0.5) / CAST(10 AS DOUBLE)), 9) + 0.0
         |    AS gap_r
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // type identity replayed on the token TEXT; first-occurrence
@@ -3016,7 +3026,7 @@ object ExtQueries {
         |SELECT k, n_tokens, vocab_size,
         |  round(CASE WHEN n_tokens = 0 THEN 0.0
         |    ELSE CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-        |    END, 9) AS ttr_r
+        |    END, 9) + 0.0 AS ttr_r
         |FROM c JOIN v USING (k) ORDER BY k""".stripMargin,
     // equivalence classes over the same QI tuple (64-char length
     // band via integer division), per-k conditional integer sums,
@@ -3034,7 +3044,7 @@ object ExtQueries {
         |    AS rows_at_risk,
         |  CAST(sum(sz) AS BIGINT) AS n_rows,
         |  round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
-        |    / CAST(sum(sz) AS DOUBLE), 9) AS risk_frac_r
+        |    / CAST(sum(sz) AS DOUBLE), 9) + 0.0 AS risk_frac_r
         |FROM c, k GROUP BY k ORDER BY k""".stripMargin,
     // gram identity replayed on the gram TEXT (x97's window
     // machinery); first occurrence = min doc_id; within-first-doc
@@ -3057,7 +3067,7 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END)
         |    AS BIGINT) AS n_novel,
         |  round(CAST(sum(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END)
-        |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) AS novelty_r
+        |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) + 0.0 AS novelty_r
         |FROM dg JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bounds replayed with the operator's own rank rule (min value
@@ -3085,7 +3095,7 @@ object ExtQueries {
         |  CAST(sum(least(greatest(n_chars, lo), hi)) AS BIGINT)
         |    AS winsorized_sum,
         |  round(CAST(sum(least(greatest(n_chars, lo), hi)) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 9) AS winsorized_mean_r
+        |    / CAST(count(*) AS DOUBLE), 9) + 0.0 AS winsorized_mean_r
         |FROM v JOIN q USING (lang)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // bucket = least(floor((x - mn)/w), n-1) with w = (mx - mn)/12,
@@ -3100,8 +3110,8 @@ object ExtQueries {
         |        mn, (mx - mn) / 12 AS w
         |      FROM documents, s WHERE n_chars IS NOT NULL)
         |SELECT bucket, count(*) AS cnt,
-        |  round(min(mn + bucket * w), 4) AS lo_r,
-        |  round(min(mn + (bucket + 1) * w), 4) AS hi_r
+        |  round(min(mn + bucket * w), 4) + 0.0 AS lo_r,
+        |  round(min(mn + (bucket + 1) * w), 4) + 0.0 AS hi_r
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // z = (x - mean)/sd with sample stddev; engines' variance merge
     // orders differ ~1e-13 — inside the probed 4dp margins (x56 doc)
@@ -3112,7 +3122,7 @@ object ExtQueries {
         |  FROM documents GROUP BY source)
         |SELECT doc_id, source,
         |  round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-        |    ELSE (CAST(n_chars AS DOUBLE) - m) / sd END, 4) AS z_r
+        |    ELSE (CAST(n_chars AS DOUBLE) - m) / sd END, 4) + 0.0 AS z_r
         |FROM documents JOIN s USING (source)
         |ORDER BY doc_id""".stripMargin,
     // same \W+ tokenization as x40's postings; score arithmetic in
@@ -3134,7 +3144,7 @@ object ExtQueries {
         |      AS rank
         |  FROM tf JOIN df USING (term), n)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
-        |  round(tfidf, 4) AS tfidf_r
+        |  round(tfidf, 4) + 0.0 AS tfidf_r
         |FROM sc WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
     // rates re-derived from counts with the weight literals baked in;
@@ -3177,7 +3187,7 @@ object ExtQueries {
         |  CAST(list_aggregate(qs, 'max') AS BIGINT) AS qmax,
         |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT)
         |    AS n_sat,
-        |  round(nrm, 4) AS nrm_r
+        |  round(nrm, 4) + 0.0 AS nrm_r
         |FROM q ORDER BY vec_id""".stripMargin,
     // same fingerprint normalization as x1; NOT IN is safe
     // (md5 never null); row_number replicates first-in-batch
@@ -3224,7 +3234,7 @@ object ExtQueries {
         |      FROM (SELECT unnest(toks) AS x FROM t)),
         |sc AS (SELECT doc_id, -ln((c_pw + 0.5) / (c_p + 0.5 * vs)) AS nll
         |  FROM pw JOIN bc USING (p, w) JOIN cc USING (p), v)
-        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll_r
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) + 0.0 AS nll_r
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // arithmetic replicated in the operator's evaluation order:
     // (idf * (tf*(k1+1))) / (tf + (k1 * ((1-b) + ((b*dl)/avgdl))));
@@ -3257,7 +3267,7 @@ object ExtQueries {
         |      / (tf2 + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score
         |  FROM d, s WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
         |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50)
-        |SELECT doc_id, n_matched, round(score, 4) AS score_r
+        |SELECT doc_id, n_matched, round(score, 4) + 0.0 AS score_r
         |FROM top ORDER BY doc_id""".stripMargin,
     // window starts re-derived per row: kmax mirrors the operator's
     // floor((n - chunkSize + step - 1) / step) double arithmetic
@@ -3328,7 +3338,7 @@ object ExtQueries {
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) + 0.0 AS cos
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
@@ -3346,7 +3356,7 @@ object ExtQueries {
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
         |      AS rank
         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "x29_pack" ->
@@ -3676,11 +3686,11 @@ object ExtQueries {
         |    CAST(n AS DOUBLE) AS nd,
         |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
         |  FROM a)
-        |SELECT grp AS source, n, k, round(p, 9) AS rate_r,
+        |SELECT grp AS source, n, k, round(p, 9) + 0.0 AS rate_r,
         |  round(greatest((p + z2 / (2.0 * nd)
         |      - CAST(1.96 AS DOUBLE)
         |        * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)))
-        |    / (1.0 + z2 / nd), 0.0), 9) AS wilson_lb_r
+        |    / (1.0 + z2 / nd), 0.0), 9) + 0.0 AS wilson_lb_r
         |FROM b ORDER BY source""".stripMargin,
     // the same running-frame cumsum per source and the same strict
     // keep rule (preceding mass < budget: the crossing doc is kept)
@@ -3735,7 +3745,7 @@ object ExtQueries {
         |SELECT slice, p,
         |  round(0.0 + bin * 16.0 + 16.0 *
         |    CAST(ceil(p * n) - (cum - cnt) AS DOUBLE)
-        |    / CAST(cnt AS DOUBLE), 9) AS q_est_r,
+        |    / CAST(cnt AS DOUBLE), 9) + 0.0 AS q_est_r,
         |  CAST(n AS BIGINT) AS n
         |FROM c JOIN p ON ceil(p * n) > cum - cnt AND ceil(p * n) <= cum
         |ORDER BY slice, p""".stripMargin,
@@ -3757,7 +3767,7 @@ object ExtQueries {
         |  CAST(sum(len - used) AS BIGINT) AS truncated_tokens,
         |  round(CAST(count(*) * boundary
         |      - (sum(len) - sum(len - used)) AS DOUBLE)
-        |    / CAST(count(*) * boundary AS DOUBLE), 9) AS waste_frac_r
+        |    / CAST(count(*) * boundary AS DOUBLE), 9) + 0.0 AS waste_frac_r
         |FROM b GROUP BY boundary ORDER BY boundary""".stripMargin,
     // x94's skeleton with seed-conditional teleport: r_{k+1}(v) =
     // (1-d)*tp_v + d*(contrib + dangling*tp_v), tp = 1/|S| on seeds
@@ -3806,7 +3816,7 @@ object ExtQueries {
         |  (1.0 - 0.85) * tp.tp + 0.85 * (coalesce(c3.c, 0)
         |    + (SELECT m FROM dm3) * tp.tp) AS r
         |  FROM tp LEFT JOIN c3 ON c3.node = tp.node)
-        |SELECT node, round(r, 9) AS rank_r FROM r3
+        |SELECT node, round(r, 9) + 0.0 AS rank_r FROM r3
         |ORDER BY node""".stripMargin,
     // expected EXIF fields from doc_id arithmetic alone — never from
     // the bytes — so synthesis AND parsing must both be right
@@ -3882,8 +3892,8 @@ object ExtQueries {
         |t AS (SELECT sum(weight) AS tw FROM w)
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(weight, 6) AS weight_r,
-        |  round(weight / (SELECT tw FROM t), 9) AS rate_r
+        |  round(weight, 6) + 0.0 AS weight_r,
+        |  round(weight / (SELECT tw FROM t), 9) + 0.0 AS rate_r
         |FROM w ORDER BY source""".stripMargin,
     // same synthetic prefix-copy corpus (integer DIV prefix length),
     // then the extent geometry on literal window text: dup windows =
@@ -3949,7 +3959,7 @@ object ExtQueries {
         |pw AS (SELECT f.doc_id, count(*) AS n_feats, sum(lr.logr) AS logw
         |  FROM feats f JOIN lr ON lr.b = f.b GROUP BY f.doc_id),
         |r AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-        |    round(logw, 6) AS logw_r FROM pw),
+        |    round(logw, 6) + 0.0 AS logw_r FROM pw),
         |m AS (SELECT quantile_disc(logw_r, 0.5) AS med FROM r)
         |SELECT doc_id, n_feats, logw_r,
         |  logw_r >= (SELECT med FROM m) AS keep
@@ -4037,7 +4047,7 @@ object ExtQueries {
         |      ORDER BY score DESC, doc_id) AS rank,
         |    score, n_systems FROM f)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-        |  CAST(rank AS BIGINT) AS rank, round(score, 9) AS score_r,
+        |  CAST(rank AS BIGINT) AS rank, round(score, 9) + 0.0 AS score_r,
         |  CAST(n_systems AS BIGINT) AS n_systems
         |FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
@@ -4083,7 +4093,7 @@ object ExtQueries {
         |  (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c3.c, 0)
         |    + (SELECT m FROM dm3) / (SELECT n FROM nn)) AS r
         |  FROM nodes LEFT JOIN c3 ON c3.node = nodes.n)
-        |SELECT node, round(r, 9) AS rank_r FROM r3
+        |SELECT node, round(r, 9) + 0.0 AS rank_r FROM r3
         |ORDER BY node""".stripMargin,
     "x93_token_ids" ->
       """WITH tok0 AS (
@@ -4297,7 +4307,7 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY c.vec_id
         |      ORDER BY list_cosine_similarity(cv, bv) DESC, b.bench_id) AS rn
         |  FROM c CROSS JOIN b)
-        |SELECT vec_id, bench_id, round(cos, 4) AS max_cos,
+        |SELECT vec_id, bench_id, round(cos, 4) + 0.0 AS max_cos,
         |  cos >= 0.4 AS contaminated
         |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // x44's closure CTE re-aggregated to the size histogram
@@ -4495,7 +4505,7 @@ object ExtQueries {
         |  FROM h)
         |SELECT grp, n,
         |  round(CAST(n AS DOUBLE)
-        |    + (-1.0) * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)), 4)
+        |    + (-1.0) * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)), 4) + 0.0
         |    AS noisy_r
         |FROM u ORDER BY grp""".stripMargin,
     // GROUPING() bitmask uses the same first-arg-most-significant
@@ -4846,7 +4856,7 @@ object ExtQueries {
         |           / (CAST(c_p AS DOUBLE) * c_w)) AS pmi
         |      FROM j JOIN mp USING (p) JOIN mw USING (w), b),
         |top AS (SELECT * FROM s ORDER BY pmi DESC, p, w LIMIT 30)
-        |SELECT p, w, c_pw, round(pmi, 4) AS pmi_r
+        |SELECT p, w, c_pw, round(pmi, 4) + 0.0 AS pmi_r
         |FROM top ORDER BY pmi_r DESC, p, w""".stripMargin,
     // weights exp((ts - max)/tau) with the long->double cast and
     // division in the operator's order; ts is TIMESTAMP_NS in DuckDB
@@ -4855,7 +4865,7 @@ object ExtQueries {
       """WITH mx AS (SELECT max(ts) AS m FROM events)
         |SELECT user_id, count(*) AS n_events,
         |  round(sum(exp((epoch_ns(ts) - epoch_ns(m))
-        |    / 86400000000000.0)), 4) AS score_r
+        |    / 86400000000000.0)), 4) + 0.0 AS score_r
         |FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin,
     // x5's exact pair predicate + x44's recursive closure, composed;
     // group_id = min vec_id of the component on both sides

@@ -352,17 +352,39 @@ object SparkEntry {
   }
 
   /** Sketch aggregates (HLL distinct, approximate quantiles) — the
-    * approx layer Catalyst supplies; rows-only (engine-specific
-    * sketches never hash-match another engine). */
+    * approx layer Catalyst supplies. Raw sketch values never
+    * hash-match another engine, so (round 9, ex rows-only) the row is
+    * oracle-gated through what IS deterministic cross-engine: the
+    * exact count-distinct each sketch estimates, plus booleans
+    * pinning each sketch inside a slack band far outside its
+    * guarantee (approx_count_distinct rsd 0.05 → checked at ±15%;
+    * percentile_approx accuracy 1000 → rank error 1e-3, checked at
+    * ±5% rank via exact percentiles). The exact columns are the
+    * verification harness — production callers keep the sketch
+    * columns alone; a broken sketch flips a boolean and the driver
+    * hash catches it. `ApproxBoundsSpec` additionally asserts the
+    * raw sketch errors, tighter. */
   private def b4(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("__approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_price"),
+          .as("__p50"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("p99_price"))
+          .as("__p99"),
+        expr("percentile(l_extendedprice, 0.45)").as("__p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("__p55"),
+        expr("percentile(l_extendedprice, 0.95)").as("__p95"),
+        max(col("l_extendedprice")).as("__pmax"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx_parts") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.15).as("approx_parts_ok"),
+        (col("__p50") >= col("__p45") && col("__p50") <= col("__p55"))
+          .as("p50_in_bounds"),
+        (col("__p99") >= col("__p95") && col("__p99") <= col("__pmax"))
+          .as("p99_in_bounds"))
       .orderBy(col("l_returnflag"))
 
   // ------------------------------------------------------------------ API
@@ -544,5 +566,16 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    // b4's sketch values are engine-specific; the oracle checks the
+    // exact distinct count and asserts the engine-side bounded-error
+    // booleans came out TRUE (they are deterministic given the data —
+    // Spark's HLL and KLL sketches are deterministic — and sit far
+    // inside their guarantees at every SF).
+    "b4_approx_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_parts_ok, TRUE AS p50_in_bounds,
+        |  TRUE AS p99_in_bounds
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.Num.roundz
 
 /** [EXT] Deduplication operators over a document corpus.
   *
@@ -676,7 +677,7 @@ object Dedup {
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), roundz(col("cos"), 4).as("cos"))
     (pairs, hot)
   }
 
@@ -793,6 +794,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
-        col("overlap"), round(col("j"), 9).as("jaccard_r"))
+        col("overlap"), roundz(col("j"), 9).as("jaccard_r"))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
+import graft.functions.Num.roundz
 
 /** [EXT] Similarity search over an embedding column.
   *
@@ -31,7 +32,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+        roundz(col("cos"), 4).as("cos"))
   }
 
   /** IVF centroid training: driver-side Lloyd iterations over a bounded
@@ -170,7 +171,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+        roundz(col("cos"), 4).as("cos"))
   }
 
   /** Product-quantization codebook training: per-subspace Lloyd over
@@ -250,7 +251,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("approx_d2"), 4).as("approx_d2"))
+        roundz(col("approx_d2"), 4).as("approx_d2"))
   }
 
   /** LSH-bucketed ANN: corpus and queries bucketed by sign-bit
@@ -285,6 +286,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+        roundz(col("cos"), 4).as("cos"))
   }
 }

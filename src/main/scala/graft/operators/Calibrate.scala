@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Num.roundz
 
 /** Per-group percentile-rank calibration: map a raw score to its
   * percent rank within its group — the normalization step that makes
@@ -120,13 +121,13 @@ object Calibrate {
     import spark.implicits._
     Seq((n, agree, prodSum)).toDF("n", "n_agree", "marginal_prod_sum")
       .select(col("n"), col("n_agree"),
-        when(col("n") > 0, round(
+        when(col("n") > 0, roundz(
           col("n_agree").cast("double") / col("n").cast("double"), 9))
           .as("po_r"),
-        when(col("n") > 0, round(col("marginal_prod_sum").cast("double") /
+        when(col("n") > 0, roundz(col("marginal_prod_sum").cast("double") /
           (col("n") * col("n")).cast("double"), 9)).as("pe_r"),
         when(col("n") > 0 &&
-          col("marginal_prod_sum") =!= col("n") * col("n"), round(
+          col("marginal_prod_sum") =!= col("n") * col("n"), roundz(
           (col("n_agree").cast("double") / col("n").cast("double") -
             col("marginal_prod_sum").cast("double") /
               (col("n") * col("n")).cast("double")) /

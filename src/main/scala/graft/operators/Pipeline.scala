@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Num.roundz
 
 /** Producer/consumer row-transform pipeline: projection, coercion,
   * auto-fields, key extraction, truncation, topic prefixing.
@@ -164,7 +165,7 @@ object Pipeline {
         lit(total) - sum(col("n_failed")).over(cum) + col("n_failed"))
       .withColumn("n_out", col("n_in") - col("n_failed"))
       .withColumn("drop_rate_r",
-        when(col("n_in") > 0, round(col("n_failed").cast("double") /
+        when(col("n_in") > 0, roundz(col("n_failed").cast("double") /
           col("n_in").cast("double"), 9)).otherwise(lit(0.0)))
       .select(col("stage_idx"), col("stage"), col("n_in"),
         col("n_failed"), col("n_out"), col("drop_rate_r"))

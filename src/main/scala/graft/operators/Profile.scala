@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Num.roundz
 
 /** Data-quality profiling: per-column completeness and cardinality in
   * ONE pass over the table — the report a pipeline runs on every new
@@ -512,11 +513,11 @@ object Profile {
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
       .withColumn("frac_r",
-        round(col("n").cast("double") /
+        roundz(col("n").cast("double") /
           sum(col("n")).over(w).cast("double"), 9))
       .withColumn("expected",
         element_at(array(expected.map(lit): _*), col("digit")))
-      .withColumn("excess_r", round(col("frac_r") - col("expected"), 9))
+      .withColumn("excess_r", roundz(col("frac_r") - col("expected"), 9))
   }
 
   /** Mergeable count-min sketch partials — the FREQUENCY member of
@@ -608,21 +609,27 @@ object Profile {
     val cells = sketch.groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), metaAggs: _*)
       .localCheckpoint(true)
+    // Guards read via cast("long") + getLong: a sketch frame read back
+    // from a database can come back with row_i/bucket/meta widened to
+    // BIGINT, and this observational check targets exactly that
+    // round-trip — it must `require`, not ClassCastException.
     if (hasMeta) {
-      cells.select(col("cms_depth"), col("cms_width")).take(1)
+      cells.select(col("cms_depth").cast("long"),
+          col("cms_width").cast("long")).take(1)
         .foreach { meta =>
-          require(meta.getInt(0) == depth && meta.getInt(1) == width,
-            s"cmsEstimate: sketch was built with depth=${meta.getInt(0)} " +
-              s"width=${meta.getInt(1)}, estimate called with " +
+          require(meta.getLong(0) == depth && meta.getLong(1) == width,
+            s"cmsEstimate: sketch was built with depth=${meta.getLong(0)} " +
+              s"width=${meta.getLong(1)}, estimate called with " +
               s"depth=$depth width=$width")
         }
     } else {
-      val dims = cells.agg(min(col("row_i")), max(col("row_i")),
-        max(col("bucket")), count(lit(1))).head()
+      val dims = cells.agg(min(col("row_i").cast("long")),
+        max(col("row_i").cast("long")),
+        max(col("bucket").cast("long")), count(lit(1))).head()
       if (dims.getLong(3) > 0) {
-        require(dims.getInt(0) == 0 && dims.getInt(1) == depth - 1,
-          s"cmsEstimate: sketch rows ${dims.getInt(0)}.." +
-            s"${dims.getInt(1)} do not match depth=$depth — estimate " +
+        require(dims.getLong(0) == 0L && dims.getLong(1) == depth - 1,
+          s"cmsEstimate: sketch rows ${dims.getLong(0)}.." +
+            s"${dims.getLong(1)} do not match depth=$depth — estimate " +
             "with the sketch's build parameters")
         require(dims.getLong(2) < width,
           s"cmsEstimate: sketch bucket ${dims.getLong(2)} outside " +
@@ -681,12 +688,12 @@ object Profile {
     val denX = col("n") * col("sxx") - col("sx") * col("sx")
     val denY = col("n") * col("syy") - col("sy") * col("sy")
     sums.select(col("group"), col("n"),
-      when(denX > 0, round(num.cast("double") / denX.cast("double"), 9))
+      when(denX > 0, roundz(num.cast("double") / denX.cast("double"), 9))
         .as("slope_r"),
-      when(denX > 0, round(
+      when(denX > 0, roundz(
         (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
           / denX.cast("double"), 9)).as("intercept_r"),
-      when(denX > 0 && denY > 0, round(
+      when(denX > 0 && denY > 0, roundz(
         (num * num).cast("double") / (denX * denY).cast("double"), 9))
         .as("r2_r"))
   }
@@ -728,7 +735,7 @@ object Profile {
       .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c")).as("total"),
         sum(col("__rw")).as("__num"))
       .select(col("group"), col("n"), col("total"),
-        when(col("total") > 0 && col("n") > 1, round(
+        when(col("total") > 0 && col("n") > 1, roundz(
           col("__num").cast("double") /
             (col("n") * col("total")).cast("double") -
             (col("n") + 1).cast("double") / col("n").cast("double"), 9))
@@ -775,10 +782,10 @@ object Profile {
           sum(col("n_b")).over(w).cast("double")))
       .withColumn("psi_term_r",
         when(col("n_a") > 0 && col("n_b") > 0,
-          round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")),
+          roundz((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")),
             4)))
-      .withColumn("p_a_r", round(col("p_a"), 9))
-      .withColumn("p_b_r", round(col("p_b"), 9))
+      .withColumn("p_a_r", roundz(col("p_a"), 9))
+      .withColumn("p_b_r", roundz(col("p_b"), 9))
       .drop("p_a", "p_b")
   }
 

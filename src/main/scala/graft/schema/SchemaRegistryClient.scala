@@ -1,0 +1,108 @@
+package graft.schema
+
+import scala.collection.concurrent.TrieMap
+
+/** Transport for a Confluent-style schema registry — the two wire
+  * operations the reference's client performs against the public REST
+  * API (`lib/deimos/schema_backends/avro_schema_registry.rb:10-19`
+  * via its `SchemaRegistry::Client`): resolve a schema by its global
+  * id (`GET /schemas/ids/{id}`) and register a schema under a subject
+  * (`POST /subjects/{subject}/versions`). Implementations supply the
+  * actual transport (HTTP in production); the engine ships
+  * [[InMemoryRegistryTransport]] so every client behavior — caching,
+  * id dispatch, unknown-id failure — is testable without a network.
+  */
+trait RegistryTransport {
+  /** Schema json for a global id. Unknown ids must FAIL (the registry
+    * 40403 case) — never return a guess; raw Avro binary mis-decodes
+    * silently under the wrong writer schema. */
+  def fetchById(id: Int): String
+
+  /** Register (or look up) `schemaJson` under `subject`, returning the
+    * schema's global id. Idempotent per the registry contract: the
+    * same schema re-posted returns the same id. */
+  def register(subject: String, schemaJson: String): Int
+}
+
+/** In-memory registry transport with the public registry's observable
+  * semantics: global ids are allocated per distinct schema text
+  * (re-registering an identical schema — under the same or another
+  * subject — returns the existing id), and fetching an unregistered id
+  * fails loudly. `fetchCount`/`registerCount` expose transport traffic
+  * so specs can prove the client's cache absorbs repeat calls. */
+class InMemoryRegistryTransport extends RegistryTransport {
+  private val byId = TrieMap.empty[Int, String]
+  private val idBySchema = TrieMap.empty[String, Int]
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var fetchCount: Int = 0
+  @volatile var registerCount: Int = 0
+
+  override def fetchById(id: Int): String = {
+    fetchCount += 1
+    byId.getOrElse(id, throw new IllegalArgumentException(
+      s"schema id $id not found in registry (known: " +
+        s"${byId.keys.toSeq.sorted.mkString(",")})"))
+  }
+
+  override def register(subject: String, schemaJson: String): Int = {
+    registerCount += 1
+    idBySchema.getOrElseUpdate(schemaJson, {
+      val id = nextId.incrementAndGet()
+      byId.put(id, schemaJson)
+      id
+    })
+  }
+}
+
+/** Caching schema-registry client — the engine analog of the client
+  * the reference memoizes per backend
+  * (`avro_schema_registry.rb:22-30`): every id is fetched from the
+  * transport at most once and every (subject, schema) registered at
+  * most once; afterwards encode/decode planning is cache-hits only.
+  *
+  * Scale contract: this is a DRIVER-side planning object. Schemas it
+  * resolves are baked as string literals into the codegen'd
+  * encode/decode expressions ([[RegistryFramedBackend]]), so executors
+  * never talk to the registry — zero per-row (or even per-partition)
+  * registry calls at any corpus size.
+  */
+class SchemaRegistryClient(transport: RegistryTransport) {
+  private val idCache = TrieMap.empty[Int, String]
+  private val registerCache = TrieMap.empty[(String, String), Int]
+
+  /** Schema json for a global id, cached for the client's lifetime
+    * (registry schemas are immutable per id). Unknown ids propagate
+    * the transport's failure. */
+  def fetchById(id: Int): String =
+    idCache.getOrElseUpdate(id, transport.fetchById(id))
+
+  /** Register `schemaJson` under `subject`, cached: the id also
+    * primes the id→schema cache so a subsequent decode of our own
+    * frames needs no fetch. */
+  def register(subject: String, schemaJson: String): Int =
+    registerCache.getOrElseUpdate((subject, schemaJson), {
+      val id = transport.register(subject, schemaJson)
+      idCache.putIfAbsent(id, schemaJson)
+      id
+    })
+
+  /** Decode-side writer map for the ids observed on a topic — the
+    * registry semantics of `avro_schema_registry.rb:10-12` (resolve
+    * the writer by the frame's embedded id) as one cached bulk
+    * resolution. */
+  def writerSchemas(ids: Seq[Int]): Map[Int, String] =
+    ids.distinct.map(id => id -> fetchById(id)).toMap
+
+  /** Build the registry-framed backend for a topic: registers the
+    * reader/value schema under `subject` (subject naming per the
+    * public TopicNameStrategy: callers pass e.g. `"<topic>-value"`),
+    * and arms decode-side dispatch for `writerIds` — every id the
+    * topic's history carries. With no writer ids the backend decodes
+    * strict (its own id only). */
+  def framedBackend(subject: String, schemaJson: String,
+      writerIds: Seq[Int] = Nil): RegistryFramedBackend = {
+    val id = register(subject, schemaJson)
+    new RegistryFramedBackend(schemaJson, id,
+      if (writerIds.isEmpty) Map.empty else writerSchemas(writerIds))
+  }
+}

@@ -3,7 +3,7 @@
 
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, struct
 import duckdb
 import pyarrow.parquet as pq
 
@@ -11,9 +11,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Bit-strict on floats: the driver hashes IEEE bit patterns, where
+    # -0.0 != +0.0 even though Python's == says they are equal (the
+    # x119 class: round(cos, 3) lands on -0.0 in one engine and +0.0 in
+    # the other). Round to 9 dp first (the long-standing tolerance for
+    # values the queries already round in-engine), then compare the
+    # PACKED BITS of the result so a sign difference at zero fails
+    # loudly here before it fails at the driver.
     if isinstance(v, float):
-        return round(v, 9)
+        return struct.pack('<d', round(v, 9))
     return v
+
+def selftest():
+    assert norm(-0.0) != norm(0.0), "parity norm() is blind to signed zero"
+    assert norm(round(-1e-13, 3)) != norm(round(1e-13, 3)), \
+        "parity norm() is blind to signed zero after rounding"
+    assert norm(1.5) == norm(1.5)
+    assert norm(float('nan')) == norm(float('nan'))
+    assert norm(0.1 + 0.2) == norm(0.30000000000000004)
+    print("parity selftest OK: norm() is bit-strict (distinguishes -0.0)")
 
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
@@ -80,4 +96,7 @@ def main(sf_dir, out_dir):
     return fails
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+        sys.exit(0)
     sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
