@@ -60,7 +60,7 @@ object Bench {
     */
   private[graft] val recordedBaseline: Map[String, Double] = Map(
     "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.34,
-    "b4_approx_agg" -> 0.67, "q10_fanout" -> 0.86,
+    "b4_approx_agg" -> 0.76, "q10_fanout" -> 0.86,
     "q11_autofields" -> 0.29, "q12_compound_key" -> 1.12,
     "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.67,
     "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,

@@ -202,10 +202,21 @@ object SparkEntry {
         | {"name":"o_orderkey","type":"long"},
         | {"name":"o_orderstatus","type":"string"},
         | {"name":"price_cents","type":"long","default":-1}]}""".stripMargin
-    val w1 = new RegistryFramedBackend(v1Json, schemaId = 1)
-    val w2 = new RegistryFramedBackend(v2Json, schemaId = 2)
-    val reader = new RegistryFramedBackend(readerJson, schemaId = 3,
-      writerSchemas = Map(1 -> v1Json, 2 -> v2Json))
+    // The full client path (round 9): producer generations REGISTER
+    // their writer schemas; the consumer, on a separate client over
+    // the same registry, resolves the topic's writer ids and builds
+    // the dispatching reader — the oracle-gated query now exercises
+    // the registry client end-to-end, not a caller-built id map.
+    // Driver-side planning only: resolved schemas are baked into the
+    // codegen'd expressions, executors never see the registry.
+    import graft.schema.{InMemoryRegistryTransport, SchemaRegistryClient}
+    val registry = new InMemoryRegistryTransport
+    val producer = new SchemaRegistryClient(registry)
+    val w1 = producer.framedBackend("orders-value", v1Json)
+    val w2 = producer.framedBackend("orders-value", v2Json)
+    val reader = new SchemaRegistryClient(registry)
+      .framedBackend("orders-value", readerJson,
+        writerIds = Seq(w1.schemaId, w2.schemaId))
     val src = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
@@ -359,33 +370,55 @@ object SparkEntry {
     * pinning each sketch inside a slack band far outside its
     * guarantee (approx_count_distinct rsd 0.05 → checked at ±15%;
     * percentile_approx accuracy 1000 → rank error 1e-3, checked at
-    * ±5% rank via exact percentiles). The exact columns are the
+    * ±5% rank via tie-robust rank counts). The exact columns are the
     * verification harness — production callers keep the sketch
     * columns alone; a broken sketch flips a boolean and the driver
     * hash catches it. `ApproxBoundsSpec` additionally asserts the
     * raw sketch errors, tighter. */
-  private def b4(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("__approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("__p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("__p99"),
-        expr("percentile(l_extendedprice, 0.45)").as("__p45"),
-        expr("percentile(l_extendedprice, 0.55)").as("__p55"),
-        expr("percentile(l_extendedprice, 0.95)").as("__p95"),
-        max(col("l_extendedprice")).as("__pmax"))
+  private def b4(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_partkey"), col("l_extendedprice"))
+    // pass 1: sketches + the exact anchor, per flag (3-row frame)
+    val sk = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("p50a"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+        .as("p99a"),
+      count(lit(1)).as("n"))
+    // pass 2: the RANK of each sketch value, as codegen'd filter
+    // counts over a broadcast of the 3-row frame — never an exact
+    // percentile aggregate (a per-group value→count map is the one
+    // shape that does not survive 100 TB; a second scan does). A
+    // value v is an acceptable p-quantile iff
+    // count(<v) ≤ (p+slack)·n AND count(≤v) ≥ (p−slack)·n — the
+    // tie-robust interval form (degenerate all-equal groups pass).
+    val ranks = li.join(
+        broadcast(sk.select(col("l_returnflag").as("rf"),
+          col("p50a"), col("p99a"))),
+        col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag")).agg(
+        sum(when(col("l_extendedprice") < col("p50a"), 1L)
+          .otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("p50a"), 1L)
+          .otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("p99a"), 1L)
+          .otherwise(0L)).as("lt99"),
+        sum(when(col("l_extendedprice") <= col("p99a"), 1L)
+          .otherwise(0L)).as("le99"))
+    sk.join(ranks, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"),
-        (abs(col("__approx_parts") - col("exact_parts")) <=
+        (abs(col("approx_parts") - col("exact_parts")) <=
           col("exact_parts").cast("double") * 0.15).as("approx_parts_ok"),
-        (col("__p50") >= col("__p45") && col("__p50") <= col("__p55"))
+        (col("lt50").cast("double") <= col("n") * 0.55 &&
+          col("le50").cast("double") >= col("n") * 0.45)
           .as("p50_in_bounds"),
-        (col("__p99") >= col("__p95") && col("__p99") <= col("__pmax"))
+        (col("lt99").cast("double") <= col("n") * 0.999 &&
+          col("le99").cast("double") >= col("n") * 0.95)
           .as("p99_in_bounds"))
       .orderBy(col("l_returnflag"))
+  }
 
   // ------------------------------------------------------------------ API
 

@@ -185,7 +185,7 @@ private[schema] object RegistryFraming {
   * right when no evolution is expected and any other id is
   * corruption). Encode always frames with `schemaId`.
   */
-class RegistryFramedBackend(schemaJson: String, schemaId: Int,
+class RegistryFramedBackend(schemaJson: String, val schemaId: Int,
     writerSchemas: Map[Int, String] = Map.empty)
     extends AvroBackend(schemaJson) {
   override def encodeExpr(payload: Column): Column =
