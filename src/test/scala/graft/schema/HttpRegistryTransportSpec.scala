@@ -1,0 +1,149 @@
+package graft.schema
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[HttpRegistryTransport]] against a REAL HTTP server — an in-JVM
+  * loopback `com.sun.net.httpserver.HttpServer` implementing the two
+  * Confluent REST endpoints over an [[InMemoryRegistryTransport]]
+  * store (zero egress; production points `baseUrl` at a live
+  * registry). Proves the wire layer end-to-end: URL shapes, JSON
+  * escaping of schemas containing quotes/newlines/unicode, Basic
+  * auth header, 404/40403 unknown-id failure, and the client cache
+  * absorbing repeat calls — then a full Spark encode→decode through
+  * a registry resolved over HTTP. */
+class HttpRegistryTransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper
+
+  /** Loopback registry server; returns (baseUrl, store, seenAuth, stop). */
+  private def startServer(): (String, InMemoryRegistryTransport,
+      java.util.List[String], () => Unit) = {
+    val store = new InMemoryRegistryTransport
+    val seenAuth = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val server = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/schemas/ids/", (ex: HttpExchange) => {
+      seenAuth.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/").toInt
+      try {
+        val schema = store.fetchById(id)
+        val node = mapper.createObjectNode()
+        node.put("schema", schema)
+        respond(ex, 200, mapper.writeValueAsString(node))
+      } catch {
+        case _: IllegalArgumentException =>
+          respond(ex, 404,
+            """{"error_code":40403,"message":"Schema not found"}""")
+      }
+    })
+    server.createContext("/subjects/", (ex: HttpExchange) => {
+      seenAuth.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val subject = ex.getRequestURI.getPath.stripPrefix("/subjects/")
+        .stripSuffix("/versions")
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val schema = mapper.readTree(body).get("schema").asText()
+      val node = mapper.createObjectNode()
+      node.put("id", store.register(subject, schema))
+      respond(ex, 200, mapper.writeValueAsString(node))
+    })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", store, seenAuth,
+      () => server.stop(0))
+  }
+
+  // quotes, newline-in-doc, unicode: the JSON-escaping gauntlet
+  private val gnarlyJson =
+    """{"type":"record","name":"E","doc":"line1\nlïne2 \"q\"","fields":[
+      | {"name":"a","type":"long"}]}""".stripMargin
+
+  test("register → fetch round-trips over real HTTP, escaping intact") {
+    val (url, store, _, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url)
+      val id = t.register("topic-value", gnarlyJson)
+      assert(t.fetchById(id) === gnarlyJson)
+      // idempotent per the registry contract, server-side
+      assert(t.register("topic-value", gnarlyJson) === id)
+      assert(t.register("other-value", gnarlyJson) === id)
+      assert(store.registerCount === 3)
+    } finally stop()
+  }
+
+  test("unknown id fails loudly with the registry's 40403") {
+    val (url, _, _, stop) = startServer()
+    try {
+      val e = intercept[IllegalArgumentException](
+        new HttpRegistryTransport(url).fetchById(404))
+      assert(e.getMessage.contains("HTTP 404"))
+      assert(e.getMessage.contains("40403"))
+    } finally stop()
+  }
+
+  test("basic auth header reaches the server on every call") {
+    val (url, _, seenAuth, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url,
+        basicAuth = Some(("user", "s3cret")))
+      val id = t.register("topic-value", gnarlyJson)
+      t.fetchById(id)
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("user:s3cret".getBytes(StandardCharsets.UTF_8))
+      seenAuth.forEach(h => assert(h === expected))
+      assert(seenAuth.size === 2)
+    } finally stop()
+  }
+
+  test("client cache over HTTP: repeat fetches never re-hit the wire") {
+    val (url, store, _, stop) = startServer()
+    try {
+      val producer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      val id = producer.register("topic-value", gnarlyJson)
+      val consumer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      (1 to 5).foreach(_ => assert(consumer.fetchById(id) === gnarlyJson))
+      assert(store.fetchCount === 1)
+    } finally stop()
+  }
+
+  test("Spark encode→decode through a registry resolved over HTTP") {
+    val (url, _, _, stop) = startServer()
+    try {
+      val writerJson =
+        """{"type":"record","name":"E","fields":[
+          | {"name":"a","type":"long"}]}""".stripMargin
+      val readerJson =
+        """{"type":"record","name":"E","fields":[
+          | {"name":"a","type":"long"},
+          | {"name":"b","type":"string","default":"d"}]}""".stripMargin
+      val producer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      val w = producer.framedBackend("orders-value", writerJson)
+      val frames = spark.range(3).select(
+        w.encodeExpr(struct(col("id").as("a"))).as("bin"))
+      val consumer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      val reader = consumer.framedBackend("orders-value", readerJson,
+        writerIds = Seq(w.schemaId))
+      val got = frames.select(reader.decodeExpr(col("bin")).as("p"))
+        .select("p.*").as[(Long, String)].collect().toSet
+      assert(got === Set((0L, "d"), (1L, "d"), (2L, "d")))
+    } finally stop()
+  }
+}
