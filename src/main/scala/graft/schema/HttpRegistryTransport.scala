@@ -71,7 +71,10 @@ class HttpRegistryTransport(baseUrl: String,
   override def register(subject: String, schemaJson: String): Int = {
     val payload = mapper.createObjectNode()
     payload.put("schema", schemaJson)
+    // URLEncoder is form-encoding: its '+' means space only in query
+    // strings, not in a PATH segment — percent-encode the space
     val enc = java.net.URLEncoder.encode(subject, "UTF-8")
+      .replace("+", "%20")
     val body = send(finish(HttpRequest.newBuilder(
         URI.create(s"$base/subjects/$enc/versions"))
       .header("Content-Type", ContentType)

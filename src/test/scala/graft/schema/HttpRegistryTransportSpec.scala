@@ -89,6 +89,19 @@ class HttpRegistryTransportSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("subject names percent-encode as a PATH segment (space != '+')") {
+    val (url, store, _, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url)
+      val id = t.register("odd subject/ü-value", gnarlyJson)
+      assert(t.fetchById(id) === gnarlyJson)
+      // the server saw the DECODED subject — a '+' in the path would
+      // have arrived as a literal plus, not the original space
+      assert(t.register("odd subject/ü-value", gnarlyJson) === id)
+      assert(store.registerCount === 2)
+    } finally stop()
+  }
+
   test("unknown id fails loudly with the registry's 40403") {
     val (url, _, _, stop) = startServer()
     try {
