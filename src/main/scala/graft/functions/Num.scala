@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Numeric output-normalization helpers shared by every query that
   * emits a rounded double.
   *
-  * The signed-zero rule (DESIGN.md §4, x119 postmortem): a rounded
+  * The signed-zero rule (DESIGN.md §5, x119 postmortem): a rounded
   * float output whose true value sits near zero can land on `-0.0`
   * in one engine and `+0.0` in another — the ~1e-12 cross-engine
   * drift that rounding-margin analysis absorbs everywhere else flips

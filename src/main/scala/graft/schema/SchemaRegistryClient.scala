@@ -105,4 +105,21 @@ class SchemaRegistryClient(transport: RegistryTransport) {
     new RegistryFramedBackend(schemaJson, id,
       if (writerIds.isEmpty) Map.empty else writerSchemas(writerIds))
   }
+
+  /** Decode-only reader: resolves the observed writer ids and builds
+    * the dispatching backend WITHOUT registering anything — the pure
+    * consumer path (`avro_schema_registry.rb:10-12` only ever fetches
+    * by id), so a principal with read-only registry ACLs can plan.
+    * The reader schema needs no registry id of its own to decode;
+    * the backend's frame id is the first writer id, which decode
+    * resolves to that writer's true schema — but encode through this
+    * backend would frame as that writer, so producers must use
+    * [[framedBackend]]. */
+  def readerBackend(readerSchemaJson: String,
+      writerIds: Seq[Int]): RegistryFramedBackend = {
+    require(writerIds.nonEmpty,
+      "readerBackend needs the writer ids observed on the topic")
+    new RegistryFramedBackend(readerSchemaJson, writerIds.head,
+      writerSchemas(writerIds))
+  }
 }

@@ -79,6 +79,31 @@ class SchemaRegistryClientSpec extends SparkSpec {
     assert(t.fetchCount == observedIds.size)
   }
 
+  test("readerBackend decodes without ever writing to the registry") {
+    val t = new InMemoryRegistryTransport
+    val producerClient = new SchemaRegistryClient(t)
+    val w1 = producerClient.framedBackend("topic-value", v1Json)
+    val w2 = producerClient.framedBackend("topic-value", v2Json)
+    val frames = spark.range(1)
+      .select(w1.encodeExpr(struct(lit(10L).as("a"))).as("bin"))
+      .union(spark.range(1).select(
+        w2.encodeExpr(struct(lit(20L).as("a"), lit("x").as("extra"))).as("bin")))
+    val registersBefore = t.registerCount
+    // the pure-consumer path: a principal with READ-ONLY registry
+    // ACLs resolves writers by id and decodes — zero register calls
+    val consumer = new SchemaRegistryClient(t)
+    val reader = consumer.readerBackend(readerJson,
+      writerIds = Seq(w1.schemaId, w2.schemaId))
+    val got = frames.select(reader.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, String)].collect().toSet
+    assert(got === Set((10L, "dflt"), (20L, "dflt")))
+    assert(t.registerCount === registersBefore)
+    assert(t.fetchCount === 2)
+    val e = intercept[IllegalArgumentException](
+      consumer.readerBackend(readerJson, Nil))
+    assert(e.getMessage.contains("writer ids"))
+  }
+
   test("frame from an unregistered writer fails loudly through the client") {
     val t = new InMemoryRegistryTransport
     val c = new SchemaRegistryClient(t)

@@ -20,6 +20,15 @@ def norm(v):
     # loudly here before it fails at the driver.
     if isinstance(v, float):
         return struct.pack('<d', round(v, 9))
+    # Recurse into nested values so array<double> / struct<... double>
+    # columns get the same bit-strict treatment (to_pylist yields
+    # lists for arrays and dicts for structs).
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, tuple):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, norm(x)) for k, x in sorted(v.items()))
     return v
 
 def selftest():
@@ -29,7 +38,15 @@ def selftest():
     assert norm(1.5) == norm(1.5)
     assert norm(float('nan')) == norm(float('nan'))
     assert norm(0.1 + 0.2) == norm(0.30000000000000004)
-    print("parity selftest OK: norm() is bit-strict (distinguishes -0.0)")
+    assert norm([-0.0]) != norm([0.0]), \
+        "parity norm() is blind to signed zero inside arrays"
+    assert norm({"a": -0.0}) != norm({"a": 0.0}), \
+        "parity norm() is blind to signed zero inside structs"
+    assert norm([[1.0, -0.0]]) != norm([[1.0, 0.0]]), \
+        "parity norm() is blind to signed zero in nested arrays"
+    assert norm([1.5, "x"]) == norm([1.5, "x"])
+    print("parity selftest OK: norm() is bit-strict (distinguishes -0.0, "
+          "including inside arrays/structs)")
 
 def rows_of(tbl):
     cols = sorted(tbl.column_names)
