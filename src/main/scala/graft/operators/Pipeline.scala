@@ -120,6 +120,26 @@ object Pipeline {
       flagged.filter(size(col(errCol)) > 0))
   }
 
+  /** P4 × lenient decode: the dead-letter split. Decodes `bytes`
+    * through the backend's record-level lenient path and partitions
+    * into (decoded, quarantine): tombstones (null bytes) stay on the
+    * decoded side with a null payload (they are protocol, not
+    * corruption — the delete signal must reach compaction); non-null
+    * frames whose decode nulled out land in quarantine STILL CARRYING
+    * their raw bytes, replayable once the cause is fixed (the
+    * standard DLQ contract). Both sides are one codegen'd filter over
+    * the same scan; nothing is decoded twice.
+    */
+  def partitionDecodable(df: DataFrame,
+      backend: graft.schema.SchemaBackend, bytes: Column,
+      payloadCol: String = "payload"): (DataFrame, DataFrame) = {
+    val decoded = df.withColumn(payloadCol,
+      when(bytes.isNotNull, backend.decodeLenientExpr(bytes)))
+    (decoded.filter(bytes.isNull || col(payloadCol).isNotNull),
+      decoded.filter(bytes.isNotNull && col(payloadCol).isNull)
+        .drop(payloadCol))
+  }
+
   /** Gate-attrition funnel: given an ORDERED list of named filter
     * stages, attribute each row to the FIRST stage it fails and report
     * the per-stage funnel (rows entering, rows dropped here, rows

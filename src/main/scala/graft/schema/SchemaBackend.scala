@@ -29,6 +29,21 @@ trait SchemaBackend {
   def encodeKeyExpr(key: Column): Column = encodeExpr(key)
   def decodeKeyExpr(bytes: Column): Column = decodeExpr(bytes)
 
+  /** Record-level lenient decode: a frame [[decodeExpr]] would throw
+    * on (truncated body, bad magic, unknown schema id, garbage bytes)
+    * decodes to NULL instead of failing the task — at corpus scale
+    * one poison record among 10^11 must land in a dead-letter side
+    * output ([[graft.operators.Pipeline.partitionDecodable]]), not
+    * kill the job. The strict path stays the default: corruption in a
+    * pipeline that did NOT opt into quarantine should stop the world
+    * (the reference's fatal-vs-skip error policy, `T6`, at per-record
+    * grain). Built on Catalyst's `TryEval` (the `try_*` function
+    * machinery), so the wrapped decode keeps its codegen. */
+  def decodeLenientExpr(bytes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        org.apache.spark.sql.GraftSqlBridge.expression(decodeExpr(bytes))))
+
   /** Per-row validation report against the declared schema:
     * `array<string>` of aggregated errors, empty = valid (reference
     * contract `base.rb:163-165` / `avro_base.rb:85-89`). The payload's
