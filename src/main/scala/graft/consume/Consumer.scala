@@ -3,7 +3,7 @@ package graft.consume
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.model.TopicConfig
+import graft.model.{MessageCols, TopicConfig}
 import graft.operators.Materialize
 import graft.schema.SchemaBackend
 import graft.streaming.Streams
@@ -49,7 +49,14 @@ class BatchConsumer(
     val keyCols: Seq[String],
     val orderCol: String,
     val metrics: graft.observe.Metrics = graft.observe.Metrics.noop,
-    val tracer: graft.observe.Tracing = graft.observe.Tracing.noop) {
+    val tracer: graft.observe.Tracing = graft.observe.Tracing.noop,
+    /** Opt-in dead-letter queue: when set, value decode is lenient
+      * (per-record — `SchemaBackend.decodeLenientExpr`) and frames
+      * whose non-null value failed to decode are handed here, raw
+      * bytes intact, before the batch proceeds without them. Unset
+      * (default), any corrupt frame fails the batch — T6's
+      * maximally-safe default at record grain. */
+    val deadLetterSink: Option[DataFrame => Unit] = None) {
 
   /** Batch-mode consume of a Kafka-shaped frame; returns final
     * (upserts, deletes) after hooks + compaction. Wrapped in a tracer
@@ -63,7 +70,20 @@ class BatchConsumer(
 
   private def consumeBatchInner(kafka: DataFrame): (DataFrame, DataFrame) = {
     metrics.count(graft.observe.Metrics.ConsumeBatch, 1L)
-    val decoded = Streams.fromKafkaFrame(kafka, backend)
+    val decodedAll = Streams.fromKafkaFrame(kafka, backend,
+      lenient = deadLetterSink.isDefined)
+    val decoded = deadLetterSink match {
+      case Some(dlq) =>
+        val poison = col(MessageCols.Value).isNotNull &&
+          col("payload").isNull
+        val dead = decodedAll.filter(poison)
+          .drop("payload", "decoded_key")
+        if (metrics ne graft.observe.Metrics.noop)
+          metrics.count(graft.observe.Metrics.DeadLetters, dead.count())
+        dlq(dead)
+        decodedAll.filter(!poison)
+      case None => decodedAll
+    }
     hooks.preProcess(decoded)
     val processed = decoded.filter(hooks.processMessage)
     val (valid, invalid) =

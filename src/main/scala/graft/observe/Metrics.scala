@@ -31,6 +31,9 @@ object Metrics {
   val ValidRecords = "graft.batch_consumption.valid_records"
   val InvalidRecords = "graft.batch_consumption.invalid_records"
   val OutboxProduce = "graft.outbox.produce"
+  /** Poison frames handed to the opt-in dead-letter sink (engine
+    * addition — the reference has no per-record skip). */
+  val DeadLetters = "graft.batch_consumption.dead_letters"
   val PendingCount = "graft.pending_db_messages_count"
   val PendingMaxWait = "graft.pending_db_messages_max_wait"
 

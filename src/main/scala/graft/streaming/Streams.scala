@@ -88,15 +88,25 @@ object Streams {
   /** §3.2 consume path prefix: Kafka-shaped frame → decoded payload +
     * key + stream metadata. Tombstones (null value) decode to null
     * payload (reference transcoder: `transcoder.rb:89-97`). */
+  /** @param lenient when true, the VALUE decode goes through
+    *   [[SchemaBackend.decodeLenientExpr]]: a corrupt frame yields a
+    *   null payload beside its non-null raw value — the caller's
+    *   dead-letter signal (see `BatchConsumer`'s `deadLetterSink`) —
+    *   instead of failing the task. Key decode stays strict: a frame
+    *   whose VALUE decodes but whose key does not is not separable
+    *   from data loss, and must stop the world. */
   def fromKafkaFrame(kafka: DataFrame, backend: SchemaBackend,
-      keyBackend: Option[SchemaBackend] = None): DataFrame = {
+      keyBackend: Option[SchemaBackend] = None,
+      lenient: Boolean = false): DataFrame = {
     val decodedKey = keyBackend match {
       case Some(kb) => kb.decodeKeyExpr(col(MessageCols.Key))
       case None => col(MessageCols.Key).cast("string")
     }
+    val decodeValue =
+      if (lenient) backend.decodeLenientExpr(col(MessageCols.Value))
+      else backend.decodeExpr(col(MessageCols.Value))
     kafka.withColumn("payload",
-      when(col(MessageCols.Value).isNotNull,
-        backend.decodeExpr(col(MessageCols.Value))))
+      when(col(MessageCols.Value).isNotNull, decodeValue))
       .withColumn("decoded_key", decodedKey)
   }
 

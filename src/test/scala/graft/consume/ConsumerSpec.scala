@@ -126,4 +126,44 @@ class ConsumerSpec extends SparkSpec {
       intercept[Exception](q.processAllAvailable())
     } finally q.stop()
   }
+
+  test("deadLetterSink quarantines poison frames; the batch proceeds without them") {
+    val avroJson =
+      """{"type":"record","name":"W","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"amount","type":"long"}]}""".stripMargin
+    val ab = new graft.schema.RegistryFramedBackend(avroJson, schemaId = 5)
+    def frame(id: String, amount: Long): Array[Byte] = spark.range(1)
+      .select(ab.encodeExpr(struct(lit(id).as("widget_id"),
+        lit(amount).as("amount"))).as("bin"))
+      .as[Array[Byte]].head()
+    val kafka = Seq(
+      (1L, "A", frame("A", 5L)),
+      (2L, "B", frame("B", 7L).dropRight(2)),   // poison: truncated
+      (3L, "C", null))                          // tombstone: protocol
+      .toDF("offset", "k", "value")
+      .select(col("offset"), col("k").cast("binary").as("key"),
+        col("value"))
+    val metrics = new graft.observe.Metrics.InMemory
+    var dlqOffsets = Seq.empty[Long]
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
+      ab, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset",
+      metrics = metrics,
+      deadLetterSink = Some(dead =>
+        dlqOffsets = dead.select("offset").as[Long].collect().toSeq))
+    val (up, del) = consumer.consumeBatch(kafka)
+    assert(up.select(col("payload.widget_id")).as[String]
+      .collect().toSet === Set("A"))
+    assert(del.select("decoded_key").as[String].collect().toSeq === Seq("C"))
+    assert(dlqOffsets === Seq(2L))
+    assert(metrics.counts.get(
+      graft.observe.Metrics.DeadLetters) === 1L)
+    // without the opt-in, the same poison frame fails the batch
+    val strict = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
+      ab, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    val (upStrict, _) = strict.consumeBatch(kafka)
+    intercept[Exception](upStrict.collect())
+  }
 }
