@@ -72,15 +72,20 @@ class BatchConsumer(
     metrics.count(graft.observe.Metrics.ConsumeBatch, 1L)
     val decodedAll = Streams.fromKafkaFrame(kafka, backend,
       lenient = deadLetterSink.isDefined)
+    val poison = graft.operators.Pipeline.undecodable(
+      col(MessageCols.Value), col("payload"))
     val decoded = deadLetterSink match {
       case Some(dlq) =>
-        val poison = col(MessageCols.Value).isNotNull &&
-          col("payload").isNull
+        // persist the (small) poison side so count + sink read it
+        // once; the surviving side decodes in the normal pipeline
         val dead = decodedAll.filter(poison)
-          .drop("payload", "decoded_key")
-        if (metrics ne graft.observe.Metrics.noop)
-          metrics.count(graft.observe.Metrics.DeadLetters, dead.count())
-        dlq(dead)
+          .drop("payload", "decoded_key").persist()
+        try {
+          val n = dead.count()
+          if (metrics ne graft.observe.Metrics.noop)
+            metrics.count(graft.observe.Metrics.DeadLetters, n)
+          if (n > 0) dlq(dead) // sink consumes eagerly (contract)
+        } finally dead.unpersist(false)
         decodedAll.filter(!poison)
       case None => decodedAll
     }
@@ -118,8 +123,8 @@ class BatchConsumer(
     * matter what either layer says. */
   def stream(kafka: DataFrame)(
       sink: (DataFrame, DataFrame, Long) => Unit) = {
-    val decoded = Streams.fromKafkaFrame(kafka, backend)
-      .filter(hooks.processMessage && hooks.shouldConsume)
+    val decoded = Streams.fromKafkaFrame(kafka, backend,
+      lenient = deadLetterSink.isDefined)
     val guarded: (DataFrame, DataFrame, Long) => Unit = (up, del, id) =>
       try sink(up, del, id)
       catch {
@@ -128,7 +133,22 @@ class BatchConsumer(
               (!hooks.fatalError(e) || !cfg.errorPolicy.isFatal(e)) =>
           hooks.onError(e, id)
       }
+    // the DLQ split runs per micro-batch INSIDE mergeSink, before the
+    // process-message filter and tombstone classification — a poison
+    // frame's null payload must neither read as a delete nor be
+    // silently dropped by a user predicate before quarantine
+    val dlqSplit = deadLetterSink.map { dlq =>
+      (graft.operators.Pipeline.undecodable(
+          col(MessageCols.Value), col("payload")),
+        (dead: DataFrame, batchId: Long) => {
+          if (metrics ne graft.observe.Metrics.noop)
+            metrics.count(graft.observe.Metrics.DeadLetters, dead.count())
+          dlq(dead.drop("payload", "decoded_key"))
+        })
+    }
     Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,
-      col(orderCol), hooks.isTombstone, cfg.compacted)(guarded)
+      col(orderCol), hooks.isTombstone, cfg.compacted,
+      processMessage = hooks.processMessage && hooks.shouldConsume,
+      sideSplit = dlqSplit)(guarded)
   }
 }

@@ -120,6 +120,14 @@ object Pipeline {
       flagged.filter(size(col(errCol)) > 0))
   }
 
+  /** The poison predicate every dead-letter split shares: a frame
+    * that HAS bytes but decoded to nothing. Null bytes (tombstones)
+    * are protocol, not corruption. One definition, used by
+    * [[partitionDecodable]], `BatchConsumer`, and the streaming
+    * side-split, so the classification cannot drift between paths. */
+  def undecodable(bytes: Column, payload: Column): Column =
+    bytes.isNotNull && payload.isNull
+
   /** P4 × lenient decode: the dead-letter split. Decodes `bytes`
     * through the backend's record-level lenient path and partitions
     * into (decoded, quarantine): tombstones (null bytes) stay on the
@@ -127,17 +135,19 @@ object Pipeline {
     * corruption — the delete signal must reach compaction); non-null
     * frames whose decode nulled out land in quarantine STILL CARRYING
     * their raw bytes, replayable once the cause is fixed (the
-    * standard DLQ contract). Both sides are one codegen'd filter over
-    * the same scan; nothing is decoded twice.
+    * standard DLQ contract). Both sides are filters over ONE lazy
+    * plan — but they are separate DataFrames, so a caller that
+    * evaluates both pays the decode once per side; persist the input
+    * (or the smaller quarantine side, as `BatchConsumer` does) when
+    * both sides feed jobs at scale.
     */
   def partitionDecodable(df: DataFrame,
       backend: graft.schema.SchemaBackend, bytes: Column,
       payloadCol: String = "payload"): (DataFrame, DataFrame) = {
     val decoded = df.withColumn(payloadCol,
       when(bytes.isNotNull, backend.decodeLenientExpr(bytes)))
-    (decoded.filter(bytes.isNull || col(payloadCol).isNotNull),
-      decoded.filter(bytes.isNotNull && col(payloadCol).isNull)
-        .drop(payloadCol))
+    val poison = undecodable(bytes, col(payloadCol))
+    (decoded.filter(!poison), decoded.filter(poison).drop(payloadCol))
   }
 
   /** Gate-attrition funnel: given an ORDERED list of named filter

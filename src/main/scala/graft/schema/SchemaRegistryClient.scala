@@ -110,16 +110,26 @@ class SchemaRegistryClient(transport: RegistryTransport) {
     * the dispatching backend WITHOUT registering anything — the pure
     * consumer path (`avro_schema_registry.rb:10-12` only ever fetches
     * by id), so a principal with read-only registry ACLs can plan.
-    * The reader schema needs no registry id of its own to decode;
-    * the backend's frame id is the first writer id, which decode
-    * resolves to that writer's true schema — but encode through this
-    * backend would frame as that writer, so producers must use
+    * The reader schema needs no registry id of its own to decode (the
+    * backend's nominal frame id is the first writer id, which decode
+    * resolves to that writer's true schema). Encoding through this
+    * backend FAILS at plan time: it would frame reader-schema bytes
+    * under a writer's id — the silent cross-schema mis-decode the
+    * registry wire format exists to prevent. Producers register via
     * [[framedBackend]]. */
   def readerBackend(readerSchemaJson: String,
       writerIds: Seq[Int]): RegistryFramedBackend = {
     require(writerIds.nonEmpty,
       "readerBackend needs the writer ids observed on the topic")
     new RegistryFramedBackend(readerSchemaJson, writerIds.head,
-      writerSchemas(writerIds))
+      writerSchemas(writerIds)) {
+      override def encodeExpr(payload: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        throw new UnsupportedOperationException(
+          "decode-only reader backend: encoding here would frame " +
+            "reader-schema bytes under writer id " + writerIds.head +
+            " and every consumer would mis-decode them silently — " +
+            "producers must register their schema via framedBackend")
+    }
   }
 }

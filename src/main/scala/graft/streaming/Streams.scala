@@ -117,12 +117,28 @@ object Streams {
     * @param sink  (upserts, deletes, batchId) → Unit, e.g. a JdbcMerger
     *              call or a snapshot-table merge.
     */
+  /** @param sideSplit optional (predicate, handler): per micro-batch,
+    *   rows matching the predicate are persisted, handed to the
+    *   handler (skipped when empty), and removed from the batch
+    *   BEFORE the `processMessage` filter and tombstone
+    *   classification run — the dead-letter hook point (a poison
+    *   frame's null payload must never read as a delete). The handler
+    *   must consume its frame eagerly; it is unpersisted on return. */
   def mergeSink(decoded: DataFrame, keyCols: Seq[String], orderCol: Column,
       tombstone: Column, compacted: Boolean = true,
       processMessage: Column = lit(true),
-      maxWaves: Int = 1024)(
+      maxWaves: Int = 1024,
+      sideSplit: Option[(Column, (DataFrame, Long) => Unit)] = None)(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
-    decoded.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    decoded.writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+      val batch = sideSplit match {
+        case Some((pred, handler)) =>
+          val side = batch0.filter(pred).persist()
+          try if (side.count() > 0) handler(side, batchId)
+          finally side.unpersist(false)
+          batch0.filter(!coalesce(pred, lit(false)))
+        case None => batch0
+      }
       val filtered = batch.filter(processMessage)
       if (compacted) {
         // blank-key guard (batch_consumption.rb:121-125): unkeyed rows

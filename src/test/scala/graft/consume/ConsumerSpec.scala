@@ -166,4 +166,51 @@ class ConsumerSpec extends SparkSpec {
     val (upStrict, _) = strict.consumeBatch(kafka)
     intercept[Exception](upStrict.collect())
   }
+
+  test("streaming deadLetterSink: poison quarantines per micro-batch, never reads as a delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val avroJson =
+      """{"type":"record","name":"W","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"amount","type":"long"}]}""".stripMargin
+    val ab = new graft.schema.RegistryFramedBackend(avroJson, schemaId = 5)
+    def frame(id: String, amount: Long): Array[Byte] = spark.range(1)
+      .select(ab.encodeExpr(struct(lit(id).as("widget_id"),
+        lit(amount).as("amount"))).as("bin"))
+      .as[Array[Byte]].head()
+    val metrics = new graft.observe.Metrics.InMemory
+    val dlqKeys = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
+      ab, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset",
+      metrics = metrics,
+      deadLetterSink = Some(dead => dead.select(col("key").cast("string"))
+        .as[String].collect().foreach(dlqKeys.add)))
+    var upserted = Set.empty[(String, Long)]
+    var deleted = Set.empty[String]
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val kafka = input.toDF().toDF("offset", "k", "value")
+      .select(col("offset"), col("k").cast("binary").as("key"), col("value"))
+    val q = consumer.stream(kafka) { (up, del, _) =>
+      upserted ++= up.select(col("decoded_key"), col("payload.amount"))
+        .as[(String, Long)].collect()
+      deleted ++= del.select("decoded_key").as[String].collect()
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-dlq-ck").toString)
+      .start()
+    try {
+      input.addData(
+        (1L, "A", frame("A", 5L)),
+        (2L, "B", frame("B", 7L).dropRight(2)), // poison
+        (3L, "C", null))                        // tombstone
+      q.processAllAvailable()
+      assert(upserted === Set(("A", 5L)))
+      assert(deleted === Set("C"))            // tombstone, NOT poison
+      assert(dlqKeys.size === 1 && dlqKeys.get(0) === "B")
+      assert(metrics.counts.get(
+        graft.observe.Metrics.DeadLetters) === 1L)
+    } finally q.stop()
+  }
 }

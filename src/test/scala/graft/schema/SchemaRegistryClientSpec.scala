@@ -102,6 +102,13 @@ class SchemaRegistryClientSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       consumer.readerBackend(readerJson, Nil))
     assert(e.getMessage.contains("writer ids"))
+    // encoding through the decode-only backend fails AT PLAN TIME:
+    // it would frame reader-schema bytes under a writer's id
+    val enc = intercept[UnsupportedOperationException](
+      reader.encodeExpr(struct(lit(1L).as("a"))))
+    assert(enc.getMessage.contains("decode-only"))
+    intercept[UnsupportedOperationException](
+      reader.encodeKeyExpr(struct(lit(1L).as("a"))))
   }
 
   test("frame from an unregistered writer fails loudly through the client") {
