@@ -65,6 +65,31 @@ class LenientDecodeSpec extends SparkSpec {
     assert(deadRows(2L) sameElements goodFrame(1L, "ok").dropRight(2))
   }
 
+  test("lenient decode equals strict decode on every valid frame") {
+    // TryEval must only catch corruption — if it ever masked a decode
+    // difference on VALID frames, poison-vs-good classification would
+    // silently rot. 200 adversarial-ish payloads round-trip both ways.
+    val rows = (0 until 200).map { i =>
+      val s = i % 5 match {
+        case 0 => ""                       // empty string
+        case 1 => "plain " + i
+        case 2 => "ünïcödé-世界-" + i
+        case 3 => "\"quotes\" and \n newlines " + i
+        case 4 => "x" * (i + 1)            // growing lengths
+      }
+      (i.toLong * 1000003L - 100L, s)      // negatives included
+    }
+    val df = rows.toDF("a", "s")
+    val frames = df.select(backend.encodeExpr(
+      struct(col("a"), col("s"))).as("bin"))
+    val strict = frames.select(backend.decodeExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, String)].collect().toSet
+    val lenient = frames.select(backend.decodeLenientExpr(col("bin")).as("p"))
+      .select("p.*").as[(Long, String)].collect().toSet
+    assert(strict === rows.toSet)
+    assert(lenient === strict)
+  }
+
   test("the trait default covers the proto backend too") {
     import graft.schema.ProtoWire.{PString, ProtoField, ProtoMessage}
     val pb = new ProtoRegistryFramedBackend(
