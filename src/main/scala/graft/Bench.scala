@@ -64,7 +64,8 @@ object Bench {
     "q11_autofields" -> 0.29, "q12_compound_key" -> 1.12,
     "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.67,
     "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,
-    "q17_proto_registry" -> 0.58, "q1_project" -> 0.23,
+    "q17_proto_registry" -> 0.58, "q18_dead_letter" -> 1.32,
+    "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.24, "q4_slice" -> 0.34,
     "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.13, "q7_watched" -> 0.44,
     "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,

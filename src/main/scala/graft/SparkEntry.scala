@@ -306,6 +306,39 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Dead-letter split under the oracle gate (round 9 — T6 at record
+    * grain, `Pipeline.partitionDecodable`): every order row is
+    * registry-framed, then frames for keys divisible by 7 are
+    * truncated to the 5-byte header (magic + id, empty Avro body —
+    * deterministic poison: decoding a record from zero bytes is an
+    * EOF on every input). The lenient decode must quarantine exactly
+    * those and decode the rest; the oracle re-derives the
+    * classification from key arithmetic alone, independent of the
+    * whole encode→corrupt→lenient-decode machinery under test. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.RegistryFramedBackend
+    val avroJson =
+      """{"type":"record","name":"OrderEvt","fields":[
+        | {"name":"o_orderkey","type":"long"},
+        | {"name":"o_orderstatus","type":"string"}]}""".stripMargin
+    val b = new RegistryFramedBackend(avroJson, schemaId = 21)
+    val framed = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        b.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus")))
+          .as("bin0"))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0,
+          substring(col("bin0"), 1, 5)).otherwise(col("bin0")).as("bin"))
+      .drop("bin0")
+    val (ok, dead) = Pipeline.partitionDecodable(framed, b, col("bin"))
+    ok.select(col("o_orderkey"), lit(false).as("quarantined"),
+        col("payload.o_orderstatus").as("status"))
+      .unionByName(dead.select(col("o_orderkey"),
+        lit(true).as("quarantined"),
+        lit(null).cast("string").as("status")))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -442,6 +475,7 @@ object SparkEntry {
     "q15_snapshot_diff" -> (q15 _),
     "q16_scd2_history" -> (q16 _),
     "q17_proto_registry" -> (q17 _),
+    "q18_dead_letter" -> (q18 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -566,6 +600,14 @@ object SparkEntry {
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 0
         |       ELSE o_custkey END AS o_custkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the DLQ classification re-derived from key arithmetic alone —
+    // independent of the encode→corrupt→lenient-decode chain under test
+    "q18_dead_letter" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 7 = 0) AS quarantined,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderstatus END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
