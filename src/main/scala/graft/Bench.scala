@@ -134,6 +134,18 @@ object Bench {
 
   private[graft] val AdjudicateFactor = 2.0
 
+  /** Soft re-run tier (round-10, verdict item 1a): a query whose best
+    * sample exceeds this ratio of its recorded baseline — but not yet
+    * the 2× [[AdjudicateFactor]] — buys up to two extra samples, the
+    * same rescue the 2.5×-spread guard gave x21 in round 8 (walls
+    * 0.44/0.97/1.60/0.39/0.46 → the re-runs found the calm window).
+    * Rationale: the 2.5× spread guard only fires when one run is calm
+    * already; a UNIFORMLY contended window (all three runs ~1.8×) slips
+    * past both it and adjudication, and x65/q2 sat at 1.9× in round 9
+    * on exactly that signature. Below the adjudication threshold no
+    * calibration probe is spent — just samples. */
+  private[graft] val SoftRetryFactor = 1.7
+
   /** Process CPU time in nanoseconds across all threads (-1 if the
     * platform bean doesn't expose it — the diag fields then read -1
     * and the wall numbers stand alone, same as before this round).
@@ -271,6 +283,20 @@ object Bench {
         extra += 1
         times = times ++ runOnce(3 + extra).map(_.wallSec)
       }
+      // Soft re-run tier: min still above 1.7× the recording after the
+      // spread guard — buy up to two more samples before adjudication
+      // (no probe; the extra walls land in the diag like any run).
+      var soft = 0
+      recordedBaseline.get(name).foreach { base =>
+        while (times.nonEmpty && soft < 2 &&
+            times.min > SoftRetryFactor * base) {
+          soft += 1
+          System.err.println(
+            f"[bench] $name SOFT-RETRY$soft: min ${times.min}%.3fs > " +
+              f"${SoftRetryFactor}x baseline ${base}%.3fs")
+          times = times ++ runOnce(3 + extra + soft).map(_.wallSec)
+        }
+      }
       // Environment self-adjudication (round-5, after four rounds of
       // driver-side false-reds): when even the best sample exceeds
       // 2× this query's recorded baseline, interleave a calibration
@@ -290,7 +316,7 @@ object Bench {
             f"[bench] $name ADJUDICATE$attempts: min ${times.min}%.3fs > " +
               f"${AdjudicateFactor}x baseline ${base}%.3fs; cal probe " +
               f"${cal.wallSec}%.3fs")
-          val bought = runOnce(3 + extra + attempts)
+          val bought = runOnce(3 + extra + soft + attempts)
           adjudications += ((cal, bought))
           times = times ++ bought.map(_.wallSec)
         }

@@ -58,14 +58,19 @@ object SparkEntry {
       Seq("event_id", "user_id", "event_type", "value", "not_a_column"))
       .orderBy(col("user_id"), col("event_id"))
 
-  private def q2(s: SparkSession, dir: String): DataFrame =
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    // fused P6 coercion: one regex walk per row yields both columns
+    // (value-identical to the single-column forms — PipelineSpec pins
+    // the equivalence; the oracle keeps the two-extract formulation)
+    val (kInt, kDbl) = Pipeline.coerceNumericPair(col("props"))
     t(s, dir, "events").select(
       col("event_id"),
-      Pipeline.coerceIntString(col("props")).as("k_int"),
-      Pipeline.coerceDoubleString(col("props")).as("k_dbl"),
+      kInt.as("k_int"),
+      kDbl.as("k_dbl"),
       floor(col("value")).cast("long").as("value_floor"),
       (col("value").isNotNull && col("value") =!= 0.0).as("flag"))
       .orderBy(col("event_id"))
+  }
 
   private def q3(s: SparkSession, dir: String): DataFrame =
     Compaction.lastWins(t(s, dir, "events"), Seq("user_id"), col("event_id"))

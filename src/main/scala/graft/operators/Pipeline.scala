@@ -50,6 +50,21 @@ object Pipeline {
     when(m =!= "", m.cast(DoubleType))
   }
 
+  /** P6 fused form — (int, double) coercion of the same string from ONE
+    * regex scan. Value-identical to
+    * ([[coerceIntString]], [[coerceDoubleString]]) on every input:
+    * both patterns share the prefix `-?\d+`, so leftmost-first matching
+    * starts them at the same position and the int match is exactly the
+    * double match truncated at its decimal point (pinned by
+    * `PipelineSpec`). A wide scan coercing many string fields should
+    * prefer this: the regex walk over the raw string is the dominant
+    * per-row cost, and this halves it. */
+  def coerceNumericPair(c: Column): (Column, Column) = {
+    val m = regexp_extract(c, "-?\\d+(\\.\\d+)?", 0)
+    (when(m =!= "", substring_index(m, ".", 1).cast(LongType)),
+      when(m =!= "", m.cast(DoubleType)))
+  }
+
   /** P5 — fill `message_id`/`timestamp` when absent
     * (reference: `lib/deimos/message.rb:38-56`). The surrogate generator
     * is injectable so tests (and the DuckDB oracle) can use a

@@ -20,18 +20,37 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Built on the JDK's `java.net.http.HttpClient` — no extra
   * dependency — with optional HTTP Basic auth (the registry's
-  * standard auth mode). Any non-2xx response fails loudly with the
-  * status and body: per the [[RegistryTransport]] contract an unknown
-  * id must never decode as a guess.
+  * standard auth mode).
+  *
+  * Failure taxonomy (round-10): a 4xx is a CALLER error (unknown id —
+  * the 40403 case — bad schema, missing subject) and fails immediately
+  * as `IllegalArgumentException`: retrying it would retry into a
+  * guess. A 5xx or transport-level `IOException` is the REGISTRY
+  * failing; both endpoints here are idempotent (GET by id / by
+  * subject; POST of a schema returns the same id on re-post), so these
+  * are retried up to `maxRetries` times with exponential backoff and
+  * full jitter, then thrown as [[RegistryUnavailableException]] — an
+  * `IOException`, so a briefly-down registry no longer surfaces as a
+  * caller bug.
   *
   * Scale contract: like every transport, this is DRIVER-side planning
   * only — [[SchemaRegistryClient]] caches each id/registration for
   * its lifetime and bakes resolved schemas into the codegen'd
   * expressions, so executors never hold a connection to the registry.
+  *
+  * @param maxRetries   extra attempts after the first, for 5xx/IO only
+  * @param retryBaseMs  backoff base: attempt k sleeps uniform(0,
+  *                     retryBaseMs·2^k) ms ("full jitter" — decorrelates
+  *                     a fleet of planners hammering a recovering
+  *                     registry)
+  * @param sleeper      injectable for tests (default `Thread.sleep`)
   */
 class HttpRegistryTransport(baseUrl: String,
     basicAuth: Option[(String, String)] = None,
-    timeoutMs: Long = 10000L) extends RegistryTransport {
+    timeoutMs: Long = 10000L,
+    maxRetries: Int = 3,
+    retryBaseMs: Long = 200L,
+    sleeper: Long => Unit = Thread.sleep) extends RegistryTransport {
 
   private val mapper = new ObjectMapper
   private val base = baseUrl.stripSuffix("/")
@@ -51,12 +70,39 @@ class HttpRegistryTransport(baseUrl: String,
   }
 
   private def send(req: HttpRequest, what: String): String = {
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new IllegalArgumentException(
-        s"schema registry $what failed: HTTP ${resp.statusCode()} " +
-          s"${resp.body()}")
-    resp.body()
+    var attempt = 0
+    while (true) {
+      val err: Throwable =
+        try {
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          val code = resp.statusCode()
+          if (code / 100 == 2) return resp.body()
+          if (code / 100 == 4)
+            // caller error (40403 unknown id, 40401 unknown subject,
+            // 422 bad schema): NEVER retried — a retry can't make a
+            // wrong question right, and retrying an unknown id into a
+            // guess is exactly what the contract forbids
+            throw new IllegalArgumentException(
+              s"schema registry $what failed: HTTP $code ${resp.body()}")
+          new RegistryUnavailableException(
+            s"schema registry $what failed: HTTP $code ${resp.body()}")
+        } catch {
+          case e: java.io.IOException => e // connect/timeout/reset
+        }
+      if (attempt >= maxRetries) err match {
+        case r: RegistryUnavailableException => throw r
+        case e => throw new RegistryUnavailableException(
+          s"schema registry $what failed after ${attempt + 1} attempts: " +
+            s"${e.getMessage}", e)
+      }
+      // full jitter: uniform(0, base·2^attempt) — decorrelates
+      // concurrent planners retrying against a recovering registry
+      val cap = retryBaseMs << attempt
+      attempt += 1
+      sleeper(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(cap + 1))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def fetchById(id: Int): String = {
@@ -68,15 +114,32 @@ class HttpRegistryTransport(baseUrl: String,
     node.get("schema").asText()
   }
 
+  // URLEncoder is form-encoding: its '+' means space only in query
+  // strings, not in a PATH segment — percent-encode the space
+  private def encSubject(subject: String): String =
+    java.net.URLEncoder.encode(subject, "UTF-8").replace("+", "%20")
+
+  /** `GET /subjects/{subject}/versions/latest` →
+    * `{"subject":…,"version":N,"id":N,"schema":"<json>"}` — the
+    * consumer plan-time entry point when writer ids are unknown. */
+  override def latestVersion(subject: String): RegisteredSchema = {
+    val body = send(finish(HttpRequest.newBuilder(URI.create(
+      s"$base/subjects/${encSubject(subject)}/versions/latest")).GET()),
+      s"latest subject=$subject")
+    val node = mapper.readTree(body)
+    require(node.hasNonNull("id") && node.hasNonNull("version") &&
+      node.hasNonNull("schema"),
+      s"registry latest-version response for subject=$subject is " +
+        s"missing id/version/schema: $body")
+    RegisteredSchema(node.get("id").asInt(), node.get("version").asInt(),
+      node.get("schema").asText())
+  }
+
   override def register(subject: String, schemaJson: String): Int = {
     val payload = mapper.createObjectNode()
     payload.put("schema", schemaJson)
-    // URLEncoder is form-encoding: its '+' means space only in query
-    // strings, not in a PATH segment — percent-encode the space
-    val enc = java.net.URLEncoder.encode(subject, "UTF-8")
-      .replace("+", "%20")
     val body = send(finish(HttpRequest.newBuilder(
-        URI.create(s"$base/subjects/$enc/versions"))
+        URI.create(s"$base/subjects/${encSubject(subject)}/versions"))
       .header("Content-Type", ContentType)
       .POST(HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(payload), StandardCharsets.UTF_8))),

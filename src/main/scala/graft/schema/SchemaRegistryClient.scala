@@ -12,6 +12,20 @@ import scala.collection.concurrent.TrieMap
   * [[InMemoryRegistryTransport]] so every client behavior — caching,
   * id dispatch, unknown-id failure — is testable without a network.
   */
+/** Transport-level registry failure: the registry was UNAVAILABLE
+  * (5xx, connection refused, timeout), as opposed to WRONG input (4xx
+  * — unknown id, malformed schema — which stays
+  * `IllegalArgumentException`). An `IOException` subtype so callers'
+  * standard transient-fault handling applies; [[HttpRegistryTransport]]
+  * retries these internally with bounded jittered backoff before
+  * throwing. */
+class RegistryUnavailableException(msg: String, cause: Throwable = null)
+  extends java.io.IOException(msg, cause)
+
+/** A subject's latest registered schema version — what
+  * `GET /subjects/{subject}/versions/latest` returns. */
+final case class RegisteredSchema(id: Int, version: Int, schemaJson: String)
+
 trait RegistryTransport {
   /** Schema json for a global id. Unknown ids must FAIL (the registry
     * 40403 case) — never return a guess; raw Avro binary mis-decodes
@@ -22,6 +36,14 @@ trait RegistryTransport {
     * schema's global id. Idempotent per the registry contract: the
     * same schema re-posted returns the same id. */
   def register(subject: String, schemaJson: String): Int
+
+  /** The subject's latest registered version
+    * (`GET /subjects/{subject}/versions/latest`) — what lets a pure
+    * consumer plan WITHOUT pre-known writer ids (the reference
+    * consumer's effective entry point: `avro_schema_registry.rb:10-19`
+    * resolves whatever arrives, seeded by the subject's registered
+    * schema). Unknown subjects must FAIL (registry 40401). */
+  def latestVersion(subject: String): RegisteredSchema
 }
 
 /** In-memory registry transport with the public registry's observable
@@ -33,24 +55,48 @@ trait RegistryTransport {
 class InMemoryRegistryTransport extends RegistryTransport {
   private val byId = TrieMap.empty[Int, String]
   private val idBySchema = TrieMap.empty[String, Int]
+  // per-subject version history: ids in registration order (the
+  // registry's version numbers are 1-based positions in this list)
+  private val bySubject = TrieMap.empty[String, Vector[Int]]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
-  @volatile var fetchCount: Int = 0
-  @volatile var registerCount: Int = 0
+  // AtomicInteger, not volatile var += (non-atomic read-modify-write
+  // would undercount under concurrent planning threads)
+  private val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val registers = new java.util.concurrent.atomic.AtomicInteger(0)
+  def fetchCount: Int = fetches.get()
+  def registerCount: Int = registers.get()
 
   override def fetchById(id: Int): String = {
-    fetchCount += 1
+    fetches.incrementAndGet()
     byId.getOrElse(id, throw new IllegalArgumentException(
       s"schema id $id not found in registry (known: " +
         s"${byId.keys.toSeq.sorted.mkString(",")})"))
   }
 
   override def register(subject: String, schemaJson: String): Int = {
-    registerCount += 1
-    idBySchema.getOrElseUpdate(schemaJson, {
+    registers.incrementAndGet()
+    val id = idBySchema.getOrElseUpdate(schemaJson, {
       val id = nextId.incrementAndGet()
       byId.put(id, schemaJson)
       id
     })
+    // subject version list gains the id once (re-registering the same
+    // schema under the same subject does not create a new version —
+    // the registry's idempotence contract)
+    bySubject.updateWith(subject) {
+      case Some(ids) if ids.contains(id) => Some(ids)
+      case Some(ids) => Some(ids :+ id)
+      case None => Some(Vector(id))
+    }
+    id
+  }
+
+  override def latestVersion(subject: String): RegisteredSchema = {
+    val ids = bySubject.getOrElse(subject,
+      throw new IllegalArgumentException(
+        s"subject $subject not found in registry (known: " +
+          s"${bySubject.keys.toSeq.sorted.mkString(",")})"))
+    RegisteredSchema(ids.last, ids.size, byId(ids.last))
   }
 }
 
@@ -104,6 +150,29 @@ class SchemaRegistryClient(transport: RegistryTransport) {
     val id = register(subject, schemaJson)
     new RegistryFramedBackend(schemaJson, id,
       if (writerIds.isEmpty) Map.empty else writerSchemas(writerIds))
+  }
+
+  /** The subject's latest registered version. NOT cached — "latest" is
+    * the one mutable query in the registry protocol (a producer may
+    * register a new version between calls); the returned id→schema
+    * binding IS immutable and primes the id cache. */
+  def latest(subject: String): RegisteredSchema = {
+    val l = transport.latestVersion(subject)
+    idCache.putIfAbsent(l.id, l.schemaJson)
+    l
+  }
+
+  /** Decode-only reader planned from the subject's LATEST registered
+    * version — the consumer entry point when writer ids are NOT known
+    * up front (round-9's [[readerBackend]] required them): the latest
+    * schema becomes the reader, its id is armed for decode, plus any
+    * `extraWriterIds` observed later. Frames carrying an id outside
+    * that set still fail loudly (never guess); encode stays refused
+    * like every decode-only reader. */
+  def readerBackendLatest(subject: String,
+      extraWriterIds: Seq[Int] = Nil): RegistryFramedBackend = {
+    val l = latest(subject)
+    readerBackend(l.schemaJson, l.id +: extraWriterIds.filterNot(_ == l.id))
   }
 
   /** Decode-only reader: resolves the observed writer ids and builds

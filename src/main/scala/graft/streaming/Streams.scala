@@ -118,12 +118,18 @@ object Streams {
     *              call or a snapshot-table merge.
     */
   /** @param sideSplit optional (predicate, handler): per micro-batch,
-    *   rows matching the predicate are persisted, handed to the
-    *   handler (skipped when empty), and removed from the batch
-    *   BEFORE the `processMessage` filter and tombstone
-    *   classification run — the dead-letter hook point (a poison
-    *   frame's null payload must never read as a delete). The handler
-    *   must consume its frame eagerly; it is unpersisted on return. */
+    *   the DECODED batch is persisted ONCE and both sides derive from
+    *   it — the side rows go to the handler (skipped when empty) and
+    *   the rest proceed, so a lenient value decode runs one time per
+    *   frame, not once per side (round-10 ADVICE: the old
+    *   side-persist shape re-decoded the full batch for the main
+    *   path even when zero rows were poison). The split runs BEFORE
+    *   the `processMessage` filter and tombstone classification — the
+    *   dead-letter hook point (a poison frame's null payload must
+    *   never read as a delete). Memory note: the whole decoded
+    *   micro-batch is cached (MEMORY_AND_DISK) for the batch's
+    *   duration; micro-batches are bounded by the source's
+    *   per-trigger cap, so this is trigger-sized, not topic-sized. */
   def mergeSink(decoded: DataFrame, keyCols: Seq[String], orderCol: Column,
       tombstone: Column, compacted: Boolean = true,
       processMessage: Column = lit(true),
@@ -131,41 +137,45 @@ object Streams {
       sideSplit: Option[(Column, (DataFrame, Long) => Unit)] = None)(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     decoded.writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
-      val batch = sideSplit match {
-        case Some((pred, handler)) =>
-          val side = batch0.filter(pred).persist()
-          try if (side.count() > 0) handler(side, batchId)
-          finally side.unpersist(false)
-          batch0.filter(!coalesce(pred, lit(false)))
-        case None => batch0
-      }
-      val filtered = batch.filter(processMessage)
-      if (compacted) {
-        // blank-key guard (batch_consumption.rb:121-125): unkeyed rows
-        // bypass compaction instead of collapsing into one NULL group
-        val compact = Compaction.lastWinsKeyed(filtered, keyCols, orderCol)
-        val (up, del) = Materialize.splitTombstones(compact, tombstone)
-        sink(up, del, batchId)
-      } else {
-        // uncompacted: key-disjoint waves applied in order (reference
-        // BatchSlicer semantics, batch_consumption.rb:127-136); scoped
-        // cache so per-batch wave frames don't pile up. Wave count =
-        // max versions per key and each wave is a Spark job, so a
-        // skewed hot key could stall the driver for thousands of
-        // sequential jobs — the cap fails loudly instead of stalling;
-        // hot-key topics belong on [[mergeSinkOrdered]] (one job).
-        Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
-          if (slices.size > maxWaves)
-            throw new IllegalStateException(
-              s"uncompacted batch $batchId needs ${slices.size} waves " +
-                s"(> maxWaves=$maxWaves): a single key carries that many " +
-                "versions. Use mergeSinkOrdered (one-job per-key ordered " +
-                "apply) for this topic, or raise maxWaves deliberately.")
-          slices.foreach { slice =>
-            val (up, del) = Materialize.splitTombstones(slice, tombstone)
-            sink(up, del, batchId)
+      def process(batch: DataFrame): Unit = {
+        val filtered = batch.filter(processMessage)
+        if (compacted) {
+          // blank-key guard (batch_consumption.rb:121-125): unkeyed rows
+          // bypass compaction instead of collapsing into one NULL group
+          val compact = Compaction.lastWinsKeyed(filtered, keyCols, orderCol)
+          val (up, del) = Materialize.splitTombstones(compact, tombstone)
+          sink(up, del, batchId)
+        } else {
+          // uncompacted: key-disjoint waves applied in order (reference
+          // BatchSlicer semantics, batch_consumption.rb:127-136); scoped
+          // cache so per-batch wave frames don't pile up. Wave count =
+          // max versions per key and each wave is a Spark job, so a
+          // skewed hot key could stall the driver for thousands of
+          // sequential jobs — the cap fails loudly instead of stalling;
+          // hot-key topics belong on [[mergeSinkOrdered]] (one job).
+          Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
+            if (slices.size > maxWaves)
+              throw new IllegalStateException(
+                s"uncompacted batch $batchId needs ${slices.size} waves " +
+                  s"(> maxWaves=$maxWaves): a single key carries that many " +
+                  "versions. Use mergeSinkOrdered (one-job per-key ordered " +
+                  "apply) for this topic, or raise maxWaves deliberately.")
+            slices.foreach { slice =>
+              val (up, del) = Materialize.splitTombstones(slice, tombstone)
+              sink(up, del, batchId)
+            }
           }
         }
+      }
+      sideSplit match {
+        case Some((pred, handler)) =>
+          val cached = batch0.persist()
+          try {
+            val side = cached.filter(pred)
+            if (side.count() > 0) handler(side, batchId)
+            process(cached.filter(!coalesce(pred, lit(false))))
+          } finally cached.unpersist(false)
+        case None => process(batch0)
       }
     }
   }

@@ -23,6 +23,25 @@ class PipelineSpec extends SparkSpec {
     assert(r === ((Some(42L), Some(3.5), None)))
   }
 
+  test("coerceNumericPair is value-identical to the single-column coercions") {
+    // the adversarial shapes: ints, decimals, negatives, embedded text,
+    // doubled minus, dot-led fraction, multiple numbers, empty, null
+    val inputs = Seq("42", "3.5x", "", "a-12.7b", "--5", ".5", "1.2.3",
+      "x9 8.1", "-0.0", "no digits", null)
+    val df = inputs.toDF("s")
+    val (fi, fd) = Pipeline.coerceNumericPair(col("s"))
+    val got = df.select(
+      Pipeline.coerceIntString(col("s")).as("ri"),
+      Pipeline.coerceDoubleString(col("s")).as("rd"),
+      fi.as("fi"), fd.as("fd"))
+      .as[(Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect()
+    got.zip(inputs).foreach { case ((ri, rd, fiV, fdV), in) =>
+      assert(fiV === ri, s"int mismatch on '$in'")
+      assert(fdV === rd, s"double mismatch on '$in'")
+    }
+  }
+
   test("autoFields fills only missing values; deterministic surrogate is stable") {
     val df = Seq((1L, Some("keep")), (2L, None))
       .toDF("id", "message_id")

@@ -57,14 +57,31 @@ class HttpRegistryTransportSpec extends SparkSpec {
     })
     server.createContext("/subjects/", (ex: HttpExchange) => {
       seenAuth.add(ex.getRequestHeaders.getFirst("Authorization"))
-      val subject = ex.getRequestURI.getPath.stripPrefix("/subjects/")
-        .stripSuffix("/versions")
-      val body = new String(ex.getRequestBody.readAllBytes(),
-        StandardCharsets.UTF_8)
-      val schema = mapper.readTree(body).get("schema").asText()
-      val node = mapper.createObjectNode()
-      node.put("id", store.register(subject, schema))
-      respond(ex, 200, mapper.writeValueAsString(node))
+      val path = ex.getRequestURI.getPath.stripPrefix("/subjects/")
+      if (ex.getRequestMethod == "GET" && path.endsWith("/versions/latest")) {
+        val subject = path.stripSuffix("/versions/latest")
+        try {
+          val l = store.latestVersion(subject)
+          val node = mapper.createObjectNode()
+          node.put("subject", subject)
+          node.put("version", l.version)
+          node.put("id", l.id)
+          node.put("schema", l.schemaJson)
+          respond(ex, 200, mapper.writeValueAsString(node))
+        } catch {
+          case _: IllegalArgumentException =>
+            respond(ex, 404,
+              """{"error_code":40401,"message":"Subject not found"}""")
+        }
+      } else {
+        val subject = path.stripSuffix("/versions")
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val schema = mapper.readTree(body).get("schema").asText()
+        val node = mapper.createObjectNode()
+        node.put("id", store.register(subject, schema))
+        respond(ex, 200, mapper.writeValueAsString(node))
+      }
     })
     server.start()
     (s"http://127.0.0.1:${server.getAddress.getPort}", store, seenAuth,
@@ -134,6 +151,129 @@ class HttpRegistryTransportSpec extends SparkSpec {
       val consumer = new SchemaRegistryClient(new HttpRegistryTransport(url))
       (1 to 5).foreach(_ => assert(consumer.fetchById(id) === gnarlyJson))
       assert(store.fetchCount === 1)
+    } finally stop()
+  }
+
+  /** Fault-injecting reverse proxy in front of a real registry server:
+    * the first `failFirst` requests get `failCode`, the rest delegate
+    * to the inner handler. Returns (baseUrl, requestCount, stop). */
+  private def startFlaky(inner: String, failFirst: Int, failCode: Int)
+      : (String, java.util.concurrent.atomic.AtomicInteger, () => Unit) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      if (n.incrementAndGet() <= failFirst) {
+        val b = """{"error_code":50001,"message":"backend down"}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(failCode, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      } else {
+        // delegate verbatim (method, path, body) to the real server
+        val uri = java.net.URI.create(inner + ex.getRequestURI.toString)
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req0 = java.net.http.HttpRequest.newBuilder(uri)
+        val req = (if (ex.getRequestMethod == "POST")
+          req0.POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            ex.getRequestBody.readAllBytes()))
+        else req0.GET()).build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        ex.sendResponseHeaders(resp.statusCode(), resp.body().length)
+        ex.getResponseBody.write(resp.body())
+        ex.close()
+      }
+    })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", n, () => server.stop(0))
+  }
+
+  test("5xx is retried with backoff: 503,503,200 succeeds; sleeps recorded") {
+    val (inner, _, _, stopInner) = startServer()
+    val (url, hits, stopFlaky) = startFlaky(inner, failFirst = 2, 503)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      val t = new HttpRegistryTransport(url, maxRetries = 3,
+        retryBaseMs = 50L, sleeper = sleeps += _)
+      val id = t.register("topic-value", gnarlyJson)
+      assert(t.fetchById(id) === gnarlyJson)
+      assert(hits.get() === 4) // 2 × 503 + retried register + fetch
+      assert(sleeps.size === 2)
+      // full jitter: uniform(0, 50·2^k) for attempt k
+      assert(sleeps(0) >= 0 && sleeps(0) <= 50)
+      assert(sleeps(1) >= 0 && sleeps(1) <= 100)
+    } finally { stopFlaky(); stopInner() }
+  }
+
+  test("exhausted retries throw RegistryUnavailableException, not a caller error") {
+    val (inner, _, _, stopInner) = startServer()
+    val (url, hits, stopFlaky) = startFlaky(inner, failFirst = 99, 503)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      val t = new HttpRegistryTransport(url, maxRetries = 2,
+        retryBaseMs = 10L, sleeper = sleeps += _)
+      val e = intercept[RegistryUnavailableException](t.fetchById(1))
+      assert(e.getMessage.contains("HTTP 503"))
+      assert(hits.get() === 3) // 1 try + 2 retries
+      assert(sleeps.size === 2)
+    } finally { stopFlaky(); stopInner() }
+  }
+
+  test("4xx is NEVER retried: one request, immediate caller error") {
+    val (url, _, _, stop) = startServer()
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      val t = new HttpRegistryTransport(url, maxRetries = 3,
+        sleeper = sleeps += _)
+      intercept[IllegalArgumentException](t.fetchById(404))
+      assert(sleeps.isEmpty)
+    } finally stop()
+  }
+
+  test("connection-level IOException becomes RegistryUnavailableException") {
+    // a port nothing listens on: connect is refused at the socket layer
+    val dead = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort
+      s.close(); s"http://127.0.0.1:$p"
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val t = new HttpRegistryTransport(dead, maxRetries = 1,
+      retryBaseMs = 1L, sleeper = sleeps += _)
+    val e = intercept[RegistryUnavailableException](t.fetchById(1))
+    assert(e.getCause.isInstanceOf[java.io.IOException])
+    assert(sleeps.size === 1)
+  }
+
+  test("latest-version plan path: consumer plans with NO pre-known writer ids") {
+    val (url, _, _, stop) = startServer()
+    try {
+      val v1 =
+        """{"type":"record","name":"E","fields":[
+          | {"name":"a","type":"long"}]}""".stripMargin
+      val v2 =
+        """{"type":"record","name":"E","fields":[
+          | {"name":"a","type":"long"},
+          | {"name":"b","type":"string","default":"d"}]}""".stripMargin
+      val producer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      producer.register("orders-value", v1)
+      val w2 = producer.framedBackend("orders-value", v2)
+      val frames = spark.range(3).select(
+        w2.encodeExpr(struct(col("id").as("a"), lit("x").as("b"))).as("bin"))
+      // the consumer knows ONLY the subject: latest resolves v2's id
+      val consumer = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      val l = consumer.latest("orders-value")
+      assert(l.version === 2 && l.id === w2.schemaId)
+      val reader = consumer.readerBackendLatest("orders-value")
+      val got = frames.select(reader.decodeExpr(col("bin")).as("p"))
+        .select("p.*").as[(Long, String)].collect().toSet
+      assert(got === Set((0L, "x"), (1L, "x"), (2L, "x")))
+      // still decode-only: encode refusal survives the latest path
+      intercept[UnsupportedOperationException](
+        reader.encodeExpr(struct(lit(1L).as("a"), lit("y").as("b"))))
+      // unknown subject: loud 40401, a caller error
+      val e = intercept[IllegalArgumentException](
+        consumer.latest("ghost-value"))
+      assert(e.getMessage.contains("40401"))
     } finally stop()
   }
 
