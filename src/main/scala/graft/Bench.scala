@@ -70,7 +70,7 @@ object Bench {
     "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.13, "q7_watched" -> 0.44,
     "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
-    "x13_dedup_groups" -> 1.68, "x14_vocab" -> 0.39,
+    "x13_dedup_groups" -> 1.84, "x14_vocab" -> 0.39,
     "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.25,
     "x17_sessions" -> 0.47, "x18_rollup" -> 0.24, "x19_asof_join" -> 0.46,
     "x1_dedup_exact" -> 0.22, "x20_range_join" -> 0.32,
@@ -78,7 +78,7 @@ object Bench {
     "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.75,
     "x25_video_meta" -> 0.15, "x26_line_dedup" -> 0.35,
     "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.22,
-    "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.27, "x30_sample" -> 0.12,
+    "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
     "x31_bloom_semijoin" -> 0.89, "x32_skew_report" -> 0.16,
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.41,
     "x35_media_dispatch" -> 0.73, "x36_jpeg_decode" -> 1.20,

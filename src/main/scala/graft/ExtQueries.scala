@@ -38,9 +38,67 @@ object ExtQueries {
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("fingerprint"))
 
-  private def x2(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** Distinct STRING 3-gram shingles of a text column — the
+    * independent (un-hashed) formulation of the shingle set
+    * `Dedup.minhashLsh` computes over 64-bit token hashes; used by the
+    * x2/x13 gates to verify emitted pairs without sharing the
+    * operator's arithmetic. */
+  private def strShingles(text: Column): Column = {
+    val tk = T.tokens(text)
+    array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", slice(tk, i, lit(3)))))
+  }
+
+  /** MinHash-LSH near-dup detection (`Dedup.minhashLsh`) gated through
+    * its EXACT guarantees (round 11, ex rows-only — the b4 pattern):
+    * the emitted pair SET depends on the hash family and is not
+    * SQL-reproducible, but two properties of the output are
+    * deterministic and oracle-checkable, so the row gates on those
+    * plus exact anchors:
+    *  - recall floor: identical texts yield identical signatures, so
+    *    ALL bands collide and every exact-duplicate pair among
+    *    shingle-bearing (≥3-token) docs MUST be emitted, at verified
+    *    Jaccard 1.0 — counted and compared to the oracle's exact-dup
+    *    pair count;
+    *  - precision: every emitted pair's Jaccard is recomputed
+    *    INDEPENDENTLY from the raw text over string 3-gram shingles
+    *    (not the operator's hashed shingles) and must equal the
+    *    emitted value and clear the 0.2 threshold.
+    * The per-pair surface stays available to callers via
+    * `Dedup.minhashLsh` directly (DedupOpsSpec); this row is the
+    * driver-checkable contract of the SAME full computation. */
+  private def x2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val eligible = docs.filter(size(T.tokens(col("text"))) >= 3)
+    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
+    val anch = eligible.groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_exact_dup_pairs"))
+    val pt = pairs
+      .join(eligible.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(eligible.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+    val jStr = {
+      val sa = strShingles(col("ta"))
+      val sb = strShingles(col("tb"))
+      size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double")
+    }
+    val verif = pt.select((col("ta") === col("tb")).as("same"),
+        col("jaccard"), jStr.as("j_str"))
+      .agg(
+        coalesce(sum(when(col("same"), 1L).otherwise(0L)), lit(0L))
+          .as("n_same_text_emitted"),
+        coalesce(sum(when(col("j_str") < 0.2 ||
+          abs(col("j_str") - col("jaccard")) > 1e-9, 1L).otherwise(0L)),
+          lit(0L)).as("n_verif_viol"))
+    anch.crossJoin(verif).select(col("n_docs"), col("n_exact_dup_pairs"),
+      (col("n_same_text_emitted") === col("n_exact_dup_pairs"))
+        .as("exact_dups_all_emitted"),
+      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
+  }
 
   private def x3(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
@@ -188,9 +246,55 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dup-group labeling (`Dedup.minhashLsh` → `Dedup.components`)
+    * gated through its EXACT guarantees (round 11, ex rows-only — the
+    * b4 pattern; the propagation machinery itself is differentially
+    * tested by x44's recursive-CTE oracle on deterministic edges).
+    * The labeling of LSH-found pairs is not SQL-reproducible, but
+    * three properties are:
+    *  - every same-text group (≥3-token docs) is fully labeled and
+    *    lands in ONE component (the x2 recall floor, propagated),
+    *    counted against the oracle's text-dup group count;
+    *  - every component label is the min doc_id of its members;
+    *  - labels are closed under the emitted pair set (both endpoints
+    *    of every pair share a label).
+    * Per-label output stays available via `Dedup.components` directly;
+    * this row gates the SAME full LSH+components computation. */
   private def x13(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val eligible = docs.filter(size(T.tokens(col("text"))) >= 3)
+    // one eager cut: LSH runs once for components AND the closure
+    // check (pairs ≪ corpus — bounded by verified near-dups)
     val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
-    Dedup.components(pairs).orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    val labels = Dedup.components(pairs).localCheckpoint(true)
+    val closure = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("group_id").as("ga")),
+        Seq("doc_a"), "left")
+      .join(labels.select(col("doc_id").as("doc_b"), col("group_id").as("gb")),
+        Seq("doc_b"), "left")
+      .agg(coalesce(sum(when(col("ga").isNull || col("gb").isNull ||
+        col("ga") =!= col("gb"), 1L).otherwise(0L)), lit(0L))
+        .as("n_closure_viol"))
+    val minv = labels.groupBy(col("group_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .agg(coalesce(sum(when(col("group_id") =!= col("mn"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_label_viol"))
+    val dupTexts = eligible.groupBy(col("text"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("text"))
+    val cog = eligible.join(dupTexts, Seq("text"), "left_semi")
+      .join(labels, Seq("doc_id"), "left")
+      .groupBy(col("text"))
+      .agg(sum(when(col("group_id").isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col("group_id")).as("nl"))
+      .agg(count(lit(1)).as("n_text_dup_groups"),
+        coalesce(sum(when(col("nulls") > 0 || col("nl") =!= 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_cogroup_viol"))
+    cog.crossJoin(closure).crossJoin(minv).select(
+      col("n_text_dup_groups"),
+      (col("n_cogroup_viol") === 0).as("all_same_text_cogrouped"),
+      (col("n_label_viol") === 0).as("labels_are_min_members"),
+      (col("n_closure_viol") === 0).as("labels_closed_under_pairs"))
   }
 
   private def x14(s: SparkSession, dir: String): DataFrame =
@@ -4987,6 +5091,42 @@ object ExtQueries {
         |    AS fingerprint,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // x2/x13 (round 11, ex rows-only): the oracle computes the exact
+    // anchors (shingle-bearing doc count, exact-duplicate pair/group
+    // counts — the recall floor LSH must reach because identical
+    // texts have identical signatures) and pins the engine-side
+    // guarantee booleans TRUE; the Spark side computes them genuinely
+    // (independent string-shingle Jaccard per emitted pair, label
+    // consistency checks), so any violation flips a boolean and the
+    // driver hash catches it. Same pattern as b4_approx_agg.
+    "x2_dedup_minhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |        x -> x <> '')) AS ntok
+        |  FROM documents),
+        |eligible AS (SELECT doc_id, text FROM tk WHERE ntok >= 3),
+        |grp AS (SELECT text, COUNT(*) AS c FROM eligible GROUP BY text)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+        |    AS n_exact_dup_pairs,
+        |  TRUE AS exact_dups_all_emitted,
+        |  TRUE AS emitted_pairs_verified
+        |FROM grp""".stripMargin,
+    "x13_dedup_groups" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |        x -> x <> '')) AS ntok
+        |  FROM documents),
+        |eligible AS (SELECT doc_id, text FROM tk WHERE ntok >= 3),
+        |grp AS (SELECT text, COUNT(*) AS c FROM eligible GROUP BY text)
+        |SELECT CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT)
+        |    AS n_text_dup_groups,
+        |  TRUE AS all_same_text_cogrouped,
+        |  TRUE AS labels_are_min_members,
+        |  TRUE AS labels_closed_under_pairs
+        |FROM grp""".stripMargin,
     "x4_dedup_ngram" ->
       """WITH tok0 AS (
         |  SELECT doc_id, source,

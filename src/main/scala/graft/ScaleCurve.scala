@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: measure the heavy-tail queries at 1× and K×
+  * the sf0.1 corpus and assert growth stays ~linear — the guard for
+  * the 100 TB design claim that sf0.1 (17 MB) alone cannot give.
+  * A super-linear term (an uncapped quadratic candidate stage, a
+  * window that degenerates to one partition, a driver-side
+  * accumulation) shows up as growth ≫ K here long before it would
+  * kill a 1000-executor job.
+  *
+  * K× corpus construction (deterministic, id-offset discipline):
+  *
+  *  - TPC-H tables (orders/lineitem/supplier/customer): replica r
+  *    shifts every join key by r·10⁸ — referential integrity holds
+  *    WITHIN a replica, keys are disjoint ACROSS replicas, so the
+  *    trade graph becomes K disjoint copies and graph/join work
+  *    scales exactly K×.
+  *  - documents: doc_id + r·10⁷ (clears the x124 mutant band at
+  *    +10⁶), and for r>0 every 4th token is REPLACED by a
+  *    position+replica-keyed marker `zq<r>x<i>`. Replacement (not
+  *    insertion) keeps token counts exactly linear; markers keyed by
+  *    (r, i) but NOT doc_id preserve intra-replica duplicate
+  *    structure while pushing cross-replica 3-shingle Jaccard to
+  *    ~1/7 — below the 0.2 LSH verification threshold — so dedup
+  *    workloads see K× the corpus, not K² the candidate pairs. The
+  *    marker swap keeps stopword hits (≥1 survives easily) and mean
+  *    token length inside the x74 gate envelope, so the x81 pipeline
+  *    processes replicas, not drops them.
+  *
+  * Output: one JSON line {"metric":"scale_curve","factor":K,
+  * "queries":{name:{"t1":s,"tk":s,"growth":g}},"max_growth":g,
+  * "pass":bool}; pass = every growth ≤ SPARK_GRAFT_SCALE_MAX
+  * (default 12 — K plus scheduling/sort log-factor headroom).
+  * Timing is Bench's discipline: untimed warmup per dir, min-of-3.
+  */
+object ScaleCurve {
+
+  val DefaultQueries: Seq[String] = Seq(
+    "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
+    "x13_dedup_groups", "q18_dead_letter")
+
+  private val TpchOffset = 100000000L
+  private val DocOffset = 10000000L
+
+  /** Replicate the five input tables K× from baseDir into outDir.
+    * Layout discipline: each replica lands in its own range partition
+    * (ordered by the table's id within it), so the K× directory has
+    * ~K× the files of the base — the scan parallelism a genuinely
+    * K×-sized corpus would have, not one K×-fatter file. */
+  def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    require(k >= 1, s"factor must be >= 1: $k")
+    def base(name: String): DataFrame =
+      spark.read.parquet(s"$baseDir/$name.parquet")
+    def explodeReplicas(df: DataFrame): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
+
+    def shiftKeys(name: String, keys: Seq[String], idKey: String): Unit = {
+      val src = explodeReplicas(base(name))
+      val out = src.columns.filter(_ != "__r").map { c =>
+        if (keys.contains(c)) (col(c) + col("__r") * TpchOffset).as(c)
+        else col(c)
+      }
+      src.select(col("__r") +: out.toSeq: _*)
+        .repartitionByRange(k, col("__r"), col(idKey))
+        .drop("__r")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    shiftKeys("orders", Seq("o_orderkey", "o_custkey"), "o_orderkey")
+    shiftKeys("lineitem", Seq("l_orderkey", "l_suppkey"), "l_orderkey")
+    shiftKeys("supplier", Seq("s_suppkey", "s_nationkey"), "s_suppkey")
+    shiftKeys("customer", Seq("c_custkey"), "c_custkey")
+
+    val docs = explodeReplicas(base("documents"))
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val marked = array_join(
+      transform(toks, (tok, i) =>
+        when(i % 4 === 0,
+          concat(lit("zq"), col("__r"), lit("x"), i)).otherwise(tok)),
+      " ")
+    val outCols = docs.columns.filter(_ != "__r").map {
+      case "doc_id" => (col("doc_id") + col("__r") * DocOffset).as("doc_id")
+      case "text" => when(col("__r") === 0, col("text"))
+        .otherwise(marked).as("text")
+      case c => col(c)
+    }
+    docs.select(col("__r") +: outCols.toSeq: _*)
+      .repartitionByRange(k, col("__r"), col("doc_id"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String,
+      reps: Int): Double = {
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try once() catch { case e: Throwable =>  // warmup
+      System.err.println(s"[scale] warmup $name FAILED: ${e.getClass.getName}")
+    }
+    val walls = (1 to reps).map { i =>
+      val w = try once() catch { case e: Throwable =>
+        System.err.println(s"[scale] $name run$i FAILED: " +
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        -1.0
+      }
+      System.err.println(f"[scale] $name @$dir run$i ${w}%.3fs")
+      w
+    }.filter(_ >= 0)
+    if (walls.isEmpty) -1.0 else walls.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    val maxGrowth = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX", "12.0").toDouble
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // The scaled dir is deterministic in (baseDir, k); a marker file
+    // records the recipe so repeat runs skip the build.
+    val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
+    val recipe = s"base=$baseDir k=$k v=1"
+    val cached = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe
+    if (!cached) {
+      System.err.println(s"[scale] building ${k}x corpus at $outDir")
+      val t0 = System.nanoTime()
+      buildScaledDir(spark, baseDir, outDir, k)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, recipe.getBytes("UTF-8"))
+      System.err.println(f"[scale] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else System.err.println(s"[scale] reusing ${k}x corpus at $outDir")
+
+    val rows = queries.map { name =>
+      val t1 = timeQuery(spark, name, baseDir, reps)
+      val tk = timeQuery(spark, name, outDir, reps)
+      val growth = if (t1 > 0 && tk > 0) tk / t1 else -1.0
+      System.err.println(f"[scale] $name 1x=${t1}%.3fs ${k}x=${tk}%.3fs growth=${growth}%.2f")
+      (name, t1, tk, growth)
+    }
+    val growths = rows.map(_._4).filter(_ > 0)
+    val maxG = if (growths.isEmpty) -1.0 else growths.max
+    val pass = growths.nonEmpty && growths.size == rows.size && maxG <= maxGrowth
+    val qs = rows.map { case (n, t1, tk, g) =>
+      s""""$n":{"t1":${Bench.secStr(t1)},"tk":${Bench.secStr(tk)},"growth":${Bench.secStr(g)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","factor":$k,"base":"$baseDir",""" +
+      s""""queries":$qs,"max_growth":${Bench.secStr(maxG)},""" +
+      s""""max_allowed":${Bench.secStr(maxGrowth)},"pass":$pass}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** The K× corpus the scaling-curve harness builds must scale the WORK
+  * linearly, not the workload's combinatorics — these pins are what
+  * make a measured growth ≤ ~K a statement about the operators rather
+  * than about a quadratically-inflated fixture.
+  *
+  *  - row counts exactly ×K, ids disjoint across replicas, TPC-H
+  *    referential integrity intact within each replica;
+  *  - token counts exactly ×K (marker REPLACEMENT, not insertion);
+  *  - intra-replica duplicate structure preserved: two docs that were
+  *    exact duplicates in the base are still exact duplicates inside
+  *    every replica (markers keyed by position+replica, not doc_id);
+  *  - cross-replica 3-shingle Jaccard of the SAME base doc sits below
+  *    the 0.2 LSH verification threshold, so minhash dedup on the K×
+  *    corpus finds K× the base pairs, never K²-inflated cross-replica
+  *    pairs.
+  */
+class ScaleCurveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseDir = "/root/testdata/sf0.001"
+  private lazy val outDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    ScaleCurve.buildScaledDir(spark, baseDir, d, k = 3)
+    d
+  }
+  private def base(name: String) =
+    spark.read.parquet(s"$baseDir/$name.parquet")
+  private def scaled(name: String) =
+    spark.read.parquet(s"$outDir/$name.parquet")
+
+  test("row counts are exactly xK and ids are disjoint across replicas") {
+    for ((tbl, id) <- Seq("orders" -> "o_orderkey", "lineitem" -> null,
+        "supplier" -> "s_suppkey", "customer" -> "c_custkey",
+        "documents" -> "doc_id")) {
+      assert(scaled(tbl).count() === 3 * base(tbl).count(), tbl)
+      if (id != null)
+        assert(scaled(tbl).select(id).distinct.count() ===
+          3 * base(tbl).select(id).distinct.count(), s"$tbl.$id disjoint")
+    }
+  }
+
+  test("TPC-H referential integrity holds within every replica") {
+    val o = scaled("orders").select(col("o_orderkey"))
+    val li = scaled("lineitem").select(col("l_orderkey")).distinct
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .count() === 0, "every lineitem order key resolves in its replica")
+    val s = scaled("supplier").select(col("s_suppkey"))
+    val ls = scaled("lineitem").select(col("l_suppkey")).distinct
+    assert(ls.join(s, ls("l_suppkey") === s("s_suppkey"), "left_anti")
+      .count() === 0, "every lineitem supp key resolves in its replica")
+  }
+
+  test("token counts scale exactly xK (replacement, not insertion)") {
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      sum(size(filter(split(col("text"), "\\s+"), t => t =!= ""))))
+      .as[Long].head()
+    assert(toks(scaled("documents")) === 3 * toks(base("documents")))
+  }
+
+  test("intra-replica exact-duplicate structure is preserved") {
+    // base exact-dup pairs (by full text) must reappear in EVERY
+    // replica: markers are position-keyed, so identical base texts
+    // stay identical after the swap
+    val baseDups = base("documents").groupBy(col("text"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    val scaledDups = scaled("documents").groupBy(col("text"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(scaledDups === 3 * baseDups,
+      s"dup groups must triple: base=$baseDups scaled=$scaledDups")
+  }
+
+  test("cross-replica copies of one base doc sit below the LSH threshold") {
+    // replicas of the same base doc must NOT read as near-dups: their
+    // verified 3-shingle Jaccard stays under the 0.2 minhashLsh
+    // threshold (the marker swap hits ~3 of every 4 shingles)
+    val reps = scaled("documents")
+      .withColumn("base_id", col("doc_id") % 10000000L)
+    val ids = reps.groupBy(col("base_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 3).select(col("base_id"))
+      .orderBy(col("base_id")).limit(5).as[Long].collect()
+    assert(ids.nonEmpty, "need at least one base doc present in all replicas")
+    val sample = reps.filter(col("base_id").isInCollection(ids))
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashLsh(sample, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+      .select(col("doc_a") % 10000000L, col("doc_b") % 10000000L)
+      .as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == p._2),
+      s"cross-replica self-pairs must not verify at 0.2: $pairs")
+  }
+}
