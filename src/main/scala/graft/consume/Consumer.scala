@@ -55,8 +55,42 @@ class BatchConsumer(
       * whose non-null value failed to decode are handed here, raw
       * bytes intact, before the batch proceeds without them. Unset
       * (default), any corrupt frame fails the batch — T6's
-      * maximally-safe default at record grain. */
-    val deadLetterSink: Option[DataFrame => Unit] = None) {
+      * maximally-safe default at record grain.
+      *
+      * Delivery contract: AT-LEAST-ONCE, same as the main path (T1) —
+      * in streaming mode the handler runs inside `foreachBatch`
+      * before the checkpoint commit, so a crash after delivery
+      * replays the batch and re-delivers the same rows (pinned by
+      * ConsumerSpec's crash-replay test). Point it at an idempotent
+      * target (PK on (topic, offset), keyed upsert) exactly like the
+      * merge sink.
+      *
+      * Operational note: the lenient decode routes ANY NonFatal
+      * decode failure here, including transient non-data faults (a
+      * registry outage mid-decode looks like poison). ALERT on the
+      * `Metrics.DeadLetters` counter rate — a corpus emits poison at
+      * a trickle; a step change means infrastructure, not data, and
+      * the quarantined raw bytes are replayable once it heals. */
+    val deadLetterSink: Option[DataFrame => Unit] = None,
+    /** Key codec for `decoded_key` (strict by default). Without one,
+      * keys pass through as a string cast (never fails). */
+    val keyBackend: Option[SchemaBackend] = None,
+    /** Round-11 opt-in THIRD error mode: also quarantine rows whose
+      * KEY fails lenient decode (raw key+value bytes to the DLQ).
+      * Default false — a corrupt key still kills the job even when a
+      * `deadLetterSink` handles corrupt values, because a lost key is
+      * not separable from data loss (it breaks compaction grouping
+      * and merge identity); quarantining keys is a deliberate,
+      * per-topic decision. Requires `deadLetterSink` and a
+      * `keyBackend`. The three modes, ConsumerSpec-pinned:
+      *  1. strict (default): any corrupt frame fails the batch;
+      *  2. value-DLQ: corrupt values quarantine, corrupt keys kill;
+      *  3. key+value-DLQ: both quarantine, raw bytes intact. */
+    val quarantineKeys: Boolean = false) {
+
+  require(!quarantineKeys || (deadLetterSink.isDefined && keyBackend.isDefined),
+    "quarantineKeys needs both a deadLetterSink (quarantine target) and " +
+      "a keyBackend (a string-cast key cannot fail decode)")
 
   /** Batch-mode consume of a Kafka-shaped frame; returns final
     * (upserts, deletes) after hooks + compaction. Wrapped in a tracer
@@ -68,12 +102,26 @@ class BatchConsumer(
       consumeBatchInner(kafka)
     }
 
+  /** Decode with the configured error mode (see [[quarantineKeys]]). */
+  private def decodeFrame(kafka: DataFrame): DataFrame =
+    Streams.fromKafkaFrame(kafka, backend, keyBackend,
+      lenient = deadLetterSink.isDefined, lenientKeys = quarantineKeys)
+
+  /** A row is poison when its non-null value failed decode — and, in
+    * the key-quarantine mode, when its non-null key did. */
+  private def poisonPredicate: org.apache.spark.sql.Column = {
+    val v = graft.operators.Pipeline.undecodable(
+      col(MessageCols.Value), col("payload"))
+    if (quarantineKeys)
+      v || graft.operators.Pipeline.undecodable(
+        col(MessageCols.Key), col("decoded_key"))
+    else v
+  }
+
   private def consumeBatchInner(kafka: DataFrame): (DataFrame, DataFrame) = {
     metrics.count(graft.observe.Metrics.ConsumeBatch, 1L)
-    val decodedAll = Streams.fromKafkaFrame(kafka, backend,
-      lenient = deadLetterSink.isDefined)
-    val poison = graft.operators.Pipeline.undecodable(
-      col(MessageCols.Value), col("payload"))
+    val decodedAll = decodeFrame(kafka)
+    val poison = poisonPredicate
     val decoded = deadLetterSink match {
       case Some(dlq) =>
         // persist the (small) poison side so count + sink read it
@@ -123,8 +171,7 @@ class BatchConsumer(
     * matter what either layer says. */
   def stream(kafka: DataFrame)(
       sink: (DataFrame, DataFrame, Long) => Unit) = {
-    val decoded = Streams.fromKafkaFrame(kafka, backend,
-      lenient = deadLetterSink.isDefined)
+    val decoded = decodeFrame(kafka)
     val guarded: (DataFrame, DataFrame, Long) => Unit = (up, del, id) =>
       try sink(up, del, id)
       catch {
@@ -138,8 +185,7 @@ class BatchConsumer(
     // frame's null payload must neither read as a delete nor be
     // silently dropped by a user predicate before quarantine
     val dlqSplit = deadLetterSink.map { dlq =>
-      (graft.operators.Pipeline.undecodable(
-          col(MessageCols.Value), col("payload")),
+      (poisonPredicate,
         (dead: DataFrame, batchId: Long) => {
           if (metrics ne graft.observe.Metrics.noop)
             metrics.count(graft.observe.Metrics.DeadLetters, dead.count())

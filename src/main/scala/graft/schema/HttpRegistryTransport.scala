@@ -8,7 +8,7 @@ import java.time.Duration
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** HTTP [[RegistryTransport]] speaking the public Confluent schema
-  * registry REST protocol — the same two endpoints the reference's
+  * registry REST protocol — the three endpoints the reference's
   * backend reaches through its registry client
   * (`avro_schema_registry.rb:10-19`):
   *
@@ -17,6 +17,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *   - `POST {base}/subjects/{subject}/versions` with
   *     `{"schema": "<json>"}` → `{"id": N}` (idempotent: re-posting a
   *     registered schema returns its existing global id)
+  *   - `GET {base}/subjects/{subject}/versions/latest` →
+  *     `{"subject":…,"version":N,"id":N,"schema":"<json>"}`
+  *     (the consumer plan-time entry point when writer ids are
+  *     unknown; 404 carries 40401 for unknown subjects)
   *
   * Built on the JDK's `java.net.http.HttpClient` — no extra
   * dependency — with optional HTTP Basic auth (the registry's
@@ -54,7 +58,13 @@ class HttpRegistryTransport(baseUrl: String,
 
   private val mapper = new ObjectMapper
   private val base = baseUrl.stripSuffix("/")
+  // NORMAL redirect policy: a registry fronted by an http→https (or
+  // load-balancer) redirect just works instead of burning the retry
+  // budget on 301s — the JDK default is Redirect.NEVER. Any 3xx that
+  // still reaches send() (redirect loop, https→http downgrade the
+  // policy refuses) is a permanent misconfiguration, failed fast below.
   private val http = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
   private val ContentType = "application/vnd.schemaregistry.v1+json"
@@ -84,6 +94,15 @@ class HttpRegistryTransport(baseUrl: String,
             // guess is exactly what the contract forbids
             throw new IllegalArgumentException(
               s"schema registry $what failed: HTTP $code ${resp.body()}")
+          if (code / 100 != 5)
+            // 1xx/3xx after the NORMAL redirect policy already ran:
+            // a redirect loop or an https→http downgrade — permanent
+            // misconfiguration, not an outage; retrying would burn
+            // the backoff budget and then misreport it as transient
+            throw new IllegalArgumentException(
+              s"schema registry $what misconfigured: unexpected HTTP " +
+                s"$code (redirect loop or protocol downgrade?) " +
+                resp.body())
           new RegistryUnavailableException(
             s"schema registry $what failed: HTTP $code ${resp.body()}")
         } catch {
@@ -96,8 +115,12 @@ class HttpRegistryTransport(baseUrl: String,
             s"${e.getMessage}", e)
       }
       // full jitter: uniform(0, base·2^attempt) — decorrelates
-      // concurrent planners retrying against a recovering registry
-      val cap = retryBaseMs << attempt
+      // concurrent planners retrying against a recovering registry.
+      // Shift clamped (a caller-set maxRetries ≥ ~55 would overflow
+      // the Long shift to a negative bound and crash nextLong) and
+      // the sleep bounded at 60 s — past that, longer waits add
+      // nothing but planner stall.
+      val cap = math.min(retryBaseMs << math.min(attempt, 20), 60000L)
       attempt += 1
       sleeper(java.util.concurrent.ThreadLocalRandom.current()
         .nextLong(cap + 1))

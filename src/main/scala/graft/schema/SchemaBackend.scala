@@ -44,6 +44,18 @@ trait SchemaBackend {
       org.apache.spark.sql.catalyst.expressions.TryEval(
         org.apache.spark.sql.GraftSqlBridge.expression(decodeExpr(bytes))))
 
+  /** [[decodeLenientExpr]] for the KEY codec — the round-11 opt-in
+    * third error mode (`BatchConsumer.quarantineKeys`): a corrupt key
+    * frame decodes to NULL beside its raw bytes instead of killing
+    * the job, so the caller can quarantine the whole row. Key decode
+    * stays STRICT unless that mode is explicitly requested: a lost
+    * key is indistinguishable from data loss, so silently nulling it
+    * anywhere else would corrupt compaction grouping. */
+  def decodeKeyLenientExpr(bytes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        org.apache.spark.sql.GraftSqlBridge.expression(decodeKeyExpr(bytes))))
+
   /** Per-row validation report against the declared schema:
     * `array<string>` of aggregated errors, empty = valid (reference
     * contract `base.rb:163-165` / `avro_base.rb:85-89`). The payload's

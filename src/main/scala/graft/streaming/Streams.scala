@@ -92,13 +92,20 @@ object Streams {
     *   [[SchemaBackend.decodeLenientExpr]]: a corrupt frame yields a
     *   null payload beside its non-null raw value — the caller's
     *   dead-letter signal (see `BatchConsumer`'s `deadLetterSink`) —
-    *   instead of failing the task. Key decode stays strict: a frame
-    *   whose VALUE decodes but whose key does not is not separable
-    *   from data loss, and must stop the world. */
+    *   instead of failing the task. Key decode stays strict by
+    *   default: a frame whose VALUE decodes but whose key does not is
+    *   not separable from data loss, and must stop the world.
+    * @param lenientKeys round-11 opt-in third mode (see
+    *   `BatchConsumer.quarantineKeys`): the KEY decode also goes
+    *   through TryEval, yielding a null `decoded_key` beside non-null
+    *   raw key bytes — the caller's signal to quarantine the row.
+    *   Only meaningful with a schema `keyBackend` (a plain
+    *   string-cast key cannot fail). */
   def fromKafkaFrame(kafka: DataFrame, backend: SchemaBackend,
       keyBackend: Option[SchemaBackend] = None,
-      lenient: Boolean = false): DataFrame = {
+      lenient: Boolean = false, lenientKeys: Boolean = false): DataFrame = {
     val decodedKey = keyBackend match {
+      case Some(kb) if lenientKeys => kb.decodeKeyLenientExpr(col(MessageCols.Key))
       case Some(kb) => kb.decodeKeyExpr(col(MessageCols.Key))
       case None => col(MessageCols.Key).cast("string")
     }

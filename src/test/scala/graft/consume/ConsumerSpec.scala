@@ -213,4 +213,159 @@ class ConsumerSpec extends SparkSpec {
         graft.observe.Metrics.DeadLetters) === 1L)
     } finally q.stop()
   }
+
+  test("key-poison error modes: strict kills, value-DLQ still kills on " +
+      "keys, opt-in quarantineKeys routes raw key+value bytes to the DLQ") {
+    val valueJson =
+      """{"type":"record","name":"W","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"amount","type":"long"}]}""".stripMargin
+    val keyJson =
+      """{"type":"record","name":"WKey","fields":[
+        | {"name":"widget_id","type":"string"}]}""".stripMargin
+    val vb = new graft.schema.RegistryFramedBackend(valueJson, schemaId = 5)
+    val kb = new graft.schema.RegistryFramedBackend(keyJson, schemaId = 6)
+    def vframe(id: String, amount: Long): Array[Byte] = spark.range(1)
+      .select(vb.encodeExpr(struct(lit(id).as("widget_id"),
+        lit(amount).as("amount"))).as("bin")).as[Array[Byte]].head()
+    def kframe(id: String): Array[Byte] = spark.range(1)
+      .select(kb.encodeExpr(struct(lit(id).as("widget_id"))).as("bin"))
+      .as[Array[Byte]].head()
+    val kafka = Seq(
+      (1L, kframe("A"), vframe("A", 5L)),               // clean
+      (2L, kframe("B").dropRight(1), vframe("B", 7L)),  // poison KEY
+      (3L, kframe("C"), vframe("C", 9L).dropRight(2)))  // poison value
+      .toDF("offset", "key", "value")
+    val cfg = TopicConfig("widgets", "Widget",
+      keyConfig = KeyConfig.Plain("widget_id"))
+    // mode 1 — strict (default): any corrupt frame fails the batch
+    val strict = new BatchConsumer(cfg, vb, Hooks,
+      keyCols = Seq("decoded_key"), orderCol = "offset",
+      keyBackend = Some(kb))
+    intercept[Exception](strict.consumeBatch(kafka)._1.collect())
+    // mode 2 — value-DLQ: a corrupt KEY still kills the job (a lost
+    // key is not separable from data loss; quarantine is per-topic
+    // opt-in, never implied by the value-side DLQ)
+    val mode2 = new BatchConsumer(cfg, vb, Hooks,
+      keyCols = Seq("decoded_key"), orderCol = "offset",
+      deadLetterSink = Some(_ => ()), keyBackend = Some(kb))
+    intercept[Exception] {
+      val (u, _) = mode2.consumeBatch(kafka); u.collect()
+    }
+    // mode 3 — quarantineKeys: both poison rows route to the DLQ with
+    // raw key AND value bytes intact; the clean row proceeds
+    var dead = Seq.empty[(Long, Boolean, Boolean)]
+    val mode3 = new BatchConsumer(cfg, vb, Hooks,
+      keyCols = Seq("decoded_key"), orderCol = "offset",
+      deadLetterSink = Some(d => dead = d.select(col("offset"),
+        col("key").isNotNull, col("value").isNotNull)
+        .as[(Long, Boolean, Boolean)].collect().toSeq.sortBy(_._1)),
+      keyBackend = Some(kb), quarantineKeys = true)
+    val (up, del) = mode3.consumeBatch(kafka)
+    assert(up.select(col("decoded_key.widget_id"), col("payload.amount"))
+      .as[(String, Long)].collect().toSeq === Seq(("A", 5L)))
+    assert(del.count() === 0)
+    assert(dead === Seq((2L, true, true), (3L, true, true)),
+      "both poison rows quarantined, raw bytes intact on both sides")
+    // the mode is guarded: it needs both a DLQ and a key codec
+    intercept[IllegalArgumentException](new BatchConsumer(cfg, vb, Hooks,
+      keyCols = Seq("decoded_key"), orderCol = "offset",
+      quarantineKeys = true))
+    intercept[IllegalArgumentException](new BatchConsumer(cfg, vb, Hooks,
+      keyCols = Seq("decoded_key"), orderCol = "offset",
+      deadLetterSink = Some(_ => ()), quarantineKeys = true))
+  }
+
+  test("streaming DLQ crash-replay: quarantined rows survive a mid-batch " +
+      "crash — at-least-once redelivery absorbed by a keyed store, " +
+      "none lost, none double-kept") {
+    // The DLQ side of mergeSink's sideSplit runs BEFORE the main sink
+    // inside foreachBatch, so the worst-timed crash is: DLQ already
+    // delivered the batch's poison, main sink dies, checkpoint never
+    // commits. On restart the batch replays and the DLQ handler is
+    // invoked AGAIN with the same rows — the DLQ delivery contract is
+    // AT-LEAST-ONCE, exactly like the main path (T1), and a real DLQ
+    // target needs the same idempotence discipline (a PK on
+    // (topic, offset), here a keyed map). This spec drives a real
+    // killed-and-restarted query and pins both halves: redelivery
+    // happened (raw invocation count), and the keyed store converges
+    // to exactly the poison set.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val avroJson =
+      """{"type":"record","name":"W","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"amount","type":"long"}]}""".stripMargin
+    val ab = new graft.schema.RegistryFramedBackend(avroJson, schemaId = 5)
+    def frame(id: String, amount: Long): Array[Byte] = spark.range(1)
+      .select(ab.encodeExpr(struct(lit(id).as("widget_id"),
+        lit(amount).as("amount"))).as("bin"))
+      .as[Array[Byte]].head()
+    val ckDir =
+      java.nio.file.Files.createTempDirectory("graft-dlq-crash").toString
+    // idempotent quarantine store keyed by offset + raw delivery log
+    val quarantine = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    @volatile var dlqDeliveries = 0
+    @volatile var crashArmed = true
+    var upserted = Set.empty[(String, Long)]
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val kafka = input.toDF().toDF("offset", "k", "value")
+      .select(col("offset"), col("k").cast("binary").as("key"), col("value"))
+    def mkConsumer() = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
+      ab, Hooks, keyCols = Seq("decoded_key"), orderCol = "offset",
+      deadLetterSink = Some { dead =>
+        dlqDeliveries += 1
+        dead.select(col("offset"), col("key").cast("string"))
+          .as[(Long, String)].collect()
+          .foreach { case (o, k) => quarantine.put(o, k) }
+      })
+    def mkQuery() = mkConsumer().stream(kafka) { (up, del, _) =>
+      val ups = up.select(col("decoded_key"), col("payload.amount"))
+        .as[(String, Long)].collect()
+      upserted ++= ups
+      // crash AFTER the DLQ handler delivered this batch's poison and
+      // AFTER the merge effects, BEFORE the checkpoint commit
+      if (crashArmed && ups.exists(_._1 == "C")) {
+        crashArmed = false
+        throw new RuntimeException(
+          "simulated crash after DLQ delivery, before checkpoint commit")
+      }
+    }.option("checkpointLocation", ckDir)
+    val q1 = mkQuery().start()
+    input.addData(
+      (1L, "A", frame("A", 5L)),
+      (2L, "B", frame("B", 7L).dropRight(2)))  // poison
+    q1.processAllAvailable()
+    assert(quarantine.asInstanceOf[java.util.Map[Long, String]]
+      === java.util.Map.of(2L, "B"))
+    input.addData(
+      (3L, "D", frame("D", 8L).dropRight(2)),  // poison, doomed batch
+      (4L, "C", frame("C", 9L)))
+    intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    // the doomed batch's poison already reached the DLQ (at-least-once)
+    assert(quarantine.containsKey(3L), "pre-crash DLQ delivery landed")
+    val deliveriesBeforeRestart = dlqDeliveries
+    // restart from the SAME checkpoint: the uncommitted batch replays,
+    // the DLQ handler re-delivers the same rows (at-least-once), and
+    // the keyed store absorbs the duplicate
+    val q2 = mkQuery().start()
+    try {
+      q2.processAllAvailable()
+      assert(dlqDeliveries > deliveriesBeforeRestart,
+        "restart must re-deliver the lost batch's poison to the DLQ")
+      assert(quarantine.keySet.asInstanceOf[java.util.Set[Long]]
+        === java.util.Set.of(2L, 3L), "no loss, no phantom entries")
+      assert(upserted === Set(("A", 5L), ("C", 9L)))
+      // the stream keeps quarantining after recovery
+      input.addData(
+        (5L, "E", frame("E", 1L).dropRight(2)),  // poison
+        (6L, "F", frame("F", 2L)))
+      q2.processAllAvailable()
+      assert(quarantine.keySet.asInstanceOf[java.util.Set[Long]]
+        === java.util.Set.of(2L, 3L, 5L))
+      assert(upserted === Set(("A", 5L), ("C", 9L), ("F", 2L)))
+    } finally q2.stop()
+  }
 }

@@ -188,6 +188,78 @@ class HttpRegistryTransportSpec extends SparkSpec {
     (s"http://127.0.0.1:${server.getAddress.getPort}", n, () => server.stop(0))
   }
 
+  /** Server answering every request with `code` and a Location header
+    * built by `location` from (own base url, request path) — a
+    * redirect front (point it at the real server) or a redirect loop
+    * (point it at itself). */
+  private def startRedirect(code: Int,
+      location: (String, String) => String): (String, () => Unit) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val self = s"http://127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes() // drain (POST bodies)
+      ex.getResponseHeaders.set("Location",
+        location(self, ex.getRequestURI.toString))
+      val b = "redirect".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    (self, () => server.stop(0))
+  }
+
+  test("an http redirect front is followed transparently (Redirect.NORMAL)") {
+    val (inner, _, _, stopInner) = startServer()
+    val (url, stopRedir) = startRedirect(302, (_, path) => inner + path)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      // register straight at the registry (a 302 front converts POST
+      // to GET per RFC — fronts that redirect POSTs use 307/308); the
+      // GET endpoints are the ones http→https fronts serve in practice
+      val id = new HttpRegistryTransport(inner).register("topic-value",
+        gnarlyJson)
+      val t = new HttpRegistryTransport(url, sleeper = sleeps += _)
+      assert(t.fetchById(id) === gnarlyJson)
+      assert(t.latestVersion("topic-value").schemaJson === gnarlyJson)
+      assert(sleeps.isEmpty, "a followable redirect must not burn retries")
+    } finally { stopRedir(); stopInner() }
+  }
+
+  test("a redirect LOOP fails FAST as misconfiguration, not retried") {
+    // 301 → itself: the NORMAL policy follows until its redirect
+    // budget runs out, then the final 3xx reaches the classifier —
+    // permanent misconfiguration, zero retries burned
+    val (url, stopRedir) = startRedirect(301, (self, path) => self + path)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      val t = new HttpRegistryTransport(url, maxRetries = 3,
+        sleeper = sleeps += _)
+      val e = intercept[IllegalArgumentException](t.fetchById(1))
+      assert(e.getMessage.contains("misconfigured"))
+      assert(sleeps.isEmpty, "3xx must not burn the retry budget")
+    } finally stopRedir()
+  }
+
+  test("backoff cap is clamped: huge maxRetries neither overflows nor sleeps unbounded") {
+    val (inner, _, _, stopInner) = startServer()
+    val (url, hits, stopFlaky) = startFlaky(inner, failFirst = 9999, 503)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      // attempt 55+ would shift retryBaseMs into negative Long territory
+      // without the clamp, making ThreadLocalRandom.nextLong throw —
+      // the wrong exception class at exactly the wrong moment
+      val t = new HttpRegistryTransport(url, maxRetries = 60,
+        retryBaseMs = 200L, sleeper = sleeps += _)
+      val e = intercept[RegistryUnavailableException](t.fetchById(1))
+      assert(e.getMessage.contains("HTTP 503"))
+      assert(hits.get() === 61)
+      assert(sleeps.size === 60)
+      assert(sleeps.forall(s => s >= 0 && s <= 60000L),
+        s"all sleeps inside the 60s cap: ${sleeps.max}")
+    } finally { stopFlaky(); stopInner() }
+  }
+
   test("5xx is retried with backoff: 503,503,200 succeeds; sleeps recorded") {
     val (inner, _, _, stopInner) = startServer()
     val (url, hits, stopFlaky) = startFlaky(inner, failFirst = 2, 503)

@@ -18,6 +18,17 @@ def norm(v):
     # values the queries already round in-engine), then compare the
     # PACKED BITS of the result so a sign difference at zero fails
     # loudly here before it fails at the driver.
+    #
+    # Byte-packing DELIBERATELY flips two behaviors vs plain ==, both
+    # chosen to mirror the driver's typed-value hashing (round 10
+    # review): (1) cross-type equality is GONE — a DOUBLE 1.0 no
+    # longer matches a BIGINT 1, which is wanted because the driver
+    # hash-fails on the type divergence anyway (see the TYPE MISMATCH
+    # gate below; an oracle missing a CAST must fail HERE, not pass
+    # here and fail there); (2) NaN compares EQUAL to NaN — wanted,
+    # because a query that legitimately emits NaN on both engines is a
+    # match, whereas Python's NaN != NaN would report a phantom value
+    # mismatch no re-run could clear.
     if isinstance(v, float):
         return struct.pack('<d', round(v, 9))
     # Recurse into nested values so array<double> / struct<... double>
