@@ -83,7 +83,7 @@ object Bench {
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.41,
     "x35_media_dispatch" -> 0.73, "x36_jpeg_decode" -> 1.20,
     "x37_video_frames" -> 0.53, "x38_contamination" -> 0.68,
-    "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.52,
+    "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.28,
     "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.43,
     "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.15,
     "x44_components" -> 0.61, "x45_epoch_shuffle" -> 0.18,

@@ -100,9 +100,53 @@ object ExtQueries {
       (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
   }
 
-  private def x3(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** SimHash near-dedup (`Dedup.simhash`) gated through its EXACT
+    * guarantees (round 11, ex rows-only — x2's pattern): the emitted
+    * pair set depends on the 64-bit token-hash family, but
+    *  - recall floor: identical TOKEN SETS yield identical
+    *    fingerprints (simhash is a function of the distinct-token
+    *    hash bag), so every same-token-set pair shares all four
+    *    chunks and MUST be emitted at hamming 0 — counted against the
+    *    oracle's same-token-set pair count;
+    *  - precision: each emitted pair's fingerprints are recomputed
+    *    from the raw texts in a fresh evaluation and the pair's
+    *    hamming must equal the emitted value and respect the ≤3
+    *    threshold (catches candidate-join or dedup wiring corrupting
+    *    the pair→distance association).
+    * Per-pair output stays available via `Dedup.simhash` directly
+    * (DedupOpsSpec); this row gates the SAME full computation. */
+  private def x3(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    val keyed = docs.select(col("doc_id"),
+      array_sort(T.tokenSet(col("text"))).as("toks"))
+    val anch = keyed.groupBy(col("toks")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_exact_dup_pairs"))
+    val pt = pairs
+      .join(keyed.select(col("doc_id").as("doc_a"),
+        col("toks").as("ka_toks")), "doc_a")
+      .join(keyed.select(col("doc_id").as("doc_b"),
+        col("toks").as("kb_toks")), "doc_b")
+    val reHam = H.hamming64(
+      H.simhash64(H.tokenHashes(col("ka_toks"))),
+      H.simhash64(H.tokenHashes(col("kb_toks"))))
+    val verif = pt.select(
+        (col("ka_toks") === col("kb_toks")).as("same"),
+        col("hamming"), reHam.as("re_ham"))
+      .agg(
+        coalesce(sum(when(col("same"), 1L).otherwise(0L)), lit(0L))
+          .as("n_same_set_emitted"),
+        coalesce(sum(when(col("re_ham") > 3 ||
+          col("re_ham") =!= col("hamming"), 1L).otherwise(0L)), lit(0L))
+          .as("n_verif_viol"))
+    anch.crossJoin(verif).select(col("n_docs"), col("n_exact_dup_pairs"),
+      (col("n_same_set_emitted") === col("n_exact_dup_pairs"))
+        .as("exact_dups_all_emitted"),
+      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
+  }
 
   private def x4(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
@@ -5107,6 +5151,25 @@ object ExtQueries {
         |  FROM documents),
         |eligible AS (SELECT doc_id, text FROM tk WHERE ntok >= 3),
         |grp AS (SELECT text, COUNT(*) AS c FROM eligible GROUP BY text)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+        |    AS n_exact_dup_pairs,
+        |  TRUE AS exact_dups_all_emitted,
+        |  TRUE AS emitted_pairs_verified
+        |FROM grp""".stripMargin,
+    // x3 (round 11, ex rows-only): same pattern — the anchor is the
+    // same-TOKEN-SET pair count (simhash is a function of the
+    // distinct-token hash bag, so those pairs are a guaranteed-recall
+    // floor at hamming 0); the guarantee booleans are engine-computed
+    // and pinned TRUE.
+    "x3_dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\W+'), x -> x <> '')))
+        |      AS toks
+        |  FROM documents),
+        |grp AS (SELECT toks, COUNT(*) AS c FROM tk GROUP BY toks)
         |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs,
         |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
         |    AS n_exact_dup_pairs,
