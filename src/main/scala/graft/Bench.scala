@@ -71,11 +71,11 @@ object Bench {
     "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
     "x13_dedup_groups" -> 1.84, "x14_vocab" -> 0.39,
-    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.25,
+    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.43,
     "x17_sessions" -> 0.47, "x18_rollup" -> 0.24, "x19_asof_join" -> 0.46,
     "x1_dedup_exact" -> 0.22, "x20_range_join" -> 0.32,
     "x21_pii_redact" -> 0.26, "x22_repetition" -> 0.51,
-    "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.75,
+    "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.83,
     "x25_video_meta" -> 0.15, "x26_line_dedup" -> 0.35,
     "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.22,
     "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
@@ -87,7 +87,7 @@ object Bench {
     "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.43,
     "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.15,
     "x44_components" -> 0.61, "x45_epoch_shuffle" -> 0.18,
-    "x46_group_split" -> 0.13, "x47_bpe_merges" -> 0.30,
+    "x46_group_split" -> 0.13, "x47_bpe_merges" -> 0.45,
     "x48_chunk" -> 0.40, "x49_bm25" -> 0.69, "x4_dedup_ngram" -> 1.26,
     "x50_bigram_nll" -> 0.95, "x51_incr_dedup" -> 0.45,
     "x52_embed_quant" -> 1.08, "x53_mixture" -> 0.18,
@@ -103,11 +103,11 @@ object Bench {
     "x73_robust_outliers" -> 0.81, "x74_quality_gate" -> 0.99,
     "x75_span_dedup" -> 0.84, "x76_doc_trunc" -> 0.27,
     "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.21,
-    "x7_ann_lsh" -> 0.42, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
+    "x7_ann_lsh" -> 0.64, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
     "x82_transitions" -> 0.44, "x83_drift" -> 0.24,
     "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
     "x86_dup_profile" -> 0.72, "x87_semantic_screen" -> 0.20,
-    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.39,
+    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.56,
     "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
     "x91_html_strip" -> 0.50, "x92_domain_stats" -> 0.31,
     "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.87,

@@ -167,11 +167,98 @@ object ExtQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Independent cosine recomputation for the ANN gates: higher-order
+    * SQL functions (zip_with/aggregate), not the operator's
+    * CosineSimExpr — a separate evaluation path with the same
+    * element order and zero-norm rule, so emitted scores can be
+    * verified without sharing the operator's code. */
+  private[graft] def cosSql(a: Column, b: Column): Column = {
+    def n2(v: Column): Column = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+      (acc, x) => acc + x)
+    val den = sqrt(n2(a)) * sqrt(n2(b))
+    when(den === 0.0, lit(0.0)).otherwise(dot / den)
+  }
+
+  /** Guarantee surface shared by the cosine-ANN gates (x7 LSH, x16
+    * IVF) — the x2/x3/x13 pattern applied to approximate search: the
+    * emitted NEIGHBOR SET depends on the seeded hash family /
+    * centroid init and is not SQL-reproducible, but these properties
+    * are exact and oracle-checkable:
+    *  - anchors (DuckDB recomputes): query-set size, corpus size, and
+    *    the identical-vector pair count — the recall floor, because an
+    *    identical vector hashes to the query's own bucket under EVERY
+    *    hyperplane family (sign bits are a function of the vector) and
+    *    lands in the query's own probed IVF cell (nearest-centroid
+    *    assignment is deterministic), so it MUST be a candidate with
+    *    maximal cosine;
+    *  - booleans (engine-computed, oracle-pinned TRUE): every
+    *    identical pair emitted (or displaced only by cos-1.0 ties
+    *    filling all k slots); every emitted row's cosine re-verified
+    *    via [[cosSql]], ranks contiguous 1..cnt ≤ k, score monotone
+    *    non-increasing with rank (rounding is monotone, so this is
+    *    exact on the 4-dp surface), self-pairs excluded, neighbors
+    *    and queries members of the right sets.
+    * Per-row top-k output stays available via the Similarity API
+    * (SimilaritySpec); this row gates the SAME full computation. */
+  private[graft] def annSurface(emb: DataFrame, res: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val anch = emb.agg(count(lit(1)).as("n_corpus"),
+      coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
+        .as("n_queries"))
+    val ident = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        col("qe") === col("ne") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
+    val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
+    val rows = res
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"), "left")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), Seq("neighbor_id"), "left")
+      .withColumn("re_cos", cosSql(col("qe"), col("ne")))
+      .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(w))
+    val verif = rows.select(when(
+        col("qe").isNull || col("ne").isNull ||                 // membership
+        col("query_id") >= 20 ||                                // query set
+        col("query_id") === col("neighbor_id") ||               // self pair
+        col("rank") > k ||                                      // k bound
+        (col("prev_rank").isNull && col("rank") =!= 1L) ||      // rank seq
+        (col("prev_rank").isNotNull &&
+          col("rank") =!= col("prev_rank") + 1L) ||
+        (col("prev_cos").isNotNull && col("cos") > col("prev_cos")) ||
+        abs(col("re_cos") - col("cos")) > 6e-5, 1L).otherwise(0L).as("v"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"))
+    val perQ = res.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("cos")).as("min_cos"))
+    val floor = ident
+      .join(res.select(col("query_id").as("qid"),
+        col("neighbor_id").as("nid"), lit(1L).as("hit")),
+        Seq("qid", "nid"), "left")
+      .join(perQ.select(col("query_id").as("qid"), col("cnt"),
+        col("min_cos")), Seq("qid"), "left")
+      .select(when(col("hit").isNull &&
+        !(col("cnt") === k && col("min_cos") >= 1.0), 1L)
+        .otherwise(0L).as("v"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
+    anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
+      .select(col("n_queries"), col("n_corpus"), col("n_identical_pairs"),
+        (col("n_floor_viol") === 0).as("identical_recall_floor"),
+        (col("n_row_viol") === 0).as("emitted_rows_verified"))
+  }
+
+  /** Hyperplane-LSH ANN (`Similarity.lshTopK`) gated through its exact
+    * guarantees (round 11, ex rows-only) — see [[annSurface]]. */
   private def x7(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
-      "vec_id", "embedding", dim = 64, nBits = 6, k = 3)
-      .orderBy(col("query_id"), col("rank"))
+    annSurface(emb,
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", dim = 64, nBits = 6, k = 3), k = 3)
   }
 
   /** Video analog of x12/x23: per-row MP4 containers synthesized with
@@ -233,9 +320,35 @@ object ExtQueries {
           count(lit(1)).cast("double"), 2).as(alias))
     }
     // single-probe vs multi-probe recall side by side — the tuning
-    // loop a production deployment runs; the spec pins mp >= sp
-    recallAt(1, "recall").join(recallAt(3, "recall_mp"), Seq("query_id"))
-      .orderBy(col("query_id"))
+    // loop a production deployment runs. Gated (round 11, ex
+    // rows-only) through its exact guarantees: the recall VALUES
+    // depend on the seeded hyperplane family, but (a) the ground
+    // truth is complete (k rows per query — corpus ≫ k, so this
+    // count is oracle-recomputable), (b) recalls live in [0,1], and
+    // (c) multi-probe recall ≥ single-probe recall per query — a
+    // theorem, not a tuning fact: the nProbe=3 probe set contains
+    // the nProbe=1 bucket, so candidates_mp ⊇ candidates_sp, and a
+    // truth member (global top-k by cosine) retrieved under sp can
+    // only be displaced in mp's top-k by higher-cosine vectors,
+    // which are all truth members themselves. Rounding (2 dp) is
+    // monotone, so the inequality survives the emitted surface.
+    val rec = recallAt(1, "recall").join(recallAt(3, "recall_mp"),
+      Seq("query_id"))
+    val anch = emb.agg(
+      coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
+        .as("n_queries"))
+    val truthCnt = truth.agg(count(lit(1)).as("n_truth_rows"))
+    val checks = rec.agg(count(lit(1)).as("n_rec_rows"),
+      coalesce(sum(when(col("recall") < 0.0 || col("recall") > 1.0 ||
+        col("recall_mp") < 0.0 || col("recall_mp") > 1.0, 1L)
+        .otherwise(0L)), lit(0L)).as("v_range"),
+      coalesce(sum(when(col("recall_mp") < col("recall"), 1L)
+        .otherwise(0L)), lit(0L)).as("v_mono"))
+    anch.crossJoin(truthCnt).crossJoin(checks).select(
+      col("n_queries"), col("n_truth_rows"),
+      (col("n_rec_rows") === col("n_queries")).as("recall_row_per_query"),
+      (col("v_range") === 0).as("recalls_in_unit_range"),
+      (col("v_mono") === 0).as("multiprobe_never_worse"))
   }
 
   private def x8(s: SparkSession, dir: String): DataFrame =
@@ -360,13 +473,16 @@ object ExtQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** IVF ANN (`Similarity.trainCentroids` + `ivfTopK`) gated through
+    * its exact guarantees (round 11, ex rows-only) — see
+    * [[annSurface]]. */
   private def x16(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val centroids = Similarity.trainCentroids(emb, "embedding", k = 8,
       orderCol = "vec_id")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
-      "vec_id", "embedding", centroids, nProbe = 2, k = 5)
-      .orderBy(col("query_id"), col("rank"))
+    annSurface(emb,
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", centroids, nProbe = 2, k = 5), k = 5)
   }
 
   /** Sessionization: gap-based sessions per user over the event
@@ -706,13 +822,82 @@ object ExtQueries {
     * ordered sample) but iterative training + quantized ranks are not
     * SQL-expressible → rows-only, like x16; recall vs exact search is
     * pinned in SimilaritySpec. */
+  /** PQ ANN (`Similarity.trainPq` + `pqTopK`) gated through its exact
+    * guarantees (round 11, ex rows-only) — the [[annSurface]] pattern
+    * with the distance-space twists:
+    *  - every emitted ADC distance is recomputed in a fresh
+    *    evaluation (re-encode the neighbor, rebuild the query LUT,
+    *    re-sum) and must match the emitted 4-dp value — catches the
+    *    join/window wiring corrupting the pair→distance association;
+    *  - ranks contiguous 1..cnt ≤ k, distance monotone non-DEcreasing
+    *    with rank, self-pairs excluded, membership;
+    *  - recall floor: an identical vector has the identical code, and
+    *    ADC(q, code(q)) is the MINIMUM possible ADC distance (each
+    *    subspace code is the argmin centroid), so identical pairs
+    *    must be emitted unless k slots filled at that same minimal
+    *    distance — anchor count oracle-recomputed as in annSurface. */
   private def x89(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Expressions => E}
     val emb = t(s, dir, "embeddings")
     val cb = Similarity.trainPq(emb, "embedding", orderCol = "vec_id",
       m = 8, ksub = 16)
-    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
+    val ksub = cb(0).length
+    val res = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", cb, k = 5)
-      .orderBy(col("query_id"), col("rank"))
+    val k = 5
+    val W = org.apache.spark.sql.expressions.Window
+    val anch = emb.agg(count(lit(1)).as("n_corpus"),
+      coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
+        .as("n_queries"))
+    val ident = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        col("qe") === col("ne") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
+    val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
+    val rows = res
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"), "left")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), Seq("neighbor_id"), "left")
+      .withColumn("re_d2", E.pqAdc(E.pqEncode(col("ne"), cb),
+        E.pqLut(col("qe"), cb), ksub))
+      .withColumn("prev_d2", lag(col("approx_d2"), 1).over(w))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(w))
+    val verif = rows.select(when(
+        col("qe").isNull || col("ne").isNull ||
+        col("query_id") >= 20 ||
+        col("query_id") === col("neighbor_id") ||
+        col("rank") > k ||
+        (col("prev_rank").isNull && col("rank") =!= 1L) ||
+        (col("prev_rank").isNotNull &&
+          col("rank") =!= col("prev_rank") + 1L) ||
+        (col("prev_d2").isNotNull && col("approx_d2") < col("prev_d2")) ||
+        abs(col("re_d2") - col("approx_d2")) > 6e-5, 1L).otherwise(0L)
+        .as("v"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"))
+    val perQ = res.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("cnt"), max(col("approx_d2")).as("max_d2"))
+    val floor = ident
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"), "left")
+      .withColumn("self_d2", E.pqAdc(E.pqEncode(col("qe"), cb),
+        E.pqLut(col("qe"), cb), ksub))
+      .join(res.select(col("query_id").as("qid"),
+        col("neighbor_id").as("nid"), lit(1L).as("hit")),
+        Seq("qid", "nid"), "left")
+      .join(perQ.select(col("query_id").as("qid"), col("cnt"),
+        col("max_d2")), Seq("qid"), "left")
+      .select(when(col("hit").isNull &&
+        !(col("cnt") === k &&
+          col("max_d2") <= roundz(col("self_d2"), 4) + 1e-9), 1L)
+        .otherwise(0L).as("v"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
+    anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
+      .select(col("n_queries"), col("n_corpus"), col("n_identical_pairs"),
+        (col("n_floor_viol") === 0).as("identical_recall_floor"),
+        (col("n_row_viol") === 0).as("emitted_rows_verified"))
   }
 
   /** Exact heavy hitters (`Scale.heavyHittersExact`): whitespace
@@ -1618,13 +1803,76 @@ object ExtQueries {
     * (rows-only); the trainer's statistics are pinned by golden specs
     * (`BpeTrainerSpec`). Segmentation with the learned table is the
     * codegen'd `BpeTrainer.segment` expression. */
+  /** BPE vocab induction (`BpeTrainer.train`) gated through its exact
+    * guarantees (round 11, ex rows-only): the 40-round merge loop is
+    * deterministic but not one-shot-SQL-expressible — except its
+    * FIRST round, which is plain relational algebra (argmax over
+    * initial adjacent-char pair counts on the bounded dictionary,
+    * count-desc/lexicographic tie-break). So the gate anchors on:
+    *  - oracle-recomputed: word-type count, total word count, and the
+    *    full first merge (left, right, pair count) recomputed by
+    *    DuckDB from scratch;
+    *  - engine booleans, oracle-pinned TRUE: segmentation
+    *    losslessness over the WHOLE corpus (the codegen'd
+    *    `BpeSegmentExpr` reproduces each document's non-space
+    *    characters exactly — a trained table that corrupted a word
+    *    would fail here), and probe-rank count verification: at ranks
+    *    1, 20, 40 the recorded pair is re-derived through the
+    *    SEGMENTER path (segment every dict word with the first r-1
+    *    merges, recount weighted adjacent pairs, assert the recorded
+    *    pair is the argmax with the recorded count) — training loop
+    *    and encoder are independent implementations, so this
+    *    cross-checks them against each other.
+    * The merge table itself stays available via `BpeTrainer.train`
+    * (BpeTrainerSpec goldens); this row gates the SAME training. */
   private def x47(s: SparkSession, dir: String): DataFrame = {
-    val merges = graft.ext.BpeTrainer.train(
-      t(s, dir, "documents"), "text", nMerges = 40)
-    s.createDataFrame(merges.map(m =>
-      (m.rank.toLong, m.left, m.right, m.pairCount)))
-      .toDF("rank", "left", "right", "pair_count")
-      .orderBy(col("rank"))
+    import graft.ext.BpeTrainer
+    val docs = t(s, dir, "documents")
+    // ONE distributed word-count pass feeds training dict, probe
+    // verification, and the anchors (train() would recompute it)
+    val wc = BpeTrainer.wordCounts(docs, "text").persist()
+    val dict = wc.orderBy(col("freq").desc, col("word")).limit(50000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = BpeTrainer.trainFromCounts(dict.toSeq, nMerges = 40)
+    def pairCountsAt(prefix: Seq[BpeTrainer.Merge]): Map[(String, String), Long] = {
+      val ranks = prefix.map(m => (m.left, m.right)).zipWithIndex.toMap
+      val m = scala.collection.mutable.Map[(String, String), Long]()
+      dict.foreach { case (wd, f) =>
+        val syms = BpeTrainer.segmentWord(wd, ranks)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          m(p) = m.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      m.toMap
+    }
+    val probeOk = Seq(1, merges.length / 2, merges.length)
+      .filter(r => r >= 1 && r <= merges.length).distinct.forall { r =>
+        val mg = merges(r - 1)
+        val counts = pairCountsAt(merges.take(r - 1))
+        counts.nonEmpty && {
+          val best = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+          best._1 == ((mg.left, mg.right)) && best._2 == mg.pairCount
+        }
+      }
+    val loss = docs.select(when(
+        concat_ws("", BpeTrainer.segment(col("text"), merges)) ===
+          regexp_replace(lower(col("text")), "\\s+", ""), 0L)
+        .otherwise(1L).as("v"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_loss_viol"))
+    val anch = wc
+      .agg(count(lit(1)).as("n_word_types"),
+        coalesce(sum(col("freq")), lit(0L)).as("n_words_total"))
+    val first = merges.head
+    anch.crossJoin(loss).select(
+      col("n_word_types"), col("n_words_total"),
+      lit(first.left).as("first_left"), lit(first.right).as("first_right"),
+      lit(first.pairCount).as("first_count"),
+      lit(merges.length.toLong).as("n_merges"),
+      (col("n_loss_viol") === 0).as("segmentation_lossless"),
+      lit(probeOk).as("probe_counts_verified"))
   }
 
   /** PageRank (`Graph.pageRank`) over the customer→supplier→nation
@@ -5176,6 +5424,84 @@ object ExtQueries {
         |  TRUE AS exact_dups_all_emitted,
         |  TRUE AS emitted_pairs_verified
         |FROM grp""".stripMargin,
+    // x7/x16/x89 (round 11, ex rows-only): ANN guarantee surfaces —
+    // anchors are the query-set/corpus sizes and the identical-vector
+    // pair count (the family-independent recall floor: an identical
+    // vector always shares the query's LSH bucket / IVF cell / PQ
+    // code); the verification booleans (independent cosine or ADC
+    // recompute per emitted row, rank shape, membership) are
+    // engine-computed and pinned TRUE.
+    "x7_ann_lsh" ->
+      """WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+        |ip AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_pairs
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20)
+        |SELECT q.n_queries, c.n_corpus, ip.n_identical_pairs,
+        |  TRUE AS identical_recall_floor, TRUE AS emitted_rows_verified
+        |FROM q, c, ip""".stripMargin,
+    "x16_ann_ivf" ->
+      """WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+        |ip AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_pairs
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20)
+        |SELECT q.n_queries, c.n_corpus, ip.n_identical_pairs,
+        |  TRUE AS identical_recall_floor, TRUE AS emitted_rows_verified
+        |FROM q, c, ip""".stripMargin,
+    "x89_ann_pq" ->
+      """WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+        |ip AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_pairs
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20)
+        |SELECT q.n_queries, c.n_corpus, ip.n_identical_pairs,
+        |  TRUE AS identical_recall_floor, TRUE AS emitted_rows_verified
+        |FROM q, c, ip""".stripMargin,
+    // x24 (round 11, ex rows-only): the truth-set completeness count
+    // is oracle-recomputable (k=5 rows per query — corpus >> k);
+    // range and multi-probe-monotonicity booleans are theorems of
+    // the probe-superset construction, engine-checked per query.
+    "x24_ann_recall" ->
+      """WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |  FROM embeddings WHERE vec_id < 20)
+        |SELECT n_queries, CAST(n_queries * 5 AS BIGINT) AS n_truth_rows,
+        |  TRUE AS recall_row_per_query, TRUE AS recalls_in_unit_range,
+        |  TRUE AS multiprobe_never_worse
+        |FROM q""".stripMargin,
+    // x47 (round 11, ex rows-only): the FIRST merge of the BPE loop
+    // is plain relational algebra — DuckDB recomputes it from scratch
+    // (weighted adjacent-char pair counts over the bounded dictionary,
+    // count-desc/lexicographic argmax); later rounds are gated by the
+    // engine-side losslessness + probe-rank booleans, pinned TRUE.
+    "x47_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS freq FROM w
+        |  WHERE word <> '' GROUP BY word),
+        |dict AS (SELECT word, freq FROM wc
+        |  ORDER BY freq DESC, word LIMIT 50000),
+        |ch AS (SELECT word, freq,
+        |  unnest(range(1, length(word))) AS i FROM dict),
+        |pr AS (SELECT substring(word, CAST(i AS INT), 1) AS l,
+        |    substring(word, CAST(i AS INT) + 1, 1) AS r,
+        |    SUM(freq) AS c
+        |  FROM ch GROUP BY 1, 2),
+        |f AS (SELECT l, r, c FROM pr ORDER BY c DESC, l, r LIMIT 1)
+        |SELECT CAST((SELECT COUNT(*) FROM wc) AS BIGINT) AS n_word_types,
+        |  CAST((SELECT SUM(freq) FROM wc) AS BIGINT) AS n_words_total,
+        |  f.l AS first_left, f.r AS first_right,
+        |  CAST(f.c AS BIGINT) AS first_count,
+        |  CAST(40 AS BIGINT) AS n_merges,
+        |  TRUE AS segmentation_lossless, TRUE AS probe_counts_verified
+        |FROM f""".stripMargin,
     "x13_dedup_groups" ->
       """WITH tk AS (
         |  SELECT doc_id, text,
