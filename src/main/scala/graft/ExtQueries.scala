@@ -69,8 +69,15 @@ object ExtQueries {
     * driver-checkable contract of the SAME full computation. */
   private def x2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    minhashGate(docs,
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text"))
+  }
+
+  /** The x2 gate body, factored for `DedupGateTeethSpec` (which
+    * proves each boolean flips under the corruption it claims to
+    * catch). `docs` = (doc_id, text); `pairs` = minhashLsh output. */
+  private[graft] def minhashGate(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val eligible = docs.filter(size(T.tokens(col("text"))) >= 3)
-    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
     val anch = eligible.groupBy(col("text")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"),
         coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
@@ -116,9 +123,13 @@ object ExtQueries {
     * Per-pair output stays available via `Dedup.simhash` directly
     * (DedupOpsSpec); this row gates the SAME full computation. */
   private def x3(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{HashFunctions => H}
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val pairs = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    simhashGate(docs, Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"))
+  }
+
+  /** The x3 gate body, factored for `DedupGateTeethSpec`. */
+  private[graft] def simhashGate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import graft.functions.{HashFunctions => H}
     val keyed = docs.select(col("doc_id"),
       array_sort(T.tokenSet(col("text"))).as("toks"))
     val anch = keyed.groupBy(col("toks")).agg(count(lit(1)).as("c"))
@@ -419,12 +430,19 @@ object ExtQueries {
     * this row gates the SAME full LSH+components computation. */
   private def x13(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val eligible = docs.filter(size(T.tokens(col("text"))) >= 3)
     // one eager cut: LSH runs once for components AND the closure
     // check (pairs ≪ corpus — bounded by verified near-dups)
     val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
       .localCheckpoint(true)
     val labels = Dedup.components(pairs).localCheckpoint(true)
+    componentsGate(docs, pairs, labels)
+  }
+
+  /** The x13 gate body, factored for `DedupGateTeethSpec`. `labels` =
+    * components output (doc_id, group_id). */
+  private[graft] def componentsGate(docs: DataFrame, pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val eligible = docs.filter(size(T.tokens(col("text"))) >= 3)
     val closure = pairs
       .join(labels.select(col("doc_id").as("doc_a"), col("group_id").as("ga")),
         Seq("doc_a"), "left")
