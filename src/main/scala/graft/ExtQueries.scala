@@ -219,23 +219,39 @@ object ExtQueries {
     val anch = emb.agg(count(lit(1)).as("n_corpus"),
       coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
         .as("n_queries"))
-    val ident = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+    // identical-pair anchor: stream the CORPUS once with the tiny
+    // query side broadcast (the corpus is the 100 TB table — it must
+    // never be the build/shuffle side of any join in this surface)
+    val ident = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
         col("qe") === col("ne") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
     val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
+    // rank/order/set checks run on res ALONE (k×|queries| rows) —
+    // the window never touches the corpus
     val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
-    val rows = res
-      .join(emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe")), Seq("query_id"), "left")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ne")), Seq("neighbor_id"), "left")
-      .withColumn("re_cos", cosSql(col("qe"), col("ne")))
+    val shaped = res
       .withColumn("prev_cos", lag(col("cos"), 1).over(w))
       .withColumn("prev_rank", lag(col("rank"), 1).over(w))
-    val verif = rows.select(when(
-        col("qe").isNull || col("ne").isNull ||                 // membership
+    // membership + score verification: ONE corpus scan extracts just
+    // the embeddings the result references (BroadcastHashJoin, needed
+    // ids as build side), eagerly cut to a ≤2·|res|-row frame; every
+    // later join is then tiny-vs-tiny. A res row whose id has no
+    // corpus match drops out of the inner joins, and the count
+    // reconciliation below converts that into a violation.
+    val needed = res.select(col("query_id").as("vid"))
+      .union(res.select(col("neighbor_id").as("vid"))).distinct()
+    val embNeeded = emb.select(col("vec_id").as("vid"), col("embedding"))
+      .join(broadcast(needed), Seq("vid"))
+      .persist()
+    val rows2 = shaped
+      .join(broadcast(embNeeded.select(col("vid").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .join(broadcast(embNeeded.select(col("vid").as("neighbor_id"),
+        col("embedding").as("ne"))), Seq("neighbor_id"))
+      .withColumn("re_cos", cosSql(col("qe"), col("ne")))
+    val verif = rows2.select(when(
         col("query_id") >= 20 ||                                // query set
         col("query_id") === col("neighbor_id") ||               // self pair
         col("rank") > k ||                                      // k bound
@@ -244,23 +260,27 @@ object ExtQueries {
           col("rank") =!= col("prev_rank") + 1L) ||
         (col("prev_cos").isNotNull && col("cos") > col("prev_cos")) ||
         abs(col("re_cos") - col("cos")) > 6e-5, 1L).otherwise(0L).as("v"))
-      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"),
+        count(lit(1)).as("n_matched"))
+    val nRes = res.agg(count(lit(1)).as("n_res"))
     val perQ = res.groupBy(col("query_id"))
       .agg(count(lit(1)).as("cnt"), min(col("cos")).as("min_cos"))
     val floor = ident
-      .join(res.select(col("query_id").as("qid"),
-        col("neighbor_id").as("nid"), lit(1L).as("hit")),
+      .join(broadcast(res.select(col("query_id").as("qid"),
+        col("neighbor_id").as("nid"), lit(1L).as("hit"))),
         Seq("qid", "nid"), "left")
-      .join(perQ.select(col("query_id").as("qid"), col("cnt"),
-        col("min_cos")), Seq("qid"), "left")
+      .join(broadcast(perQ.select(col("query_id").as("qid"), col("cnt"),
+        col("min_cos"))), Seq("qid"), "left")
       .select(when(col("hit").isNull &&
         !(col("cnt") === k && col("min_cos") >= 1.0), 1L)
         .otherwise(0L).as("v"))
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
     anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
+      .crossJoin(nRes)
       .select(col("n_queries"), col("n_corpus"), col("n_identical_pairs"),
         (col("n_floor_viol") === 0).as("identical_recall_floor"),
-        (col("n_row_viol") === 0).as("emitted_rows_verified"))
+        (col("n_row_viol") === 0 && col("n_matched") === col("n_res"))
+          .as("emitted_rows_verified"))
   }
 
   /** Hyperplane-LSH ANN (`Similarity.lshTopK`) gated through its exact
@@ -323,7 +343,9 @@ object ExtQueries {
       val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
         dim = 64, nBits = 6, k = 5, nProbe = nProbe)
         .select(col("query_id"), col("neighbor_id").as("approx_id"))
-      truth.join(approx,
+      // both sides are |queries|×k — broadcast keeps the static plan
+      // corpus-independent (truth/approx already absorbed the corpus)
+      truth.join(broadcast(approx),
         truth("query_id") === approx("query_id") &&
           col("neighbor_id") === col("approx_id"), "left")
         .groupBy(truth("query_id").as("query_id"))
@@ -343,7 +365,7 @@ object ExtQueries {
     // only be displaced in mp's top-k by higher-cosine vectors,
     // which are all truth members themselves. Rounding (2 dp) is
     // monotone, so the inequality survives the emitted surface.
-    val rec = recallAt(1, "recall").join(recallAt(3, "recall_mp"),
+    val rec = recallAt(1, "recall").join(broadcast(recallAt(3, "recall_mp")),
       Seq("query_id"))
     val anch = emb.agg(
       coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
@@ -867,24 +889,32 @@ object ExtQueries {
     val anch = emb.agg(count(lit(1)).as("n_corpus"),
       coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
         .as("n_queries"))
-    val ident = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+    // corpus streamed, tiny sides broadcast — same scale discipline
+    // as annSurface (the corpus is never a shuffle/build side)
+    val ident = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
         col("qe") === col("ne") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), col("qe"))
     val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
     val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
-    val rows = res
-      .join(emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe")), Seq("query_id"), "left")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ne")), Seq("neighbor_id"), "left")
-      .withColumn("re_d2", E.pqAdc(E.pqEncode(col("ne"), cb),
-        E.pqLut(col("qe"), cb), ksub))
+    val shaped = res
       .withColumn("prev_d2", lag(col("approx_d2"), 1).over(w))
       .withColumn("prev_rank", lag(col("rank"), 1).over(w))
-    val verif = rows.select(when(
-        col("qe").isNull || col("ne").isNull ||
+    // one corpus scan for the referenced embeddings (see annSurface)
+    val needed = res.select(col("query_id").as("vid"))
+      .union(res.select(col("neighbor_id").as("vid"))).distinct()
+    val embNeeded = emb.select(col("vec_id").as("vid"), col("embedding"))
+      .join(broadcast(needed), Seq("vid"))
+      .persist()
+    val rows2 = shaped
+      .join(broadcast(embNeeded.select(col("vid").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .join(broadcast(embNeeded.select(col("vid").as("neighbor_id"),
+        col("embedding").as("ne"))), Seq("neighbor_id"))
+      .withColumn("re_d2", E.pqAdc(E.pqEncode(col("ne"), cb),
+        E.pqLut(col("qe"), cb), ksub))
+    val verif = rows2.select(when(
         col("query_id") >= 20 ||
         col("query_id") === col("neighbor_id") ||
         col("rank") > k ||
@@ -894,28 +924,30 @@ object ExtQueries {
         (col("prev_d2").isNotNull && col("approx_d2") < col("prev_d2")) ||
         abs(col("re_d2") - col("approx_d2")) > 6e-5, 1L).otherwise(0L)
         .as("v"))
-      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"))
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"),
+        count(lit(1)).as("n_matched"))
+    val nRes = res.agg(count(lit(1)).as("n_res"))
     val perQ = res.groupBy(col("query_id"))
       .agg(count(lit(1)).as("cnt"), max(col("approx_d2")).as("max_d2"))
     val floor = ident
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
-        Seq("qid"), "left")
       .withColumn("self_d2", E.pqAdc(E.pqEncode(col("qe"), cb),
         E.pqLut(col("qe"), cb), ksub))
-      .join(res.select(col("query_id").as("qid"),
-        col("neighbor_id").as("nid"), lit(1L).as("hit")),
+      .join(broadcast(res.select(col("query_id").as("qid"),
+        col("neighbor_id").as("nid"), lit(1L).as("hit"))),
         Seq("qid", "nid"), "left")
-      .join(perQ.select(col("query_id").as("qid"), col("cnt"),
-        col("max_d2")), Seq("qid"), "left")
+      .join(broadcast(perQ.select(col("query_id").as("qid"), col("cnt"),
+        col("max_d2"))), Seq("qid"), "left")
       .select(when(col("hit").isNull &&
         !(col("cnt") === k &&
           col("max_d2") <= roundz(col("self_d2"), 4) + 1e-9), 1L)
         .otherwise(0L).as("v"))
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
     anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
+      .crossJoin(nRes)
       .select(col("n_queries"), col("n_corpus"), col("n_identical_pairs"),
         (col("n_floor_viol") === 0).as("identical_recall_floor"),
-        (col("n_row_viol") === 0).as("emitted_rows_verified"))
+        (col("n_row_viol") === 0 && col("n_matched") === col("n_res"))
+          .as("emitted_rows_verified"))
   }
 
   /** Exact heavy hitters (`Scale.heavyHittersExact`): whitespace

@@ -40,7 +40,7 @@ object ScaleCurve {
 
   val DefaultQueries: Seq[String] = Seq(
     "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
-    "x13_dedup_groups", "q18_dead_letter")
+    "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh")
 
   private val TpchOffset = 100000000L
   private val DocOffset = 10000000L
@@ -92,6 +92,30 @@ object ScaleCurve {
       .repartitionByRange(k, col("__r"), col("doc_id"))
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings: vec_id shifted per replica; each replica's vectors
+    // ROTATED by r positions. Rotation applies the same permutation
+    // to every vector in the replica, so every intra-replica dot
+    // product — hence every cosine, neighbor ranking, and duplicate
+    // relation — is preserved exactly (same terms, reordered), while
+    // cross-replica vectors decorrelate: the ANN corpus grows K×
+    // without inflating the duplicate rate the way verbatim copies
+    // would. Queries (vec_id < 20) stay replica-0-only, so query-side
+    // work is constant and candidate work scales with bucket size.
+    val emb = explodeReplicas(base("embeddings"))
+    val r = col("__r").cast("int")
+    val e = col("embedding")
+    val rotated = when(col("__r") === 0, e)
+      .otherwise(concat(slice(e, r + 1, size(e) - r), slice(e, lit(1), r)))
+    val embCols = emb.columns.filter(_ != "__r").map {
+      case "vec_id" => (col("vec_id") + col("__r") * DocOffset).as("vec_id")
+      case "embedding" => rotated.as("embedding")
+      case c => col(c)
+    }
+    emb.select(col("__r") +: embCols.toSeq: _*)
+      .repartitionByRange(k, col("__r"), col("vec_id"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   private def timeQuery(spark: SparkSession, name: String, dir: String,
@@ -141,7 +165,7 @@ object ScaleCurve {
     // The scaled dir is deterministic in (baseDir, k); a marker file
     // records the recipe so repeat runs skip the build.
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
-    val recipe = s"base=$baseDir k=$k v=1"
+    val recipe = s"base=$baseDir k=$k v=2" // v2: + embeddings replication
     val cached = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe
     if (!cached) {

@@ -94,4 +94,41 @@ class ScaleCurveSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == p._2),
       s"cross-replica self-pairs must not verify at 0.2: $pairs")
   }
+
+  test("embeddings scale xK with disjoint ids; replica 0 is verbatim") {
+    assert(scaled("embeddings").count() === 3 * base("embeddings").count())
+    assert(scaled("embeddings").select("vec_id").distinct.count() ===
+      3 * base("embeddings").select("vec_id").distinct.count())
+    // replica 0 (the query side: vec_id < 20 lives here) is untouched
+    val b0 = base("embeddings").select(col("vec_id"), col("embedding"))
+    val s0 = scaled("embeddings").filter(col("vec_id") < 10000000L)
+      .select(col("vec_id"), col("embedding"))
+    assert(s0.except(b0).count() === 0 && b0.except(s0).count() === 0)
+  }
+
+  test("rotation preserves intra-replica cosine structure exactly") {
+    // same permutation on both vectors of a pair ⇒ same dot-product
+    // terms (reordered) ⇒ cosines equal to fp-reduction noise; and a
+    // rotated replica is NOT a verbatim copy (ids aside)
+    val bcos = base("embeddings").filter(col("vec_id") < 10)
+    val pairsOf = (df: org.apache.spark.sql.DataFrame, off: Long) => df
+      .select((col("vec_id") - off).as("id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2)
+    val v0 = pairsOf(bcos, 0L)
+    val v2 = pairsOf(scaled("embeddings")
+      .filter(col("vec_id") >= 20000000L && col("vec_id") < 20000010L),
+      20000000L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    for (i <- v0.indices; j <- v0.indices if i < j)
+      assert(math.abs(cos(v0(i), v0(j)) - cos(v2(i), v2(j))) < 1e-9,
+        s"intra-replica cosine must survive rotation ($i,$j)")
+    // and replica 2's vectors differ from the base (rotation real)
+    assert(v0.indices.exists(i => v0(i) != v2(i)),
+      "rotation must actually change the vectors")
+  }
 }
