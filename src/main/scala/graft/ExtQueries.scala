@@ -2720,7 +2720,65 @@ object ExtQueries {
         T.langId(col("text")).as("pred")),
       col("lang"), col("pred"))
 
+  /** Image near-dedup (`Multimodal.imageNearDup`: real PNG pixel
+    * decode → integer dHash → chunk-pigeonhole pairs) gated through
+    * its exact guarantees — the multimodal member of the dedup gate
+    * family (x2/x3 pattern). Per-row images are synthesized
+    * seed-keyed from doc_id (the x12 fixture discipline), so:
+    *  - anchors: image count and the identical-image pair count
+    *    (docs sharing doc_id mod 251 get byte-identical textures) are
+    *    pure doc_id arithmetic the oracle recomputes;
+    *  - booleans: every identical pair is emitted at hamming 0
+    *    (identical pixels ⇒ identical hash ⇒ all four chunks
+    *    collide — the pigeonhole recall floor), and every emitted
+    *    pair's hamming is re-derived by re-synthesizing both images
+    *    and re-hashing in a fresh evaluation (decode→hash→pair
+    *    wiring corruption flips it).
+    * Per-pair output stays available via `Multimodal.imageNearDup`
+    * (ImageDHashSpec); this row gates the SAME full computation. */
+  private def x134(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      PixelDecode.synthPngTexture(lit(48), lit(32),
+        (col("doc_id") % 251).cast("int")).as("img"))
+    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img")
+    val anch = t(s, dir, "documents")
+      .select((col("doc_id") % 251).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_identical_pairs"))
+    // fresh re-hash once per DOC (O(N) decodes, not O(pairs)), then
+    // hamming re-derived per pair from the broadcast-joined hashes —
+    // the verification path stays a separate evaluation of the same
+    // synth→decode→hash chain without re-decoding per pair
+    val reHashed = t(s, dir, "documents").select(col("doc_id"),
+      PixelDecode.pngDHash(PixelDecode.synthPngTexture(lit(48), lit(32),
+        (col("doc_id") % 251).cast("int"))).as("rh"))
+    val verif = pairs
+      .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
+        col("rh").as("rh_a"))), Seq("id_a"))
+      .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
+        col("rh").as("rh_b"))), Seq("id_b"))
+      .select(
+        ((col("id_a") % 251) === (col("id_b") % 251) &&
+          col("hamming") === 0L).as("same_h0"),
+        col("hamming"),
+        H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))
+      .agg(
+        coalesce(sum(when(col("same_h0"), 1L).otherwise(0L)), lit(0L))
+          .as("n_same_emitted"),
+        coalesce(sum(when(col("re_ham") =!= col("hamming") ||
+          col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_verif_viol"))
+    anch.crossJoin(verif).select(col("n_images"), col("n_identical_pairs"),
+      (col("n_same_emitted") === col("n_identical_pairs"))
+        .as("identical_all_emitted_h0"),
+      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x134_image_dhash" -> (x134 _),
     "x133_kappa" -> (x133 _),
     "x132_gini" -> (x132 _),
     "x131_psi" -> (x131 _),
@@ -2885,6 +2943,18 @@ object ExtQueries {
         |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9) + 0.0
         |    END AS gini_r
         |FROM g ORDER BY source""".stripMargin,
+    // x134: dedup-gate pattern on the image family — anchors are pure
+    // doc_id arithmetic (mod-37 identical groups); the hash/pair
+    // verification booleans are engine-computed, pinned TRUE.
+    "x134_image_dhash" ->
+      """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
+        |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_images,
+        |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+        |    AS n_identical_pairs,
+        |  TRUE AS identical_all_emitted_h0,
+        |  TRUE AS emitted_pairs_verified
+        |FROM grp""".stripMargin,
     // confusion cells through the independent langid CASE; kappa from
     // pure integer counts
     "x133_kappa" ->

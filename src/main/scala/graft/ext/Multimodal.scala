@@ -37,6 +37,81 @@ object Multimodal {
     StructField("min_val", IntegerType),
     StructField("max_val", IntegerType)))
 
+  /** Near-duplicate pairs over ANY 64-bit perceptual/sketch hash
+    * column (image dHash, audio fingerprint, text simhash — whatever
+    * the caller computed): `Dedup.simhash`'s chunk-pigeonhole
+    * candidate discipline applied to a precomputed hash. Hamming ≤ 3
+    * with four 16-bit chunks guarantees at least one EQUAL chunk, so
+    * candidates come only from equal-chunk buckets — never all-pairs
+    * — and every candidate is verified by exact hamming. With
+    * `maxBucket` set, hot chunk values (b docs ⇒ b² candidates — a
+    * certainty at billions of blobs, 65k values per position) are
+    * SKIPPED and reported; a pair is missed only if ALL its equal
+    * chunks are hot, and pairs are never invented.
+    *
+    * @return (pairs (id_a, id_b, hamming), overflow (chunk, cval,
+    *         n_ids) per skipped bucket)
+    */
+  def hashNearDupCapped(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+    import graft.functions.{HashFunctions => H}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
+      .filter(col("ph").isNotNull)
+      .localCheckpoint(true) // (id, int64): tiny; one scan, not two
+    val allChunked = hashed.select(col("id"), col("ph"),
+      posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
+    val (chunked, overflow) = maxBucket match {
+      case Some(cap) =>
+        val hot = allChunked.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("n_ids"))
+          .filter(col("n_ids") > cap)
+          .localCheckpoint(true)
+        (allChunked.join(broadcast(hot.select(col("chunk"), col("cval"))),
+          Seq("chunk", "cval"), "left_anti"), hot)
+      case None =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        (allChunked,
+          Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
+    }
+    val a = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"),
+      col("ph").as("ph_a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"),
+      col("ph").as("ph_b"))
+    val pairs = a.join(b, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("ph_a"), col("ph_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (pairs, overflow)
+  }
+
+  /** [[hashNearDupCapped]] without the cap (exact pigeonhole — every
+    * hamming ≤ `maxHamming` pair is emitted). */
+  def hashNearDup(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None)._1
+
+  /** Image near-duplicate detection: perceptual dHash over the REAL
+    * decoded pixel plane ([[PixelDecode.pngDHash]] — integer 9×8
+    * area-average, codegen'd scan-side) + [[hashNearDup]]'s
+    * chunk-pigeonhole pair generation. Identical images pair at
+    * hamming 0; small edits (crop borders, brightness shifts that
+    * preserve gradients) land within the hamming budget — the image
+    * analog of the text near-dedup family. Undecodable blobs drop out
+    * (null hash), they never pair. */
+  def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hashNearDup(df.select(col(idCol),
+      PixelDecode.pngDHash(col(bytesCol)).as("__ph")),
+      idCol, "__ph", maxHamming)
+
   /** REAL dispatching full decode: magic-sniff each blob and run the
     * matching decoder (PNG / GIF / WAV / JPEG / raw-luma MP4); null
     * for corrupt payloads and compressed video codecs. The CaseWhen

@@ -390,6 +390,136 @@ object PixelDecode {
     out.toByteArray
   }
 
+  /** Grayscale 8-bit PNG with seed-KEYED texture pixels:
+    * value(x, y) = top byte of ((seed·31 + x·7 + y·13) · 0x9E3779B1)
+    * (golden-ratio avalanche, 32-bit wrap). Unlike [[pngPixelBytes]]'s
+    * smooth gradient — whose perceptual hash is nearly
+    * seed-independent — two different seeds here give ~independent
+    * textures, so perceptual-hash distances across seeds are large
+    * while equal seeds are byte-identical: the fixture an image
+    * near-dup operator needs. Same filter-cycling (y mod 5) + real
+    * deflate discipline as [[pngPixelBytes]]. */
+  def pngTextureBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    def px(x: Int, y: Int): Int =
+      ((seed * 31 + x * 7 + y * 13) * 0x9E3779B1.toInt >>> 24) & 0xff
+    val stride = w + 1
+    val raw = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val filter = y % 5
+      raw(y * stride) = filter.toByte
+      var x = 0
+      while (x < w) {
+        val recon = px(x, y)
+        val a = if (x >= 1) px(x - 1, y) else 0
+        val up = if (y > 0) px(x, y - 1) else 0
+        val c = if (x >= 1 && y > 0) px(x - 1, y - 1) else 0
+        val filtered = filter match {
+          case 0 => recon
+          case 1 => recon - a
+          case 2 => recon - up
+          case 3 => recon - ((a + up) >> 1)
+          case 4 =>
+            val pp = a + up - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - up)
+            val pc = math.abs(pp - c)
+            recon - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(y * stride + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(raw); def_.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) zOut.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = crc32(body)
+      out.write(((crc >>> 24) & 0xff).toInt); out.write(((crc >>> 16) & 0xff).toInt)
+      out.write(((crc >>> 8) & 0xff).toInt); out.write((crc & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) over the decoded pixel plane: the
+    * image is area-averaged onto a 9-wide × 8-tall grid with INTEGER
+    * block sums (exact — no float resampling), and bit i·8+j is set
+    * iff cell (i, j) is strictly brighter than its right neighbor,
+    * compared by cross-multiplied sums so no division or rounding
+    * enters. Identical pixels ⇒ identical hash; a local edit flips
+    * few bits (the standard perceptual-dedup contract). RGB(A) planes
+    * fold to integer luma (299r + 587g + 114b) / 1000; gray(+alpha)
+    * uses the gray channel. Null for undecodable input or images
+    * smaller than 9×8 (a block would be empty). */
+  def pngDHash64(b: Array[Byte]): java.lang.Long = {
+    val d = decodePng(b)
+    if (d == null || d.w < 9 || d.h < 8) return null
+    val w = d.w.toInt; val h = d.h.toInt; val ch = d.channels
+    def gray(x: Int, y: Int): Long = {
+      val base = y * d.stride + 1 + x * ch
+      if (ch <= 2) (d.raw(base) & 0xff).toLong
+      else {
+        val r = d.raw(base) & 0xff; val g = d.raw(base + 1) & 0xff
+        val bl = d.raw(base + 2) & 0xff
+        (299L * r + 587L * g + 114L * bl) / 1000L
+      }
+    }
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var i = 0
+    while (i < 8) {
+      val y0 = i * h / 8; val y1 = (i + 1) * h / 8
+      var j = 0
+      while (j < 9) {
+        val x0 = j * w / 9; val x1 = (j + 1) * w / 9
+        var s = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { s += gray(xx, yy); xx += 1 }
+          yy += 1
+        }
+        sums(i)(j) = s
+        cnts(i)(j) = (y1 - y0).toLong * (x1 - x0)
+        j += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (sums(i)(j) * cnts(i)(j + 1) > sums(i)(j + 1) * cnts(i)(j))
+          bits |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   /** Mono-interleaved PCM-16 WAV with REAL samples: sample(i) =
     * ((seed + i * 7919) mod 2003) - 1001 over the GLOBAL interleaved
     * index i — integer-exact for a SQL oracle. */
@@ -504,6 +634,41 @@ object PixelDecode {
         c: Expression): PngPixelSynthExpr = copy(a, b, c)
   }
 
+  /** (w, h, seed) → seed-keyed texture PNG bytes ([[pngTextureBytes]]). */
+  case class PngTextureSynthExpr(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(w: Any, h: Any, s: Any): Any =
+      pngTextureBytes(w.asInstanceOf[Int], h.asInstanceOf[Int],
+        s.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (w, h, s) =>
+        s"${ev.value} = graft.ext.PixelDecode.pngTextureBytes($w, $h, $s);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression): PngTextureSynthExpr = copy(a, b, c)
+  }
+
+  /** binary → 64-bit perceptual dHash, null when not a decodable PNG
+    * of at least 9×8. */
+  case class PngDHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = pngDHash64(input.asInstanceOf[Array[Byte]])
+      if (v == null) null else v.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("dhash")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $tmp = graft.ext.PixelDecode.pngDHash64($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): PngDHashExpr =
+      copy(c)
+  }
+
   /** (channels, sampleRate, nFrames, seed) → real-sample WAV bytes. */
   case class WavToneSynthExpr(first: Expression, second: Expression,
       third: Expression, fourth: Expression)
@@ -536,6 +701,13 @@ object PixelDecode {
   def synthPngPixels(w: Column, h: Column, seed: Column): Column =
     GraftSqlBridge.column(PngPixelSynthExpr(GraftSqlBridge.expression(w),
       GraftSqlBridge.expression(h), GraftSqlBridge.expression(seed)))
+
+  def synthPngTexture(w: Column, h: Column, seed: Column): Column =
+    GraftSqlBridge.column(PngTextureSynthExpr(GraftSqlBridge.expression(w),
+      GraftSqlBridge.expression(h), GraftSqlBridge.expression(seed)))
+
+  def pngDHash(bytes: Column): Column =
+    GraftSqlBridge.column(PngDHashExpr(GraftSqlBridge.expression(bytes)))
 
   def synthWavTone(channels: Column, sampleRate: Column, nFrames: Column,
       seed: Column): Column =

@@ -1,0 +1,144 @@
+package graft
+
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, PixelDecode}
+
+/** Perceptual dHash + image near-dup: hand-computable goldens for the
+  * hash, pigeonhole completeness for the pair generation (vs brute
+  * force over random hashes), and the end-to-end PNG path with
+  * planted duplicates and corrupt blobs. */
+class ImageDHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dhash(b: Array[Byte]): Option[Long] =
+    Option(PixelDecode.pngDHash64(b)).map(_.longValue())
+
+  test("gradient image: every cell darker than its right neighbor -> hash 0") {
+    // pngPixelBytes value(x,y) = (seed+x) & 0xff; seed+w <= 256 means
+    // no wrap, so block means strictly INCREASE left-to-right and no
+    // bit (left strictly brighter) can be set — an analytic golden
+    for (seed <- Seq(0, 10, 200))
+      assert(dhash(PixelDecode.pngPixelBytes(40, 24, seed)) === Some(0L),
+        s"seed=$seed")
+  }
+
+  test("gradient with a wrap edge sets bits; hash is deterministic") {
+    val h1 = dhash(PixelDecode.pngPixelBytes(40, 24, 240))
+    val h2 = dhash(PixelDecode.pngPixelBytes(40, 24, 240))
+    assert(h1 === h2)
+    assert(h1.get !== 0L) // the 255->0 cliff makes some left cell brighter
+  }
+
+  test("identical texture images hash identically; different seeds far apart") {
+    def h(seed: Int): Long =
+      dhash(PixelDecode.pngTextureBytes(48, 32, seed)).get
+    assert(h(7) === h(7))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // avalanche textures should sit near hamming 32; anything > 3
+    // keeps the near-dup fixture clean — check several seed pairs
+    for (s <- 1 to 6)
+      assert(ham(h(s), h(s + 10)) > 3, s"seeds $s/${s + 10}")
+  }
+
+  test("images smaller than the 9x8 grid return null") {
+    assert(dhash(PixelDecode.pngTextureBytes(8, 8, 1)) === None)
+    assert(dhash(PixelDecode.pngTextureBytes(9, 7, 1)) === None)
+    assert(dhash(PixelDecode.pngTextureBytes(9, 8, 1)).isDefined)
+  }
+
+  test("undecodable bytes return null") {
+    assert(dhash("not a png".getBytes) === None)
+  }
+
+  test("RGB image with r=g=b equals the gray image's hash (luma path)") {
+    // hand-built RGB PNG (color type 2, filter 0 rows) whose channels
+    // all equal the texture pattern — integer luma of (v,v,v) is v
+    def px(x: Int, y: Int, seed: Int): Int =
+      ((seed * 31 + x * 7 + y * 13) * 0x9E3779B1.toInt >>> 24) & 0xff
+    val (w, h, seed) = (16, 12, 5)
+    val raw = new Array[Byte]((w * 3 + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (w * 3 + 1)) = 0
+      for (x <- 0 until w; c <- 0 until 3)
+        raw(y * (w * 3 + 1) + 1 + x * 3 + c) = px(x, y, seed).toByte
+    }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = { val c = new CRC32(); c.update(body); c.getValue }
+      out.write(((crc >>> 24) & 0xff).toInt); out.write(((crc >>> 16) & 0xff).toInt)
+      out.write(((crc >>> 8) & 0xff).toInt); out.write((crc & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // RGB
+    chunk("IHDR", ihdr); chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    assert(dhash(out.toByteArray) ===
+      dhash(PixelDecode.pngTextureBytes(w, h, seed)))
+  }
+
+  test("hashNearDup equals brute force on random hashes (pigeonhole complete)") {
+    val rnd = new scala.util.Random(42)
+    // random base hashes plus planted near pairs at hamming 1..3
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    val near = Seq(
+      (100L, base(0)._2 ^ 1L),                    // ham 1 vs id 0
+      (101L, base(1)._2 ^ (1L << 63) ^ (1L << 17)), // ham 2 vs id 1
+      (102L, base(2)._2 ^ 7L),                    // ham 3 vs id 2
+      (103L, base(3)._2))                         // ham 0 vs id 3
+    val all = base ++ near
+    val df = all.toDF("id", "ph")
+    val got = Multimodal.hashNearDup(df, "id", "ph", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(want.size >= 4, "fixture must contain the planted pairs")
+    assert(got === want)
+  }
+
+  test("hot-chunk cap drops and reports, never invents") {
+    // 40 hashes sharing chunk 0 (low 16 bits) but random elsewhere:
+    // bucket (0, 0x1234) overflows a cap of 8
+    val rnd = new scala.util.Random(7)
+    val hashes = (0 until 40).map(i =>
+      (i.toLong, (rnd.nextLong() & ~0xffffL) | 0x1234L))
+    val (pairs, overflow) = Multimodal.hashNearDupCapped(
+      hashes.toDF("id", "ph"), "id", "ph",
+      maxHamming = 3, maxBucket = Some(8))
+    val of = overflow.as[(Int, Long, Long)].collect()
+    assert(of.exists(r => r._1 === 0 && r._2 === 0x1234L && r._3 === 40L))
+    val uncapped = Multimodal.hashNearDup(
+      hashes.toDF("id", "ph"), "id", "ph", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.as[(Long, Long, Long)].collect().toSet.subsetOf(uncapped))
+  }
+
+  test("imageNearDup end-to-end: planted identical images pair at hamming 0") {
+    val rows = (0 until 30).map { i =>
+      val seed = i % 7 // identical groups of ~4-5
+      (i.toLong, PixelDecode.pngTextureBytes(48, 32, seed))
+    } :+ (99L, "garbage".getBytes) // undecodable: must drop, not pair
+    val got = Multimodal.imageNearDup(rows.toDF("doc_id", "img"),
+      "doc_id", "img").as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- 0 until 30; b <- 0 until 30 if a < b && a % 7 == b % 7
+    } yield (a.toLong, b.toLong, 0L)).toSet
+    assert(got.toSet === want)
+    assert(!got.exists(p => p._1 === 99L || p._2 === 99L))
+  }
+}
