@@ -2777,7 +2777,54 @@ object ExtQueries {
       (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
   }
 
+  /** Audio near-dedup (`Multimodal.audioNearDup`: real PCM decode →
+    * integer energy-delta fingerprint → chunk-pigeonhole pairs) —
+    * x134's discipline on the audio modality, proving the
+    * `hashNearDup` layer spans hash families. Same gate shape:
+    * doc_id mod 251 seeds make identical-stream pairs pure doc_id
+    * arithmetic; verification re-fingerprints once per DOC and
+    * re-derives each emitted pair's hamming from broadcast-joined
+    * fingerprints. */
+  private def x135(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    def wav(d: Column): Column =
+      PixelDecode.synthWavNoise(lit(1), lit(8000), lit(600),
+        (d % 251).cast("int"))
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      wav(col("doc_id")).as("audio"))
+    val pairs = Multimodal.audioNearDup(docs, "doc_id", "audio")
+    val anch = t(s, dir, "documents")
+      .select((col("doc_id") % 251).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_streams"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_identical_pairs"))
+    val reHashed = t(s, dir, "documents").select(col("doc_id"),
+      PixelDecode.wavFingerprint(wav(col("doc_id"))).as("rh"))
+    val verif = pairs
+      .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
+        col("rh").as("rh_a"))), Seq("id_a"))
+      .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
+        col("rh").as("rh_b"))), Seq("id_b"))
+      .select(
+        ((col("id_a") % 251) === (col("id_b") % 251) &&
+          col("hamming") === 0L).as("same_h0"),
+        col("hamming"),
+        H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))
+      .agg(
+        coalesce(sum(when(col("same_h0"), 1L).otherwise(0L)), lit(0L))
+          .as("n_same_emitted"),
+        coalesce(sum(when(col("re_ham") =!= col("hamming") ||
+          col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_verif_viol"))
+    anch.crossJoin(verif).select(col("n_streams"), col("n_identical_pairs"),
+      (col("n_same_emitted") === col("n_identical_pairs"))
+        .as("identical_all_emitted_h0"),
+      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x135_audio_fingerprint" -> (x135 _),
     "x134_image_dhash" -> (x134 _),
     "x133_kappa" -> (x133 _),
     "x132_gini" -> (x132 _),
@@ -2946,6 +2993,15 @@ object ExtQueries {
     // x134: dedup-gate pattern on the image family — anchors are pure
     // doc_id arithmetic (mod-37 identical groups); the hash/pair
     // verification booleans are engine-computed, pinned TRUE.
+    "x135_audio_fingerprint" ->
+      """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
+        |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_streams,
+        |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+        |    AS n_identical_pairs,
+        |  TRUE AS identical_all_emitted_h0,
+        |  TRUE AS emitted_pairs_verified
+        |FROM grp""".stripMargin,
     "x134_image_dhash" ->
       """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
         |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)

@@ -112,6 +112,17 @@ object Multimodal {
       PixelDecode.pngDHash(col(bytesCol)).as("__ph")),
       idCol, "__ph", maxHamming)
 
+  /** Audio near-duplicate detection: energy-delta fingerprint over
+    * the REAL decoded PCM stream ([[PixelDecode.wavFingerprint]]) +
+    * [[hashNearDup]] — the audio member of the near-dup family,
+    * sharing the image/text pair machinery. Undecodable blobs drop
+    * out (null fingerprint), they never pair. */
+  def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hashNearDup(df.select(col(idCol),
+      PixelDecode.wavFingerprint(col(bytesCol)).as("__ph")),
+      idCol, "__ph", maxHamming)
+
   /** REAL dispatching full decode: magic-sniff each blob and run the
     * matching decoder (PNG / GIF / WAV / JPEG / raw-luma MP4); null
     * for corrupt payloads and compressed video codecs. The CaseWhen

@@ -316,6 +316,75 @@ object PixelDecode {
       sumSq, min, max))
   }
 
+  /** 64-bit audio energy fingerprint over the decoded PCM stream: the
+    * interleaved samples split into 65 equal index blocks, each
+    * block's |sample| mass summed in Long (exact), and bit i is set
+    * iff block i+1 carries strictly more mass than block i — the
+    * audio analog of [[pngDHash64]]'s brightness deltas (Haitsma-
+    * Kalker-style sign-of-energy-delta, integer-exact so two engines
+    * agree to the bit). Identical streams ⇒ identical fingerprint; a
+    * local edit flips few bits. Null for non-PCM-16 input or streams
+    * shorter than 65 samples (a block would be empty). */
+  def wavFingerprint64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return null
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    var i = 12L
+    var fmt = -1
+    var channels = -1
+    var bits = -1
+    var dataAt = -1L
+    var dataLen = -1L
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length && (channels < 0 || dataAt < 0)) {
+      val at = i.toInt
+      val id = new String(b, at, 4, "US-ASCII")
+      val len = u32le(at + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmt = u16le(at + 8)
+        channels = u16le(at + 10)
+        bits = u16le(at + 22)
+      } else if (id == "data") {
+        dataAt = i + 8
+        dataLen = len
+      }
+      val next = i + 8L + len + (len & 1L)
+      if (next <= i) corrupt = true else i = next
+    }
+    if (corrupt || fmt != 1 || bits != 16 || channels <= 0) return null
+    if (dataAt < 0 || dataAt + dataLen > b.length) return null
+    val n = (dataLen / 2).toInt
+    if (n < 65) return null
+    val mass = new Array[Long](65)
+    var blk = 0
+    while (blk < 65) {
+      val k0 = blk.toLong * n / 65
+      val k1 = (blk + 1).toLong * n / 65
+      var s = 0L
+      var k = k0
+      while (k < k1) {
+        val at = (dataAt + k * 2).toInt
+        val v = ((b(at) & 0xff) | (b(at + 1) << 8)).toShort.toInt
+        s += math.abs(v)
+        k += 1
+      }
+      mass(blk) = s
+      blk += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (mass(j + 1) > mass(j)) out |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
   // ---- synthesizers (fixtures with REAL pixel/sample payloads) ---------
 
   private def crc32(body: Array[Byte]): Long = {
@@ -669,6 +738,79 @@ object PixelDecode {
       copy(c)
   }
 
+  /** Mono-interleaved PCM-16 WAV with seed-KEYED noise samples:
+    * sample(i) = (top 16 bits of ((seed·31 + i·7) · 0x9E3779B1),
+    * signed) >> 4 — golden-ratio avalanche, so two different seeds
+    * give ~independent streams. [[wavToneBytes]]'s quasi-linear ramp
+    * is the wrong fixture for [[wavFingerprint64]]: its block-mass
+    * delta SIGNS are phase-stable, so every seed fingerprints alike;
+    * this noise family decorrelates seeds, the property an audio
+    * near-dup fixture needs. */
+  def wavNoiseBytes(channels: Int, sampleRate: Int, nFrames: Int,
+      seed: Int): Array[Byte] = {
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    val blockAlign = channels * 2
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1) // PCM
+    w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * blockAlign)
+    w16(blockAlign); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 31 + i * 7) * 0x9E3779B1.toInt) >> 16) >> 4
+      w16(v & 0xffff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** binary → 64-bit audio fingerprint, null when not PCM-16 WAV of
+    * at least 65 samples. */
+  case class WavFingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = wavFingerprint64(input.asInstanceOf[Array[Byte]])
+      if (v == null) null else v.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("afp")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $tmp = graft.ext.PixelDecode.wavFingerprint64($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): WavFingerprintExpr =
+      copy(c)
+  }
+
+  /** (channels, sampleRate, nFrames, seed) → seed-keyed noise WAV
+    * bytes ([[wavNoiseBytes]]). */
+  case class WavNoiseSynthExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      wavNoiseBytes(a.asInstanceOf[Int], b.asInstanceOf[Int],
+        c.asInstanceOf[Int], d.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+        s"${ev.value} = graft.ext.PixelDecode.wavNoiseBytes($a, $b, $c, $d);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): WavNoiseSynthExpr = copy(a, b, c, d)
+  }
+
   /** (channels, sampleRate, nFrames, seed) → real-sample WAV bytes. */
   case class WavToneSynthExpr(first: Expression, second: Expression,
       third: Expression, fourth: Expression)
@@ -708,6 +850,15 @@ object PixelDecode {
 
   def pngDHash(bytes: Column): Column =
     GraftSqlBridge.column(PngDHashExpr(GraftSqlBridge.expression(bytes)))
+
+  def wavFingerprint(bytes: Column): Column =
+    GraftSqlBridge.column(WavFingerprintExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthWavNoise(channels: Column, sampleRate: Column, nFrames: Column,
+      seed: Column): Column =
+    GraftSqlBridge.column(WavNoiseSynthExpr(GraftSqlBridge.expression(channels),
+      GraftSqlBridge.expression(sampleRate), GraftSqlBridge.expression(nFrames),
+      GraftSqlBridge.expression(seed)))
 
   def synthWavTone(channels: Column, sampleRate: Column, nFrames: Column,
       seed: Column): Column =

@@ -128,6 +128,40 @@ class ImageDHashSpec extends SparkSpec {
     assert(pairs.as[(Long, Long, Long)].collect().toSet.subsetOf(uncapped))
   }
 
+  test("wavFingerprint: identical streams equal; different seeds far; nulls right") {
+    def fp(seed: Int, frames: Int = 600): Option[Long] =
+      Option(PixelDecode.wavFingerprint64(
+        PixelDecode.wavNoiseBytes(1, 8000, frames, seed))).map(_.longValue())
+    assert(fp(3) === fp(3))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (s <- 1 to 6)
+      assert(ham(fp(s).get, fp(s + 10).get) > 3, s"seeds $s/${s + 10}")
+    assert(fp(1, frames = 64) === None) // < 65 samples: a block is empty
+    assert(fp(1, frames = 65).isDefined)
+    assert(Option(PixelDecode.wavFingerprint64("nope".getBytes)).isEmpty)
+    // the tone ramp's block-mass delta signs are phase-stable across
+    // seeds (documented on wavNoiseBytes) — pin that the fingerprint
+    // still works on it structurally: identical in, identical out
+    val t1 = PixelDecode.wavFingerprint64(
+      PixelDecode.wavToneBytes(1, 8000, 600, 9))
+    val t2 = PixelDecode.wavFingerprint64(
+      PixelDecode.wavToneBytes(1, 8000, 600, 9))
+    assert(t1 === t2 && t1 != null)
+  }
+
+  test("audioNearDup end-to-end: planted identical streams pair at hamming 0") {
+    val rows = (0 until 24).map { i =>
+      (i.toLong, PixelDecode.wavNoiseBytes(1, 8000, 600, i % 5))
+    } :+ (99L, "garbage".getBytes)
+    val got = Multimodal.audioNearDup(rows.toDF("doc_id", "audio"),
+      "doc_id", "audio").as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- 0 until 24; b <- 0 until 24 if a < b && a % 5 == b % 5
+    } yield (a.toLong, b.toLong, 0L)).toSet
+    assert(got.toSet === want)
+    assert(!got.exists(p => p._1 === 99L || p._2 === 99L))
+  }
+
   test("imageNearDup end-to-end: planted identical images pair at hamming 0") {
     val rows = (0 until 30).map { i =>
       val seed = i % 7 // identical groups of ~4-5
