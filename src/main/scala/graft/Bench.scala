@@ -130,7 +130,8 @@ object Bench {
     "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.66,
     "x129_cms" -> 0.34, "x130_trend" -> 0.30, "x131_psi" -> 0.23,
     "x132_gini" -> 0.33, "x133_kappa" -> 0.56,
-    "x134_image_dhash" -> 1.79, "x135_audio_fingerprint" -> 1.84,
+    "x134_image_dhash" -> 1.29, "x135_audio_fingerprint" -> 1.08,
+    "x136_video_fingerprint" -> 1.61,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0

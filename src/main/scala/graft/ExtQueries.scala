@@ -2738,7 +2738,13 @@ object ExtQueries {
     * (ImageDHashSpec); this row gates the SAME full computation. */
   private def x134(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{HashFunctions => H}
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    // the documents scan is a handful of partitions — shuffle the
+    // tiny id column first so the per-row synth+decode+hash work
+    // spreads across every core (at 100 TB real blobs arrive already
+    // partitioned; a fixture must not serialize on one scan split)
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = ids.select(col("doc_id"),
       PixelDecode.synthPngTexture(lit(48), lit(32),
         (col("doc_id") % 251).cast("int")).as("img"))
     val pairs = Multimodal.imageNearDup(docs, "doc_id", "img")
@@ -2752,7 +2758,7 @@ object ExtQueries {
     // hamming re-derived per pair from the broadcast-joined hashes —
     // the verification path stays a separate evaluation of the same
     // synth→decode→hash chain without re-decoding per pair
-    val reHashed = t(s, dir, "documents").select(col("doc_id"),
+    val reHashed = ids.select(col("doc_id"),
       PixelDecode.pngDHash(PixelDecode.synthPngTexture(lit(48), lit(32),
         (col("doc_id") % 251).cast("int"))).as("rh"))
     val verif = pairs
@@ -2790,8 +2796,9 @@ object ExtQueries {
     def wav(d: Column): Column =
       PixelDecode.synthWavNoise(lit(1), lit(8000), lit(600),
         (d % 251).cast("int"))
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      wav(col("doc_id")).as("audio"))
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // parallelize per-row synth (see x134)
+    val docs = ids.select(col("doc_id"), wav(col("doc_id")).as("audio"))
     val pairs = Multimodal.audioNearDup(docs, "doc_id", "audio")
     val anch = t(s, dir, "documents")
       .select((col("doc_id") % 251).as("g"))
@@ -2799,7 +2806,7 @@ object ExtQueries {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_streams"),
         coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
           .as("n_identical_pairs"))
-    val reHashed = t(s, dir, "documents").select(col("doc_id"),
+    val reHashed = ids.select(col("doc_id"),
       PixelDecode.wavFingerprint(wav(col("doc_id"))).as("rh"))
     val verif = pairs
       .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
@@ -2823,7 +2830,51 @@ object ExtQueries {
       (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
   }
 
+  /** Video near-dedup (`Multimodal.videoNearDup`: real MP4 demux →
+    * integer frame-mass fingerprint → chunk-pigeonhole pairs) —
+    * closes the four-modality near-dup family on the same gate
+    * shape as x134/x135. */
+  private def x136(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    def vid(d: Column): Column =
+      graft.ext.Mp4Demux.synthMp4Noise(lit(12), lit(6), lit(65),
+        (d % 251).cast("int"))
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // parallelize per-row synth (see x134)
+    val docs = ids.select(col("doc_id"), vid(col("doc_id")).as("video"))
+    val pairs = Multimodal.videoNearDup(docs, "doc_id", "video")
+    val anch = t(s, dir, "documents")
+      .select((col("doc_id") % 251).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_videos"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_identical_pairs"))
+    val reHashed = ids.select(col("doc_id"),
+      graft.ext.Mp4Demux.mp4Fingerprint(vid(col("doc_id"))).as("rh"))
+    val verif = pairs
+      .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
+        col("rh").as("rh_a"))), Seq("id_a"))
+      .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
+        col("rh").as("rh_b"))), Seq("id_b"))
+      .select(
+        ((col("id_a") % 251) === (col("id_b") % 251) &&
+          col("hamming") === 0L).as("same_h0"),
+        col("hamming"),
+        H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))
+      .agg(
+        coalesce(sum(when(col("same_h0"), 1L).otherwise(0L)), lit(0L))
+          .as("n_same_emitted"),
+        coalesce(sum(when(col("re_ham") =!= col("hamming") ||
+          col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_verif_viol"))
+    anch.crossJoin(verif).select(col("n_videos"), col("n_identical_pairs"),
+      (col("n_same_emitted") === col("n_identical_pairs"))
+        .as("identical_all_emitted_h0"),
+      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x136_video_fingerprint" -> (x136 _),
     "x135_audio_fingerprint" -> (x135 _),
     "x134_image_dhash" -> (x134 _),
     "x133_kappa" -> (x133 _),
@@ -2993,6 +3044,15 @@ object ExtQueries {
     // x134: dedup-gate pattern on the image family — anchors are pure
     // doc_id arithmetic (mod-37 identical groups); the hash/pair
     // verification booleans are engine-computed, pinned TRUE.
+    "x136_video_fingerprint" ->
+      """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
+        |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+        |SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_videos,
+        |  CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+        |    AS n_identical_pairs,
+        |  TRUE AS identical_all_emitted_h0,
+        |  TRUE AS emitted_pairs_verified
+        |FROM grp""".stripMargin,
     "x135_audio_fingerprint" ->
       """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
         |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)

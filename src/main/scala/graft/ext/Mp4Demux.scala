@@ -261,6 +261,51 @@ object Mp4Demux {
     new GenericArrayData(sums)
   }
 
+  /** 64-bit video fingerprint over the REAL demuxed frame-mass
+    * series: per-frame luma sums (exact integers, same walk as
+    * [[mp4FrameSums]]), folded into 65 equal frame blocks, bit i set
+    * iff block i+1 carries strictly more mass than block i — the
+    * temporal analog of the image dHash / audio fingerprint (scene
+    * brightness dynamics survive re-encode-ish edits; identical
+    * streams are bit-identical). Null for non-demuxable input or
+    * videos shorter than 65 frames. */
+  def mp4Fingerprint64(b: Array[Byte]): java.lang.Long = {
+    val s = demux(b)
+    if (s == null) return null
+    val frameLen = s.width * s.height
+    val n = s.sizes.length
+    if (n < 65) return null
+    val frameSum = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      if (s.sizes(f) != frameLen) return null
+      val base = s.offsets(f).toInt
+      var sum = 0L
+      var i = 0
+      while (i < frameLen) { sum += b(base + i) & 0xff; i += 1 }
+      frameSum(f) = sum
+      f += 1
+    }
+    val mass = new Array[Long](65)
+    var blk = 0
+    while (blk < 65) {
+      val f0 = blk.toLong * n / 65
+      val f1 = (blk + 1).toLong * n / 65
+      var s2 = 0L
+      var k = f0
+      while (k < f1) { s2 += frameSum(k.toInt); k += 1 }
+      mass(blk) = s2
+      blk += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (mass(j + 1) > mass(j)) out |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
   /** Frame extraction proper: the sampled frames' raw bytes, in frame
     * order — the real replacement for byte-window "frame" stubs. */
   def mp4SampleFrames(b: Array[Byte], stride: Int): GenericArrayData = {
@@ -288,7 +333,30 @@ object Mp4Demux {
     * y-independent so an oracle can recompute stats as a series.
     */
   def mp4FramesBytes(width: Int, height: Int, nFrames: Int,
-      seed: Int): Array[Byte] = {
+      seed: Int): Array[Byte] =
+    mp4FramesBytesOf(width, height, nFrames,
+      (f, x, _) => (seed + f * 31 + x) % 256)
+
+  /** [[mp4FramesBytes]] with seed-KEYED noise pixels
+    * (murmur-finalizer avalanche over (seed, f, x, y)) — the video member of the
+    * noise-fixture family ([[PixelDecode.pngTextureBytes]] /
+    * `wavNoiseBytes`): the gradient synth's frame sums are
+    * quasi-linear in f with a seed phase shift, so frame-mass delta
+    * SIGNS are seed-stable — the wrong fixture for
+    * [[mp4Fingerprint64]]; noise frames decorrelate seeds. */
+  def mp4NoiseFramesBytes(width: Int, height: Int, nFrames: Int,
+      seed: Int): Array[Byte] =
+    mp4FramesBytesOf(width, height, nFrames,
+      (f, x, y) => {
+        // murmur-style finalizer — see PixelDecode.pngTextureBytes
+        var z = seed * 0x9E3779B1.toInt + f * 0x27D4EB2F +
+          x * 0x85EBCA6B.toInt + y * 0xC2B2AE35.toInt
+        z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+        (z >>> 24) & 0xff
+      })
+
+  private def mp4FramesBytesOf(width: Int, height: Int, nFrames: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0,
       s"bad mp4 synth dims ${width}x${height}x$nFrames")
     val frameLen = width * height
@@ -329,7 +397,7 @@ object Mp4Demux {
         while (y < height) {
           var x = 0
           while (x < width) {
-            out.write((seed + f * 31 + x) % 256)
+            out.write(px(f, x, y))
             x += 1
           }
           y += 1
@@ -502,6 +570,42 @@ object Mp4Demux {
         c: Expression, d: Expression): Mp4FramesSynthExpr = copy(a, b, c, d)
   }
 
+  /** (w, h, nFrames, seed) → noise-frame MP4 bytes
+    * ([[mp4NoiseFramesBytes]]). */
+  case class Mp4NoiseSynthExpr(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      mp4NoiseFramesBytes(a.asInstanceOf[Int], b.asInstanceOf[Int],
+        c.asInstanceOf[Int], d.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+        s"${ev.value} = graft.ext.Mp4Demux.mp4NoiseFramesBytes($a, $b, $c, $d);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression): Mp4NoiseSynthExpr = copy(a, b, c, d)
+  }
+
+  /** binary → 64-bit video fingerprint, null when not a demuxable
+    * raw-luma MP4 of at least 65 frames. */
+  case class Mp4FingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = mp4Fingerprint64(input.asInstanceOf[Array[Byte]])
+      if (v == null) null else v.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("vfp")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $tmp = graft.ext.Mp4Demux.mp4Fingerprint64($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): Mp4FingerprintExpr =
+      copy(c)
+  }
+
   def frameStats(bytes: Column, stride: Column): Column =
     GraftSqlBridge.column(Mp4FrameStatsExpr(GraftSqlBridge.expression(bytes),
       GraftSqlBridge.expression(stride)))
@@ -518,4 +622,13 @@ object Mp4Demux {
     GraftSqlBridge.column(Mp4FramesSynthExpr(GraftSqlBridge.expression(w),
       GraftSqlBridge.expression(h), GraftSqlBridge.expression(nFrames),
       GraftSqlBridge.expression(seed)))
+
+  def synthMp4Noise(w: Column, h: Column, nFrames: Column,
+      seed: Column): Column =
+    GraftSqlBridge.column(Mp4NoiseSynthExpr(GraftSqlBridge.expression(w),
+      GraftSqlBridge.expression(h), GraftSqlBridge.expression(nFrames),
+      GraftSqlBridge.expression(seed)))
+
+  def mp4Fingerprint(bytes: Column): Column =
+    GraftSqlBridge.column(Mp4FingerprintExpr(GraftSqlBridge.expression(bytes)))
 }

@@ -123,6 +123,17 @@ object Multimodal {
       PixelDecode.wavFingerprint(col(bytesCol)).as("__ph")),
       idCol, "__ph", maxHamming)
 
+  /** Video near-duplicate detection: frame-mass fingerprint over the
+    * REAL demuxed frame series ([[Mp4Demux.mp4Fingerprint]]) +
+    * [[hashNearDup]] — with this the near-dup family spans all four
+    * hash sources (text simhash, image dHash, audio energy, video
+    * frame mass) through ONE pair-generation machine. */
+  def videoNearDup(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hashNearDup(df.select(col(idCol),
+      Mp4Demux.mp4Fingerprint(col(bytesCol)).as("__ph")),
+      idCol, "__ph", maxHamming)
+
   /** REAL dispatching full decode: magic-sniff each blob and run the
     * matching decoder (PNG / GIF / WAV / JPEG / raw-luma MP4); null
     * for corrupt payloads and compressed video codecs. The CaseWhen

@@ -459,9 +459,8 @@ object PixelDecode {
     out.toByteArray
   }
 
-  /** Grayscale 8-bit PNG with seed-KEYED texture pixels:
-    * value(x, y) = top byte of ((seed·31 + x·7 + y·13) · 0x9E3779B1)
-    * (golden-ratio avalanche, 32-bit wrap). Unlike [[pngPixelBytes]]'s
+  /** Grayscale 8-bit PNG with seed-KEYED texture pixels: a
+    * murmur-finalizer avalanche over (seed, x, y) (see px below). Unlike [[pngPixelBytes]]'s
     * smooth gradient — whose perceptual hash is nearly
     * seed-independent — two different seeds here give ~independent
     * textures, so perceptual-hash distances across seeds are large
@@ -470,8 +469,17 @@ object PixelDecode {
     * deflate discipline as [[pngPixelBytes]]. */
   def pngTextureBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
-    def px(x: Int, y: Int): Int =
-      ((seed * 31 + x * 7 + y * 13) * 0x9E3779B1.toInt >>> 24) & 0xff
+    def px(x: Int, y: Int): Int = {
+      // murmur-style finalizer: a bare golden-ratio multiply is LINEAR
+      // in the seed (nearby seeds shift every product by a constant,
+      // often below the kept top byte), which collapsed the
+      // fingerprint space; xorshift+multiply avalanches constant
+      // differences
+      var z = seed * 0x9E3779B1.toInt + x * 0x85EBCA6B.toInt +
+        y * 0xC2B2AE35.toInt
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      (z >>> 24) & 0xff
+    }
     val stride = w + 1
     val raw = new Array[Byte](stride * h)
     var y = 0
@@ -738,10 +746,9 @@ object PixelDecode {
       copy(c)
   }
 
-  /** Mono-interleaved PCM-16 WAV with seed-KEYED noise samples:
-    * sample(i) = (top 16 bits of ((seed·31 + i·7) · 0x9E3779B1),
-    * signed) >> 4 — golden-ratio avalanche, so two different seeds
-    * give ~independent streams. [[wavToneBytes]]'s quasi-linear ramp
+  /** Mono-interleaved PCM-16 WAV with seed-KEYED noise samples
+    * (murmur-finalizer avalanche over (seed, i) — two different seeds
+    * give ~independent streams). [[wavToneBytes]]'s quasi-linear ramp
     * is the wrong fixture for [[wavFingerprint64]]: its block-mass
     * delta SIGNS are phase-stable, so every seed fingerprints alike;
     * this noise family decorrelates seeds, the property an audio
@@ -767,8 +774,11 @@ object PixelDecode {
     out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
     var i = 0
     while (i < nSamples) {
-      val v = (((seed * 31 + i * 7) * 0x9E3779B1.toInt) >> 16) >> 4
-      w16(v & 0xffff)
+      // same avalanche discipline as pngTextureBytes (linearity in the
+      // seed collapses fingerprints)
+      var z = seed * 0x9E3779B1.toInt + i * 0x85EBCA6B.toInt
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      w16((z >> 20) & 0xffff)
       i += 1
     }
     out.toByteArray

@@ -56,8 +56,13 @@ class ImageDHashSpec extends SparkSpec {
   test("RGB image with r=g=b equals the gray image's hash (luma path)") {
     // hand-built RGB PNG (color type 2, filter 0 rows) whose channels
     // all equal the texture pattern — integer luma of (v,v,v) is v
-    def px(x: Int, y: Int, seed: Int): Int =
-      ((seed * 31 + x * 7 + y * 13) * 0x9E3779B1.toInt >>> 24) & 0xff
+    def px(x: Int, y: Int, seed: Int): Int = {
+      // mirror pngTextureBytes' murmur-finalizer formula
+      var z = seed * 0x9E3779B1.toInt + x * 0x85EBCA6B.toInt +
+        y * 0xC2B2AE35.toInt
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      (z >>> 24) & 0xff
+    }
     val (w, h, seed) = (16, 12, 5)
     val raw = new Array[Byte]((w * 3 + 1) * h)
     for (y <- 0 until h) {
@@ -155,6 +160,52 @@ class ImageDHashSpec extends SparkSpec {
     } :+ (99L, "garbage".getBytes)
     val got = Multimodal.audioNearDup(rows.toDF("doc_id", "audio"),
       "doc_id", "audio").as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- 0 until 24; b <- 0 until 24 if a < b && a % 5 == b % 5
+    } yield (a.toLong, b.toLong, 0L)).toSet
+    assert(got.toSet === want)
+    assert(!got.exists(p => p._1 === 99L || p._2 === 99L))
+  }
+
+  test("mp4Fingerprint: identical equal; seeds far; gradient documented-stable; nulls") {
+    import graft.ext.Mp4Demux
+    def fp(seed: Int, frames: Int = 80): Option[Long] =
+      Option(Mp4Demux.mp4Fingerprint64(
+        Mp4Demux.mp4NoiseFramesBytes(16, 8, frames, seed))).map(_.longValue())
+    assert(fp(3) === fp(3))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (s <- 1 to 6)
+      assert(ham(fp(s).get, fp(s + 10).get) > 3, s"seeds $s/${s + 10}")
+    assert(fp(1, frames = 64) === None) // < 65 frames
+    assert(fp(1, frames = 65).isDefined)
+    assert(Option(Mp4Demux.mp4Fingerprint64("nope".getBytes)).isEmpty)
+    // gradient synth still fingerprints deterministically (the noise
+    // variant exists because gradient delta signs are seed-stable)
+    val g1 = Mp4Demux.mp4Fingerprint64(Mp4Demux.mp4FramesBytes(16, 8, 80, 5))
+    val g2 = Mp4Demux.mp4Fingerprint64(Mp4Demux.mp4FramesBytes(16, 8, 80, 5))
+    assert(g1 === g2 && g1 != null)
+  }
+
+  test("noise mp4 refactor keeps the gradient synth byte-identical") {
+    // mp4FramesBytes now routes through the generic writer — the
+    // bytes (and thus every existing golden/oracle) must not move
+    import graft.ext.Mp4Demux
+    val b = Mp4Demux.mp4FramesBytes(16, 8, 10, 7)
+    val s = Mp4Demux.demux(b)
+    assert(s != null && s.width === 16 && s.height === 8)
+    val sums = Mp4Demux.mp4FrameSums(b)
+    // frame 0 sum: 8 rows of sum_x (7 + 0*31 + x) % 256, x in 0..15
+    val expected = 8L * (0 until 16).map(x => (7 + x) % 256).sum
+    assert(sums.getLong(0) === expected)
+  }
+
+  test("videoNearDup end-to-end: planted identical videos pair at hamming 0") {
+    import graft.ext.Mp4Demux
+    val rows = (0 until 24).map { i =>
+      (i.toLong, Mp4Demux.mp4NoiseFramesBytes(16, 8, 80, i % 5))
+    } :+ (99L, "garbage".getBytes)
+    val got = Multimodal.videoNearDup(rows.toDF("doc_id", "video"),
+      "doc_id", "video").as[(Long, Long, Long)].collect()
     val want = (for {
       a <- 0 until 24; b <- 0 until 24 if a < b && a % 5 == b % 5
     } yield (a.toLong, b.toLong, 0L)).toSet
