@@ -45,7 +45,71 @@ object GifDecode {
   /** Pixel-count cap (w*h), zip-bomb guard like the PNG path. */
   private val MaxPixels = 64L << 20
 
+  /** Fully decoded GIF: palette indices in raster order plus the
+    * effective (local-wins) color table. */
+  private[ext] final case class DecodedGif(w: Int, h: Int,
+      indices: Array[Byte], palette: Array[Byte])
+
   def gifPixelStats(b: Array[Byte]): GenericInternalRow = {
+    val d = decodeGif(b)
+    if (d == null) return null
+    val palSize = d.palette.length / 3
+    val nPixels = d.w * d.h
+    var sum = 0L
+    var min = 255
+    var max = 0
+    var i = 0
+    while (i < nPixels) {
+      val idx = d.indices(i) & 0xff
+      if (idx >= palSize) return null // index outside palette
+      var ch = 0
+      while (ch < 3) {
+        val v = d.palette(idx * 3 + ch) & 0xff
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        ch += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](d.w.toLong, d.h.toLong, nPixels * 3L,
+      sum, min, max))
+  }
+
+  /** 64-bit perceptual dHash over the decoded GIF plane — the same
+    * integer 9×8 area-average + cross-multiplied comparisons as
+    * [[PixelDecode.pngDHash64]], with each palette index folded to
+    * integer luma (299r + 587g + 114b) / 1000. For a gray palette
+    * (r=g=b=index, as the synth writes) luma == index EXACTLY, so the
+    * same pixel grid stored as gray PNG or gray GIF hashes
+    * identically — cross-format duplicate detection. Null for
+    * undecodable input, out-of-palette indices, or images smaller
+    * than 9×8. */
+  def gifDHash64(b: Array[Byte]): java.lang.Long = {
+    val d = decodeGif(b)
+    if (d == null || d.w < 9 || d.h < 8) return null
+    val palSize = d.palette.length / 3
+    // precompute per-index luma; reject out-of-palette lazily below
+    val luma = new Array[Long](256)
+    var i = 0
+    while (i < palSize) {
+      val r = d.palette(i * 3) & 0xff
+      val g = d.palette(i * 3 + 1) & 0xff
+      val bl = d.palette(i * 3 + 2) & 0xff
+      luma(i) = (299L * r + 587L * g + 114L * bl) / 1000L
+      i += 1
+    }
+    i = 0
+    val nPixels = d.w * d.h
+    while (i < nPixels) {
+      if ((d.indices(i) & 0xff) >= palSize) return null
+      i += 1
+    }
+    PixelDecode.dhashFromGray(d.w, d.h,
+      (x, y) => luma(d.indices(y * d.w + x) & 0xff))
+  }
+
+  private[ext] def decodeGif(b: Array[Byte]): DecodedGif = {
     if (b == null || b.length < 14) return null
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
@@ -204,26 +268,7 @@ object GifDecode {
       }
     }
     if (outAt != nPixels) return null
-
-    var sum = 0L
-    var min = 255
-    var max = 0
-    var i = 0
-    while (i < nPixels) {
-      val idx = out(i) & 0xff
-      if (idx >= palSize) return null // index outside palette
-      var ch = 0
-      while (ch < 3) {
-        val v = palette(idx * 3 + ch) & 0xff
-        sum += v
-        if (v < min) min = v
-        if (v > max) max = v
-        ch += 1
-      }
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](iw.toLong, ih.toLong, nPixels * 3L,
-      sum, min, max))
+    DecodedGif(iw, ih, out, palette)
   }
 
   // ---- synthesizer (REAL LZW-compressed pixels) ------------------------

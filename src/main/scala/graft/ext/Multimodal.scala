@@ -99,17 +99,18 @@ object Multimodal {
     hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None)._1
 
   /** Image near-duplicate detection: perceptual dHash over the REAL
-    * decoded pixel plane ([[PixelDecode.pngDHash]] — integer 9×8
-    * area-average, codegen'd scan-side) + [[hashNearDup]]'s
-    * chunk-pigeonhole pair generation. Identical images pair at
-    * hamming 0; small edits (crop borders, brightness shifts that
-    * preserve gradients) land within the hamming budget — the image
-    * analog of the text near-dedup family. Undecodable blobs drop out
-    * (null hash), they never pair. */
+    * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff
+    * PNG/GIF dispatch into one integer 9×8 area-average core,
+    * codegen'd scan-side) + [[hashNearDup]]'s chunk-pigeonhole pair
+    * generation. Identical images pair at hamming 0 EVEN ACROSS
+    * FORMATS (a gray pixel grid hashes identically as PNG or GIF —
+    * palette luma == index); small edits land within the hamming
+    * budget — the image analog of the text near-dedup family.
+    * Undecodable blobs drop out (null hash), they never pair. */
   def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 3): DataFrame =
     hashNearDup(df.select(col(idCol),
-      PixelDecode.pngDHash(col(bytesCol)).as("__ph")),
+      PixelDecode.imageDHashAny(col(bytesCol)).as("__ph")),
       idCol, "__ph", maxHamming)
 
   /** Audio near-duplicate detection: energy-delta fingerprint over

@@ -553,7 +553,7 @@ object PixelDecode {
     val d = decodePng(b)
     if (d == null || d.w < 9 || d.h < 8) return null
     val w = d.w.toInt; val h = d.h.toInt; val ch = d.channels
-    def gray(x: Int, y: Int): Long = {
+    dhashFromGray(w, h, (x, y) => {
       val base = y * d.stride + 1 + x * ch
       if (ch <= 2) (d.raw(base) & 0xff).toLong
       else {
@@ -561,7 +561,15 @@ object PixelDecode {
         val bl = d.raw(base + 2) & 0xff
         (299L * r + 587L * g + 114L * bl) / 1000L
       }
-    }
+    })
+  }
+
+  /** The dHash core shared by the PNG and GIF paths: integer 9×8
+    * area-average over a caller-supplied gray accessor (specialized
+    * Function2 — no boxing), cross-multiplied comparisons. Caller
+    * guarantees w ≥ 9 and h ≥ 8. */
+  private[ext] def dhashFromGray(w: Int, h: Int,
+      gray: (Int, Int) => Long): java.lang.Long = {
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)
     var i = 0
@@ -595,6 +603,20 @@ object PixelDecode {
       i += 1
     }
     java.lang.Long.valueOf(bits)
+  }
+
+  /** Format-dispatching perceptual hash: magic-sniff PNG vs GIF and
+    * run the matching decode+dHash — the SAME 9×8 integer core, and
+    * for gray palettes luma == index, so one pixel grid stored in
+    * either format hashes identically (cross-format duplicate
+    * detection). Null for anything else. */
+  def imageDHash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 6) return null
+    if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      pngDHash64(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      GifDecode.gifDHash64(b)
+    else null
   }
 
   /** Mono-interleaved PCM-16 WAV with REAL samples: sample(i) =
@@ -784,6 +806,27 @@ object PixelDecode {
     out.toByteArray
   }
 
+  /** binary → 64-bit format-dispatched image dHash (PNG or GIF), null
+    * otherwise. */
+  case class ImageDHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = imageDHash64(input.asInstanceOf[Array[Byte]])
+      if (v == null) null else v.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("idhash")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $tmp = graft.ext.PixelDecode.imageDHash64($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): ImageDHashExpr =
+      copy(c)
+  }
+
   /** binary → 64-bit audio fingerprint, null when not PCM-16 WAV of
     * at least 65 samples. */
   case class WavFingerprintExpr(child: Expression) extends UnaryExpression {
@@ -860,6 +903,9 @@ object PixelDecode {
 
   def pngDHash(bytes: Column): Column =
     GraftSqlBridge.column(PngDHashExpr(GraftSqlBridge.expression(bytes)))
+
+  def imageDHashAny(bytes: Column): Column =
+    GraftSqlBridge.column(ImageDHashExpr(GraftSqlBridge.expression(bytes)))
 
   def wavFingerprint(bytes: Column): Column =
     GraftSqlBridge.column(WavFingerprintExpr(GraftSqlBridge.expression(bytes)))

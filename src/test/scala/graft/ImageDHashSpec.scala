@@ -167,6 +167,70 @@ class ImageDHashSpec extends SparkSpec {
     assert(!got.exists(p => p._1 === 99L || p._2 === 99L))
   }
 
+  /** Hand-built grayscale PNG (filter-0 rows) for an arbitrary pixel
+    * function — lets tests pair a PNG against a GIF of the SAME grid. */
+  private def grayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (w + 1)) = 0
+      for (x <- 0 until w) raw(y * (w + 1) + 1 + x) = px(x, y).toByte
+    }
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = { val c = new CRC32(); c.update(body); c.getValue }
+      out.write(((crc >>> 24) & 0xff).toInt); out.write(((crc >>> 16) & 0xff).toInt)
+      out.write(((crc >>> 8) & 0xff).toInt); out.write((crc & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 0 // gray
+    chunk("IHDR", ihdr); chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("cross-format: same gray grid as PNG and GIF hashes identically") {
+    import graft.ext.GifDecode
+    val (w, h, seed) = (20, 12, 9)
+    // gifPixelBytes pixel rule: (seed + x + 2*y) mod 256, gray palette
+    val gif = GifDecode.gifPixelBytes(w, h, seed)
+    val png = grayPng(w, h, (x, y) => (seed + x + 2 * y) % 256)
+    val hg = Option(GifDecode.gifDHash64(gif)).map(_.longValue())
+    val hp = Option(PixelDecode.pngDHash64(png)).map(_.longValue())
+    assert(hg.isDefined)
+    assert(hg === hp)
+    // the dispatcher routes each format to the same value
+    assert(Option(PixelDecode.imageDHash64(gif)).map(_.longValue()) === hg)
+    assert(Option(PixelDecode.imageDHash64(png)).map(_.longValue()) === hg)
+    assert(Option(PixelDecode.imageDHash64("nope".getBytes)) === None)
+  }
+
+  test("imageNearDup pairs a PNG with its GIF twin across formats") {
+    import graft.ext.GifDecode
+    val (w, h) = (20, 12)
+    val rows = Seq(
+      (1L, GifDecode.gifPixelBytes(w, h, 40)),
+      (2L, grayPng(w, h, (x, y) => (40 + x + 2 * y) % 256)), // PNG twin of 1
+      (3L, GifDecode.gifPixelBytes(w, h, 41))) // near twin: +1 brightness
+    val got = Multimodal.imageNearDup(rows.toDF("doc_id", "img"),
+      "doc_id", "img").as[(Long, Long, Long)].collect().toSet
+    // (1,2) identical grids across formats -> hamming 0; seed 41 is a
+    // uniform +1 brightness shift of seed 40 (same gradient), so its
+    // dHash is identical too -> all three pair at 0
+    assert(got.contains((1L, 2L, 0L)))
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
   test("mp4Fingerprint: identical equal; seeds far; gradient documented-stable; nulls") {
     import graft.ext.Mp4Demux
     def fp(seed: Int, frames: Int = 80): Option[Long] =
