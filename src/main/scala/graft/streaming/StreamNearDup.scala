@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** [EXT]/T5 — STREAMING near-duplicate detection over a 64-bit
+  * perceptual/sketch hash column: the incremental counterpart of
+  * `Multimodal.hashNearDup` (text simhash, image dHash, audio/video
+  * fingerprints all arrive here through the same contract).
+  *
+  * Shape: each arriving (id, hash) fans out to its four 16-bit chunk
+  * keys; per (chunk, value) bucket the state holds the members seen so
+  * far, and an arrival emits an exact-hamming-verified pair against
+  * each stored member before joining the bucket. The chunk pigeonhole
+  * gives full recall (hamming ≤ 3 ⇒ some chunk equal ⇒ the pair meets
+  * in that bucket), and the LOWEST-EQUAL-CHUNK rule gives exactly-once
+  * emission with zero extra state: both hashes are in hand when a pair
+  * meets, so every equal-chunk bucket computes the same "who emits"
+  * answer and only the lowest equal chunk index speaks.
+  *
+  * Scale/state contract: state is per-bucket and the bucket key is the
+  * shuffle key, so hot hashes spread over four positions; `maxBucket`
+  * bounds members per bucket — an overflowing bucket stops ADMITTING
+  * members (arrivals still pair against the stored ones) and the
+  * overflow count rides in the state. A pair is missed only if its
+  * lowest equal chunk's bucket was already full when the EARLIER
+  * member arrived — the streaming mirror of `hashNearDupCapped`'s
+  * drop-and-report trade (pairs are never invented; hamming is always
+  * exactly verified). Run the state store on RocksDB at deployment,
+  * same as the other T5 operators.
+  *
+  * Determinism: within a micro-batch, bucket members are processed in
+  * ascending id order, so admission under the cap and the emitted pair
+  * set are a pure function of the data, not of iterator order.
+  */
+object StreamNearDup {
+
+  /** One corpus member: a stable id plus its 64-bit hash. */
+  final case class HashedDoc(id: Long, hash: Long)
+
+  /** Emitted pair (idA < idB), exact hamming. */
+  final case class NearDupPair(idA: Long, idB: Long, hamming: Int)
+
+  private[streaming] final case class BucketState(
+      ids: List[Long], hashes: List[Long], overflowed: Long)
+
+  private def chunk(h: Long, c: Int): Long = (h >>> (16 * c)) & 0xffffL
+
+  /** Lowest chunk index on which the two hashes agree, or -1. */
+  private[streaming] def lowestEqualChunk(a: Long, b: Long): Int = {
+    var c = 0
+    while (c < 4) {
+      if (chunk(a, c) == chunk(b, c)) return c
+      c += 1
+    }
+    -1
+  }
+
+  /** Wire the stateful pairing over a stream (or batch) of
+    * [[HashedDoc]]. Emits each qualifying pair exactly once, in the
+    * micro-batch where its LATER member arrives. */
+  def pairs(ds: Dataset[HashedDoc], maxHamming: Int = 3,
+      maxBucket: Int = 4096): Dataset[NearDupPair] = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val stateEnc = Encoders.product[BucketState]
+    ds.flatMap(d => (0 until 4).map(c => (c, chunk(d.hash, c), d)))
+      .groupByKey { case (c, cv, _) => (c, cv) }
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, values, state) =>
+          val c = key._1
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+          var ids = st.ids
+          var hashes = st.hashes
+          var size = ids.length
+          var overflowed = st.overflowed
+          val out = List.newBuilder[NearDupPair]
+          // ascending id: admission + emission independent of iterator order
+          values.map(_._3).toVector.sortBy(_.id).foreach { d =>
+            // idempotent under at-least-once redelivery: a stored
+            // member's re-arrival neither re-pairs nor re-admits
+            if (!ids.contains(d.id)) {
+              var i = ids
+              var h = hashes
+              while (i.nonEmpty) {
+                val oid = i.head
+                val oh = h.head
+                val ham = java.lang.Long.bitCount(d.hash ^ oh)
+                // only the lowest equal chunk of THIS pair emits
+                if (ham <= maxHamming && lowestEqualChunk(d.hash, oh) == c)
+                  out += NearDupPair(math.min(d.id, oid),
+                    math.max(d.id, oid), ham)
+                i = i.tail
+                h = h.tail
+              }
+              if (size < maxBucket) {
+                ids = d.id :: ids
+                hashes = d.hash :: hashes
+                size += 1
+              } else overflowed += 1
+            }
+          }
+          state.update(BucketState(ids, hashes, overflowed))
+          out.result().iterator
+      }
+  }
+}
