@@ -214,8 +214,22 @@ object ExtQueries {
     *    and queries members of the right sets.
     * Per-row top-k output stays available via the Similarity API
     * (SimilaritySpec); this row gates the SAME full computation. */
-  private[graft] def annSurface(emb: DataFrame, res: DataFrame, k: Int): DataFrame = {
+  private[graft] def annSurface(emb: DataFrame, res: DataFrame, k: Int): DataFrame =
+    annSurfaceOf(emb, res, k, scoreCol = "cos",
+      reScore = cosSql, ascending = false,
+      floorOk = (cnt, extreme, _) => cnt === k && extreme >= 1.0)
+
+  /** The parameterized core behind [[annSurface]] (cosine gates x7/
+    * x16) and the x89 PQ gate — one copy of the verification
+    * plumbing; `scoreCol`/`reScore`/`ascending`/`floorOk` carry the
+    * per-family differences (score name, fresh recompute, rank-order
+    * direction, tie-displacement rule for the recall floor). */
+  private[graft] def annSurfaceOf(emb: DataFrame, res: DataFrame, k: Int,
+      scoreCol: String, reScore: (Column, Column) => Column,
+      ascending: Boolean,
+      floorOk: (Column, Column, Column) => Column): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val sc = col(scoreCol)
     val anch = emb.agg(count(lit(1)).as("n_corpus"),
       coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
         .as("n_queries"))
@@ -226,13 +240,13 @@ object ExtQueries {
       .join(broadcast(emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
         col("qe") === col("ne") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), col("qe"))
     val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
     // rank/order/set checks run on res ALONE (k×|queries| rows) —
     // the window never touches the corpus
     val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
     val shaped = res
-      .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+      .withColumn("prev_sc", lag(sc, 1).over(w))
       .withColumn("prev_rank", lag(col("rank"), 1).over(w))
     // membership + score verification: ONE corpus scan extracts just
     // the embeddings the result references (BroadcastHashJoin, needed
@@ -244,13 +258,16 @@ object ExtQueries {
       .union(res.select(col("neighbor_id").as("vid"))).distinct()
     val embNeeded = emb.select(col("vec_id").as("vid"), col("embedding"))
       .join(broadcast(needed), Seq("vid"))
-      .persist()
+      .localCheckpoint(true) // eager + off the session cache (no leak)
+    val monoViol =
+      if (ascending) col("prev_sc").isNotNull && sc < col("prev_sc")
+      else col("prev_sc").isNotNull && sc > col("prev_sc")
     val rows2 = shaped
       .join(broadcast(embNeeded.select(col("vid").as("query_id"),
         col("embedding").as("qe"))), Seq("query_id"))
       .join(broadcast(embNeeded.select(col("vid").as("neighbor_id"),
         col("embedding").as("ne"))), Seq("neighbor_id"))
-      .withColumn("re_cos", cosSql(col("qe"), col("ne")))
+      .withColumn("re_sc", reScore(col("qe"), col("ne")))
     val verif = rows2.select(when(
         col("query_id") >= 20 ||                                // query set
         col("query_id") === col("neighbor_id") ||               // self pair
@@ -258,21 +275,27 @@ object ExtQueries {
         (col("prev_rank").isNull && col("rank") =!= 1L) ||      // rank seq
         (col("prev_rank").isNotNull &&
           col("rank") =!= col("prev_rank") + 1L) ||
-        (col("prev_cos").isNotNull && col("cos") > col("prev_cos")) ||
-        abs(col("re_cos") - col("cos")) > 6e-5, 1L).otherwise(0L).as("v"))
+        monoViol ||
+        abs(col("re_sc") - sc) > 6e-5, 1L).otherwise(0L).as("v"))
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"),
         count(lit(1)).as("n_matched"))
     val nRes = res.agg(count(lit(1)).as("n_res"))
+    val extremeAgg = if (ascending) max(sc) else min(sc)
     val perQ = res.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("cnt"), min(col("cos")).as("min_cos"))
+      .agg(count(lit(1)).as("cnt"), extremeAgg.as("extreme"))
     val floor = ident
       .join(broadcast(res.select(col("query_id").as("qid"),
         col("neighbor_id").as("nid"), lit(1L).as("hit"))),
         Seq("qid", "nid"), "left")
       .join(broadcast(perQ.select(col("query_id").as("qid"), col("cnt"),
-        col("min_cos"))), Seq("qid"), "left")
+        col("extreme"))), Seq("qid"), "left")
+      // coalesce(..., false): a query whose result rows are ENTIRELY
+      // missing left-joins NULL cnt/extreme — three-valued logic would
+      // let when(NULL) fall through to "no violation" and the dropout
+      // pass the floor silently (review finding, round 11)
       .select(when(col("hit").isNull &&
-        !(col("cnt") === k && col("min_cos") >= 1.0), 1L)
+        !coalesce(floorOk(col("cnt"), col("extreme"), col("qe")),
+          lit(false)), 1L)
         .otherwise(0L).as("v"))
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
     anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
@@ -884,70 +907,15 @@ object ExtQueries {
     val ksub = cb(0).length
     val res = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", cb, k = 5)
-    val k = 5
-    val W = org.apache.spark.sql.expressions.Window
-    val anch = emb.agg(count(lit(1)).as("n_corpus"),
-      coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
-        .as("n_queries"))
-    // corpus streamed, tiny sides broadcast — same scale discipline
-    // as annSurface (the corpus is never a shuffle/build side)
-    val ident = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      .join(broadcast(emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
-        col("qe") === col("ne") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qe"))
-    val nIdent = ident.agg(count(lit(1)).as("n_identical_pairs"))
-    val w = W.partitionBy(col("query_id")).orderBy(col("rank"))
-    val shaped = res
-      .withColumn("prev_d2", lag(col("approx_d2"), 1).over(w))
-      .withColumn("prev_rank", lag(col("rank"), 1).over(w))
-    // one corpus scan for the referenced embeddings (see annSurface)
-    val needed = res.select(col("query_id").as("vid"))
-      .union(res.select(col("neighbor_id").as("vid"))).distinct()
-    val embNeeded = emb.select(col("vec_id").as("vid"), col("embedding"))
-      .join(broadcast(needed), Seq("vid"))
-      .persist()
-    val rows2 = shaped
-      .join(broadcast(embNeeded.select(col("vid").as("query_id"),
-        col("embedding").as("qe"))), Seq("query_id"))
-      .join(broadcast(embNeeded.select(col("vid").as("neighbor_id"),
-        col("embedding").as("ne"))), Seq("neighbor_id"))
-      .withColumn("re_d2", E.pqAdc(E.pqEncode(col("ne"), cb),
-        E.pqLut(col("qe"), cb), ksub))
-    val verif = rows2.select(when(
-        col("query_id") >= 20 ||
-        col("query_id") === col("neighbor_id") ||
-        col("rank") > k ||
-        (col("prev_rank").isNull && col("rank") =!= 1L) ||
-        (col("prev_rank").isNotNull &&
-          col("rank") =!= col("prev_rank") + 1L) ||
-        (col("prev_d2").isNotNull && col("approx_d2") < col("prev_d2")) ||
-        abs(col("re_d2") - col("approx_d2")) > 6e-5, 1L).otherwise(0L)
-        .as("v"))
-      .agg(coalesce(sum(col("v")), lit(0L)).as("n_row_viol"),
-        count(lit(1)).as("n_matched"))
-    val nRes = res.agg(count(lit(1)).as("n_res"))
-    val perQ = res.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("cnt"), max(col("approx_d2")).as("max_d2"))
-    val floor = ident
-      .withColumn("self_d2", E.pqAdc(E.pqEncode(col("qe"), cb),
-        E.pqLut(col("qe"), cb), ksub))
-      .join(broadcast(res.select(col("query_id").as("qid"),
-        col("neighbor_id").as("nid"), lit(1L).as("hit"))),
-        Seq("qid", "nid"), "left")
-      .join(broadcast(perQ.select(col("query_id").as("qid"), col("cnt"),
-        col("max_d2"))), Seq("qid"), "left")
-      .select(when(col("hit").isNull &&
-        !(col("cnt") === k &&
-          col("max_d2") <= roundz(col("self_d2"), 4) + 1e-9), 1L)
-        .otherwise(0L).as("v"))
-      .agg(coalesce(sum(col("v")), lit(0L)).as("n_floor_viol"))
-    anch.crossJoin(nIdent).crossJoin(verif).crossJoin(floor)
-      .crossJoin(nRes)
-      .select(col("n_queries"), col("n_corpus"), col("n_identical_pairs"),
-        (col("n_floor_viol") === 0).as("identical_recall_floor"),
-        (col("n_row_viol") === 0 && col("n_matched") === col("n_res"))
-          .as("emitted_rows_verified"))
+    annSurfaceOf(emb, res, k = 5, scoreCol = "approx_d2",
+      reScore = (qe, ne) =>
+        E.pqAdc(E.pqEncode(ne, cb), E.pqLut(qe, cb), ksub),
+      ascending = true,
+      // identical pair displaced only by equal-minimal-ADC ties:
+      // ADC(q, code(q)) is the per-subspace-argmin minimum distance
+      floorOk = (cnt, maxD2, qe) => cnt === 5 && maxD2 <=
+        roundz(E.pqAdc(E.pqEncode(qe, cb), E.pqLut(qe, cb), ksub), 4)
+          + 1e-9)
   }
 
   /** Exact heavy hitters (`Scale.heavyHittersExact`): whitespace
@@ -1880,7 +1848,9 @@ object ExtQueries {
     val docs = t(s, dir, "documents")
     // ONE distributed word-count pass feeds training dict, probe
     // verification, and the anchors (train() would recompute it)
-    val wc = BpeTrainer.wordCounts(docs, "text").persist()
+    // eager checkpoint, not persist: vocab-sized frame, reused by the
+    // dict collect and the anchors without leaking session cache
+    val wc = BpeTrainer.wordCounts(docs, "text").localCheckpoint(true)
     val dict = wc.orderBy(col("freq").desc, col("word")).limit(50000)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = BpeTrainer.trainFromCounts(dict.toSeq, nMerges = 40)
@@ -2736,121 +2706,64 @@ object ExtQueries {
     *    wiring corruption flips it).
     * Per-pair output stays available via `Multimodal.imageNearDup`
     * (ImageDHashSpec); this row gates the SAME full computation. */
-  private def x134(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{HashFunctions => H}
-    // the documents scan is a handful of partitions — shuffle the
-    // tiny id column first so the per-row synth+decode+hash work
-    // spreads across every core (at 100 TB real blobs arrive already
-    // partitioned; a fixture must not serialize on one scan split)
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val docs = ids.select(col("doc_id"),
-      PixelDecode.synthPngTexture(lit(48), lit(32),
-        (col("doc_id") % 251).cast("int")).as("img"))
-    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img")
-    val anch = t(s, dir, "documents")
-      .select((col("doc_id") % 251).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
-        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-          .as("n_identical_pairs"))
-    // fresh re-hash once per DOC (O(N) decodes, not O(pairs)), then
-    // hamming re-derived per pair from the broadcast-joined hashes —
-    // the verification path stays a separate evaluation of the same
-    // synth→decode→hash chain without re-decoding per pair
-    val reHashed = ids.select(col("doc_id"),
-      PixelDecode.pngDHash(PixelDecode.synthPngTexture(lit(48), lit(32),
-        (col("doc_id") % 251).cast("int"))).as("rh"))
-    val verif = pairs
-      .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
-        col("rh").as("rh_a"))), Seq("id_a"))
-      .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
-        col("rh").as("rh_b"))), Seq("id_b"))
-      .select(
-        ((col("id_a") % 251) === (col("id_b") % 251) &&
-          col("hamming") === 0L).as("same_h0"),
-        col("hamming"),
-        H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))
-      .agg(
-        coalesce(sum(when(col("same_h0"), 1L).otherwise(0L)), lit(0L))
-          .as("n_same_emitted"),
-        coalesce(sum(when(col("re_ham") =!= col("hamming") ||
-          col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
-          .as("n_verif_viol"))
-    anch.crossJoin(verif).select(col("n_images"), col("n_identical_pairs"),
-      (col("n_same_emitted") === col("n_identical_pairs"))
-        .as("identical_all_emitted_h0"),
-      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
-  }
+  private def x134(s: SparkSession, dir: String): DataFrame =
+    mediaNearDupGate(s, dir, countName = "n_images",
+      synth = d => PixelDecode.synthPngTexture(lit(48), lit(32),
+        (d % 251).cast("int")),
+      reHash = PixelDecode.pngDHash,
+      nearDup = Multimodal.imageNearDup(_, _, _))
 
   /** Audio near-dedup (`Multimodal.audioNearDup`: real PCM decode →
     * integer energy-delta fingerprint → chunk-pigeonhole pairs) —
     * x134's discipline on the audio modality, proving the
-    * `hashNearDup` layer spans hash families. Same gate shape:
-    * doc_id mod 251 seeds make identical-stream pairs pure doc_id
-    * arithmetic; verification re-fingerprints once per DOC and
-    * re-derives each emitted pair's hamming from broadcast-joined
-    * fingerprints. */
-  private def x135(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{HashFunctions => H}
-    def wav(d: Column): Column =
-      PixelDecode.synthWavNoise(lit(1), lit(8000), lit(600),
-        (d % 251).cast("int"))
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // parallelize per-row synth (see x134)
-    val docs = ids.select(col("doc_id"), wav(col("doc_id")).as("audio"))
-    val pairs = Multimodal.audioNearDup(docs, "doc_id", "audio")
-    val anch = t(s, dir, "documents")
-      .select((col("doc_id") % 251).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_streams"),
-        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-          .as("n_identical_pairs"))
-    val reHashed = ids.select(col("doc_id"),
-      PixelDecode.wavFingerprint(wav(col("doc_id"))).as("rh"))
-    val verif = pairs
-      .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
-        col("rh").as("rh_a"))), Seq("id_a"))
-      .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
-        col("rh").as("rh_b"))), Seq("id_b"))
-      .select(
-        ((col("id_a") % 251) === (col("id_b") % 251) &&
-          col("hamming") === 0L).as("same_h0"),
-        col("hamming"),
-        H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))
-      .agg(
-        coalesce(sum(when(col("same_h0"), 1L).otherwise(0L)), lit(0L))
-          .as("n_same_emitted"),
-        coalesce(sum(when(col("re_ham") =!= col("hamming") ||
-          col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
-          .as("n_verif_viol"))
-    anch.crossJoin(verif).select(col("n_streams"), col("n_identical_pairs"),
-      (col("n_same_emitted") === col("n_identical_pairs"))
-        .as("identical_all_emitted_h0"),
-      (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
-  }
+    * `hashNearDup` layer spans hash families. */
+  private def x135(s: SparkSession, dir: String): DataFrame =
+    mediaNearDupGate(s, dir, countName = "n_streams",
+      synth = d => PixelDecode.synthWavNoise(lit(1), lit(8000), lit(600),
+        (d % 251).cast("int")),
+      reHash = PixelDecode.wavFingerprint,
+      nearDup = Multimodal.audioNearDup(_, _, _))
 
   /** Video near-dedup (`Multimodal.videoNearDup`: real MP4 demux →
     * integer frame-mass fingerprint → chunk-pigeonhole pairs) —
     * closes the four-modality near-dup family on the same gate
-    * shape as x134/x135. */
-  private def x136(s: SparkSession, dir: String): DataFrame = {
+    * shape. */
+  private def x136(s: SparkSession, dir: String): DataFrame =
+    mediaNearDupGate(s, dir, countName = "n_videos",
+      synth = d => graft.ext.Mp4Demux.synthMp4Noise(lit(12), lit(6),
+        lit(65), (d % 251).cast("int")),
+      reHash = graft.ext.Mp4Demux.mp4Fingerprint,
+      nearDup = Multimodal.videoNearDup(_, _, _))
+
+  /** The shared x134/x135/x136 gate body: synthesize a seed-keyed
+    * blob per doc (doc_id mod 251 ⇒ identical groups whose pair count
+    * is pure doc_id arithmetic the oracle recomputes), run the
+    * modality's near-dup operator, and verify:
+    *  - every identical pair emitted at hamming 0 (identical bytes ⇒
+    *    identical hash ⇒ all four chunks collide — the pigeonhole
+    *    recall floor), counted against the oracle anchor;
+    *  - every emitted pair's hamming re-derived from fresh per-DOC
+    *    re-hashes (O(N) decodes, not O(pairs)) joined broadcast-side.
+    * The documents scan is a handful of splits — the tiny id column
+    * is repartitioned with an EXPLICIT count first so the per-row
+    * synth+decode+hash spreads across every core (a number-less
+    * repartition gets coalesced back to one task by AQE). */
+  private def mediaNearDupGate(s: SparkSession, dir: String,
+      countName: String, synth: Column => Column, reHash: Column => Column,
+      nearDup: (DataFrame, String, String) => DataFrame): DataFrame = {
     import graft.functions.{HashFunctions => H}
-    def vid(d: Column): Column =
-      graft.ext.Mp4Demux.synthMp4Noise(lit(12), lit(6), lit(65),
-        (d % 251).cast("int"))
     val ids = t(s, dir, "documents").select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // parallelize per-row synth (see x134)
-    val docs = ids.select(col("doc_id"), vid(col("doc_id")).as("video"))
-    val pairs = Multimodal.videoNearDup(docs, "doc_id", "video")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = ids.select(col("doc_id"), synth(col("doc_id")).as("blob"))
+    val pairs = nearDup(docs, "doc_id", "blob")
     val anch = t(s, dir, "documents")
       .select((col("doc_id") % 251).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_videos"),
+      .agg(coalesce(sum(col("c")), lit(0L)).as(countName),
         coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
           .as("n_identical_pairs"))
     val reHashed = ids.select(col("doc_id"),
-      graft.ext.Mp4Demux.mp4Fingerprint(vid(col("doc_id"))).as("rh"))
+      reHash(synth(col("doc_id"))).as("rh"))
     val verif = pairs
       .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
         col("rh").as("rh_a"))), Seq("id_a"))
@@ -2867,7 +2780,7 @@ object ExtQueries {
         coalesce(sum(when(col("re_ham") =!= col("hamming") ||
           col("re_ham") > 3, 1L).otherwise(0L)), lit(0L))
           .as("n_verif_viol"))
-    anch.crossJoin(verif).select(col("n_videos"), col("n_identical_pairs"),
+    anch.crossJoin(verif).select(col(countName), col("n_identical_pairs"),
       (col("n_same_emitted") === col("n_identical_pairs"))
         .as("identical_all_emitted_h0"),
       (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
@@ -3042,7 +2955,7 @@ object ExtQueries {
         |    END AS gini_r
         |FROM g ORDER BY source""".stripMargin,
     // x134: dedup-gate pattern on the image family — anchors are pure
-    // doc_id arithmetic (mod-37 identical groups); the hash/pair
+    // doc_id arithmetic (mod-251 identical groups); the hash/pair
     // verification booleans are engine-computed, pinned TRUE.
     "x136_video_fingerprint" ->
       """WITH g AS (SELECT doc_id % 251 AS g FROM documents),

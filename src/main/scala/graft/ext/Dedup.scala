@@ -196,41 +196,18 @@ object Dedup {
   def simhashCapped(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
-    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    // (doc, int64) is tiny — eager local checkpoint so the self-join's
-    // two branches read materialized fingerprints instead of running
-    // the tokenize+simhash scan twice (no session-cache leakage)
+    // fingerprint here, then delegate the whole chunk-pigeonhole
+    // candidate/cap/verify machinery to the ONE shared implementation
+    // (Multimodal.hashNearDupCapped serves text simhash, image dHash,
+    // and the audio/video fingerprints alike — review finding, round
+    // 11: this body used to be a verbatim second copy)
     val sim = docs.select(col(idCol).as("doc"),
       H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
-      .localCheckpoint(true)
-    val allChunked = sim.select(col("doc"), col("sim"),
-      posexplode(H.simhashChunks(col("sim"))).as(Seq("chunk", "cval")))
-    val (chunked, overflow) = maxBucket match {
-      case Some(cap) =>
-        val hot = allChunked.groupBy(col("chunk"), col("cval"))
-          .agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") > cap)
-          .localCheckpoint(true)
-        (allChunked.join(broadcast(hot.select(col("chunk"), col("cval"))),
-          Seq("chunk", "cval"), "left_anti"), hot)
-      case None =>
-        val spark = docs.sparkSession
-        import spark.implicits._
-        (allChunked,
-          Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_docs"))
-    }
-    val a = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_a"),
-      col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("doc").as("doc_b"),
-      col("sim").as("sim_b"))
-    val pairs = a.join(b, Seq("chunk", "cval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        H.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    (pairs, overflow)
+    val (pairs, overflow) =
+      Multimodal.hashNearDupCapped(sim, "doc", "sim", maxHamming, maxBucket)
+    (pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+      col("hamming")),
+      overflow.withColumnRenamed("n_ids", "n_docs"))
   }
 
   /** N-gram Jaccard dedup with an equi-bucket (e.g. language) to bound

@@ -256,8 +256,12 @@ object PixelDecode {
   def wavDecimateStats(b: Array[Byte], stride: Int): GenericInternalRow =
     if (stride < 1) null else wavStatsCore(b, stride)
 
-  private def wavStatsCore(b: Array[Byte],
-      stride: Int): GenericInternalRow = {
+  /** Parsed PCM-16 WAV geometry — the RIFF chunk walk shared by the
+    * stats and fingerprint paths (null for anything not PCM-16). */
+  private[ext] final case class WavPcm(channels: Int, sampleRate: Long,
+      dataAt: Long, dataLen: Long)
+
+  private[ext] def wavPcmHeader(b: Array[Byte]): WavPcm = {
     if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
@@ -293,6 +297,17 @@ object PixelDecode {
     if (corrupt || fmt != 1 || bits != 16 || channels <= 0 || sampleRate <= 0)
       return null
     if (dataAt < 0 || dataAt + dataLen > b.length) return null
+    WavPcm(channels, sampleRate, dataAt, dataLen)
+  }
+
+  private def wavStatsCore(b: Array[Byte],
+      stride: Int): GenericInternalRow = {
+    val hdr = wavPcmHeader(b)
+    if (hdr == null) return null
+    val channels = hdr.channels
+    val sampleRate = hdr.sampleRate
+    val dataAt = hdr.dataAt
+    val dataLen = hdr.dataLen
     val n = dataLen / 2
     var sum = 0L
     var sumSq = 0L
@@ -326,39 +341,10 @@ object PixelDecode {
     * local edit flips few bits. Null for non-PCM-16 input or streams
     * shorter than 65 samples (a block would be empty). */
   def wavFingerprint64(b: Array[Byte]): java.lang.Long = {
-    if (b == null || b.length < 44) return null
-    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
-      return null
-    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def u32le(i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    var i = 12L
-    var fmt = -1
-    var channels = -1
-    var bits = -1
-    var dataAt = -1L
-    var dataLen = -1L
-    var corrupt = false
-    while (!corrupt && i + 8 <= b.length && (channels < 0 || dataAt < 0)) {
-      val at = i.toInt
-      val id = new String(b, at, 4, "US-ASCII")
-      val len = u32le(at + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
-        fmt = u16le(at + 8)
-        channels = u16le(at + 10)
-        bits = u16le(at + 22)
-      } else if (id == "data") {
-        dataAt = i + 8
-        dataLen = len
-      }
-      val next = i + 8L + len + (len & 1L)
-      if (next <= i) corrupt = true else i = next
-    }
-    if (corrupt || fmt != 1 || bits != 16 || channels <= 0) return null
-    if (dataAt < 0 || dataAt + dataLen > b.length) return null
-    val n = (dataLen / 2).toInt
+    val hdr = wavPcmHeader(b)
+    if (hdr == null) return null
+    val dataAt = hdr.dataAt
+    val n = (hdr.dataLen / 2).toInt
     if (n < 65) return null
     val mass = new Array[Long](65)
     var blk = 0

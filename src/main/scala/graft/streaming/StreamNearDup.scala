@@ -32,6 +32,19 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Determinism: within a micro-batch, bucket members are processed in
   * ascending id order, so admission under the cap and the emitted pair
   * set are a pure function of the data, not of iterator order.
+  *
+  * Redelivery contract (at-least-once upstream): the idempotence
+  * guard covers ADMITTED members — a stored id's re-arrival neither
+  * re-pairs nor re-admits. A doc that was REJECTED by a full bucket
+  * is, by the bounded-state design, not remembered there; its
+  * redelivery re-pairs against that bucket's stored members
+  * (duplicate pair rows on the append output) and re-counts the
+  * overflow. Same class of trade as `StreamDedup.firstSeenTtl`'s
+  * post-eviction re-emit: remembering rejections would need exactly
+  * the unbounded state the cap exists to avoid. Deployments pairing a
+  * cap with an at-least-once source should dedupe pairs downstream
+  * (e.g. `dropDuplicatesWithinWatermark` on (idA, idB)) or run
+  * effectively-once delivery into this operator.
   */
 object StreamNearDup {
 

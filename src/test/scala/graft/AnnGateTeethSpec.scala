@@ -49,6 +49,17 @@ class AnnGateTeethSpec extends SparkSpec {
     assert(verified)
   }
 
+  test("dropping a query's ENTIRE result set trips the recall floor") {
+    // the review-caught three-valued-logic hole: with no res rows for
+    // query 3, the left-joined cnt/extreme are NULL; before the
+    // coalesce(..., false) fix the NULL predicate slid past when() and
+    // the dropout passed the floor silently
+    val tampered = res.filter(col("query_id") =!= 3L)
+    val (_, _, nid, floor, _) = surface(tampered)
+    assert(nid === 2L)
+    assert(!floor)
+  }
+
   test("dropping a planted identical pair trips the recall floor") {
     val tampered = res.filter(
       !(col("query_id") === 3L && col("neighbor_id") === 30L))

@@ -105,6 +105,36 @@ class StreamNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("redelivery of an overflow-REJECTED doc re-pairs (documented trade)") {
+    // the bounded-state design cannot remember rejections: a doc the
+    // full bucket turned away re-pairs on redelivery — pinned here so
+    // the scaladoc's contract stays honest (review finding, round 11)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val out = StreamNearDup.pairs(
+      input.toDS().map { case (id, h) => HashedDoc(id, h) },
+      maxBucket = 1)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("snd_redeliver_rejected")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-snd-rr").toString)
+      .start()
+    try {
+      input.addData((1L, H0)) // fills every bucket of H0's chunks
+      q.processAllAvailable()
+      input.addData((2L, H0)) // pairs with 1, rejected everywhere
+      q.processAllAvailable()
+      input.addData((2L, H0)) // redelivered: 2 was never admitted
+      q.processAllAvailable()
+      val rows = spark.table("snd_redeliver_rejected")
+        .as[NearDupPair].collect()
+        .map(p => (p.idA, p.idB, p.hamming))
+      // the pair appears TWICE — once per delivery of the rejected doc
+      assert(rows.count(_ == ((1L, 2L, 0))) === 2)
+    } finally q.stop()
+  }
+
   test("far hashes never pair; hamming-4 misses the threshold") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
