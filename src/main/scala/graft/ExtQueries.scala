@@ -224,12 +224,18 @@ object ExtQueries {
     * plumbing; `scoreCol`/`reScore`/`ascending`/`floorOk` carry the
     * per-family differences (score name, fresh recompute, rank-order
     * direction, tie-displacement rule for the recall floor). */
-  private[graft] def annSurfaceOf(emb: DataFrame, res: DataFrame, k: Int,
+  private[graft] def annSurfaceOf(emb: DataFrame, res0: DataFrame, k: Int,
       scoreCol: String, reScore: (Column, Column) => Column,
       ascending: Boolean,
       floorOk: (Column, Column, Column) => Column): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val sc = col(scoreCol)
+    // the gated OPERATOR runs once: res feeds five consumers below
+    // (needed ids, rank shaping, per-query floor stats, row count,
+    // hit join) — without this eager cut the whole ANN subtree
+    // (corpus scan + candidate join + window) re-executes per
+    // consumer. k×|queries| rows, off the session cache.
+    val res = res0.localCheckpoint(true)
     val anch = emb.agg(count(lit(1)).as("n_corpus"),
       coalesce(sum(when(col("vec_id") < 20, 1L).otherwise(0L)), lit(0L))
         .as("n_queries"))
@@ -250,15 +256,22 @@ object ExtQueries {
       .withColumn("prev_rank", lag(col("rank"), 1).over(w))
     // membership + score verification: ONE corpus scan extracts just
     // the embeddings the result references (BroadcastHashJoin, needed
-    // ids as build side), eagerly cut to a ≤2·|res|-row frame; every
-    // later join is then tiny-vs-tiny. A res row whose id has no
-    // corpus match drops out of the inner joins, and the count
+    // ids as build side). The extract is ≤ 2·k·|queries| rows BY
+    // CONSTRUCTION (the operator contract bounds the query side), so
+    // it is collected and re-planned as a LocalRelation — bounded
+    // driver traffic in the same audited class as the one-row
+    // aggregates; no cache entry, no checkpoint job, and every later
+    // join is tiny-vs-tiny against a local frame. A res row whose id
+    // has no corpus match drops out of the inner joins, and the count
     // reconciliation below converts that into a violation.
     val needed = res.select(col("query_id").as("vid"))
       .union(res.select(col("neighbor_id").as("vid"))).distinct()
-    val embNeeded = emb.select(col("vec_id").as("vid"), col("embedding"))
+    val embNeededDistributed = emb
+      .select(col("vec_id").as("vid"), col("embedding"))
       .join(broadcast(needed), Seq("vid"))
-      .localCheckpoint(true) // eager + off the session cache (no leak)
+    val embNeeded = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(embNeededDistributed.collect(): _*),
+      embNeededDistributed.schema)
     val monoViol =
       if (ascending) col("prev_sc").isNotNull && sc < col("prev_sc")
       else col("prev_sc").isNotNull && sc > col("prev_sc")
