@@ -199,6 +199,62 @@ class ImageDHashSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("locality: editing one downsample cell flips at most 2 dHash bits") {
+    // a cell (i, j) participates in exactly two comparisons — (j-1, j)
+    // and (j, j+1) of row i — so a local edit confined to one cell's
+    // pixel block moves at most 2 bits: the theorem that makes dHash
+    // a NEAR-dup hash rather than an exact one
+    val (w, h) = (36, 24) // 9x8 grid of 4x3 pixel blocks, exact
+    def px(x: Int, y: Int): Int = {
+      var z = 5 * 0x9E3779B1.toInt + x * 0x85EBCA6B.toInt +
+        y * 0xC2B2AE35.toInt
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      (z >>> 24) & 0xff
+    }
+    val base = Option(PixelDecode.pngDHash64(grayPng(w, h, px))).get
+    for ((ci, cj) <- Seq((0, 0), (3, 4), (7, 8))) {
+      // brighten every pixel of cell (ci, cj) to the max
+      val edited = grayPng(w, h, (x, y) =>
+        if (x / 4 == cj && y / 3 == ci) 255 else px(x, y))
+      val eh = Option(PixelDecode.pngDHash64(edited)).get
+      val ham = java.lang.Long.bitCount(base ^ eh)
+      assert(ham <= 2, s"cell ($ci,$cj) moved $ham bits")
+    }
+  }
+
+  test("locality: editing one audio block flips at most 2 fingerprint bits") {
+    // same argument in time: block i appears in deltas (i-1, i) and
+    // (i, i+1) only
+    val frames = 650 // 65 blocks of exactly 10 samples
+    val base = PixelDecode.wavNoiseBytes(1, 8000, frames, 3)
+    val h0 = Option(PixelDecode.wavFingerprint64(base)).get
+    for (blk <- Seq(0, 30, 64)) {
+      val edited = base.clone()
+      // locate the data chunk (fixed 44-byte header for this writer)
+      // and zero block blk's 10 samples
+      for (k <- blk * 10 until (blk + 1) * 10) {
+        edited(44 + 2 * k) = 0
+        edited(44 + 2 * k + 1) = 0
+      }
+      val h1 = Option(PixelDecode.wavFingerprint64(edited)).get
+      val ham = java.lang.Long.bitCount(h0 ^ h1)
+      assert(ham <= 2, s"block $blk moved $ham bits")
+    }
+  }
+
+  test("gifDHash64 nulls on corrupt GIF input") {
+    import graft.ext.GifDecode
+    val good = GifDecode.gifPixelBytes(20, 12, 7)
+    assert(GifDecode.gifDHash64(good) != null)
+    // truncated mid-LZW stream
+    assert(GifDecode.gifDHash64(
+      java.util.Arrays.copyOfRange(good, 0, good.length / 2)) == null)
+    // sub-9x8 dims
+    assert(GifDecode.gifDHash64(GifDecode.gifPixelBytes(8, 8, 7)) == null)
+    // foreign magic
+    assert(GifDecode.gifDHash64("RIFFxxxxWAVE".getBytes) == null)
+  }
+
   test("cross-format: same gray grid as PNG and GIF hashes identically") {
     import graft.ext.GifDecode
     val (w, h, seed) = (20, 12, 9)
