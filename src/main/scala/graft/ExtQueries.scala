@@ -2799,7 +2799,35 @@ object ExtQueries {
       (col("n_verif_viol") === 0).as("emitted_pairs_verified"))
   }
 
+  /** Near-dup curation end-to-end (`imageNearDup` → `Dedup.components`
+    * → `Dedup.keepBestInGroups`): the pipeline composition a corpus
+    * actually runs — find near-dup pairs, cluster them, keep the
+    * best-quality member per cluster, pass everything else through.
+    * FULL exact oracle (not a guarantee surface): at maxHamming = 0
+    * pairs require hash EQUALITY, and the murmur-finalizer fixture's
+    * cross-seed hamming floor is 14 (probed at both SFs — the x87
+    * margin discipline), so groups are exactly the doc_id mod 251
+    * residue classes and DuckDB recomputes every survivor: argmax
+    * quality (= doc_id mod 7), ties to min id, n_copies = class
+    * size. */
+  private def x137(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = ids.select(col("doc_id"),
+      PixelDecode.synthPngTexture(lit(48), lit(32),
+        (col("doc_id") % 251).cast("int")).as("img"),
+      (col("doc_id") % 7).as("quality"))
+    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
+      maxHamming = 0)
+    val labels = Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
+    Dedup.keepBestInGroups(docs.select(col("doc_id"), col("quality")),
+        labels, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x137_near_dup_curation" -> (x137 _),
     "x136_video_fingerprint" -> (x136 _),
     "x135_audio_fingerprint" -> (x135 _),
     "x134_image_dhash" -> (x134 _),
@@ -2970,6 +2998,21 @@ object ExtQueries {
     // x134: dedup-gate pattern on the image family — anchors are pure
     // doc_id arithmetic (mod-251 identical groups); the hash/pair
     // verification booleans are engine-computed, pinned TRUE.
+    // x137: FULL exact oracle — groups are the mod-251 residue
+    // classes (hash-equality pairs only; cross-seed hamming floor 14
+    // probed), survivor = argmax quality / min id, n_copies = class
+    // size (1 for singletons, which never enter a group).
+    "x137_near_dup_curation" ->
+      """WITH d AS (SELECT doc_id, doc_id % 251 AS g,
+        |    doc_id % 7 AS quality FROM documents),
+        |gc AS (SELECT g, COUNT(*) AS c FROM d GROUP BY g),
+        |w AS (SELECT d.doc_id, d.quality, gc.c,
+        |    row_number() OVER (PARTITION BY d.g
+        |      ORDER BY d.quality DESC, d.doc_id) AS rn
+        |  FROM d JOIN gc USING (g))
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality,
+        |  CAST(c AS BIGINT) AS n_copies
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x136_video_fingerprint" ->
       """WITH g AS (SELECT doc_id % 251 AS g FROM documents),
         |grp AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)

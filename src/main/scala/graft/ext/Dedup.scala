@@ -435,6 +435,41 @@ object Dedup {
       .drop(winners("fingerprint")).drop("__wid")
   }
 
+  /** Keep-best over NEAR-dup groups — the curation step after any
+    * pair-producing dedup ([[minhashLsh]], [[simhash]],
+    * `Multimodal.hashNearDup`, `imageNearDup`, …) has been clustered
+    * by [[components]]: per group the survivor is the max-`quality`
+    * member (ties → min id); documents in NO group (the vast majority
+    * of a real corpus) pass through untouched with `n_copies` = 1.
+    *
+    * Scale shape, same discipline as [[keepBest]]: winner election is
+    * one map-side-combining groupBy over the LABEL frame (bounded by
+    * dup-group membership, not the corpus); the label frame joins the
+    * corpus on the id — a corpus-sized equi-join AQE plans (labels
+    * are dup-membership-sized, broadcastable at sane dup rates but
+    * never assumed so).
+    *
+    * @param labels output of [[components]]: (idCol, group_id)
+    * @return surviving rows with all original columns plus
+    *         (group_id — null for ungrouped, n_copies)
+    */
+  def keepBestInGroups(docs: DataFrame, labels: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    val labeled = docs.join(
+      labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+    val winners = labeled.filter(col("group_id").isNotNull)
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct((-col(qualityCol)).as("nq"), col(idCol).as("wid")))
+          .as("__w"))
+      .select(col("group_id").as("__g"), col("n_copies"),
+        col("__w.wid").as("__wid"))
+    labeled.join(winners, col("group_id") === col("__g"), "left")
+      .filter(col("group_id").isNull || col(idCol) === col("__wid"))
+      .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
+      .drop("__g", "__wid")
+  }
+
   /** Corpus-level first-occurrence span dedup (the C4-style "remove
     * any span that already occurred anywhere earlier in the corpus"
     * pass): documents are cut into consecutive `spanTokens`-token

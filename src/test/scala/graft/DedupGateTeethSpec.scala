@@ -137,4 +137,28 @@ class DedupGateTeethSpec extends SparkSpec {
     assert(!cog)   // null label inside a dup-text group
     assert(!closed) // the (1,11) pair has an unlabeled endpoint
   }
+
+  // ---- keepBestInGroups (near-dup curation composition) ----
+
+  test("keepBestInGroups keeps the max-quality member per group, passes the rest") {
+    val scored = docs.withColumn("quality", col("doc_id") % 7)
+    val kept = Dedup.keepBestInGroups(scored, labels, "doc_id", "quality")
+      .select(col("doc_id"), col("n_copies"))
+      .as[(Long, Long)].collect().toMap
+    // groups {1,11} and {4,14}: 11 (q=4) beats 1 (q=1); 4 (q=4)
+    // beats 14 (q=0) — one survivor each, everyone else untouched
+    assert(kept.size === 18)
+    assert(kept(11L) === 2L && !kept.contains(1L))
+    assert(kept(4L) === 2L && !kept.contains(14L))
+    assert((0 until 20).filter(i => i != 1 && i != 4 && i != 11 && i != 14)
+      .forall(i => kept(i.toLong) === 1L))
+  }
+
+  test("keepBestInGroups breaks quality ties by minimum id") {
+    val flat = docs.withColumn("quality", lit(1))
+    val kept = Dedup.keepBestInGroups(flat, labels, "doc_id", "quality")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(11L))
+    assert(kept.contains(4L) && !kept.contains(14L))
+  }
 }
