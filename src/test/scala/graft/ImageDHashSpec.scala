@@ -116,6 +116,28 @@ class ImageDHashSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("hashNearDup equals brute force at every threshold 0..3") {
+    val rnd = new scala.util.Random(99)
+    val base = (0 until 50).map(i => (i.toLong, rnd.nextLong()))
+    val near = (0 until 12).map { i =>
+      val flips = i % 4 // plant exact hamming 0..3 neighbors
+      var h = base(i)._2
+      (0 until flips).foreach(b => h ^= 1L << ((i * 7 + b * 13) % 64))
+      (200L + i, h)
+    }
+    val all = base ++ near
+    val df = all.toDF("id", "ph")
+    for (mh <- 0 to 3) {
+      val got = Multimodal.hashNearDup(df, "id", "ph", maxHamming = mh)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= mh
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === want, s"maxHamming=$mh")
+    }
+  }
+
   test("hot-chunk cap drops and reports, never invents") {
     // 40 hashes sharing chunk 0 (low 16 bits) but random elsewhere:
     // bucket (0, 0x1234) overflows a cap of 8
