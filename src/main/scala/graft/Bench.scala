@@ -131,7 +131,7 @@ object Bench {
     "x129_cms" -> 0.34, "x130_trend" -> 0.30, "x131_psi" -> 0.23,
     "x132_gini" -> 0.33, "x133_kappa" -> 0.56,
     "x134_image_dhash" -> 1.29, "x135_audio_fingerprint" -> 1.08,
-    "x136_video_fingerprint" -> 1.61, "x137_near_dup_curation" -> 2.21,
+    "x136_video_fingerprint" -> 1.61, "x137_near_dup_curation" -> 2.21, "x138_cross_dedup" -> 1.11,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0

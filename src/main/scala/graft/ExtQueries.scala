@@ -2826,7 +2826,28 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bipartite near-dup screen (`Multimodal.hashNearDupAgainst`): the
+    * decontamination shape — even doc_ids play the existing corpus,
+    * odd doc_ids the incoming batch, images identical exactly when
+    * residues mod 251 match. FULL exact oracle (maxHamming = 0, hash
+    * equality; cross-seed hamming floor 14 probed — x137's margin
+    * discipline): the pair set is the even×odd residue join, every
+    * row recomputed by DuckDB. */
+  private def x138(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
+        lit(32), (col("doc_id") % 251).cast("int"))).as("ph"))
+    Multimodal.hashNearDupAgainst(
+        hashed.filter(col("doc_id") % 2 === 0),
+        hashed.filter(col("doc_id") % 2 === 1),
+        "doc_id", "ph", maxHamming = 0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x138_cross_dedup" -> (x138 _),
     "x137_near_dup_curation" -> (x137 _),
     "x136_video_fingerprint" -> (x136 _),
     "x135_audio_fingerprint" -> (x135 _),
@@ -2998,6 +3019,16 @@ object ExtQueries {
     // x134: dedup-gate pattern on the image family — anchors are pure
     // doc_id arithmetic (mod-251 identical groups); the hash/pair
     // verification booleans are engine-computed, pinned TRUE.
+    // x138: FULL exact oracle — cross pairs are exactly the even×odd
+    // residue join (hash-equality pairs, probed hamming-14 floor).
+    "x138_cross_dedup" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
     // x137: FULL exact oracle — groups are the mod-251 residue
     // classes (hash-equality pairs only; cross-seed hamming floor 14
     // probed), survivor = argmax quality / min id, n_copies = class

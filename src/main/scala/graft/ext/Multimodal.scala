@@ -98,6 +98,68 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None)._1
 
+  /** BIPARTITE near-dup: pairs only ACROSS two corpora — the
+    * decontamination/incremental shape ("screen the new crawl against
+    * the existing training set") where within-side duplicates are
+    * deliberately not the question. Same chunk-pigeonhole recall
+    * guarantee and exact hamming verify as [[hashNearDupCapped]];
+    * candidates come from (chunk, value) buckets joined LEFT×RIGHT
+    * only, so the self-join's b² blowup becomes bL·bR and a side
+    * with no bucket-mate costs nothing. Hot buckets are counted over
+    * BOTH sides (a bucket's candidate mass is the product) and
+    * skipped-and-reported under the same drop-and-report contract.
+    * Ids are NOT compared across sides (the two corpora own separate
+    * id spaces; an equal id is two different documents).
+    *
+    * @return (pairs (id_a ∈ left, id_b ∈ right, hamming),
+    *         overflow (chunk, cval, n_ids) per skipped bucket)
+    */
+  def hashNearDupAgainstCapped(left: DataFrame, right: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+    import graft.functions.{HashFunctions => H}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
+      df.select(col(idCol).as(ic), col(hashCol).as(hc))
+        .filter(col(hc).isNotNull)
+        .localCheckpoint(true)
+        .select(col(ic), col(hc),
+          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
+    val la = chunked(left, "id_a", "ph_a")
+    val rb = chunked(right, "id_b", "ph_b")
+    val (laK, rbK, overflow) = maxBucket match {
+      case Some(cap) =>
+        val hot = la.select(col("chunk"), col("cval"))
+          .unionByName(rb.select(col("chunk"), col("cval")))
+          .groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("n_ids"))
+          .filter(col("n_ids") > cap)
+          .localCheckpoint(true)
+        val hotKeys = broadcast(hot.select(col("chunk"), col("cval")))
+        (la.join(hotKeys, Seq("chunk", "cval"), "left_anti"),
+          rb.join(hotKeys, Seq("chunk", "cval"), "left_anti"), hot)
+      case None =>
+        val spark = left.sparkSession
+        import spark.implicits._
+        (la, rb, Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
+    }
+    val pairs = laK.join(rbK, Seq("chunk", "cval"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("ph_a"), col("ph_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (pairs, overflow)
+  }
+
+  /** [[hashNearDupAgainstCapped]] without the cap. */
+  def hashNearDupAgainst(left: DataFrame, right: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3): DataFrame =
+    hashNearDupAgainstCapped(left, right, idCol, hashCol, maxHamming,
+      maxBucket = None)._1
+
   /** Image near-duplicate detection: perceptual dHash over the REAL
     * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff
     * PNG/GIF dispatch into one integer 9×8 area-average core,

@@ -138,6 +138,57 @@ class ImageDHashSpec extends SparkSpec {
     }
   }
 
+  test("hashNearDupAgainst: cross pairs only, equals bipartite brute force") {
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    // plant cross neighbors at hamming 0..3 plus a WITHIN-left near
+    // pair that must NOT surface
+    val right = (0 until 10).map { i =>
+      var h = left(i)._2
+      (0 until (i % 4)).foreach(b => h ^= 1L << ((i * 11 + b * 5) % 64))
+      (500L + i, h)
+    } ++ (10 until 30).map(i => (500L + i, rnd.nextLong()))
+    val withinL = left :+ (99L, left(0)._2) // identical WITHIN left
+    for (mh <- 0 to 3) {
+      val got = Multimodal.hashNearDupAgainst(
+        withinL.toDF("id", "ph"), right.toDF("id", "ph"), "id", "ph",
+        maxHamming = mh).as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ha) <- withinL; (ib, hb) <- right
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= mh
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === want, s"maxHamming=$mh")
+      // the within-left identical pair (0, 99) never appears
+      assert(!got.exists(p => p._1 === 99L && p._2 < 500L))
+    }
+  }
+
+  test("hashNearDupAgainst: equal ids across sides are two documents, kept") {
+    val l = Seq((7L, 0x1111L)).toDF("id", "ph")
+    val r = Seq((7L, 0x1111L)).toDF("id", "ph")
+    val got = Multimodal.hashNearDupAgainst(l, r, "id", "ph")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 7L, 0L)))
+  }
+
+  test("hashNearDupAgainst cap counts both sides, drops and reports") {
+    val rnd = new scala.util.Random(23)
+    // 30 left + 30 right sharing chunk 0 value: combined 60 > cap 40
+    val l = (0 until 30).map(i =>
+      (i.toLong, (rnd.nextLong() & ~0xffffL) | 0x4242L))
+    val r = (0 until 30).map(i =>
+      (800L + i, (rnd.nextLong() & ~0xffffL) | 0x4242L))
+    val (pairs, overflow) = Multimodal.hashNearDupAgainstCapped(
+      l.toDF("id", "ph"), r.toDF("id", "ph"), "id", "ph",
+      maxHamming = 3, maxBucket = Some(40))
+    val of = overflow.as[(Int, Long, Long)].collect()
+    assert(of.exists(x => x._1 === 0 && x._2 === 0x4242L && x._3 === 60L))
+    val uncapped = Multimodal.hashNearDupAgainst(
+      l.toDF("id", "ph"), r.toDF("id", "ph"), "id", "ph")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.as[(Long, Long, Long)].collect().toSet.subsetOf(uncapped))
+  }
+
   test("hot-chunk cap drops and reports, never invents") {
     // 40 hashes sharing chunk 0 (low 16 bits) but random elsewhere:
     // bucket (0, 0x1234) overflows a cap of 8
