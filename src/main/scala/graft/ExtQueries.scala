@@ -2846,7 +2846,37 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PNG↔JPEG cross-format duplicate detection — the case a real
+    * (mostly-JPEG) corpus hits constantly: a lossy re-save of a PNG
+    * original must still pair. Even doc_ids store the cell-grid
+    * fixture as PNG, odd ids as its quality-90 JPEG re-encode; one
+    * `imageDHashAny` hash space covers both via magic dispatch, and
+    * the bipartite screen emits only cross-format pairs. FULL exact
+    * oracle: on the block-margin cell fixture the JPEG re-encode
+    * hashes IDENTICALLY (probed over all 251 seeds at q90 and q70 in
+    * JpegDHashSpec — margins ≥ 32·64 per dHash comparison dominate
+    * quantization noise) and the cross-seed floor is ≥ 10, so with
+    * the operator at its REAL threshold (hamming ≤ 3) the pair set is
+    * exactly the even×odd residue join at hamming 0 — DuckDB
+    * recomputes every row. */
+  private def x139(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(
+        when(col("doc_id") % 2 === 0,
+          PixelDecode.synthPngCells((col("doc_id") % 251).cast("int")))
+        .otherwise(graft.ext.ImageIoDecode.synthJpegCells(
+          (col("doc_id") % 251).cast("int"), lit(90)))).as("ph"))
+    Multimodal.hashNearDupAgainst(
+        hashed.filter(col("doc_id") % 2 === 0),
+        hashed.filter(col("doc_id") % 2 === 1),
+        "doc_id", "ph", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x139_jpeg_cross_dedup" -> (x139 _),
     "x138_cross_dedup" -> (x138 _),
     "x137_near_dup_curation" -> (x137 _),
     "x136_video_fingerprint" -> (x136 _),
@@ -3021,6 +3051,17 @@ object ExtQueries {
     // verification booleans are engine-computed, pinned TRUE.
     // x138: FULL exact oracle — cross pairs are exactly the even×odd
     // residue join (hash-equality pairs, probed hamming-14 floor).
+    // x139: FULL exact oracle — PNG (even) × JPEG (odd) residue join;
+    // the lossy re-encode hashes identically on the block-margin cell
+    // fixture (all 251 seeds probed), so hamming is exactly 0.
+    "x139_jpeg_cross_dedup" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
     "x138_cross_dedup" ->
       """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
         |  WHERE doc_id % 2 = 0),

@@ -103,7 +103,84 @@ object ImageIoDecode {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream(w * h / 4 + 512)
+    encodeJpeg(img, quality)
+  }
+
+  /** The reference pixel value the synthesizer wrote at (x, y). */
+  def expectedSample(x: Int, y: Int, w: Int, h: Int): Int =
+    (x + y) * 255 / math.max(1, w + h - 2)
+
+  /** 64-bit perceptual dHash of a JPEG — the JPEG member of
+    * [[PixelDecode.imageDHash64]]'s format dispatch: decode through
+    * the JDK reader, fold to the SAME truncating integer luma as the
+    * PNG path ((299r + 587g + 114b) / 1000 — on the r=g=b planes the
+    * gray formats produce, luma == the gray value on both paths), and
+    * run the SAME shared 9×8 integer area-average core
+    * ([[PixelDecode.dhashFromGray]]). A high-quality JPEG re-save of
+    * a PNG/GIF original therefore lands within a small hamming ball
+    * of the original's hash — the cross-format duplicate case a real
+    * (mostly-JPEG) corpus hits constantly. Null when not a decodable
+    * JPEG of at least 9×8, or past the pixel cap. */
+  def jpegDHash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val img =
+      try ImageIoHolder.read(b)
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 9 || h < 8 || w.toLong * h > MaxPixels) return null
+    // one luma byte per pixel (not an int plane): the cap bounds this
+    // at 64 MiB per blob
+    val luma = new Array[Byte](w * h)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val bl = rgb & 0xff
+        luma(y * w + x) = ((299 * r + 587 * g + 114 * bl) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PixelDecode.dhashFromGray(w, h, (x, yy) => (luma(yy * w + x) & 0xff).toLong)
+  }
+
+  /** 72×64 gray JPEG rendering [[PixelDecode.cellLevels]] — the same
+    * pixel grid as [[PixelDecode.pngCellBytes]], re-saved lossy: each
+    * dHash cell is one constant 8×8 block aligned with JPEG's DCT
+    * grid, so at high quality the decoded block stays within a few
+    * counts of the level while adjacent cells differ by ≥ 32 — the
+    * dHash survives the re-encode bit-exactly (probed over all 251
+    * fixture seeds in JpegDHashSpec). r=g=b sRGB, not TYPE_BYTE_GRAY
+    * (see [[jpegBytes]] on the gamma trap). */
+  def jpegCellBytes(seed: Int, quality: Int): Array[Byte] = {
+    val lv = PixelDecode.cellLevels(seed)
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 72) {
+        val v = lv((y >> 3) * 9 + (x >> 3))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodeJpeg(img, quality)
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+      quality: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      img.getWidth * img.getHeight / 4 + 512)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val ios = ImageIoHolder.outputStream(out)
     try {
@@ -115,10 +192,6 @@ object ImageIoDecode {
     } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
-
-  /** The reference pixel value the synthesizer wrote at (x, y). */
-  def expectedSample(x: Int, y: Int, w: Int, h: Int): Int =
-    (x + y) * 255 / math.max(1, w + h - 2)
 
   // ---- expressions -----------------------------------------------------
 
@@ -148,8 +221,25 @@ object ImageIoDecode {
         c: Expression): JpegSynthExpr = copy(a, b, c)
   }
 
+  /** (seed, quality) → cell-grid JPEG bytes ([[jpegCellBytes]]). */
+  case class JpegCellSynthExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(s: Any, q: Any): Any =
+      jpegCellBytes(s.asInstanceOf[Int], q.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, q) =>
+        s"${ev.value} = graft.ext.ImageIoDecode.jpegCellBytes($s, $q);")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression): JpegCellSynthExpr = copy(a, b)
+  }
+
   def jpegStats(bytes: Column): Column =
     GraftSqlBridge.column(JpegStatsExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthJpegCells(seed: Column, quality: Column): Column =
+    GraftSqlBridge.column(JpegCellSynthExpr(GraftSqlBridge.expression(seed),
+      GraftSqlBridge.expression(quality)))
 
   def synthJpeg(w: Column, h: Column, quality: Column): Column =
     GraftSqlBridge.column(JpegSynthExpr(GraftSqlBridge.expression(w),

@@ -162,13 +162,16 @@ object Multimodal {
 
   /** Image near-duplicate detection: perceptual dHash over the REAL
     * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff
-    * PNG/GIF dispatch into one integer 9×8 area-average core,
+    * PNG/GIF/JPEG dispatch into one integer 9×8 area-average core,
     * codegen'd scan-side) + [[hashNearDup]]'s chunk-pigeonhole pair
     * generation. Identical images pair at hamming 0 EVEN ACROSS
-    * FORMATS (a gray pixel grid hashes identically as PNG or GIF —
-    * palette luma == index); small edits land within the hamming
-    * budget — the image analog of the text near-dedup family.
-    * Undecodable blobs drop out (null hash), they never pair. */
+    * LOSSLESS FORMATS (a gray pixel grid hashes identically as PNG or
+    * GIF — palette luma == index), and a high-quality JPEG re-save of
+    * either pairs within the hamming budget (the dominant real-corpus
+    * case; exactly 0 on block-margin content — JpegDHashSpec); small
+    * edits land within the hamming budget — the image analog of the
+    * text near-dedup family. Undecodable blobs drop out (null hash),
+    * they never pair. */
   def imageNearDup(df: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 3): DataFrame =
     hashNearDup(df.select(col(idCol),

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types._
   * multi-megabyte array column. Everything is integer math so the
   * DuckDB oracle can reproduce values exactly (no float hashing).
   *
-  * JPEG entropy decode and MP4 frame decode genuinely need native
-  * codecs and stay out of scope — [[Multimodal]] keeps the
-  * mapPartitions plug shape for those.
+  * JPEG decode lives in [[ImageIoDecode]] (the JDK's bundled imageio
+  * reader) and joins this file's formats in [[imageDHash64]]'s
+  * dispatch; compressed-video frame decode genuinely needs native
+  * codecs — [[Multimodal]] keeps the mapPartitions plug shape there.
   *
   * Scale shape: one codegen'd expression per blob, embarrassingly
   * parallel, zero shuffle; decompression buffers are sized from the
@@ -377,95 +378,12 @@ object PixelDecode {
     val c = new CRC32(); c.update(body, 0, body.length); c.getValue
   }
 
-  /** Grayscale 8-bit PNG with REAL pixels: value(x, y) = (seed + x)
-    * mod 256 — y-independent so an oracle needs only a series over x.
-    * Scanline filters CYCLE through all five types (y mod 5), so a
-    * decoder must implement every unfilter correctly to recover the
-    * pixels; the stream is genuinely deflated. */
-  def pngPixelBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+  /** Shared gray-PNG writer for the synth fixtures: pixels from the
+    * caller's accessor, scanline filters CYCLING through all five
+    * types (y mod 5) so a decoder must implement every unfilter
+    * correctly, stream genuinely deflated. */
+  private def grayPngFromFn(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
-    val stride = w + 1
-    val raw = new Array[Byte](stride * h)
-    // recon holds the true pixel bytes of the current + previous row
-    var y = 0
-    while (y < h) {
-      val filter = y % 5
-      raw(y * stride) = filter.toByte
-      var x = 0
-      while (x < w) {
-        val recon = (seed + x) & 0xff
-        val a = if (x >= 1) (seed + x - 1) & 0xff else 0
-        val up = if (y > 0) (seed + x) & 0xff else 0
-        val c = if (x >= 1 && y > 0) (seed + x - 1) & 0xff else 0
-        val filtered = filter match {
-          case 0 => recon
-          case 1 => recon - a
-          case 2 => recon - up
-          case 3 => recon - ((a + up) >> 1)
-          case 4 =>
-            val pp = a + up - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - up)
-            val pc = math.abs(pp - c)
-            recon - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-        }
-        raw(y * stride + 1 + x) = (filtered & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    val def_ = new Deflater()
-    def_.setInput(raw); def_.finish()
-    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!def_.finished()) zOut.write(buf, 0, def_.deflate(buf))
-    def_.end()
-
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(PngSig, 0, PngSig.length)
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      val len = data.length
-      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
-      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
-      val body = typ.getBytes("US-ASCII") ++ data
-      out.write(body, 0, body.length)
-      val crc = crc32(body)
-      out.write(((crc >>> 24) & 0xff).toInt); out.write(((crc >>> 16) & 0xff).toInt)
-      out.write(((crc >>> 8) & 0xff).toInt); out.write((crc & 0xff).toInt)
-    }
-    val ihdr = new Array[Byte](13)
-    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
-    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
-    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
-    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
-    ihdr(8) = 8 // bit depth
-    ihdr(9) = 0 // color type: grayscale
-    chunk("IHDR", ihdr)
-    chunk("IDAT", zOut.toByteArray)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
-  }
-
-  /** Grayscale 8-bit PNG with seed-KEYED texture pixels: a
-    * murmur-finalizer avalanche over (seed, x, y) (see px below). Unlike [[pngPixelBytes]]'s
-    * smooth gradient — whose perceptual hash is nearly
-    * seed-independent — two different seeds here give ~independent
-    * textures, so perceptual-hash distances across seeds are large
-    * while equal seeds are byte-identical: the fixture an image
-    * near-dup operator needs. Same filter-cycling (y mod 5) + real
-    * deflate discipline as [[pngPixelBytes]]. */
-  def pngTextureBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
-    require(w > 0 && h > 0, s"bad dims ${w}x$h")
-    def px(x: Int, y: Int): Int = {
-      // murmur-style finalizer: a bare golden-ratio multiply is LINEAR
-      // in the seed (nearby seeds shift every product by a constant,
-      // often below the kept top byte), which collapsed the
-      // fingerprint space; xorshift+multiply avalanches constant
-      // differences
-      var z = seed * 0x9E3779B1.toInt + x * 0x85EBCA6B.toInt +
-        y * 0xC2B2AE35.toInt
-      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
-      (z >>> 24) & 0xff
-    }
     val stride = w + 1
     val raw = new Array[Byte](stride * h)
     var y = 0
@@ -523,6 +441,76 @@ object PixelDecode {
     chunk("IDAT", zOut.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Grayscale 8-bit PNG with REAL pixels: value(x, y) = (seed + x)
+    * mod 256 — y-independent so an oracle needs only a series over x.
+    * Scanline filters CYCLE through all five types (y mod 5), so a
+    * decoder must implement every unfilter correctly to recover the
+    * pixels; the stream is genuinely deflated. */
+  def pngPixelBytes(w: Int, h: Int, seed: Int): Array[Byte] =
+    grayPngFromFn(w, h, (x, _) => (seed + x) & 0xff)
+
+  /** Grayscale 8-bit PNG with seed-KEYED texture pixels: a
+    * murmur-finalizer avalanche over (seed, x, y) (see px below). Unlike [[pngPixelBytes]]'s
+    * smooth gradient — whose perceptual hash is nearly
+    * seed-independent — two different seeds here give ~independent
+    * textures, so perceptual-hash distances across seeds are large
+    * while equal seeds are byte-identical: the fixture an image
+    * near-dup operator needs. Same filter-cycling (y mod 5) + real
+    * deflate discipline as [[pngPixelBytes]]. */
+  def pngTextureBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    def px(x: Int, y: Int): Int = {
+      // murmur-style finalizer: a bare golden-ratio multiply is LINEAR
+      // in the seed (nearby seeds shift every product by a constant,
+      // often below the kept top byte), which collapsed the
+      // fingerprint space; xorshift+multiply avalanches constant
+      // differences
+      var z = seed * 0x9E3779B1.toInt + x * 0x85EBCA6B.toInt +
+        y * 0xC2B2AE35.toInt
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      (z >>> 24) & 0xff
+    }
+    grayPngFromFn(w, h, px)
+  }
+
+  /** Seed-keyed 9×8 CELL grid (one level per dHash cell): murmur-
+    * finalized levels on a coarse 8-step scale {16, 48, …, 240},
+    * adjacent cells in a row forced to DIFFER (≥ 32 apart). This is
+    * the LOSSY-codec near-dup fixture: each dHash bit compares two
+    * cell sums whose margin is ≥ 32·(cell area), so a high-quality
+    * JPEG re-encode (per-pixel error a few counts) cannot flip any
+    * bit — the cross-format PNG↔JPEG duplicate fixture [[pngTextureBytes]]
+    * cannot be (its texture makes neighbor cell sums nearly equal, so
+    * quantization noise flips bits). Returned row-major, 8 rows × 9
+    * cols. */
+  def cellLevels(seed: Int): Array[Int] = {
+    val lv = new Array[Int](72)
+    var i = 0
+    while (i < 8) {
+      var prev = -1
+      var j = 0
+      while (j < 9) {
+        var z = seed * 0x9E3779B1.toInt + (i * 9 + j) * 0x85EBCA6B.toInt
+        z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+        var v = (z >>> 24) & 7
+        if (v == prev) v = (v + 1) & 7
+        lv(i * 9 + j) = 16 + 32 * v
+        prev = v
+        j += 1
+      }
+      i += 1
+    }
+    lv
+  }
+
+  /** 72×64 grayscale PNG rendering [[cellLevels]]: each dHash cell is
+    * exactly one constant 8×8 pixel block, aligned with JPEG's DCT
+    * blocks (constant blocks survive quantization nearly losslessly
+    * at high quality). */
+  def pngCellBytes(seed: Int): Array[Byte] = {
+    val lv = cellLevels(seed)
+    grayPngFromFn(72, 64, (x, y) => lv((y >> 3) * 9 + (x >> 3)))
   }
 
   /** 64-bit difference hash (dHash) over the decoded pixel plane: the
@@ -591,17 +579,25 @@ object PixelDecode {
     java.lang.Long.valueOf(bits)
   }
 
-  /** Format-dispatching perceptual hash: magic-sniff PNG vs GIF and
-    * run the matching decode+dHash — the SAME 9×8 integer core, and
-    * for gray palettes luma == index, so one pixel grid stored in
-    * either format hashes identically (cross-format duplicate
-    * detection). Null for anything else. */
+  /** Format-dispatching perceptual hash: magic-sniff PNG vs GIF vs
+    * JPEG and run the matching decode+dHash — the SAME 9×8 integer
+    * core with the SAME truncating luma fold, and for gray palettes
+    * luma == index, so one pixel grid stored in any of the three
+    * formats hashes identically up to codec loss: PNG/GIF are
+    * lossless (bit-equal hashes), a high-quality JPEG re-save of the
+    * same pixels lands within a small hamming ball (exactly 0 on
+    * block-margin fixtures like [[pngCellBytes]] — margins dominate
+    * quantization noise). A JPEG-heavy real corpus — most of them —
+    * thus pairs against PNG/GIF originals through one hash space.
+    * Null for anything else. */
   def imageDHash64(b: Array[Byte]): java.lang.Long = {
     if (b == null || b.length < 6) return null
     if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       pngDHash64(b)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       GifDecode.gifDHash64(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      ImageIoDecode.jpegDHash64(b)
     else null
   }
 
@@ -731,6 +727,18 @@ object PixelDecode {
         s"${ev.value} = graft.ext.PixelDecode.pngTextureBytes($w, $h, $s);")
     override protected def withNewChildrenInternal(a: Expression, b: Expression,
         c: Expression): PngTextureSynthExpr = copy(a, b, c)
+  }
+
+  /** seed → 72×64 cell-grid PNG bytes ([[pngCellBytes]]). */
+  case class PngCellSynthExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      pngCellBytes(input.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.ext.PixelDecode.pngCellBytes($s);")
+    override protected def withNewChildInternal(c: Expression): PngCellSynthExpr =
+      copy(c)
   }
 
   /** binary → 64-bit perceptual dHash, null when not a decodable PNG
@@ -886,6 +894,9 @@ object PixelDecode {
   def synthPngTexture(w: Column, h: Column, seed: Column): Column =
     GraftSqlBridge.column(PngTextureSynthExpr(GraftSqlBridge.expression(w),
       GraftSqlBridge.expression(h), GraftSqlBridge.expression(seed)))
+
+  def synthPngCells(seed: Column): Column =
+    GraftSqlBridge.column(PngCellSynthExpr(GraftSqlBridge.expression(seed)))
 
   def pngDHash(bytes: Column): Column =
     GraftSqlBridge.column(PngDHashExpr(GraftSqlBridge.expression(bytes)))

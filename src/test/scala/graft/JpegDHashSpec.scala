@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{ImageIoDecode, Multimodal, PixelDecode}
+
+/** JPEG membership in the image near-dup family: the dHash of a JPEG
+  * re-save must pair with the PNG original. The fixture discipline
+  * (BASELINE.md addendum 5) is probed EXHAUSTIVELY: the gate fixture
+  * only ever draws seeds mod 251, so checking all 251 seeds here
+  * covers every image any SF can produce — the re-encode stability
+  * (same-seed hamming 0) and the cross-seed floor are theorems of
+  * this spec's pass, not sampled hopes. */
+class JpegDHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  private def any(b: Array[Byte]): Option[Long] =
+    Option(PixelDecode.imageDHash64(b)).map(_.longValue())
+
+  private lazy val pngH: Map[Int, Long] =
+    (0 until 251).map(s => s -> any(PixelDecode.pngCellBytes(s)).get).toMap
+  private lazy val jpgH: Map[Int, Long] =
+    (0 until 251).map(s =>
+      s -> any(ImageIoDecode.jpegCellBytes(s, 90)).get).toMap
+
+  test("JPEG re-save of the cell-grid PNG hashes IDENTICALLY, all 251 seeds") {
+    val worst = (0 until 251).map(s => (s, ham(pngH(s), jpgH(s)))).maxBy(_._2)
+    assert(worst._2 === 0, s"seed ${worst._1} re-encode hamming ${worst._2}")
+  }
+
+  test("cross-seed hamming floor >= 10 within and across formats") {
+    var minPP = 64; var minPJ = 64
+    for (a <- 0 until 251; b <- 0 until 251 if a != b) {
+      if (a < b) minPP = math.min(minPP, ham(pngH(a), pngH(b)))
+      minPJ = math.min(minPJ, ham(pngH(a), jpgH(b)))
+    }
+    assert(minPP >= 10, s"png-png floor $minPP")
+    assert(minPJ >= 10, s"png-jpeg floor $minPJ")
+  }
+
+  test("re-encode stability holds down to quality 70") {
+    // margin check beyond the gate's q=90: constant 8x8 DCT blocks
+    // survive coarser quantization too; the gate's 0-hamming claim is
+    // not balanced on a quality knife-edge
+    val worst = (0 until 251)
+      .map(s => ham(pngH(s), any(ImageIoDecode.jpegCellBytes(s, 70)).get))
+      .max
+    assert(worst <= 1, s"q70 worst hamming $worst")
+  }
+
+  test("jpegDHash64 nulls: non-JPEG magic, sub-grid dims, corrupt stream") {
+    assert(ImageIoDecode.jpegDHash64(PixelDecode.pngCellBytes(1)) === null)
+    assert(ImageIoDecode.jpegDHash64(null) === null)
+    // 8x8: narrower than the 9-wide grid
+    assert(ImageIoDecode.jpegDHash64(ImageIoDecode.jpegBytes(8, 8, 90)) === null)
+    assert(ImageIoDecode.jpegDHash64(ImageIoDecode.jpegBytes(9, 8, 90)) !== null)
+    val corrupt = Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3, 4, 5)
+    assert(ImageIoDecode.jpegDHash64(corrupt) === null)
+  }
+
+  test("imageDHash64 dispatches JPEG; column path agrees with the JVM fn") {
+    val jb = ImageIoDecode.jpegCellBytes(42, 90)
+    assert(any(jb) === Some(ImageIoDecode.jpegDHash64(jb).longValue()))
+    val rows = spark.range(0, 20).select(col("id"),
+      PixelDecode.imageDHashAny(
+        when(col("id") % 2 === 0,
+          PixelDecode.synthPngCells((col("id") % 5).cast("int")))
+        .otherwise(ImageIoDecode.synthJpegCells((col("id") % 5).cast("int"),
+          lit(90)))).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (id <- 0L until 20L) {
+      val expect =
+        if (id % 2 == 0) pngH((id % 5).toInt) else jpgH((id % 5).toInt)
+      assert(rows(id) === expect, s"id=$id")
+    }
+  }
+
+  test("imageNearDup pairs a PNG with its JPEG re-save end-to-end") {
+    val docs = Seq(
+      (1L, PixelDecode.pngCellBytes(7)),
+      (2L, ImageIoDecode.jpegCellBytes(7, 90)),
+      (3L, PixelDecode.pngCellBytes(9)),
+      (4L, "garbage".getBytes("UTF-8"))).toDF("doc_id", "img")
+    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+}
