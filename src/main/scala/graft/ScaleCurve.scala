@@ -103,9 +103,14 @@ object ScaleCurve {
     // would. Queries (vec_id < 20) stay replica-0-only, so query-side
     // work is constant and candidate work scales with bucket size.
     val emb = explodeReplicas(base("embeddings"))
-    val r = col("__r").cast("int")
     val e = col("embedding")
-    val rotated = when(col("__r") === 0, e)
+    // rotate by r MOD dim: a factor above the embedding dimension (64)
+    // would otherwise drive slice() lengths non-positive and fail the
+    // build with an opaque slice error. Past k = dim the permutations
+    // wrap (replicas r and r+dim correlate again) — acceptable for the
+    // curve's growth measurement, documented rather than crashed.
+    val r = (col("__r") % size(e)).cast("int")
+    val rotated = when(r === 0, e)
       .otherwise(concat(slice(e, r + 1, size(e) - r), slice(e, lit(1), r)))
     val embCols = emb.columns.filter(_ != "__r").map {
       case "vec_id" => (col("vec_id") + col("__r") * DocOffset).as("vec_id")

@@ -105,9 +105,13 @@ object Multimodal {
     * guarantee and exact hamming verify as [[hashNearDupCapped]];
     * candidates come from (chunk, value) buckets joined LEFT×RIGHT
     * only, so the self-join's b² blowup becomes bL·bR and a side
-    * with no bucket-mate costs nothing. Hot buckets are counted over
-    * BOTH sides (a bucket's candidate mass is the product) and
-    * skipped-and-reported under the same drop-and-report contract.
+    * with no bucket-mate costs nothing. Hot-bucket accounting is on
+    * the SUM of both sides' members: a bucket is skipped when
+    * bL + bR > maxBucket, and the reported `n_ids` is that sum — so
+    * the candidate mass of any surviving bucket is bounded by
+    * bL·bR ≤ (maxBucket/2)², tighter than the unipartite cap's
+    * bound, at the cost of skipping some buckets whose product is
+    * small (e.g. 1×maxBucket). Same drop-and-report contract.
     * Ids are NOT compared across sides (the two corpora own separate
     * id spaces; an equal id is two different documents).
     *

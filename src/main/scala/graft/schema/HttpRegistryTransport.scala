@@ -59,10 +59,14 @@ class HttpRegistryTransport(baseUrl: String,
   private val mapper = new ObjectMapper
   private val base = baseUrl.stripSuffix("/")
   // NORMAL redirect policy: a registry fronted by an http→https (or
-  // load-balancer) redirect just works instead of burning the retry
-  // budget on 301s — the JDK default is Redirect.NEVER. Any 3xx that
-  // still reaches send() (redirect loop, https→http downgrade the
-  // policy refuses) is a permanent misconfiguration, failed fast below.
+  // load-balancer) redirect just works FOR THE IDEMPOTENT GETs
+  // (fetchById / latestVersion) instead of burning the retry budget
+  // on 301s — the JDK default is Redirect.NEVER. POST is NOT covered:
+  // the JDK client rewrites POST to GET on 301/302/303 (307/308 are
+  // the only POST-safe redirects), which register() detects and
+  // reports specifically. Any 3xx that still reaches send() (redirect
+  // loop, https→http downgrade the policy refuses) is a permanent
+  // misconfiguration, failed fast below.
   private val http = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
@@ -79,14 +83,14 @@ class HttpRegistryTransport(baseUrl: String,
       .header("Accept", ContentType).build()
   }
 
-  private def send(req: HttpRequest, what: String): String = {
+  private def send(req: HttpRequest, what: String): HttpResponse[String] = {
     var attempt = 0
     while (true) {
       val err: Throwable =
         try {
           val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
           val code = resp.statusCode()
-          if (code / 100 == 2) return resp.body()
+          if (code / 100 == 2) return resp
           if (code / 100 == 4)
             // caller error (40403 unknown id, 40401 unknown subject,
             // 422 bad schema): NEVER retried — a retry can't make a
@@ -130,7 +134,7 @@ class HttpRegistryTransport(baseUrl: String,
 
   override def fetchById(id: Int): String = {
     val body = send(finish(HttpRequest.newBuilder(
-      URI.create(s"$base/schemas/ids/$id")).GET()), s"fetch id=$id")
+      URI.create(s"$base/schemas/ids/$id")).GET()), s"fetch id=$id").body()
     val node = mapper.readTree(body)
     require(node.hasNonNull("schema"),
       s"registry response for id=$id has no schema field: $body")
@@ -148,7 +152,7 @@ class HttpRegistryTransport(baseUrl: String,
   override def latestVersion(subject: String): RegisteredSchema = {
     val body = send(finish(HttpRequest.newBuilder(URI.create(
       s"$base/subjects/${encSubject(subject)}/versions/latest")).GET()),
-      s"latest subject=$subject")
+      s"latest subject=$subject").body()
     val node = mapper.readTree(body)
     require(node.hasNonNull("id") && node.hasNonNull("version") &&
       node.hasNonNull("schema"),
@@ -161,15 +165,29 @@ class HttpRegistryTransport(baseUrl: String,
   override def register(subject: String, schemaJson: String): Int = {
     val payload = mapper.createObjectNode()
     payload.put("schema", schemaJson)
-    val body = send(finish(HttpRequest.newBuilder(
+    val resp = send(finish(HttpRequest.newBuilder(
         URI.create(s"$base/subjects/${encSubject(subject)}/versions"))
       .header("Content-Type", ContentType)
       .POST(HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(payload), StandardCharsets.UTF_8))),
       s"register subject=$subject")
+    val body = resp.body()
     val node = mapper.readTree(body)
-    require(node.hasNonNull("id"),
-      s"registry register response has no id field: $body")
+    if (!node.hasNonNull("id")) {
+      // The JDK client rewrites POST to GET on 301/302/303 (only
+      // 307/308 are POST-safe), so a redirect-fronted registry makes
+      // this call silently GET the subject's VERSION LIST — surface
+      // the redirect instead of a misleading "no id field"
+      val rewritten = resp.request().method() != "POST"
+      require(!rewritten,
+        s"registry register for subject=$subject was redirected and the " +
+          s"redirect rewrote POST to ${resp.request().method()} " +
+          s"(final URI ${resp.uri()}): the JDK client downgrades POST on " +
+          "301/302/303 — front the registry with 307/308 or point " +
+          s"baseUrl at the final scheme/host. Response: $body")
+      throw new IllegalArgumentException(
+        s"registry register response has no id field: $body")
+    }
     node.get("id").asInt()
   }
 }

@@ -33,9 +33,16 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * ascending id order, so admission under the cap and the emitted pair
   * set are a pure function of the data, not of iterator order.
   *
-  * Redelivery contract (at-least-once upstream): the idempotence
-  * guard covers ADMITTED members — a stored id's re-arrival neither
-  * re-pairs nor re-admits. A doc that was REJECTED by a full bucket
+  * Redelivery contract (at-least-once upstream): (id, hash) must be
+  * IMMUTABLE upstream — the guard keys on the id alone, so an id
+  * redelivered with a DIFFERENT hash is skipped in buckets that
+  * already hold the old hash but admitted under its new hash's other
+  * chunk keys, leaving two hashes live for one id and pairs emitted
+  * against either version. A content update that re-derives the hash
+  * must therefore arrive as a NEW id (the usual content-addressed
+  * discipline); this operator deduplicates REDELIVERIES, not
+  * revisions. Under that contract the guard covers ADMITTED members —
+  * a stored id's re-arrival neither re-pairs nor re-admits. A doc that was REJECTED by a full bucket
   * is, by the bounded-state design, not remembered there; its
   * redelivery re-pairs against that bucket's stored members
   * (duplicate pair rows on the append output) and re-counts the

@@ -241,6 +241,31 @@ class HttpRegistryTransportSpec extends SparkSpec {
     } finally stopRedir()
   }
 
+  test("a 302 front rewriting register's POST to GET is reported as a redirect") {
+    // the JDK client downgrades POST to GET on 301/302/303, so the
+    // final request GETs /subjects/{s}/versions — the registry's
+    // VERSION LIST endpoint, whose body has no id. The error must name
+    // the rewrite, not claim a malformed registry response.
+    val inner = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    inner.createContext("/subjects/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val b = "[1,2]".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    inner.start()
+    val innerUrl = s"http://127.0.0.1:${inner.getAddress.getPort}"
+    val (url, stopRedir) = startRedirect(302, (_, path) => innerUrl + path)
+    try {
+      val t = new HttpRegistryTransport(url)
+      val e = intercept[IllegalArgumentException](
+        t.register("topic-value", gnarlyJson))
+      assert(e.getMessage.contains("rewrote POST to GET"))
+      assert(e.getMessage.contains("307/308"))
+    } finally { stopRedir(); inner.stop(0) }
+  }
+
   test("backoff cap is clamped: huge maxRetries neither overflows nor sleeps unbounded") {
     val (inner, _, _, stopInner) = startServer()
     val (url, hits, stopFlaky) = startFlaky(inner, failFirst = 9999, 503)
