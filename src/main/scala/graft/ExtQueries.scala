@@ -2875,7 +2875,71 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental near-dup curation (`Dedup.curateIncrement`): the
+    * live-corpus update shape — prior survivors (curated from the
+    * even docs exactly as x137 does) absorb the odd-doc batch through
+    * the bipartite screen + self screen + component merge + weighted
+    * re-election, with `n_copies` accumulating. FULL exact oracle
+    * (maxHamming = 0 ⇒ hash-equality groups = the mod-251 residues;
+    * cross-seed floor 14 probed — x137's margin discipline): DuckDB
+    * recomputes the even-phase survivor per residue, then the final
+    * argmax over {even survivor} ∪ odds with n_copies = n_evens +
+    * n_odds. The hashed frame is cut eagerly (localCheckpoint) so the
+    * synth+decode+hash runs once, not once per downstream consumer. */
+  private def x140(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
+        lit(32), (col("doc_id") % 251).cast("int"))).as("ph"),
+      (col("doc_id") % 7).as("quality"))
+      .localCheckpoint(true)
+    val evens = hashed.filter(col("doc_id") % 2 === 0)
+    val odds = hashed.filter(col("doc_id") % 2 === 1)
+    // the PRIOR update: curate the even corpus from scratch (x137)
+    val evenPairs = Multimodal.hashNearDup(evens, "doc_id", "ph",
+      maxHamming = 0)
+    val evenLabels = Dedup.components(evenPairs, aCol = "id_a", bCol = "id_b")
+    val survivors = Dedup.keepBestInGroups(
+      evens.select(col("doc_id"), col("quality"), col("ph")),
+      evenLabels, "doc_id", "quality")
+    // THIS update: screen the odd batch against it and re-elect
+    Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
+        maxHamming = 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** x137's curation composition driven by a REAL quality signal —
+    * the x9 text-quality score (token-count band, stopword presence,
+    * chars-per-token band) lexicographically refined by token count
+    * (score · 2³² + n_tokens), instead of an arithmetic stand-in.
+    * Proves the keep-best election on production-shaped features the
+    * oracle recomputes FROM TEXT. Same full-exact-oracle fixture as
+    * x137 (hash-equality groups = mod-251 residues). */
+  private def x141(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("n_tokens", T.wsTokenCount(col("text")))
+      .withColumn("stop_hits",
+        T.stopwordHits(col("text"), T.StopwordLists.head._2))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+    val docs = d.select(col("doc_id"),
+      PixelDecode.synthPngTexture(lit(48), lit(32),
+        (col("doc_id") % 251).cast("int")).as("img"),
+      (T.qualityScore(col("n_tokens"), col("stop_hits"), col("len_chars"))
+        .cast("long") * lit(4294967296L) + col("n_tokens")).as("quality"))
+    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
+      maxHamming = 0)
+    val labels = Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
+    Dedup.keepBestInGroups(docs.select(col("doc_id"), col("quality")),
+        labels, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x141_quality_curation" -> (x141 _),
+    "x140_curation_increment" -> (x140 _),
     "x139_jpeg_cross_dedup" -> (x139 _),
     "x138_cross_dedup" -> (x138 _),
     "x137_near_dup_curation" -> (x137 _),
@@ -3051,6 +3115,59 @@ object ExtQueries {
     // verification booleans are engine-computed, pinned TRUE.
     // x138: FULL exact oracle — cross pairs are exactly the even×odd
     // residue join (hash-equality pairs, probed hamming-14 floor).
+    // x141: FULL exact oracle — groups are the mod-251 residues;
+    // quality recomputed FROM TEXT (the x9 score refined by n_tokens)
+    "x141_quality_curation" ->
+      """WITH f AS (SELECT doc_id, doc_id % 251 AS g,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS stop_hits,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents),
+        |d AS (SELECT doc_id, g,
+        |    CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |        THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(stop_hits AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) > 0.0 THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(len_chars AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE) BETWEEN 2.0 AND 12.0
+        |        THEN 1 ELSE 0 END AS BIGINT)
+        |      * 4294967296 + n_tokens AS quality
+        |  FROM f),
+        |gc AS (SELECT g, COUNT(*) AS c FROM d GROUP BY g),
+        |w AS (SELECT d.doc_id, d.quality, gc.c,
+        |    row_number() OVER (PARTITION BY d.g
+        |      ORDER BY d.quality DESC, d.doc_id) AS rn
+        |  FROM d JOIN gc USING (g))
+        |SELECT doc_id, quality, CAST(c AS BIGINT) AS n_copies
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x140: FULL exact oracle — even-phase survivor per residue, then
+    // the incremental election over {even survivor} ∪ odds with
+    // accumulated n_copies (prior weight + batch count)
+    "x140_curation_increment" ->
+      """WITH d AS (SELECT doc_id, doc_id % 251 AS g,
+        |    doc_id % 7 AS quality FROM documents),
+        |e AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |o AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |ec AS (SELECT g, COUNT(*) AS n_e FROM e GROUP BY g),
+        |es AS (SELECT g, doc_id, quality FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY g
+        |      ORDER BY quality DESC, doc_id) AS rn FROM e)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT es.g, es.doc_id, es.quality, ec.n_e AS w
+        |  FROM es JOIN ec USING (g)
+        |  UNION ALL
+        |  SELECT g, doc_id, quality, 1 AS w FROM o),
+        |gc AS (SELECT g, CAST(SUM(w) AS BIGINT) AS n_copies
+        |  FROM cand GROUP BY g),
+        |w AS (SELECT cand.g, cand.doc_id, cand.quality, gc.n_copies,
+        |    row_number() OVER (PARTITION BY cand.g
+        |      ORDER BY cand.quality DESC, cand.doc_id) AS rn
+        |  FROM cand JOIN gc USING (g))
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality, n_copies
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // x139: FULL exact oracle — PNG (even) × JPEG (odd) residue join;
     // the lossy re-encode hashes identically on the block-margin cell
     // fixture (all 251 seeds probed), so hamming is exactly 0.

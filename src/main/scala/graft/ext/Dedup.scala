@@ -454,20 +454,89 @@ object Dedup {
     *         (group_id — null for ungrouped, n_copies)
     */
   def keepBestInGroups(docs: DataFrame, labels: DataFrame, idCol: String,
-      qualityCol: String): DataFrame = {
+      qualityCol: String): DataFrame =
+    keepBestInGroupsWeighted(docs.withColumn("__kb_w", lit(1L)), labels,
+      idCol, qualityCol, "__kb_w").drop("__kb_w")
+
+  /** [[keepBestInGroups]] with a WEIGHT column in place of unit
+    * counting: `n_copies` is the SUM of `weightCol` over the group
+    * (an ungrouped row passes through with its own weight). This is
+    * what an INCREMENTAL curation needs — a prior survivor enters the
+    * election carrying the `n_copies` of the copies it already
+    * absorbed, so group sizes accumulate across updates instead of
+    * resetting to the per-batch count. */
+  def keepBestInGroupsWeighted(docs: DataFrame, labels: DataFrame,
+      idCol: String, qualityCol: String, weightCol: String): DataFrame = {
     val labeled = docs.join(
       labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
     val winners = labeled.filter(col("group_id").isNotNull)
       .groupBy(col("group_id"))
-      .agg(count(lit(1)).as("n_copies"),
+      .agg(sum(col(weightCol)).as("n_copies"),
         min(struct((-col(qualityCol)).as("nq"), col(idCol).as("wid")))
           .as("__w"))
       .select(col("group_id").as("__g"), col("n_copies"),
         col("__w.wid").as("__wid"))
     labeled.join(winners, col("group_id") === col("__g"), "left")
       .filter(col("group_id").isNull || col(idCol) === col("__wid"))
-      .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
+      .withColumn("n_copies",
+        coalesce(col("n_copies"), col(weightCol).cast("long")))
       .drop("__g", "__wid")
+  }
+
+  /** INCREMENTAL near-dup curation update — the composition a live
+    * corpus actually runs each crawl: screen the new batch against
+    * the current survivor set AND against itself, merge the resulting
+    * near-dup groups, and re-elect the best-quality member per group,
+    * with `n_copies` ACCUMULATING (a prior survivor carries the count
+    * of copies it already absorbed; each batch doc adds 1).
+    *
+    * Semantics and their consequences:
+    *  - Election is over {current survivors} ∪ {batch}: a document
+    *    DROPPED by a previous update never resurrects, even if it
+    *    outscores today's batch — the standard one-pass curation
+    *    contract (re-electing over history would require keeping the
+    *    full corpus, which is exactly what curation deletes).
+    *  - Survivor-survivor pairs are NOT searched: the survivor set is
+    *    pairwise non-duplicate BY CONSTRUCTION of the previous update
+    *    (each group kept one member), so the only new edges a batch
+    *    can introduce are batch×batch and batch×survivor — the
+    *    bipartite screen ([[graft.ext.Multimodal.hashNearDupAgainst]])
+    *    plus the self screen ([[graft.ext.Multimodal.hashNearDup]]).
+    *    (Two old survivors CAN land in one group when a batch doc
+    *    bridges them — hamming is not transitive; the component merge
+    *    handles that, and the loser's accumulated weight folds in.)
+    *  - Ids must be globally unique across survivors and batch (the
+    *    usual content-addressed / monotonically-assigned id regimes).
+    *
+    * Scale shape: both screens are chunk-pigeonhole bucket joins (no
+    * all-pairs stage), the component step is the O(log n)
+    * large-star/small-star [[components]], and the election is one
+    * map-side-combining groupBy over dup-group membership — every
+    * stage is the already-audited x13/x137/x138 machinery, composed.
+    *
+    * @param survivors current survivor set: idCol, hashCol,
+    *                  qualityCol, nCopiesCol (+ anything else, dropped)
+    * @param batch     new documents: idCol, hashCol, qualityCol
+    * @return new survivor set (idCol, qualityCol, n_copies) — feed it
+    *         back as `survivors` (joined to its hashes) next update
+    */
+  def curateIncrement(survivors: DataFrame, batch: DataFrame, idCol: String,
+      hashCol: String, qualityCol: String, nCopiesCol: String = "n_copies",
+      maxHamming: Int = 3): DataFrame = {
+    val pairsSelf = Multimodal.hashNearDup(
+      batch.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
+    val pairsCross = Multimodal.hashNearDupAgainst(
+      batch.select(col(idCol), col(hashCol)),
+      survivors.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
+    val edges = pairsSelf.select(col("id_a"), col("id_b"))
+      .unionByName(pairsCross.select(col("id_a"), col("id_b")))
+    val labels = components(edges, aCol = "id_a", bCol = "id_b")
+    val all = survivors
+      .select(col(idCol), col(qualityCol), col(nCopiesCol).cast("long").as("__w"))
+      .unionByName(
+        batch.select(col(idCol), col(qualityCol), lit(1L).as("__w")))
+    keepBestInGroupsWeighted(all, labels, idCol, qualityCol, "__w")
+      .select(col(idCol), col(qualityCol), col("n_copies"))
   }
 
   /** Corpus-level first-occurrence span dedup (the C4-style "remove
