@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** [EXT]/T5 — STREAMING near-duplicate detection over a 64-bit
@@ -127,5 +128,106 @@ object StreamNearDup {
           state.update(BucketState(ids, hashes, overflowed))
           out.result().iterator
       }
+  }
+
+  /** STREAMING bipartite screen against a FROZEN reference corpus —
+    * online decontamination: every arrival is checked against a fixed
+    * training/eval set and emits one row per reference near-duplicate
+    * (id_a = arrival, id_b = reference member, exact hamming).
+    *
+    * Because the reference never changes, the Spark-first shape is a
+    * STREAM-STATIC equi-join on the four (chunk, value) bucket keys —
+    * NO state store at all: the pigeonhole still guarantees recall
+    * (hamming ≤ 3 ⇒ some chunk equal ⇒ the pair meets in that
+    * bucket's join partition), exact hamming still verifies every
+    * candidate, and the LOWEST-EQUAL-CHUNK rule — a pure filter here,
+    * both hashes in hand on the joined row — keeps exactly one copy
+    * when a pair meets in several buckets. Zero state means nothing
+    * grows with stream length: at 100 TB-of-arrivals scale the only
+    * persistent cost is the chunked reference (4 rows × 24 bytes per
+    * reference doc), which the caller should `persist()` — a static
+    * side is otherwise re-scanned every micro-batch.
+    *
+    * Hot-bucket cap: computed on the REFERENCE side only (the static
+    * side is fully known up front; arrival-side frequency is
+    * unknowable without state, which this mode exists to avoid).
+    * Buckets holding more than `maxBucket` reference members are
+    * dropped from the join and reported in the returned overflow
+    * frame — so one arrival costs at most 4 × maxBucket comparisons,
+    * and a pair is missed only if ALL its equal chunks are
+    * reference-hot (the [[graft.ext.Multimodal.hashNearDupAgainstCapped]]
+    * drop-and-report contract).
+    *
+    * Redelivery: stateless ⇒ a redelivered arrival re-emits its
+    * pairs. Run effectively-once delivery into this operator or
+    * dedupe downstream (e.g. `dropDuplicatesWithinWatermark` on
+    * (id_a, id_b)) — the same trade the capped stateful path makes
+    * for rejected members, here made uniformly.
+    *
+    * @param reference frozen corpus: `idCol`, `hashCol` (batch frame)
+    * @param arrivals  streaming (or batch) frame with `idCol`,
+    *                  `hashCol`
+    * @return (pairs (id_a, id_b, hamming) — streaming when `arrivals`
+    *         is, append-safe; overflow (chunk, cval, n_ids) — batch)
+    */
+  def screenAgainst(reference: DataFrame, arrivals: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): (DataFrame, DataFrame) = {
+    import graft.functions.{HashFunctions => H}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
+      df.select(col(idCol).as(ic), col(hashCol).as(hc))
+        .filter(col(hc).isNotNull)
+        .select(col(ic), col(hc),
+          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val refAll = chunked(reference, "id_b", "ph_b")
+    // Hot keys come to the DRIVER: the batch op broadcasts the same
+    // frame, so the driver already pays this size (≤ |ref|/cap
+    // buckets of 12 bytes); as per-chunk literal arrays they fold
+    // into the stream-side filter with no extra join.
+    val (hotByChunk, overflow) = maxBucket match {
+      case Some(cap) =>
+        val hot = refAll.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("n_ids"))
+          .filter(col("n_ids") > cap)
+          .localCheckpoint(true)
+        val rows = hot.select(col("chunk"), col("cval")).collect()
+        ((0 until 4).map(c => rows.filter(_.getInt(0) == c)
+          .map(_.getLong(1)).sorted.toSeq).toArray, hot)
+      case None =>
+        (Array.fill(4)(Seq.empty[Long]),
+          Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
+    }
+    def chunkOf(h: Column, c: Int): Column =
+      shiftrightunsigned(h, 16 * c).bitwiseAND(lit(0xffffL))
+    def isHot(c: Int, cval: Column): Column =
+      if (hotByChunk(c).isEmpty) lit(false)
+      else array_contains(typedLit(hotByChunk(c)), cval)
+    val ref = refAll.filter(!(0 until 4)
+      .map(c => col("chunk") === c && isHot(c, col("cval")))
+      .reduce(_ || _))
+    // Exactly-once rule, cap-aware: a pair meets once per SURVIVING
+    // equal-chunk bucket, and only the LOWEST of those speaks. Both
+    // hashes are on the joined row and hot keys are literals, so
+    // every bucket computes the same answer — a pure filter, no
+    // state. survives(c) = chunks equal at c AND that bucket not hot.
+    def survives(c: Int): Column =
+      chunkOf(col("ph_a"), c) === chunkOf(col("ph_b"), c) &&
+        !isHot(c, chunkOf(col("ph_a"), c))
+    val lowestSurviving = (0 until 4)
+      .map(c => col("chunk") === c &&
+        (0 until c).map(p => !survives(p)).foldLeft(lit(true))(_ && _))
+      .reduce(_ || _)
+    val pairs = chunked(arrivals, "id_a", "ph_a")
+      .join(ref, Seq("chunk", "cval"))
+      .filter(lowestSurviving)
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("ph_a"), col("ph_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (pairs, overflow)
   }
 }
