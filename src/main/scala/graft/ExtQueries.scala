@@ -2722,7 +2722,7 @@ object ExtQueries {
   private def x134(s: SparkSession, dir: String): DataFrame =
     mediaNearDupGate(s, dir, countName = "n_images",
       synth = d => PixelDecode.synthPngTexture(lit(48), lit(32),
-        (d % 251).cast("int")),
+        mediaSeed(d).cast("int")),
       reHash = PixelDecode.pngDHash,
       nearDup = Multimodal.imageNearDup(_, _, _))
 
@@ -2733,7 +2733,7 @@ object ExtQueries {
   private def x135(s: SparkSession, dir: String): DataFrame =
     mediaNearDupGate(s, dir, countName = "n_streams",
       synth = d => PixelDecode.synthWavNoise(lit(1), lit(8000), lit(600),
-        (d % 251).cast("int")),
+        mediaSeed(d).cast("int")),
       reHash = PixelDecode.wavFingerprint,
       nearDup = Multimodal.audioNearDup(_, _, _))
 
@@ -2744,7 +2744,7 @@ object ExtQueries {
   private def x136(s: SparkSession, dir: String): DataFrame =
     mediaNearDupGate(s, dir, countName = "n_videos",
       synth = d => graft.ext.Mp4Demux.synthMp4Noise(lit(12), lit(6),
-        lit(65), (d % 251).cast("int")),
+        lit(65), mediaSeed(d).cast("int")),
       reHash = graft.ext.Mp4Demux.mp4Fingerprint,
       nearDup = Multimodal.videoNearDup(_, _, _))
 
@@ -2761,6 +2761,17 @@ object ExtQueries {
     * is repartitioned with an EXPLICIT count first so the per-row
     * synth+decode+hash spreads across every core (a number-less
     * repartition gets coalesced back to one task by AQE). */
+  /** Scale-invariant media fixture seed: `doc_id mod 251` inside each
+    * `ScaleCurve.DocOffset` id band, shifted by 251 per band — equal
+    * to plain `doc_id mod 251` on the driver corpora (every doc_id <
+    * DocOffset, so the oracles keep their `doc_id % 251` form) while
+    * giving each ScaleCurve replica a DISJOINT seed space: group
+    * sizes stay constant under replication, so the identical-pair
+    * count grows Kx, not K²x, and x134/x136 can ride the scaling
+    * curve honestly. */
+  private def mediaSeed(d: Column): Column =
+    (d % 251) + floor(d / lit(graft.ScaleCurve.DocOffset)) * 251
+
   private def mediaNearDupGate(s: SparkSession, dir: String,
       countName: String, synth: Column => Column, reHash: Column => Column,
       nearDup: (DataFrame, String, String) => DataFrame): DataFrame = {
@@ -2770,7 +2781,7 @@ object ExtQueries {
     val docs = ids.select(col("doc_id"), synth(col("doc_id")).as("blob"))
     val pairs = nearDup(docs, "doc_id", "blob")
     val anch = t(s, dir, "documents")
-      .select((col("doc_id") % 251).as("g"))
+      .select(mediaSeed(col("doc_id")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as(countName),
         coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
@@ -2783,7 +2794,7 @@ object ExtQueries {
       .join(broadcast(reHashed.select(col("doc_id").as("id_b"),
         col("rh").as("rh_b"))), Seq("id_b"))
       .select(
-        ((col("id_a") % 251) === (col("id_b") % 251) &&
+        (mediaSeed(col("id_a")) === mediaSeed(col("id_b")) &&
           col("hamming") === 0L).as("same_h0"),
         col("hamming"),
         H.hamming64(col("rh_a"), col("rh_b")).as("re_ham"))

@@ -40,10 +40,15 @@ object ScaleCurve {
 
   val DefaultQueries: Seq[String] = Seq(
     "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
-    "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh")
+    "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh",
+    "x134_image_dhash", "x136_video_fingerprint")
 
   private val TpchOffset = 100000000L
-  private val DocOffset = 10000000L
+  /** Replica id stride for documents/embeddings — also the band width
+    * of the media gates' scale-invariant seed formula (ExtQueries
+    * mediaSeed), which is what keeps their dup-rate constant under
+    * replication. */
+  private[graft] val DocOffset = 10000000L
 
   /** Replicate the five input tables K× from baseDir into outDir.
     * Layout discipline: each replica lands in its own range partition

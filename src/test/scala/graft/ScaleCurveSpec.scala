@@ -95,6 +95,32 @@ class ScaleCurveSpec extends SparkSpec {
       s"cross-replica self-pairs must not verify at 0.2: $pairs")
   }
 
+  test("media fixture seed bands keep the dup-rate scale-invariant") {
+    // the x134/x136 gates synthesize identical media for equal seeds;
+    // with the banded seed (doc_id mod 251 + 251 per DocOffset band)
+    // every replica owns a DISJOINT seed space, so the identical-pair
+    // count — the quadratic driver of near-dup work — grows exactly
+    // xK, never K²x. This pin is what makes the curve rows for
+    // x134/x136 a statement about the OPERATOR's scaling.
+    def pairs(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(((col("doc_id") % 251) +
+        floor(col("doc_id") / lit(10000000L)) * 251).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .as[Long].head()
+    val b = pairs(base("documents"))
+    assert(b > 0, "base fixture must contain identical groups")
+    assert(pairs(scaled("documents")) === 3 * b)
+    // and the un-banded formula would NOT be invariant (the trap the
+    // band exists to avoid): plain mod-251 groups inflate superlinearly
+    def pairsPlain(df: org.apache.spark.sql.DataFrame): Long = df
+      .select((col("doc_id") % 251).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .as[Long].head()
+    assert(pairsPlain(scaled("documents")) > 3 * pairsPlain(base("documents")))
+  }
+
   test("embeddings scale xK with disjoint ids; replica 0 is verbatim") {
     assert(scaled("embeddings").count() === 3 * base("embeddings").count())
     assert(scaled("embeddings").select("vec_id").distinct.count() ===
