@@ -523,18 +523,25 @@ object Dedup {
   def curateIncrement(survivors: DataFrame, batch: DataFrame, idCol: String,
       hashCol: String, qualityCol: String, nCopiesCol: String = "n_copies",
       maxHamming: Int = 3): DataFrame = {
+    // Each input feeds several consumers (screen(s) + election); an
+    // expensive upstream pipeline — survivors is typically itself a
+    // curation output — would re-execute per consumer. Cut the narrow
+    // projections once, eagerly (the hashNearDup* pattern: ~32 B/row).
+    val surv = survivors.select(col(idCol), col(hashCol), col(qualityCol),
+      col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
+    val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
+      .localCheckpoint(true)
     val pairsSelf = Multimodal.hashNearDup(
-      batch.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
+      bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
     val pairsCross = Multimodal.hashNearDupAgainst(
-      batch.select(col(idCol), col(hashCol)),
-      survivors.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
+      bat.select(col(idCol), col(hashCol)),
+      surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
     val edges = pairsSelf.select(col("id_a"), col("id_b"))
       .unionByName(pairsCross.select(col("id_a"), col("id_b")))
     val labels = components(edges, aCol = "id_a", bCol = "id_b")
-    val all = survivors
-      .select(col(idCol), col(qualityCol), col(nCopiesCol).cast("long").as("__w"))
+    val all = surv.select(col(idCol), col(qualityCol), col("__w"))
       .unionByName(
-        batch.select(col(idCol), col(qualityCol), lit(1L).as("__w")))
+        bat.select(col(idCol), col(qualityCol), lit(1L).as("__w")))
     keepBestInGroupsWeighted(all, labels, idCol, qualityCol, "__w")
       .select(col(idCol), col(qualityCol), col("n_copies"))
   }
