@@ -57,6 +57,26 @@ class StreamBipartiteScreenSpec extends SparkSpec {
     assert(batch === out)
   }
 
+  test("the streaming plan carries ZERO state operators (the design claim)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val (pairs, _) = StreamNearDup.screenAgainst(refDf((100L, H0)),
+      input.toDF().toDF("id", "ph"), "id", "ph")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("sbs0")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sbs0").toString)
+      .start()
+    try {
+      input.addData((1L, H1))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "frozen-reference screening must not allocate state: " +
+          q.lastProgress.stateOperators.mkString(","))
+    } finally q.stop()
+  }
+
   test("emission count is exactly 1 even when all four chunks collide") {
     val ref = refDf((100L, H0))
     implicit val sqlCtx = spark.sqlContext
