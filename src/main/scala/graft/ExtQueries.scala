@@ -2948,7 +2948,37 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixed-format curation — the corpus shape a real image pipeline
+    * has: ONE binary column holding PNG (doc_id≡0 mod 3), GIF (≡1),
+    * and JPEG (≡2) payloads of the cell-grid fixture, one
+    * `imageDHashAny` hash space over all three, near-dup pairs at the
+    * REAL threshold (hamming ≤ 3), curation to keep-best. FULL exact
+    * oracle (x137's): PNG/GIF hash bit-identically (gray palette luma
+    * == index), the JPEG re-save identically on the block-margin
+    * fixture, and the cross-seed floor ≥ 10 — all probed over every
+    * one of the 251 possible seeds in JpegDHashSpec — so groups are
+    * exactly the residues regardless of which format each member
+    * landed in. */
+  private def x142(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val seed = (col("doc_id") % 251).cast("int")
+    val blob = when(col("doc_id") % 3 === 0, PixelDecode.synthPngCells(seed))
+      .when(col("doc_id") % 3 === 1, graft.ext.GifDecode.synthGifCells(seed))
+      .otherwise(graft.ext.ImageIoDecode.synthJpegCells(seed, lit(90)))
+    val docs = ids.select(col("doc_id"), blob.as("img"),
+      (col("doc_id") % 7).as("quality"))
+    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
+      maxHamming = 3)
+    val labels = Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
+    Dedup.keepBestInGroups(docs.select(col("doc_id"), col("quality")),
+        labels, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x142_mixed_curation" -> (x142 _),
     "x141_quality_curation" -> (x141 _),
     "x140_curation_increment" -> (x140 _),
     "x139_jpeg_cross_dedup" -> (x139 _),
@@ -3126,6 +3156,21 @@ object ExtQueries {
     // verification booleans are engine-computed, pinned TRUE.
     // x138: FULL exact oracle — cross pairs are exactly the even×odd
     // residue join (hash-equality pairs, probed hamming-14 floor).
+    // x142: FULL exact oracle — same relational shape as x137; the
+    // format mix (PNG/GIF/JPEG by doc_id mod 3) is invisible to the
+    // oracle because all three formats hash identically on the cell
+    // fixture (exhaustively probed, JpegDHashSpec)
+    "x142_mixed_curation" ->
+      """WITH d AS (SELECT doc_id, doc_id % 251 AS g,
+        |    doc_id % 7 AS quality FROM documents),
+        |gc AS (SELECT g, COUNT(*) AS c FROM d GROUP BY g),
+        |w AS (SELECT d.doc_id, d.quality, gc.c,
+        |    row_number() OVER (PARTITION BY d.g
+        |      ORDER BY d.quality DESC, d.doc_id) AS rn
+        |  FROM d JOIN gc USING (g))
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality,
+        |  CAST(c AS BIGINT) AS n_copies
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // x141: FULL exact oracle — groups are the mod-251 residues;
     // quality recomputed FROM TEXT (the x9 score refined by n_tokens)
     "x141_quality_curation" ->

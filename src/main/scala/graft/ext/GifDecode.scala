@@ -279,7 +279,24 @@ object GifDecode {
     * (dictionary growth, width changes, clear on table overflow), so
     * the decoder's table/width/KwKwK handling is actually exercised.
     */
-  def gifPixelBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+  def gifPixelBytes(w: Int, h: Int, seed: Int): Array[Byte] =
+    gifFromFn(w, h, (x, y) => (seed + x + 2 * y) & 0xff)
+
+  /** 72×64 grayscale GIF rendering [[PixelDecode.cellLevels]] — the
+    * same pixel grid as `PixelDecode.pngCellBytes` through the gray
+    * palette (luma == index), so the dHash is BIT-IDENTICAL to the
+    * PNG's: the third member of the cross-format duplicate fixture
+    * (PNG/GIF lossless-equal, JPEG within quantization margin). */
+  def gifCellBytes(seed: Int): Array[Byte] = {
+    val lv = PixelDecode.cellLevels(seed)
+    gifFromFn(72, 64, (x, y) => lv((y >> 3) * 9 + (x >> 3)))
+  }
+
+  /** Shared GIF89a writer: gray 256-entry palette, REAL LZW encode of
+    * the caller's pixel accessor (dictionary growth, width changes,
+    * clear on overflow — the decoder's table discipline is actually
+    * exercised). */
+  private def gifFromFn(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 800)
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
@@ -325,10 +342,10 @@ object GifDecode {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val px = (seed + x + 2 * y) & 0xff
-        if (cur < 0) cur = px
+        val pv = px(x, y)
+        if (cur < 0) cur = pv
         else {
-          val k = key(cur, px)
+          val k = key(cur, pv)
           val hit = dict.get(k)
           if (hit != null) cur = hit.intValue()
           else {
@@ -349,7 +366,7 @@ object GifDecode {
               next = eoi + 1
               width = minCode + 1
             }
-            cur = px
+            cur = pv
           }
         }
         x += 1
@@ -402,6 +419,21 @@ object GifDecode {
     override protected def withNewChildrenInternal(a: Expression, b: Expression,
         c: Expression): GifPixelSynthExpr = copy(a, b, c)
   }
+
+  /** seed → 72×64 cell-grid GIF bytes ([[gifCellBytes]]). */
+  case class GifCellSynthExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      gifCellBytes(input.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.ext.GifDecode.gifCellBytes($s);")
+    override protected def withNewChildInternal(c: Expression): GifCellSynthExpr =
+      copy(c)
+  }
+
+  def synthGifCells(seed: Column): Column =
+    GraftSqlBridge.column(GifCellSynthExpr(GraftSqlBridge.expression(seed)))
 
   def gifStats(bytes: Column): Column =
     GraftSqlBridge.column(GifStatsExpr(GraftSqlBridge.expression(bytes)))

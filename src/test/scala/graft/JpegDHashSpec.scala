@@ -29,6 +29,14 @@ class JpegDHashSpec extends SparkSpec {
     assert(worst._2 === 0, s"seed ${worst._1} re-encode hamming ${worst._2}")
   }
 
+  test("GIF of the cell grid hashes BIT-IDENTICALLY to the PNG, all 251 seeds") {
+    // gray palette luma == index: lossless formats must agree exactly,
+    // which transfers the PNG floors to the GIF member for free
+    for (s <- 0 until 251)
+      assert(any(graft.ext.GifDecode.gifCellBytes(s)) === Some(pngH(s)),
+        s"seed $s")
+  }
+
   test("cross-seed hamming floor >= 10 within and across formats") {
     var minPP = 64; var minPJ = 64
     for (a <- 0 until 251; b <- 0 until 251 if a != b) {
