@@ -25,10 +25,21 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(_.findFirstIn(name).isDefined))
     }
+    // SPARK_GRAFT_EXPLAIN=1: dump each selected query's formatted
+    // physical plan to stderr (plan-audit hook) instead of writing
+    // results — compile-the-plan-only, no execution beyond what plan
+    // building itself triggers (eager localCheckpoints still run).
+    val explainOnly = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        if (explainOnly) {
+          System.err.println(s"==== $name ====")
+          System.err.println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } else df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
