@@ -57,6 +57,38 @@ class JpegDHashSpec extends SparkSpec {
     assert(worst <= 1, s"q70 worst hamming $worst")
   }
 
+  test("gray-colorspace JPEG (the gamma trap) still matches: dHash is monotone-invariant") {
+    // TYPE_BYTE_GRAY encodes in a linear colorspace; decode gamma-
+    // converts every value (jpegBytes scaladoc documents the ~54/255
+    // mid-scale shift that breaks VALUE oracles). The dHash only
+    // compares cell sums, and on constant cells a monotone per-pixel
+    // map preserves every comparison — so the hash must survive the
+    // colorspace round-trip that the stats decoder cannot.
+    def grayJpeg(seed: Int): Array[Byte] = {
+      val lv = PixelDecode.cellLevels(seed)
+      val img = new java.awt.image.BufferedImage(72, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val v = lv((y >> 3) * 9 + (x >> 3))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.9f)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+    val worst = (0 until 251)
+      .map(s => ham(pngH(s), any(grayJpeg(s)).get)).max
+    assert(worst <= 1, s"gray-colorspace worst hamming $worst")
+  }
+
   test("jpegDHash64 nulls: non-JPEG magic, sub-grid dims, corrupt stream") {
     assert(ImageIoDecode.jpegDHash64(PixelDecode.pngCellBytes(1)) === null)
     assert(ImageIoDecode.jpegDHash64(null) === null)
