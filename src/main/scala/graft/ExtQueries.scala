@@ -2767,8 +2767,9 @@ object ExtQueries {
     * DocOffset, so the oracles keep their `doc_id % 251` form) while
     * giving each ScaleCurve replica a DISJOINT seed space: group
     * sizes stay constant under replication, so the identical-pair
-    * count grows Kx, not K²x, and x134/x136 can ride the scaling
-    * curve honestly. */
+    * count grows Kx, not K²x, and the media/near-dup gates
+    * (x134-x136 and the whole x137-x142 curation family) can ride
+    * the scaling curve honestly. */
   private def mediaSeed(d: Column): Column =
     (d % 251) + floor(d / lit(graft.ScaleCurve.DocOffset)) * 251
 
@@ -2826,7 +2827,7 @@ object ExtQueries {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val docs = ids.select(col("doc_id"),
       PixelDecode.synthPngTexture(lit(48), lit(32),
-        (col("doc_id") % 251).cast("int")).as("img"),
+        mediaSeed(col("doc_id")).cast("int")).as("img"),
       (col("doc_id") % 7).as("quality"))
     val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
       maxHamming = 0)
@@ -2849,7 +2850,7 @@ object ExtQueries {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val hashed = ids.select(col("doc_id"),
       PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
-        lit(32), (col("doc_id") % 251).cast("int"))).as("ph"))
+        lit(32), mediaSeed(col("doc_id")).cast("int"))).as("ph"))
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
@@ -2876,9 +2877,9 @@ object ExtQueries {
     val hashed = ids.select(col("doc_id"),
       PixelDecode.imageDHashAny(
         when(col("doc_id") % 2 === 0,
-          PixelDecode.synthPngCells((col("doc_id") % 251).cast("int")))
+          PixelDecode.synthPngCells(mediaSeed(col("doc_id")).cast("int")))
         .otherwise(graft.ext.ImageIoDecode.synthJpegCells(
-          (col("doc_id") % 251).cast("int"), lit(90)))).as("ph"))
+          mediaSeed(col("doc_id")).cast("int"), lit(90)))).as("ph"))
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
@@ -2902,7 +2903,7 @@ object ExtQueries {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val hashed = ids.select(col("doc_id"),
       PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
-        lit(32), (col("doc_id") % 251).cast("int"))).as("ph"),
+        lit(32), mediaSeed(col("doc_id")).cast("int"))).as("ph"),
       (col("doc_id") % 7).as("quality"))
       .localCheckpoint(true)
     val evens = hashed.filter(col("doc_id") % 2 === 0)
@@ -2936,7 +2937,7 @@ object ExtQueries {
       .withColumn("len_chars", length(col("text")).cast("long"))
     val docs = d.select(col("doc_id"),
       PixelDecode.synthPngTexture(lit(48), lit(32),
-        (col("doc_id") % 251).cast("int")).as("img"),
+        mediaSeed(col("doc_id")).cast("int")).as("img"),
       (T.qualityScore(col("n_tokens"), col("stop_hits"), col("len_chars"))
         .cast("long") * lit(4294967296L) + col("n_tokens")).as("quality"))
     val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
@@ -2962,7 +2963,7 @@ object ExtQueries {
   private def x142(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val seed = (col("doc_id") % 251).cast("int")
+    val seed = mediaSeed(col("doc_id")).cast("int")
     val blob = when(col("doc_id") % 3 === 0, PixelDecode.synthPngCells(seed))
       .when(col("doc_id") % 3 === 1, graft.ext.GifDecode.synthGifCells(seed))
       .otherwise(graft.ext.ImageIoDecode.synthJpegCells(seed, lit(90)))

@@ -41,7 +41,8 @@ object ScaleCurve {
   val DefaultQueries: Seq[String] = Seq(
     "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
     "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh",
-    "x134_image_dhash", "x136_video_fingerprint")
+    "x134_image_dhash", "x136_video_fingerprint",
+    "x140_curation_increment")
 
   private val TpchOffset = 100000000L
   /** Replica id stride for documents/embeddings — also the band width
