@@ -134,6 +134,7 @@ object Bench {
     "x136_video_fingerprint" -> 1.43, "x137_near_dup_curation" -> 2.21, "x138_cross_dedup" -> 1.11,
     "x139_jpeg_cross_dedup" -> 2.40, "x140_curation_increment" -> 4.31,
     "x141_quality_curation" -> 2.40, "x142_mixed_curation" -> 4.29,
+    "x143_frozen_screen" -> 1.92,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0

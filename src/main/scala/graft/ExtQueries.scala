@@ -2978,7 +2978,40 @@ object ExtQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The streaming frozen-reference screen's EXACT plan, driver-gated
+    * in batch mode (`StreamNearDup.screenAgainst` runs the same
+    * stream-static-join DAG over a batch frame): even docs play the
+    * frozen PNG reference, odd docs the JPEG arrival stream — x139's
+    * pair set through the streaming operator's lowest-surviving-
+    * equal-chunk emission instead of the batch dedupe. FULL exact
+    * oracle (same as x139): the even×odd residue join at hamming 0,
+    * every row recomputed by DuckDB — which also proves the
+    * exactly-once rule emits each pair exactly ONCE (a duplicate row
+    * would hash-fail). */
+  private def x143(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val seed = mediaSeed(col("doc_id")).cast("int")
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(
+        when(col("doc_id") % 2 === 0, PixelDecode.synthPngCells(seed))
+        .otherwise(graft.ext.ImageIoDecode.synthJpegCells(seed, lit(90))))
+        .as("ph"))
+    val (pairs, _) = graft.streaming.StreamNearDup.screenAgainst(
+      reference = hashed.filter(col("doc_id") % 2 === 0)
+        .withColumnRenamed("doc_id", "id"),
+      arrivals = hashed.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("doc_id", "id"),
+      "id", "ph", maxHamming = 3)
+    // id_a = arrival (odd), id_b = reference (even); x139 orients
+    // even→a / odd→b, so swap for one shared oracle orientation
+    pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x143_frozen_screen" -> (x143 _),
     "x142_mixed_curation" -> (x142 _),
     "x141_quality_curation" -> (x141 _),
     "x140_curation_increment" -> (x140 _),
@@ -3157,6 +3190,17 @@ object ExtQueries {
     // verification booleans are engine-computed, pinned TRUE.
     // x138: FULL exact oracle — cross pairs are exactly the even×odd
     // residue join (hash-equality pairs, probed hamming-14 floor).
+    // x143: FULL exact oracle — the streaming screen's plan in batch
+    // mode; identical pair set to x139 (and a duplicate emission
+    // would hash-fail, proving the exactly-once filter)
+    "x143_frozen_screen" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
     // x142: FULL exact oracle — same relational shape as x137; the
     // format mix (PNG/GIF/JPEG by doc_id mod 3) is invisible to the
     // oracle because all three formats hash identically on the cell
