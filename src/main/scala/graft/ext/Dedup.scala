@@ -507,6 +507,16 @@ object Dedup {
     *    handles that, and the loser's accumulated weight folds in.)
     *  - Ids must be globally unique across survivors and batch (the
     *    usual content-addressed / monotonically-assigned id regimes).
+    *  - DELETED BRIDGES: under a NON-transitive pair relation
+    *    (hamming > 0), a batch doc whose only ≤-threshold link to a
+    *    prior group ran through a DROPPED member cannot rejoin that
+    *    group — one-pass curation discards exactly the docs that
+    *    could have bridged (counterexample pinned in
+    *    CurateIncrementSpec). Under hash-equality grouping
+    *    (maxHamming = 0) the relation is transitive and the
+    *    composition is EXACTLY equivalent to from-scratch curation
+    *    of the union — winners and n_copies both (property-tested
+    *    over random geometries).
     *
     * Scale shape: both screens are chunk-pigeonhole bucket joins (no
     * all-pairs stage), the component step is the O(log n)

@@ -59,6 +59,67 @@ class CurateIncrementSpec extends SparkSpec {
     assert(out === Map(3L -> (2L, 5L), 11L -> (6L, 3L)))
   }
 
+  private def fromScratch(all: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): Set[(Long, Long, Long)] = {
+    import graft.ext.Multimodal
+    val pairs = Multimodal.hashNearDup(all, "doc_id", "ph", maxHamming)
+    val labels = Dedup.components(pairs, "id_a", "id_b")
+    Dedup.keepBestInGroups(all.select(col("doc_id"), col("quality")),
+        labels, "doc_id", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def twoPhase(all: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): Set[(Long, Long, Long)] = {
+    import graft.ext.Multimodal
+    val evens = all.filter(col("doc_id") % 2 === 0)
+    val odds = all.filter(col("doc_id") % 2 === 1)
+    val p1Pairs = Multimodal.hashNearDup(evens, "doc_id", "ph", maxHamming)
+    val p1Labels = Dedup.components(p1Pairs, "id_a", "id_b")
+    val survivors = Dedup.keepBestInGroups(evens, p1Labels,
+      "doc_id", "quality")
+    Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
+        maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("incremental ≡ from-scratch under TRANSITIVE (equality) geometry") {
+    // THEOREM for hash-equality grouping: phase-1 keeps every even
+    // class's argmax, so the two-phase election attains the global
+    // argmax and merged weights reproduce the class sizes — probed
+    // over random clustered hash sets and random qualities.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val centers = Array.fill(6)(rnd.nextLong())
+      val docs = (1L to 60L).map { id =>
+        (id, centers(rnd.nextInt(centers.length)), rnd.nextInt(10).toLong)
+      }
+      val all = docs.toDF("doc_id", "ph", "quality")
+      assert(twoPhase(all, 0) === fromScratch(all, 0), s"trial $trial")
+    }
+  }
+
+  test("DELETED-BRIDGE divergence under non-transitive hamming (documented trade)") {
+    // With hamming pairing, a batch doc whose ONLY link to a prior
+    // group ran through a deleted (non-survivor) member cannot rejoin
+    // it: one-pass curation discards exactly the documents that could
+    // have bridged. Pinned counterexample — evens 2 (ham 0 vs center,
+    // wins on quality) and 4 (ham 2, dropped); odd 9 sits at ham 2
+    // from doc 4 but ham 4 from doc 2: from-scratch connects 9 via 4,
+    // the increment (correctly, per the contract) leaves 9 alone.
+    val c = 0x5A5A_A5A5_0F0FL
+    val all = Seq(
+      (2L, c, 9L),                         // survivor of phase 1
+      (4L, c ^ 3L, 1L),                    // dropped by phase 1
+      (9L, c ^ 3L ^ (1L << 40) ^ (1L << 41), 5L)) // odd: ham 2 from 4, ham 4 from 2
+      .toDF("doc_id", "ph", "quality")
+    val scratch = fromScratch(all, 3)
+    val incr = twoPhase(all, 3)
+    assert(scratch === Set((2L, 9L, 3L)))
+    assert(incr === Set((2L, 9L, 2L), (9L, 5L, 1L)))
+  }
+
   test("chained updates accumulate across rounds (output feeds back in)") {
     val r1 = run(surv = Seq((1L, h1, 5L, 1L)), batch = Seq((10L, h1, 6L)))
     assert(r1 === Map(10L -> (6L, 2L)))
