@@ -532,7 +532,28 @@ object Dedup {
     */
   def curateIncrement(survivors: DataFrame, batch: DataFrame, idCol: String,
       hashCol: String, qualityCol: String, nCopiesCol: String = "n_copies",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    curateIncrementCapped(survivors, batch, idCol, hashCol, qualityCol,
+      nCopiesCol, maxHamming, maxBucket = None)._1
+
+  /** [[curateIncrement]] under the family's drop-and-report cap: both
+    * screens skip hot (chunk, value) buckets past `maxBucket`
+    * members (the self screen by its member count, the bipartite
+    * screen by the two-sided sum), so one update is never quadratic
+    * in a hot hash — the certainty at billions of docs. A skipped
+    * bucket can only UNDER-merge (a missed pair leaves two docs in
+    * separate groups; pairs are never invented), so survivors remain
+    * a superset of the uncapped run's and every reported n_copies is
+    * exact for the groups that did form.
+    *
+    * @return (new survivor set — [[curateIncrement]]'s contract;
+    *         overflow (side ∈ self|cross, chunk, cval, n_ids) per
+    *         skipped bucket)
+    */
+  def curateIncrementCapped(survivors: DataFrame, batch: DataFrame,
+      idCol: String, hashCol: String, qualityCol: String,
+      nCopiesCol: String = "n_copies", maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     // Each input feeds several consumers (screen(s) + election); an
     // expensive upstream pipeline — survivors is typically itself a
     // curation output — would re-execute per consumer. Cut the narrow
@@ -541,19 +562,26 @@ object Dedup {
       col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
     val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
       .localCheckpoint(true)
-    val pairsSelf = Multimodal.hashNearDup(
-      bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
-    val pairsCross = Multimodal.hashNearDupAgainst(
+    val (pairsSelf, hotSelf) = Multimodal.hashNearDupCapped(
+      bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
+      maxBucket)
+    val (pairsCross, hotCross) = Multimodal.hashNearDupAgainstCapped(
       bat.select(col(idCol), col(hashCol)),
-      surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming)
+      surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
+      maxBucket)
     val edges = pairsSelf.select(col("id_a"), col("id_b"))
       .unionByName(pairsCross.select(col("id_a"), col("id_b")))
     val labels = components(edges, aCol = "id_a", bCol = "id_b")
     val all = surv.select(col(idCol), col(qualityCol), col("__w"))
       .unionByName(
         bat.select(col(idCol), col(qualityCol), lit(1L).as("__w")))
-    keepBestInGroupsWeighted(all, labels, idCol, qualityCol, "__w")
+    val out = keepBestInGroupsWeighted(all, labels, idCol, qualityCol, "__w")
       .select(col(idCol), col(qualityCol), col("n_copies"))
+    val overflow = hotSelf.select(lit("self").as("side"), col("chunk"),
+        col("cval"), col("n_ids"))
+      .unionByName(hotCross.select(lit("cross").as("side"), col("chunk"),
+        col("cval"), col("n_ids")))
+    (out, overflow)
   }
 
   /** Corpus-level first-occurrence span dedup (the C4-style "remove

@@ -120,6 +120,31 @@ class CurateIncrementSpec extends SparkSpec {
     assert(incr === Set((2L, 9L, 2L), (9L, 5L, 1L)))
   }
 
+  test("capped increment: hot batch hash drops-and-reports, election still runs") {
+    // 6 identical batch docs under cap 2: every chunk bucket of that
+    // hash holds 6 > 2 on the self side and 6+1 on the cross side —
+    // all skipped and reported, so the hot docs stay ungrouped
+    // (under-merge only; pairs never invented), while a distinct cold
+    // batch pair still merges with its survivor normally.
+    val cold = 0x0F0F_F0F0_5A5AL
+    val surv = Seq((1L, h1, 5L, 2L), (2L, cold, 9L, 3L))
+      .toDF("doc_id", "ph", "quality", "n_copies")
+    val hotDocs = (10L to 15L).map(i => (i, h1, i % 4))
+    val batch = (hotDocs :+ ((20L, cold, 4L))).toDF("doc_id", "ph", "quality")
+    val (out, overflow) = Dedup.curateIncrementCapped(surv, batch,
+      "doc_id", "ph", "quality", maxBucket = Some(2))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // cold group: survivor 2 (quality 9) absorbs doc 20 -> weight 4
+    assert(rows(2L) === 4L)
+    // hot docs and survivor 1 all pass through ungrouped
+    assert(rows(1L) === 2L)
+    for (i <- 10L to 15L) assert(rows(i) === 1L, s"doc $i")
+    val sides = overflow.select("side").as[String].collect()
+    assert(sides.count(_ == "self") === 4 && sides.count(_ == "cross") === 4,
+      s"all four chunk buckets of the hot hash reported per side: " +
+        sides.mkString(","))
+  }
+
   test("chained updates accumulate across rounds (output feeds back in)") {
     val r1 = run(surv = Seq((1L, h1, 5L, 1L)), batch = Seq((10L, h1, 6L)))
     assert(r1 === Map(10L -> (6L, 2L)))
