@@ -2918,6 +2918,7 @@ object ExtQueries {
     // THIS update: screen the odd batch against it and re-elect
     Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
         maxHamming = 0)
+      .select(col("doc_id"), col("quality"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
 

@@ -527,8 +527,8 @@ object Dedup {
     * @param survivors current survivor set: idCol, hashCol,
     *                  qualityCol, nCopiesCol (+ anything else, dropped)
     * @param batch     new documents: idCol, hashCol, qualityCol
-    * @return new survivor set (idCol, qualityCol, n_copies) — feed it
-    *         back as `survivors` (joined to its hashes) next update
+    * @return new survivor set (idCol, hashCol, qualityCol, n_copies) —
+    *         feeds straight back as `survivors` next update
     */
   def curateIncrement(survivors: DataFrame, batch: DataFrame, idCol: String,
       hashCol: String, qualityCol: String, nCopiesCol: String = "n_copies",
@@ -572,11 +572,12 @@ object Dedup {
     val edges = pairsSelf.select(col("id_a"), col("id_b"))
       .unionByName(pairsCross.select(col("id_a"), col("id_b")))
     val labels = components(edges, aCol = "id_a", bCol = "id_b")
-    val all = surv.select(col(idCol), col(qualityCol), col("__w"))
-      .unionByName(
-        bat.select(col(idCol), col(qualityCol), lit(1L).as("__w")))
+    val all = surv.select(col(idCol), col(hashCol), col(qualityCol),
+        col("__w"))
+      .unionByName(bat.select(col(idCol), col(hashCol), col(qualityCol),
+        lit(1L).as("__w")))
     val out = keepBestInGroupsWeighted(all, labels, idCol, qualityCol, "__w")
-      .select(col(idCol), col(qualityCol), col("n_copies"))
+      .select(col(idCol), col(hashCol), col(qualityCol), col("n_copies"))
     val overflow = hotSelf.select(lit("self").as("side"), col("chunk"),
         col("cval"), col("n_ids"))
       .unionByName(hotCross.select(lit("cross").as("side"), col("chunk"),

@@ -21,6 +21,7 @@ class CurateIncrementSpec extends SparkSpec {
         surv.toDF("doc_id", "ph", "quality", "n_copies"),
         batch.toDF("doc_id", "ph", "quality"),
         "doc_id", "ph", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
 
@@ -81,6 +82,7 @@ class CurateIncrementSpec extends SparkSpec {
       "doc_id", "quality")
     Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
         maxHamming = maxHamming)
+      .select(col("doc_id"), col("quality"), col("n_copies"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
@@ -133,7 +135,8 @@ class CurateIncrementSpec extends SparkSpec {
     val batch = (hotDocs :+ ((20L, cold, 4L))).toDF("doc_id", "ph", "quality")
     val (out, overflow) = Dedup.curateIncrementCapped(surv, batch,
       "doc_id", "ph", "quality", maxBucket = Some(2))
-    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rows = out.select(col("doc_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // cold group: survivor 2 (quality 9) absorbs doc 20 -> weight 4
     assert(rows(2L) === 4L)
     // hot docs and survivor 1 all pass through ungrouped

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CurationRunner, Dedup}
+
+/** The curation store: streamed increments through foreachBatch must
+  * equal the chained batch operator, survive at-least-once replay of
+  * a micro-batch (exactly-once application), bootstrap from an empty
+  * store, and flip the version pointer atomically (old snapshot
+  * intact until the new one is complete). */
+class CurationRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val h1 = 0L
+  private val far = 0xFFFFFFFFFFFFFFFL
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-curation").toString
+
+  private def readSurv(dir: String): Map[Long, (Long, Long)] =
+    CurationRunner.survivors(spark, dir, "doc_id", "ph", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("streamed increments equal the chained batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "ph", "quality")
+      .writeStream.outputMode("append")
+      .foreachBatch(CurationRunner.sink(dir, "doc_id", "ph", "quality"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cr-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, h1, 5L), (2L, far, 9L))
+      q.processAllAvailable()
+      assert(readSurv(dir) === Map(1L -> (5L, 1L), 2L -> (9L, 1L)))
+      input.addData((10L, h1, 7L)) // beats 1, absorbs its count
+      q.processAllAvailable()
+      assert(readSurv(dir) === Map(10L -> (7L, 2L), 2L -> (9L, 1L)))
+      input.addData((20L, h1, 6L), (21L, far, 1L)) // both lose elections
+      q.processAllAvailable()
+      assert(readSurv(dir) === Map(10L -> (7L, 3L), 2L -> (9L, 2L)))
+    } finally q.stop()
+    // chained batch equivalence
+    val s1 = Dedup.curateIncrement(
+      Seq.empty[(Long, Long, Long, Long)].toDF("doc_id", "ph", "quality", "n_copies"),
+      Seq((1L, h1, 5L), (2L, far, 9L)).toDF("doc_id", "ph", "quality"),
+      "doc_id", "ph", "quality")
+    val s2 = Dedup.curateIncrement(s1,
+      Seq((10L, h1, 7L)).toDF("doc_id", "ph", "quality"),
+      "doc_id", "ph", "quality")
+    val s3 = Dedup.curateIncrement(s2,
+      Seq((20L, h1, 6L), (21L, far, 1L)).toDF("doc_id", "ph", "quality"),
+      "doc_id", "ph", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s3 === readSurv(dir))
+  }
+
+  test("replayed batchId is skipped: at-least-once delivery, exactly-once state") {
+    val dir = freshDir()
+    val b0 = Seq((1L, h1, 5L)).toDF("doc_id", "ph", "quality")
+    assert(CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality"))
+    val b1 = Seq((10L, h1, 7L)).toDF("doc_id", "ph", "quality")
+    assert(CurationRunner.applyIncrement(dir, b1, 1L, "doc_id", "ph", "quality"))
+    val afterOnce = readSurv(dir)
+    assert(afterOnce === Map(10L -> (7L, 2L)))
+    // crash-replay of batch 1: must be a no-op, not a double count
+    assert(!CurationRunner.applyIncrement(dir, b1, 1L, "doc_id", "ph", "quality"))
+    // late replay of batch 0: also ignored
+    assert(!CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality"))
+    assert(readSurv(dir) === afterOnce)
+    assert(CurationRunner.current(dir).get.version === 1L)
+  }
+
+  test("empty store bootstraps from the batch's schema; snapshots immutable") {
+    val dir = freshDir()
+    assert(readSurv(dir) === Map.empty)
+    val b0 = Seq((1L, h1, 5L), (2L, h1, 8L)).toDF("doc_id", "ph", "quality")
+    CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality")
+    assert(readSurv(dir) === Map(2L -> (8L, 2L)))
+    // v0 stays readable after v1 lands (time-travel / crash recovery)
+    CurationRunner.applyIncrement(dir,
+      Seq((3L, h1, 9L)).toDF("doc_id", "ph", "quality"),
+      1L, "doc_id", "ph", "quality")
+    val v0 = spark.read.parquet(s"$dir/v0")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(v0 === Set(2L))
+    assert(readSurv(dir) === Map(3L -> (9L, 3L)))
+    // overflow frame exists (empty here) per version
+    assert(spark.read.parquet(s"$dir/overflow_v1").count() === 0L)
+  }
+}
