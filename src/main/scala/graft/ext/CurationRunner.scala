@@ -103,6 +103,34 @@ object CurationRunner {
     true
   }
 
+  /** Retention: delete snapshot (and overflow) directories older than
+    * the `keep` most recent versions. The CURRENT version is never
+    * deleted regardless of `keep`; the pointer is untouched, so a
+    * concurrent reader that already resolved `_CURRENT` keeps a valid
+    * snapshot. Returns the pruned version numbers. */
+  def prune(dir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    current(dir) match {
+      case None => Seq.empty
+      case Some(ptr) =>
+        val cutoff = ptr.version - keep + 1
+        val pruned = (0L until cutoff).filter(v =>
+          Files.exists(Paths.get(dir, s"v$v")))
+        pruned.foreach { v =>
+          for (name <- Seq(s"v$v", s"overflow_v$v")) {
+            val root = Paths.get(dir, name)
+            if (Files.exists(root)) {
+              val walk = Files.walk(root)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.delete(p))
+              finally walk.close()
+            }
+          }
+        }
+        pruned
+    }
+  }
+
   /** `foreachBatch` sink maintaining the store:
     * {{{
     * stream.writeStream.foreachBatch(

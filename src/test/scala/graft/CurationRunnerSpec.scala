@@ -77,6 +77,20 @@ class CurationRunnerSpec extends SparkSpec {
     assert(CurationRunner.current(dir).get.version === 1L)
   }
 
+  test("prune keeps the newest snapshots and never the current one") {
+    val dir = freshDir()
+    for (i <- 0 to 3)
+      CurationRunner.applyIncrement(dir,
+        Seq((i.toLong, h1, i.toLong)).toDF("doc_id", "ph", "quality"),
+        i.toLong, "doc_id", "ph", "quality")
+    assert(CurationRunner.prune(dir, keep = 2) === Seq(0L, 1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v2")))
+    // store still fully functional after pruning
+    assert(readSurv(dir) === Map(3L -> (3L, 4L)))
+    assert(CurationRunner.prune(dir, keep = 2) === Seq.empty) // idempotent
+  }
+
   test("empty store bootstraps from the batch's schema; snapshots immutable") {
     val dir = freshDir()
     assert(readSurv(dir) === Map.empty)
