@@ -54,8 +54,11 @@ object CurationRunner {
     }
   }
 
-  /** The current survivor table (empty, batch-shaped, when the store
-    * has no applied increment yet). */
+  /** The current survivor table. On an EMPTY store this read helper
+    * returns an all-LongType empty frame (it has no batch to borrow
+    * types from — [[applyIncrement]]'s bootstrap does); callers that
+    * need exact types on an empty store should supply their own empty
+    * frame. */
   def survivors(spark: SparkSession, dir: String, idCol: String,
       hashCol: String, qualityCol: String): DataFrame = current(dir) match {
     case Some(ptr) => spark.read.parquet(s"$dir/v${ptr.version}")
