@@ -70,8 +70,8 @@ object Bench {
     "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.13, "q7_watched" -> 0.44,
     "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
-    "x13_dedup_groups" -> 2.38, "x14_vocab" -> 0.39,
-    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 1.25,
+    "x13_dedup_groups" -> 2.29, "x14_vocab" -> 0.39,
+    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.94,
     "x17_sessions" -> 0.47, "x18_rollup" -> 0.24, "x19_asof_join" -> 0.46,
     "x1_dedup_exact" -> 0.22, "x20_range_join" -> 0.32,
     "x21_pii_redact" -> 0.26, "x22_repetition" -> 0.51,
@@ -103,11 +103,11 @@ object Bench {
     "x73_robust_outliers" -> 0.81, "x74_quality_gate" -> 0.99,
     "x75_span_dedup" -> 0.84, "x76_doc_trunc" -> 0.27,
     "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.21,
-    "x7_ann_lsh" -> 1.08, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
+    "x7_ann_lsh" -> 0.96, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
     "x82_transitions" -> 0.44, "x83_drift" -> 0.24,
     "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
     "x86_dup_profile" -> 0.72, "x87_semantic_screen" -> 0.20,
-    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 1.43,
+    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.95,
     "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
     "x91_html_strip" -> 0.50, "x92_domain_stats" -> 0.31,
     "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.87,
@@ -130,11 +130,11 @@ object Bench {
     "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.66,
     "x129_cms" -> 0.34, "x130_trend" -> 0.30, "x131_psi" -> 0.23,
     "x132_gini" -> 0.33, "x133_kappa" -> 0.56,
-    "x134_image_dhash" -> 1.26, "x135_audio_fingerprint" -> 0.93,
+    "x134_image_dhash" -> 1.23, "x135_audio_fingerprint" -> 0.84,
     "x136_video_fingerprint" -> 1.43, "x137_near_dup_curation" -> 2.21, "x138_cross_dedup" -> 1.11,
-    "x139_jpeg_cross_dedup" -> 2.40, "x140_curation_increment" -> 4.31,
-    "x141_quality_curation" -> 2.40, "x142_mixed_curation" -> 4.29,
-    "x143_frozen_screen" -> 1.92,
+    "x139_jpeg_cross_dedup" -> 2.19, "x140_curation_increment" -> 4.23,
+    "x141_quality_curation" -> 2.29, "x142_mixed_curation" -> 3.37,
+    "x143_frozen_screen" -> 1.46,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
