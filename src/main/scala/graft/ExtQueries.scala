@@ -2192,8 +2192,15 @@ object ExtQueries {
     * `cum − n < budget` keep rule. */
   private def x107(s: SparkSession, dir: String): DataFrame =
     graft.ext.Sampling.tokenBudgetTake(
-      t(s, dir, "documents").select(col("doc_id"), col("source"),
-        T.wsTokenCount(col("text")).cast("long").as("n_tokens")),
+      // explicit-count repartition BEFORE tokenization (the media
+      // gates' convention): the sf0.1 documents parquet is 1–2 splits,
+      // so the regex token count would otherwise run on 1–2 tasks and
+      // tokenBudgetTake's low-cardinality source window can't widen it
+      // back — the round-12 bench false-alarm amplifier
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          T.wsTokenCount(col("text")).cast("long").as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), budget = 300L)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"))

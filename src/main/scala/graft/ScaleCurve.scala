@@ -112,15 +112,26 @@ object ScaleCurve {
     val e = col("embedding")
     // rotate by r MOD dim: a factor above the embedding dimension (64)
     // would otherwise drive slice() lengths non-positive and fail the
-    // build with an opaque slice error. Past k = dim the permutations
-    // wrap (replicas r and r+dim correlate again) — acceptable for the
-    // curve's growth measurement, documented rather than crashed.
+    // build with an opaque slice error.
     val r = (col("__r") % size(e)).cast("int")
     val rotated = when(r === 0, e)
       .otherwise(concat(slice(e, r + 1, size(e) - r), slice(e, lit(1), r)))
+    // per-replica sign pattern on top of the rotation: s(r,i) ∈ {±1}
+    // multiplies element i, so every INTRA-replica dot product — hence
+    // every cosine, ranking, and duplicate relation — is preserved
+    // exactly (Σ s_i² a_i b_i = Σ a_i b_i), while replicas r and r+dim
+    // (same rotation, different signs) decorrelate — without this the
+    // r % dim wrap would hand K > 64 curves bit-identical cross-replica
+    // vectors and silently re-inflate the duplicate rate quadratically.
+    // xxhash64(r, i) keyed by replica AND position (never the vector
+    // values), murmur-finalized by construction — no linear-hash
+    // collapse across nearby replicas.
+    val signed = when(col("__r") === 0, e).otherwise(
+      transform(rotated, (v, i) =>
+        when(pmod(xxhash64(col("__r"), i), lit(2)) === 0, v).otherwise(-v)))
     val embCols = emb.columns.filter(_ != "__r").map {
       case "vec_id" => (col("vec_id") + col("__r") * DocOffset).as("vec_id")
-      case "embedding" => rotated.as("embedding")
+      case "embedding" => signed.as("embedding")
       case c => col(c)
     }
     emb.select(col("__r") +: embCols.toSeq: _*)
@@ -176,7 +187,7 @@ object ScaleCurve {
     // The scaled dir is deterministic in (baseDir, k); a marker file
     // records the recipe so repeat runs skip the build.
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
-    val recipe = s"base=$baseDir k=$k v=2" // v2: + embeddings replication
+    val recipe = s"base=$baseDir k=$k v=3" // v3: + per-replica embedding signs
     val cached = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe
     if (!cached) {

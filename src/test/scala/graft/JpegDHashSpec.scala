@@ -6,11 +6,16 @@ import graft.ext.{ImageIoDecode, Multimodal, PixelDecode}
 
 /** JPEG membership in the image near-dup family: the dHash of a JPEG
   * re-save must pair with the PNG original. The fixture discipline
-  * (BASELINE.md addendum 5) is probed EXHAUSTIVELY: the gate fixture
-  * only ever draws seeds mod 251, so checking all 251 seeds here
-  * covers every image any SF can produce — the re-encode stability
-  * (same-seed hamming 0) and the cross-seed floor are theorems of
-  * this spec's pass, not sampled hopes. */
+  * (BASELINE.md addendum 5) is probed EXHAUSTIVELY for DRIVER corpora:
+  * the gate fixture draws seeds mod 251 inside each DocOffset id band
+  * (ExtQueries.mediaSeed), and every driver-corpus doc_id sits in band
+  * 0, so checking seeds 0–250 covers every image the driver can
+  * produce — the re-encode stability (same-seed hamming 0) and the
+  * cross-seed floor are theorems of this spec's pass there. ScaleCurve
+  * replicas draw the HIGHER bands (seeds 251+); the banded tests below
+  * probe band 1 (seeds 251–501) the same way, within-band and against
+  * band 0, so the scaled corpora the curve measures ride the same
+  * proven floor rather than an extrapolated one. */
 class JpegDHashSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,6 +28,9 @@ class JpegDHashSpec extends SparkSpec {
   private lazy val jpgH: Map[Int, Long] =
     (0 until 251).map(s =>
       s -> any(ImageIoDecode.jpegCellBytes(s, 90)).get).toMap
+  // band-1 seeds (ScaleCurve replica 1: mediaSeed = doc_id%251 + 251)
+  private lazy val pngH1: Map[Int, Long] =
+    (251 until 502).map(s => s -> any(PixelDecode.pngCellBytes(s)).get).toMap
 
   test("JPEG re-save of the cell-grid PNG hashes IDENTICALLY, all 251 seeds") {
     val worst = (0 until 251).map(s => (s, ham(pngH(s), jpgH(s)))).maxBy(_._2)
@@ -45,6 +53,25 @@ class JpegDHashSpec extends SparkSpec {
     }
     assert(minPP >= 10, s"png-png floor $minPP")
     assert(minPJ >= 10, s"png-jpeg floor $minPJ")
+  }
+
+  test("banded replica seeds 251-501: re-encode stability and cross-seed floor") {
+    // the ScaleCurve replicas' seed band, probed with the SAME theorems
+    // as band 0: q90 JPEG re-save hamming 0 per seed, and the pairwise
+    // floor — within band 1 AND across bands 0×1 (a scaled corpus holds
+    // both kinds of non-duplicate pair) — comfortably above the
+    // family's hamming-3 threshold
+    val jpg1 = (251 until 502).map(s =>
+      s -> any(ImageIoDecode.jpegCellBytes(s, 90)).get).toMap
+    val worstRe = (251 until 502).map(s => (s, ham(pngH1(s), jpg1(s)))).maxBy(_._2)
+    assert(worstRe._2 === 0, s"seed ${worstRe._1} re-encode hamming ${worstRe._2}")
+    var min11 = 64; var min01 = 64
+    for (a <- 251 until 502; b <- 251 until 502 if a < b)
+      min11 = math.min(min11, ham(pngH1(a), pngH1(b)))
+    for (a <- 0 until 251; b <- 251 until 502)
+      min01 = math.min(min01, ham(pngH(a), pngH1(b)))
+    assert(min11 >= 10, s"band1-band1 floor $min11")
+    assert(min01 >= 10, s"band0-band1 floor $min01")
   }
 
   test("re-encode stability holds down to quality 70") {

@@ -157,4 +157,46 @@ class ScaleCurveSpec extends SparkSpec {
     assert(v0.indices.exists(i => v0(i) != v2(i)),
       "rotation must actually change the vectors")
   }
+
+  test("sign pattern decorrelates replicas past the rotation wrap (K > dim)") {
+    // rotation alone wraps at r % dim: replicas r and r+dim would carry
+    // bit-identical vectors under different vec_ids — quadratic
+    // cross-replica duplicate re-inflation exactly past the point the
+    // curve stops looking. The per-replica sign flip breaks the wrap
+    // while preserving every intra-replica dot product EXACTLY
+    // (each term multiplied by s_i² = 1). Probe with a micro base of
+    // dim-4 vectors and k = 9 > dim, so replicas 0/4/8 share a rotation.
+    val micro = java.nio.file.Files.createTempDirectory("graft-microscale").toString
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$micro/orders.parquet")
+    Seq((1L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$micro/lineitem.parquet")
+    Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$micro/supplier.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey").write.parquet(s"$micro/customer.parquet")
+    Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+      .write.parquet(s"$micro/documents.parquet")
+    Seq((100L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+        (101L, Seq(4.0f, -3.0f, 2.0f, -1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$micro/embeddings.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-microscale-out").toString
+    ScaleCurve.buildScaledDir(spark, micro, out, k = 9)
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+      .as[(Long, Seq[Float])].collect().toMap
+    val off = 10000000L
+    def rep(r: Int, id: Long): Seq[Float] = vecs(id + r * off)
+    // same rotation (r % 4 == 0), different signs ⇒ different vectors
+    for (r <- Seq(4, 8); id <- Seq(100L, 101L))
+      assert(rep(r, id) != rep(0, id),
+        s"replica $r must not be a verbatim copy of replica 0 (id $id)")
+    assert(rep(4, 100L) != rep(8, 100L),
+      "replicas 4 and 8 must differ from each other too")
+    // intra-replica dot products preserved exactly in every replica
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val d0 = dot(rep(0, 100L), rep(0, 101L))
+    for (r <- 1 until 9)
+      assert(math.abs(dot(rep(r, 100L), rep(r, 101L)) - d0) < 1e-9,
+        s"intra-replica dot product must survive signs+rotation (r=$r)")
+  }
 }
