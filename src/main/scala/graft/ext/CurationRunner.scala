@@ -1,7 +1,9 @@
 package graft.ext
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,45 +14,101 @@ import org.apache.spark.sql.functions._
   * against the current corpus, merges, re-elects, and the survivor
   * table rolls forward".
   *
-  * Store layout under `dir`:
+  * Store layout under `dir` (any Hadoop-FileSystem URI — local path,
+  * `file:`, `hdfs:`, `s3a:`, ... — every pointer/prune operation goes
+  * through `org.apache.hadoop.fs.FileSystem` resolved from the Spark
+  * Hadoop conf, the same resolver the parquet snapshots use, so the
+  * snapshots and the pointer always land in the SAME store):
   *  - `v<N>/` — one immutable parquet snapshot per applied increment
   *    (schema: idCol, hashCol, qualityCol, n_copies);
   *  - `overflow_v<N>/` — that increment's drop-and-report frame;
-  *  - `_CURRENT` — tiny pointer file `"<N> <batchId>"`, replaced with
-  *    an ATOMIC move. Readers resolve `_CURRENT` then read an
-  *    immutable snapshot, so a concurrent reader never sees a
-  *    half-written table; the previous snapshot stays valid until the
-  *    pointer flips.
+  *  - `_COMMIT_<N>` — tiny marker `"<N> <batchId>"`, one per applied
+  *    version, written AFTER its snapshot completes. The CURRENT
+  *    version is the maximum committed N; readers resolve it with one
+  *    directory listing, then read an immutable snapshot — a
+  *    concurrent reader never sees a half-written table, and the
+  *    previous snapshot stays valid until the next marker lands.
+  *
+  * Commit protocol (why a new marker per version instead of rewriting
+  * one `_CURRENT` file): the marker is staged as `_COMMIT_<N>.tmp`,
+  * closed, then renamed to its FINAL name — a rename onto a name that
+  * never pre-exists. That needs no overwriting rename (atomic on HDFS
+  * and POSIX local, but copy+delete on object stores and delete+rename
+  * in the generic Hadoop fallback — both with a window where NO
+  * pointer exists, which would silently re-bootstrap the store at v0).
+  * Per store class: on HDFS/local the rename is atomic; on S3A the
+  * rename of a closed single object is one atomic PUT of the final key
+  * (a crash between copy and delete leaves a stale `.tmp`, harmless);
+  * in all cases a reader sees the marker either absent or complete,
+  * never partial. Single-writer discipline is assumed (one streaming
+  * query owns the store), exactly as with any Spark sink checkpoint.
   *
   * Exactly-once under at-least-once `foreachBatch` (the T1 merge
-  * discipline applied to curation): the pointer records the LAST
+  * discipline applied to curation): the newest marker records the LAST
   * APPLIED batchId, and a redelivered micro-batch (same batchId —
   * Spark replays the same id after a crash between sink success and
   * checkpoint commit) is SKIPPED, so a replayed increment can neither
   * double-count n_copies nor re-drop documents. Out-of-order ids
-  * (batchId < last applied) are likewise ignored.
+  * (batchId < last applied) are likewise ignored. A crash at ANY point
+  * before the marker rename leaves the previous marker the maximum —
+  * the replayed batch simply re-applies onto the old version,
+  * overwriting the partial snapshot.
   *
   * 100 TB shape: the store holds only (id, 64-bit hash, quality,
   * count) — ~32 B per surviving doc; each increment reads ONE
   * snapshot and the batch, runs the capped screens (never quadratic
-  * in a hot hash), and writes one snapshot. Snapshot GC is left to
-  * the deployment's retention job (old versions are what make
-  * time-travel reads and crash recovery trivial).
+  * in a hot hash), and writes one snapshot. [[prune]] bounds snapshot
+  * (and marker) count; old versions are what make time-travel reads
+  * and crash recovery trivial.
   */
 object CurationRunner {
 
   final case class Pointer(version: Long, batchId: Long)
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_CURRENT")
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
-  /** The current pointer, or None for an empty store. */
+  /** The store's FileSystem + qualified root, resolved from the Spark
+    * Hadoop conf — the SAME resolution `df.write.parquet(dir)` uses,
+    * so pointer and snapshots cannot land in different stores. */
+  private def fsRoot(dir: String): (FileSystem, Path) = {
+    val raw = new Path(dir)
+    val fs = raw.getFileSystem(hadoopConf())
+    (fs, fs.makeQualified(raw))
+  }
+
+  private val MarkerRe = "_COMMIT_(\\d+)".r
+
+  /** The current pointer, or None for an empty store: one listing for
+    * the maximum committed `_COMMIT_<N>`, whose content carries the
+    * last applied batchId. */
   def current(dir: String): Option[Pointer] = {
-    val p = pointerPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .trim.split("\\s+")
-      Some(Pointer(parts(0).toLong, parts(1).toLong))
+    val (fs, root) = fsRoot(dir)
+    if (!fs.exists(root)) return None
+    val latest = fs.listStatus(root).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case MarkerRe(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }.foldLeft(Option.empty[(Long, Path)]) {
+      case (acc, c) if acc.forall(_._1 < c._1) => Some(c)
+      case (acc, _) => acc
+    }
+    latest.map { case (n, p) =>
+      val in = fs.open(p)
+      val content =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var r = in.read(tmp)
+          while (r > 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      val parts = content.trim.split("\\s+")
+      require(parts.length == 2 && parts(0).toLong == n,
+        s"corrupt commit marker $p: '$content'")
+      Pointer(n, parts(1).toLong)
     }
   }
 
@@ -95,40 +153,46 @@ object CurationRunner {
       maxBucket = maxBucket)
     out.write.mode("overwrite").parquet(s"$dir/v$next")
     overflow.write.mode("overwrite").parquet(s"$dir/overflow_v$next")
-    // write-then-atomic-move: a crash before the move leaves the old
-    // pointer (and the old snapshot) fully intact; the replayed batch
-    // simply re-applies onto the old version
-    val tmp = Paths.get(dir, s"_CURRENT.tmp$next")
-    Files.createDirectories(Paths.get(dir))
-    Files.write(tmp, s"$next $batchId".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // stage-then-rename onto a NEVER-pre-existing final name: a crash
+    // anywhere before the rename leaves the previous marker the
+    // maximum (and the previous snapshot fully intact); the replayed
+    // batch simply re-applies onto the old version
+    val (fs, root) = fsRoot(dir)
+    val tmp = new Path(root, s"_COMMIT_$next.tmp")
+    val dst = new Path(root, s"_COMMIT_$next")
+    val os = fs.create(tmp, true)
+    try os.write(s"$next $batchId".getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    if (fs.exists(dst)) fs.delete(dst, false) // crashed earlier attempt
+    require(fs.rename(tmp, dst), s"marker rename failed: $tmp -> $dst")
     true
   }
 
-  /** Retention: delete snapshot (and overflow) directories older than
-    * the `keep` most recent versions. The CURRENT version is never
-    * deleted regardless of `keep`; the pointer is untouched, so a
-    * concurrent reader that already resolved `_CURRENT` keeps a valid
+  /** Retention: delete snapshot (and overflow, and commit-marker)
+    * trios older than the `keep` most recent versions. The CURRENT
+    * version is never deleted regardless of `keep`; a concurrent
+    * reader that already resolved the newest marker keeps a valid
     * snapshot. Returns the pruned version numbers. */
   def prune(dir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1: $keep")
     current(dir) match {
       case None => Seq.empty
       case Some(ptr) =>
+        val (fs, root) = fsRoot(dir)
         val cutoff = ptr.version - keep + 1
-        val pruned = (0L until cutoff).filter(v =>
-          Files.exists(Paths.get(dir, s"v$v")))
+        val snapRe = "v(\\d+)".r
+        val pruned = fs.listStatus(root).iterator.flatMap(st =>
+          st.getPath.getName match {
+            case snapRe(n) if n.toLong < cutoff => Some(n.toLong)
+            case _ => None
+          }).toSeq.sorted
         pruned.foreach { v =>
-          for (name <- Seq(s"v$v", s"overflow_v$v")) {
-            val root = Paths.get(dir, name)
-            if (Files.exists(root)) {
-              val walk = Files.walk(root)
-              try walk.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => Files.delete(p))
-              finally walk.close()
-            }
-          }
+          // snapshot LAST: its marker and overflow going first means a
+          // crash mid-prune can't leave a committed marker pointing at
+          // a half-deleted snapshot as anything but prunable leftovers
+          fs.delete(new Path(root, s"_COMMIT_$v"), false)
+          fs.delete(new Path(root, s"overflow_v$v"), true)
+          fs.delete(new Path(root, s"v$v"), true)
         }
         pruned
     }

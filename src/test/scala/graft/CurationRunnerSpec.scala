@@ -91,6 +91,46 @@ class CurationRunnerSpec extends SparkSpec {
     assert(CurationRunner.prune(dir, keep = 2) === Seq.empty) // idempotent
   }
 
+  test("store runs through an explicit file: URI — the Hadoop FileSystem path") {
+    // the pointer/prune I/O resolves the SAME FileSystem the parquet
+    // writer does; an explicit scheme proves nothing falls back to
+    // java.nio on the driver's local cwd
+    val dir = "file:" + freshDir()
+    val b0 = Seq((1L, h1, 5L), (2L, far, 9L)).toDF("doc_id", "ph", "quality")
+    assert(CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality"))
+    assert(CurationRunner.applyIncrement(dir,
+      Seq((10L, h1, 7L)).toDF("doc_id", "ph", "quality"),
+      1L, "doc_id", "ph", "quality"))
+    assert(readSurv(dir) === Map(10L -> (7L, 2L), 2L -> (9L, 1L)))
+    assert(CurationRunner.current(dir) === Some(CurationRunner.Pointer(1L, 1L)))
+    assert(CurationRunner.prune(dir, keep = 1) === Seq(0L))
+    assert(readSurv(dir) === Map(10L -> (7L, 2L), 2L -> (9L, 1L)))
+  }
+
+  test("crash before the marker commit leaves the old version authoritative") {
+    val dir = freshDir()
+    val b0 = Seq((1L, h1, 5L)).toDF("doc_id", "ph", "quality")
+    assert(CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality"))
+    val before = readSurv(dir)
+    // simulate an increment that died after writing its snapshot and
+    // staging the marker, but BEFORE the rename: a v1 snapshot dir and
+    // a _COMMIT_1.tmp exist, no _COMMIT_1
+    Seq((99L, h1, 99L, 1L)).toDF("doc_id", "ph", "quality", "n_copies")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_COMMIT_1.tmp"),
+      "1 1".getBytes("UTF-8"))
+    // readers see the OLD version; the partial v1 is invisible
+    assert(CurationRunner.current(dir) === Some(CurationRunner.Pointer(0L, 0L)))
+    assert(readSurv(dir) === before)
+    // the replayed batch re-applies onto v0, overwriting the partial v1
+    assert(CurationRunner.applyIncrement(dir,
+      Seq((10L, h1, 7L)).toDF("doc_id", "ph", "quality"),
+      1L, "doc_id", "ph", "quality"))
+    assert(CurationRunner.current(dir) === Some(CurationRunner.Pointer(1L, 1L)))
+    assert(readSurv(dir) === Map(10L -> (7L, 2L)))
+  }
+
   test("empty store bootstraps from the batch's schema; snapshots immutable") {
     val dir = freshDir()
     assert(readSurv(dir) === Map.empty)
