@@ -3018,7 +3018,45 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] Radius-7 near-dup (`Multimodal.hashNearDupCapped` in its
+    * 8×8-bit-chunk regime): real dHash duplicates — crops, brightness
+    * shifts, aggressive re-encodes — pair at hamming 6–10/64, beyond
+    * the 4×16-bit pigeonhole's hamming-3 ceiling; the widened
+    * pigeonhole (8 chunks ⇒ hamming ≤ 7 guarantees an equal chunk)
+    * covers them with the same candidates-from-equal-chunk-buckets
+    * discipline. FULL exact oracle: the hash is pure integer
+    * arithmetic over the banded seed (byte j = mixed residues of g
+    * mod 251/257 — two co-prime moduli so bands never repeat bytes)
+    * XOR a doc-keyed bit-run mask of 0–8 bits at a rolling offset, so
+    * DuckDB recomputes every hash and the COMPLETE hamming ≤ 7 pair
+    * set from a direct quadratic join — pigeonhole recall, the
+    * exact-hamming verify, and the cap staying cold are all
+    * hash-checked. Pair hammings span 0–16, so the threshold cuts
+    * both ways (some real near-pairs land at 8+, and the engine must
+    * NOT emit them). */
+  private def x146(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val g = mediaSeed(col("doc_id"))
+    val c = col("doc_id") % 23
+    val P = Seq(31L, 67L, 101L, 151L, 197L, 223L, 13L, 89L)
+    val Q = Seq(17L, 29L, 41L, 53L, 71L, 83L, 97L, 113L)
+    // byte 7 keeps 7 bits (mod 128): a full 255 in bits 56–63 would
+    // overflow the signed 64-bit sum (255·2^56 > Long.Max)
+    val base = (0 until 8).map(j =>
+      (((g * P(j)) % 251 + (g * Q(j)) % 257) % (if (j == 7) 128 else 256)) *
+        lit(1L << (8 * j)))
+      .reduce(_ + _)
+    val mask = expr("shiftleft(shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(__c % 9 AS INT)) - 1, CAST((__c * 7) % 56 AS INT))")
+    val hashed = ids.select(col("doc_id"), c.as("__c"), base.as("__b"))
+      .select(col("doc_id"), col("__b").bitwiseXOR(mask).as("h"))
+    val (pairs, _) = Multimodal.hashNearDupCapped(hashed, "doc_id", "h",
+      maxHamming = 7, maxBucket = Some(1 << 12))
+    pairs.orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x146_radius7_near_dup" -> (x146 _),
     "x143_frozen_screen" -> (x143 _),
     "x142_mixed_curation" -> (x142 _),
     "x141_quality_curation" -> (x141 _),
@@ -3172,6 +3210,33 @@ object ExtQueries {
   // sf), and the nearest 4-dp rounding boundary / threshold / rank
   // crossover sits ≥1e-7 away — so round(cos,4) hash-matches.
   def oracleSql: Map[String, String] = Map(
+    // x146: FULL exact oracle — DuckDB recomputes the arithmetic hash
+    // (banded-seed byte mix XOR doc-keyed bit-run mask) and the
+    // complete hamming<=7 pair set from a direct quadratic self-join;
+    // the engine's 8x8-bit chunk pigeonhole must reproduce it exactly
+    "x146_radius7_near_dup" ->
+      """WITH ids AS (SELECT doc_id,
+        |    (doc_id % 251) + (doc_id // 10000000) * 251 AS g,
+        |    doc_id % 23 AS c
+        |  FROM documents),
+        |hsh AS (SELECT doc_id,
+        |    xor(
+        |      (((g*31)%251 + (g*17)%257)%256)
+        |      + (((g*67)%251 + (g*29)%257)%256) * (1::BIGINT << 8)
+        |      + (((g*101)%251 + (g*41)%257)%256) * (1::BIGINT << 16)
+        |      + (((g*151)%251 + (g*53)%257)%256) * (1::BIGINT << 24)
+        |      + (((g*197)%251 + (g*71)%257)%256) * (1::BIGINT << 32)
+        |      + (((g*223)%251 + (g*83)%257)%256) * (1::BIGINT << 40)
+        |      + (((g*13)%251 + (g*97)%257)%256) * (1::BIGINT << 48)
+        |      + (((g*89)%251 + (g*113)%257)%128) * (1::BIGINT << 56),
+        |      ((1::BIGINT << (c % 9)) - 1) << ((c * 7) % 56)
+        |    ) AS h
+        |  FROM ids)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     // identical tie-closed-form rank sums over the (source, value,
     // count) frame; two final IEEE divisions
     "x132_gini" ->

@@ -42,7 +42,7 @@ object ScaleCurve {
     "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
     "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh",
     "x134_image_dhash", "x136_video_fingerprint",
-    "x140_curation_increment")
+    "x140_curation_increment", "x146_radius7_near_dup")
 
   private val TpchOffset = 100000000L
   /** Replica id stride for documents/embeddings — also the band width

@@ -41,13 +41,17 @@ object Multimodal {
     * column (image dHash, audio fingerprint, text simhash — whatever
     * the caller computed): `Dedup.simhash`'s chunk-pigeonhole
     * candidate discipline applied to a precomputed hash. Hamming ≤ 3
-    * with four 16-bit chunks guarantees at least one EQUAL chunk, so
-    * candidates come only from equal-chunk buckets — never all-pairs
-    * — and every candidate is verified by exact hamming. With
-    * `maxBucket` set, hot chunk values (b docs ⇒ b² candidates — a
-    * certainty at billions of blobs, 65k values per position) are
-    * SKIPPED and reported; a pair is missed only if ALL its equal
-    * chunks are hot, and pairs are never invented.
+    * runs on four 16-bit chunks; 4 ≤ maxHamming ≤ 7 automatically
+    * widens to eight 8-bit chunks (the radius real dHash duplicates —
+    * crops, brightness shifts, aggressive re-encodes — actually live
+    * at). Either way the pigeonhole guarantees at least one EQUAL
+    * chunk, so candidates come only from equal-chunk buckets — never
+    * all-pairs — and every candidate is verified by exact hamming.
+    * With `maxBucket` set, hot chunk values (b docs ⇒ b² candidates —
+    * a certainty at billions of blobs, and ~256× likelier per position
+    * in the 8-bit radius-7 mode, which should not run uncapped at
+    * scale) are SKIPPED and reported; a pair is missed only if ALL its
+    * equal chunks are hot, and pairs are never invented.
     *
     * @return (pairs (id_a, id_b, hamming), overflow (chunk, cval,
     *         n_ids) per skipped bucket)
@@ -56,14 +60,15 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    val nChunks = if (maxHamming <= 3) 4 else 8
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
       .filter(col("ph").isNotNull)
       .localCheckpoint(true) // (id, int64): tiny; one scan, not two
     val allChunked = hashed.select(col("id"), col("ph"),
-      posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
+      posexplode(H.simhashChunks(col("ph"), nChunks)).as(Seq("chunk", "cval")))
     val (chunked, overflow) = maxBucket match {
       case Some(cap) =>
         val hot = allChunked.groupBy(col("chunk"), col("cval"))
@@ -122,15 +127,16 @@ object Multimodal {
       idCol: String, hashCol: String, maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    val nChunks = if (maxHamming <= 3) 4 else 8
     def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
       df.select(col(idCol).as(ic), col(hashCol).as(hc))
         .filter(col(hc).isNotNull)
         .localCheckpoint(true)
         .select(col(ic), col(hc),
-          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
+          posexplode(H.simhashChunks(col(hc), nChunks)).as(Seq("chunk", "cval")))
     val la = chunked(left, "id_a", "ph_a")
     val rb = chunked(right, "id_b", "ph_b")
     val (laK, rbK, overflow) = maxBucket match {

@@ -39,9 +39,25 @@ object HashFunctions {
 
   /** 16-bit chunks of a 64-bit simhash — pigeonhole banding: hamming
     * distance ≤ 3 ⇒ at least one of the 4 chunks is equal. */
-  def simhashChunks(sim: Column): Column =
-    array((0 until 4).map(c =>
-      shiftright(sim, c * 16).bitwiseAND(0xFFFFL)): _*)
+  def simhashChunks(sim: Column): Column = simhashChunks(sim, 4)
+
+  /** `nChunks` equal-width chunks of a 64-bit hash — the generalized
+    * pigeonhole: hamming ≤ nChunks−1 ⇒ at least one chunk equal.
+    * 4×16-bit covers radius 3 (65k values per position — buckets stay
+    * cold); 8×8-bit covers radius 7, where real dHash near-duplicates
+    * (crops, brightness shifts, aggressive re-encodes) actually live —
+    * at 256 values per position its buckets run ~256× hotter, so the
+    * radius-7 mode leans on the callers' hot-bucket caps rather than
+    * luck. Chunks ordered low→high so chunk index 0 is always the
+    * lowest bits regardless of width. */
+  def simhashChunks(sim: Column, nChunks: Int): Column = {
+    require(nChunks == 4 || nChunks == 8,
+      s"chunk count must be 4 (radius 3) or 8 (radius 7), got $nChunks")
+    val w = 64 / nChunks
+    val m = (1L << w) - 1
+    array((0 until nChunks).map(c =>
+      shiftrightunsigned(sim, c * w).bitwiseAND(m)): _*)
+  }
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =

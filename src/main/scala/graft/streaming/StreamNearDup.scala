@@ -9,12 +9,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * `Multimodal.hashNearDup` (text simhash, image dHash, audio/video
   * fingerprints all arrive here through the same contract).
   *
-  * Shape: each arriving (id, hash) fans out to its four 16-bit chunk
-  * keys; per (chunk, value) bucket the state holds the members seen so
+  * Shape: each arriving (id, hash) fans out to its chunk keys (four
+  * 16-bit chunks at radius ≤ 3, eight 8-bit chunks at radius 4–7);
+  * per (chunk, value) bucket the state holds the members seen so
   * far, and an arrival emits an exact-hamming-verified pair against
   * each stored member before joining the bucket. The chunk pigeonhole
-  * gives full recall (hamming ≤ 3 ⇒ some chunk equal ⇒ the pair meets
-  * in that bucket), and the LOWEST-EQUAL-CHUNK rule gives exactly-once
+  * gives full recall (hamming ≤ nChunks−1 ⇒ some chunk equal ⇒ the
+  * pair meets in that bucket), and the LOWEST-EQUAL-CHUNK rule gives exactly-once
   * emission with zero extra state: both hashes are in hand when a pair
   * meets, so every equal-chunk bucket computes the same "who emits"
   * answer and only the lowest equal chunk index speaks.
@@ -65,13 +66,23 @@ object StreamNearDup {
   private[streaming] final case class BucketState(
       ids: List[Long], hashes: List[Long], overflowed: Long)
 
-  private def chunk(h: Long, c: Int): Long = (h >>> (16 * c)) & 0xffffL
+  /** Chunk count for a hamming radius: 4×16-bit covers ≤ 3, 8×8-bit
+    * covers ≤ 7 (generalized pigeonhole — see
+    * `HashFunctions.simhashChunks`). */
+  private[streaming] def chunksFor(maxHamming: Int): Int =
+    if (maxHamming <= 3) 4 else 8
+
+  private def chunk(h: Long, c: Int, nChunks: Int): Long = {
+    val w = 64 / nChunks
+    (h >>> (w * c)) & ((1L << w) - 1)
+  }
 
   /** Lowest chunk index on which the two hashes agree, or -1. */
-  private[streaming] def lowestEqualChunk(a: Long, b: Long): Int = {
+  private[streaming] def lowestEqualChunk(a: Long, b: Long,
+      nChunks: Int = 4): Int = {
     var c = 0
-    while (c < 4) {
-      if (chunk(a, c) == chunk(b, c)) return c
+    while (c < nChunks) {
+      if (chunk(a, c, nChunks) == chunk(b, c, nChunks)) return c
       c += 1
     }
     -1
@@ -79,16 +90,20 @@ object StreamNearDup {
 
   /** Wire the stateful pairing over a stream (or batch) of
     * [[HashedDoc]]. Emits each qualifying pair exactly once, in the
-    * micro-batch where its LATER member arrives. */
+    * micro-batch where its LATER member arrives. 4 ≤ maxHamming ≤ 7
+    * widens the pigeonhole to eight 8-bit chunks — per-arrival work
+    * doubles (8 buckets) and buckets run ~256× hotter per position, so
+    * size `maxBucket` for the hotter radius-7 regime. */
   def pairs(ds: Dataset[HashedDoc], maxHamming: Int = 3,
       maxBucket: Int = 4096): Dataset[NearDupPair] = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
     require(maxBucket >= 1, s"maxBucket must be positive: $maxBucket")
+    val nChunks = chunksFor(maxHamming)
     val spark = ds.sparkSession
     import spark.implicits._
     implicit val stateEnc = Encoders.product[BucketState]
-    ds.flatMap(d => (0 until 4).map(c => (c, chunk(d.hash, c), d)))
+    ds.flatMap(d => (0 until nChunks).map(c => (c, chunk(d.hash, c, nChunks), d)))
       .groupByKey { case (c, cv, _) => (c, cv) }
       .flatMapGroupsWithState[BucketState, NearDupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -112,7 +127,7 @@ object StreamNearDup {
                 val oh = h.head
                 val ham = java.lang.Long.bitCount(d.hash ^ oh)
                 // only the lowest equal chunk of THIS pair emits
-                if (ham <= maxHamming && lowestEqualChunk(d.hash, oh) == c)
+                if (ham <= maxHamming && lowestEqualChunk(d.hash, oh, nChunks) == c)
                   out += NearDupPair(math.min(d.id, oid),
                     math.max(d.id, oid), ham)
                 i = i.tail
@@ -170,59 +185,92 @@ object StreamNearDup {
     * @return (pairs (id_a, id_b, hamming) — streaming when `arrivals`
     *         is, append-safe; overflow (chunk, cval, n_ids) — batch)
     */
+  /** Above this many hot keys the literal-array regime gives way to a
+    * broadcast lookup set: array_contains over typedLit arrays costs
+    * O(|hot|) per candidate row and embeds every key in the plan —
+    * fine for a handful of hot buckets, a plan-size and per-row-cost
+    * blowup on a reference with many. */
+  private[streaming] val HotKeyLiteralMax = 1024
+
+  /** @param hotKeyLiteralMax regime switch (tests inject 0 to force
+    *        the broadcast-set path on small fixtures; production
+    *        callers keep the default) */
   def screenAgainst(reference: DataFrame, arrivals: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int = 3,
-      maxBucket: Option[Int] = None): (DataFrame, DataFrame) = {
+      maxBucket: Option[Int] = None,
+      hotKeyLiteralMax: Int = HotKeyLiteralMax): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"pigeonhole over 4 chunks covers hamming <= 3, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    val nChunks = chunksFor(maxHamming)
+    val w = 64 / nChunks
     def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
       df.select(col(idCol).as(ic), col(hashCol).as(hc))
         .filter(col(hc).isNotNull)
         .select(col(ic), col(hc),
-          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
+          posexplode(H.simhashChunks(col(hc), nChunks)).as(Seq("chunk", "cval")))
     val spark = reference.sparkSession
     import spark.implicits._
     val refAll = chunked(reference, "id_b", "ph_b")
     // Hot keys come to the DRIVER: the batch op broadcasts the same
-    // frame, so the driver already pays this size (≤ |ref|/cap
-    // buckets of 12 bytes); as per-chunk literal arrays they fold
-    // into the stream-side filter with no extra join.
-    val (hotByChunk, overflow) = maxBucket match {
+    // frame, so the driver already pays this size (≤ nChunks·|ref|/cap
+    // buckets of 12 bytes). The exactly-once rule below needs a PURE
+    // per-row hotness lookup for every chunk position (not just the
+    // joined one), which a join alone cannot provide — so hotness is
+    // evaluated row-side in one of two regimes:
+    //  - ≤ HotKeyLiteralMax keys: per-chunk sorted literal arrays,
+    //    fully codegen'd, zero extra plan nodes;
+    //  - above it: one broadcast hash set probed by a lightweight UDF
+    //    — O(1) per lookup, constant plan size, the same broadcast the
+    //    batch operator's left_anti join ships.
+    val (isHot, overflow) = maxBucket match {
       case Some(cap) =>
         val hot = refAll.groupBy(col("chunk"), col("cval"))
           .agg(count(lit(1)).as("n_ids"))
           .filter(col("n_ids") > cap)
           .localCheckpoint(true)
         val rows = hot.select(col("chunk"), col("cval")).collect()
-        ((0 until 4).map(c => rows.filter(_.getInt(0) == c)
-          .map(_.getLong(1)).sorted.toSeq).toArray, hot)
+        val fn: (Int, Column) => Column =
+          if (rows.length <= hotKeyLiteralMax) {
+            val byChunk = (0 until nChunks).map(c =>
+              rows.filter(_.getInt(0) == c).map(_.getLong(1)).sorted.toSeq)
+            (c, cval) =>
+              if (byChunk(c).isEmpty) lit(false)
+              else array_contains(typedLit(byChunk(c)), cval)
+          } else {
+            val set = spark.sparkContext.broadcast(
+              rows.map(r => (r.getInt(0), r.getLong(1))).toSet)
+            val probe = udf((c: Int, v: Long) => set.value.contains((c, v)))
+            (c, cval) => probe(lit(c), cval)
+          }
+        (fn, hot)
       case None =>
-        (Array.fill(4)(Seq.empty[Long]),
+        (((_: Int, _: Column) => lit(false)): (Int, Column) => Column,
           Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
     }
     def chunkOf(h: Column, c: Int): Column =
-      shiftrightunsigned(h, 16 * c).bitwiseAND(lit(0xffffL))
-    def isHot(c: Int, cval: Column): Column =
-      if (hotByChunk(c).isEmpty) lit(false)
-      else array_contains(typedLit(hotByChunk(c)), cval)
-    val ref = refAll.filter(!(0 until 4)
+      shiftrightunsigned(h, w * c).bitwiseAND(lit((1L << w) - 1))
+    def hotHere(df: DataFrame): DataFrame = df.filter(!(0 until nChunks)
       .map(c => col("chunk") === c && isHot(c, col("cval")))
       .reduce(_ || _))
+    // drop hot buckets from BOTH sides: the ref side defines the cap;
+    // the arrival side's hot rows could only ever join dropped ref
+    // rows, so filtering them too is a pure shuffle saving
+    val ref = hotHere(refAll)
     // Exactly-once rule, cap-aware: a pair meets once per SURVIVING
     // equal-chunk bucket, and only the LOWEST of those speaks. Both
-    // hashes are on the joined row and hot keys are literals, so
-    // every bucket computes the same answer — a pure filter, no
-    // state. survives(c) = chunks equal at c AND that bucket not hot.
+    // hashes are on the joined row and hotness is a pure row-side
+    // lookup, so every bucket computes the same answer — a pure
+    // filter, no state. survives(c) = chunks equal at c AND not hot.
     def survives(c: Int): Column =
       chunkOf(col("ph_a"), c) === chunkOf(col("ph_b"), c) &&
         !isHot(c, chunkOf(col("ph_a"), c))
-    val lowestSurviving = (0 until 4)
+    val lowestSurviving = (0 until nChunks)
       .map(c => col("chunk") === c &&
         (0 until c).map(p => !survives(p)).foldLeft(lit(true))(_ && _))
       .reduce(_ || _)
-    val pairs = chunked(arrivals, "id_a", "ph_a")
+    val pairs = hotHere(chunked(arrivals, "id_a", "ph_a"))
       .join(ref, Seq("chunk", "cval"))
       .filter(lowestSurviving)
       .select(col("id_a"), col("id_b"),

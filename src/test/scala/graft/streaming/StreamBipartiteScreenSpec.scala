@@ -128,6 +128,35 @@ class StreamBipartiteScreenSpec extends SparkSpec {
     assert(overflow.count() === 4L)
   }
 
+  test("broadcast-set regime (hot keys > literal max) emits the identical pairs and overflow") {
+    // the two hotness regimes — per-chunk literal arrays vs one
+    // broadcast hash set probed by a UDF — must be observationally
+    // identical; the spec forces the UDF regime onto the same small
+    // fixtures by injecting hotKeyLiteralMax = 0 and replays the two
+    // cap scenarios above
+    val refB = H0 ^ (1L << 17)
+    for ((ref, arrivals, cap) <- Seq(
+      (refDf((100L, H0), (101L, refB)), Seq((1L, H0)), 1),
+      (refDf((100L, H0), (101L, H0), (102L, H0)), Seq((1L, H0)), 2))) {
+      val (pLit, oLit) = StreamNearDup.screenAgainst(ref,
+        arrivals.toDF("id", "ph"), "id", "ph", maxBucket = Some(cap))
+      val (pSet, oSet) = StreamNearDup.screenAgainst(ref,
+        arrivals.toDF("id", "ph"), "id", "ph", maxBucket = Some(cap),
+        hotKeyLiteralMax = 0)
+      assert(pSet.as[(Long, Long, Long)].collect().toSet ===
+        pLit.as[(Long, Long, Long)].collect().toSet, s"pairs (cap=$cap)")
+      assert(oSet.as[(Int, Long, Long)].collect().toSet ===
+        oLit.as[(Int, Long, Long)].collect().toSet, s"overflow (cap=$cap)")
+      // plan pin: the literal regime embeds hot keys in the plan
+      // (array_contains over literals), the broadcast-set regime must
+      // NOT — its plan stays constant-size however many keys are hot
+      val litPlan = pLit.queryExecution.executedPlan.toString
+      val setPlan = pSet.queryExecution.executedPlan.toString
+      assert(litPlan.contains("array_contains"), "literal regime plan")
+      assert(!setPlan.contains("array_contains"), "broadcast-set regime plan")
+    }
+  }
+
   test("RocksDB provider is inert: stateless plan, same answer") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
