@@ -3018,6 +3018,30 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] WebP joins the cross-format image near-dup family
+    * (`WebpDecode` — a spec-complete VP8L decoder into the shared 9×8
+    * dHash core): even docs are PNG originals, odd docs the SAME cell
+    * grid re-saved as WebP-lossless, screened bipartite at the real
+    * hamming-3 threshold. FULL exact oracle: WebP hashes
+    * bit-identically to PNG on the cell fixture (exhaustively probed
+    * over all banded seeds — WebpDecodeSpec), so the pair set is
+    * exactly the even×odd residue join at hamming 0. */
+  private def x144(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(
+        when(col("doc_id") % 2 === 0,
+          PixelDecode.synthPngCells(mediaSeed(col("doc_id")).cast("int")))
+        .otherwise(graft.ext.WebpDecode.synthWebpCells(
+          mediaSeed(col("doc_id")).cast("int")))).as("ph"))
+    Multimodal.hashNearDupAgainst(
+        hashed.filter(col("doc_id") % 2 === 0),
+        hashed.filter(col("doc_id") % 2 === 1),
+        "doc_id", "ph", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** [EXT] Radius-7 near-dup (`Multimodal.hashNearDupCapped` in its
     * 8×8-bit-chunk regime): real dHash duplicates — crops, brightness
     * shifts, aggressive re-encodes — pair at hamming 6–10/64, beyond
@@ -3057,6 +3081,7 @@ object ExtQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x146_radius7_near_dup" -> (x146 _),
+    "x144_webp_cross_dedup" -> (x144 _),
     "x143_frozen_screen" -> (x143 _),
     "x142_mixed_curation" -> (x142 _),
     "x141_quality_curation" -> (x141 _),
@@ -3346,6 +3371,18 @@ object ExtQueries {
     // the lossy re-encode hashes identically on the block-margin cell
     // fixture (all 251 seeds probed), so hamming is exactly 0.
     "x139_jpeg_cross_dedup" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
+    // x144: FULL exact oracle — WebP-lossless re-saves hash
+    // bit-identically to the PNG originals on the cell fixture
+    // (probed over every banded seed), so cross pairs are exactly the
+    // even×odd residue join at hamming 0, same anchor as x138/x139
+    "x144_webp_cross_dedup" ->
       """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
         |  WHERE doc_id % 2 = 0),
         |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents

@@ -598,6 +598,9 @@ object PixelDecode {
       GifDecode.gifDHash64(b)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       ImageIoDecode.jpegDHash64(b)
+    else if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
+      WebpDecode.webpDHash64(b) // null (never fake) for lossy VP8/VP8X
     else null
   }
 
