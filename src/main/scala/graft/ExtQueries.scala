@@ -3042,6 +3042,33 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] Resample-invariant audio pairing
+    * (`PixelDecode.wavFingerprintAt64` + `wavResampleBytes`): even
+    * docs are 44.1 kHz PCM originals, odd docs the SAME stream
+    * re-sampled to 22.05 kHz by REAL frame decimation, screened
+    * bipartite on the canonical-rate (22.05 kHz) fingerprint — the
+    * audio analog of the JPEG/WebP cross-format gap: the rate-locked
+    * x135 fingerprint can never pair these. FULL exact oracle: both
+    * sides decimate to the identical frame sequence (theorem; probed
+    * per banded seed in WavResampleSpec), so the pair set is exactly
+    * the even×odd residue join at hamming 0. */
+  private def x147(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val original = PixelDecode.synthWavNoise(lit(1), lit(44100), lit(600),
+      mediaSeed(col("doc_id")).cast("int"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.wavFingerprintAt(
+        when(col("doc_id") % 2 === 0, original)
+          .otherwise(PixelDecode.wavResample(original, 2)),
+        canonicalRate = 22050).as("ph"))
+    Multimodal.hashNearDupAgainst(
+        hashed.filter(col("doc_id") % 2 === 0),
+        hashed.filter(col("doc_id") % 2 === 1),
+        "doc_id", "ph", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** [EXT] Radius-7 near-dup (`Multimodal.hashNearDupCapped` in its
     * 8×8-bit-chunk regime): real dHash duplicates — crops, brightness
     * shifts, aggressive re-encodes — pair at hamming 6–10/64, beyond
@@ -3080,6 +3107,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x147_audio_resample_dedup" -> (x147 _),
     "x146_radius7_near_dup" -> (x146 _),
     "x144_webp_cross_dedup" -> (x144 _),
     "x143_frozen_screen" -> (x143 _),
@@ -3371,6 +3399,18 @@ object ExtQueries {
     // the lossy re-encode hashes identically on the block-margin cell
     // fixture (all 251 seeds probed), so hamming is exactly 0.
     "x139_jpeg_cross_dedup" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
+    // x147: FULL exact oracle — a 2:1 frame decimation and the
+    // canonical-rate fingerprint of the original decimate to the
+    // SAME frame sequence (bit-identical fingerprints, probed per
+    // banded seed), so cross pairs are the even×odd residue join
+    "x147_audio_resample_dedup" ->
       """WITH a AS (SELECT doc_id, doc_id % 251 AS g FROM documents
         |  WHERE doc_id % 2 = 0),
         |b AS (SELECT doc_id, doc_id % 251 AS g FROM documents

@@ -372,6 +372,94 @@ object PixelDecode {
     java.lang.Long.valueOf(out)
   }
 
+  /** REAL integer-decimation resample: every `stride`-th FRAME of a
+    * PCM-16 WAV rewritten as a new WAV at sampleRate/stride — the
+    * canonical-rate normalization step of an audio ingest pipeline.
+    * Null when the input isn't PCM-16 or the stride doesn't divide
+    * the declared rate (the declared rate of the output must stay
+    * exact). Frame-wise (all channels of a kept frame survive), so
+    * the operation is channel-count-agnostic. */
+  def wavResampleBytes(b: Array[Byte], stride: Int): Array[Byte] = {
+    if (stride < 1) return null
+    val hdr = wavPcmHeader(b)
+    if (hdr == null || hdr.sampleRate % stride != 0) return null
+    val ch = hdr.channels
+    val frames = (hdr.dataLen / 2 / ch).toInt
+    val outFrames = (frames + stride - 1) / stride
+    val dataLen = outFrames * ch * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    val rate = hdr.sampleRate / stride
+    val blockAlign = ch * 2
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(ch); w32(rate); w32(rate * blockAlign)
+    w16(blockAlign); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen.toLong)
+    var f = 0
+    while (f < outFrames) {
+      val at = (hdr.dataAt + f.toLong * stride * blockAlign).toInt
+      var c = 0
+      while (c < ch * 2) { out.write(b(at + c) & 0xff); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** [[wavFingerprint64]] normalized to a canonical sample rate: the
+    * stream is frame-decimated to `canonicalRate` BEFORE the 65-block
+    * energy-delta fingerprint, so an original and its integer-ratio
+    * re-sample ([[wavResampleBytes]]) carry BIT-IDENTICAL fingerprints
+    * — the audio analog of the JPEG/WebP cross-format dHash guarantee
+    * (theorem: both sides decimate to the same frame sequence; probed
+    * exhaustively over the banded seeds in WavResampleSpec). Null for
+    * non-PCM-16 input, a rate the canonical rate doesn't divide
+    * (a fractional-ratio resample genuinely needs interpolation — we
+    * return null, never a nearby guess), or fewer than 65 decimated
+    * samples. */
+  def wavFingerprintAt64(b: Array[Byte], canonicalRate: Int): java.lang.Long = {
+    if (canonicalRate < 1) return null
+    val hdr = wavPcmHeader(b)
+    if (hdr == null || hdr.sampleRate % canonicalRate != 0) return null
+    val stride = (hdr.sampleRate / canonicalRate).toInt
+    val ch = hdr.channels
+    val frames = (hdr.dataLen / 2 / ch).toInt
+    val outFrames = (frames + stride - 1) / stride
+    val n = outFrames * ch
+    if (n < 65) return null
+    val blockAlign = ch * 2
+    val mass = new Array[Long](65)
+    var blk = 0
+    while (blk < 65) {
+      val k0 = blk.toLong * n / 65
+      val k1 = (blk + 1).toLong * n / 65
+      var s = 0L
+      var k = k0
+      while (k < k1) {
+        val frame = (k / ch) * stride
+        val chan = (k % ch).toInt
+        val at = (hdr.dataAt + frame * blockAlign + chan * 2).toInt
+        val v = ((b(at) & 0xff) | (b(at + 1) << 8)).toShort.toInt
+        s += math.abs(v)
+        k += 1
+      }
+      mass(blk) = s
+      blk += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (mass(j + 1) > mass(j)) out |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
   // ---- synthesizers (fixtures with REAL pixel/sample payloads) ---------
 
   private def crc32(body: Array[Byte]): Long = {
@@ -824,6 +912,48 @@ object PixelDecode {
       copy(c)
   }
 
+  /** binary → resampled WAV bytes ([[wavResampleBytes]]), null when
+    * not PCM-16 or the stride doesn't divide the rate. */
+  case class WavResampleExpr(child: Expression, stride: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      wavResampleBytes(input.asInstanceOf[Array[Byte]], stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("wrs")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        byte[] $tmp = graft.ext.PixelDecode.wavResampleBytes($c, $stride);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): WavResampleExpr =
+      copy(child = c)
+  }
+
+  /** binary → 64-bit canonical-rate audio fingerprint
+    * ([[wavFingerprintAt64]]). */
+  case class WavFingerprintAtExpr(child: Expression, canonicalRate: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val v = wavFingerprintAt64(input.asInstanceOf[Array[Byte]], canonicalRate)
+      if (v == null) null else v.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("afpc")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long $tmp = graft.ext.PixelDecode.wavFingerprintAt64($c, $canonicalRate);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): WavFingerprintAtExpr =
+      copy(child = c)
+  }
+
   /** binary → 64-bit audio fingerprint, null when not PCM-16 WAV of
     * at least 65 samples. */
   case class WavFingerprintExpr(child: Expression) extends UnaryExpression {
@@ -909,6 +1039,13 @@ object PixelDecode {
 
   def wavFingerprint(bytes: Column): Column =
     GraftSqlBridge.column(WavFingerprintExpr(GraftSqlBridge.expression(bytes)))
+
+  def wavResample(bytes: Column, stride: Int): Column =
+    GraftSqlBridge.column(WavResampleExpr(GraftSqlBridge.expression(bytes), stride))
+
+  def wavFingerprintAt(bytes: Column, canonicalRate: Int): Column =
+    GraftSqlBridge.column(
+      WavFingerprintAtExpr(GraftSqlBridge.expression(bytes), canonicalRate))
 
   def synthWavNoise(channels: Column, sampleRate: Column, nFrames: Column,
       seed: Column): Column =
