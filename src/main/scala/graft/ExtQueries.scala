@@ -3042,6 +3042,43 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] The versioned survivor STORE driven end to end
+    * (`CurationRunner.applyIncrement` — the deployment shape x140's
+    * bare operator ships in): bootstrap from the even corpus, then two
+    * odd mini-batch increments, each rolling one parquet snapshot +
+    * commit marker forward through the Hadoop FileSystem path; prune
+    * retention runs before the read-back. FULL exact oracle: the
+    * three-phase incremental chain recomputed by DuckDB — per-residue
+    * weighted election per phase, candidates = {prior survivor at its
+    * accumulated weight} ∪ the batch — which also oracle-proves the
+    * marker protocol returned the LAST version's table. Store I/O is
+    * three ~32 B/row snapshots; the curation inside is x140's audited
+    * plan. */
+  private def x145(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CurationRunner
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = ids.select(col("doc_id"),
+      PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
+        lit(32), mediaSeed(col("doc_id")).cast("int"))).as("ph"),
+      (col("doc_id") % 7).as("quality"))
+      .localCheckpoint(true)
+    val store = java.nio.file.Files.createTempDirectory("graft-x145").toString
+    CurationRunner.applyIncrement(store,
+      hashed.filter(col("doc_id") % 2 === 0), 0L,
+      "doc_id", "ph", "quality", maxHamming = 0)
+    CurationRunner.applyIncrement(store,
+      hashed.filter(col("doc_id") % 4 === 1), 1L,
+      "doc_id", "ph", "quality", maxHamming = 0)
+    CurationRunner.applyIncrement(store,
+      hashed.filter(col("doc_id") % 4 === 3), 2L,
+      "doc_id", "ph", "quality", maxHamming = 0)
+    CurationRunner.prune(store, keep = 2)
+    CurationRunner.survivors(s, store, "doc_id", "ph", "quality")
+      .select(col("doc_id"), col("quality"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [EXT] Resample-invariant audio pairing
     * (`PixelDecode.wavFingerprintAt64` + `wavResampleBytes`): even
     * docs are 44.1 kHz PCM originals, odd docs the SAME stream
@@ -3109,6 +3146,7 @@ object ExtQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x147_audio_resample_dedup" -> (x147 _),
     "x146_radius7_near_dup" -> (x146 _),
+    "x145_curation_store" -> (x145 _),
     "x144_webp_cross_dedup" -> (x144 _),
     "x143_frozen_screen" -> (x143 _),
     "x142_mixed_curation" -> (x142 _),
@@ -3406,6 +3444,40 @@ object ExtQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
+    // x145: FULL exact oracle — the three-phase incremental chain
+    // (even bootstrap, two odd mini-batches) recomputed per residue:
+    // each phase elects among {prior survivor at its accumulated
+    // weight} ∪ the batch, quality DESC then doc_id; n_copies sums
+    "x145_curation_store" ->
+      """WITH d AS (SELECT doc_id, doc_id % 251 AS g,
+        |    doc_id % 7 AS quality FROM documents),
+        |e AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT * FROM d WHERE doc_id % 4 = 1),
+        |b2 AS (SELECT * FROM d WHERE doc_id % 4 = 3),
+        |s0 AS (SELECT g, doc_id, quality, n_copies FROM (
+        |    SELECT e.g, e.doc_id, e.quality,
+        |      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_copies,
+        |      row_number() OVER (PARTITION BY g
+        |        ORDER BY quality DESC, doc_id) AS rn
+        |    FROM e) WHERE rn = 1),
+        |c1 AS (SELECT g, doc_id, quality, n_copies AS w FROM s0
+        |  UNION ALL SELECT g, doc_id, quality, 1 AS w FROM b1),
+        |s1 AS (SELECT g, doc_id, quality, n_copies FROM (
+        |    SELECT c1.g, c1.doc_id, c1.quality,
+        |      CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS n_copies,
+        |      row_number() OVER (PARTITION BY g
+        |        ORDER BY quality DESC, doc_id) AS rn
+        |    FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT g, doc_id, quality, n_copies AS w FROM s1
+        |  UNION ALL SELECT g, doc_id, quality, 1 AS w FROM b2),
+        |s2 AS (SELECT g, doc_id, quality, n_copies FROM (
+        |    SELECT c2.g, c2.doc_id, c2.quality,
+        |      CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS n_copies,
+        |      row_number() OVER (PARTITION BY g
+        |        ORDER BY quality DESC, doc_id) AS rn
+        |    FROM c2) WHERE rn = 1)
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality, n_copies
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     // x147: FULL exact oracle — a 2:1 frame decimation and the
     // canonical-rate fingerprint of the original decimate to the
     // SAME frame sequence (bit-identical fingerprints, probed per
