@@ -2972,8 +2972,12 @@ object ExtQueries {
     val ids = t(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val seed = mediaSeed(col("doc_id")).cast("int")
-    val blob = when(col("doc_id") % 3 === 0, PixelDecode.synthPngCells(seed))
-      .when(col("doc_id") % 3 === 1, graft.ext.GifDecode.synthGifCells(seed))
+    // four formats since round 13 (WebP joined the family): the oracle
+    // is format-blind — all four hash identically on the cell fixture
+    // (PNG=GIF=WebP bit-equal, JPEG q90 equal; exhaustively probed)
+    val blob = when(col("doc_id") % 4 === 0, PixelDecode.synthPngCells(seed))
+      .when(col("doc_id") % 4 === 1, graft.ext.GifDecode.synthGifCells(seed))
+      .when(col("doc_id") % 4 === 2, graft.ext.WebpDecode.synthWebpCells(seed))
       .otherwise(graft.ext.ImageIoDecode.synthJpegCells(seed, lit(90)))
     val docs = ids.select(col("doc_id"), blob.as("img"),
       (col("doc_id") % 7).as("quality"))
