@@ -81,10 +81,10 @@ object Bench {
     "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
     "x31_bloom_semijoin" -> 0.89, "x32_skew_report" -> 0.16,
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.41,
-    "x35_media_dispatch" -> 0.73, "x36_jpeg_decode" -> 1.20,
+    "x35_media_dispatch" -> 0.73, "x36_jpeg_decode" -> 0.63,
     "x37_video_frames" -> 0.53, "x38_contamination" -> 0.68,
     "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.28,
-    "x40_postings" -> 0.65, "x41_media_dispatch5" -> 1.43,
+    "x40_postings" -> 0.65, "x41_media_dispatch5" -> 0.66,
     "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.15,
     "x44_components" -> 0.61, "x45_epoch_shuffle" -> 0.18,
     "x46_group_split" -> 0.13, "x47_bpe_merges" -> 0.45,
@@ -127,14 +127,16 @@ object Bench {
     "x121_fd_profile" -> 0.30, "x122_benford" -> 0.31,
     "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.57,
     "x125_zorder" -> 0.34, "x126_gate_attrition" -> 0.74,
-    "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.66,
+    "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.65,
     "x129_cms" -> 0.34, "x130_trend" -> 0.30, "x131_psi" -> 0.23,
     "x132_gini" -> 0.33, "x133_kappa" -> 0.56,
     "x134_image_dhash" -> 1.23, "x135_audio_fingerprint" -> 0.84,
     "x136_video_fingerprint" -> 1.43, "x137_near_dup_curation" -> 2.21, "x138_cross_dedup" -> 1.11,
     "x139_jpeg_cross_dedup" -> 2.19, "x140_curation_increment" -> 4.23,
-    "x141_quality_curation" -> 2.29, "x142_mixed_curation" -> 3.37,
-    "x143_frozen_screen" -> 1.46,
+    "x141_quality_curation" -> 2.29, "x142_mixed_curation" -> 3.02,
+    "x143_frozen_screen" -> 1.46, "x144_webp_cross_dedup" -> 1.45,
+    "x145_curation_store" -> 10.01, "x146_radius7_near_dup" -> 1.16,
+    "x147_audio_resample_dedup" -> 0.95, "x148_media_dispatch6" -> 0.84,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0

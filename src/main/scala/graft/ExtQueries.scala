@@ -1475,7 +1475,9 @@ object ExtQueries {
     * `Multimodal.decodeStats` — the realistic multimodal-corpus shape.
     * The oracle recomputes every branch's stats from doc_id alone. */
   private def x35(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
         PixelDecode.synthPngPixels(
           (col("doc_id") % 97 + 4).cast("int"),
@@ -1511,7 +1513,9 @@ object ExtQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       (col("doc_id") % 61 + 8).cast("int").as("w"),
       (col("doc_id") % 37 + 8).cast("int").as("h"))
-    docs.select(col("doc_id"),
+    docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
       ImageIoDecode.jpegStats(ImageIoDecode.synthJpeg(
         col("w"), col("h"), lit(85))).as("st"))
       .select(col("doc_id"),
@@ -1535,7 +1539,9 @@ object ExtQueries {
       (col("doc_id") % 17 + 3).cast("int").as("h"),
       (col("doc_id") % 9 + 2).cast("int").as("nf"),
       (col("doc_id") % 241).cast("int").as("seed"))
-    docs.select(col("doc_id"),
+    docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
       Mp4Demux.frameStats(Mp4Demux.synthMp4Frames(
         col("w"), col("h"), col("nf"), col("seed")), lit(2)).as("st"))
       .select(col("doc_id"),
@@ -1609,7 +1615,9 @@ object ExtQueries {
     * five-decoder dispatch. */
   private def x41(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val docs = t(s, dir, "documents").select(d,
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(d,
       when(d % 5 === 0, PixelDecode.synthPngPixels(
         (d % 97 + 4).cast("int"), (d % 53 + 3).cast("int"),
         (d % 251).cast("int")))
@@ -2607,7 +2615,9 @@ object ExtQueries {
       (col("doc_id") % 17 + 3).cast("int").as("h"),
       (col("doc_id") % 9 + 2).cast("int").as("nf"),
       (col("doc_id") % 241).cast("int").as("seed"))
-    val withSums = docs.select(col("doc_id"),
+    val withSums = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
       Mp4Demux.frameSums(Mp4Demux.synthMp4Frames(
         col("w"), col("h"), col("nf"), col("seed"))).as("sums"),
       (col("w") * col("h")).cast("long").as("np"))
@@ -3046,6 +3056,43 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] x41's heterogeneous-column dispatch extended to SIX
+    * modalities — WebP joins the one-binary-column corpus
+    * (`Multimodal.decodeStats` now magic-sniffs PNG/GIF/WAV/JPEG/MP4/
+    * WebP, disambiguating the two RIFF containers in O(1)). Oracle:
+    * the dims/counts are pure doc_id arithmetic per modality. */
+  private def x148(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = t(s, dir, "documents").select(d)
+      .repartition(s.sparkContext.defaultParallelism, d)
+      .select(d,
+      when(d % 6 === 0, PixelDecode.synthPngPixels(
+        (d % 97 + 4).cast("int"), (d % 53 + 3).cast("int"),
+        (d % 251).cast("int")))
+        .when(d % 6 === 1, graft.ext.GifDecode.synthGifPixels(
+          (d % 47 + 4).cast("int"), (d % 29 + 3).cast("int"),
+          (d % 253).cast("int")))
+        .when(d % 6 === 2, PixelDecode.synthWavTone(lit(1), lit(8000),
+          (d % 400 + 100).cast("int"), (d % 1777).cast("int")))
+        .when(d % 6 === 3, graft.ext.ImageIoDecode.synthJpeg(
+          (d % 61 + 8).cast("int"), (d % 37 + 8).cast("int"), lit(85)))
+        .when(d % 6 === 4, graft.ext.Mp4Demux.synthMp4Frames(
+          (d % 31 + 4).cast("int"), (d % 17 + 3).cast("int"),
+          (d % 9 + 2).cast("int"), (d % 241).cast("int")))
+        .otherwise(graft.ext.WebpDecode.synthWebpGray(
+          (d % 43 + 9).cast("int"), (d % 23 + 8).cast("int"),
+          (d % 251).cast("int")))
+        .as("media_bytes"))
+    docs.select(d,
+      Multimodal.decodeStats(col("media_bytes")).as("st"))
+      .select(d,
+        col("st.media_type").as("media_type"),
+        col("st.width").as("width"),
+        col("st.height").as("height"),
+        col("st.n_samples").as("n_samples"))
+      .orderBy(d)
+  }
+
   /** [EXT] The versioned survivor STORE driven end to end
     * (`CurationRunner.applyIncrement` — the deployment shape x140's
     * bare operator ships in): bootstrap from the even corpus, then two
@@ -3148,6 +3195,7 @@ object ExtQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x148_media_dispatch6" -> (x148 _),
     "x147_audio_resample_dedup" -> (x147 _),
     "x146_radius7_near_dup" -> (x146 _),
     "x145_curation_store" -> (x145 _),
@@ -3448,6 +3496,36 @@ object ExtQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM a JOIN b USING (g) ORDER BY id_a, id_b""".stripMargin,
+    // x148: x41's dims-arithmetic oracle extended to six modalities
+    "x148_media_dispatch6" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/jpeg'
+        |    WHEN 4 THEN 'video/mp4' ELSE 'image/webp' END AS media_type,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN CAST(doc_id % 97 + 4 AS BIGINT)
+        |    WHEN 1 THEN CAST(doc_id % 47 + 4 AS BIGINT)
+        |    WHEN 2 THEN CAST(NULL AS BIGINT)
+        |    WHEN 3 THEN CAST(doc_id % 61 + 8 AS BIGINT)
+        |    WHEN 4 THEN CAST(doc_id % 31 + 4 AS BIGINT)
+        |    ELSE CAST(doc_id % 43 + 9 AS BIGINT) END AS width,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN CAST(doc_id % 53 + 3 AS BIGINT)
+        |    WHEN 1 THEN CAST(doc_id % 29 + 3 AS BIGINT)
+        |    WHEN 2 THEN CAST(NULL AS BIGINT)
+        |    WHEN 3 THEN CAST(doc_id % 37 + 8 AS BIGINT)
+        |    WHEN 4 THEN CAST(doc_id % 17 + 3 AS BIGINT)
+        |    ELSE CAST(doc_id % 23 + 8 AS BIGINT) END AS height,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN CAST((doc_id % 97 + 4) * (doc_id % 53 + 3) AS BIGINT)
+        |    WHEN 1 THEN CAST((doc_id % 47 + 4) * (doc_id % 29 + 3) * 3 AS BIGINT)
+        |    WHEN 2 THEN CAST(doc_id % 400 + 100 AS BIGINT)
+        |    WHEN 3 THEN CAST((doc_id % 61 + 8) * (doc_id % 37 + 8) AS BIGINT)
+        |    WHEN 4 THEN CAST((doc_id % 9 + 2) * (doc_id % 31 + 4) * (doc_id % 17 + 3)
+        |      AS BIGINT)
+        |    ELSE CAST((doc_id % 43 + 9) * (doc_id % 23 + 8) AS BIGINT)
+        |    END AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // x145: FULL exact oracle — the three-phase incremental chain
     // (even bootstrap, two odd mini-batches) recomputed per residue:
     // each phase elects among {prior survivor at its accumulated

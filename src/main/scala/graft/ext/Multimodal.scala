@@ -221,6 +221,7 @@ object Multimodal {
     val wav = PixelDecode.wavStats(bytes)
     val jpg = ImageIoDecode.jpegStats(bytes)
     val mp4 = Mp4Demux.frameStats(bytes, lit(1))
+    val wbp = WebpDecode.webpStats(bytes)
     val nullL = lit(null).cast("long")
     val pngRow = struct(
       lit("image/png").as("media_type"),
@@ -267,11 +268,21 @@ object Multimodal {
       nullL.as("sum_sq"),
       mp4.getField("min_val").as("min_val"),
       mp4.getField("max_val").as("max_val"))
+    val wbpRow = struct(
+      lit("image/webp").as("media_type"),
+      wbp.getField("width").as("width"),
+      wbp.getField("height").as("height"),
+      wbp.getField("n_samples").as("n_samples"),
+      wbp.getField("sum_val").as("sum_val"),
+      nullL.as("sum_sq"),
+      wbp.getField("min_val").as("min_val"),
+      wbp.getField("max_val").as("max_val"))
     when(png.isNotNull, pngRow)
       .when(gif.isNotNull, gifRow)
-      .when(wav.isNotNull, wavRow)
+      .when(wav.isNotNull, wavRow) // RIFF/WAVE; rejects RIFF/WEBP in O(1)
       .when(jpg.isNotNull, jpgRow)
       .when(mp4.isNotNull, mp4Row)
+      .when(wbp.isNotNull, wbpRow)
   }
 
   /** The same real dispatch in mapPartitions form (per-partition codec
@@ -296,6 +307,12 @@ object Multimodal {
             val s = GifDecode.gifPixelStats(b)
             if (s == null) null
             else Row("image/gif", s.getLong(0), s.getLong(1), s.getLong(2),
+              s.getLong(3), null, s.getInt(4), s.getInt(5))
+          } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+              b.length >= 16 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B') {
+            val s = WebpDecode.webpPixelStats(b)
+            if (s == null) null // lossy VP8: honest null
+            else Row("image/webp", s.getLong(0), s.getLong(1), s.getLong(2),
               s.getLong(3), null, s.getInt(4), s.getInt(5))
           } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F') {
             val s = PixelDecode.wavSampleStats(b)

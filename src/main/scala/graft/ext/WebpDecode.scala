@@ -720,7 +720,130 @@ object WebpDecode {
     out.toByteArray
   }
 
+  /** General gray VP8L writer: arbitrary dims, pixel = (seed + x) &
+    * 0xff (the [[PixelDecode.pngPixelBytes]] gradient — integer-exact
+    * for a SQL oracle). Stream shape: subtract-green + a FLAT 256-way
+    * length-8 literal code declared through the max_symbol path (the
+    * one code-length construct [[webpCellBytes]] doesn't exercise), so
+    * between the two encoders every normal-code branch of the reader
+    * is driven by a fixture. */
+  def webpGrayBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"bad dims ${w}x$h")
+    val bw = new Bw()
+    bw.put(0x2f, 8)
+    bw.put(w - 1, 14); bw.put(h - 1, 14); bw.put(0, 1); bw.put(0, 3)
+    bw.put(1, 1); bw.put(2, 2) // subtract-green
+    bw.put(0, 1) // no more transforms
+    bw.put(0, 1); bw.put(0, 1) // no cache, no meta
+    // green: flat 8-bit code over symbols 0..255 via max_symbol
+    bw.put(0, 1) // normal
+    bw.put(8, 4) // num_code_lengths = 12 (order index of CL symbol 8)
+    for (i <- 0 until 12) bw.put(if (i == 11) 1 else 0, 3) // only CL 8 used
+    bw.put(1, 1) // use max_symbol
+    bw.put(3, 3) // length_nbits = 8
+    bw.put(254, 8) // max_symbol = 256; the 256 zero-bit CL reads follow
+    // red/blue residuals 0, alpha 255, distance unused
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    bw.put(1, 1); bw.put(0, 1); bw.put(1, 1); bw.put(255, 8)
+    bw.put(1, 1); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { bw.putCode((seed + x) & 0xff, 8); x += 1 }
+      y += 1
+    }
+    val payload = bw.toBytes
+    val out = new java.io.ByteArrayOutputStream(payload.length + 22)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    w32(4 + 8 + payload.length + (payload.length & 1))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII"))
+    w32(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Full-decode luma stats (width, height, n_samples, sum_val,
+    * min_val, max_val) — the WebP member of the [[Multimodal]]
+    * dispatching decoder; same truncating luma fold as the dHash. */
+  def webpPixelStats(b: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val d = decodeVp8l(b)
+    if (d == null) return null
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var i = 0
+    while (i < d.px.length) {
+      val v = d.px(i)
+      val l = ((299L * ((v >>> 16) & 0xff) + 587L * ((v >>> 8) & 0xff) +
+        114L * (v & 0xff)) / 1000L).toInt
+      sum += l
+      if (l < mn) mn = l
+      if (l > mx) mx = l
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](d.w.toLong, d.h.toLong, d.px.length.toLong, sum, mn, mx))
+  }
+
   // ---- expressions ----------------------------------------------------------
+
+  private val WebpStatsType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("width", LongType),
+    org.apache.spark.sql.types.StructField("height", LongType),
+    org.apache.spark.sql.types.StructField("n_samples", LongType),
+    org.apache.spark.sql.types.StructField("sum_val", LongType),
+    org.apache.spark.sql.types.StructField("min_val",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("max_val",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** binary → VP8L luma stats struct, null on anything else. */
+  case class WebpStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = WebpStatsType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      webpPixelStats(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tmp = ctx.freshName("wst")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        org.apache.spark.sql.catalyst.expressions.GenericInternalRow $tmp =
+          graft.ext.WebpDecode.webpPixelStats($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): WebpStatsExpr =
+      copy(c)
+  }
+
+  /** (w, h, seed) → gray gradient VP8L bytes ([[webpGrayBytes]]). */
+  case class WebpGraySynthExpr(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      webpGrayBytes(a.asInstanceOf[Int], b.asInstanceOf[Int],
+        c.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = graft.ext.WebpDecode.webpGrayBytes($a, $b, $c);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression): WebpGraySynthExpr = copy(a, b, c)
+  }
+
+  def webpStats(bytes: Column): Column =
+    GraftSqlBridge.column(WebpStatsExpr(GraftSqlBridge.expression(bytes)))
+
+  def synthWebpGray(w: Column, h: Column, seed: Column): Column =
+    GraftSqlBridge.column(WebpGraySynthExpr(GraftSqlBridge.expression(w),
+      GraftSqlBridge.expression(h), GraftSqlBridge.expression(seed)))
 
   /** seed → WebP-lossless cell-grid bytes ([[webpCellBytes]]). */
   case class WebpCellSynthExpr(child: Expression) extends UnaryExpression {

@@ -321,6 +321,47 @@ class WebpDecodeSpec extends SparkSpec {
     assert(WebpDecode.webpDHash64(tiny) === null)
   }
 
+  test("webpGrayBytes: flat max_symbol code decodes to the exact gradient; stats real") {
+    val (w, h, px) = decode(WebpDecode.webpGrayBytes(50, 9, 130))
+    assert((w, h) === (50, 9))
+    for (y <- 0 until 9; x <- 0 until 50) {
+      val v = (130 + x) & 0xff
+      assert(px(y * 50 + x) === (0xff000000 | (v << 16) | (v << 8) | v),
+        s"pixel ($x,$y)")
+    }
+    val st = WebpDecode.webpPixelStats(WebpDecode.webpGrayBytes(50, 9, 130))
+    assert(st.getLong(0) === 50L && st.getLong(1) === 9L)
+    assert(st.getLong(2) === 450L)
+    // gradient wraps 130..179 → sum = 9 * Σ, min 130, max 179
+    assert(st.getLong(3) === 9L * (130 to 179).sum)
+    assert(st.getInt(4) === 130 && st.getInt(5) === 179)
+    // wrap case: seed 250 crosses 255 → min 0
+    val st2 = WebpDecode.webpPixelStats(WebpDecode.webpGrayBytes(10, 2, 250))
+    assert(st2.getInt(4) === 0 && st2.getInt(5) === 255)
+    assert(WebpDecode.webpPixelStats("junk".getBytes) === null)
+  }
+
+  test("decodeStats dispatches WebP; RIFF/WAVE still reads as WAV") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, WebpDecode.webpGrayBytes(20, 10, 5)),
+      (2L, PixelDecode.wavToneBytes(1, 8000, 100, 7)),
+      (3L, WebpDecode.webpCellBytes(3))).toDF("id", "media_bytes")
+    val got = rows.select(col("id"),
+      Multimodal.decodeStats(col("media_bytes")).as("st"))
+      .select(col("id"), col("st.media_type"), col("st.width"),
+        col("st.n_samples"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "image/webp", 2L -> "audio/wav",
+      3L -> "image/webp"))
+    // and the mapPartitions twin dispatches identically
+    val mp = Multimodal.decodeStatsPartitions(rows)
+      .select(col("id"), col("st.media_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(mp === got)
+  }
+
   test("column expressions: synth + dHash agree with the JVM functions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
