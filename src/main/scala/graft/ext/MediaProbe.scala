@@ -91,6 +91,15 @@ object MediaProbe {
       meta(u16le(b, 6).toLong, u16le(b, 8).toLong, "image/gif")
     } else if (isJpeg(b)) {
       jpegDims(b)
+    } else if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P' && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+        b(15) == 'L' && (b(20) & 0xff) == 0x2f) {
+      // VP8L header: 14-bit (width-1) then 14-bit (height-1), LSB-first
+      // from byte 21 — dims without any entropy decode
+      val v = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) |
+        ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+      meta((v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1, "image/webp")
     } else null
   }
 

@@ -362,6 +362,16 @@ class WebpDecodeSpec extends SparkSpec {
     assert(mp === got)
   }
 
+  test("MediaProbe reads VP8L dims from the header without decoding") {
+    val m = MediaProbe.probe(WebpDecode.webpGrayBytes(123, 77, 0))
+    assert(m != null)
+    assert(m.getLong(0) === 123L && m.getLong(1) === 77L)
+    assert(m.getUTF8String(2).toString === "image/webp")
+    // lossy VP8 chunk: not probed (no VP8L header), null
+    val lossy = WebpDecode.webpCellBytes(1).clone(); lossy(15) = ' '
+    assert(MediaProbe.probe(lossy) === null)
+  }
+
   test("column expressions: synth + dHash agree with the JVM functions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
