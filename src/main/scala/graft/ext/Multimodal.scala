@@ -41,17 +41,19 @@ object Multimodal {
     * column (image dHash, audio fingerprint, text simhash — whatever
     * the caller computed): `Dedup.simhash`'s chunk-pigeonhole
     * candidate discipline applied to a precomputed hash. Hamming ≤ 3
-    * runs on four 16-bit chunks; 4 ≤ maxHamming ≤ 7 automatically
-    * widens to eight 8-bit chunks (the radius real dHash duplicates —
-    * crops, brightness shifts, aggressive re-encodes — actually live
-    * at). Either way the pigeonhole guarantees at least one EQUAL
-    * chunk, so candidates come only from equal-chunk buckets — never
-    * all-pairs — and every candidate is verified by exact hamming.
-    * With `maxBucket` set, hot chunk values (b docs ⇒ b² candidates —
-    * a certainty at billions of blobs, and ~256× likelier per position
-    * in the 8-bit radius-7 mode, which should not run uncapped at
-    * scale) are SKIPPED and reported; a pair is missed only if ALL its
-    * equal chunks are hot, and pairs are never invented.
+    * runs on four 16-bit chunks (≥ 1 chunk EQUAL). 4 ≤ maxHamming ≤ 7
+    * keeps the 16-bit chunks and goes MULTI-PROBE: 7 errors over 4
+    * chunks leave some chunk with ≤ 1 error, so one side explodes its
+    * 4 exact chunk keys and the other side probes each chunk's
+    * 17-key 1-bit ball — candidates come from (chunk, key) buckets
+    * whose occupancy is N/2¹⁶ per position, NOT the N/2⁸ an 8-bit
+    * re-chunking would give (which made candidate mass quadratic with
+    * a 256× bigger constant — measured 22× wall growth for 10× docs
+    * before this design). Every candidate is verified by exact
+    * hamming. With `maxBucket` set, hot (chunk, key) buckets are
+    * SKIPPED and reported; a pair is missed only if ALL its
+    * qualifying chunks (equal at radius ≤ 3; within 1 bit at 4–7)
+    * are hot, and pairs are never invented.
     *
     * @return (pairs (id_a, id_b, hamming), overflow (chunk, cval,
     *         n_ids) per skipped bucket)
@@ -61,31 +63,44 @@ object Multimodal {
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
+      s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    val nChunks = if (maxHamming <= 3) 4 else 8
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
       .filter(col("ph").isNotNull)
       .localCheckpoint(true) // (id, int64): tiny; one scan, not two
     val allChunked = hashed.select(col("id"), col("ph"),
-      posexplode(H.simhashChunks(col("ph"), nChunks)).as(Seq("chunk", "cval")))
-    val (chunked, overflow) = maxBucket match {
+      posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
+    val (dropHot, overflow) = maxBucket match {
       case Some(cap) =>
         val hot = allChunked.groupBy(col("chunk"), col("cval"))
           .agg(count(lit(1)).as("n_ids"))
           .filter(col("n_ids") > cap)
           .localCheckpoint(true)
-        (allChunked.join(broadcast(hot.select(col("chunk"), col("cval"))),
+        val hotKeys = hot.select(col("chunk"), col("cval"))
+        ((df2: DataFrame) => df2.join(broadcast(hotKeys),
           Seq("chunk", "cval"), "left_anti"), hot)
       case None =>
         val spark = df.sparkSession
         import spark.implicits._
-        (allChunked,
+        (identity[DataFrame] _,
           Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
     }
+    val chunked = dropHot(allChunked)
     val a = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"),
       col("ph").as("ph_a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"),
+    // radius ≤ 3: equal-key join. 4–7: the b side probes the 1-bit
+    // ball of each chunk (17 rows per chunk); a pair with chunk error
+    // ≤ 1 meets in the bucket keyed by the EXACT side's value, in both
+    // orientations, so the id_a < id_b filter keeps exactly the
+    // orientation with the smaller exact id, and a pair is missed at a
+    // qualifying chunk only when BOTH endpoints' buckets there are hot
+    // (the ball is generated from the unfiltered rows; the anti-join
+    // on the probe KEY only skips shuffling rows into buckets the
+    // exact side already vacated).
+    val bBase = if (maxHamming <= 3) chunked
+      else dropHot(allChunked.select(col("chunk"), col("id"), col("ph"),
+        explode(H.oneBitBall(col("cval"))).as("cval")))
+    val b = bBase.select(col("chunk"), col("cval"), col("id").as("id_b"),
       col("ph").as("ph_b"))
     val pairs = a.join(b, Seq("chunk", "cval"))
       .filter(col("id_a") < col("id_b"))
@@ -128,21 +143,28 @@ object Multimodal {
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
+      s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    val nChunks = if (maxHamming <= 3) 4 else 8
     def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
       df.select(col(idCol).as(ic), col(hashCol).as(hc))
         .filter(col(hc).isNotNull)
         .localCheckpoint(true)
         .select(col(ic), col(hc),
-          posexplode(H.simhashChunks(col(hc), nChunks)).as(Seq("chunk", "cval")))
+          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
     val la = chunked(left, "id_a", "ph_a")
-    val rb = chunked(right, "id_b", "ph_b")
+    val rbExact = chunked(right, "id_b", "ph_b")
+    // radius 4–7: the RIGHT side probes the 1-bit ball per chunk; a
+    // cross pair with chunk error ≤ 1 meets in the bucket keyed by the
+    // LEFT side's exact value (exactly one ball key matches)
+    val rb = if (maxHamming <= 3) rbExact
+      else rbExact.select(col("chunk"), col("id_b"), col("ph_b"),
+        explode(H.oneBitBall(col("cval"))).as("cval"))
     val (laK, rbK, overflow) = maxBucket match {
       case Some(cap) =>
+        // hotness on the EXACT chunk keys of both sides (bucket
+        // occupancy = candidate mass), same accounting at every radius
         val hot = la.select(col("chunk"), col("cval"))
-          .unionByName(rb.select(col("chunk"), col("cval")))
+          .unionByName(rbExact.select(col("chunk"), col("cval")))
           .groupBy(col("chunk"), col("cval"))
           .agg(count(lit(1)).as("n_ids"))
           .filter(col("n_ids") > cap)

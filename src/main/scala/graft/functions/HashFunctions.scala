@@ -59,6 +59,14 @@ object HashFunctions {
       shiftrightunsigned(sim, c * w).bitwiseAND(m)): _*)
   }
 
+  /** The 17-key 1-bit ball of a 16-bit chunk value: the value plus its
+    * 16 one-bit flips — the multi-probe side of the radius-4..7 scheme
+    * (hamming ≤ 7 over 4 chunks ⇒ some chunk has ≤ 1 error ⇒ that
+    * chunk's exact key on one side meets the other side's ball). */
+  def oneBitBall(cval: Column): Column =
+    array((cval +: (0 until 16).map(i =>
+      cval.bitwiseXOR(lit(1L << i)))): _*)
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")

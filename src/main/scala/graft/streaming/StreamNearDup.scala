@@ -93,7 +93,14 @@ object StreamNearDup {
     * micro-batch where its LATER member arrives. 4 ≤ maxHamming ≤ 7
     * widens the pigeonhole to eight 8-bit chunks — per-arrival work
     * doubles (8 buckets) and buckets run ~256× hotter per position, so
-    * size `maxBucket` for the hotter radius-7 regime. */
+    * size `maxBucket` for the hotter radius-7 regime. (The BATCH
+    * operators and the frozen screen use 16-bit chunks + 1-bit
+    * multi-probe at this radius instead — 2⁸× colder buckets — but
+    * that shape is wrong HERE: probe rows pair in buckets that never
+    * admit them, so the stored-id idempotence guard couldn't see a
+    * redelivery, and remembering probe visitors would need unbounded
+    * state. This op keeps pairing buckets == admission buckets and
+    * leans on the per-bucket cap.) */
   def pairs(ds: Dataset[HashedDoc], maxHamming: Int = 3,
       maxBucket: Int = 4096): Dataset[NearDupPair] = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -201,18 +208,24 @@ object StreamNearDup {
       hotKeyLiteralMax: Int = HotKeyLiteralMax): (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"pigeonhole covers hamming <= 7 (8x8-bit chunks), got $maxHamming")
+      s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    val nChunks = chunksFor(maxHamming)
-    val w = 64 / nChunks
+    // per-chunk tolerance: equal chunks at radius ≤ 3; at 4–7 the
+    // STATIC reference explodes each chunk's 17-key 1-bit ball (paid
+    // once — the stream side stays at 4 exact keys per arrival), and a
+    // pair qualifies at a chunk when the chunk distance is ≤ 1
+    val tol = if (maxHamming <= 3) 0 else 1
     def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
       df.select(col(idCol).as(ic), col(hashCol).as(hc))
         .filter(col(hc).isNotNull)
         .select(col(ic), col(hc),
-          posexplode(H.simhashChunks(col(hc), nChunks)).as(Seq("chunk", "cval")))
+          posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
     val spark = reference.sparkSession
     import spark.implicits._
-    val refAll = chunked(reference, "id_b", "ph_b")
+    val refExact = chunked(reference, "id_b", "ph_b")
+    val refAll = if (tol == 0) refExact
+      else refExact.select(col("chunk"), col("id_b"), col("ph_b"),
+        explode(H.oneBitBall(col("cval"))).as("cval"))
     // Hot keys come to the DRIVER: the batch op broadcasts the same
     // frame, so the driver already pays this size (≤ nChunks·|ref|/cap
     // buckets of 12 bytes). The exactly-once rule below needs a PURE
@@ -233,7 +246,7 @@ object StreamNearDup {
         val rows = hot.select(col("chunk"), col("cval")).collect()
         val fn: (Int, Column) => Column =
           if (rows.length <= hotKeyLiteralMax) {
-            val byChunk = (0 until nChunks).map(c =>
+            val byChunk = (0 until 4).map(c =>
               rows.filter(_.getInt(0) == c).map(_.getLong(1)).sorted.toSeq)
             (c, cval) =>
               if (byChunk(c).isEmpty) lit(false)
@@ -250,8 +263,8 @@ object StreamNearDup {
           Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
     }
     def chunkOf(h: Column, c: Int): Column =
-      shiftrightunsigned(h, w * c).bitwiseAND(lit((1L << w) - 1))
-    def hotHere(df: DataFrame): DataFrame = df.filter(!(0 until nChunks)
+      shiftrightunsigned(h, 16 * c).bitwiseAND(lit(0xffffL))
+    def hotHere(df: DataFrame): DataFrame = df.filter(!(0 until 4)
       .map(c => col("chunk") === c && isHot(c, col("cval")))
       .reduce(_ || _))
     // drop hot buckets from BOTH sides: the ref side defines the cap;
@@ -262,11 +275,14 @@ object StreamNearDup {
     // equal-chunk bucket, and only the LOWEST of those speaks. Both
     // hashes are on the joined row and hotness is a pure row-side
     // lookup, so every bucket computes the same answer — a pure
-    // filter, no state. survives(c) = chunks equal at c AND not hot.
+    // filter, no state. survives(c) = chunk distance ≤ tol at c AND
+    // the bucket keyed by the ARRIVAL's chunk value not hot (that key
+    // is where the pair meets — exactly one reference ball row matches
+    // it per qualifying chunk).
     def survives(c: Int): Column =
-      chunkOf(col("ph_a"), c) === chunkOf(col("ph_b"), c) &&
+      H.hamming64(chunkOf(col("ph_a"), c), chunkOf(col("ph_b"), c)) <= tol &&
         !isHot(c, chunkOf(col("ph_a"), c))
-    val lowestSurviving = (0 until nChunks)
+    val lowestSurviving = (0 until 4)
       .map(c => col("chunk") === c &&
         (0 until c).map(p => !survives(p)).foldLeft(lit(true))(_ && _))
       .reduce(_ || _)

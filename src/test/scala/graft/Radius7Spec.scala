@@ -90,16 +90,16 @@ class Radius7Spec extends SparkSpec {
     assert(got === want)
   }
 
-  test("radius-7 cap: hot 8-bit bucket drops and reports; pairs never invented") {
-    // 8-bit chunk space is 256 values per position: a constant LOW
-    // byte makes chunk 0 one bucket holding the WHOLE corpus — the
-    // regime's signature hazard. Cap it; pairs must still arrive via
-    // the other 7 chunk positions, and the bucket must be reported.
+  test("radius-7 cap: hot chunk bucket drops and reports; pairs never invented") {
+    // a constant LOW 16 bits makes chunk 0 one bucket holding the
+    // WHOLE corpus — cap it; the planted pair (equal at cold chunks
+    // 2 and 3, 6 bits apart inside chunk 1) must still arrive via the
+    // surviving buckets, and the hot bucket must be reported.
     val rnd = new scala.util.Random(31)
     val docs = (0 until 40).map { i =>
-      (i.toLong, (rnd.nextLong() & ~0xffL) | 0x5aL)
-    } ++ Seq((900L, ((0xabcdef0123456700L) | 0x5aL)),
-      (901L, (0xabcdef0123456700L | 0x5aL) ^ (0x3fL << 8))) // ham 6, chunk 1
+      (i.toLong, (rnd.nextLong() & ~0xffffL) | 0x5a5aL)
+    } ++ Seq((900L, 0xabcdef0123450000L | 0x5a5aL),
+      (901L, (0xabcdef0123450000L | 0x5a5aL) ^ (0x3fL << 16))) // ham 6 in chunk 1
     val df = docs.toDF("id", "ph")
     val (pairs, overflow) = Multimodal.hashNearDupCapped(df, "id", "ph",
       maxHamming = 7, maxBucket = Some(8))
@@ -108,12 +108,12 @@ class Radius7Spec extends SparkSpec {
       (ia, ha) <- docs; (ib, hb) <- docs if ia < ib
       d = ham(ha, hb) if d <= 7
     } yield (ia, ib, d.toLong)).toSet
-    // the planted pair's equal chunks are all outside the hot bucket
+    // the planted pair's qualifying chunks (2, 3) are cold
     assert(got.contains((900L, 901L, 6L)))
     assert(got.subsetOf(want), "capped output must never invent pairs")
     val hot = overflow.as[(Int, Long, Long)].collect()
-    assert(hot.exists { case (c, v, n) => c == 0 && v == 0x5aL && n == 42 },
-      s"chunk-0 bucket 0x5a must be reported hot: ${hot.mkString(",")}")
+    assert(hot.exists { case (c, v, n) => c == 0 && v == 0x5a5aL && n == 42 },
+      s"chunk-0 bucket 0x5a5a must be reported hot: ${hot.mkString(",")}")
   }
 
   test("streaming stateful pairs at radius 7 equal the batch operator") {
