@@ -135,7 +135,7 @@ object Bench {
     "x139_jpeg_cross_dedup" -> 2.19, "x140_curation_increment" -> 4.23,
     "x141_quality_curation" -> 2.29, "x142_mixed_curation" -> 3.02,
     "x143_frozen_screen" -> 1.46, "x144_webp_cross_dedup" -> 1.45,
-    "x145_curation_store" -> 10.01, "x146_radius7_near_dup" -> 1.54,
+    "x145_curation_store" -> 10.01, "x146_radius7_near_dup" -> 1.49,
     "x147_audio_resample_dedup" -> 0.95, "x148_media_dispatch6" -> 0.84,
     "x9_text_quality" -> 0.36)
 
