@@ -157,6 +157,32 @@ class StreamBipartiteScreenSpec extends SparkSpec {
     }
   }
 
+  test("radius-7 screen streams with ZERO state; pairs at hamming 4-7 arrive once") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference member 6 bits from the arrival (beyond any equal
+    // 16-bit chunk in the touched chunk, found via the 1-bit ball on
+    // an untouched chunk), plus a hamming-9 member that must NOT pair
+    val h9 = H0 ^ 0x1ffL // 9 bits, chunk 0
+    val ref = refDf((100L, H0 ^ 0x3fL), (101L, h9))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val (pairs, _) = StreamNearDup.screenAgainst(ref,
+      input.toDF().toDF("id", "ph"), "id", "ph", maxHamming = 7)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("sbs7")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sbs7").toString)
+      .start()
+    try {
+      input.addData((1L, H0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "radius-7 screening must stay stateless")
+    } finally q.stop()
+    assert(spark.table("sbs7").as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 100L, 6L)))
+  }
+
   test("RocksDB provider is inert: stateless plan, same answer") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
