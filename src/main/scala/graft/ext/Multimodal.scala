@@ -113,7 +113,11 @@ object Multimodal {
   }
 
   /** [[hashNearDupCapped]] without the cap (exact pigeonhole — every
-    * hamming ≤ `maxHamming` pair is emitted). */
+    * hamming ≤ `maxHamming` pair is emitted). Exact full-recall search
+    * is inherently super-linear in N at fixed key width (bucket
+    * occupancy N/2¹⁶ per chunk position ⇒ candidate mass ~N²·c/2¹⁶,
+    * with c = 1 at radius ≤ 3 and 17 at 4–7) — at corpus scale run the
+    * capped form and size `maxBucket` to the recall/cost trade. */
   def hashNearDup(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame =
     hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None)._1
