@@ -176,6 +176,40 @@ class StreamNearDupSpec extends SparkSpec {
     }
   }
 
+  test("radius 7 streams on RocksDB: 8-bit buckets, hamming 4-7 pairs once each") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val out = StreamNearDup.pairs(
+        input.toDS().map { case (id, h) => HashedDoc(id, h) }, maxHamming = 7)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("snd_r7")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-snd-r7").toString)
+        .start()
+      try {
+        val h6 = H0 ^ 0x3fL          // ham 6 vs H0 (inside chunk 0)
+        val h9 = H0 ^ 0x1ffL         // ham 9: past the threshold
+        input.addData((1L, H0), (2L, FAR))
+        q.processAllAvailable()
+        input.addData((3L, h6), (4L, h9))
+        q.processAllAvailable()
+        // (1,3) at hamming 6 — exactly once even though SEVEN of the
+        // eight 8-bit chunks are equal; h9 is 9 from H0 (excluded) but
+        // only 3 from h6 (same-batch pair, later member emits)
+        assert(table("snd_r7") === Set((1L, 3L, 6), (3L, 4L, 3)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("random corpus: incremental equals batch operator exactly") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(11)
