@@ -198,7 +198,7 @@ object Multimodal {
 
   /** Image near-duplicate detection: perceptual dHash over the REAL
     * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff
-    * PNG/GIF/JPEG dispatch into one integer 9×8 area-average core,
+    * PNG/GIF/JPEG/WebP dispatch into one integer 9×8 area-average core,
     * codegen'd scan-side) + [[hashNearDup]]'s chunk-pigeonhole pair
     * generation. Identical images pair at hamming 0 EVEN ACROSS
     * LOSSLESS FORMATS (a gray pixel grid hashes identically as PNG or

@@ -668,16 +668,17 @@ object PixelDecode {
   }
 
   /** Format-dispatching perceptual hash: magic-sniff PNG vs GIF vs
-    * JPEG and run the matching decode+dHash — the SAME 9×8 integer
-    * core with the SAME truncating luma fold, and for gray palettes
-    * luma == index, so one pixel grid stored in any of the three
-    * formats hashes identically up to codec loss: PNG/GIF are
-    * lossless (bit-equal hashes), a high-quality JPEG re-save of the
-    * same pixels lands within a small hamming ball (exactly 0 on
-    * block-margin fixtures like [[pngCellBytes]] — margins dominate
-    * quantization noise). A JPEG-heavy real corpus — most of them —
-    * thus pairs against PNG/GIF originals through one hash space.
-    * Null for anything else. */
+    * JPEG vs WebP-lossless and run the matching decode+dHash — the
+    * SAME 9×8 integer core with the SAME truncating luma fold, and
+    * for gray palettes luma == index, so one pixel grid stored in any
+    * of the four formats hashes identically up to codec loss:
+    * PNG/GIF/VP8L are lossless (bit-equal hashes), a high-quality
+    * JPEG re-save of the same pixels lands within a small hamming
+    * ball (exactly 0 on block-margin fixtures like [[pngCellBytes]] —
+    * margins dominate quantization noise). A JPEG/WebP-heavy real
+    * corpus — most of them — thus pairs against PNG/GIF originals
+    * through one hash space. Null for anything else (including lossy
+    * VP8 WebP — a DCT codec we do not fake). */
   def imageDHash64(b: Array[Byte]): java.lang.Long = {
     if (b == null || b.length < 6) return null
     if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
