@@ -141,6 +141,37 @@ class Radius7Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("property: random corpora, every radius 0..7, capped ⊆ exact = brute force") {
+    for (trial <- 0 until 6) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val n = 25 + rnd.nextInt(20)
+      val base = (0 until n).map(i => (i.toLong, rnd.nextLong()))
+      val near = (0 until 12).map { i =>
+        var h = base(rnd.nextInt(n))._2
+        (0 until rnd.nextInt(10)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+        (800L + i, h)
+      }
+      val all = base ++ near
+      val df = all.toDF("id", "ph")
+      val mh = rnd.nextInt(8)
+      val want = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        d = ham(ha, hb) if d <= mh
+      } yield (ia, ib, d.toLong)).toSet
+      val exact = Multimodal.hashNearDup(df, "id", "ph", maxHamming = mh)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(exact === want, s"trial=$trial mh=$mh exact != brute force")
+      // a tight cap may only DROP pairs, never invent or corrupt them
+      val (cappedDf, overflow) = Multimodal.hashNearDupCapped(df, "id", "ph",
+        maxHamming = mh, maxBucket = Some(1 + rnd.nextInt(4)))
+      val capped = cappedDf.as[(Long, Long, Long)].collect().toSet
+      assert(capped.subsetOf(want), s"trial=$trial mh=$mh capped invented pairs")
+      // anything dropped must be explained by a reported hot bucket
+      if ((want -- capped).nonEmpty)
+        assert(overflow.count() > 0, s"trial=$trial mh=$mh silent drop")
+    }
+  }
+
   test("curation accepts a radius-7 threshold end to end") {
     // two docs pairing only at hamming 6 collapse to one survivor at
     // maxHamming = 7, stay separate at the default 3
