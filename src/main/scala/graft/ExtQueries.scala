@@ -3115,19 +3115,30 @@ object ExtQueries {
       (col("doc_id") % 7).as("quality"))
       .localCheckpoint(true)
     val store = java.nio.file.Files.createTempDirectory("graft-x145").toString
-    CurationRunner.applyIncrement(store,
-      hashed.filter(col("doc_id") % 2 === 0), 0L,
-      "doc_id", "ph", "quality", maxHamming = 0)
-    CurationRunner.applyIncrement(store,
-      hashed.filter(col("doc_id") % 4 === 1), 1L,
-      "doc_id", "ph", "quality", maxHamming = 0)
-    CurationRunner.applyIncrement(store,
-      hashed.filter(col("doc_id") % 4 === 3), 2L,
-      "doc_id", "ph", "quality", maxHamming = 0)
-    CurationRunner.prune(store, keep = 2)
-    CurationRunner.survivors(s, store, "doc_id", "ph", "quality")
-      .select(col("doc_id"), col("quality"), col("n_copies"))
-      .orderBy(col("doc_id"))
+    // bench/verify sweeps invoke this query repeatedly — without
+    // cleanup each run leaks three corpus-sized snapshots into /tmp.
+    // The survivor frame is eagerly localCheckpoint'd (survivor-set
+    // sized, ~32 B/row — same size class as one snapshot) so the
+    // store can be deleted before the caller acts on the result.
+    try {
+      CurationRunner.applyIncrement(store,
+        hashed.filter(col("doc_id") % 2 === 0), 0L,
+        "doc_id", "ph", "quality", maxHamming = 0)
+      CurationRunner.applyIncrement(store,
+        hashed.filter(col("doc_id") % 4 === 1), 1L,
+        "doc_id", "ph", "quality", maxHamming = 0)
+      CurationRunner.applyIncrement(store,
+        hashed.filter(col("doc_id") % 4 === 3), 2L,
+        "doc_id", "ph", "quality", maxHamming = 0)
+      CurationRunner.prune(store, keep = 2)
+      CurationRunner.survivors(s, store, "doc_id", "ph", "quality")
+        .select(col("doc_id"), col("quality"), col("n_copies"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** [EXT] Resample-invariant audio pairing

@@ -51,9 +51,12 @@ object Multimodal {
     * a 256× bigger constant — measured 22× wall growth for 10× docs
     * before this design). Every candidate is verified by exact
     * hamming. With `maxBucket` set, hot (chunk, key) buckets are
-    * SKIPPED and reported; a pair is missed only if ALL its
-    * qualifying chunks (equal at radius ≤ 3; within 1 bit at 4–7)
-    * are hot, and pairs are never invented.
+    * SKIPPED and reported; a pair is missed only if at EVERY
+    * qualifying chunk (equal at radius ≤ 3; within 1 bit at 4–7)
+    * BOTH endpoints' exact-value buckets are hot (both orientations
+    * of the exact×probe meeting are kept and least/greatest-
+    * normalized, so one cold endpoint bucket rescues the pair), and
+    * pairs are never invented.
     *
     * @return (pairs (id_a, id_b, hamming), overflow (chunk, cval,
     *         n_ids) per skipped bucket)
@@ -90,21 +93,28 @@ object Multimodal {
       col("ph").as("ph_a"))
     // radius ≤ 3: equal-key join. 4–7: the b side probes the 1-bit
     // ball of each chunk (17 rows per chunk); a pair with chunk error
-    // ≤ 1 meets in the bucket keyed by the EXACT side's value, in both
-    // orientations, so the id_a < id_b filter keeps exactly the
-    // orientation with the smaller exact id, and a pair is missed at a
-    // qualifying chunk only when BOTH endpoints' buckets there are hot
-    // (the ball is generated from the unfiltered rows; the anti-join
-    // on the probe KEY only skips shuffling rows into buckets the
-    // exact side already vacated).
+    // ≤ 1 meets in the bucket keyed by the EXACT side's value, in BOTH
+    // orientations (x exact × y probe at key(x), y exact × x probe at
+    // key(y)). Both orientations are kept and normalized with
+    // least/greatest — a pair survives if EITHER endpoint's bucket at
+    // a qualifying chunk is cold, so it's missed only when ALL its
+    // qualifying chunks have BOTH endpoints' buckets hot. (An
+    // id_a < id_b post-join filter would silently require the
+    // SMALLER id's bucket to be the cold one.) The ball is generated
+    // from the unfiltered rows; the anti-join on the probe KEY only
+    // skips shuffling rows into buckets the exact side already
+    // vacated. Hamming is symmetric, so the swap may label ph_a with
+    // id_b's hash — harmless.
     val bBase = if (maxHamming <= 3) chunked
       else dropHot(allChunked.select(col("chunk"), col("id"), col("ph"),
         explode(H.oneBitBall(col("cval"))).as("cval")))
     val b = bBase.select(col("chunk"), col("cval"), col("id").as("id_b"),
       col("ph").as("ph_b"))
     val pairs = a.join(b, Seq("chunk", "cval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("ph_a"), col("ph_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         H.hamming64(col("ph_a"), col("ph_b")).as("hamming"))
@@ -130,10 +140,12 @@ object Multimodal {
     * candidates come from (chunk, value) buckets joined LEFT×RIGHT
     * only, so the self-join's b² blowup becomes bL·bR and a side
     * with no bucket-mate costs nothing. Hot-bucket accounting is on
-    * the SUM of both sides' members: a bucket is skipped when
-    * bL + bR > maxBucket, and the reported `n_ids` is that sum — so
-    * the candidate mass of any surviving bucket is bounded by
-    * bL·bR ≤ (maxBucket/2)², tighter than the unipartite cap's
+    * the SUM of both sides' members AS JOINED — left exact chunk
+    * keys plus right PROBE keys (1-bit-ball-exploded 17× at radius
+    * 4–7, exact at ≤ 3): a bucket is skipped when bL + bR_ball >
+    * maxBucket, and the reported `n_ids` is that sum — so the
+    * candidate mass of any surviving bucket is genuinely bounded by
+    * bL·bR_ball ≤ (maxBucket/2)², tighter than the unipartite cap's
     * bound, at the cost of skipping some buckets whose product is
     * small (e.g. 1×maxBucket). Same drop-and-report contract.
     * Ids are NOT compared across sides (the two corpora own separate
@@ -165,10 +177,16 @@ object Multimodal {
         explode(H.oneBitBall(col("cval"))).as("cval"))
     val (laK, rbK, overflow) = maxBucket match {
       case Some(cap) =>
-        // hotness on the EXACT chunk keys of both sides (bucket
-        // occupancy = candidate mass), same accounting at every radius
+        // hotness on the keys that actually MEET in the join: the
+        // left side's exact chunk keys + the right side's probe keys
+        // (ball-exploded 17× at radius 4–7, exact at ≤ 3) — so a
+        // bucket's reported n_ids IS its candidate mass (bL + bR_ball,
+        // bounding bL·bR_ball ≤ (cap/2)²), the same ball-counted
+        // accounting StreamNearDup.screenAgainst uses. Counting only
+        // exact keys would let a surviving bucket carry ~17× the
+        // documented mass at radius 4–7.
         val hot = la.select(col("chunk"), col("cval"))
-          .unionByName(rbExact.select(col("chunk"), col("cval")))
+          .unionByName(rb.select(col("chunk"), col("cval")))
           .groupBy(col("chunk"), col("cval"))
           .agg(count(lit(1)).as("n_ids"))
           .filter(col("n_ids") > cap)

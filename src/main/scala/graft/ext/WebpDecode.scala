@@ -37,9 +37,12 @@ object WebpDecode {
 
   // ---- bit reader (LSB-first within and across bytes) -------------------
 
-  private final class Br(b: Array[Byte], start: Int) {
+  /** `endByte` bounds reads at the declared VP8L chunk boundary, not
+    * the buffer length — trailing RIFF chunks after a truncated or
+    * corrupt VP8L payload must set `bad`, never feed entropy decode. */
+  private final class Br(b: Array[Byte], start: Int, endByte: Long) {
     private var pos = start.toLong * 8
-    private val end = b.length.toLong * 8
+    private val end = math.min(endByte, b.length.toLong) * 8
     var bad = false
     def bits(n: Int): Int = {
       var v = 0
@@ -595,7 +598,7 @@ object WebpDecode {
       ((b(18) & 0xff) << 16) | ((b(19) & 0xff) << 24)
     if (chunkLen < 5 || 20L + chunkLen > b.length) return null
     if ((b(20) & 0xff) != 0x2f) return null
-    val br = new Br(b, 21)
+    val br = new Br(b, 21, 20L + chunkLen)
     val w = br.bits(14) + 1
     val h = br.bits(14) + 1
     br.bits(1) // alpha hint

@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
 import graft.streaming.StreamNearDup
 
-/** The radius-7 regime of the near-dup family: 4 ≤ maxHamming ≤ 7
-  * widens the pigeonhole from four 16-bit chunks to eight 8-bit chunks
-  * (hamming ≤ 7 ⇒ some 8-bit chunk equal), where real dHash
-  * near-duplicates — crops, brightness shifts, aggressive re-encodes —
-  * actually live. Pins: brute-force equality at every threshold 4–7
-  * (unipartite, bipartite, streaming-stateful, frozen-screen),
-  * hamming-8 pairs excluded, and the hot-bucket cap discipline in the
-  * much hotter 256-values-per-position bucket space. */
+/** The radius-7 regime of the near-dup family: 4 ≤ maxHamming ≤ 7,
+  * where real dHash near-duplicates — crops, brightness shifts,
+  * aggressive re-encodes — actually live. The BATCH operators keep
+  * four 16-bit chunks and go 1-bit multi-probe (7 errors over 4
+  * chunks ⇒ some chunk with ≤ 1 error: one side's exact keys meet
+  * the other side's 17-key 1-bit balls); only the STREAMING stateful
+  * op widens to eight 8-bit chunks (hamming ≤ 7 ⇒ some 8-bit chunk
+  * EQUAL — bucket state can't admit probe rows). Pins: brute-force
+  * equality at every threshold 4–7 (unipartite, bipartite,
+  * streaming-stateful, frozen-screen), hamming-8 pairs excluded, and
+  * the hot-bucket cap discipline. */
 class Radius7Spec extends SparkSpec {
   import spark.implicits._
 
@@ -114,6 +117,34 @@ class Radius7Spec extends SparkSpec {
     val hot = overflow.as[(Int, Long, Long)].collect()
     assert(hot.exists { case (c, v, n) => c == 0 && v == 0x5a5aL && n == 42 },
       s"chunk-0 bucket 0x5a5a must be reported hot: ${hot.mkString(",")}")
+  }
+
+  test("radius-7 cap: one cold endpoint bucket rescues the pair (both orientations kept)") {
+    // the SMALLER id (5) shares its full hash with 20 fillers, so all
+    // four of its exact (chunk, val) buckets are hot at cap 8; the
+    // larger id (900) differs by 1 bit inside chunk 0 — its chunk-0
+    // bucket is cold. The pair must arrive via the orientation that
+    // meets in 900's bucket (900 exact × 5's 1-bit probe). An
+    // id_a < id_b post-join filter would silently lose it: the
+    // surviving orientation emits (id_a=900, id_b=5).
+    val h = 0x1122334455667788L
+    val docs = Seq((5L, h)) ++
+      (100 until 120).map(i => (i.toLong, h)) ++
+      Seq((900L, h ^ 2L)) // 1 bit inside chunk 0
+    val df = docs.toDF("id", "ph")
+    val (pairs, overflow) = Multimodal.hashNearDupCapped(df, "id", "ph",
+      maxHamming = 7, maxBucket = Some(8))
+    val got = pairs.as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (ia, ha) <- docs; (ib, hb) <- docs if ia < ib
+      d = ham(ha, hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got.contains((5L, 900L, 1L)),
+      s"pair must survive via the cold larger-id bucket: $got")
+    assert(got.subsetOf(want), "capped output must never invent pairs")
+    // every one of the shared hash's four chunk buckets is reported
+    val hot = overflow.as[(Int, Long, Long)].collect()
+    assert((0 to 3).forall(c => hot.exists(_._1 == c)), hot.mkString(","))
   }
 
   test("streaming stateful pairs at radius 7 equal the batch operator") {
