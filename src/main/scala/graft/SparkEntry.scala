@@ -344,6 +344,50 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Kafka message headers end-to-end under the oracle gate (round
+    * 14): per-row headers attached at produce (reference
+    * `producer.rb:82,110-118`) ride BESIDE the Avro-encoded value in
+    * Spark's Kafka wire shape (`message.rb:71-78` — never inside the
+    * payload), decode back to the headers hash on consume
+    * (`message.rb:79-88`), and the `:headers` payload-log style
+    * (`logging.rb:84`) shapes the logged frame. The oracle recomputes
+    * every header value straight from `orders`, independent of the
+    * whole map→wire-entries→map machinery under test — a dropped,
+    * reordered, or byte-mangled header surfaces as a hash mismatch. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.PayloadLog
+    import graft.observe.Observe
+    import graft.produce.Producer
+    import graft.schema.AvroBackend
+    import graft.streaming.Streams
+    val avroJson =
+      """{"type":"record","name":"OrderHdr","fields":[
+        | {"name":"o_orderkey","type":"long"},
+        | {"name":"o_orderstatus","type":"string"},
+        | {"name":"message_id","type":["null","string"],"default":null},
+        | {"name":"timestamp","type":["null","string"],"default":null}]}""".stripMargin
+    val backend = new AvroBackend(avroJson)
+    val cfg = graft.model.TopicConfig("orders-hdr", "OrderHdr")
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("message_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit(null).cast("string"))
+    val hdrs = map(
+      lit("trace"), concat(lit("t-"), col("o_orderkey")),
+      lit("src"), col("o_orderstatus"))
+    val (framed, _) =
+      Producer.produceFrame(src, cfg, backend, headers = Some(hdrs))
+    val consumed = Streams.fromKafkaFrame(framed, backend)
+    val logged = Observe.payloadLogFrame(
+      consumed.select(col(graft.model.MessageCols.Headers)),
+      PayloadLog.Headers, Nil)
+    logged.select(
+      element_at(col("payload_headers"), "trace").as("trace"),
+      element_at(col("payload_headers"), "src").as("src"),
+      size(col("payload_headers")).as("n_headers"))
+      .orderBy(col("trace"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -481,6 +525,7 @@ object SparkEntry {
     "q16_scd2_history" -> (q16 _),
     "q17_proto_registry" -> (q17 _),
     "q18_dead_letter" -> (q18 _),
+    "q19_headers" -> (q19 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -614,6 +659,13 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
         |       ELSE o_orderstatus END AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // headers recomputed straight from the table — the produce→wire→
+    // consume→log-style chain under test never touches the oracle
+    "q19_headers" ->
+      """SELECT 't-' || CAST(o_orderkey AS VARCHAR) AS trace,
+        |  o_orderstatus AS src,
+        |  CAST(2 AS INTEGER) AS n_headers
+        |FROM orders ORDER BY trace""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -30,7 +30,7 @@ import java.nio.file.{Files, Path, Paths}
   * topic.orders.max_db_batch_size  = 500
   * topic.orders.bootstrap_servers  = cluster-b:9092
   * topic.orders.error_policy       = fatal          # fatal | skip (T6)
-  * topic.orders.payload_log        = keys           # full | keys | count (P14)
+  * topic.orders.payload_log        = keys           # full | keys | count | headers (P14)
   * db_poller.users.mode             = time_based  # time_based | state_based
   * db_poller.users.run_every        = 60
   * db_poller.users.delay_time       = 2
@@ -173,6 +173,7 @@ final case class GraftConfigFile(
         case PayloadLog.Full => "full"
         case PayloadLog.Keys => "keys"
         case PayloadLog.Count => "count"
+        case PayloadLog.Headers => "headers"
       }}\n"
     }
     pollers.toSeq.sortBy(_._1).foreach { case (name, p) =>
@@ -352,8 +353,9 @@ object GraftConfigFile {
           case "full" => t = t.copy(payloadLog = PayloadLog.Full)
           case "keys" => t = t.copy(payloadLog = PayloadLog.Keys)
           case "count" => t = t.copy(payloadLog = PayloadLog.Count)
+          case "headers" => t = t.copy(payloadLog = PayloadLog.Headers)
           case other =>
-            errors += s"topic.$name.payload_log: expected full|keys|count, got '$other'"
+            errors += s"topic.$name.payload_log: expected full|keys|count|headers, got '$other'"
         }
         case other => errors += s"topic.$name.$other: unknown topic setting"
       }}

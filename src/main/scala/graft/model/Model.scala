@@ -22,6 +22,32 @@ object MessageCols {
 
   /** Tombstone = nil payload (reference: `lib/deimos/message.rb:98-100`). */
   def isTombstone(value: Column): Column = value.isNull
+
+  /** Kafka wire shape of the headers column — Spark's Kafka
+    * source/sink contract: `ARRAY<STRUCT<key STRING, value BINARY>>`.
+    * The user-facing shape is the reference's headers Hash
+    * (`lib/deimos/message.rb:11,25-30`): `MAP<STRING, STRING>`. */
+  val HeadersWireType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      "ARRAY<STRUCT<key: STRING, value: BINARY>>")
+
+  /** headers map → Kafka wire entries (insertion order preserved). */
+  def headersToWire(h: Column): Column =
+    transform(map_entries(h), e => struct(
+      e.getField("key").as("key"),
+      e.getField("value").cast("binary").as("value")))
+
+  /** Kafka wire entries → headers map. Kafka allows duplicate header
+    * keys; a Ruby Hash keeps the LAST value, so an entry survives only
+    * if no later entry reuses its key (headers are tiny — the O(n²)
+    * scan beats tripping `spark.sql.mapKeyDedupPolicy=EXCEPTION`). */
+  def wireToHeaders(h: Column): Column =
+    map_from_entries(transform(
+      filter(h, (e, i) => !exists(slice(h, i + lit(2), size(h)),
+        e2 => e2.getField("key") === e.getField("key"))),
+      e => struct(
+        e.getField("key").as("key"),
+        e.getField("value").cast("string").as("value"))))
 }
 
 /** Key configuration, one of the reference's four modes
@@ -58,13 +84,16 @@ object ErrorPolicy {
 }
 
 /** P14 payload-log shaping style per topic (reference
-  * `topic.payload_log`: log full payloads, keys only, or only a
-  * count). Applied by [[graft.observe.Observe.payloadLogFrame]]. */
+  * `topic.payload_log`: log full payloads, keys only, only a count,
+  * or only the message headers — `lib/deimos/logging.rb:67-96`).
+  * Applied by [[graft.observe.Observe.payloadLogFrame]]. */
 sealed trait PayloadLog
 object PayloadLog {
   case object Full extends PayloadLog
   case object Keys extends PayloadLog
   case object Count extends PayloadLog
+  /** `:headers` style (`logging.rb:84`): log each message's headers. */
+  case object Headers extends PayloadLog
 }
 
 /** Per-topic configuration mirroring the reference routing DSL

@@ -73,6 +73,19 @@ object Observe {
       df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     case graft.model.PayloadLog.Count =>
       df.agg(count(lit(1)).as("rows"))
+    case graft.model.PayloadLog.Headers =>
+      // reference :headers style (`logging.rb:84`): one headers hash
+      // per message. Wire-shaped frames log the human map; a frame
+      // with no headers column logs nulls (the reference maps
+      // messages without headers to nil the same way).
+      import graft.model.MessageCols
+      import org.apache.spark.sql.functions.{col => c, lit => l}
+      if (!df.columns.contains(MessageCols.Headers))
+        df.select(l(null).cast("map<string,string>").as("payload_headers"))
+      else df.select((df.schema(MessageCols.Headers).dataType match {
+        case _: org.apache.spark.sql.types.MapType => c(MessageCols.Headers)
+        case _ => MessageCols.wireToHeaders(c(MessageCols.Headers))
+      }).as("payload_headers"))
   }
 
   /** StreamingQueryListener that forwards batch progress (rows/sec,

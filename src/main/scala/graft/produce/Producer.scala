@@ -32,13 +32,31 @@ object Producer {
     * rides in `partition_key` (the Kafka sink partitions by `key`
     * unless the caller maps partition_key over it — reference
     * semantics of `producer_middleware.rb:50-56`).
+    *
+    * @param headers per-row headers expression (`MAP<STRING,STRING>`)
+    *   attached to every produced message — the frame analog of the
+    *   reference's `publish(payload, headers:)` /
+    *   `publish_list(payloads, headers:)` argument
+    *   (`producer.rb:82,110-118`; one hash per publish call generalizes
+    *   to a column here). A `headers` column already on `attrs` (or
+    *   added by `generatePayload`) is carried too; the explicit
+    *   argument wins when both exist. Headers never enter the encoded
+    *   payload — they ride beside it in Kafka wire shape.
     */
   def produceFrame(attrs: DataFrame, cfg: TopicConfig, backend: SchemaBackend,
       hooks: ProducerHooks = new ProducerHooks {},
       keyBackend: Option[SchemaBackend] = None,
-      maxMessageBytes: Option[Int] = None): (DataFrame, DataFrame) = {
-    val shaped = hooks.generatePayload(attrs)
-    val payloads = Pipeline.schemaProject(shaped, backend.schemaFields)
+      maxMessageBytes: Option[Int] = None,
+      headers: Option[Column] = None): (DataFrame, DataFrame) = {
+    val shaped0 = hooks.generatePayload(attrs)
+    val shaped = headers.fold(shaped0)(h =>
+      shaped0.withColumn(MessageCols.Headers, h))
+    // headers survive the payload projection (they're frame metadata,
+    // not a schema field — schemaProject would drop them otherwise)
+    val payloads = Pipeline.schemaProject(shaped,
+      backend.schemaFields ++
+        (if (shaped.columns.contains(MessageCols.Headers))
+          Seq(MessageCols.Headers) else Nil))
     val withPk = hooks.partitionKey match {
       case Some(pk) =>
         payloads.withColumn(MessageCols.PartitionKey, pk.cast("string"))

@@ -20,9 +20,18 @@ import graft.schema.SchemaBackend
 object Streams {
 
   /** §3.1 produce path: payload frame → Kafka-shaped frame
-    * (topic/key/value/partition_key). Column pipeline: auto-fields →
-    * key extraction → encode → topic prefix (reference:
+    * (topic/key/value[/headers]/partition_key). Column pipeline:
+    * auto-fields → key extraction → encode → topic prefix (reference:
     * `ext/producer_middleware.rb:15-41,68-122`).
+    *
+    * A `headers` column on the input rides alongside the encoded
+    * payload (first-class Message field — reference
+    * `message.rb:11,25-30,71-88`, producer API `producer.rb:82,110`),
+    * emitted in Spark's Kafka wire shape
+    * ([[MessageCols.HeadersWireType]]; a `MAP<STRING,STRING>` input is
+    * converted, an already-wire-shaped one passes through). Absent
+    * headers are absent from the output too — the reference drops nil
+    * headers from the produced hash (`message.rb:71-78` delete_if).
     */
   def toKafkaFrame(payloads: DataFrame, cfg: TopicConfig,
       backend: SchemaBackend, keyBackend: Option[SchemaBackend] = None,
@@ -30,9 +39,11 @@ object Streams {
     require(EngineConfig.producerEnabled(producerClass),
       s"producers disabled for $producerClass")
     val withFields = Pipeline.autoFields(payloads)
-    // partition_key rides alongside, never inside, the encoded payload
-    // (P13 — reference producer_middleware.rb:50-56)
-    val payloadCols = payloads.columns.filterNot(_ == MessageCols.PartitionKey)
+    // partition_key and headers ride alongside, never inside, the
+    // encoded payload (P13 — reference producer_middleware.rb:50-56;
+    // headers — message.rb:71-78)
+    val payloadCols = payloads.columns.filterNot(c =>
+      c == MessageCols.PartitionKey || c == MessageCols.Headers)
     val payloadStruct = struct(
       (payloadCols ++ Seq("message_id", "timestamp").filterNot(payloadCols.contains))
         .map(col).toIndexedSeq: _*)
@@ -75,13 +86,21 @@ object Streams {
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(keyFields.map(col): _*)))
     }
-    val base = keyed.select(
+    val headerCols =
+      if (!payloads.columns.contains(MessageCols.Headers)) Seq.empty
+      else Seq((payloads.schema(MessageCols.Headers).dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          MessageCols.headersToWire(col(MessageCols.Headers))
+        case _ => col(MessageCols.Headers) // already wire-shaped
+      }).as(MessageCols.Headers))
+    val base = keyed.select(Seq(
       lit(cfg.fullTopic).as(MessageCols.Topic),
       col(MessageCols.Key),
-      backend.encodeExpr(payloadStruct).as(MessageCols.Value),
+      backend.encodeExpr(payloadStruct).as(MessageCols.Value)) ++
+      headerCols ++ Seq(
       (if (payloads.columns.contains(MessageCols.PartitionKey))
         col(MessageCols.PartitionKey)
-      else lit(null).cast("string")).as(MessageCols.PartitionKey))
+      else lit(null).cast("string")).as(MessageCols.PartitionKey)): _*)
     base
   }
 
@@ -112,9 +131,20 @@ object Streams {
     val decodeValue =
       if (lenient) backend.decodeLenientExpr(col(MessageCols.Value))
       else backend.decodeExpr(col(MessageCols.Value))
-    kafka.withColumn("payload",
+    val decoded = kafka.withColumn("payload",
       when(col(MessageCols.Value).isNotNull, decodeValue))
       .withColumn("decoded_key", decodedKey)
+    // headers surface as a MAP alongside the decoded payload/key
+    // (reference message.rb:79-88: headers are a first-class field of
+    // the consumed message hash). Wire-shaped frames (Kafka source
+    // with includeHeaders, toKafkaFrame output) convert; a frame whose
+    // headers already are a map passes through.
+    if (!kafka.columns.contains(MessageCols.Headers)) decoded
+    else decoded.withColumn("decoded_headers",
+      kafka.schema(MessageCols.Headers).dataType match {
+        case _: org.apache.spark.sql.types.MapType => col(MessageCols.Headers)
+        case _ => MessageCols.wireToHeaders(col(MessageCols.Headers))
+      })
   }
 
   /** §3.2 consume path suffix: per micro-batch, compact last-wins on
@@ -219,12 +249,15 @@ object Streams {
     */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
       cfg: TopicConfig, bootstrapServers: String,
-      maxOffsetsPerTrigger: Option[Long] = None): DataStreamReader = {
-    val r = spark.readStream.format("kafka")
+      maxOffsetsPerTrigger: Option[Long] = None,
+      includeHeaders: Boolean = false): DataStreamReader = {
+    val r0 = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers",
         cfg.bootstrapServers.getOrElse(bootstrapServers))
       .option("subscribe", cfg.fullTopic)
       .option("startingOffsets", "earliest")
+    // Spark's Kafka source omits the headers column unless asked
+    val r = if (includeHeaders) r0.option("includeHeaders", "true") else r0
     maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
   }
 

@@ -14,8 +14,10 @@ object TestKit {
 
   /** In-memory produced-message capture (reference `Backends::Test`,
     * `backends/test.rb:6-20`): collect a produced Kafka-shaped frame,
-    * decoded for assertion. */
-  final case class Sent(topic: String, key: Option[String], payload: Option[Row])
+    * decoded for assertion. `headers` is None for frames produced
+    * without a headers column (the reference's nil headers). */
+  final case class Sent(topic: String, key: Option[String],
+      payload: Option[Row], headers: Option[Map[String, String]] = None)
 
   /** @param topicPrefix when the producer config carries a topic
     *   prefix, test assertions run against the LOGICAL topic — the
@@ -32,17 +34,31 @@ object TestKit {
     }
 
     def publish(frame: DataFrame): Unit = {
+      // headers come back as the human map (wire frames convert) —
+      // the matcher compares hashes like the reference's have_sent
+      // (`test_helpers.rb:118-141`), not wire byte arrays
+      val headerCol =
+        if (!frame.columns.contains(MessageCols.Headers))
+          lit(null).cast("map<string,string>")
+        else frame.schema(MessageCols.Headers).dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            col(MessageCols.Headers)
+          case _ => MessageCols.wireToHeaders(col(MessageCols.Headers))
+        }
       val decoded = frame.select(
         col(MessageCols.Topic),
         col(MessageCols.Key).cast("string").as("k"),
         when(col(MessageCols.Value).isNotNull,
-          backend.decodeExpr(col(MessageCols.Value))).as("p"))
+          backend.decodeExpr(col(MessageCols.Value))).as("p"),
+        headerCol.as("h"))
         .collect()
       buffer.synchronized {
         buffer ++= decoded.map(r => Sent(
           logicalTopic(r.getString(0)),
           Option(r.getString(1)),
-          Option(r.getAs[Row]("p"))))
+          Option(r.getAs[Row]("p")),
+          Option(r.getAs[scala.collection.Map[String, String]]("h"))
+            .map(_.toMap)))
       }
     }
 
@@ -50,12 +66,15 @@ object TestKit {
     def clear(): Unit = buffer.synchronized(buffer.clear())
 
     /** `have_sent` analog: was a message with this topic + payload
-      * field values produced? */
-    def hasSent(topic: String, fields: Map[String, Any]): Boolean =
+      * field values produced? With `headers` given, the sent message's
+      * headers hash must EQUAL it (the reference matcher's headers arg
+      * is an exact hash match — `test_helpers.rb:118,137-141`). */
+    def hasSent(topic: String, fields: Map[String, Any],
+        headers: Option[Map[String, String]] = None): Boolean =
       sent.exists(s => s.topic == topic && s.payload.exists(p =>
         fields.forall { case (f, v) =>
           Option(p.getAs[Any](f)).map(_.toString) == Option(v).map(_.toString)
-        }))
+        }) && headers.forall(h => s.headers.contains(h)))
   }
 
   /** Drive a consumer with literal rows, the raw-frame variant: build

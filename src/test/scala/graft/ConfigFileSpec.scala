@@ -176,6 +176,21 @@ class ConfigFileSpec extends SparkSpec {
     assert(Observe.payloadLogFrame(df, PayloadLog.Full, Seq("id"))
       .columns.toSeq === Seq("id", "k", "v"))
 
+    // :headers style (logging.rb:84): one headers hash per message;
+    // parses, prints, and shapes — wire frames log the human map
+    val hc = GraftConfigFile.parse(
+      "topic.orders.schema = Order\ntopic.orders.payload_log = headers\n")
+    assert(hc.topic("orders").payloadLog === PayloadLog.Headers)
+    assert(hc.render.contains("topic.orders.payload_log = headers"))
+    val withH = df.withColumn("headers",
+      map(lit("trace"), concat(lit("t"), col("id"))))
+    assert(Observe.payloadLogFrame(withH, PayloadLog.Headers, Nil)
+      .as[Map[String, String]].collect().toSet ===
+      Set(Map("trace" -> "t1"), Map("trace" -> "t2")))
+    // frames without headers log nulls (reference maps them to nil)
+    assert(Observe.payloadLogFrame(df, PayloadLog.Headers, Nil)
+      .collect().forall(_.isNullAt(0)))
+
     val e = intercept[IllegalArgumentException](GraftConfigFile.parse(
       "topic.t.schema = T\ntopic.t.error_policy = retry\ntopic.t.payload_log = verbose\n"))
     assert(e.getMessage.contains("error_policy: expected fatal|skip"))

@@ -72,6 +72,16 @@ class KafkaWiringSpec extends SparkSpec {
     assert(o("maxoffsetspertrigger") === "500000")
   }
 
+  test("headers: includeHeaders opt-in lands in the source options") {
+    // Spark's Kafka source omits the headers column unless asked —
+    // consumers that read message headers (message.rb:79-88) opt in
+    val o = options(Streams.kafkaSource(spark, cfg, "b:9092",
+      includeHeaders = true))
+    assert(o("includeheaders") === "true")
+    assert(!options(Streams.kafkaSource(spark, cfg, "b:9092"))
+      .contains("includeheaders"))
+  }
+
   test("multi-topic source: comma-list subscribe, single-cluster guard") {
     val a = TopicConfig(topic = "orders", schemaName = "Order", namespace = "com.example", keyConfig = graft.model.KeyConfig.NoKey, topicPrefix = "prod.")
     val b = TopicConfig(topic = "users", schemaName = "User", namespace = "com.example", keyConfig = graft.model.KeyConfig.NoKey, topicPrefix = "prod.")

@@ -50,6 +50,54 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Set(("pre.widgets", "w1", 5L), ("pre.widgets", "w2", 7L)))
   }
 
+  test("headers ride the kafka frame in wire shape and decode back to the map") {
+    val backend = new AvroBackend(valueSchema)
+    val cfg = TopicConfig("widgets", "Widget")
+    // literal auto-fields: autoFields fills nulls with uuid()/now,
+    // which would make the two value-byte captures below diverge
+    val payloads = Seq(("w1", 5L), ("w2", 7L)).toDF("widget_id", "amount")
+      .withColumn("message_id", concat(lit("m-"), col("widget_id")))
+      .withColumn("timestamp", lit("2026-01-01"))
+    val withH = payloads.withColumn("headers",
+      map(lit("trace"), concat(lit("t-"), col("widget_id")),
+        lit("src"), lit("svc")))
+    val frame = Streams.toKafkaFrame(withH, cfg, backend)
+    // wire contract: headers beside the value, in Spark's Kafka shape
+    assert(frame.columns.toSeq ===
+      Seq("topic", "key", "value", "headers", "partition_key"))
+    assert(frame.schema("headers").dataType.catalogString ===
+      "array<struct<key:string,value:binary>>")
+    // headers never leak INTO the encoded payload: value bytes equal a
+    // header-less produce of the same rows
+    val bare = Streams.toKafkaFrame(payloads, cfg, backend)
+    assert(frame.select(base64(col("value"))).as[String].collect().sorted
+      === bare.select(base64(col("value"))).as[String].collect().sorted)
+    // consume side: the hash comes back beside the decoded payload
+    val decoded = Streams.fromKafkaFrame(frame, backend)
+    val got = decoded.select(
+      col("payload").getField("widget_id").as("w"),
+      element_at(col("decoded_headers"), "trace").as("t"),
+      element_at(col("decoded_headers"), "src").as("s"))
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(("w1", "t-w1", "svc"), ("w2", "t-w2", "svc")))
+    // reference parity: nil headers are dropped from the produced hash
+    // (message.rb:71-78) — a header-less input has no headers column
+    assert(bare.columns.toSeq ===
+      Seq("topic", "key", "value", "partition_key"))
+  }
+
+  test("duplicate wire header keys collapse last-wins, like a Ruby Hash") {
+    import graft.model.MessageCols
+    val wire = Seq(1).toDF("id").select(array(
+      struct(lit("k").as("key"), lit("a").cast("binary").as("value")),
+      struct(lit("x").as("key"), lit("1").cast("binary").as("value")),
+      struct(lit("k").as("key"), lit("b").cast("binary").as("value")))
+      .as("headers"))
+    val m = wire.select(MessageCols.wireToHeaders(col("headers")).as("h"))
+      .as[Map[String, String]].head()
+    assert(m === Map("k" -> "b", "x" -> "1"))
+  }
+
   test("KeyConfig.Field derives the one-field key schema when no keyBackend given") {
     val backend = new AvroBackend(valueSchema)
     val cfg = TopicConfig("widgets", "Widget",

@@ -32,6 +32,37 @@ class TestKitSpec extends SparkSpec {
     assert(sink.sent.isEmpty)
   }
 
+  test("have_sent headers arg: exact hash match on captured headers") {
+    import org.apache.spark.sql.functions._
+    val sink = new TestKit.CapturingSink(backend)
+    val payloads = Seq(("w1", 5L)).toDF("wid", "n")
+      .withColumn("message_id", lit("m"))
+      .withColumn("timestamp", lit("t"))
+      .withColumn("headers",
+        map(lit("trace"), lit("t1"), lit("src"), lit("svc")))
+    sink.publish(Streams.toKafkaFrame(payloads,
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.NoKey), backend))
+    assert(sink.sent.head.headers ===
+      Some(Map("trace" -> "t1", "src" -> "svc")))
+    assert(sink.hasSent("widgets", Map("wid" -> "w1"),
+      headers = Some(Map("trace" -> "t1", "src" -> "svc"))))
+    // reference matcher semantics (test_helpers.rb:137-141): the
+    // headers arg is an exact hash match — a subset or a wrong value
+    // does not match; omitting the arg skips the check entirely
+    assert(!sink.hasSent("widgets", Map("wid" -> "w1"),
+      headers = Some(Map("trace" -> "t1"))))
+    assert(!sink.hasSent("widgets", Map("wid" -> "w1"),
+      headers = Some(Map("trace" -> "XX", "src" -> "svc"))))
+    assert(sink.hasSent("widgets", Map("wid" -> "w1")))
+    // header-less frames capture None and never match a headers arg
+    sink.clear()
+    sink.publish(Streams.toKafkaFrame(payloads.drop("headers"),
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.NoKey), backend))
+    assert(sink.sent.head.headers === None)
+    assert(!sink.hasSent("widgets", Map("wid" -> "w1"),
+      headers = Some(Map("trace" -> "t1"))))
+  }
+
   test("capturing sink strips the topic prefix so assertions use logical topics") {
     // reference parity: decode_message subs producers.topic_prefix off
     // before config lookup (lib/deimos.rb:145-157)
