@@ -388,6 +388,34 @@ object SparkEntry {
       .orderBy(col("trace"))
   }
 
+  /** `save_associations_first` under the oracle gate (round 14 — M5's
+    * assoc-first direction, reference `mass_updater.rb:93-131`): each
+    * order row carries a nested association struct (its customer
+    * profile); the association batch is extracted and deduped first,
+    * a deterministic stand-in for the store's pk assignment numbers
+    * it (dense order over the attributes — in production the store's
+    * autoincrement does this; the row_number runs over the DEDUPED
+    * dim-sized frame, never the fact table), and the foreign key is
+    * filled back onto every primary. The oracle recomputes the
+    * profile ids and the fk join straight from `orders`, independent
+    * of the surrogate staging machinery under test — a dropped,
+    * duplicated, or mis-keyed fill-back surfaces as a mismatch. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val prim = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      struct(col("o_custkey").as("cust_id"),
+        col("o_orderpriority").as("prio")).as("cust_ref"))
+    val (assocBatch, staged) =
+      Materialize.extractAssociationsFirst(prim, "cust_ref")
+    val saved = assocBatch.withColumn("id",
+      row_number().over(Window.orderBy(col("cust_id"), col("prio")))
+        .cast("long"))
+    Materialize.fillForeignKeys(staged, saved,
+      pkCol = "id", fkCol = "cust_profile_id", assocCol = "cust_ref")
+      .select(col("o_orderkey"), col("cust_profile_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- headline
 
   /** TPC-H Q1-style pricing summary. Money sums in exact cents so the
@@ -526,6 +554,7 @@ object SparkEntry {
     "q17_proto_registry" -> (q17 _),
     "q18_dead_letter" -> (q18 _),
     "q19_headers" -> (q19 _),
+    "q20_assoc_first" -> (q20 _),
     "b1_pricing" -> (b1 _),
     "b2_star_join" -> (b2 _),
   ) ++ ExtQueries.queries
@@ -666,6 +695,22 @@ object SparkEntry {
         |  o_orderstatus AS src,
         |  CAST(2 AS INTEGER) AS n_headers
         |FROM orders ORDER BY trace""".stripMargin,
+    // assoc-first fk fill recomputed without the surrogate staging:
+    // distinct profiles numbered densely, joined back on the attrs
+    "q20_assoc_first" ->
+      """WITH assoc AS (
+        |  SELECT DISTINCT o_custkey AS cust_id, o_orderpriority AS prio
+        |  FROM orders
+        |), saved AS (
+        |  SELECT cust_id, prio,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cust_id, prio) AS BIGINT) AS id
+        |  FROM assoc
+        |)
+        |SELECT o.o_orderkey, s.id AS cust_profile_id
+        |FROM orders o
+        |JOIN saved s ON o.o_custkey = s.cust_id
+        |            AND o.o_orderpriority = s.prio
+        |ORDER BY o.o_orderkey""".stripMargin,
     "b1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -27,6 +27,7 @@ import java.nio.file.{Files, Path, Paths}
   * topic.orders.namespace          = com.example
   * topic.orders.key_config         = field:order_id  # none|plain:<f>|field:<path>|schema:<Name>
   * topic.orders.compacted          = true
+  * topic.orders.save_associations_first = false   # M5 assoc-first direction
   * topic.orders.max_db_batch_size  = 500
   * topic.orders.bootstrap_servers  = cluster-b:9092
   * topic.orders.error_policy       = fatal          # fatal | skip (T6)
@@ -165,6 +166,7 @@ final case class GraftConfigFile(
       if (t.namespace.nonEmpty) b ++= s"topic.$name.namespace = ${t.namespace}\n"
       b ++= s"topic.$name.key_config = ${key(t.keyConfig)}\n"
       b ++= s"topic.$name.compacted = ${t.compacted}\n"
+      b ++= s"topic.$name.save_associations_first = ${t.saveAssociationsFirst}\n"
       t.maxDbBatchSize.foreach(v => b ++= s"topic.$name.max_db_batch_size = $v\n")
       t.bootstrapServers.foreach(v => b ++= s"topic.$name.bootstrap_servers = $v\n")
       b ++= s"topic.$name.error_policy = ${
@@ -340,6 +342,8 @@ object GraftConfigFile {
         case "namespace" => t = t.copy(namespace = v)
         case "key_config" => t = t.copy(keyConfig = keyConfig(s"topic.$name.$s", v))
         case "compacted" => t = t.copy(compacted = bool(s"topic.$name.$s", v))
+        case "save_associations_first" =>
+          t = t.copy(saveAssociationsFirst = bool(s"topic.$name.$s", v))
         case "max_db_batch_size" =>
           t = t.copy(maxDbBatchSize = Some(int(s"topic.$name.$s", v)))
         case "bootstrap_servers" => t = t.copy(bootstrapServers = Some(v))

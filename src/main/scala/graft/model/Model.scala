@@ -112,6 +112,14 @@ object PayloadLog {
   *                       (reference: `batch_consumption.rb:148-163`)
   * @param bootstrapServers per-cluster override
   *                       (reference: `lib/deimos.rb:183-198`)
+  * @param saveAssociationsFirst M5 direction flag (reference topic
+  *                       setting `consumer_route.rb:13`,
+  *                       `active_record_consumer.rb:64-66`): the
+  *                       primary rows BELONG TO their nested
+  *                       association — save the association table
+  *                       first, then write primaries with the real
+  *                       foreign key filled back
+  *                       ([[graft.operators.Materialize.extractAssociationsFirst]])
   */
 final case class TopicConfig(
     topic: String,
@@ -123,7 +131,8 @@ final case class TopicConfig(
     maxDbBatchSize: Option[Int] = None,
     bootstrapServers: Option[String] = None,
     errorPolicy: ErrorPolicy = ErrorPolicy.Fatal,
-    payloadLog: PayloadLog = PayloadLog.Full) {
+    payloadLog: PayloadLog = PayloadLog.Full,
+    saveAssociationsFirst: Boolean = false) {
   def fullTopic: String = topicPrefix + topic
 }
 

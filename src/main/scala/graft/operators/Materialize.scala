@@ -88,6 +88,66 @@ object Materialize {
     parents.withColumn(surrogateCol,
       md5(concat_ws("|", fromCols.map(col): _*)))
 
+  /** M5, assoc-first direction (`save_associations_first` — reference
+    * `mass_updater.rb:93-131`, topic setting `consumer_route.rb:13` /
+    * `active_record_consumer.rb:64-66`): the primary rows BELONG TO
+    * their nested association record — the association table must be
+    * saved FIRST so every primary can be written with the real foreign
+    * key filled back (the reverse of [[fanOut]]'s parents-first
+    * direction, where children carry the parent key).
+    *
+    * This is step 1 (`assign_associations` + the save prep): pull the
+    * nested association struct off the primaries, collapse equal
+    * attribute sets to ONE association row (the reference's per-record
+    * BatchRecords land on one row through the child upsert's conflict
+    * target), and key everything by a deterministic surrogate of the
+    * attributes — the assoc-first analog of the bulk_import_id
+    * staging. After the caller saves the association batch (the store
+    * assigns primary keys), [[fillForeignKeys]] completes step 2.
+    *
+    * Scale shape: the dedup is one shuffle on the surrogate; the
+    * primaries pass through with one added column, no shuffle.
+    *
+    * @return (assocBatch, stagedPrimaries) — assocBatch is the deduped
+    *         association frame (attr columns + surrogate); staged
+    *         primaries carry the surrogate linking each row to its
+    *         association record.
+    */
+  def extractAssociationsFirst(primaries: DataFrame, assocCol: String,
+      surrogateCol: String = "bulk_import_id"): (DataFrame, DataFrame) = {
+    val st = primaries.schema(assocCol).dataType match {
+      case s: org.apache.spark.sql.types.StructType => s
+      case other => throw new IllegalArgumentException(
+        s"$assocCol must be a struct of association attributes, got " +
+          other.catalogString)
+    }
+    // to_json of a struct is schema-ordered, so equal attribute sets
+    // hash equal regardless of how the caller built the struct
+    val staged = primaries.withColumn(surrogateCol,
+      md5(to_json(col(assocCol))))
+    val assocBatch = staged.select(
+      (st.fieldNames.toIndexedSeq.map(f =>
+        col(assocCol).getField(f).as(f)) :+ col(surrogateCol)): _*)
+      .dropDuplicates(surrogateCol)
+    (assocBatch, staged)
+  }
+
+  /** M5, assoc-first step 2 (`mass_updater.rb:126-130`: each primary
+    * gets `assoc.foreign_key = saved association's id`): join the
+    * store-assigned primary key back onto the staged primaries on the
+    * surrogate, name it as the foreign-key column, and drop the
+    * staging columns — the returned frame is the primary batch ready
+    * for its own save, fks real. Inner join: every staged primary has
+    * its association row by construction, so no row is lost. */
+  def fillForeignKeys(stagedPrimaries: DataFrame, savedAssocs: DataFrame,
+      pkCol: String, fkCol: String, assocCol: String,
+      surrogateCol: String = "bulk_import_id"): DataFrame =
+    stagedPrimaries.join(
+      savedAssocs.select(col(surrogateCol), col(pkCol).as(fkCol)),
+      Seq(surrogateCol))
+      .drop(surrogateCol)
+      .drop(assocCol)
+
   /** "Replace associations" delete: children of touched parents that are
     * NOT in the incoming set are removed (reference:
     * `batch_record_list.rb:79-86`). Returns surviving children. */

@@ -159,8 +159,12 @@ class ConfigFileSpec extends SparkSpec {
       """topic.orders.schema = Order
         |topic.orders.error_policy = skip
         |topic.orders.payload_log = keys
+        |topic.orders.save_associations_first = true
         |topic.audit.schema = Audit
         |""".stripMargin)
+    // M5 assoc-first direction flag (reference consumer_route.rb:13)
+    assert(cfg.topic("orders").saveAssociationsFirst)
+    assert(!cfg.topic("audit").saveAssociationsFirst) // default
     assert(cfg.topic("orders").errorPolicy === ErrorPolicy.Skip)
     assert(!cfg.topic("orders").errorPolicy.isFatal(new RuntimeException))
     assert(cfg.topic("audit").errorPolicy === ErrorPolicy.Fatal) // default

@@ -61,6 +61,60 @@ class MaterializeSpec extends SparkSpec {
       (2L, "p2", 20L, "c20")))
   }
 
+  test("save_associations_first: assoc batch deduped, fk filled back on primaries") {
+    import spark.implicits._
+    // three orders, two referencing the SAME customer profile — the
+    // association batch must collapse them to one row, and both
+    // primaries must come back with the same fk
+    // (mass_updater.rb:93-131: save children first, then
+    // record.assign_attributes(assoc.foreign_key => assoc.id))
+    val prim = Seq(
+      (100L, 7L, "gold"), (200L, 7L, "gold"), (300L, 9L, "silver"))
+      .toDF("order_id", "cust", "tier")
+      .select(col("order_id"),
+        struct(col("cust"), col("tier")).as("profile"))
+    val (assocBatch, staged) =
+      Materialize.extractAssociationsFirst(prim, "profile")
+    assert(assocBatch.columns.toSeq === Seq("cust", "tier", "bulk_import_id"))
+    val assocs = assocBatch.select(col("cust"), col("tier"))
+      .as[(Long, String)].collect().toSet
+    assert(assocs === Set((7L, "gold"), (9L, "silver")),
+      "equal attribute sets collapse to one association row")
+    // the store's pk assignment, simulated deterministically
+    val saved = assocBatch.withColumn("id",
+      (col("cust") * 10).cast("long"))
+    val filled = Materialize.fillForeignKeys(staged, saved,
+      pkCol = "id", fkCol = "profile_id", assocCol = "profile")
+    assert(!filled.columns.contains("bulk_import_id") &&
+      !filled.columns.contains("profile"),
+      "staging columns dropped — the frame is ready for the primary save")
+    val got = filled.select(col("order_id"), col("profile_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 70L), (200L, 70L), (300L, 90L)))
+  }
+
+  test("save_associations_first: equal attrs hash equal however the struct was built") {
+    import spark.implicits._
+    // two frames building the same attribute set through different
+    // expressions must stage identical surrogates (the dedup and the
+    // fill-back join both ride on it)
+    val a = Seq((1L, 5L)).toDF("pk", "x")
+      .select(col("pk"), struct(col("x").as("v"), lit("c").as("w")).as("p"))
+    val b = Seq((2L, 5L)).toDF("pk", "x")
+      .select(col("pk"),
+        struct((col("x") + 0).as("v"), concat(lit("c")).as("w")).as("p"))
+    val sa = Materialize.extractAssociationsFirst(a, "p")._2
+      .select(col("bulk_import_id")).as[String].head()
+    val sb = Materialize.extractAssociationsFirst(b, "p")._2
+      .select(col("bulk_import_id")).as[String].head()
+    assert(sa === sb)
+    // non-struct assoc columns are rejected loudly
+    val e = intercept[IllegalArgumentException](
+      Materialize.extractAssociationsFirst(
+        Seq((1L, 2L)).toDF("pk", "flat"), "flat"))
+    assert(e.getMessage.contains("struct"))
+  }
+
   test("replaceChildren removes stale children of touched parents only") {
     val existing = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
       .toDF("pk", "ck")
