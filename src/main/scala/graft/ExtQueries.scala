@@ -3205,10 +3205,55 @@ object ExtQueries {
     pairs.orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [EXT] Radius-7 near-dup with the hot-bucket GOVERNOR FIRING
+    * (x146's fixture deliberately keeps every bucket cold — this is
+    * the production regime the cap exists for): every 5th doc's
+    * low 16-bit chunk is forced to one constant, so that (chunk 0,
+    * 0x5a5a) bucket holds N/5 docs and blows the cap 64 at every
+    * scale from sf0.01 up — the governed path, not the lucky one.
+    * FULL exact oracle for BOTH output kinds: DuckDB recomputes the
+    * hashes (x146's arithmetic + the same low-chunk override), the
+    * hot buckets at the same cap, the capped pair set from first
+    * principles — a pair survives iff at SOME chunk within 1 bit at
+    * least one endpoint's bucket is cold (exactly
+    * `hashNearDupCapped`'s both-orientations drop semantics) — and
+    * the drop report (chunk, value, occupancy). A silent drop, an
+    * invented pair, or a mis-counted overflow row all hash-mismatch.
+    * Output: kind='drop' rows (chunk, cval, n_ids) + kind='pair'
+    * rows (id_a, id_b, hamming). */
+  private def x149(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val g = mediaSeed(col("doc_id"))
+    val c = col("doc_id") % 23
+    val P = Seq(31L, 67L, 101L, 151L, 197L, 223L, 13L, 89L)
+    val Q = Seq(17L, 29L, 41L, 53L, 71L, 83L, 97L, 113L)
+    val base = (0 until 8).map(j =>
+      (((g * P(j)) % 251 + (g * Q(j)) % 257) % (if (j == 7) 128 else 256)) *
+        lit(1L << (8 * j)))
+      .reduce(_ + _)
+    val mask = expr("shiftleft(shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(__c % 9 AS INT)) - 1, CAST((__c * 7) % 56 AS INT))")
+    val h0 = col("__b").bitwiseXOR(mask)
+    val hashed = ids.select(col("doc_id"), c.as("__c"), base.as("__b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          h0.bitwiseAND(lit(-65536L)).bitwiseOR(lit(0x5a5aL)))
+          .otherwise(h0).as("h"))
+    val (pairs, overflow) = Multimodal.hashNearDupCapped(hashed, "doc_id",
+      "h", maxHamming = 7, maxBucket = Some(64))
+    pairs.select(lit("pair").as("kind"), col("id_a").as("a"),
+        col("id_b").as("b"), col("hamming").as("v"))
+      .unionByName(overflow.select(lit("drop").as("kind"),
+        col("chunk").cast("long").as("a"), col("cval").as("b"),
+        col("n_ids").as("v")))
+      .orderBy(col("kind"), col("a"), col("b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x148_media_dispatch6" -> (x148 _),
     "x147_audio_resample_dedup" -> (x147 _),
     "x146_radius7_near_dup" -> (x146 _),
+    "x149_radius7_capped" -> (x149 _),
     "x145_curation_store" -> (x145 _),
     "x144_webp_cross_dedup" -> (x144 _),
     "x143_frozen_screen" -> (x143 _),
@@ -3391,6 +3436,61 @@ object ExtQueries {
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+    // x149: FULL exact oracle for the GOVERNED radius-7 path — DuckDB
+    // recomputes the hashes (x146 arithmetic + low-chunk override),
+    // the hot buckets at cap 64, the capped pair set from first
+    // principles (surviving pair ⇔ some within-1-bit chunk has a cold
+    // endpoint bucket), AND the drop report rows
+    "x149_radius7_capped" ->
+      """WITH ids AS (SELECT doc_id,
+        |    (doc_id % 251) + (doc_id // 10000000) * 251 AS g,
+        |    doc_id % 23 AS c
+        |  FROM documents),
+        |h0 AS (SELECT doc_id,
+        |    xor(
+        |      (((g*31)%251 + (g*17)%257)%256)
+        |      + (((g*67)%251 + (g*29)%257)%256) * (1::BIGINT << 8)
+        |      + (((g*101)%251 + (g*41)%257)%256) * (1::BIGINT << 16)
+        |      + (((g*151)%251 + (g*53)%257)%256) * (1::BIGINT << 24)
+        |      + (((g*197)%251 + (g*71)%257)%256) * (1::BIGINT << 32)
+        |      + (((g*223)%251 + (g*83)%257)%256) * (1::BIGINT << 40)
+        |      + (((g*13)%251 + (g*97)%257)%256) * (1::BIGINT << 48)
+        |      + (((g*89)%251 + (g*113)%257)%128) * (1::BIGINT << 56),
+        |      ((1::BIGINT << (c % 9)) - 1) << ((c * 7) % 56)
+        |    ) AS h
+        |  FROM ids),
+        |hsh AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN (h & CAST(-65536 AS BIGINT)) | 23130
+        |      ELSE h END AS h
+        |  FROM h0),
+        |ch AS (SELECT doc_id, (h >> (16*p)) & 65535 AS cv, p
+        |  FROM hsh, (VALUES (0),(1),(2),(3)) AS t(p)),
+        |hot AS (SELECT p, cv, COUNT(*) AS n
+        |  FROM ch GROUP BY 1, 2 HAVING COUNT(*) > 64),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    bit_count(xor(a.h, b.h)) AS d, a.h AS ha, b.h AS hb
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 7),
+        |kept AS (SELECT ia, ib, d FROM pr
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM (VALUES (0),(1),(2),(3)) AS t(q)
+        |    WHERE bit_count(xor((pr.ha >> (16*q)) & 65535,
+        |                        (pr.hb >> (16*q)) & 65535)) <= 1
+        |      AND (NOT EXISTS (SELECT 1 FROM hot
+        |             WHERE hot.p = t.q
+        |               AND hot.cv = (pr.ha >> (16*q)) & 65535)
+        |        OR NOT EXISTS (SELECT 1 FROM hot
+        |             WHERE hot.p = t.q
+        |               AND hot.cv = (pr.hb >> (16*q)) & 65535))))
+        |SELECT * FROM (
+        |  SELECT 'pair' AS kind, ia AS a, ib AS b, CAST(d AS BIGINT) AS v
+        |  FROM kept
+        |  UNION ALL
+        |  SELECT 'drop' AS kind, CAST(p AS BIGINT) AS a,
+        |    CAST(cv AS BIGINT) AS b, CAST(n AS BIGINT) AS v
+        |  FROM hot
+        |) ORDER BY kind, a, b""".stripMargin,
     // identical tie-closed-form rank sums over the (source, value,
     // count) frame; two final IEEE divisions
     "x132_gini" ->

@@ -42,7 +42,11 @@ object ScaleCurve {
     "x94_pagerank", "x102_ppr", "x124_prefix_jaccard", "x81_pipeline",
     "x13_dedup_groups", "q18_dead_letter", "x7_ann_lsh",
     "x134_image_dhash", "x136_video_fingerprint",
-    "x140_curation_increment", "x146_radius7_near_dup")
+    "x140_curation_increment", "x146_radius7_near_dup",
+    // the GOVERNED radius-7 path: the hot-bucket cap fires at every
+    // scale (x146 measures the ungoverned exact search; this row
+    // proves the governor actually bounds growth)
+    "x149_radius7_capped")
 
   private val TpchOffset = 100000000L
   /** Replica id stride for documents/embeddings — also the band width

@@ -35,11 +35,14 @@ class PlanPinsR13Spec extends SparkSpec {
   }
 
   test("x145 store read-back: the final select is a snapshot scan, not a recompute") {
-    // survivors() resolves the newest commit marker and reads ONE
-    // parquet snapshot: the returned frame's plan must be a plain
-    // file scan (plus sort/project) with no joins at all
+    // survivors() resolves the newest commit marker, reads ONE parquet
+    // snapshot, and (round 14) eagerly localCheckpoints the
+    // survivor-set-sized result so the temp store can be deleted: the
+    // returned frame's plan must be a plain materialized-snapshot scan
+    // with no joins — any curation recompute leaking into the final
+    // plan would surface as join/aggregate nodes here
     val p = plan("x145_curation_store")
     assert(!p.contains("Join"), p)
-    assert(p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 }
