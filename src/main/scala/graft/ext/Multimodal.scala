@@ -110,11 +110,21 @@ object Multimodal {
         explode(H.oneBitBall(col("cval"))).as("cval")))
     val b = bBase.select(col("chunk"), col("cval"), col("id").as("id_b"),
       col("ph").as("ph_b"))
-    val pairs = a.join(b, Seq("chunk", "cval"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("ph_a"), col("ph_b"))
+    val joined = a.join(b, Seq("chunk", "cval"))
+    val oriented =
+      if (maxHamming <= 3)
+        // radius ≤ 3: both endpoints sit in the SAME bucket at a
+        // qualifying (equal) chunk, so the two orientations live or
+        // die together — id_a < id_b keeps one without losing recall
+        // and halves the dedup shuffle
+        joined.filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      else
+        joined.filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            col("ph_a"), col("ph_b"))
+    val pairs = oriented
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         H.hamming64(col("ph_a"), col("ph_b")).as("hamming"))
