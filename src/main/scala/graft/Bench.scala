@@ -65,6 +65,8 @@ object Bench {
     "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.67,
     "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,
     "q17_proto_registry" -> 0.58, "q18_dead_letter" -> 1.32,
+    "q19_headers" -> 1.24, "q20_assoc_first" -> 0.98,
+    "x149_radius7_capped" -> 1.09,
     "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.24, "q4_slice" -> 0.34,
     "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.11, "q7_watched" -> 0.44,

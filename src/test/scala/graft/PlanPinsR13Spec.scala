@@ -18,6 +18,13 @@ class PlanPinsR13Spec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("x149 governed radius-7: same join discipline with the cap firing") {
+    val p = plan("x149_radius7_capped")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("x144/x147 cross-format screens: same join discipline") {
     for (q <- Seq("x144_webp_cross_dedup", "x147_audio_resample_dedup")) {
       val p = plan(q)
