@@ -55,6 +55,38 @@ class ConsumerSpec extends SparkSpec {
         "graft.batch_consumption.invalid_records", 0L) === 0L)
   }
 
+  test("consumers see message headers: hooks can route on decoded_headers") {
+    // a kafka frame read with includeHeaders carries the wire-shaped
+    // headers column; fromKafkaFrame (inside consumeBatch) surfaces
+    // decoded_headers as a map, so per-row hooks can filter/shape on
+    // header values (message.rb:79-88 — headers are a first-class
+    // field of the consumed message)
+    val withHeaders = kafkaFrame.withColumn("headers",
+      when(col("offset") === 2L, array(struct(
+        lit("skip").as("key"), lit("1").cast("binary").as("value"))))
+        .otherwise(array(struct(
+          lit("src").as("key"), lit("svc").cast("binary").as("value")))))
+    object HeaderHooks extends ConsumerHooks {
+      // drop any message a producer marked with a skip header
+      override def processMessage: Column =
+        element_at(col("decoded_headers"), "skip").isNull
+      override def isTombstone: Column = col("payload").isNull
+      override def recordAttributes(p: DataFrame): DataFrame =
+        p.withColumn("via", element_at(col("decoded_headers"), "src"))
+    }
+    val consumer = new BatchConsumer(
+      TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id")),
+      backend, HeaderHooks, keyCols = Seq("decoded_key"), orderCol = "offset")
+    val (up, del) = consumer.consumeBatch(withHeaders)
+    val ups = up.select(col("decoded_key"), col("payload.amount"),
+      col("via")).as[(String, Long, String)].collect().toSet
+    // offset 2 (A amount=6) was skipped via its header, so A's
+    // surviving version is offset 1; B(-1) survives — HeaderHooks
+    // doesn't carry the amount filter
+    assert(ups === Set(("A", 5L, "svc"), ("B", -1L, "svc")))
+    assert(del.select("decoded_key").as[String].collect().toSeq === Seq("C"))
+  }
+
   test("uncompacted mode keeps every surviving version") {
     val consumer = new BatchConsumer(
       TopicConfig("widgets", "Widget", keyConfig = KeyConfig.Plain("widget_id"),
