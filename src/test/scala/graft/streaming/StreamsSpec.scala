@@ -86,6 +86,27 @@ class StreamsSpec extends SparkSpec {
       Seq("topic", "key", "value", "partition_key"))
   }
 
+  test("headers wire round-trip edges: empty map, null values, unicode, order") {
+    import graft.model.MessageCols
+    val rt = (c: org.apache.spark.sql.Column) =>
+      MessageCols.wireToHeaders(MessageCols.headersToWire(c))
+    // empty map survives; Kafka allows null header VALUES (a map with
+    // a null value round-trips); unicode keys/values byte-exact
+    val m0 = Map.empty[String, String]
+    val m1 = Map("k" -> null.asInstanceOf[String], "ü" -> "日本語 ✓")
+    val got = Seq(1).toDF("id").select(
+      rt(typedLit(m0)).as("a"), rt(typedLit(m1)).as("b"))
+      .as[(Map[String, String], Map[String, String])].head()
+    assert(got._1 === m0)
+    assert(got._2 === m1)
+    // a 20-entry map keeps every entry (the O(n²) last-wins dedup
+    // filter must not eat distinct keys)
+    val big = (0 until 20).map(i => s"k$i" -> s"v$i").toMap
+    val gotBig = Seq(1).toDF("id").select(rt(typedLit(big)).as("m"))
+      .as[Map[String, String]].head()
+    assert(gotBig === big)
+  }
+
   test("duplicate wire header keys collapse last-wins, like a Ruby Hash") {
     import graft.model.MessageCols
     val wire = Seq(1).toDF("id").select(array(
