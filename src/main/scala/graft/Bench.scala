@@ -62,14 +62,14 @@ object Bench {
     "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.34,
     "b4_approx_agg" -> 0.76, "q10_fanout" -> 0.86,
     "q11_autofields" -> 0.29, "q12_compound_key" -> 1.12,
-    "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.67,
+    "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.64,
     "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,
     "q17_proto_registry" -> 0.58, "q18_dead_letter" -> 1.32,
     "q19_headers" -> 1.24, "q20_assoc_first" -> 0.91,
-    "x149_radius7_capped" -> 0.95,
+    "x149_radius7_capped" -> 0.79,
     "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.24, "q4_slice" -> 0.34,
-    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.1, "q7_watched" -> 0.44,
+    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.1, "q7_watched" -> 0.42,
     "q8_pending" -> 0.19, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
     "x13_dedup_groups" -> 2.29, "x14_vocab" -> 0.39,
@@ -85,7 +85,7 @@ object Bench {
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.41,
     "x35_media_dispatch" -> 0.46, "x36_jpeg_decode" -> 0.52,
     "x37_video_frames" -> 0.49, "x38_contamination" -> 0.68,
-    "x39_len_quantiles" -> 0.35, "x3_dedup_simhash" -> 1.28,
+    "x39_len_quantiles" -> 0.32, "x3_dedup_simhash" -> 1.28,
     "x40_postings" -> 0.65, "x41_media_dispatch5" -> 0.52,
     "x42_profile" -> 0.54, "x43_cap_per_group" -> 0.15,
     "x44_components" -> 0.61, "x45_epoch_shuffle" -> 0.18,
@@ -104,7 +104,7 @@ object Bench {
     "x71_containment" -> 0.94, "x72_lexdiv" -> 1.42,
     "x73_robust_outliers" -> 0.81, "x74_quality_gate" -> 0.99,
     "x75_span_dedup" -> 0.84, "x76_doc_trunc" -> 0.27,
-    "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.18,
+    "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.17,
     "x7_ann_lsh" -> 0.96, "x80_oov" -> 0.50, "x81_pipeline" -> 1.87,
     "x82_transitions" -> 0.42, "x83_drift" -> 0.22,
     "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
@@ -113,18 +113,18 @@ object Bench {
     "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
     "x91_html_strip" -> 0.48, "x92_domain_stats" -> 0.31,
     "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.26,
-    "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 1.94,
-    "x97_dup_extents" -> 1.38, "x98_temperature_mix" -> 0.3,
+    "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 1.75,
+    "x97_dup_extents" -> 1.38, "x98_temperature_mix" -> 0.24,
     "x99_entity_match" -> 0.40, "x100_incr_stats" -> 0.23,
     "x101_exif_meta" -> 0.18, "x102_ppr" -> 4.79,
     "x103_quantile_bins" -> 0.34, "x104_pad_waste" -> 0.3,
-    "x105_salted_join" -> 0.39, "x106_wilson_domains" -> 0.25,
+    "x105_salted_join" -> 0.39, "x106_wilson_domains" -> 0.22,
     "x107_token_budget" -> 0.44, "x108_join_profile" -> 0.24,
     "x109_kanon" -> 0.15, "x110_novelty" -> 0.84,
-    "x111_winsorize" -> 0.38, "x112_reliability" -> 0.27,
+    "x111_winsorize" -> 0.35, "x112_reliability" -> 0.27,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.57,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.23,
-    "x117_triangles" -> 0.97, "x118_nearest_join" -> 0.6,
+    "x117_triangles" -> 0.75, "x118_nearest_join" -> 0.54,
     "x119_sql_surface" -> 0.15, "x120_sentences" -> 0.39,
     "x121_fd_profile" -> 0.30, "x122_benford" -> 0.31,
     "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.57,
@@ -138,7 +138,7 @@ object Bench {
     "x141_quality_curation" -> 2.15, "x142_mixed_curation" -> 2.88,
     "x143_frozen_screen" -> 1.46, "x144_webp_cross_dedup" -> 1.45,
     "x145_curation_store" -> 8.71, "x146_radius7_near_dup" -> 0.85,
-    "x147_audio_resample_dedup" -> 0.88, "x148_media_dispatch6" -> 0.59,
+    "x147_audio_resample_dedup" -> 0.88, "x148_media_dispatch6" -> 0.47,
     "x9_text_quality" -> 0.36)
 
   private[graft] val AdjudicateFactor = 2.0
