@@ -15,9 +15,12 @@ object TestKit {
   /** In-memory produced-message capture (reference `Backends::Test`,
     * `backends/test.rb:6-20`): collect a produced Kafka-shaped frame,
     * decoded for assertion. `headers` is None for frames produced
-    * without a headers column (the reference's nil headers). */
+    * without a headers column (the reference's nil headers);
+    * `partitionKey` is None when the frame carried a null
+    * partition_key. */
   final case class Sent(topic: String, key: Option[String],
-      payload: Option[Row], headers: Option[Map[String, String]] = None)
+      payload: Option[Row], headers: Option[Map[String, String]] = None,
+      partitionKey: Option[String] = None)
 
   /** @param topicPrefix when the producer config carries a topic
     *   prefix, test assertions run against the LOGICAL topic — the
@@ -45,12 +48,17 @@ object TestKit {
             col(MessageCols.Headers)
           case _ => MessageCols.wireToHeaders(col(MessageCols.Headers))
         }
+      val pkCol =
+        if (frame.columns.contains(MessageCols.PartitionKey))
+          col(MessageCols.PartitionKey).cast("string")
+        else lit(null).cast("string")
       val decoded = frame.select(
         col(MessageCols.Topic),
         col(MessageCols.Key).cast("string").as("k"),
         when(col(MessageCols.Value).isNotNull,
           backend.decodeExpr(col(MessageCols.Value))).as("p"),
-        headerCol.as("h"))
+        headerCol.as("h"),
+        pkCol.as("pk"))
         .collect()
       buffer.synchronized {
         buffer ++= decoded.map(r => Sent(
@@ -58,7 +66,8 @@ object TestKit {
           Option(r.getString(1)),
           Option(r.getAs[Row]("p")),
           Option(r.getAs[scala.collection.Map[String, String]]("h"))
-            .map(_.toMap)))
+            .map(_.toMap),
+          Option(r.getAs[String]("pk"))))
       }
     }
 
@@ -66,15 +75,23 @@ object TestKit {
     def clear(): Unit = buffer.synchronized(buffer.clear())
 
     /** `have_sent` analog: was a message with this topic + payload
-      * field values produced? With `headers` given, the sent message's
-      * headers hash must EQUAL it (the reference matcher's headers arg
-      * is an exact hash match — `test_helpers.rb:118,137-141`). */
+      * field values produced? The optional args mirror the reference
+      * matcher's full signature
+      * (`test_helpers.rb:118`: msg, key, partition_key, headers):
+      * `key`/`partitionKey` must equal the sent message's when given;
+      * `headers` is an exact hash match (`test_helpers.rb:137-141`).
+      * Omitted args skip their check, like the reference's
+      * `key.present?` guards. */
     def hasSent(topic: String, fields: Map[String, Any],
-        headers: Option[Map[String, String]] = None): Boolean =
+        headers: Option[Map[String, String]] = None,
+        key: Option[String] = None,
+        partitionKey: Option[String] = None): Boolean =
       sent.exists(s => s.topic == topic && s.payload.exists(p =>
         fields.forall { case (f, v) =>
           Option(p.getAs[Any](f)).map(_.toString) == Option(v).map(_.toString)
-        }) && headers.forall(h => s.headers.contains(h)))
+        }) && headers.forall(h => s.headers.contains(h)) &&
+        key.forall(k => s.key.contains(k)) &&
+        partitionKey.forall(pk => s.partitionKey.contains(pk)))
   }
 
   /** Drive a consumer with literal rows, the raw-frame variant: build

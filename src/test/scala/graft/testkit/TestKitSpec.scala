@@ -63,6 +63,29 @@ class TestKitSpec extends SparkSpec {
       headers = Some(Map("trace" -> "t1"))))
   }
 
+  test("have_sent key and partition_key args match like the reference matcher") {
+    import org.apache.spark.sql.functions._
+    val sink = new TestKit.CapturingSink(backend)
+    val payloads = Seq(("w1", 5L)).toDF("wid", "n")
+      .withColumn("message_id", lit("m"))
+      .withColumn("timestamp", lit("t"))
+      .withColumn("partition_key", lit("pk-7"))
+    sink.publish(Streams.toKafkaFrame(payloads,
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.Plain("wid")),
+      backend))
+    assert(sink.sent.head.key === Some("w1"))
+    assert(sink.sent.head.partitionKey === Some("pk-7"))
+    assert(sink.hasSent("widgets", Map("n" -> 5L), key = Some("w1")))
+    assert(!sink.hasSent("widgets", Map("n" -> 5L), key = Some("w2")))
+    assert(sink.hasSent("widgets", Map("n" -> 5L),
+      partitionKey = Some("pk-7")))
+    assert(!sink.hasSent("widgets", Map("n" -> 5L),
+      partitionKey = Some("pk-8")))
+    // all four dimensions at once, reference-signature style
+    assert(sink.hasSent("widgets", Map("wid" -> "w1", "n" -> 5L),
+      headers = None, key = Some("w1"), partitionKey = Some("pk-7")))
+  }
+
   test("capturing sink strips the topic prefix so assertions use logical topics") {
     // reference parity: decode_message subs producers.topic_prefix off
     // before config lookup (lib/deimos.rb:145-157)
