@@ -92,6 +92,28 @@ object TestKit {
         }) && headers.forall(h => s.headers.contains(h)) &&
         key.forall(k => s.key.contains(k)) &&
         partitionKey.forall(pk => s.partitionKey.contains(pk)))
+
+    /** The reference's DEFAULT `have_sent` is an EXACT payload match
+      * ([[hasSent]] is its `have_sent_including` subset form): every
+      * payload field must equal the given value, and a field omitted
+      * from `fields` must be NULL in the sent payload (the reference
+      * deletes nil payload_key before the hash match —
+      * `test_helpers.rb:125-129` — and any other missing key fails
+      * it). A `fields` key that is not a payload field never
+      * matches. */
+    def hasSentExactly(topic: String, fields: Map[String, Any],
+        headers: Option[Map[String, String]] = None,
+        key: Option[String] = None,
+        partitionKey: Option[String] = None): Boolean =
+      sent.exists(s => s.topic == topic && s.payload.exists { p =>
+        val names = p.schema.fieldNames.toSet
+        fields.keys.forall(names.contains) &&
+        names.forall(f =>
+          Option(p.getAs[Any](f)).map(_.toString) ==
+            fields.get(f).flatMap(Option(_)).map(_.toString))
+      } && headers.forall(h => s.headers.contains(h)) &&
+        key.forall(k => s.key.contains(k)) &&
+        partitionKey.forall(pk => s.partitionKey.contains(pk)))
   }
 
   /** Drive a consumer with literal rows, the raw-frame variant: build

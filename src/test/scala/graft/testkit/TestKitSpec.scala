@@ -86,6 +86,41 @@ class TestKitSpec extends SparkSpec {
       headers = None, key = Some("w1"), partitionKey = Some("pk-7")))
   }
 
+  test("hasSentExactly: the reference's default exact-payload match semantics") {
+    import org.apache.spark.sql.functions._
+    val sink = new TestKit.CapturingSink(backend)
+    val payloads = Seq(("w1", 5L)).toDF("wid", "n")
+      .withColumn("message_id", lit("m"))
+      .withColumn("timestamp", lit("t"))
+    sink.publish(Streams.toKafkaFrame(payloads,
+      TopicConfig("widgets", "W", keyConfig = KeyConfig.NoKey), backend))
+    val full = Map[String, Any]("wid" -> "w1", "n" -> 5L,
+      "message_id" -> "m", "timestamp" -> "t")
+    assert(sink.hasSentExactly("widgets", full))
+    // the subset matcher accepts partial fields; the exact one rejects
+    // them (a field omitted from the expectation must be null)
+    assert(sink.hasSent("widgets", Map("wid" -> "w1")))
+    assert(!sink.hasSentExactly("widgets", Map("wid" -> "w1")))
+    // a wrong value or a non-payload key never matches
+    assert(!sink.hasSentExactly("widgets", full.updated("n", 6L)))
+    assert(!sink.hasSentExactly("widgets", full + ("ghost" -> "x")))
+    // a genuinely-null payload field matches when omitted — built as a
+    // raw frame: toKafkaFrame's autoFields would FILL a null
+    // message_id with a uuid, which is exactly the reference's
+    // produce behavior too
+    val withNull = Seq(("w2", 7L)).toDF("wid", "n")
+      .withColumn("message_id", lit(null).cast("string"))
+      .withColumn("timestamp", lit("t"))
+    val rawFrame = withNull.select(lit("widgets").as("topic"),
+      lit(null).cast("binary").as("key"),
+      backend.encodeExpr(struct(col("wid"), col("n"),
+        col("message_id"), col("timestamp"))).as("value"))
+    sink.clear()
+    sink.publish(rawFrame)
+    assert(sink.hasSentExactly("widgets",
+      Map("wid" -> "w2", "n" -> 7L, "timestamp" -> "t")))
+  }
+
   test("capturing sink strips the topic prefix so assertions use logical topics") {
     // reference parity: decode_message subs producers.topic_prefix off
     // before config lookup (lib/deimos.rb:145-157)
