@@ -147,6 +147,25 @@ class Radius7Spec extends SparkSpec {
     assert((0 to 3).forall(c => hot.exists(_._1 == c)), hot.mkString(","))
   }
 
+  test("radius-7 cap-everywhere regime: all exact buckets hot -> zero pairs, exact occupancy report") {
+    // the regime the 100x-decade leg exercises (BASELINE.md round-14
+    // addendum 10): replication puts ~K copies behind every hash, so
+    // EVERY exact (chunk, value) bucket blows the cap. Contract: the
+    // governor refuses ALL pairing work (no orientation survives —
+    // both endpoints' buckets are hot at every qualifying chunk) and
+    // the drop report carries each bucket's exact occupancy. Pairs
+    // are dropped, never invented; the report is the full accounting.
+    val h = 0x1122334455667788L
+    val docs = (0 until 30).map(i => (i.toLong, h))
+    val (pairs, overflow) = Multimodal.hashNearDupCapped(
+      docs.toDF("id", "ph"), "id", "ph", maxHamming = 7, maxBucket = Some(8))
+    assert(pairs.isEmpty, "all buckets hot: no pair may survive")
+    val got = overflow.as[(Int, Long, Long)].collect().toSet
+    val want = Set((0, 0x7788L, 30L), (1, 0x5566L, 30L),
+      (2, 0x3344L, 30L), (3, 0x1122L, 30L))
+    assert(got == want, s"drop report must be the exact occupancy: $got")
+  }
+
   test("streaming stateful pairs at radius 7 equal the batch operator") {
     val all = corpus(23, n = 40)
     val got = StreamNearDup.pairs(
