@@ -88,6 +88,24 @@ object Observe {
       }).as("payload_headers"))
   }
 
+  /** Consume-side metadata log shape (reference
+    * `Logging.metadata_log_text`, `logging.rb:33-35`: the consumed
+    * batch's metadata sliced to timestamp / offsets / partition /
+    * topic / size, attached to every `*.consume_batch` log line —
+    * `consume/batch_consumption.rb:38,53`). The batch analog over a
+    * Kafka-shaped frame: one row per (topic, partition) with the
+    * offset span, row count, and the slice's timestamp (the LATEST
+    * message's, karafka batch-metadata semantics). One partial
+    * aggregation over columns the Kafka scan already carries — no
+    * second source pass, broadcastable output (≤ one row per
+    * topic-partition). */
+  def metadataLogFrame(df: DataFrame): DataFrame =
+    df.groupBy(col("topic"), col("partition"))
+      .agg(max(col("timestamp")).as("timestamp"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"),
+        count(lit(1)).as("size"))
+
   /** StreamingQueryListener that forwards batch progress (rows/sec,
     * observed metrics) to a Metrics facade — the engine's
     * `producer_metrics_listener.rb` equivalent. */

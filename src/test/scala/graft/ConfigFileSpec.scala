@@ -201,6 +201,32 @@ class ConfigFileSpec extends SparkSpec {
     assert(e.getMessage.contains("payload_log: expected full|keys|count"))
   }
 
+  test("consume metadata log slice: offset span, size, latest timestamp per topic-partition") {
+    // reference Logging.metadata_log_text (logging.rb:33-35), attached
+    // to every consume_batch line (batch_consumption.rb:38,53): the
+    // batch metadata sliced to timestamp/offsets/partition/topic/size
+    import graft.observe.Observe
+    val kafka = Seq(
+      ("orders", 0, 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      ("orders", 0, 102L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03")),
+      ("orders", 0, 101L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+      ("orders", 1, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:09")),
+      ("audit", 0, 55L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")))
+      .toDF("topic", "partition", "offset", "timestamp")
+    val got = Observe.metadataLogFrame(kafka)
+      .select("topic", "partition", "first_offset", "last_offset", "size",
+        "timestamp")
+      .as[(String, Int, Long, Long, Long, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got === Set(
+      ("orders", 0, 100L, 102L, 3L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:03")),
+      ("orders", 1, 7L, 7L, 1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:09")),
+      ("audit", 0, 55L, 55L, 1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:05"))))
+  }
+
   test("outbox selectors from the file drive drainBatch compaction") {
     val cfg = GraftConfigFile.parse("outbox.compact_topics = orders\n")
     val (compactAll, compactSet) = cfg.outbox.compactArgs
