@@ -122,9 +122,19 @@ object Materialize {
           other.catalogString)
     }
     // to_json of a struct is schema-ordered, so equal attribute sets
-    // hash equal regardless of how the caller built the struct
+    // hash equal regardless of how the caller built the struct. A NULL
+    // association raises at execution: the reference's fk fill-back
+    // calls `.id` on the nil association (mass_updater.rb:128-130,
+    // NoMethodError) — a silent drop at the fill-back's inner join
+    // (NULL surrogate never equi-joins) would be data loss, not parity.
+    // Coalesce stops at the first non-null, so the error fires only on
+    // the offending rows.
     val staged = primaries.withColumn(surrogateCol,
-      md5(to_json(col(assocCol))))
+      coalesce(md5(to_json(col(assocCol))),
+        raise_error(lit(s"save_associations_first: '$assocCol' is null " +
+          "for some primary rows; every primary must carry its " +
+          "association record (reference mass_updater.rb:128-130 " +
+          "raises on nil)")).cast("string")))
     val assocBatch = staged.select(
       (st.fieldNames.toIndexedSeq.map(f =>
         col(assocCol).getField(f).as(f)) :+ col(surrogateCol)): _*)

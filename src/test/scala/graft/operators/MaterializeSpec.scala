@@ -115,6 +115,23 @@ class MaterializeSpec extends SparkSpec {
     assert(e.getMessage.contains("struct"))
   }
 
+  test("save_associations_first: a NULL association fails loudly, never drops") {
+    import spark.implicits._
+    // the reference's fill-back calls `.id` on the nil association
+    // (mass_updater.rb:128-130 → NoMethodError); the Spark analog must
+    // not silently lose the row at the inner join on a NULL surrogate
+    val prim = Seq((1L, Some(5L)), (2L, None)).toDF("pk", "x")
+      .select(col("pk"),
+        when(col("x").isNotNull,
+          struct(col("x").as("v"), lit("c").as("w"))).as("p"))
+    val (_, staged) = Materialize.extractAssociationsFirst(prim, "p")
+    val e = intercept[Exception](staged.collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("save_associations_first"),
+      s"expected the null-association raise, got: ${chain(e)}")
+  }
+
   test("replaceChildren removes stale children of touched parents only") {
     val existing = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
       .toDF("pk", "ck")
