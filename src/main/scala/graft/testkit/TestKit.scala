@@ -88,6 +88,9 @@ object TestKit {
         partitionKey: Option[String] = None): Boolean =
       sent.exists(s => s.topic == topic && s.payload.exists(p =>
         fields.forall { case (f, v) =>
+          // a fields key that is not a payload field doesn't match —
+          // Ruby's hash-include semantics (getAs would throw instead)
+          p.schema.fieldNames.contains(f) &&
           Option(p.getAs[Any](f)).map(_.toString) == Option(v).map(_.toString)
         }) && headers.forall(h => s.headers.contains(h)) &&
         key.forall(k => s.key.contains(k)) &&

@@ -28,6 +28,9 @@ class TestKitSpec extends SparkSpec {
     assert(sink.hasSent("widgets", Map("wid" -> "w1", "n" -> 5L)))
     assert(!sink.hasSent("widgets", Map("wid" -> "w1", "n" -> 99L)))
     assert(!sink.hasSent("other", Map("wid" -> "w1")))
+    // a fields key that is not a payload field doesn't match (hash
+    // include semantics), it must not throw
+    assert(!sink.hasSent("widgets", Map("ghost" -> "x")))
     sink.clear()
     assert(sink.sent.isEmpty)
   }
