@@ -3168,38 +3168,47 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** [EXT] Radius-7 near-dup (`Multimodal.hashNearDupCapped` in its
-    * 8×8-bit-chunk regime): real dHash duplicates — crops, brightness
-    * shifts, aggressive re-encodes — pair at hamming 6–10/64, beyond
-    * the 4×16-bit pigeonhole's hamming-3 ceiling; the widened
-    * pigeonhole (8 chunks ⇒ hamming ≤ 7 guarantees an equal chunk)
-    * covers them with the same candidates-from-equal-chunk-buckets
-    * discipline. FULL exact oracle: the hash is pure integer
-    * arithmetic over the banded seed (byte j = mixed residues of g
-    * mod 251/257 — two co-prime moduli so bands never repeat bytes)
-    * XOR a doc-keyed bit-run mask of 0–8 bits at a rolling offset, so
-    * DuckDB recomputes every hash and the COMPLETE hamming ≤ 7 pair
-    * set from a direct quadratic join — pigeonhole recall, the
-    * exact-hamming verify, and the cap staying cold are all
-    * hash-checked. Pair hammings span 0–16, so the threshold cuts
-    * both ways (some real near-pairs land at 8+, and the engine must
-    * NOT emit them). */
-  private def x146(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
+  /** Shared radius-7 fixture hash for x146/x149 (both DuckDB oracles
+    * replicate this arithmetic byte for byte — one builder keeps the
+    * two queries and their oracles from desynchronizing): per-doc
+    * 64-bit base from P/Q residue mixing of the banded mediaSeed,
+    * XOR a doc-keyed bit-run mask of 0–8 bits at a rolling offset.
+    * Byte 7 keeps 7 bits (mod 128): a full 255 in bits 56–63 would
+    * overflow the signed 64-bit sum (255·2^56 > Long.Max). */
+  private def radius7FixtureHash(ids: DataFrame): DataFrame = {
     val g = mediaSeed(col("doc_id"))
     val c = col("doc_id") % 23
     val P = Seq(31L, 67L, 101L, 151L, 197L, 223L, 13L, 89L)
     val Q = Seq(17L, 29L, 41L, 53L, 71L, 83L, 97L, 113L)
-    // byte 7 keeps 7 bits (mod 128): a full 255 in bits 56–63 would
-    // overflow the signed 64-bit sum (255·2^56 > Long.Max)
     val base = (0 until 8).map(j =>
       (((g * P(j)) % 251 + (g * Q(j)) % 257) % (if (j == 7) 128 else 256)) *
         lit(1L << (8 * j)))
       .reduce(_ + _)
     val mask = expr("shiftleft(shiftleft(CAST(1 AS BIGINT), " +
       "CAST(__c % 9 AS INT)) - 1, CAST((__c * 7) % 56 AS INT))")
-    val hashed = ids.select(col("doc_id"), c.as("__c"), base.as("__b"))
+    ids.select(col("doc_id"), c.as("__c"), base.as("__b"))
       .select(col("doc_id"), col("__b").bitwiseXOR(mask).as("h"))
+  }
+
+  /** [EXT] Radius-7 near-dup (`Multimodal.hashNearDupCapped` in its
+    * multi-probe regime — four 16-bit chunks, one side probing each
+    * chunk's 1-bit ball; hamming ≤ 7 over 4 chunks ⇒ some chunk
+    * carries ≤ 1 error, so exact×ball meets are guaranteed): real
+    * dHash duplicates — crops, brightness shifts, aggressive
+    * re-encodes — pair at hamming 6–10/64, beyond the equal-chunk
+    * pigeonhole's hamming-3 ceiling. FULL exact oracle: the hash is
+    * pure integer arithmetic over the banded seed (byte j = mixed
+    * residues of g mod 251/257 — two co-prime moduli so bands never
+    * repeat bytes) XOR a doc-keyed bit-run mask of 0–8 bits at a
+    * rolling offset ([[radius7FixtureHash]]), so DuckDB recomputes
+    * every hash and the COMPLETE hamming ≤ 7 pair set from a direct
+    * quadratic join — multi-probe recall, the exact-hamming verify,
+    * and the cap staying cold are all hash-checked. Pair hammings
+    * span 0–16, so the threshold cuts both ways (some real near-pairs
+    * land at 8+, and the engine must NOT emit them). */
+  private def x146(s: SparkSession, dir: String): DataFrame = {
+    val hashed = radius7FixtureHash(
+      t(s, dir, "documents").select(col("doc_id")))
     val (pairs, _) = Multimodal.hashNearDupCapped(hashed, "doc_id", "h",
       maxHamming = 7, maxBucket = Some(1 << 12))
     pairs.orderBy(col("id_a"), col("id_b"))
@@ -3222,23 +3231,12 @@ object ExtQueries {
     * Output: kind='drop' rows (chunk, cval, n_ids) + kind='pair'
     * rows (id_a, id_b, hamming). */
   private def x149(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-    val g = mediaSeed(col("doc_id"))
-    val c = col("doc_id") % 23
-    val P = Seq(31L, 67L, 101L, 151L, 197L, 223L, 13L, 89L)
-    val Q = Seq(17L, 29L, 41L, 53L, 71L, 83L, 97L, 113L)
-    val base = (0 until 8).map(j =>
-      (((g * P(j)) % 251 + (g * Q(j)) % 257) % (if (j == 7) 128 else 256)) *
-        lit(1L << (8 * j)))
-      .reduce(_ + _)
-    val mask = expr("shiftleft(shiftleft(CAST(1 AS BIGINT), " +
-      "CAST(__c % 9 AS INT)) - 1, CAST((__c * 7) % 56 AS INT))")
-    val h0 = col("__b").bitwiseXOR(mask)
-    val hashed = ids.select(col("doc_id"), c.as("__c"), base.as("__b"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0,
-          h0.bitwiseAND(lit(-65536L)).bitwiseOR(lit(0x5a5aL)))
-          .otherwise(h0).as("h"))
+    val h0 = radius7FixtureHash(
+      t(s, dir, "documents").select(col("doc_id")))
+    val hashed = h0.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        col("h").bitwiseAND(lit(-65536L)).bitwiseOR(lit(0x5a5aL)))
+        .otherwise(col("h")).as("h"))
     val (pairs, overflow) = Multimodal.hashNearDupCapped(hashed, "doc_id",
       "h", maxHamming = 7, maxBucket = Some(64))
     pairs.select(lit("pair").as("kind"), col("id_a").as("a"),

@@ -112,11 +112,15 @@ object Multimodal {
       col("ph").as("ph_b"))
     val joined = a.join(b, Seq("chunk", "cval"))
     val oriented =
-      if (maxHamming <= 3)
+      if (maxHamming <= 3 || maxBucket.isEmpty)
         // radius ≤ 3: both endpoints sit in the SAME bucket at a
         // qualifying (equal) chunk, so the two orientations live or
         // die together — id_a < id_b keeps one without losing recall
-        // and halves the dedup shuffle
+        // and halves the dedup shuffle. Uncapped radius 4–7: no bucket
+        // is ever dropped, so BOTH exact×probe meetings of a pair
+        // always survive — the same one-orientation filter is
+        // recall-free there too (the least/greatest tax is only owed
+        // when a hot-bucket drop can kill one orientation).
         joined.filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
       else

@@ -48,6 +48,27 @@ object MessageCols {
       e => struct(
         e.getField("key").as("key"),
         e.getField("value").cast("string").as("value"))))
+
+  /** The frame's headers column as the user-facing
+    * `MAP<STRING,STRING>`, whatever shape it carries (a map passes
+    * through; wire entries convert) — the ONE shape dispatch every
+    * consume/log/capture site shares, so header normalization can't
+    * drift between them. */
+  def headersAsMap(df: DataFrame): Column =
+    df.schema(Headers).dataType match {
+      case _: org.apache.spark.sql.types.MapType => col(Headers)
+      case _ => wireToHeaders(col(Headers))
+    }
+
+  /** The inverse dispatch for the produce path: the headers column in
+    * Spark's Kafka wire shape (a map converts; an already-wire-shaped
+    * column passes through). */
+  def headersAsWire(df: DataFrame): Column =
+    df.schema(Headers).dataType match {
+      case _: org.apache.spark.sql.types.MapType =>
+        headersToWire(col(Headers))
+      case _ => col(Headers)
+    }
 }
 
 /** Key configuration, one of the reference's four modes

@@ -79,13 +79,10 @@ object Observe {
       // with no headers column logs nulls (the reference maps
       // messages without headers to nil the same way).
       import graft.model.MessageCols
-      import org.apache.spark.sql.functions.{col => c, lit => l}
+      import org.apache.spark.sql.functions.{lit => l}
       if (!df.columns.contains(MessageCols.Headers))
         df.select(l(null).cast("map<string,string>").as("payload_headers"))
-      else df.select((df.schema(MessageCols.Headers).dataType match {
-        case _: org.apache.spark.sql.types.MapType => c(MessageCols.Headers)
-        case _ => MessageCols.wireToHeaders(c(MessageCols.Headers))
-      }).as("payload_headers"))
+      else df.select(MessageCols.headersAsMap(df).as("payload_headers"))
   }
 
   /** Consume-side metadata log shape (reference

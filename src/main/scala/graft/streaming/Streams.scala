@@ -88,11 +88,7 @@ object Streams {
     }
     val headerCols =
       if (!payloads.columns.contains(MessageCols.Headers)) Seq.empty
-      else Seq((payloads.schema(MessageCols.Headers).dataType match {
-        case _: org.apache.spark.sql.types.MapType =>
-          MessageCols.headersToWire(col(MessageCols.Headers))
-        case _ => col(MessageCols.Headers) // already wire-shaped
-      }).as(MessageCols.Headers))
+      else Seq(MessageCols.headersAsWire(payloads).as(MessageCols.Headers))
     val base = keyed.select(Seq(
       lit(cfg.fullTopic).as(MessageCols.Topic),
       col(MessageCols.Key),
@@ -140,11 +136,7 @@ object Streams {
     // with includeHeaders, toKafkaFrame output) convert; a frame whose
     // headers already are a map passes through.
     if (!kafka.columns.contains(MessageCols.Headers)) decoded
-    else decoded.withColumn("decoded_headers",
-      kafka.schema(MessageCols.Headers).dataType match {
-        case _: org.apache.spark.sql.types.MapType => col(MessageCols.Headers)
-        case _ => MessageCols.wireToHeaders(col(MessageCols.Headers))
-      })
+    else decoded.withColumn("decoded_headers", MessageCols.headersAsMap(kafka))
   }
 
   /** §3.2 consume path suffix: per micro-batch, compact last-wins on

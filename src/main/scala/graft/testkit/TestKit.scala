@@ -43,11 +43,7 @@ object TestKit {
       val headerCol =
         if (!frame.columns.contains(MessageCols.Headers))
           lit(null).cast("map<string,string>")
-        else frame.schema(MessageCols.Headers).dataType match {
-          case _: org.apache.spark.sql.types.MapType =>
-            col(MessageCols.Headers)
-          case _ => MessageCols.wireToHeaders(col(MessageCols.Headers))
-        }
+        else MessageCols.headersAsMap(frame)
       val pkCol =
         if (frame.columns.contains(MessageCols.PartitionKey))
           col(MessageCols.PartitionKey).cast("string")
