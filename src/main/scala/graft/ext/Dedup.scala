@@ -47,14 +47,23 @@ object Dedup {
     * @param expectedItems sizing for the incoming-batch sketch
     *                      (~8 bits/item, 2% fpp at the default)
     * @return `incoming`'s columns plus `fingerprint`, one row per
-    *         surviving (novel, first-in-batch) document
+    *         surviving (novel, first-in-batch) document; NULL-text
+    *         rows pass through unchanged (null fingerprint — no
+    *         content identity to dedup on)
     */
   def incrementalExact(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,
       expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inc = incoming.withColumn("fingerprint",
+    val incAll = incoming.withColumn("fingerprint",
       T.normFingerprint(col(textCol)))
+    // a NULL text has no content identity: such rows PASS THROUGH
+    // unchanged — never deduped against each other or the corpus.
+    // (Running them through the machinery was inconsistent: the window
+    // collapsed a batch's null-text rows to one "winner" while the
+    // anti-join — null never equi-joins — re-admitted it every batch.)
+    val nullFp = incAll.filter(col("fingerprint").isNull)
+    val inc = incAll.filter(col("fingerprint").isNotNull)
     // first-in-batch winner per fingerprint: one shuffle on the digest
     val winners = inc
       .withColumn("__rn", row_number().over(
@@ -67,6 +76,7 @@ object Dedup {
       col("fingerprint"), col("fingerprint"), expectedItems,
       8L * expectedItems)
     winners.join(surviving, Seq("fingerprint"), "left_anti")
+      .unionByName(nullFp)
   }
 
   /** MinHash + LSH near-dedup: shingle → k-perm signature → banded
@@ -107,6 +117,13 @@ object Dedup {
       threshold: Double = 0.2,
       maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
+    // bands must tile the signature: bands > k makes every band key a
+    // constant (r = k/bands = 0 rows hashed ⇒ one bucket per band —
+    // either a full O(n²) cross join or, capped, silent zero recall),
+    // and k % bands != 0 silently drops the trailing signature rows
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide the signature width: k=$k, bands=$bands " +
+        s"(rows per band = k/bands must be a positive integer)")
     // Shingles are 64-bit hashes (one pass over hashed tokens) — set
     // arithmetic downstream is numeric, never strings.
     val shingled = docs.select(col(idCol).as("doc"),
@@ -313,9 +330,15 @@ object Dedup {
     // distributed propagation below is the ≥100k-edge path.
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
+      // id-type-generic union-find (ids are int/long/string across the
+      // callers — content-addressed regimes use strings): compare via
+      // the natural Comparable order, and rebuild the result with the
+      // INPUT id type so both adaptive paths emit the same schema
+      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val parent = scala.collection.mutable.Map[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
@@ -326,14 +349,20 @@ object Dedup {
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
       }
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       val spark = pairs.sparkSession
-      import spark.implicits._
+      val idType = pairs.schema(aCol).dataType
       edges.unpersist()
-      return nodes.map(n => (n, find(n))).toSeq
-        .toDF("doc_id", "group_id")
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toIndexedSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("group_id", idType))))
     }
     // Large-star: every node u connects its LARGER neighbors to the
     // minimum of its neighborhood (incl. itself) — hooks long chains
@@ -361,14 +390,25 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    // Exact multiset signature of an edge set: row count + hash sum
-    // (mod a prime so the sum can't overflow at any scale). Equal
-    // signatures across a round = fixed point = star forest.
-    def signature(e: DataFrame): (Long, Long) = {
+    // Edge-set signature: row count + two independent hash sums
+    // (xxhash64 and murmur3 over the pair, residues mod a prime,
+    // summed as DECIMAL so the sum itself cannot overflow at any edge
+    // count — a Long sum of ~1e9 residues overflows past ~9.2e9 edges,
+    // which under Spark 4's default ANSI mode is a job-killing
+    // ArithmeticException exactly at the corpus scale this operator
+    // advertises). Equality is a hash check, not set equality: a
+    // false fixed-point needs BOTH independent sums to collide at the
+    // same round (~1e-18 per round), and a collision can only end the
+    // loop one round early on an almost-converged forest.
+    def signature(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
         coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
-          lit(1000000007L))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+          lit(1000000007L)).cast("decimal(28,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,0)")),
+        coalesce(sum(pmod(hash(col("src"), col("dst")).cast("bigint"),
+          lit(998244353L)).cast("decimal(28,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
     var e = edges
       .select(greatest(col("src"), col("dst")).as("src"),
@@ -423,9 +463,15 @@ object Dedup {
       qualityCol: String): DataFrame = {
     val withFp = docs.withColumn("fingerprint",
       T.normFingerprint(col(textCol)))
+    // leading null-flag field: struct ordering sorts null fields FIRST,
+    // so a bare min(struct(-q, id)) would elect an UNSCORED (null
+    // quality) row over every scored one — the flag makes null quality
+    // lose to any score; an all-null group falls back to min id
     val winners = withFp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_copies"),
-        min(struct((-col(qualityCol)).as("nq"), col(idCol).as("wid")))
+        min(struct(when(col(qualityCol).isNull, lit(1)).otherwise(lit(0))
+            .as("nn"),
+          (-col(qualityCol)).as("nq"), col(idCol).as("wid")))
           .as("__w"))
       .select(col("fingerprint"), col("n_copies"),
         col("__w.wid").as("__wid"))
@@ -469,10 +515,13 @@ object Dedup {
       idCol: String, qualityCol: String, weightCol: String): DataFrame = {
     val labeled = docs.join(
       labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+    // same null-flag discipline as [[keepBest]]: null quality loses
     val winners = labeled.filter(col("group_id").isNotNull)
       .groupBy(col("group_id"))
       .agg(sum(col(weightCol)).as("n_copies"),
-        min(struct((-col(qualityCol)).as("nq"), col(idCol).as("wid")))
+        min(struct(when(col(qualityCol).isNull, lit(1)).otherwise(lit(0))
+            .as("nn"),
+          (-col(qualityCol)).as("nq"), col(idCol).as("wid")))
           .as("__w"))
       .select(col("group_id").as("__g"), col("n_copies"),
         col("__w.wid").as("__wid"))
@@ -870,6 +919,11 @@ object Dedup {
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // canonical global order = (df asc, token asc); the ORDER is the
     // key, a numeric rank is never materialized (no global window)
+    // 1e-6 slack on ceil(τ·sz): IEEE rounding of the product at an
+    // integer boundary (100 × 0.07 = 7.0000000000000009) must never
+    // SHORTEN the prefix — the slack can only lengthen it (a superset
+    // of candidates; the exact verify keeps precision), which
+    // preserves the lossless contract at threshold boundaries
     val ordered = ex.join(dfreq, "tok")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
@@ -878,9 +932,18 @@ object Dedup {
         transform(col("ord"), e => e.getField("tok")).as("toks"))
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
-        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-    val prefix = ordered.select(col("doc"), col("toks"), col("sz"),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
+          .cast("int"))
+    // NARROW prefix frame (doc, sz, ptok), eagerly checkpointed: it
+    // feeds the hot-token probe and BOTH sides of the candidate join —
+    // without the checkpoint each consumer re-runs the corpus-wide
+    // explode + df join + sort-collect pipeline (Spark has no subtree
+    // reuse across join branches; the old shape paid that pipeline
+    // ~5× per call). Narrow rows only — the token ARRAYS never
+    // materialize corpus-wide.
+    val prefix = ordered.select(col("doc"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("ptok"))
+      .localCheckpoint(true)
     val hotRows = prefix.groupBy(col("ptok"))
       .agg(count(lit(1)).as("pdf"))
       .filter(col("pdf") > maxPrefixDf).limit(3).collect()
@@ -902,16 +965,29 @@ object Dedup {
       col("ptok"))
     val candIds = a.join(b, Seq("ptok"))
       .filter(col("doc_a") < col("doc_b") &&
-        // length band: J ≥ τ ⇒ τ·max(|X|,|Y|) ≤ min(|X|,|Y|)
-        col("n_a") * lit(threshold) <= col("n_b") &&
-        col("n_b") * lit(threshold) <= col("n_a"))
+        // length band: J ≥ τ ⇒ τ·max(|X|,|Y|) ≤ min(|X|,|Y|); the same
+        // 1e-6 slack as plen so a boundary pair (τ·n_a landing one ulp
+        // above the integer n_b) is never banded out
+        col("n_a") * lit(threshold) <= col("n_b") + lit(1e-6) &&
+        col("n_b") * lit(threshold) <= col("n_a") + lit(1e-6))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val arrays = ordered.select(col("doc"), col("toks"))
+      .localCheckpoint(true)
+    // verify on CANDIDATE DOCS ONLY (minhashLshCapped's discipline):
+    // set intersection needs no global ordering, so re-tokenize just
+    // the candidate slice of the raw docs scan instead of rebuilding
+    // the corpus-wide df-ordered arrays for each join side
+    val candDocIds = candIds.select(col("doc_a").as("cid"))
+      .unionByName(candIds.select(col("doc_b").as("cid")))
+      .distinct()
+    val candToks = docs.join(broadcast(candDocIds), col(idCol) === col("cid"))
+      .select(col(idCol).as("doc"),
+        array_distinct(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+          .as("tset"))
     candIds
-      .join(arrays.select(col("doc").as("doc_a"), col("toks").as("ta")),
+      .join(candToks.select(col("doc").as("doc_a"), col("tset").as("ta")),
         Seq("doc_a"))
-      .join(arrays.select(col("doc").as("doc_b"), col("toks").as("tb")),
+      .join(candToks.select(col("doc").as("doc_b"), col("tset").as("tb")),
         Seq("doc_b"))
       .withColumn("overlap",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))

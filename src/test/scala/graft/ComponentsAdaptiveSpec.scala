@@ -63,4 +63,28 @@ class ComponentsAdaptiveSpec extends SparkSpec {
       assert(dist === fast, s"trial $trial")
     }
   }
+
+  test("driver path is id-type generic: string and int ids, schema preserved") {
+    // content-addressed (string) id regimes are documented callers —
+    // the driver union-find must not assume bigint, and both adaptive
+    // paths must emit the SAME id type
+    val sPairs = Seq(("sha-b", "sha-c"), ("sha-a", "sha-b"), ("sha-x", "sha-y"))
+      .toDF("doc_a", "doc_b")
+    val wantS = Map("sha-a" -> "sha-a", "sha-b" -> "sha-a",
+      "sha-c" -> "sha-a", "sha-x" -> "sha-x", "sha-y" -> "sha-x")
+    val fastS = Dedup.components(sPairs).as[(String, String)].collect().toMap
+    val distS = Dedup.components(sPairs, driverThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    assert(fastS === wantS)
+    assert(distS === wantS)
+    assert(Dedup.components(sPairs).schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+
+    val iPairs = Seq((2, 3), (1, 2), (8, 9)).toDF("doc_a", "doc_b")
+    val wantI = Map(1 -> 1, 2 -> 1, 3 -> 1, 8 -> 8, 9 -> 8)
+    val fastI = Dedup.components(iPairs).as[(Int, Int)].collect().toMap
+    assert(fastI === wantI)
+    assert(Dedup.components(iPairs).schema("doc_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
 }

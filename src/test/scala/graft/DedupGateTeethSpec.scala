@@ -161,4 +161,23 @@ class DedupGateTeethSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(11L))
     assert(kept.contains(4L) && !kept.contains(14L))
   }
+
+  test("a NULL-quality member never beats a scored one (nulls-first struct trap)") {
+    // struct ordering sorts null fields first, so an unguarded
+    // min(struct(-q, id)) elects the UNSCORED row — doc 1 (null
+    // quality) must lose to doc 11 (scored), and an all-null group
+    // falls back to min id
+    val scored = docs.withColumn("quality",
+      when(col("doc_id") === 1L || col("doc_id") === 4L ||
+        col("doc_id") === 14L, lit(null).cast("int"))
+        .otherwise(lit(5)))
+    val kept = Dedup.keepBestInGroups(scored, labels, "doc_id", "quality")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // group {1, 11}: 11 is the only scored member -> survives
+    assert(kept.contains(11L) && !kept.contains(1L),
+      "scored member must beat the null-quality one")
+    // group {4, 14}: both null -> min id survives
+    assert(kept.contains(4L) && !kept.contains(14L),
+      "all-null group falls back to min id")
+  }
 }

@@ -226,4 +226,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 1L, 0L), (2L, 2L, 4L, 2L),
       (3L, 1L, 3L, 2L)))
   }
+
+  test("minhashLsh rejects a (k, bands) pair that doesn't tile the signature") {
+    // bands > k would hash r=0 signature rows per band — every band
+    // key a constant, one bucket per band (O(n²) cross join uncapped,
+    // silent zero recall capped); k % bands != 0 silently drops the
+    // trailing rows. Both must fail loudly at call time.
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", k = 32, bands = 64))
+    assert(e1.getMessage.contains("bands"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", k = 32, bands = 5))
+    assert(e2.getMessage.contains("bands"))
+    // a valid pair still constructs
+    Dedup.minhashLsh(docs, "doc_id", "text", k = 32, bands = 8)
+  }
 }

@@ -55,6 +55,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.count() === 1L)
   }
 
+  test("NULL-text rows pass through unchanged — never deduped, never collapsed") {
+    // a null text has no content identity: all null-text rows survive
+    // every batch (they are not duplicates of each other or of the
+    // corpus), with a null fingerprint attached. The old behavior
+    // collapsed a batch's null rows to one "winner" intra-batch while
+    // the anti-join re-admitted it cross-batch — inconsistent both ways.
+    val incoming = Seq((40L, Option("real text")), (41L, None), (42L, None))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(existing, incoming, "doc_id", "text")
+    assert(got.select("doc_id").as[Long].collect().toSet ===
+      Set(40L, 41L, 42L))
+    assert(got.filter(col("fingerprint").isNull).count() === 2L)
+  }
+
   test("plan: existing side is bloom-filtered at the scan") {
     val inc = spark.range(50).select(col("id").as("doc_id"),
       concat_ws(" ", lit("doc"), col("id")).as("text"))

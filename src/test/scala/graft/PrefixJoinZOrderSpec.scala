@@ -57,6 +57,24 @@ class PrefixJoinZOrderSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardJoin boundary threshold: IEEE ceil rounding can't drop the pair") {
+    // |X| = 100, Y ⊂ X with |Y| = 7, τ = 0.07: exact J = 7/100 = τ.
+    // 100 × 0.07 rounds to 7.0000000000000009 in doubles, so an
+    // unslacked ceil(τ·sz) = 8 shortens X's prefix below the lossless
+    // bound AND the unslacked length band 100·τ <= 7 rejects the pair.
+    // The 1e-6 slack must keep both bounds conservative.
+    val xToks = (0 until 100).map(i => f"t$i%03d")
+    val yToks = xToks.take(7)
+    val docs = Seq((1L, xToks.mkString(" ")), (2L, yToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .prefixJaccardJoin(docs, "doc_id", "text", 0.07, maxPrefixDf = 1000)
+      .select("doc_a", "doc_b", "overlap")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 7L)),
+      "the J-exactly-at-threshold pair must be found")
+  }
+
   test("prefixJaccardJoin fails loudly on a hot prefix token") {
     // every doc is the same single token: it is every doc's entire
     // prefix, with df = 60 > cap
