@@ -16,6 +16,33 @@ import graft.functions.Num.roundz
   */
 object Similarity {
 
+  /** Shared per-query top-k tail of all four search paths: rank by
+    * the score (desc for similarities, asc for distances), emit ranks
+    * 1..k. Rows whose score is NULL or NaN are dropped BEFORE the
+    * window: a corrupt embedding (null vector, NaN component) scores
+    * NULL/NaN, and Spark sorts NaN above every double and NULL first
+    * ascending — an unguarded window would put garbage at rank 1 of
+    * every query, silently displacing a real neighbor. One helper so
+    * the ordering semantics can't drift between the four paths. */
+  private def topK(scored: DataFrame, scoreCol: String, asc: Boolean,
+      k: Int): DataFrame = {
+    val s = col(scoreCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(if (asc) s.asc else s.desc, col("neighbor_id"))
+    scored.filter(s.isNotNull && !isnan(s))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        roundz(s, 4).as(scoreCol))
+  }
+
+  /** Driver-side row → double vector, accepting BOTH array<float> and
+    * array<double> embeddings — the search-side expressions dispatch
+    * on element type, so the trainers must too (a getSeq[Float] cast
+    * crashes on exactly the double-typed inputs search supports). */
+  private def rowVec(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Number](0).map(_.doubleValue).toArray
+
   /** Brute-force cosine top-k: every query vector against the whole
     * corpus. The query side is broadcast (small by contract), so the
     * plan is a single pass over the corpus with no shuffle before the
@@ -27,12 +54,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        roundz(col("cos"), 4).as("cos"))
+    topK(scored, "cos", asc = false, k)
   }
 
   /** IVF centroid training: driver-side Lloyd iterations over a bounded
@@ -40,13 +62,17 @@ object Similarity {
     * the expensive part — stays fully distributed). Deterministic:
     * the sample is the first `sampleN` rows in `orderCol` order — a
     * bare `limit` over an unordered frame would pick whichever
-    * partitions scan first, varying with layout. */
+    * partitions scan first, varying with layout. `orderCol` must order
+    * rows UNIQUELY for that determinism to hold: ties fall back to
+    * scan order, which varies with layout (pass an id column, not a
+    * timestamp with duplicates). */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
       orderCol: String, iters: Int = 5,
       sampleN: Int = 2048): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive: $k")
     val sample = corpus.select(col(vecCol), col(orderCol))
       .orderBy(col(orderCol)).limit(sampleN).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(rowVec)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     var centroids = sample.take(k).map(_.clone())
     val dim = centroids(0).length
@@ -92,17 +118,19 @@ object Similarity {
   def trainCentroidsDistributed(corpus: DataFrame, vecCol: String, k: Int,
       orderCol: String, iters: Int = 5,
       sampleN: Int = 2048): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive: $k")
+    // materialize the ordered sample ONCE, before anything reads it:
+    // collecting seeds off the un-checkpointed frame would run the
+    // corpus-wide scan + TakeOrdered twice (once for the seeds, again
+    // for the checkpoint) — the most expensive step of the call
     val sample = corpus.select(col(vecCol).as("v"), col(orderCol).as("o"))
       .orderBy(col("o")).limit(sampleN)
+      .localCheckpoint(true)
     // bounded collect: k seed rows only (the same first-k-in-order rule
     // as the driver path, so both paths are deterministic and comparable)
-    val seeds = sample.limit(k).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seeds = sample.orderBy(col("o")).limit(k).collect().map(rowVec)
     require(seeds.length >= k, s"sample ${seeds.length} < k=$k")
-    // materialize the sample once; every Lloyd iteration re-reads it
-    val vecs = sample.localCheckpoint(true)
-      .select(col("v")).rdd
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val vecs = sample.select(col("v")).rdd.map(rowVec)
     var centroids = seeds.map(_.clone())
     val dim = centroids(0).length
     val sc = corpus.sparkSession.sparkContext
@@ -166,12 +194,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        roundz(col("cos"), 4).as("cos"))
+    topK(scored, "cos", asc = false, k)
   }
 
   /** Product-quantization codebook training: per-subspace Lloyd over
@@ -246,12 +269,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_d2", E.pqAdc(col("codes"), col("lut"), ksub))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        roundz(col("approx_d2"), 4).as("approx_d2"))
+    // asc distance sort: NULL codes (null embedding) would sort FIRST
+    // without topK's validity filter — the one path where the nulls
+    // trap inverts rank 1 rather than burying it
+    topK(scored, "approx_d2", asc = true, k)
   }
 
   /** LSH-bucketed ANN: corpus and queries bucketed by sign-bit
@@ -281,11 +302,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        roundz(col("cos"), 4).as("cos"))
+    topK(scored, "cos", asc = false, k)
   }
 }

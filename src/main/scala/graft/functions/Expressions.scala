@@ -199,7 +199,11 @@ object Expressions {
         d2(c) = s
         c += 1
       }
-      // nProbe-wise selection; strict < keeps the lowest index on ties
+      // nProbe-wise selection; strict < keeps the lowest index on ties.
+      // best==-1 guard: a NaN component makes every d2 NaN, for which
+      // every < is false — fall back to the first unused index
+      // (deterministic bucket for corrupt vectors) instead of crashing
+      // the stage with used(-1)
       val out = new Array[Int](nProbe)
       val used = new Array[Boolean](k)
       var p = 0
@@ -208,7 +212,9 @@ object Expressions {
         var bestD = Double.MaxValue
         var c2 = 0
         while (c2 < k) {
-          if (!used(c2) && d2(c2) < bestD) { bestD = d2(c2); best = c2 }
+          if (!used(c2) && (best == -1 || d2(c2) < bestD)) {
+            bestD = d2(c2); best = c2
+          }
           c2 += 1
         }
         used(best) = true

@@ -238,4 +238,53 @@ class SimilaritySpec extends SparkSpec {
         s"query $q got cross-cluster neighbors ${nbrs.filter(_ % 10 != q % 10)}")
     }
   }
+
+  test("corrupt embeddings (null vector, NaN component) never reach rank 1") {
+    // NULL scores sort first ascending and NaN sorts above every
+    // double descending — unguarded windows would put a corrupt corpus
+    // row at rank 1 of EVERY query. All four paths must drop them.
+    val queries = corpus.filter(col("vec_id") < 3)
+    val poisoned = corpus
+      .unionByName(Seq((9000L, None: Option[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+      .unionByName(Seq((9001L, Some(Seq.fill(dim)(Float.NaN))))
+        .toDF("vec_id", "embedding"))
+    val brute = Similarity.bruteForceTopK(poisoned, queries,
+      "vec_id", "embedding", k = 3)
+    assert(brute.filter(col("neighbor_id") >= 9000L).count() === 0,
+      "brute force ranked a corrupt embedding")
+    val lsh = Similarity.lshTopK(poisoned, queries, "vec_id", "embedding",
+      dim, nBits = 4, k = 3)
+    assert(lsh.filter(col("neighbor_id") >= 9000L).count() === 0,
+      "LSH ranked a corrupt embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", 4, "vec_id",
+      sampleN = 128)
+    // ivfTopK must not CRASH on the NaN row (NearestCentroidsExpr's
+    // best==-1 guard) and must not rank it
+    val ivf = Similarity.ivfTopK(poisoned, queries, "vec_id", "embedding",
+      cents, nProbe = 2, k = 3)
+    assert(ivf.filter(col("neighbor_id") >= 9000L).count() === 0,
+      "IVF ranked a corrupt embedding")
+    val cb = Similarity.trainPq(corpus, "embedding", "vec_id", m = 4,
+      ksub = 8, sampleN = 128)
+    val pq = Similarity.pqTopK(poisoned, queries, "vec_id", "embedding",
+      cb, k = 3)
+    assert(pq.count() > 0)
+    assert(pq.filter(col("neighbor_id") >= 9000L).count() === 0,
+      "PQ ranked a corrupt embedding (null approx_d2 sorts first asc)")
+  }
+
+  test("trainers accept array<double> embeddings like the search side does") {
+    val dCorpus = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainCentroids(dCorpus, "embedding", 3, "vec_id",
+      sampleN = 64)
+    assert(cents.length === 3 && cents(0).length === dim)
+    val distCents = Similarity.trainCentroidsDistributed(dCorpus,
+      "embedding", 3, "vec_id", sampleN = 64)
+    assert(distCents.length === 3)
+    val e = intercept[IllegalArgumentException](
+      Similarity.trainCentroids(dCorpus, "embedding", 0, "vec_id"))
+    assert(e.getMessage.contains("k"))
+  }
 }
