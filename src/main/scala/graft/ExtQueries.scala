@@ -4090,11 +4090,11 @@ object ExtQueries {
     // to DOUBLE so DuckDB's DECIMAL literal type can't leak out
     "x122_benford" ->
       """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
-        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  SELECT CAST(substr(CAST(abs(CAST(round(l_extendedprice * 100, 0)
+        |      AS BIGINT)) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL
-        |    AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) >= 1),
+        |    AND abs(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) >= 1),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
         |e AS (SELECT c.digit, c.n,
@@ -4984,7 +4984,11 @@ object ExtQueries {
         |    CAST(sum(CASE WHEN n_chars >= 150 AND
         |      len(list_filter(string_split_regex(text, '\s+'),
         |        x -> x <> '')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS k
-        |  FROM documents GROUP BY source),
+        |  FROM documents
+        |  WHERE (n_chars >= 150 AND
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) >= 30) IS NOT NULL
+        |  GROUP BY source),
         |b AS (SELECT grp, n, k,
         |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
         |    CAST(n AS DOUBLE) AS nd,

@@ -25,17 +25,25 @@ object Profile {
   def table(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (approx) approx_count_distinct(col(c))
-        else countDistinct(col(c))).as(s"__nd_$c"))
-    }
+    // internal aliases are INDEX-based: a name-derived alias like
+    // __nn_user.id would be read back as field access on __nn_user
+    // (dots parse as struct paths), crashing on legal dotted column
+    // names. The input names themselves are backquoted for the same
+    // reason unless the caller already quoted.
+    def q(c: String) =
+      if (c.contains(".") && !c.startsWith("`")) s"`$c`" else c
+    val aggs = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(col(q(c))).as(s"__nn_$i"),
+          (if (approx) approx_count_distinct(col(q(c)))
+          else countDistinct(col(q(c)))).as(s"__nd_$i"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("col_name"), col("__n").as("n_rows"),
-        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"))
+        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"))
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
@@ -149,13 +157,18 @@ object Profile {
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val x = col(valueCol).cast("double")
-    val stats = df.filter(x.isNotNull)
+    // NaN is excluded like NULL: it passes isNotNull, max() propagates
+    // it, and a NaN width collapses the whole histogram into one
+    // garbage bucket with NaN edges — one poison row must not void the
+    // report
+    val valid = x.isNotNull && !isnan(x)
+    val stats = df.filter(valid)
       .agg(min(x).as("__mn"), max(x).as("__mx"))
     val width = (col("__mx") - col("__mn")) / nBuckets
     val bucket = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
       least(floor((x - col("__mn")) / width), lit(nBuckets - 1L))
         .cast("long"))
-    df.filter(x.isNotNull).crossJoin(broadcast(stats))
+    df.filter(valid).crossJoin(broadcast(stats))
       .select(bucket.as("bucket"), col("__mn"), width.as("__w"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"),
@@ -193,7 +206,10 @@ object Profile {
     val x = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
     val bin = least(floor((x - lit(lo)) / lit(width)), lit(nBins - 1L))
       .cast("long")
-    df.filter(valueCol.isNotNull)
+    // NaN excluded like NULL (clamp would route it to the TOP bin —
+    // greatest(NaN, lo) = NaN, least(NaN, hi) = hi — silently
+    // inflating p99 toward `hi`); a NaN has no rank
+    df.filter(valueCol.isNotNull && !isnan(valueCol.cast("double")))
       .groupBy(sliceCol.as("slice"), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -220,6 +236,13 @@ object Profile {
       nBins: Int, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"quantiles must be in (0, 1], got $ps")
+    // the same domain requires as the build side — a finalize called
+    // with a mismatched domain silently shifts every estimate, the
+    // defect class cmsEstimate's dimension guard exists for. The bin
+    // range itself is checked in-plan below (the only observational
+    // signal a partial frame carries).
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     val width = (hi - lo) / nBins
     val spark = partials.sparkSession
     import spark.implicits._
@@ -230,6 +253,13 @@ object Profile {
     // same monoid as binnedQuantileCombine)
     val folded = partials.groupBy(col("slice"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
+      // loud in-plan guard: a bin outside [0, nBins) proves the
+      // partials were built with a different nBins/domain — every
+      // estimate from such a frame would be silently wrong
+      .filter(assert_true(col("bin") >= 0 && col("bin") < nBins,
+        lit(s"binnedQuantileFinalize: bin outside [0, $nBins) — the " +
+          "partials were built with different (lo, hi, nBins) " +
+          "parameters than finalize was called with")).isNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("slice")).orderBy(col("bin"))
     val cum = folded
@@ -256,7 +286,11 @@ object Profile {
     * IEEE expression over exact integer counts — cross-engine
     * deterministic, replayable by the oracle.
     *
-    * @param passCol boolean predicate per row (the quality gate)
+    * @param passCol boolean predicate per row (the quality gate).
+    *   Rows where the predicate evaluates NULL (unevaluable — e.g. a
+    *   length gate on a NULL text) are EXCLUDED from n and k: counting
+    *   them as failures would crater a group's bound for reasons that
+    *   are missing data, not failing docs.
     * @param z       normal quantile (1.96 ≈ 95% one-sided-ish default)
     * @return (group, n, k, rate, wilson_lb)
     */
@@ -264,7 +298,7 @@ object Profile {
       passCol: org.apache.spark.sql.Column,
       z: Double = 1.96): DataFrame = {
     require(z > 0, s"z must be positive, got $z")
-    val agg = df.groupBy(groupCol.as("group"))
+    val agg = df.filter(passCol.isNotNull).groupBy(groupCol.as("group"))
       .agg(count(lit(1)).as("n"),
         sum(when(passCol, 1L).otherwise(0L)).as("k"))
     val nD = col("n").cast("double")
@@ -288,14 +322,17 @@ object Profile {
   def standardize(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
     val x = col(valueCol).cast("double")
-    val stats = df.groupBy(col(groupCol))
+    // null-safe join key: the groupBy PRODUCES a row for the NULL
+    // group, but a plain equi-join never matches it — a row-preserving
+    // projection must not silently drop every NULL-group input row
+    val stats = df.groupBy(col(groupCol).as("__g"))
       .agg(avg(x).as("__mean"), stddev_samp(x).as("__sd"))
-    df.join(stats, Seq(groupCol))
+    df.join(stats, col(groupCol) <=> col("__g"))
       .withColumn("z",
         when(col("__sd").isNull || isnan(col("__sd")) ||
           col("__sd") === 0.0, lit(null).cast("double"))
           .otherwise((x - col("__mean")) / col("__sd")))
-      .drop("__mean", "__sd")
+      .drop("__g", "__mean", "__sd")
   }
 
   /** Robust per-group outlier report: median + MAD (both SQL-standard
@@ -316,14 +353,20 @@ object Profile {
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // null-safe group joins throughout: a NULL group is profiled by
+    // the quantile passes and must appear in the report — in a
+    // data-quality operator the dirtiest segment is the one the old
+    // inner equi-joins silently excluded
     val med = Scale.discreteQuantiles(df, groupCol, valueCol, Seq(0.5))
-      .select(col(groupCol), col("q").as("__med"))
+      .select(col(groupCol).as("__rg"), col("q").as("__med"))
     val withDev = df.filter(col(valueCol).isNotNull)
-      .join(broadcast(med), Seq(groupCol))
+      .join(broadcast(med), col(groupCol) <=> col("__rg"))
+      .drop("__rg")
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = Scale.discreteQuantiles(withDev, groupCol, "__dev", Seq(0.5))
-      .select(col(groupCol), col("q").as("__mad"))
-    withDev.join(broadcast(mad), Seq(groupCol))
+      .select(col(groupCol).as("__rg"), col("q").as("__mad"))
+    withDev.join(broadcast(mad), col(groupCol) <=> col("__rg"))
+      .drop("__rg")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         max(col("__med")).as("med"),
@@ -358,14 +401,16 @@ object Profile {
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo > 0 && pHi <= 1 && pLo < pHi,
       s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    // null-safe group join: same rationale as [[robustOutliers]]
     val bounds = Scale.discreteQuantiles(
         df.select(col(groupCol), col(valueCol)), groupCol, valueCol,
         Seq(pLo, pHi))
-      .groupBy(col(groupCol))
+      .groupBy(col(groupCol).as("__wg"))
       .agg(min(when(col("p") === pLo, col("q"))).as("__lo"),
         min(when(col("p") === pHi, col("q"))).as("__hi"))
     df.filter(col(valueCol).isNotNull)
-      .join(broadcast(bounds), Seq(groupCol))
+      .join(broadcast(bounds), col(groupCol) <=> col("__wg"))
+      .drop("__wg")
       .withColumn("__w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .groupBy(col(groupCol))
@@ -395,13 +440,17 @@ object Profile {
   def snapshotDrift(a: DataFrame, b: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     def prof(df: DataFrame, suf: String) =
-      df.groupBy(col(keyCol).as("key")).agg(
+      df.groupBy(col(keyCol).as("key" + suf)).agg(
         count(lit(1)).as("n" + suf),
         sum(when(col(valueCol).isNull, 1L).otherwise(0L))
           .as("nulls" + suf),
         sum(round(col(valueCol) * 100).cast("long")).as("cents" + suf))
-    prof(a, "_a").join(prof(b, "_b"), Seq("key"), "full_outer")
-      .select(col("key"),
+    // null-safe full outer: a NULL-key group present in BOTH snapshots
+    // must read as ONE 'common' row, not a 'removed' + 'added' pair
+    // (plain equi-join keys never match NULL against NULL)
+    prof(a, "_a").join(prof(b, "_b"),
+        col("key_a") <=> col("key_b"), "full_outer")
+      .select(coalesce(col("key_a"), col("key_b")).as("key"),
         when(col("n_a").isNull, lit("added"))
           .when(col("n_b").isNull, lit("removed"))
           .otherwise(lit("common")).as("status"),
@@ -502,9 +551,12 @@ object Profile {
       0.057991946977687, 0.051152522447381, 0.045757490560675)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    val cents = round(col(valueCol) * 100).cast("long")
-    // gate on CENTS >= 1, not value > 0: a positive value below half
-    // a cent rounds to zero cents, whose "first digit" is 0 — and
+    // Benford audits the MAGNITUDE: a ledger's refunds/credits are
+    // exactly where fabricated entries hide, so negative amounts
+    // participate via abs() instead of being silently excluded.
+    val cents = abs(round(col(valueCol) * 100).cast("long"))
+    // gate on CENTS >= 1, not value != 0: a value below half a cent
+    // rounds to zero cents, whose "first digit" is 0 — and
     // element_at(expected, 0) is a runtime error (round-8 review
     // finding). No first significant cent digit exists ⇒ excluded.
     df.filter(col(valueCol).isNotNull && cents >= 1)
@@ -561,8 +613,13 @@ object Profile {
 
   private def cmsBucket(key: org.apache.spark.sql.Column, i: Int,
       width: Int): org.apache.spark.sql.Column =
-    pmod(pmod(key.cast("long") * lit(2L * i + 3) + lit(5L * i + 11),
-      lit(2147483647L)), lit(width.toLong))
+    // the key is reduced mod p BEFORE the multiply: k·(2i+3) overflows
+    // int64 for |k| > ~1e18 (an ANSI ArithmeticException on exactly
+    // the full-range xxhash64 keys the scaladoc tells callers to use);
+    // (k mod p)·a + b ≡ k·a + b (mod p), so buckets are unchanged
+    // wherever the old form didn't overflow
+    pmod(pmod(pmod(key.cast("long"), lit(2147483647L)) * lit(2L * i + 3)
+      + lit(5L * i + 11), lit(2147483647L)), lit(width.toLong))
 
   /** Add a partial frame into ONE combined sketch (slice = label).
     * Associative and exact: integer adds per (row, bucket) cell; the
