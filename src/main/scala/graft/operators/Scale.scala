@@ -17,12 +17,35 @@ object Scale {
     * the right layout for a fact table that is merge-joined every
     * micro-batch. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** The salting shape both variants share. Replicating the small side
+    * across every salt makes right/full outer joins WRONG (an
+    * unmatched small row would surface `salts` times), so only the
+    * types where unmatched small rows never surface are allowed. */
+  private def saltedJoinImpl(big: DataFrame, small: DataFrame, key: String,
+      saltCol: Column, salts: Int, joinType: String): DataFrame = {
+    require(salts >= 1, s"salts must be positive: $salts")
+    val t = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi",
+        "leftanti").contains(t),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got " +
+        s"'$joinType': the small side is replicated $salts times, so " +
+        "an unmatched small row in a right/full outer join would be " +
+        s"emitted $salts times")
+    val saltedBig = big.withColumn("__salt", saltCol)
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 
   /** Salted join for skewed keys: the skewed (big) side gets a random
     * salt in [0, salts); the small side is replicated across all salt
@@ -30,16 +53,16 @@ object Scale {
     * cost of replicating the other side `salts`×. AQE's skew-join
     * handles moderate skew automatically; salting is for the
     * pathological keys AQE can't split (single-key hotspots).
-    */
+    *
+    * Retry hazard: the salt is `rand()` — nondeterministic — so a task
+    * retried after a fetch failure can re-salt its rows differently
+    * than the already-fetched map output. For long jobs on flaky
+    * clusters prefer [[saltedJoinDeterministic]], whose salt is a pure
+    * function of a data column and replays identically. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
-    val saltedSmall = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
-      .drop("__salt")
-  }
+      salts: Int, joinType: String = "inner"): DataFrame =
+    saltedJoinImpl(big, small, key,
+      (rand(seed = 42) * salts).cast("int"), salts, joinType)
 
   /** Bloom-filter prefilter for a selective join: build a bloom sketch
     * of the small side's keys (distributed aggregate; only the fixed-
@@ -58,11 +81,17 @@ object Scale {
     */
   def bloomFilterBig(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, expectedItems: Long = 1000000L,
-      numBits: Long = 8L * 1000000L): DataFrame = {
+      numBits: Long = -1L): DataFrame = {
+    // numBits tracks expectedItems by default (8 bits/item ≈ 2% fpp):
+    // a FIXED default decoupled from expectedItems silently undersized
+    // the sketch for larger builds (100M items in 8M bits is ~1 fpp —
+    // the prefilter stops filtering and the caller pays sketch-build
+    // cost for nothing)
+    val nb = if (numBits > 0) numBits else 8L * expectedItems
     val aggExpr = GraftSqlBridge.column(
       new BloomFilterAggregate(
         GraftSqlBridge.expression(xxhash64(smallKey)),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        Literal(expectedItems), Literal(nb)).toAggregateExpression())
     val sketch = small.select(aggExpr.as("bf")).head.getAs[Array[Byte]](0)
     if (sketch == null) big.filter(lit(false)) // empty build side
     else big.filter(GraftSqlBridge.column(BloomFilterMightContain(
@@ -78,7 +107,10 @@ object Scale {
       expectedItems: Long = 1000000L): DataFrame =
     bloomFilterBig(big, small.select(col(key)), col(key), col(key),
       expectedItems)
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      // no .distinct() on the build side: a semi join already emits
+      // each big row at most once, and the distinct was a full extra
+      // shuffle of the small side's keys for zero output change
+      .join(small.select(col(key)), Seq(key), "left_semi")
 
   /** Join-key skew diagnostic: the top-k hottest keys with their row
     * counts and corpus share (ppm, integer-exact). This is the report
@@ -128,33 +160,46 @@ object Scale {
       .groupBy(leftKey.as("k")).agg(count(lit(1)).as("lc"))
     val r = right.filter(rightKey.isNotNull)
       .groupBy(rightKey.as("k")).agg(count(lit(1)).as("rc"))
+    // lc·rc must not overflow int64: past ~3e9 rows per side on one
+    // key the product exceeds Long.Max — an output cardinality so far
+    // beyond runnable that the only honest report is a loud failure,
+    // not a silently wrapped "safe-looking" number
+    val dupLimit = 3037000499L // floor(sqrt(Long.MaxValue))
     val joined = l.join(r, Seq("k"), "full_outer")
+      .filter(assert_true(
+        coalesce(col("lc"), lit(0L)) <= dupLimit &&
+          coalesce(col("rc"), lit(0L)) <= dupLimit,
+        lit("joinProfile: a single key exceeds ~3e9 rows on one side; " +
+          "its output product overflows int64 — this join cannot be " +
+          "run as written")).isNull)
+    // coalesce each output: over an EMPTY profile frame (both inputs
+    // empty or all-null keys) sum/max yield NULL, but the documented
+    // one-row report is all-zeros, and zeros are the honest answer
     joined.agg(
-      sum(coalesce(col("lc"), lit(0L))).as("left_rows"),
-      sum(coalesce(col("rc"), lit(0L))).as("right_rows"),
-      sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("left_keys"),
-      sum(when(col("rc").isNotNull, 1L).otherwise(0L)).as("right_keys"),
-      sum(when(col("lc").isNotNull && col("rc").isNotNull, 1L)
-        .otherwise(0L)).as("match_keys"),
-      max(coalesce(col("lc"), lit(0L))).as("left_max_dup"),
-      max(coalesce(col("rc"), lit(0L))).as("right_max_dup"),
-      sum(when(col("lc").isNotNull && col("rc").isNotNull,
-        col("lc") * col("rc")).otherwise(0L)).as("out_rows"),
-      max(when(col("lc").isNotNull && col("rc").isNotNull,
-        col("lc") * col("rc")).otherwise(0L)).as("max_key_out"))
+      coalesce(sum(coalesce(col("lc"), lit(0L))), lit(0L)).as("left_rows"),
+      coalesce(sum(coalesce(col("rc"), lit(0L))), lit(0L)).as("right_rows"),
+      coalesce(sum(when(col("lc").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("left_keys"),
+      coalesce(sum(when(col("rc").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("right_keys"),
+      coalesce(sum(when(col("lc").isNotNull && col("rc").isNotNull, 1L)
+        .otherwise(0L)), lit(0L)).as("match_keys"),
+      coalesce(max(coalesce(col("lc"), lit(0L))), lit(0L))
+        .as("left_max_dup"),
+      coalesce(max(coalesce(col("rc"), lit(0L))), lit(0L))
+        .as("right_max_dup"),
+      coalesce(sum(when(col("lc").isNotNull && col("rc").isNotNull,
+        col("lc") * col("rc")).otherwise(0L)), lit(0L)).as("out_rows"),
+      coalesce(max(when(col("lc").isNotNull && col("rc").isNotNull,
+        col("lc") * col("rc")).otherwise(0L)), lit(0L)).as("max_key_out"))
   }
 
   /** Deterministic variant: salt derived from another column's hash —
-    * reproducible plans (tests, oracles). */
+    * reproducible plans (tests, oracles) and retry-safe at scale. */
   def saltedJoinDeterministic(big: DataFrame, small: DataFrame, key: String,
-      saltFrom: String, salts: Int, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"))
-    val saltedSmall = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
-      .drop("__salt")
-  }
+      saltFrom: String, salts: Int, joinType: String = "inner"): DataFrame =
+    saltedJoinImpl(big, small, key,
+      pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"), salts, joinType)
 
   /** EXACT distributed discrete quantiles (SQL-standard
     * PERCENTILE_DISC: the smallest value whose cumulative count
@@ -265,9 +310,24 @@ object Scale {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
-      min(b).as("__bmn"), max(b).as("__bmx"))
     val scale = 1L << bits
+    // loud in-plan guard: (x − min)·2^bits must stay inside int64, so
+    // each dimension's RANGE is bounded by 2^(63−bits). A raw
+    // epoch-micros timestamp spanning years blows this — normalize the
+    // column (seconds, days) or reduce bits; a silently overflowed
+    // product would scatter the table in a garbage layout. The check
+    // runs in DECIMAL because max−min itself can overflow for
+    // full-range inputs.
+    val rangeLimit = Long.MaxValue / scale - 1
+    val rangeOk =
+      (col("__amx").cast("decimal(28,0)") - col("__amn") <= rangeLimit) &&
+        (col("__bmx").cast("decimal(28,0)") - col("__bmn") <= rangeLimit)
+    val stats = df.agg(min(a).as("__amn"), max(a).as("__amx"),
+        min(b).as("__bmn"), max(b).as("__bmx"))
+      .filter(assert_true(rangeOk,
+        lit(s"z-order: a dimension's value range exceeds 2^${63 - bits}" +
+          s" — (x-min)*2^$bits would overflow; normalize the column " +
+          "or reduce bits")).isNull)
     df.crossJoin(broadcast(stats))
       // integer `div` — products stay ≤ range·2^16 < 2^63, and the
       // oracle's `//` replays the same truncation exactly
@@ -299,6 +359,13 @@ object Scale {
     * Scale shape: one stats aggregate (one row, broadcast), then
     * scan-side codegen arithmetic and a single ≤2^bucketBits-key
     * partial-aggregated groupBy. The report never shuffles raw rows.
+    *
+    * NULL dimensions: a row with a NULL in either column gets a NULL
+    * z and reports under a `bucket = null` row (its spans carry the
+    * non-null dimension only); [[zOrderLayout]] likewise collects all
+    * such rows into one range partition. Clean the columns first if
+    * null rates are material — a z-order over a mostly-null dimension
+    * is not a useful layout.
     */
   def zOrderBuckets(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, bucketBits: Int = 6): DataFrame = {

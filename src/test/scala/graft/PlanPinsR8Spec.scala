@@ -100,15 +100,19 @@ class PlanPinsR8Spec extends SparkSpec {
     val df = graft.ext.Dedup.prefixJaccardJoin(docs, "doc_id", "text",
       0.6, maxPrefixDf = 1000)
     val plan = df.queryExecution.optimizedPlan.toString
-    // the candidate dedup (dropDuplicates → Aggregate grouped on the
-    // pair ids) must exist, and its SUBTREE (printed after it) must
-    // not touch the token arrays — verification joins them back
-    // ABOVE the dedup, keeping the candidate exchange narrow
-    val dedupIdx = plan.indexOf("Aggregate [doc_a")
-    assert(dedupIdx >= 0, plan)
-    val below = plan.substring(dedupIdx)
-    assert(below.contains("ptok"), plan) // it IS the candidate subtree
-    assert(!below.contains("array_intersect"),
-      "verification leaked below the pair dedup:\n" + plan)
+    // round-14 shape: the candidate frame is eagerly CHECKPOINTED
+    // (its dedup executed inside the checkpoint), so the final plan
+    // reads a narrow LogicalRDD of exactly (doc_a, doc_b, n_a, n_b) —
+    // no token arrays ever cross the candidate exchange — and
+    // verification re-tokenizes ONLY candidate docs above it, via a
+    // broadcast of the candidate id list
+    val rddIdx = plan.indexOf("LogicalRDD [doc_a")
+    assert(rddIdx >= 0, plan)
+    val rddLine = plan.substring(rddIdx, plan.indexOf("]", rddIdx))
+    assert(!rddLine.contains("ta") && !rddLine.contains("toks"),
+      "token arrays leaked into the checkpointed candidate frame:\n" + plan)
+    assert(plan.contains("array_intersect"), plan) // verify stage above
+    assert(plan.contains("strategy=broadcast"),
+      "candidate-doc re-tokenization lost its broadcast:\n" + plan)
   }
 }

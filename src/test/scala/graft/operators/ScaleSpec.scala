@@ -59,6 +59,44 @@ class ScaleSpec extends SparkSpec {
       .join(right, Seq("k")).count()
     assert(actual === got._8)
   }
+
+  test("joinProfile over empty/all-null inputs reports zeros, not nulls") {
+    val empty = Seq.empty[Option[Int]].toDF("k")
+    val allNull = Seq(None: Option[Int], None).toDF("k")
+    val got = Scale.joinProfile(empty, col("k"), allNull, col("k"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("saltedJoin rejects join types where small-side replication duplicates rows") {
+    val big = Seq((1L, "x")).toDF("k", "payload")
+    val small = Seq((1L, "d")).toDF("k", "dim")
+    // an unmatched small row would surface `salts` times under
+    // right/full outer — the API must refuse, not silently duplicate
+    val e = intercept[IllegalArgumentException](
+      Scale.saltedJoin(big, small, "k", salts = 4, joinType = "right_outer"))
+    assert(e.getMessage.contains("replicated"))
+    val e2 = intercept[IllegalArgumentException](
+      Scale.saltedJoinDeterministic(big, small, "k", "payload", 4, "full"))
+    assert(e2.getMessage.contains("replicated"))
+    // left variants stay allowed (unmatched small rows never surface)
+    assert(Scale.saltedJoin(big, small, "k", 4, "left_semi").count() === 1L)
+  }
+
+  test("z-order range guard: an un-normalized huge-range dimension fails loudly") {
+    val df = Seq((0L, 1L), (Long.MaxValue - 2, 5L)).toDF("a", "b")
+    val e = intercept[Exception](
+      Scale.zOrderBuckets(df, "a", "b", bits = 16).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("z-order"),
+      s"expected the range-overflow raise, got: ${chain(e)}")
+    // a sane range still works
+    val ok = Scale.zOrderBuckets(
+      Seq((0L, 0L), (100L, 50L)).toDF("a", "b"), "a", "b", bits = 8)
+    assert(ok.count() >= 1L)
+  }
 }
 
 class WinnowSpec extends SparkSpec {
