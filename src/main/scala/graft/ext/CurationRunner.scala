@@ -65,16 +65,27 @@ object CurationRunner {
 
   final case class Pointer(version: Long, batchId: Long)
 
-  private def hadoopConf(): Configuration =
-    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+  /** The Spark Hadoop conf the pointer I/O must share with the
+    * parquet writes. An in-hand session is preferred; the thread-local
+    * active session and the JVM-wide default session are fallbacks —
+    * a retention thread that never built a session would otherwise
+    * get a bare Configuration with none of the cluster's
+    * `spark.hadoop.*` storage settings and resolve a DIFFERENT
+    * filesystem than the snapshots (the split-store bug this module
+    * exists to prevent). */
+  private def hadoopConf(spark: Option[SparkSession]): Configuration =
+    spark.orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
   /** The store's FileSystem + qualified root, resolved from the Spark
     * Hadoop conf — the SAME resolution `df.write.parquet(dir)` uses,
     * so pointer and snapshots cannot land in different stores. */
-  private def fsRoot(dir: String): (FileSystem, Path) = {
+  private def fsRoot(dir: String,
+      spark: Option[SparkSession] = None): (FileSystem, Path) = {
     val raw = new Path(dir)
-    val fs = raw.getFileSystem(hadoopConf())
+    val fs = raw.getFileSystem(hadoopConf(spark))
     (fs, fs.makeQualified(raw))
   }
 
@@ -83,8 +94,9 @@ object CurationRunner {
   /** The current pointer, or None for an empty store: one listing for
     * the maximum committed `_COMMIT_<N>`, whose content carries the
     * last applied batchId. */
-  def current(dir: String): Option[Pointer] = {
-    val (fs, root) = fsRoot(dir)
+  def current(dir: String,
+      spark: Option[SparkSession] = None): Option[Pointer] = {
+    val (fs, root) = fsRoot(dir, spark)
     if (!fs.exists(root)) return None
     val latest = fs.listStatus(root).iterator.flatMap { st =>
       st.getPath.getName match {
@@ -118,10 +130,11 @@ object CurationRunner {
     * need exact types on an empty store should supply their own empty
     * frame. */
   def survivors(spark: SparkSession, dir: String, idCol: String,
-      hashCol: String, qualityCol: String): DataFrame = current(dir) match {
-    case Some(ptr) => spark.read.parquet(s"$dir/v${ptr.version}")
-    case None => emptySurvivors(spark, idCol, hashCol, qualityCol)
-  }
+      hashCol: String, qualityCol: String): DataFrame =
+    current(dir, Some(spark)) match {
+      case Some(ptr) => spark.read.parquet(s"$dir/v${ptr.version}")
+      case None => emptySurvivors(spark, idCol, hashCol, qualityCol)
+    }
 
   private def emptySurvivors(spark: SparkSession, idCol: String,
       hashCol: String, qualityCol: String): DataFrame = {
@@ -138,7 +151,7 @@ object CurationRunner {
       maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12)): Boolean = {
     val spark = batch.sparkSession
-    val cur = current(dir)
+    val cur = current(dir, Some(spark))
     if (cur.exists(_.batchId >= batchId)) return false
     val surv = cur match {
       case Some(ptr) => spark.read.parquet(s"$dir/v${ptr.version}")
@@ -157,13 +170,23 @@ object CurationRunner {
     // anywhere before the rename leaves the previous marker the
     // maximum (and the previous snapshot fully intact); the replayed
     // batch simply re-applies onto the old version
-    val (fs, root) = fsRoot(dir)
+    val (fs, root) = fsRoot(dir, Some(spark))
     val tmp = new Path(root, s"_COMMIT_$next.tmp")
     val dst = new Path(root, s"_COMMIT_$next")
     val os = fs.create(tmp, true)
     try os.write(s"$next $batchId".getBytes(StandardCharsets.UTF_8))
     finally os.close()
-    if (fs.exists(dst)) fs.delete(dst, false) // crashed earlier attempt
+    // the final name NEVER pre-exists under the single-writer
+    // protocol: a crash before the rename leaves only the .tmp, and a
+    // crash after it is absorbed by the batchId replay-skip above
+    // (which never reaches this line). A pre-existing marker therefore
+    // proves a SECOND writer shares the store — deleting its committed
+    // marker would silently discard that writer's applied increment,
+    // so fail loudly instead.
+    require(!fs.exists(dst),
+      s"commit marker $dst already exists: a concurrent writer " +
+        "committed this version — the store's single-writer contract " +
+        "is violated")
     require(fs.rename(tmp, dst), s"marker rename failed: $tmp -> $dst")
     true
   }
@@ -173,12 +196,13 @@ object CurationRunner {
     * version is never deleted regardless of `keep`; a concurrent
     * reader that already resolved the newest marker keeps a valid
     * snapshot. Returns the pruned version numbers. */
-  def prune(dir: String, keep: Int = 2): Seq[Long] = {
+  def prune(dir: String, keep: Int = 2,
+      spark: Option[SparkSession] = None): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1: $keep")
-    current(dir) match {
+    current(dir, spark) match {
       case None => Seq.empty
       case Some(ptr) =>
-        val (fs, root) = fsRoot(dir)
+        val (fs, root) = fsRoot(dir, spark)
         val cutoff = ptr.version - keep + 1
         val snapRe = "v(\\d+)".r
         val pruned = fs.listStatus(root).iterator.flatMap(st =>

@@ -107,6 +107,22 @@ class CurationRunnerSpec extends SparkSpec {
     assert(readSurv(dir) === Map(10L -> (7L, 2L), 2L -> (9L, 1L)))
   }
 
+  test("pointer I/O works with no thread-local active session (default-session fallback)") {
+    // a retention thread that never built a session must still resolve
+    // the store through the Spark Hadoop conf, not a bare Configuration
+    val dir = "file:" + freshDir()
+    val b0 = Seq((1L, h1, 5L)).toDF("doc_id", "ph", "quality")
+    assert(CurationRunner.applyIncrement(dir, b0, 0L, "doc_id", "ph", "quality"))
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      assert(CurationRunner.current(dir) ===
+        Some(CurationRunner.Pointer(0L, 0L)))
+      assert(CurationRunner.prune(dir, keep = 1) === Seq.empty)
+    } finally active.foreach(
+      org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("crash before the marker commit leaves the old version authoritative") {
     val dir = freshDir()
     val b0 = Seq((1L, h1, 5L)).toDF("doc_id", "ph", "quality")
