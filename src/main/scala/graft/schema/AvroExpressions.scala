@@ -186,7 +186,12 @@ object AvroExpressions {
 
     def decodeRow(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (b.length < 6 || b(0) != 0x00)
+      // 5 header bytes (magic + id) + payload; the frame check is
+      // about the HEADER — a 5-byte frame is structurally valid (an
+      // empty-record schema encodes to zero bytes), and a payload too
+      // short for its schema fails in the Avro decoder with the right
+      // error instead of a misleading frame-mismatch
+      if (b.length < 5 || b(0) != 0x00)
         throw new IllegalArgumentException(
           s"registry frame mismatch: expected magic 0x00 + int32 schema " +
             s"id, got ${b.length}-byte frame")

@@ -62,7 +62,10 @@ object ProtoExpressions {
 
     def decodeRow(input: Any): InternalRow = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (b.length < 6 || b(0) != 0x00)
+      // 5 header bytes (magic + id) + payload; a 5-byte frame is LEGAL
+      // — it carries an empty payload, which is a valid all-defaults
+      // proto3 message
+      if (b.length < 5 || b(0) != 0x00)
         throw new IllegalArgumentException(
           s"registry frame mismatch: expected magic 0x00 + int32 schema " +
             s"id, got ${b.length}-byte frame")

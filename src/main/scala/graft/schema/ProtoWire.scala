@@ -59,6 +59,16 @@ object ProtoWire {
       * recompute after deserialization on the executor. */
     @transient lazy val byNumber: Map[Int, (ProtoField, Int)] =
       fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    /** Cached Spark schema — encode also runs per row (and per nested
+      * message per row); rebuilding the StructType there dominated the
+      * per-row constant cost (same rationale as [[byNumber]]). */
+    @transient lazy val sparkSchema: StructType =
+      StructType(fields.map { f =>
+        val base = sparkTypeOf(f.ptype)
+        val t = if (f.repeated) ArrayType(base, containsNull = false)
+          else base
+        StructField(f.name, t, nullable = true)
+      })
   }
 
   /** proto3 text name of a type, for `.proto` emission. */
@@ -117,7 +127,11 @@ object ProtoWire {
     * convention. */
   def writeKeyProto(dir: java.nio.file.Path, m: ProtoMessage, pkg: String,
       fieldName: String): java.nio.file.Path = {
-    val snake = m.name.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    // two-rule underscore (Rails convention the reference inherits):
+    // the acronym rule first, so HTTPOrder → http_order, not httporder
+    val snake = m.name
+      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+      .replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
     val out = dir.resolve(pkg.replace('.', '/')).resolve(s"${snake}_key.proto")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
@@ -138,12 +152,7 @@ object ProtoWire {
     case PMessage(m) => sparkSchemaOf(m)
   }
 
-  def sparkSchemaOf(m: ProtoMessage): StructType =
-    StructType(m.fields.map { f =>
-      val base = sparkTypeOf(f.ptype)
-      val t = if (f.repeated) ArrayType(base, containsNull = false) else base
-      StructField(f.name, t, nullable = true)
-    })
+  def sparkSchemaOf(m: ProtoMessage): StructType = m.sparkSchema
 
   // ---- wire primitives -------------------------------------------------
 
@@ -252,10 +261,19 @@ object ProtoWire {
           val n = arr.numElements()
           if (n > 0) {
             val elemT = schema(i).dataType.asInstanceOf[ArrayType].elementType
+            // loud null-element check: the declared schema says
+            // containsNull=false, but the caller's frame may violate
+            // it — typed accessors would otherwise NPE (strings) or
+            // silently write 0 (unboxed numerics) with no field context
+            def checkElem(j: Int): Unit =
+              if (arr.isNullAt(j)) throw new IllegalArgumentException(
+                s"null element at index $j of repeated proto field " +
+                  s"${f.name} — proto3 repeated fields cannot carry null")
             wireTypeOf(f.ptype) match {
               case 2 => // strings/bytes/messages: one tag per element
                 var j = 0
                 while (j < n) {
+                  checkElem(j)
                   writeTag(out, f.number, 2)
                   writeScalar(out, f.ptype, getElem(arr, j, elemT))
                   j += 1
@@ -264,6 +282,7 @@ object ProtoWire {
                 val body = new ByteArrayOutputStream()
                 var j = 0
                 while (j < n) {
+                  checkElem(j)
                   writeScalar(body, f.ptype, getElem(arr, j, elemT))
                   j += 1
                 }
@@ -303,7 +322,8 @@ object ProtoWire {
 
   // ---- decode ----------------------------------------------------------
 
-  private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
+  private final class Reader(val bytes: Array[Byte], var pos: Int,
+      val end: Int) {
     def hasMore: Boolean = pos < end
     def readVarint(): Long = {
       var shift = 0
@@ -332,8 +352,14 @@ object ProtoWire {
       pos += 8; v
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
-      require(len >= 0 && pos + len <= end, "truncated length-delimited")
+      // length compared in LONG before the Int narrowing: a malformed
+      // 64-bit length like 0x1_0000_0003 would otherwise truncate to a
+      // small positive len, pass the bound, and silently desync the
+      // parse; pos+len can likewise overflow Int
+      val lenL = readVarint()
+      require(lenL >= 0L && lenL <= (end - pos).toLong,
+        "truncated length-delimited")
+      val len = lenL.toInt
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len; out
     }
@@ -361,8 +387,14 @@ object ProtoWire {
     case PString => UTF8String.fromBytes(r.readBytes())
     case PBytes => r.readBytes()
     case PMessage(m) =>
-      val b = r.readBytes()
-      decode(b, m, 0, b.length)
+      // in-place range decode — no per-element payload copy (the
+      // range form exists for exactly this)
+      val lenL = r.readVarint()
+      require(lenL >= 0L && lenL <= (r.end - r.pos).toLong,
+        "truncated length-delimited")
+      val start = r.pos
+      r.pos += lenL.toInt
+      decode(r.bytes, m, start, start + lenL.toInt)
   }
 
   private def defaultOf(t: ProtoType): Any = t match {
@@ -377,8 +409,10 @@ object ProtoWire {
   }
 
   /** proto3 message bytes → InternalRow shaped as [[sparkSchemaOf]].
-    * Unknown fields are skipped by wire type; last-value-wins for
-    * repeated occurrences of a non-repeated field (proto3 rule);
+    * Unknown fields are skipped by wire type; repeated occurrences of
+    * a non-repeated SCALAR field last-win (proto3 rule), while
+    * repeated occurrences of an embedded MESSAGE field MERGE
+    * (concatenated-payload decode — the spec's merge semantics);
     * repeated numerics accept packed and unpacked encodings. */
   def decode(bytes: Array[Byte], m: ProtoMessage): InternalRow =
     decode(bytes, m, 0, bytes.length)
@@ -406,7 +440,14 @@ object ProtoWire {
       case (_: PMessage, _) | (_, _: PMessage) => Unconvertible
       case _ => (sparkTypeOf(wt), sparkTypeOf(rt)) match {
         case (a, b) if a == b => v
-        case (IntegerType, LongType) => v.asInstanceOf[Int].toLong
+        case (IntegerType, LongType) => wt match {
+          // unsigned writer types carry raw bits in Int; widening must
+          // ZERO-extend (uint32 3000000000 is 3000000000 to a 64-bit
+          // reader, not -1294967296 — the C++-cast rule the resolution
+          // contract follows)
+          case PUInt32 | PFixed32 => v.asInstanceOf[Int].toLong & 0xffffffffL
+          case _ => v.asInstanceOf[Int].toLong
+        }
         case (LongType, IntegerType) => v.asInstanceOf[Long].toInt
         case (FloatType, DoubleType) => v.asInstanceOf[Float].toDouble
         case (DoubleType, FloatType) => v.asInstanceOf[Double].toFloat
@@ -439,10 +480,16 @@ object ProtoWire {
       val resolved = writer.byNumber.get(rf.number) match {
         case None => Unconvertible
         case Some((wf, wi)) =>
-          val wv = row.asInstanceOf[GenericInternalRow].values(wi)
+          // generic InternalRow/ArrayData accessors, NOT a
+          // GenericInternalRow cast: the public signature accepts any
+          // Catalyst row representation (an UnsafeRow from a caller
+          // that round-tripped through a projection must work too)
+          val wdt = sparkSchemaOf(writer)(wi).dataType
+          val wv = if (row.isNullAt(wi)) null else row.get(wi, wdt)
           if (wf.repeated != rf.repeated) Unconvertible
           else if (rf.repeated) {
-            val arr = wv.asInstanceOf[GenericArrayData].array
+            val arr = wv.asInstanceOf[ArrayData]
+              .toObjectArray(sparkTypeOf(wf.ptype))
             val out = arr.map(e => convertScalar(e, wf.ptype, rf.ptype))
             if (out.contains(Unconvertible)) Unconvertible
             else new GenericArrayData(out)
@@ -463,10 +510,24 @@ object ProtoWire {
     val values = new Array[Any](m.fields.size)
     val repeated = Array.fill(m.fields.size)(
       null: scala.collection.mutable.ArrayBuffer[Any])
+    // non-repeated MESSAGE fields accumulate raw payload bytes: the
+    // protobuf spec mandates that repeated occurrences of an embedded
+    // message field MERGE (a conformant writer may legally split one
+    // message across occurrences), and concatenated-payload decode IS
+    // the spec's merge — scalars last-win, repeateds append, nested
+    // messages merge recursively. Last-value-wins applies to scalars
+    // only.
+    val msgBufs = new Array[ByteArrayOutputStream](m.fields.size)
     val r = new Reader(bytes, from, to)
     while (r.hasMore) {
       val tag = r.readVarint()
-      val number = (tag >>> 3).toInt
+      val numberL = tag >>> 3
+      // field numbers are 1..2^29-1 by spec; a tag whose high bits are
+      // set is a malformed frame — truncating with .toInt could alias
+      // it onto a REAL field and decode garbage as data
+      require(numberL >= 1L && numberL <= 536870911L,
+        s"malformed tag: field number $numberL out of proto range")
+      val number = numberL.toInt
       val wt = (tag & 0x7).toInt
       byNumber.get(number) match {
         case None => r.skip(wt)
@@ -492,8 +553,13 @@ object ProtoWire {
             }
           } else if (wt != expectedWt) {
             r.skip(wt) // mismatched wire type: unknown field, keep default
-          } else {
-            values(i) = decodeScalar(r, f.ptype, wt)
+          } else f.ptype match {
+            case PMessage(_) =>
+              val b = r.readBytes()
+              if (msgBufs(i) == null) msgBufs(i) = new ByteArrayOutputStream()
+              msgBufs(i).write(b, 0, b.length)
+            case _ =>
+              values(i) = decodeScalar(r, f.ptype, wt)
           }
       }
     }
@@ -502,8 +568,14 @@ object ProtoWire {
         values(i) = new GenericArrayData(
           if (repeated(i) == null) Array.empty[Any]
           else repeated(i).toArray)
-      } else if (values(i) == null) {
-        values(i) = defaultOf(f.ptype)
+      } else f.ptype match {
+        case PMessage(sub) =>
+          if (msgBufs(i) != null) {
+            val b = msgBufs(i).toByteArray
+            values(i) = decode(b, sub, 0, b.length)
+          } // else stays null (message presence is explicit)
+        case _ =>
+          if (values(i) == null) values(i) = defaultOf(f.ptype)
       }
     }
     new GenericInternalRow(values)

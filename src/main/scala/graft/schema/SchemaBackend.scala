@@ -180,7 +180,12 @@ private[schema] object RegistryFraming {
   def decodeValidated(bytes: Column, schemaId: Int)
       (inner: Column => Column): Column = {
     val idExpr = AvroExpressions.schemaIdOf(bytes)
-    val frameOk = length(bytes) >= 6 &&
+    // the frame check is about the 5 HEADER bytes (magic + id): a
+    // 5-byte frame carries an EMPTY payload, which is a legal
+    // all-defaults proto3 message (and an empty-record Avro body) —
+    // a payload too short for its schema fails in the decoder with
+    // the right error, not a misleading frame-mismatch
+    val frameOk = length(bytes) >= 5 &&
       substring(bytes, 1, 1) === lit(Array[Byte](0x00)) &&
       idExpr === lit(schemaId)
     // null payloads (Kafka tombstones) decode to null; only MALFORMED
@@ -191,7 +196,7 @@ private[schema] object RegistryFraming {
       .otherwise(raise_error(concat(
         lit("registry frame mismatch: expected magic 0x00 + schema id " +
           s"$schemaId, got "),
-        when(length(bytes) >= 6, concat(lit("id "), idExpr.cast("string")))
+        when(length(bytes) >= 5, concat(lit("id "), idExpr.cast("string")))
           .otherwise(concat(length(bytes).cast("string"),
             lit("-byte frame"))))))
   }

@@ -315,4 +315,86 @@ class ProtoSpec extends SparkSpec {
     assert(keyProtoText(m, "p", "tags")
       .contains("repeated string tags = 2;"))
   }
+
+  test("split embedded message occurrences MERGE (spec rule), scalars last-win") {
+    // a conformant writer may split one nested message across two
+    // length-delimited occurrences; the parser must merge them —
+    // {a:5} then {b:7} yields {a:5, b:7}, not {a:0, b:7}
+    val inner = ProtoMessage("In",
+      Seq(ProtoField("a", 1, PInt32), ProtoField("b", 2, PInt32)))
+    val m = ProtoMessage("Out", Seq(ProtoField("c", 3, PMessage(inner))))
+    val frame = Array[Byte](
+      0x1a, 0x02, 0x08, 0x05, // c += {a:5}
+      0x1a, 0x02, 0x10, 0x07) // c += {b:7}
+    val row = ProtoWire.decode(frame, m)
+    val c = row.getStruct(0, 2)
+    assert(c.getInt(0) === 5 && c.getInt(1) === 7)
+    // within the merged payload, a repeated SCALAR occurrence still
+    // last-wins: {a:5} ++ {a:9} -> a=9
+    val frame2 = Array[Byte](0x1a, 0x02, 0x08, 0x05, 0x1a, 0x02, 0x08, 0x09)
+    assert(ProtoWire.decode(frame2, m).getStruct(0, 2).getInt(0) === 9)
+  }
+
+  test("uint32 widening to a 64-bit reader zero-extends") {
+    // writer uint32 carrying 3e9 (raw negative Int bits) must resolve
+    // to 3000000000L for an int64 reader, not -1294967296L
+    val w = ProtoMessage("W", Seq(ProtoField("v", 1, PUInt32)))
+    val r = ProtoMessage("R", Seq(ProtoField("v", 1, PInt64)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](3000000000L.toInt))
+    assert(ProtoWire.resolveRow(row, w, r).getLong(0) === 3000000000L)
+    // signed widening still sign-extends
+    val ws = ProtoMessage("Ws", Seq(ProtoField("v", 1, PInt32)))
+    val rowS = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](-5))
+    assert(ProtoWire.resolveRow(rowS, ws, r).getLong(0) === -5L)
+  }
+
+  test("malformed frames fail loudly: out-of-range tag, oversized length") {
+    val m = ProtoMessage("M", Seq(ProtoField("a", 1, PInt32)))
+    // field number with bits above the 29-bit proto range: 5L << 38
+    val bigTag = {
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, (5L << 38) | 0L)
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](ProtoWire.decode(bigTag, m))
+    assert(e.getMessage.contains("malformed tag"))
+    // 64-bit length that would truncate to a small positive Int
+    val bigLen = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x0a) // field 1, wire type 2 (pretend bytes field)
+      ProtoWire.writeVarint(out, 0x100000003L)
+      out.write(1); out.write(2); out.write(3)
+      out.toByteArray
+    }
+    val m2 = ProtoMessage("M2", Seq(ProtoField("a", 1, PBytes)))
+    val e2 = intercept[IllegalArgumentException](ProtoWire.decode(bigLen, m2))
+    assert(e2.getMessage.contains("truncated"))
+  }
+
+  test("null element in a repeated field fails with the field name") {
+    val m = ProtoMessage("N",
+      Seq(ProtoField("tags", 1, PString, repeated = true)))
+    val df = Seq(Tuple1(Seq(Some("a"), None: Option[String])))
+      .toDF("tags")
+    val e = intercept[Exception](
+      df.select(ProtoExpressions.encodeProto(struct(col("tags")), m))
+        .collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("tags"),
+      s"expected the field-named null-element error, got ${chain(e)}")
+  }
+
+  test("a 5-byte registry frame (empty payload) decodes to all defaults") {
+    val m = ProtoMessage("E",
+      Seq(ProtoField("a", 1, PInt32), ProtoField("s", 2, PString)))
+    val backend = new ProtoRegistryFramedBackend(m, schemaId = 42)
+    val frame = Array[Byte](0x00, 0, 0, 0, 42) // magic + id, no payload
+    val df = Seq(Tuple1(frame)).toDF("v")
+    val row = df.select(backend.decodeExpr(col("v")).as("p"))
+      .select("p.a", "p.s").collect().head
+    assert(row.getInt(0) === 0 && row.getString(1) === "")
+  }
 }
