@@ -80,6 +80,11 @@ object JdbcMerger {
           val insPh = cols.map(_ => "?").mkString(", ")
           s"MERGE INTO $t USING SYSIBM.SYSDUMMY1 ON $on$matched" +
             s" WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insPh)"
+        case MySql if updatable.isEmpty =>
+          // keys-only table: insert-if-absent via a no-op assignment
+          // (an empty UPDATE list is a syntax error)
+          val k = q(keyCols.head, dialect)
+          s"$base ON DUPLICATE KEY UPDATE $k = $k"
         case MySql =>
           val upd = versionCol match {
             case Some(v) =>
@@ -97,6 +102,11 @@ object JdbcMerger {
               .mkString(", ")
           }
           s"$base ON DUPLICATE KEY UPDATE $upd"
+        case Postgres | Sqlite if updatable.isEmpty =>
+          // keys-only table: insert-if-absent (an empty SET list is a
+          // syntax error — only the Ansi branch handled this shape)
+          val conflict = keyCols.map(q(_, dialect)).mkString(", ")
+          s"$base ON CONFLICT ($conflict) DO NOTHING"
         case Postgres | Sqlite =>
           val conflict = keyCols.map(q(_, dialect)).mkString(", ")
           val upd = updatable
@@ -134,8 +144,27 @@ object JdbcMerger {
     * (`batch_consumption.rb:241-247`); the Ansi dialect (Derby rejects
     * row constructors in IN) uses the equivalent OR-of-ANDs with the
     * same parameter order. */
+  /** @param versionCol when set, each delete is version-guarded like
+    *   the upserts: a row is removed only when its stored version is
+    *   STRICTLY OLDER than the tombstone's (`stored < ?`) — without
+    *   this, a replayed/stale tombstone would delete a newer live row
+    *   while the same replay's stale upserts were correctly rejected.
+    *   The guarded form is OR-of-ANDs in every dialect (a row-
+    *   constructor IN list cannot carry the inequality); parameters
+    *   bind per row as (keys..., version). */
   def deleteSql(table: String, keyCols: Seq[String], nRows: Int,
-      dialect: Dialect): String = {
+      dialect: Dialect, versionCol: Option[String] = None): String = {
+    require(keyCols.nonEmpty,
+      "deleteSql needs at least one key column: a keyless merge " +
+        "cannot address rows to delete")
+    versionCol match {
+      case Some(v) =>
+        val one = (keyCols.map(k => s"${q(k, dialect)} = ?") :+
+          s"${q(v, dialect)} < ?").mkString("(", " AND ", ")")
+        val all = Seq.fill(nRows)(one).mkString(" OR ")
+        return s"DELETE FROM ${q(table, dialect)} WHERE $all"
+      case None => ()
+    }
     if (keyCols.size > 1 && dialect == Ansi) {
       val one = keyCols.map(k => s"${q(k, dialect)} = ?")
         .mkString("(", " AND ", ")")
@@ -173,7 +202,10 @@ object JdbcMerger {
 
   private def defaultIsDeadlock(e: Throwable): Boolean = {
     val m = Option(e.getMessage).getOrElse("").toLowerCase
-    m.contains("deadlock") || m.contains("lock wait timeout")
+    m.contains("deadlock") || m.contains("lock wait timeout") ||
+      // SQLite's contention signal — multiple writer partitions hit
+      // SQLITE_BUSY, which is retryable exactly like a deadlock
+      m.contains("database is locked") || m.contains("sqlite_busy")
   }
 
   /** M3 + T2 — per-row ordered apply for UNCOMPACTED hot-key topics:
@@ -197,7 +229,8 @@ object JdbcMerger {
     try {
       val upSt = conn.prepareStatement(
         upsertSql(table, cols, keyCols, 1, dialect, versionCol))
-      val delSt = conn.prepareStatement(deleteSql(table, keyCols, 1, dialect))
+      val delSt = conn.prepareStatement(
+        deleteSql(table, keyCols, 1, dialect, versionCol))
       val paramOrder = upsertParamOrder(cols, keyCols, dialect, versionCol)
       try rows.foreach { r =>
         withDeadlockRetry(sleeper = retrySleeper) {
@@ -205,6 +238,10 @@ object JdbcMerger {
             keyCols.zipWithIndex.foreach { case (k, i) =>
               delSt.setObject(i + 1, r.getAs[Any](k))
             }
+            // version-guarded tombstone: same stale-replay protection
+            // as the upsert guard
+            versionCol.foreach(v =>
+              delSt.setObject(keyCols.size + 1, r.getAs[Any](v)))
             delSt.executeUpdate()
           } else {
             paramOrder.zipWithIndex.foreach { case (c, i) =>
@@ -222,7 +259,15 @@ object JdbcMerger {
     * delete with deadlock retry. Sub-batches capped at `maxBatchSize`
     * rows per statement (reference `max_db_batch_size`,
     * `batch_consumption.rb:148-163`).
-    */
+    *
+    * PRECONDITION — at most one action per key per batch: compact
+    * first ([[Compaction.lastWins]] — `Streams.mergeSink` does). With
+    * duplicate keys in one statement the dialects diverge (Postgres
+    * errors with "cannot affect row a second time", MySQL applies in
+    * VALUES order), and because all upserts run before all deletes, a
+    * delete-then-reinsert sequence for one key would end wrongly
+    * deleted. Uncompacted hot-key topics belong on
+    * [[applyOrderedRows]], which applies per row in order. */
   def mergeIntoJdbc(batch: DataFrame, url: String, table: String,
       keyCols: Seq[String], tombstone: org.apache.spark.sql.Column,
       dialect: Dialect, props: java.util.Properties,
@@ -238,6 +283,7 @@ object JdbcMerger {
     val colIdx = cols.zipWithIndex.toMap
     val paramIdx = paramOrder.map(colIdx)
     upserts.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         if (effBatch == 1) {
@@ -258,30 +304,50 @@ object JdbcMerger {
           val sql = upsertSql(table, cols, keyCols, group.size, dialect,
             versionCol)
           withDeadlockRetry(sleeper = retrySleeper) {
+            // close in finally: a deadlock retry or terminal failure
+            // would otherwise leak a statement per attempt
             val st = conn.prepareStatement(sql)
-            var i = 1
-            group.foreach(r => paramIdx.foreach { c =>
-              st.setObject(i, r.get(c)); i += 1
-            })
-            st.executeUpdate(); st.close()
+            try {
+              var i = 1
+              group.foreach(r => paramIdx.foreach { c =>
+                st.setObject(i, r.get(c)); i += 1
+              })
+              st.executeUpdate()
+            } finally st.close()
           }
         }
       } finally conn.close()
+      }
     }
-    val delKeys = deletes.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    if (keyCols.isEmpty) {
+      // a keyless merge has no way to ADDRESS rows to delete; a
+      // tombstone reaching this path is a caller bug — fail loudly
+      // instead of emitting malformed SQL
+      require(deletes.isEmpty,
+        "keyless merge cannot delete: tombstone rows present but no " +
+          "key columns to address them")
+      return
+    }
+    val delFields = keyCols ++ versionCol.toSeq
+    val delKeys = deletes.select(
+      delFields.map(org.apache.spark.sql.functions.col): _*)
     delKeys.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try rows.grouped(maxBatchSize).foreach { group =>
-        val sql = deleteSql(table, keyCols, group.size, dialect)
+        val sql = deleteSql(table, keyCols, group.size, dialect, versionCol)
         withDeadlockRetry(sleeper = retrySleeper) {
           val st = conn.prepareStatement(sql)
-          var i = 1
-          group.foreach(r => keyCols.indices.foreach { c =>
-            st.setObject(i, r.get(c)); i += 1
-          })
-          st.executeUpdate(); st.close()
+          try {
+            var i = 1
+            group.foreach(r => delFields.indices.foreach { c =>
+              st.setObject(i, r.get(c)); i += 1
+            })
+            st.executeUpdate()
+          } finally st.close()
         }
       } finally conn.close()
+      }
     }
   }
 

@@ -34,11 +34,16 @@ class JdbcMergerLiveSpec extends SparkSpec {
     val dels = execs.filter(_.sql.startsWith("DELETE"))
     // 5 upsert rows, cap 2 → sub-batches of 2,2,1 (5 cols each row)
     assert(ups.map(_.params.size).sorted === List(5, 10, 10))
-    // 3 delete rows, cap 2 → 2,1 (2 key cols each)
-    assert(dels.map(_.params.size).sorted === List(2, 4))
-    // statement shape: compound-key conflict target + row-constructor IN
+    // 3 delete rows, cap 2 → 2,1; with versionCol each row binds
+    // (k1, k2, version) — the tombstone guard (round-14: an
+    // unguarded delete let a stale replayed tombstone kill a newer
+    // live row while the stale upserts were correctly rejected)
+    assert(dels.map(_.params.size).sorted === List(3, 6))
+    // statement shape: compound-key conflict target + guarded
+    // OR-of-ANDs delete
     assert(ups.head.sql.contains("""ON CONFLICT ("k1", "k2") DO UPDATE SET"""))
-    assert(dels.head.sql.contains("""WHERE ("k1", "k2") IN ("""))
+    assert(dels.head.sql.contains(
+      """("k1" = ? AND "k2" = ? AND "version" < ?)"""))
     // version guard rides the real statement
     assert(ups.forall(_.sql.endsWith(
       """WHERE EXCLUDED."version" > "tgt"."version"""")))
@@ -60,11 +65,12 @@ class JdbcMergerLiveSpec extends SparkSpec {
     val ups = execs.filter(_.sql.startsWith("INSERT"))
     val dels = execs.filter(_.sql.startsWith("DELETE"))
     assert(ups.map(_.params.size).sorted === List(5, 10, 10))
-    assert(dels.map(_.params.size).sorted === List(2, 4))
+    assert(dels.map(_.params.size).sorted === List(3, 6))
     assert(ups.head.sql.contains("""ON CONFLICT ("k1", "k2") DO UPDATE SET"""))
     assert(ups.forall(_.sql.endsWith(
       """WHERE EXCLUDED."version" > "tgt"."version"""")))
-    assert(dels.head.sql.contains("""WHERE ("k1", "k2") IN ("""))
+    assert(dels.head.sql.contains(
+      """("k1" = ? AND "k2" = ? AND "version" < ?)"""))
   }
 
   test("injected deadlocks are retried on the executor and the merge completes") {

@@ -209,6 +209,44 @@ class JdbcMergerSpec extends SparkSpec {
       "DELETE FROM \"w\" WHERE (\"k1\", \"k2\") IN ((?, ?), (?, ?))")
   }
 
+  test("keys-only tables upsert as insert-if-absent on every dialect") {
+    // every column is a key: an empty UPDATE/SET list is a syntax
+    // error — each dialect needs its no-op form
+    assert(upsertSql("w", Seq("k1", "k2"), Seq("k1", "k2"), 1, MySql) ===
+      "INSERT INTO `w` (`k1`, `k2`) VALUES (?, ?) " +
+        "ON DUPLICATE KEY UPDATE `k1` = `k1`")
+    assert(upsertSql("w", Seq("k1", "k2"), Seq("k1", "k2"), 1, Postgres) ===
+      "INSERT INTO \"w\" (\"k1\", \"k2\") VALUES (?, ?) " +
+        "ON CONFLICT (\"k1\", \"k2\") DO NOTHING")
+    assert(upsertSql("w", Seq("k1", "k2"), Seq("k1", "k2"), 1, Sqlite) ===
+      "INSERT INTO \"w\" (\"k1\", \"k2\") VALUES (?, ?) " +
+        "ON CONFLICT (\"k1\", \"k2\") DO NOTHING")
+  }
+
+  test("version-guarded delete: OR-of-ANDs with the stored < tombstone rule") {
+    assert(deleteSql("w", Seq("k"), 2, Postgres,
+        versionCol = Some("ver")) ===
+      "DELETE FROM \"w\" WHERE (\"k\" = ? AND \"ver\" < ?) OR " +
+        "(\"k\" = ? AND \"ver\" < ?)")
+  }
+
+  test("keyless deleteSql fails loudly instead of emitting malformed SQL") {
+    val e = intercept[IllegalArgumentException](
+      deleteSql("w", Nil, 1, Postgres))
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("SQLITE_BUSY contention is retried like a deadlock") {
+    var calls = 0
+    intercept[RuntimeException] {
+      withDeadlockRetry(sleeper = _ => ()) {
+        calls += 1
+        throw new RuntimeException("[SQLITE_BUSY] database is locked")
+      }
+    }
+    assert(calls === 3)
+  }
+
   test("deadlock retry retries at most twice with injected sleeper") {
     var calls = 0
     var sleeps = 0
