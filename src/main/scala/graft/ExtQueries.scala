@@ -3766,7 +3766,7 @@ object ExtQueries {
         |    len(regexp_extract_all(lower(text),
         |      '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
         |    len(regexp_extract_all(lower(text),
-        |      '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |      '(的|是|在|了|不|我|有)')) AS hits_zh
         |    FROM documents)),
         |cells AS (SELECT lang AS a, pred AS b, count(*) AS c
         |  FROM pred WHERE lang IS NOT NULL GROUP BY 1, 2),
@@ -3931,7 +3931,7 @@ object ExtQueries {
         |  len(regexp_extract_all(lower(text),
         |    '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
         |  len(regexp_extract_all(lower(text),
-        |    '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |    '(的|是|在|了|不|我|有)')) AS hits_zh
         |  FROM documents)
         |WHERE len(list_filter(string_split_regex(text, '\s+'),
         |  x -> x <> '')) > 0
@@ -3941,7 +3941,7 @@ object ExtQueries {
     "x126_gate_attrition" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |                x -> x <> '') AS t
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -4434,7 +4434,7 @@ object ExtQueries {
     "x54_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |    unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |                       x -> x <> '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf
@@ -4498,7 +4498,7 @@ object ExtQueries {
     "x51_incr_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+        |    md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
         |      AS fingerprint
         |  FROM documents),
         |inc AS (
@@ -4766,7 +4766,7 @@ object ExtQueries {
       """WITH tf AS (
         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
         |    SELECT doc_id,
-        |      unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok
         |    FROM documents) WHERE tok <> '' GROUP BY tok, doc_id)
         |SELECT tok, rank, doc_id, tf, df FROM (
         |  SELECT tok, doc_id, tf,
@@ -4883,7 +4883,7 @@ object ExtQueries {
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id,
-        |      unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok
         |    FROM documents) WHERE tok <> ''),
         |dfreq AS (
         |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok)
@@ -4912,13 +4912,13 @@ object ExtQueries {
         |          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |    '\+?\d(?:-?\d){8,}', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x22_repetition" ->
       """WITH tok0 AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
-        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1) AS ord0
+        |    unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), 1) AS ord0
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, tok,
@@ -5165,11 +5165,11 @@ object ExtQueries {
     // order — DuckDB's native levenshtein is the independent verifier
     "x99_entity_match" ->
       """WITH v AS (
-        |  SELECT DISTINCT unnest(string_split_regex(lower(text), '\W+'))
+        |  SELECT DISTINCT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'))
         |    AS word FROM documents),
         |v2 AS (SELECT word FROM v WHERE word <> ''),
         |l0 AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |      x -> x <> '')[1] AS w
         |  FROM documents WHERE doc_id < 200),
         |l AS (SELECT doc_id, substr(w, 1, len(w) - 1) || 'q' AS noisy
@@ -5406,8 +5406,8 @@ object ExtQueries {
     "x93_token_ids" ->
       """WITH tok0 AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
-        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1)
+        |    unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), 1)
         |      AS ord0
         |  FROM documents),
         |tok AS (
@@ -5522,7 +5522,7 @@ object ExtQueries {
         |  regexp_replace(h, '<style[^>]*>.*?</style\s*>', ' ', 'gis')
         |  AS h FROM c2),
         |c4 AS (SELECT doc_id, n_html_chars,
-        |  regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM c3),
+        |  regexp_replace(h, '<[^>"'']*(?:"[^"]*"[^>"'']*|''[^'']*''[^>"'']*)*>', ' ', 'g') AS h FROM c3),
         |c5 AS (SELECT doc_id, n_html_chars,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(
@@ -5675,7 +5675,7 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT doc_id * 10 + 3, text FROM documents WHERE doc_id % 5 = 0),
         |q AS (SELECT doc_id, text, doc_id % 7 AS quality,
-        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS f
+        |    md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS f
         |  FROM u),
         |r AS (SELECT doc_id, quality, f,
         |    row_number() OVER (PARTITION BY f
@@ -5730,7 +5730,7 @@ object ExtQueries {
     // exact integers; rate is exact-int / exact-int
     "x80_oov" ->
       """WITH ex AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |    unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |      x -> x <> '')) AS tok
         |  FROM documents),
         |v AS (SELECT tok FROM
@@ -5751,7 +5751,7 @@ object ExtQueries {
         |      || text AS text
         |  FROM documents),
         |gt AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |      x -> x <> '') AS t
         |  FROM d0),
         |gex AS (SELECT doc_id, unnest(t) AS tok FROM gt),
@@ -5935,7 +5935,7 @@ object ExtQueries {
     "x74_quality_gate" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |                x -> x <> '') AS t
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -6006,7 +6006,7 @@ object ExtQueries {
     "x72_lexdiv" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |                x -> x <> '') AS t
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -6055,7 +6055,7 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT 'fifth', doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |fp AS (SELECT DISTINCT src,
-        |    md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS f
+        |    md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS f
         |  FROM snap),
         |sz AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
         |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
@@ -6274,13 +6274,13 @@ object ExtQueries {
         .stripMargin,
     "x14_vocab" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok
         |  FROM documents)
         |SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS doc_freq
         |FROM toks WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin,
     "x15_top_tokens" ->
       """WITH toks AS (
-        |  SELECT lang, unnest(string_split_regex(lower(text), '\W+')) AS tok
+        |  SELECT lang, unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok
         |  FROM documents),
         |counts AS (
         |  SELECT lang, tok, COUNT(*) AS cnt FROM toks WHERE tok <> ''
@@ -6291,7 +6291,7 @@ object ExtQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) <= 5
         |ORDER BY lang, rank""".stripMargin,
     "x1_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+      """SELECT md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
         |    AS fingerprint,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
@@ -6306,7 +6306,7 @@ object ExtQueries {
     "x2_dedup_minhash" ->
       """WITH tk AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |    len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |        x -> x <> '')) AS ntok
         |  FROM documents),
         |eligible AS (SELECT doc_id, text FROM tk WHERE ntok >= 3),
@@ -6326,7 +6326,7 @@ object ExtQueries {
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_sort(list_distinct(list_filter(
-        |      string_split_regex(lower(text), '\W+'), x -> x <> '')))
+        |      string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '')))
         |      AS toks
         |  FROM documents),
         |grp AS (SELECT toks, COUNT(*) AS c FROM tk GROUP BY toks)
@@ -6417,7 +6417,7 @@ object ExtQueries {
     "x13_dedup_groups" ->
       """WITH tk AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |    len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |        x -> x <> '')) AS ntok
         |  FROM documents),
         |eligible AS (SELECT doc_id, text FROM tk WHERE ntok >= 3),
@@ -6431,8 +6431,8 @@ object ExtQueries {
     "x4_dedup_ngram" ->
       """WITH tok0 AS (
         |  SELECT doc_id, source,
-        |    unnest(string_split_regex(lower(text), '\W+')) AS tok,
-        |    generate_subscripts(string_split_regex(lower(text), '\W+'), 1) AS ord0
+        |    unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), 1) AS ord0
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, source, tok,
@@ -6473,7 +6473,7 @@ object ExtQueries {
         |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|est)\b')) AS hits_fr,
         |  len(regexp_extract_all(lower(text), '\b(el|los|las|y|que|un|es)\b')) AS hits_es,
         |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|zu)\b')) AS hits_de,
-        |  len(regexp_extract_all(lower(text), '\b(的|是|在|了|不|我|有)\b')) AS hits_zh
+        |  len(regexp_extract_all(lower(text), '(的|是|在|了|不|我|有)')) AS hits_zh
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "x9_text_quality" ->
@@ -6498,14 +6498,14 @@ object ExtQueries {
         |    AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
         |    AS BIGINT) AS bpeish_tokens,
-        |  CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\W+'),
+        |  CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
         |    x -> x <> ''))) AS BIGINT) AS vocab
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x11_text_fingerprint" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS norm_fp,
+        |  md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS norm_fp,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> ''))),
         |    ' ')) AS bag_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x12_multimodal_meta" ->

@@ -11,9 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The token-separator class, Unicode-aware: anything that is not a
+    * letter, digit, or underscore IN ANY SCRIPT. Java's bare `\W` is
+    * ASCII-only ([^A-Za-z0-9_]) — under it every CJK/accented char is
+    * a separator, so a pure-Chinese document tokenizes to NOTHING and
+    * [[normFingerprint]] collapses ALL such documents to md5("") —
+    * mass silent dedup loss on exactly the multilingual corpora the
+    * langId surface advertises. `\p{L}\p{N}` is supported identically
+    * by Java regex and RE2 (the DuckDB oracle side); on pure-ASCII
+    * text the two classes agree exactly. */
+  val NonWordClass = "[^\\p{L}\\p{N}_]"
+
   /** Lowercased word tokens, empties removed. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => t =!= "")
+    filter(split(lower(text), NonWordClass + "+"), t => t =!= "")
 
   /** Distinct token set. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
@@ -39,19 +50,41 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "在", "了", "不", "我", "有"),
   )
 
-  private def wordPattern(words: Seq[String]): String =
-    "\\b(" + words.mkString("|") + ")\\b"
+  /** Escape regex metacharacters in a caller-supplied word — the
+    * blocklist entry point must accept "c++" or "(a)" as LITERALS
+    * (\Q…\E would be Java-only; RE2, the oracle side, lacks it, so
+    * per-char escaping is the portable form). */
+  private def escapeWord(w: String): String =
+    w.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
 
-  /** Stopword-hit count for one language over lowercased text. */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
-    regexp_count(lower(text), lit(wordPattern(words))).cast("long")
+  private def wordPattern(words: Seq[String],
+      boundaries: Boolean = true): String = {
+    val alt = "(" + words.map(escapeWord).mkString("|") + ")"
+    if (boundaries) "\\b" + alt + "\\b" else alt
+  }
+
+  /** Stopword-hit count for one language over lowercased text.
+    * @param boundaries word-boundary anchoring; pass false for
+    *   scripts written WITHOUT spaces (Chinese, Japanese): `\b` can
+    *   never fire between two CJK letter chars under Java's
+    *   Unicode-aware rule (and RE2's ASCII rule disagrees with Java
+    *   exactly there), so anchored CJK stopwords match nothing. */
+  def stopwordHits(text: Column, words: Seq[String],
+      boundaries: Boolean = true): Column =
+    regexp_count(lower(text), lit(wordPattern(words, boundaries)))
+      .cast("long")
+
+  /** Scripts whose stopwords count as plain substrings (no `\b`) —
+    * languages written without inter-word spaces. */
+  private val NoBoundaryLangs = Set("zh")
 
   /** Language-ID: argmax of per-language stopword hits; ties and
     * zero-hit rows resolve in `StopwordLists` declaration order with
     * "und" (undetermined) when nothing matches. */
   def langId(text: Column): Column = {
     val scored = StopwordLists.map { case (lang, ws) =>
-      (lang, stopwordHits(text, ws))
+      (lang, stopwordHits(text, ws,
+        boundaries = !NoBoundaryLangs.contains(lang)))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -76,9 +109,11 @@ object TextFunctions {
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized text —
-    * exact-dedup key. */
+    * exact-dedup key. Unicode-aware separator class (see
+    * [[NonWordClass]]): an ASCII `\W` collapsed every non-Latin
+    * document to md5(""). */
   def normFingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+    md5(trim(regexp_replace(lower(text), NonWordClass + "+", " ")))
 
   /** Bag fingerprint: md5 over the sorted distinct token set — catches
     * word-order-only edits. */
@@ -91,7 +126,11 @@ object TextFunctions {
   val RedactionPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
-    "\\+?\\d[\\d-]{7,}\\d" -> "<PHONE>")
+    // >= 9 DIGITS (dashes optional between them), not >= 9 chars of
+    // [\d-]: the char-counting form matched every ISO date
+    // ("2026-08-16" — 8 digits) and year range, redacting all dates
+    // in the corpus to <PHONE>
+    "\\+?\\d(?:-?\\d){8,}" -> "<PHONE>")
 
   /** Redact PII spans (email/IP/phone) with typed placeholders —
     * the standard pre-training scrub pass. */
@@ -112,12 +151,28 @@ object TextFunctions {
     * occurrence of each line, preserve order — the per-document half
     * of boilerplate stripping (cross-document boilerplate is the
     * line-frequency variant over an exploded lines table). */
-  def dedupeLines(text: Column): Column = {
-    val lines = split(text, "\n")
-    array_join(
-      filter(lines, (l, i) =>
-        array_position(slice(lines, lit(1), i + 1), l) - 1 === i), "\n")
-  }
+  def dedupeLines(text: Column): Column =
+    // ONE aggregate pass with a seen-set accumulator: the old
+    // filter + slice + array_position form referenced `lines` inside
+    // the lambda body, re-evaluating split(text) per ELEMENT (the
+    // lexicalDiversity PERF TRAP — measured 60×) on top of an O(i)
+    // scan per line. Blank lines are ALWAYS kept: paragraph
+    // separators are document structure, not boilerplate — deduping
+    // them welded every paragraph after the second together.
+    aggregate(split(text, "\n"),
+      struct(array().cast("array<string>").as("seen"),
+        array().cast("array<string>").as("out")),
+      (acc, l) => {
+        val seen = acc.getField("seen")
+        val out = acc.getField("out")
+        val blank = l === ""
+        val dup = !blank && array_contains(seen, l)
+        struct(
+          when(blank || dup, seen).otherwise(concat(seen, array(l)))
+            .as("seen"),
+          when(dup, out).otherwise(concat(out, array(l))).as("out"))
+      },
+      acc => array_join(acc.getField("out"), "\n"))
 
   /** Lexical-diversity stats as a struct (n_tokens, n_types, hapax):
     * type-token ratio and hapax share are the standard cheap signals
@@ -229,20 +284,31 @@ object TextFunctions {
       "(?is)<script[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style\\s*>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    // quoted attribute values may contain '>' (alt text, inline JSON,
+    // handlers) — the tag pattern skips over quoted runs so
+    // <img alt="a>b"> is consumed whole instead of leaving `b">` as
+    // corpus text. RE2-compatible (no backrefs), mirrored by the
+    // oracle.
+    val noTags = regexp_replace(noStyle,
+      "<[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>", " ")
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (ent, rep)) =>
       regexp_replace(c, ent, rep)
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Word n-grams (joined by single spaces), distinct. */
+  /** Word n-grams (joined by single spaces), distinct. Built from n
+    * shifted slices zipped together, so the transform lambda touches
+    * only its own element — the index-into-`toks`-per-element form
+    * re-ran tokenization once per n-gram (the [[lexicalDiversity]]
+    * PERF TRAP); this shape evaluates it a constant n times per row. */
   def wordNGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive: $n")
     val toks = tokens(text)
-    val idx = sequence(lit(0), size(toks) - n)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(k =>
+      slice(toks, lit(k + 1), m)): _*)
+    array_distinct(transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*)))
   }
 }

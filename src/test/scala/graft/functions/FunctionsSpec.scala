@@ -135,6 +135,63 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === "header\nbody one\nbody two\nfooter")
   }
 
+  test("dedupeLines preserves blank lines — paragraph structure is not boilerplate") {
+    val doc = "para one\n\npara two\n\npara three"
+    val got = Seq(doc).toDF("t").select(T.dedupeLines(col("t")))
+      .as[String].collect()(0)
+    assert(got === doc, "blank separators after the first were dropped")
+  }
+
+  test("non-Latin text keeps its identity: CJK fingerprints are distinct") {
+    // an ASCII \W separator class collapsed every pure-CJK doc to
+    // md5("") — mass silent dedup loss
+    val df = Seq(("今天天气很好", "完全不同的文档")).toDF("a", "b")
+    val got = df.select(T.normFingerprint(col("a")).as("fa"),
+      T.normFingerprint(col("b")).as("fb"),
+      size(T.tokens(col("a"))).as("na"))
+      .as[(String, String, Int)].collect()(0)
+    assert(got._1 !== got._2, "distinct CJK docs fingerprinted equal")
+    assert(got._3 >= 1, "CJK text tokenized to nothing")
+    // pure-ASCII behavior is unchanged by the Unicode class
+    val ascii = Seq(Tuple1("Hello, World_1!")).toDF("t")
+      .select(T.tokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(ascii === Seq("hello", "world_1"))
+  }
+
+  test("langId detects Chinese prose (no word boundaries to anchor on)") {
+    val got = Seq(("这是我的书，我有不少书。", "the cat and the dog is in"))
+      .toDF("zh", "en")
+      .select(T.langId(col("zh")), T.langId(col("en")))
+      .as[(String, String)].collect()(0)
+    assert(got === (("zh", "en")))
+  }
+
+  test("phone redaction spares ISO dates and year ranges") {
+    val df = Seq(
+      "released on 2026-08-16 and 2020-2021 era",
+      "call 555-123-4567 or +1-555-123-4567").toDF("t")
+    val got = df.select(T.redactPii(col("t"))).as[String].collect()
+    assert(got(0) === "released on 2026-08-16 and 2020-2021 era",
+      s"dates were redacted: ${got(0)}")
+    assert(got(1) === "call <PHONE> or <PHONE>")
+  }
+
+  test("stopword lists accept regex metacharacters as literals") {
+    val df = Seq(Tuple1("use c++ here, not (a) or a")).toDF("t")
+    val got = df.select(
+      T.stopwordHits(col("t"), Seq("c++", "(a)"), boundaries = false))
+      .as[Long].collect()(0)
+    // "c++" once, "(a)" once — and bare "a" must NOT match the
+    // parenthesized literal
+    assert(got === 2L)
+  }
+
+  test("stripHtml consumes tags whose quoted attributes contain '>'") {
+    val df = Seq(Tuple1("""pre <img alt="a>b" src='x>y'> post""")).toDF("t")
+    val got = df.select(T.stripHtml(col("t"))).as[String].collect()(0)
+    assert(got === "pre post", s"attribute fragments leaked: '$got'")
+  }
+
   test("PII redaction scrubs emails, IPs, phones; leaves clean text alone") {
     val df = Seq(
       "mail me at jo.doe+x@corp.example.org now",
