@@ -69,7 +69,7 @@ object Bench {
     "x149_radius7_capped" -> 0.77,
     "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.20, "q4_slice" -> 0.34,
-    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.1, "q7_watched" -> 0.42,
+    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.09, "q7_watched" -> 0.42,
     "q8_pending" -> 0.13, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
     "x13_dedup_groups" -> 2.12, "x14_vocab" -> 0.39,
@@ -80,8 +80,8 @@ object Bench {
     "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.74,
     "x25_video_meta" -> 0.15, "x26_line_dedup" -> 0.32,
     "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.21,
-    "x29_pack" -> 0.29, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
-    "x31_bloom_semijoin" -> 0.81, "x32_skew_report" -> 0.14,
+    "x29_pack" -> 0.26, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
+    "x31_bloom_semijoin" -> 0.48, "x32_skew_report" -> 0.14,
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.34,
     "x35_media_dispatch" -> 0.41, "x36_jpeg_decode" -> 0.45,
     "x37_video_frames" -> 0.39, "x38_contamination" -> 0.68,
@@ -95,7 +95,7 @@ object Bench {
     "x52_embed_quant" -> 1.08, "x53_mixture" -> 0.15,
     "x54_keywords" -> 0.72, "x55_histogram" -> 0.21, "x56_zscore" -> 0.18,
     "x57_asof_fwd" -> 0.43, "x58_funnel" -> 0.22, "x59_unicode" -> 0.35,
-    "x5_dedup_embed" -> 0.40, "x60_semantic_groups" -> 0.65,
+    "x5_dedup_embed" -> 0.40, "x60_semantic_groups" -> 0.55,
     "x61_decay" -> 0.24, "x62_cohorts" -> 0.25, "x63_rolling" -> 0.33,
     "x64_fuzzy_lookup" -> 0.26, "x65_weighted_sample" -> 0.17,
     "x66_pmi" -> 0.44, "x67_source_overlap" -> 0.39,
@@ -109,7 +109,7 @@ object Bench {
     "x82_transitions" -> 0.39, "x83_drift" -> 0.21,
     "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
     "x86_dup_profile" -> 0.49, "x87_semantic_screen" -> 0.17,
-    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.95,
+    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.74,
     "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
     "x91_html_strip" -> 0.48, "x92_domain_stats" -> 0.31,
     "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.04,
@@ -117,14 +117,14 @@ object Bench {
     "x97_dup_extents" -> 1.38, "x98_temperature_mix" -> 0.24,
     "x99_entity_match" -> 0.40, "x100_incr_stats" -> 0.17,
     "x101_exif_meta" -> 0.15, "x102_ppr" -> 4.11,
-    "x103_quantile_bins" -> 0.34, "x104_pad_waste" -> 0.25,
+    "x103_quantile_bins" -> 0.28, "x104_pad_waste" -> 0.25,
     "x105_salted_join" -> 0.31, "x106_wilson_domains" -> 0.17,
     "x107_token_budget" -> 0.32, "x108_join_profile" -> 0.21,
     "x109_kanon" -> 0.15, "x110_novelty" -> 0.83,
     "x111_winsorize" -> 0.33, "x112_reliability" -> 0.25,
     "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.54,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.20,
-    "x117_triangles" -> 0.75, "x118_nearest_join" -> 0.51,
+    "x117_triangles" -> 0.68, "x118_nearest_join" -> 0.51,
     "x119_sql_surface" -> 0.15, "x120_sentences" -> 0.38,
     "x121_fd_profile" -> 0.30, "x122_benford" -> 0.31,
     "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.57,
