@@ -192,9 +192,15 @@ class BatchConsumer(
           dlq(dead.drop("payload", "decoded_key"))
         })
     }
-    Streams.mergeSink(hooks.recordAttributes(decoded), keyCols,
+    // recordAttributes shapes the MAIN side only, after the DLQ
+    // split (as a `shape` hook inside mergeSink): shaping the whole
+    // stream first let a column-narrowing hook break the poison
+    // predicate and strip raw bytes off quarantined rows — and
+    // diverged from consumeBatch, which shapes only valid rows
+    Streams.mergeSink(decoded, keyCols,
       col(orderCol), hooks.isTombstone, cfg.compacted,
       processMessage = hooks.processMessage && hooks.shouldConsume,
-      sideSplit = dlqSplit)(guarded)
+      sideSplit = dlqSplit,
+      shape = hooks.recordAttributes)(guarded)
   }
 }

@@ -36,17 +36,32 @@ object Streams {
   def toKafkaFrame(payloads: DataFrame, cfg: TopicConfig,
       backend: SchemaBackend, keyBackend: Option[SchemaBackend] = None,
       producerClass: String = "default"): DataFrame = {
+    // NOTE: the kill switch is checked at PLAN-CONSTRUCTION time — a
+    // frame already wired into a running streaming query keeps
+    // producing after EngineConfig.disable(); stop the query to halt
+    // an active producer (the reference's per-publish check has no
+    // analog inside a compiled Catalyst plan).
     require(EngineConfig.producerEnabled(producerClass),
       s"producers disabled for $producerClass")
-    val withFields = Pipeline.autoFields(payloads)
+    val withFields0 = Pipeline.autoFields(payloads)
     // partition_key and headers ride alongside, never inside, the
     // encoded payload (P13 — reference producer_middleware.rb:50-56;
     // headers — message.rb:71-78)
     val payloadCols = payloads.columns.filterNot(c =>
       c == MessageCols.PartitionKey || c == MessageCols.Headers)
-    val payloadStruct = struct(
-      (payloadCols ++ Seq("message_id", "timestamp").filterNot(payloadCols.contains))
-        .map(col).toIndexedSeq: _*)
+    // auto-fields join the payload ONLY when the value schema declares
+    // them (message.rb adds them schema-conditionally): for a to_json
+    // backend an undeclared message_id/timestamp would leak surrogate
+    // bytes onto the wire, making identical payloads byte-diverge per
+    // run (Avro's name-aligned mapping merely ignored the extras)
+    val autoFieldCols = Seq("message_id", "timestamp").filter(f =>
+      !payloadCols.contains(f) && backend.schemaFields.contains(f))
+    // the payload struct is CAPTURED before the key column is written:
+    // a payload field legitimately named "key" would otherwise be
+    // overwritten by withColumn below and encode as null/garbage bytes
+    // — silent corruption of every produced message
+    val withFields = withFields0.withColumn("__graft_payload",
+      struct((payloadCols ++ autoFieldCols).map(col).toIndexedSeq: _*))
     val keyed = cfg.keyConfig match {
       case KeyConfig.NoKey =>
         withFields.withColumn(MessageCols.Key, lit(null).cast("binary"))
@@ -64,14 +79,24 @@ object Streams {
         // proto_base.rb:58-66 parity), so they key with themselves.
         val kb = keyBackend.orElse(backend match {
           // nested dot-paths can't use the derived top-level key
-          // schema (field name would not match the extracted leaf)
-          case ab: graft.schema.AvroBackend if !path.contains('.') =>
+          // schema (field name would not match the extracted leaf).
+          // EXACT AvroBackend only: a registry-framed / DataFile
+          // subclass deriving a RAW-binary key codec would mix wire
+          // formats on one message (framed value, unframed key — a
+          // Confluent-standard consumer can't decode the key), so
+          // subclasses require an explicit keyBackend carrying the
+          // right framing.
+          case ab: graft.schema.AvroBackend
+              if ab.getClass == classOf[graft.schema.AvroBackend] &&
+                !path.contains('.') =>
             ab.keyBackend(cfg.keyConfig)
           case _: graft.schema.AvroBackend => None
           case other => Some(other)
         }).getOrElse(throw new IllegalArgumentException(
           s"KeyConfig.Field($path) requires an explicit keyBackend: " +
-            "the Avro value schema cannot encode a nested-path key"))
+            "the value backend cannot derive one (nested-path key, or " +
+            "a framed/DataFile backend whose derived key codec would " +
+            "not carry the value's wire framing)"))
         withFields.withColumn(MessageCols.Key,
           kb.encodeKeyExpr(struct(
             Pipeline.extractKey(path).as(path.split('.').last))))
@@ -82,9 +107,18 @@ object Streams {
         // corruption, so an explicit key backend is required
         val kb = keyBackend.getOrElse(throw new IllegalArgumentException(
           s"KeyConfig.Schema($name) requires an explicit keyBackend"))
-        val keyFields = kb.schemaFields.filter(payloadCols.contains)
+        // every declared key field must exist in the payload (auto
+        // fields included): silently dropping a missing one would
+        // encode a PARTIAL key — or the same constant key for every
+        // row — collapsing distinct entities at the merge (the exact
+        // silent corruption this branch's design notes forbid)
+        val available = (payloadCols ++ Seq("message_id", "timestamp")).toSet
+        val missing = kb.schemaFields.filterNot(available.contains)
+        require(missing.isEmpty,
+          s"KeyConfig.Schema($name): key fields ${missing.mkString(", ")} " +
+            s"not present in the payload (has ${payloadCols.mkString(", ")})")
         withFields.withColumn(MessageCols.Key,
-          kb.encodeKeyExpr(struct(keyFields.map(col): _*)))
+          kb.encodeKeyExpr(struct(kb.schemaFields.map(col): _*)))
     }
     val headerCols =
       if (!payloads.columns.contains(MessageCols.Headers)) Seq.empty
@@ -92,7 +126,7 @@ object Streams {
     val base = keyed.select(Seq(
       lit(cfg.fullTopic).as(MessageCols.Topic),
       col(MessageCols.Key),
-      backend.encodeExpr(payloadStruct).as(MessageCols.Value)) ++
+      backend.encodeExpr(col("__graft_payload")).as(MessageCols.Value)) ++
       headerCols ++ Seq(
       (if (payloads.columns.contains(MessageCols.PartitionKey))
         col(MessageCols.PartitionKey)
@@ -159,15 +193,23 @@ object Streams {
     *   micro-batch is cached (MEMORY_AND_DISK) for the batch's
     *   duration; micro-batches are bounded by the source's
     *   per-trigger cap, so this is trigger-sized, not topic-sized. */
+  /** @param shape per-micro-batch frame shaping (the consumer's
+    *   `recordAttributes` hook), applied to the MAIN side only, AFTER
+    *   the sideSplit: shaping the whole stream before the split would
+    *   let a column-narrowing hook break the poison predicate and
+    *   strip the raw bytes off quarantined rows — the batch path
+    *   (`consumeBatch`) shapes only valid rows, and the two modes
+    *   must agree. */
   def mergeSink(decoded: DataFrame, keyCols: Seq[String], orderCol: Column,
       tombstone: Column, compacted: Boolean = true,
       processMessage: Column = lit(true),
       maxWaves: Int = 1024,
-      sideSplit: Option[(Column, (DataFrame, Long) => Unit)] = None)(
+      sideSplit: Option[(Column, (DataFrame, Long) => Unit)] = None,
+      shape: DataFrame => DataFrame = identity)(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     decoded.writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
       def process(batch: DataFrame): Unit = {
-        val filtered = batch.filter(processMessage)
+        val filtered = shape(batch).filter(processMessage)
         if (compacted) {
           // blank-key guard (batch_consumption.rb:121-125): unkeyed rows
           // bypass compaction instead of collapsing into one NULL group
@@ -182,7 +224,21 @@ object Streams {
           // skewed hot key could stall the driver for thousands of
           // sequential jobs — the cap fails loudly instead of stalling;
           // hot-key topics belong on [[mergeSinkOrdered]] (one job).
-          Compaction.withSlices(filtered, keyCols, orderCol) { slices =>
+          // blank-key guard, wave edition (the compacted branch's
+          // lastWinsKeyed sibling): NULL-key rows all share one window
+          // partition, so the wave numbering would hand each its OWN
+          // wave — tripping maxWaves on ~1k unkeyed rows and running
+          // one sequential Spark job per row below it. Unkeyed rows
+          // carry no per-key ordering constraint, so they apply as a
+          // single leading wave instead.
+          val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+          val unkeyed = filtered.filter(keyNull)
+          if (!unkeyed.isEmpty) {
+            val (up, del) = Materialize.splitTombstones(unkeyed, tombstone)
+            sink(up, del, batchId)
+          }
+          Compaction.withSlices(filtered.filter(!keyNull), keyCols,
+            orderCol) { slices =>
             if (slices.size > maxWaves)
               throw new IllegalStateException(
                 s"uncompacted batch $batchId needs ${slices.size} waves " +
@@ -201,7 +257,10 @@ object Streams {
           val cached = batch0.persist()
           try {
             val side = cached.filter(pred)
-            if (side.count() > 0) handler(side, batchId)
+            // isEmpty, not count() > 0: the empty case (the common
+            // one) stops at the first row instead of scanning the
+            // whole cached batch every micro-batch
+            if (!side.isEmpty) handler(side, batchId)
             process(cached.filter(!coalesce(pred, lit(false))))
           } finally cached.unpersist(false)
         case None => process(batch0)
@@ -258,7 +317,9 @@ object Streams {
     * agree on the cluster — a mixed list would silently read only one
     * cluster's topics, so it fails loudly instead (T10). */
   def kafkaSourceMulti(spark: org.apache.spark.sql.SparkSession,
-      cfgs: Seq[TopicConfig], bootstrapServers: String): DataStreamReader = {
+      cfgs: Seq[TopicConfig], bootstrapServers: String,
+      maxOffsetsPerTrigger: Option[Long] = None,
+      includeHeaders: Boolean = false): DataStreamReader = {
     require(cfgs.nonEmpty, "kafkaSourceMulti needs at least one topic")
     // compare each config's EFFECTIVE cluster (override or the engine
     // default) — comparing only the explicit overrides would let one
@@ -269,10 +330,16 @@ object Streams {
     val clusters = effective.map(_._2).distinct
     require(clusters.size == 1,
       s"topic configs span clusters ($effective): one reader reads one cluster")
-    spark.readStream.format("kafka")
+    // same pacing/headers surface as [[kafkaSource]]: a multi-topic
+    // reader that falls behind needs the per-trigger cap just as much
+    // as a single-topic one (the old asymmetry forced N readers)
+    val r0 = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", clusters.head)
       .option("subscribe", cfgs.map(_.fullTopic).mkString(","))
       .option("startingOffsets", "earliest")
+    val r = if (includeHeaders) r0.option("includeHeaders", "true") else r0
+    maxOffsetsPerTrigger.fold(r)(n =>
+      r.option("maxOffsetsPerTrigger", n.toString))
   }
 
   /** Kafka sink writer for a produced frame (S1/S2; async-ness is a

@@ -50,6 +50,57 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Set(("pre.widgets", "w1", 5L), ("pre.widgets", "w2", 7L)))
   }
 
+  test("a payload field named 'key' survives the produce path intact") {
+    // the Kafka key column write must not clobber a VALUE field that
+    // happens to be called "key" — the payload struct is captured
+    // before the overwrite (the old shape encoded null/garbage bytes
+    // for that field on every message)
+    val schema =
+      """{"type":"record","name":"K","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"key","type":"string"}]}""".stripMargin
+    val backend = new AvroBackend(schema)
+    val cfg = TopicConfig("k", "K", keyConfig = KeyConfig.Plain("widget_id"))
+    val payloads = Seq(("w1", "payload-key-value")).toDF("widget_id", "key")
+    val frame = Streams.toKafkaFrame(payloads, cfg, backend)
+    val got = Streams.fromKafkaFrame(frame, backend)
+      .select(col("payload").getField("key")).as[String].collect()(0)
+    assert(got === "payload-key-value")
+  }
+
+  test("KeyConfig.Schema with a missing payload field fails loudly, never a partial key") {
+    val backend = new AvroBackend(valueSchema)
+    val keySchema =
+      """{"type":"record","name":"WKey","fields":[
+        | {"name":"widget_id","type":"string"},
+        | {"name":"region","type":"string"}]}""".stripMargin
+    val kb = new AvroBackend(keySchema)
+    val cfg = TopicConfig("widgets", "Widget",
+      keyConfig = KeyConfig.Schema("WKey"))
+    val payloads = Seq(("w1", 5L)).toDF("widget_id", "amount")
+    val e = intercept[IllegalArgumentException](
+      Streams.toKafkaFrame(payloads, cfg, backend, keyBackend = Some(kb)))
+    assert(e.getMessage.contains("region"),
+      s"expected the missing key field named, got: ${e.getMessage}")
+  }
+
+  test("undeclared auto-fields stay OFF the wire for JSON backends") {
+    // the schema declares neither message_id nor timestamp: to_json
+    // would serialize them as surrogate bytes, making identical
+    // payloads byte-diverge per run
+    val backend = new PlainJsonBackend(
+      StructType(Seq(StructField("widget_id", StringType),
+        StructField("amount", LongType))))
+    val cfg = TopicConfig("widgets", "Widget")
+    val payloads = Seq(("w1", 5L)).toDF("widget_id", "amount")
+    val frame = Streams.toKafkaFrame(payloads, cfg, backend)
+    val json = frame.select(col("value").cast("string"))
+      .as[String].collect()(0)
+    assert(!json.contains("message_id") && !json.contains("timestamp"),
+      s"surrogate auto-fields leaked onto the wire: $json")
+    assert(json.contains("\"widget_id\":\"w1\""))
+  }
+
   test("headers ride the kafka frame in wire shape and decode back to the map") {
     val backend = new AvroBackend(valueSchema)
     val cfg = TopicConfig("widgets", "Widget")
