@@ -394,12 +394,21 @@ object SparkEntry {
     * profile); the association batch is extracted and deduped first,
     * a deterministic stand-in for the store's pk assignment numbers
     * it (dense order over the attributes — in production the store's
-    * autoincrement does this; the row_number runs over the DEDUPED
-    * dim-sized frame, never the fact table), and the foreign key is
-    * filled back onto every primary. The oracle recomputes the
-    * profile ids and the fk join straight from `orders`, independent
-    * of the surrogate staging machinery under test — a dropped,
-    * duplicated, or mis-keyed fill-back surfaces as a mismatch. */
+    * autoincrement does this), and the foreign key is filled back
+    * onto every primary. The oracle recomputes the profile ids and
+    * the fk join straight from `orders`, independent of the surrogate
+    * staging machinery under test — a dropped, duplicated, or
+    * mis-keyed fill-back surfaces as a mismatch.
+    *
+    * The dense ids come from [[Scale.denseIds]] (range-partitioned
+    * two-level scan), not `row_number().over(Window.orderBy(...))`:
+    * the unpartitioned window was this bench's only single-task
+    * global sort (round-14 verdict item 3) — bounded here (the frame
+    * is the DEDUPED dim-sized association batch, never the fact
+    * table), but the whole point of the stand-in is to model the
+    * pattern a reader should imitate, and at 100 TB that pattern must
+    * not serialize a frame through one task. PlanPinsR15Spec asserts
+    * no unpartitioned WindowExec remains in this plan. */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val prim = t(s, dir, "orders").select(
       col("o_orderkey"),
@@ -407,10 +416,12 @@ object SparkEntry {
         col("o_orderpriority").as("prio")).as("cust_ref"))
     val (assocBatch, staged) =
       Materialize.extractAssociationsFirst(prim, "cust_ref")
-    val saved = assocBatch.withColumn("id",
-      row_number().over(Window.orderBy(col("cust_id"), col("prio")))
-        .cast("long"))
-    Materialize.fillForeignKeys(staged, saved,
+    val saved = Scale.denseIds(assocBatch,
+      Seq(col("cust_id"), col("prio")), "id")
+    // explicit broadcast: denseIds' RDD hop erases size stats (Scan
+    // ExistingRDD), so the dim-sized saved frame must be hinted or the
+    // fill-back regresses to a fact-side SortMergeJoin
+    Materialize.fillForeignKeys(staged, broadcast(saved),
       pkCol = "id", fkCol = "cust_profile_id", assocCol = "cust_ref")
       .select(col("o_orderkey"), col("cust_profile_id"))
       .orderBy(col("o_orderkey"))

@@ -331,12 +331,29 @@ object Dedup {
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {
       // id-type-generic union-find (ids are int/long/string across the
-      // callers — content-addressed regimes use strings): compare via
-      // the natural Comparable order, and rebuild the result with the
-      // INPUT id type so both adaptive paths emit the same schema
+      // callers — content-addressed regimes use strings): compare in
+      // the SAME order the distributed path's min()/least() use, and
+      // rebuild the result with the INPUT id type so both adaptive
+      // paths emit identical labels and schema. Strings must compare
+      // as UTF-8 bytes (Spark's binary ordering), NOT Java's UTF-16
+      // compareTo — the two diverge for supplementary-plane chars
+      // (4-byte UTF-8 sorts above 3-byte; UTF-16 surrogates sort
+      // below U+E000), and a group label that flips between the
+      // adaptive paths is silent corruption. Unsupported id types
+      // (e.g. binary) fail loudly instead of ClassCastException-ing
+      // only on the driver path.
       val es = edges.collect().map(r => (r.get(0), r.get(1)))
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case (x: java.lang.Comparable[_], _) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        case _ => throw new IllegalArgumentException(
+          s"components: unsupported id type ${a.getClass.getName} — " +
+            "ids must be numeric or string (binary ids have no " +
+            "driver-side ordering here; cast to string first)")
+      }
       val parent = scala.collection.mutable.Map[Any, Any]()
       def find(x: Any): Any = {
         var r = x

@@ -149,9 +149,16 @@ object JdbcMerger {
     *   STRICTLY OLDER than the tombstone's (`stored < ?`) — without
     *   this, a replayed/stale tombstone would delete a newer live row
     *   while the same replay's stale upserts were correctly rejected.
-    *   The guarded form is OR-of-ANDs in every dialect (a row-
-    *   constructor IN list cannot carry the inequality); parameters
-    *   bind per row as (keys..., version). */
+    *   Tie semantics are DELIBERATELY symmetric with the upsert guard
+    *   (`? > stored` there, `stored < ?` here): a version EQUAL to the
+    *   stored row's is a no-op on BOTH sides — that is the
+    *   at-least-once replay contract (re-applying the already-applied
+    *   version must change nothing), and it means a pipeline must
+    *   assign every tombstone a version strictly newer than the row it
+    *   removes (the engine's compaction/ordering layers do: orderCol is
+    *   a log offset, unique per key). A tombstone that ties the live
+    *   row is treated as the replay case and leaves it standing —
+    *   pinned live in JdbcMergerDerbySpec. */
   def deleteSql(table: String, keyCols: Seq[String], nRows: Int,
       dialect: Dialect, versionCol: Option[String] = None): String = {
     require(keyCols.nonEmpty,

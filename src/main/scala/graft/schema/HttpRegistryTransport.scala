@@ -24,7 +24,14 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Built on the JDK's `java.net.http.HttpClient` — no extra
   * dependency — with optional HTTP Basic auth (the registry's
-  * standard auth mode).
+  * standard auth mode) or a static bearer token
+  * (`Authorization: Bearer <token>` — the registry's other public
+  * auth surface, e.g. Confluent Cloud's OAuth/STS-issued tokens;
+  * token refresh is the caller's concern: pass a fresh transport or
+  * front it with a proxy if tokens expire mid-lifetime). The two
+  * modes are mutually exclusive — both set would silently shadow one
+  * Authorization header with the other, so that's rejected at
+  * construction.
   *
   * Failure taxonomy (round-10): a 4xx is a CALLER error (unknown id —
   * the 40403 case — bad schema, missing subject) and fails immediately
@@ -54,7 +61,12 @@ class HttpRegistryTransport(baseUrl: String,
     timeoutMs: Long = 10000L,
     maxRetries: Int = 3,
     retryBaseMs: Long = 200L,
-    sleeper: Long => Unit = Thread.sleep) extends RegistryTransport {
+    sleeper: Long => Unit = Thread.sleep,
+    bearerToken: Option[String] = None) extends RegistryTransport {
+
+  require(basicAuth.isEmpty || bearerToken.isEmpty,
+    "HttpRegistryTransport: basicAuth and bearerToken are mutually " +
+      "exclusive — both would fight over the Authorization header")
 
   private val mapper = new ObjectMapper
   private val base = baseUrl.stripSuffix("/")
@@ -74,11 +86,13 @@ class HttpRegistryTransport(baseUrl: String,
   private val ContentType = "application/vnd.schemaregistry.v1+json"
 
   private def finish(b: HttpRequest.Builder): HttpRequest = {
-    val withAuth = basicAuth.fold(b) { case (user, pass) =>
+    val withBasic = basicAuth.fold(b) { case (user, pass) =>
       val tok = java.util.Base64.getEncoder.encodeToString(
         s"$user:$pass".getBytes(StandardCharsets.UTF_8))
       b.header("Authorization", s"Basic $tok")
     }
+    val withAuth = bearerToken.fold(withBasic)(t =>
+      withBasic.header("Authorization", s"Bearer $t"))
     withAuth.timeout(Duration.ofMillis(timeoutMs))
       .header("Accept", ContentType).build()
   }

@@ -231,25 +231,37 @@ object Streams {
           // one sequential Spark job per row below it. Unkeyed rows
           // carry no per-key ordering constraint, so they apply as a
           // single leading wave instead.
-          val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-          val unkeyed = filtered.filter(keyNull)
-          if (!unkeyed.isEmpty) {
-            val (up, del) = Materialize.splitTombstones(unkeyed, tombstone)
-            sink(up, del, batchId)
-          }
-          Compaction.withSlices(filtered.filter(!keyNull), keyCols,
-            orderCol) { slices =>
-            if (slices.size > maxWaves)
-              throw new IllegalStateException(
-                s"uncompacted batch $batchId needs ${slices.size} waves " +
-                  s"(> maxWaves=$maxWaves): a single key carries that many " +
-                  "versions. Use mergeSinkOrdered (one-job per-key ordered " +
-                  "apply) for this topic, or raise maxWaves deliberately.")
-            slices.foreach { slice =>
-              val (up, del) = Materialize.splitTombstones(slice, tombstone)
+          // The shaped+filtered batch feeds three consumers here (the
+          // unkeyed isEmpty probe, the unkeyed sink leg, the keyed wave
+          // machinery) — persist it for the branch's duration so the
+          // decode/shape pipeline runs once per micro-batch, mirroring
+          // the sideSplit path's batch cache (round-15 ADVICE). The
+          // isEmpty probe then costs a first-row scan of cached blocks,
+          // not a pipeline re-execution, even for topics that never
+          // produce NULL-key rows. Trigger-sized, like every cache in
+          // this sink.
+          val cachedF = filtered.persist()
+          try {
+            val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+            val unkeyed = cachedF.filter(keyNull)
+            if (!unkeyed.isEmpty) {
+              val (up, del) = Materialize.splitTombstones(unkeyed, tombstone)
               sink(up, del, batchId)
             }
-          }
+            Compaction.withSlices(cachedF.filter(!keyNull), keyCols,
+              orderCol) { slices =>
+              if (slices.size > maxWaves)
+                throw new IllegalStateException(
+                  s"uncompacted batch $batchId needs ${slices.size} waves " +
+                    s"(> maxWaves=$maxWaves): a single key carries that many " +
+                    "versions. Use mergeSinkOrdered (one-job per-key ordered " +
+                    "apply) for this topic, or raise maxWaves deliberately.")
+              slices.foreach { slice =>
+                val (up, del) = Materialize.splitTombstones(slice, tombstone)
+                sink(up, del, batchId)
+              }
+            }
+          } finally cachedF.unpersist(false)
         }
       }
       sideSplit match {

@@ -29,9 +29,10 @@ class BenchContractSpec extends AnyFunSuite {
 
   private def summary(results: Seq[(String, Double)],
       errors: Map[String, String],
-      contended: Seq[String] = Nil): String =
+      contended: Seq[String] = Nil,
+      requeued: Seq[String] = Nil): String =
     Bench.summaryLine(results.map(_._2).filter(_ >= 0).sum, results,
-      errors, calPair, calPair, "/root/testdata/sf0.1", contended)
+      errors, calPair, calPair, "/root/testdata/sf0.1", contended, requeued)
 
   test("secStr: adaptive precision, trimmed, valid JSON numbers") {
     assert(Bench.secStr(0.36) === "0.36")
@@ -54,7 +55,7 @@ class BenchContractSpec extends AnyFunSuite {
       .map(t => t._1 -> ("org.apache.spark.sql.AnalysisException: " +
         "x" * 180)).toMap
     val flagged = grown.take(10).map(_._1)
-    val worst = summary(grown, errs, flagged)
+    val worst = summary(grown, errs, flagged, flagged)
     assert(worst.length < SummaryBudget,
       s"summary is ${worst.length} bytes vs budget $SummaryBudget " +
         s"(tail window $TailWindow)")
@@ -81,6 +82,14 @@ class BenchContractSpec extends AnyFunSuite {
     // sanity cap only — the full line is a log/diag artifact, not the
     // parse target; pathological growth should still trip something
     assert(lines.head.length < 8192)
+  }
+
+  test("summary requeued list is capped and omitted when empty") {
+    assert(!summary(Seq("q1" -> 1.0), Map.empty).contains("requeued"))
+    val rq = (1 to 10).map(i => f"x$i%02d_operator_name")
+    val got = summary(rq.map(_ -> 1.0), Map.empty, Nil, rq)
+    assert(got.contains("\"requeued\":[\"x01_operator_name\""))
+    assert(got.contains("\"more_requeued\":2"), got)
   }
 
   test("summary contended cap carries a more_contended marker") {

@@ -87,4 +87,33 @@ class ComponentsAdaptiveSpec extends SparkSpec {
     assert(Dedup.components(iPairs).schema("doc_id").dataType ===
       org.apache.spark.sql.types.IntegerType)
   }
+
+  test("supplementary-plane string ids: driver path agrees with Spark's binary order") {
+    // "�" (U+FFFD, 3-byte UTF-8) vs "😀" (U+1F600,
+    // 4-byte UTF-8): Java's UTF-16 compareTo puts the surrogate pair
+    // FIRST (0xD83D < 0xFFFD) while Spark's min()/least() compare
+    // UTF-8 bytes and put U+FFFD first (0xEF < 0xF0). The group label
+    // must follow Spark's order on BOTH adaptive paths (round-15
+    // ADVICE: diverging labels between paths is silent corruption).
+    val hi = "😀-id" // U+1F600
+    val lo = "�-id"       // U+FFFD — the UTF-8 minimum of the two
+    assert(hi.compareTo(lo) < 0, "precondition: UTF-16 order differs")
+    val pairs = Seq((hi, lo)).toDF("doc_a", "doc_b")
+    val fast = Dedup.components(pairs).as[(String, String)].collect().toMap
+    val dist = Dedup.components(pairs, driverThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    assert(fast === Map(hi -> lo, lo -> lo), "driver path must label " +
+      "groups by UTF-8 byte order, not UTF-16 compareTo")
+    assert(dist === fast)
+  }
+
+  test("unsupported id types fail loudly on the driver path") {
+    val bPairs = Seq((Array[Byte](1, 2), Array[Byte](3, 4)))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[Exception](Dedup.components(bPairs).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unsupported id type")), e.toString)
+  }
 }

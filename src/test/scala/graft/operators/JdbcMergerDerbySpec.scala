@@ -92,6 +92,31 @@ class JdbcMergerDerbySpec extends SparkSpec {
     assert(rows === Seq(Seq("v9", 9L)))
   }
 
+  test("version-guard tie semantics are symmetric: equal version is a no-op for upsert AND delete") {
+    // The at-least-once replay contract (round-15 ADVICE adjudication):
+    // both guards are strict, so re-applying the already-applied
+    // version changes nothing — an equal-version upsert doesn't
+    // overwrite, an equal-version tombstone doesn't delete. A pipeline
+    // must therefore version tombstones strictly above the row they
+    // remove (orderCol is a per-key-unique log offset throughout the
+    // engine); a tie reads as replay and the live row stands.
+    val url = freshDb("live4")
+    withConn(url)(_.createStatement().execute(ddl))
+    def merge(rows: Seq[(Long, Int, String, Long, Boolean)]): Unit =
+      JdbcMerger.mergeIntoJdbc(
+        rows.toDF("k1", "k2", "v", "version", "deleted").coalesce(1),
+        url, "tgt", Seq("k1", "k2"), col("deleted"), JdbcMerger.Ansi,
+        new java.util.Properties, versionCol = Some("version"),
+        retrySleeper = _ => ())
+    merge(Seq((1L, 1, "v5", 5L, false)))
+    merge(Seq((1L, 1, "v5b", 5L, false))) // tie upsert: no-op
+    merge(Seq((1L, 1, null, 5L, true)))   // tie tombstone: no-op, row stands
+    assert(readAll(url, """SELECT "v", "version" FROM "tgt"""") ===
+      Seq(Seq("v5", 5L)))
+    merge(Seq((1L, 1, null, 6L, true)))   // strictly newer tombstone: deletes
+    assert(readAll(url, """SELECT "v" FROM "tgt"""").isEmpty)
+  }
+
   test("applyOrderedRows drives real single-row statements in order (M3 path)") {
     val url = freshDb("live3")
     withConn(url)(_.createStatement().execute(ddl))

@@ -143,6 +143,26 @@ class HttpRegistryTransportSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("bearer token header reaches the server on every call") {
+    val (url, _, seenAuth, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url,
+        bearerToken = Some("tok-abc.123"))
+      val id = t.register("topic-value", gnarlyJson)
+      t.fetchById(id)
+      t.latestVersion("topic-value")
+      seenAuth.forEach(h => assert(h === "Bearer tok-abc.123"))
+      assert(seenAuth.size === 3)
+    } finally stop()
+  }
+
+  test("basic auth and bearer token together are rejected at construction") {
+    val e = intercept[IllegalArgumentException](
+      new HttpRegistryTransport("http://x",
+        basicAuth = Some(("u", "p")), bearerToken = Some("t")))
+    assert(e.getMessage.contains("mutually"))
+  }
+
   test("client cache over HTTP: repeat fetches never re-hit the wire") {
     val (url, store, _, stop) = startServer()
     try {
