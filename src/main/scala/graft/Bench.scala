@@ -61,83 +61,83 @@ object Bench {
   private[graft] val recordedBaseline: Map[String, Double] = Map(
     "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.32,
     "b4_approx_agg" -> 0.76, "q10_fanout" -> 0.86,
-    "q11_autofields" -> 0.29, "q12_compound_key" -> 1.12,
+    "q11_autofields" -> 0.25, "q12_compound_key" -> 1.12,
     "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.64,
     "q15_snapshot_diff" -> 0.38, "q16_scd2_history" -> 0.47,
     "q17_proto_registry" -> 0.58, "q18_dead_letter" -> 1.32,
-    "q19_headers" -> 1.24, "q20_assoc_first" -> 0.91,
-    "x149_radius7_capped" -> 0.77,
+    "q19_headers" -> 1.24, "q20_assoc_first" -> 1.22,
+    "x149_radius7_capped" -> 0.70,
     "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.20, "q4_slice" -> 0.34,
     "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.09, "q7_watched" -> 0.42,
     "q8_pending" -> 0.13, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
-    "x11_text_fingerprint" -> 0.38, "x12_multimodal_meta" -> 0.13,
+    "x11_text_fingerprint" -> 0.49, "x12_multimodal_meta" -> 0.13,
     "x13_dedup_groups" -> 2.12, "x14_vocab" -> 0.39,
-    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.81,
+    "x15_top_tokens" -> 0.31, "x16_ann_ivf" -> 0.64,
     "x17_sessions" -> 0.47, "x18_rollup" -> 0.24, "x19_asof_join" -> 0.43,
     "x1_dedup_exact" -> 0.22, "x20_range_join" -> 0.32,
     "x21_pii_redact" -> 0.26, "x22_repetition" -> 0.51,
     "x23_audio_meta" -> 0.14, "x24_ann_recall" -> 0.74,
     "x25_video_meta" -> 0.15, "x26_line_dedup" -> 0.32,
-    "x27_image_pixels" -> 0.43, "x28_audio_samples" -> 0.21,
-    "x29_pack" -> 0.26, "x2_dedup_minhash" -> 1.60, "x30_sample" -> 0.12,
-    "x31_bloom_semijoin" -> 0.48, "x32_skew_report" -> 0.14,
+    "x27_image_pixels" -> 0.62, "x28_audio_samples" -> 0.21,
+    "x29_pack" -> 0.26, "x2_dedup_minhash" -> 1.98, "x30_sample" -> 0.12,
+    "x31_bloom_semijoin" -> 0.38, "x32_skew_report" -> 0.14,
     "x33_rare_terms" -> 0.63, "x34_gif_pixels" -> 0.34,
-    "x35_media_dispatch" -> 0.41, "x36_jpeg_decode" -> 0.45,
+    "x35_media_dispatch" -> 0.41, "x36_jpeg_decode" -> 0.40,
     "x37_video_frames" -> 0.39, "x38_contamination" -> 0.68,
     "x39_len_quantiles" -> 0.30, "x3_dedup_simhash" -> 1.28,
     "x40_postings" -> 0.65, "x41_media_dispatch5" -> 0.43,
-    "x42_profile" -> 0.44, "x43_cap_per_group" -> 0.15,
+    "x42_profile" -> 0.55, "x43_cap_per_group" -> 0.15,
     "x44_components" -> 0.53, "x45_epoch_shuffle" -> 0.16,
     "x46_group_split" -> 0.12, "x47_bpe_merges" -> 0.45,
     "x48_chunk" -> 0.40, "x49_bm25" -> 0.69, "x4_dedup_ngram" -> 1.26,
-    "x50_bigram_nll" -> 0.91, "x51_incr_dedup" -> 0.38,
+    "x50_bigram_nll" -> 0.91, "x51_incr_dedup" -> 0.57,
     "x52_embed_quant" -> 1.08, "x53_mixture" -> 0.15,
-    "x54_keywords" -> 0.72, "x55_histogram" -> 0.21, "x56_zscore" -> 0.18,
+    "x54_keywords" -> 0.72, "x55_histogram" -> 0.18, "x56_zscore" -> 0.18,
     "x57_asof_fwd" -> 0.43, "x58_funnel" -> 0.22, "x59_unicode" -> 0.35,
-    "x5_dedup_embed" -> 0.40, "x60_semantic_groups" -> 0.55,
+    "x5_dedup_embed" -> 0.40, "x60_semantic_groups" -> 0.50,
     "x61_decay" -> 0.24, "x62_cohorts" -> 0.25, "x63_rolling" -> 0.33,
     "x64_fuzzy_lookup" -> 0.26, "x65_weighted_sample" -> 0.17,
     "x66_pmi" -> 0.44, "x67_source_overlap" -> 0.39,
-    "x68_calibrate" -> 0.24, "x69_blocklist" -> 0.21,
+    "x68_calibrate" -> 0.21, "x69_blocklist" -> 0.21,
     "x6_ann_brute" -> 0.23, "x70_event_paths" -> 0.45,
-    "x71_containment" -> 0.94, "x72_lexdiv" -> 1.42,
+    "x71_containment" -> 0.94, "x72_lexdiv" -> 1.81,
     "x73_robust_outliers" -> 0.80, "x74_quality_gate" -> 0.99,
     "x75_span_dedup" -> 0.78, "x76_doc_trunc" -> 0.27,
     "x77_integrity" -> 0.67, "x78_cube" -> 0.21, "x79_dp_counts" -> 0.14,
-    "x7_ann_lsh" -> 0.96, "x80_oov" -> 0.45, "x81_pipeline" -> 1.87,
+    "x7_ann_lsh" -> 0.75, "x80_oov" -> 0.45, "x81_pipeline" -> 2.39,
     "x82_transitions" -> 0.39, "x83_drift" -> 0.21,
     "x84_keep_best" -> 0.45, "x85_pit_join" -> 0.55,
     "x86_dup_profile" -> 0.49, "x87_semantic_screen" -> 0.17,
-    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.74,
+    "x88_heavy_hitters" -> 0.39, "x89_ann_pq" -> 0.61,
     "x8_text_langid" -> 0.61, "x90_url_canon" -> 0.22,
     "x91_html_strip" -> 0.48, "x92_domain_stats" -> 0.31,
     "x93_token_ids" -> 0.73, "x94_pagerank" -> 3.04,
-    "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 1.75,
+    "x95_hybrid_rrf" -> 1.23, "x96_dsir_weights" -> 1.57,
     "x97_dup_extents" -> 1.38, "x98_temperature_mix" -> 0.24,
     "x99_entity_match" -> 0.40, "x100_incr_stats" -> 0.17,
-    "x101_exif_meta" -> 0.15, "x102_ppr" -> 4.11,
+    "x101_exif_meta" -> 0.15, "x102_ppr" -> 3.46,
     "x103_quantile_bins" -> 0.28, "x104_pad_waste" -> 0.25,
-    "x105_salted_join" -> 0.31, "x106_wilson_domains" -> 0.17,
+    "x105_salted_join" -> 0.31, "x106_wilson_domains" -> 0.23,
     "x107_token_budget" -> 0.32, "x108_join_profile" -> 0.21,
-    "x109_kanon" -> 0.15, "x110_novelty" -> 0.83,
-    "x111_winsorize" -> 0.33, "x112_reliability" -> 0.25,
-    "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.54,
+    "x109_kanon" -> 0.15, "x110_novelty" -> 0.75,
+    "x111_winsorize" -> 0.28, "x112_reliability" -> 0.25,
+    "x113_vocab_growth" -> 0.32, "x114_session_overlap" -> 0.49,
     "x115_image_resize" -> 0.51, "x116_audio_decimate" -> 0.20,
-    "x117_triangles" -> 0.68, "x118_nearest_join" -> 0.51,
+    "x117_triangles" -> 0.61, "x118_nearest_join" -> 0.51,
     "x119_sql_surface" -> 0.15, "x120_sentences" -> 0.38,
     "x121_fd_profile" -> 0.30, "x122_benford" -> 0.31,
-    "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.57,
+    "x123_changepoint" -> 0.15, "x124_prefix_jaccard" -> 2.29,
     "x125_zorder" -> 0.29, "x126_gate_attrition" -> 0.74,
     "x127_sql_text" -> 1.21, "x128_scene_cuts" -> 0.37,
-    "x129_cms" -> 0.34, "x130_trend" -> 0.25, "x131_psi" -> 0.18,
+    "x129_cms" -> 0.34, "x130_trend" -> 0.21, "x131_psi" -> 0.18,
     "x132_gini" -> 0.19, "x133_kappa" -> 0.56,
     "x134_image_dhash" -> 1.12, "x135_audio_fingerprint" -> 0.67,
     "x136_video_fingerprint" -> 1.43, "x137_near_dup_curation" -> 1.89, "x138_cross_dedup" -> 1.11,
     "x139_jpeg_cross_dedup" -> 2.10, "x140_curation_increment" -> 2.70,
     "x141_quality_curation" -> 1.79, "x142_mixed_curation" -> 2.72,
-    "x143_frozen_screen" -> 1.43, "x144_webp_cross_dedup" -> 1.45,
-    "x145_curation_store" -> 6.57, "x146_radius7_near_dup" -> 0.73,
+    "x143_frozen_screen" -> 1.43, "x144_webp_cross_dedup" -> 1.33,
+    "x145_curation_store" -> 5.69, "x146_radius7_near_dup" -> 0.65,
     "x147_audio_resample_dedup" -> 0.58, "x148_media_dispatch6" -> 0.42,
     "x9_text_quality" -> 0.36)
 
