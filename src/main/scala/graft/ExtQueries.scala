@@ -4453,7 +4453,10 @@ object ExtQueries {
         |ORDER BY doc_id, rank""".stripMargin,
     // rates re-derived from counts with the weight literals baked in;
     // threshold replicates Sampling.rateThreshold bit-for-bit:
-    // floor(x + 0.5) IS Java Math.round (not DuckDB round)
+    // floor(x + 0.5) IS Java Math.round (not DuckDB round), and
+    // rate >= 1.0 is the full-keep sentinel 'g' (every hex string
+    // sorts below it) — the binding group is kept WHOLE, including a
+    // key hashing to exactly ffffffff
     "x53_mixture" ->
       """WITH w(src, wt) AS (
         |  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
@@ -4461,9 +4464,10 @@ object ExtQueries {
         |      JOIN w ON source = src GROUP BY src, wt),
         |t AS (SELECT min(n / wt) AS t FROM n),
         |thr AS (SELECT src,
-        |    format('{:08x}', CAST(least(floor(
+        |    CASE WHEN (wt * t) / n >= 1.0 THEN 'g'
+        |    ELSE format('{:08x}', CAST(least(floor(
         |      least(greatest((wt * t) / n, 0), 1.0) * 4294967296 + 0.5),
-        |      4294967295) AS BIGINT)) AS th
+        |      4294967295) AS BIGINT)) END AS th
         |  FROM n, t)
         |SELECT doc_id, source FROM documents
         |JOIN thr ON source = src

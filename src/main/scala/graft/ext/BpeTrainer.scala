@@ -33,6 +33,23 @@ object BpeTrainer {
   final case class Merge(rank: Int, left: String, right: String,
       pairCount: Long)
 
+  /** Initial symbol split, CODEPOINT-level: Java char-level `w.map`
+    * shears supplementary-plane chars into half-surrogates — symbols
+    * no UTF8String can carry (they encode to U+FFFD, collapsing
+    * distinct tokens in the segmented output) and a split the DuckDB
+    * oracle's codepoint semantics can never reproduce (round-15
+    * review). BMP text is unaffected. */
+  private[ext] def charSyms(w: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Distributed word-frequency table: the only corpus-sized stage.
     * Lowercased whitespace words, one shuffle. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
@@ -58,8 +75,7 @@ object BpeTrainer {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     // each word as its current symbol sequence (initially characters)
     val words = dict.map { case (w, f) =>
-      (scala.collection.mutable.ArrayBuffer(
-        w.map(_.toString): _*), f)
+      (scala.collection.mutable.ArrayBuffer(charSyms(w): _*), f)
     }
     val merges = Vector.newBuilder[Merge]
     var rank = 0
@@ -102,7 +118,7 @@ object BpeTrainer {
     * repeatedly apply the LOWEST-rank merge present. */
   def segmentWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (word.isEmpty) return Nil
-    var syms = word.map(_.toString).toVector
+    var syms = charSyms(word).toVector
     var continue = true
     while (continue && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -122,13 +122,23 @@ object Retrieval {
     require(rankings.nonEmpty, "at least one ranking required")
     require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
     require(topK >= 1, s"topK must be positive, got $topK")
+    // ids keep their NATURAL types: the old cast("long") silently
+    // turned every string/uuid id into NULL, collapsing all of a
+    // query's docs into one fused row (round-15 review). Mismatched id
+    // types across systems now fail loudly at the union instead. Only
+    // the rank is coerced (it must be numeric), and a rank < 1 is
+    // rejected in-plan — RRF's 1/(k+rank) silently overweights 0-based
+    // ranks otherwise.
     val shaped = rankings.map(_.select(
-      col(queryCol).cast("long").as("query_id"),
-      col(docCol).cast("long").as("doc_id"),
+      col(queryCol).as("query_id"),
+      col(docCol).as("doc_id"),
       col(rankCol).cast("long").as("__rank")))
+    val contrib = when(col("__rank") < 1L, raise_error(
+        lit("rrfFuse: rank must be 1-based positive")).cast("double"))
+      .otherwise(lit(1.0) / (lit(rrfK.toLong) + col("__rank")))
     val fused = shaped.reduce(_ unionAll _)
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(lit(1.0) / (lit(rrfK.toLong) + col("__rank"))).as("rrf_score"),
+      .agg(sum(contrib).as("rrf_score"),
         count(lit(1)).as("n_systems"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

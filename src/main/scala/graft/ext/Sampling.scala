@@ -23,10 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** First-8-hex-chars threshold for a keep rate in [0, 1]. */
+  /** First-8-hex-chars threshold for a keep rate in [0, 1].
+    *
+    * rate ≥ 1.0 returns the FULL-KEEP sentinel "g": every hex string
+    * sorts below 'g', so `hex < "g"` keeps every row. The old
+    * "ffffffff" cap silently dropped keys hashing to exactly ffffffff
+    * (p = 2⁻³²) — ~23 documents per 10¹¹ at corpus scale, a real
+    * violation of mixtureSample's "binding group kept whole" contract
+    * (round-15 review). The x53 oracle carries the same sentinel in
+    * lockstep. */
   def rateThreshold(rate: Double): String = {
     val clamped = math.max(0.0, math.min(1.0, rate))
-    f"${math.round(clamped * 4294967296.0).min(4294967295L)}%08x"
+    if (clamped >= 1.0) "g"
+    else f"${math.round(clamped * 4294967296.0).min(4294967295L)}%08x"
   }
 
   /** Uniform deterministic sample: keep rows whose key-hash falls
@@ -102,8 +111,11 @@ object Sampling {
       weights: Map[String, Double], salt: String = ""): DataFrame = {
     require(weights.nonEmpty, "at least one weighted group required")
     require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    // cast to string for the recipe-sized collect: the weights map is
+    // string-keyed either way, and a non-string group column would
+    // otherwise ClassCastException on getString
     val counts = df.filter(groupCol.isin(weights.keys.toSeq: _*))
-      .groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(groupCol.cast("string").as("__g")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = weights.keySet -- counts.keySet
     require(missing.isEmpty, s"weighted groups absent from data: $missing")
@@ -171,7 +183,14 @@ object Sampling {
     val h = conv(substring(md5(concat(lit(salt), keyCol.cast("string"))),
       1, 15), 16, 10).cast("long") + lit(1L)
     val u = h.cast("double") / lit(1152921504606846976L).cast("double")
-    val priority = log(u) / weightCol.cast("double")
+    // a non-positive (or NULL) weight flips ln(u)/w POSITIVE — the row
+    // would silently take rank 1 in its group; fail loudly instead
+    // (round-15 review; the scaladoc contract was unenforced)
+    val wSafe = when(weightCol.isNull || weightCol.cast("double") <= 0.0,
+      raise_error(lit("weightedKPerGroup: weight must be strictly " +
+        "positive and non-null")).cast("double"))
+      .otherwise(weightCol.cast("double"))
+    val priority = log(u) / wSafe
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy((Seq(priority.desc, keyCol) ++ tieBreak): _*)
@@ -233,12 +252,20 @@ object Sampling {
   def tokenBudgetTake(df: DataFrame, groupCol: Column, orderCol: Column,
       nTokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // NULL token counts would vanish at the final filter (NULL
+    // comparison) and negative ones corrupt every later row's
+    // cumulative — both are caller data errors; fail loudly
+    // (round-15 review)
+    val nt = when(nTokens.isNull || nTokens.cast("long") < 0L,
+      raise_error(lit("tokenBudgetTake: token count must be " +
+        "non-null and non-negative")).cast("long"))
+      .otherwise(nTokens.cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCol)
     df.withColumn("cum_tokens",
-        sum(nTokens.cast("long")).over(
+        sum(nt).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
-      .filter(col("cum_tokens") - nTokens.cast("long") < budget)
+      .filter(col("cum_tokens") - nt < budget)
   }
 }

@@ -419,6 +419,13 @@ object Expressions {
     def adc(codesAny: Any, lutAny: Any): Double = {
       val cs = codesAny.asInstanceOf[Array[Byte]]
       val lut = lutAny.asInstanceOf[ArrayData]
+      // bounds check once per row: an UnsafeArrayData getDouble past
+      // numElements reads raw memory SILENTLY — a mismatched ksub or a
+      // truncated code would score garbage, not crash (round-15 review)
+      if (cs.length.toLong * ksub > lut.numElements())
+        throw new IllegalArgumentException(
+          s"pqAdc: ${cs.length} codes x ksub=$ksub exceeds LUT of " +
+            s"${lut.numElements()} entries — codebook/ksub mismatch")
       var s = 0
       var d = 0.0
       while (s < cs.length) {

@@ -183,8 +183,14 @@ object AsOfJoin {
       .withColumn("__right", lit(null).cast(carriedType))
     val tie = if (rightTieBreak.isEmpty) lit(0L)
       else struct(rightTieBreak: _*)
+    // null-ts RIGHT rows drop at source: their carried struct is
+    // NON-null (struct(null, payload)), so a left row with no real
+    // match would otherwise "match" one — with a null matched-ts that
+    // even the tolerance check can't veto when tolerance is None
+    // (round-15 review)
     val r = right
       .withColumn("__ts", rightTs)
+      .filter(col("__ts").isNotNull)
       .withColumn("__side", lit(rightSide))
       .withColumn("__tie", tie)
       .withColumn("__right",
@@ -226,10 +232,17 @@ object AsOfJoin {
       else col("__ts") - mts <= tol
     }.getOrElse(lit(true))
     val rightFields = payloadType.fieldNames.toIndexedSeq
+    // `__ts.isNotNull`: a null-ts left row is unmatchable in EITHER
+    // direction by definition — without the guard, the DESCENDING
+    // forward sort (nulls last) parks null-ts left rows after every
+    // right row and last(ignoreNulls) hands them the earliest right
+    // match. Previously only the `nearest` wrapper defended this;
+    // direct firstAfter callers were exposed (round-15 review).
     lNorm.unionByName(rNorm)
       .withColumn("__carried", carried)
       .filter(col("__side") === leftSide)
-      .withColumn("__ok", col("__carried").isNotNull && gap)
+      .withColumn("__ok",
+        col("__ts").isNotNull && col("__carried").isNotNull && gap)
       .select((leftCols.map(col) ++
         rightFields.map(f => when(col("__ok"),
           col("__carried").getField("__p").getField(f)).as(f))): _*)

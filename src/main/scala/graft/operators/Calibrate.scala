@@ -40,8 +40,14 @@ object Calibrate {
       .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
     val totals = df.groupBy(groupCol.as("__g2"))
       .agg(count(lit(1)).as("__n"))
-    df.join(ranked, groupCol === col("__g") && valueCol === col("__v"))
-      .join(totals, groupCol === col("__g2"))
+    // null-safe joins (<=>): a NULL group or NULL value row came out
+    // of the groupBy above but never matched the plain equi-join back
+    // — the row silently vanished from the output (the Profile-class
+    // defect from the round-14 review, same fix). NULL values sort
+    // first in the cumulative window, so they rank 0 — SQL
+    // percent_rank's nulls-first convention.
+    df.join(ranked, groupCol <=> col("__g") && valueCol <=> col("__v"))
+      .join(totals, groupCol <=> col("__g2"))
       .withColumn(outCol,
         when(col("__n") === 1L, lit(0.0))
           .otherwise(col("__below").cast("double") /

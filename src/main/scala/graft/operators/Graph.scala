@@ -51,6 +51,12 @@ object Graph {
       materializeEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // NULL endpoints drop: an edge with a null src/dst can't join
+    // anything, but the null NODE it would mint still entered N and
+    // absorbed (1-d)/N + dangling mass every iteration — a phantom
+    // node silently deflating every real rank (round-15 review).
+    // nodeTriangles already drops them structurally (least/greatest
+    // skip nulls → u===v); the rank ops do it explicitly.
     // Materialize the static inputs ONCE (localCheckpoint, same
     // discipline as Dedup.components) — and in the shape the loop
     // wants: out-degrees PRE-JOINED into the edge frame and the result
@@ -61,7 +67,9 @@ object Graph {
     // Iterative graph processing pays one adjacency materialization;
     // that is the correct trade at any scale.
     val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst")).distinct().localCheckpoint()
+      col(dstCol).cast("string").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct().localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
     // per-edge out-degree (exact: each contribution term stays one
@@ -122,7 +130,9 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst")).distinct().localCheckpoint()
+      col(dstCol).cast("string").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct().localCheckpoint()
     val nodesPlain = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
     val seedSet = seeds.select(col(seedCol).cast("string").as("node"))

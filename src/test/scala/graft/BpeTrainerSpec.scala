@@ -90,4 +90,18 @@ class BpeTrainerSpec extends SparkSpec {
     val m = BpeTrainer.train(docs, "text", nMerges = 1, maxWords = 1)
     assert(m.head.pairCount === 3L) // every adjacent pair weighted by freq 3
   }
+  test("supplementary-plane chars stay whole symbols (codepoint split)") {
+    import graft.ext.BpeTrainer
+    // U+1F600 is one codepoint, two Java chars: char-level splitting
+    // would shear it into two half-surrogates neither UTF8String nor
+    // the DuckDB oracle can represent
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = emoji + "a" + emoji
+    val merges = BpeTrainer.trainFromCounts(Seq((word, 5L)), 1)
+    assert(merges.head.left === emoji || merges.head.right === emoji ||
+      merges.head.left.contains(emoji) || merges.head.right == "a")
+    val segs = BpeTrainer.segmentWord(word, Map.empty)
+    assert(segs === Seq(emoji, "a", emoji),
+      s"codepoint split broke: $segs")
+  }
 }

@@ -100,4 +100,21 @@ class OverlapCalibrateSpec extends SparkSpec {
       Calibrate.reliability(df, col("score"), col("label"), 0)
     }
   }
+  test("percentRank keeps NULL group and NULL value rows (null-safe join back)") {
+    import spark.implicits._
+    import graft.operators.Calibrate
+    val df = Seq((Some("g"), Some(1.0)), (Some("g"), Some(2.0)),
+      (Some("g"), None), (None, Some(5.0)))
+      .toDF("g", "v")
+    val got = Calibrate.percentRank(df, col("g"), col("v"))
+    assert(got.count() === 4L, "no row may vanish at the join back")
+    // NULLs sort first: the null-value row ranks 0 within group g
+    val nullV = got.filter(col("g") === "g" && col("v").isNull)
+      .select("pct").as[Double].collect()
+    assert(nullV.toSeq === Seq(0.0))
+    // single-row null group gets 0 by the n==1 rule
+    val nullG = got.filter(col("g").isNull).select("pct")
+      .as[Double].collect()
+    assert(nullG.toSeq === Seq(0.0))
+  }
 }

@@ -137,7 +137,10 @@ class PackSampleBloomSpec extends SparkSpec {
   test("rateThreshold endpoints and midpoint") {
     assert(Sampling.rateThreshold(0.0) === "00000000")
     assert(Sampling.rateThreshold(0.25) === "40000000")
-    assert(Sampling.rateThreshold(1.0) === "ffffffff")
+    // rate 1.0 = full-keep sentinel: sorts above every hex string, so
+    // even a key hashing to exactly ffffffff is kept (round-15 fix)
+    assert(Sampling.rateThreshold(1.0) === "g")
+    assert("ffffffff" < Sampling.rateThreshold(1.0))
   }
 
   test("uniform sampling is deterministic and near the target rate") {
@@ -459,5 +462,37 @@ class MixtureSampleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.mixtureSample(docs, col("doc_id"), col("source"),
         Map("src0" -> -1.0)) }
+  }
+  test("weightedKPerGroup fails loudly on non-positive or null weights") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 0.0)).toDF("id", "g", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedKPerGroup(df, col("id"), col("g"), col("w"), 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("strictly")), e.toString)
+  }
+
+  test("tokenBudgetTake fails loudly on null or negative token counts") {
+    import spark.implicits._
+    val df = Seq((1L, "g", Option(5L)), (2L, "g", Option.empty[Long]))
+      .toDF("id", "g", "nt")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetTake(df, col("g"), col("id"), col("nt"), 100L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-null")), e.toString)
+  }
+
+  test("uniform at rate 1.0 keeps EVERY row (full-keep sentinel)") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("id")
+    assert(Sampling.uniform(df, col("id"), 1.0).count() === 1000L)
   }
 }

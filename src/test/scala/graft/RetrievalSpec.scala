@@ -130,4 +130,28 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
+  test("rrfFuse preserves string ids (the long-cast used to NULL them)") {
+    import spark.implicits._
+    val a = Seq(("q1", "doc-a", 1L), ("q1", "doc-b", 2L))
+      .toDF("q", "d", "r")
+    val b = Seq(("q1", "doc-b", 1L), ("q1", "doc-c", 2L))
+      .toDF("q", "d", "r")
+    val got = Retrieval.rrfFuse(Seq(a, b), "q", "d", "r", rrfK = 60,
+        topK = 10)
+      .select("doc_id", "n_systems")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("doc-a" -> 1L, "doc-b" -> 2L, "doc-c" -> 1L))
+  }
+
+  test("rrfFuse rejects 0-based ranks in-plan") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 0L)).toDF("q", "d", "r")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(a), "q", "d", "r").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("1-based")), e.toString)
+  }
 }

@@ -244,6 +244,41 @@ class AsOfDirectionToleranceSpec extends SparkSpec {
     }
   }
 
+  test("null-ts left rows are unmatchable in BOTH directions (direct calls, not just nearest)") {
+    // The forward carry sorts DESCENDING (nulls last): a null-ts left
+    // row parks after every right row and — before the round-15 __ts
+    // guard — got handed the earliest right match by last(ignoreNulls)
+    val lefts = Seq((1L, "k", Some(50L)), (2L, "k", None))
+      .toDF("id", "k", "ts")
+    val rights = Seq((100L, "k", 10L), (200L, "k", 90L))
+      .toDF("rid", "k", "rts")
+    val fwd = AsOfJoin.firstAfter(lefts, rights, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid").as("m")))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L) === Some(200L))
+    assert(fwd(2L) === None, "null-ts left row must not match forward")
+    val bwd = AsOfJoin.lastPrior(lefts, rights, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid").as("m")))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(bwd(1L) === Some(100L))
+    assert(bwd(2L) === None, "null-ts left row must not match backward")
+  }
+
+  test("null-ts right rows never match (their carried struct is non-null)") {
+    val lefts = Seq((1L, "k", 50L)).toDF("id", "k", "ts")
+    val rights = Seq((100L, "k", Option.empty[Long]))
+      .toDF("rid", "k", "rts")
+    val bwd = AsOfJoin.lastPrior(lefts, rights, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid").as("m")))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(bwd(1L) === None,
+      "a right row with a null timestamp is not an as-of candidate")
+    val fwd = AsOfJoin.firstAfter(lefts, rights, Seq("k"),
+      col("ts"), col("rts"), Seq(col("rid").as("m")))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L) === None)
+  }
+
   test("property: nearest equals ranking every candidate") {
     val rnd = new scala.util.Random(7)
     (1 to 6).foreach { _ =>

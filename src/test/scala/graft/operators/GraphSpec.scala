@@ -161,4 +161,18 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+  test("null edge endpoints drop instead of minting a phantom node") {
+    import spark.implicits._
+    val edges = Seq((Some("a"), Some("b")), (Some("b"), None),
+      (None, Some("a"))).toDF("s", "d")
+    val pr = Graph.pageRank(edges, "s", "d", iterations = 3)
+    val clean = Graph.pageRank(
+      Seq(("a", "b")).toDF("s", "d"), "s", "d", iterations = 3)
+    val got = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = clean.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want, "null-endpoint edges must not change the graph")
+    val ppr = Graph.personalizedPageRank(edges, "s", "d",
+      Seq("a").toDF("n"), "n", iterations = 3)
+    assert(ppr.count() === 2L)
+  }
 }
