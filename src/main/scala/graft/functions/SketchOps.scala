@@ -163,9 +163,16 @@ object SketchOps {
     case _ => a.getInt(i).toDouble
   }
 
-  /** Cosine similarity accumulated in double; 0.0 for zero norms. */
+  /** Cosine similarity accumulated in double; 0.0 for zero norms.
+    * Length mismatch is LOUD: comparing the common prefix of two
+    * different-dimension vectors is a silently-wrong similarity (a
+    * truncated embedding would rank normally instead of failing). */
   def cosine(la: ArrayData, ra: ArrayData, lCode: Int, rCode: Int): Double = {
-    val n = math.min(la.numElements(), ra.numElements())
+    if (la.numElements() != ra.numElements())
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch ${la.numElements()} vs " +
+          s"${ra.numElements()}")
+    val n = la.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

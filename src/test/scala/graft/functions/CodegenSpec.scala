@@ -114,4 +114,29 @@ class CodegenSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
     assert(df.count() === 100)
   }
+  test("cosine fails loudly on dimension mismatch (prefix compare is silent corruption)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Expressions.cosineSim(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dimension mismatch")), e.toString)
+  }
+
+  test("pqAdc fails loudly when codes x ksub exceeds the LUT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array[Byte](0, 1), Seq(0.0, 1.0))).toDF("c", "l")
+    val e = intercept[Exception] {
+      df.select(Expressions.pqAdc(col("c"), col("l"), ksub = 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("codebook/ksub mismatch")), e.toString)
+  }
 }
