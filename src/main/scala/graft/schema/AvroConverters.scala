@@ -104,8 +104,15 @@ object AvroConverters {
                   rec.put(i, toAvroDatum(
                     row.get(j, st(j).dataType), f.schema, st(j).dataType))
                 case Some(_) => rec.put(i, null)
-                case None if isNullable(f.schema) || f.hasDefaultValue =>
-                  rec.put(i, null)
+                case None if isNullable(f.schema) => rec.put(i, null)
+                case None if f.hasDefaultValue =>
+                  // the declared default, NOT null: a non-nullable
+                  // field with default "x" encoded as null NPEs the
+                  // Avro writer (or, for a nullable-with-default,
+                  // silently loses the declared value) — round-15
+                  // review. getDefaultValue returns the generic-model
+                  // deep copy of the schema's default literal.
+                  rec.put(i, GenericData.get().getDefaultValue(f))
                 case None => throw new IllegalArgumentException(
                   s"input struct has no field '${f.name}' required by " +
                     s"schema ${sch.getFullName} (have: ${st.fieldNames.mkString(",")})")

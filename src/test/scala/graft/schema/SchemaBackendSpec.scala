@@ -156,6 +156,23 @@ class SchemaBackendSpec extends SparkSpec {
     }
   }
 
+  test("absent field with a non-null schema DEFAULT encodes the default, not null") {
+    // writing null into a non-nullable defaulted field NPE'd the Avro
+    // writer; a nullable-with-default lost the declared value
+    // (round-15 review — the reference's coercer fills defaults)
+    val schemaJson =
+      """{"type":"record","name":"D","fields":[
+        | {"name":"id","type":"string"},
+        | {"name":"kind","type":"string","default":"standard"},
+        | {"name":"n","type":"long","default":42}]}""".stripMargin
+    val backend = new AvroBackend(schemaJson)
+    val rt = spark.range(1).select(
+      backend.encodeExpr(struct(lit("a").as("id"))).as("b"))
+      .select(backend.decodeExpr(col("b")).as("p")).select("p.*")
+      .as[(String, String, Long)].collect()(0)
+    assert(rt === (("a", "standard", 42L)))
+  }
+
   test("datafile backend: self-describing payloads resolve writer→reader evolution") {
     val writerJson =
       """{"type":"record","name":"E","fields":[
