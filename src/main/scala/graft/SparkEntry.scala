@@ -416,8 +416,13 @@ object SparkEntry {
         col("o_orderpriority").as("prio")).as("cust_ref"))
     val (assocBatch, staged) =
       Materialize.extractAssociationsFirst(prim, "cust_ref")
+    // partitions=8: the deduped association frame is dim-sized (~65k
+    // rows at sf0.1) — at 32 range partitions the three id-assignment
+    // jobs pay more task overhead than they buy in parallelism
+    // (measured: 1.37s @32 vs 1.25s @8 at sf0.1); a fact-sized frame
+    // would pass the default instead
     val saved = Scale.denseIds(assocBatch,
-      Seq(col("cust_id"), col("prio")), "id")
+      Seq(col("cust_id"), col("prio")), "id", partitions = 8)
     // explicit broadcast: denseIds' RDD hop erases size stats (Scan
     // ExistingRDD), so the dim-sized saved frame must be hinted or the
     // fill-back regresses to a fact-side SortMergeJoin
