@@ -187,7 +187,14 @@ object Mp4Demux {
       var k = 0L
       while (k < perChunk && sample < nSamples) {
         val sz = stsz(sample)
-        if (sz < 0 || off < 0 || off + sz > b.length) return null
+        // `off <= b.length` BEFORE the sum: a co64 offset near
+        // Long.MaxValue wraps `off + sz` negative, slipping past the
+        // length check with an out-of-file offset that downstream
+        // reads after an Int truncation — in-bounds garbage, not a
+        // crash (round-15 review). With off bounded first the sum
+        // cannot overflow (both terms ≤ 2³¹).
+        if (sz < 0 || off < 0 || off > b.length || off + sz > b.length)
+          return null
         offsets(sample) = off
         off += sz
         sample += 1

@@ -122,6 +122,23 @@ class Mp4DemuxSpec extends SparkSpec {
   private def trakOf(stbl: Array[Byte]): Array[Byte] =
     mkBox("trak", mkBox("mdia", mkBox("minf", stbl)))
 
+  test("co64 offset near Long.MaxValue is rejected (off+sz overflow guard)") {
+    // offset 0x7ff...f0 wraps `off + sz` negative — before the
+    // round-15 guard this slipped past the length check and downstream
+    // reads truncated it to an in-bounds Int: plausible garbage stats
+    val huge = 0x7ffffffffffffff0L
+    def b64(v: Long): Array[Byte] = b32(v >>> 32) ++ b32(v & 0xffffffffL)
+    val stbl = mkBox("stbl",
+      stsdBox(sampleEntry("raw ", 4, 4)),
+      mkBox("stsz", b32(0L), b32(16L), b32(1L)),
+      mkBox("stsc", b32(0L), b32(1L), b32(1L), b32(1L), b32(1L)),
+      mkBox("co64", b32(0L), b32(1L), b64(huge)))
+    val file = mkBox("ftyp", "isom".getBytes("US-ASCII"), b32(0L)) ++
+      mkBox("moov", trakOf(stbl)) ++ new Array[Byte](64)
+    assert(Mp4Demux.demux(file) === null)
+    assert(Mp4Demux.mp4FrameStats(file, 1) === null)
+  }
+
   test("a raw trak with incomplete tables never borrows another trak's") {
     val ftyp = mkBox("ftyp", "isom".getBytes("US-ASCII"), b32(512L),
       "isomiso2".getBytes("US-ASCII"))
