@@ -385,6 +385,13 @@ object Bench {
     val requeueDiag = scala.collection.mutable
       .LinkedHashMap[String, Vector[RunSample]]()
     val requeueCals = scala.collection.mutable.ArrayBuffer[RunSample]()
+    // probe → the queries actually re-run under it: contended-flagging
+    // below only credits a degraded requeue probe to the queries it
+    // bracketed, not to every adjudicated query (round-15 advice — a
+    // blanket credit widened the discountable excuse for real
+    // regressions)
+    val requeuePassInfo =
+      scala.collection.mutable.ArrayBuffer[(RunSample, Set[String])]()
     var calRefClean = if (calBefore.wallSec > 0) calBefore.wallSec else -1.0
     def flaggedNow(): Seq[String] = regSorted(resultMap.toSeq).collect {
       case (name, v) if v > 0 && recordedBaseline.get(name)
@@ -408,7 +415,9 @@ object Bench {
           s"${RequeueSleepMs}ms for the burst to drain")
         Thread.sleep(RequeueSleepMs); sleptMs += RequeueSleepMs
       }
-      flaggedNow().foreach { name =>
+      val rerunNames = flaggedNow()
+      requeuePassInfo += ((probe, rerunNames.toSet))
+      rerunNames.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           var ok = true
           val s = timed {
@@ -507,18 +516,8 @@ object Bench {
       case Nil => -1.0
       case ws => ws.min
     }
-    // `slow` reads the POST-requeue min: a query rescued by its
-    // sweep-end re-measurement is no longer contended — its entry is
-    // simply correct now. Probe evidence spans both the in-sweep
-    // adjudication probes and the requeue-pass probes.
-    val contended = adjDiag.keys.toSeq.sorted.filter { name =>
-      val slow = recordedBaseline.get(name).exists(b =>
-        resultMap.get(name).exists(v => v > AdjudicateFactor * b))
-      val probeDegraded = calRef > 0 && (adjDiag(name).exists {
-        case (probe, _) => probe.wallSec >= AdjudicateFactor * calRef
-      } || requeueCals.exists(_.wallSec >= AdjudicateFactor * calRef))
-      slow && probeDegraded
-    }
+    val contended = contendedQueries(adjDiag.toMap, requeuePassInfo.toSeq,
+      resultMap.toMap, calRef)
 
     // Two stdout lines, full first, summary LAST — sized for the
     // driver's OBSERVED tail capture: every BENCH_r1..r6 artifact has
@@ -535,6 +534,33 @@ object Bench {
       calAfter, sfDir, contended, requeued).foreach(println)
     spark.stop()
   }
+
+  /** Contended adjudication (round-6 item 8, tightened round-16): a
+    * query is flagged "contended" in the contract line — driver-
+    * discountable as slow-box, not slow-code — only when BOTH hold:
+    * its post-requeue min still exceeds [[AdjudicateFactor]] × its
+    * recording, AND a calibration probe that BRACKETED this query's
+    * own samples was itself ≥[[AdjudicateFactor]]× degraded. Probe
+    * evidence counts only from (a) the query's own in-sweep
+    * adjudication probes, or (b) a requeue-pass probe from a pass in
+    * which this specific query was re-run — a degraded probe from an
+    * unrelated pass must not excuse a real regression (round-15
+    * advice). */
+  private[graft] def contendedQueries(
+      adjDiag: Map[String, Seq[(RunSample, Option[RunSample])]],
+      requeuePassInfo: Seq[(RunSample, Set[String])],
+      resultMap: Map[String, Double],
+      calRef: Double): Seq[String] =
+    adjDiag.keys.toSeq.sorted.filter { name =>
+      val slow = recordedBaseline.get(name).exists(b =>
+        resultMap.get(name).exists(v => v > AdjudicateFactor * b))
+      val probeDegraded = calRef > 0 && (adjDiag(name).exists {
+        case (probe, _) => probe.wallSec >= AdjudicateFactor * calRef
+      } || requeuePassInfo.exists { case (probe, qs) =>
+        qs.contains(name) && probe.wallSec >= AdjudicateFactor * calRef
+      })
+      slow && probeDegraded
+    }
 
   /** The stdout emission: Seq(full contract line, compact summary
     * line). Order matters — summary LAST so the driver's 2000-char

@@ -133,8 +133,9 @@ object Retrieval {
       col(queryCol).as("query_id"),
       col(docCol).as("doc_id"),
       col(rankCol).cast("long").as("__rank")))
-    val contrib = when(col("__rank") < 1L, raise_error(
-        lit("rrfFuse: rank must be 1-based positive")).cast("double"))
+    val contrib = when(col("__rank").isNull || col("__rank") < 1L, raise_error(
+        lit("rrfFuse: rank must be 1-based positive (a NULL rank means " +
+          "the rank column was non-numeric or missing)")).cast("double"))
       .otherwise(lit(1.0) / (lit(rrfK.toLong) + col("__rank")))
     val fused = shaped.reduce(_ unionAll _)
       .groupBy(col("query_id"), col("doc_id"))

@@ -429,7 +429,15 @@ object Expressions {
       var s = 0
       var d = 0.0
       while (s < cs.length) {
-        d += lut.getDouble(s * ksub + (cs(s) & 0xff))
+        val code = cs(s) & 0xff
+        // per-code check: with ksub < 256 a corrupt code in the LAST
+        // subvector passes the row-level size check above yet still
+        // indexes past numElements — the same silent raw-memory read
+        if (code >= ksub)
+          throw new IllegalArgumentException(
+            s"pqAdc: code $code at subvector $s >= ksub=$ksub — " +
+              "corrupt code or codebook mismatch")
+        d += lut.getDouble(s * ksub + code)
         s += 1
       }
       d

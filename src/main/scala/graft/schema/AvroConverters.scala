@@ -104,15 +104,16 @@ object AvroConverters {
                   rec.put(i, toAvroDatum(
                     row.get(j, st(j).dataType), f.schema, st(j).dataType))
                 case Some(_) => rec.put(i, null)
-                case None if isNullable(f.schema) => rec.put(i, null)
                 case None if f.hasDefaultValue =>
-                  // the declared default, NOT null: a non-nullable
-                  // field with default "x" encoded as null NPEs the
-                  // Avro writer (or, for a nullable-with-default,
-                  // silently loses the declared value) — round-15
-                  // review. getDefaultValue returns the generic-model
-                  // deep copy of the schema's default literal.
+                  // the declared default, NOT null — and checked BEFORE
+                  // nullability: a nullable union field with a non-null
+                  // declared default must encode that default, not null.
+                  // getDefaultValue returns the generic-model deep copy
+                  // of the schema's default literal (null for a null
+                  // default, so this arm is uniformly correct for
+                  // nullable-with-null-default too).
                   rec.put(i, GenericData.get().getDefaultValue(f))
+                case None if isNullable(f.schema) => rec.put(i, null)
                 case None => throw new IllegalArgumentException(
                   s"input struct has no field '${f.name}' required by " +
                     s"schema ${sch.getFullName} (have: ${st.fieldNames.mkString(",")})")

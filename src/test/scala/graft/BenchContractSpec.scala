@@ -165,6 +165,33 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.median(Nil) === -1.0)
   }
 
+  test("contended: probe evidence must bracket the query's own samples") {
+    val name = Bench.recordedBaseline.keys.min
+    val base = Bench.recordedBaseline(name)
+    val slowVal = base * Bench.AdjudicateFactor * 2
+    val calRef = 0.1
+    val clean = Bench.RunSample(0.1, 0.1, 0.0)
+    val degraded = Bench.RunSample(0.5, 0.5, 0.0) // >= 2x calRef
+    // own in-sweep adjudication probe degraded -> contended
+    assert(Bench.contendedQueries(Map(name -> Seq((degraded, None))), Nil,
+      Map(name -> slowVal), calRef) === Seq(name))
+    // clean own probe, degraded requeue probe from a pass that RE-RAN
+    // this query -> contended
+    assert(Bench.contendedQueries(Map(name -> Seq((clean, None))),
+      Seq((degraded, Set(name))), Map(name -> slowVal), calRef) === Seq(name))
+    // degraded requeue probe from an UNRELATED pass -> not contended
+    // (round-15 advice: no blanket slow-box excuse)
+    assert(Bench.contendedQueries(Map(name -> Seq((clean, None))),
+      Seq((degraded, Set("x_unrelated"))), Map(name -> slowVal),
+      calRef) === Nil)
+    // fast query is never contended, even with a degraded own probe
+    assert(Bench.contendedQueries(Map(name -> Seq((degraded, None))), Nil,
+      Map(name -> base), calRef) === Nil)
+    // no positive calibration reference -> no flags at all
+    assert(Bench.contendedQueries(Map(name -> Seq((degraded, None))), Nil,
+      Map(name -> slowVal), -1.0) === Nil)
+  }
+
   test("recorded baseline covers the query surface it predates") {
     // every baseline key must still be a live query (a renamed query
     // would silently lose adjudication), and the values are sane

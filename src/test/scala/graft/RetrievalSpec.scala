@@ -154,4 +154,28 @@ class RetrievalSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("1-based")), e.toString)
   }
+
+  test("rrfFuse rejects NULL ranks (non-numeric rank column) in-plan") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a non-numeric rank string must fail loudly, not silently
+    // contribute 0 while counting in n_systems: under ANSI (Spark 4
+    // default) the cast itself raises; with ANSI off it NULLs and the
+    // isNull guard raises instead — loud either way
+    val bad = Seq((1L, 10L, "first")).toDF("q", "d", "r")
+    val e1 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(bad), "q", "d", "r").collect()
+    }
+    assert(msgs(e1).exists(m =>
+      m.contains("1-based") || m.contains("CAST_INVALID_INPUT")), e1.toString)
+    // a genuinely NULL rank in the source data fails the same way
+    val withNull = Seq((1L, 10L, Some(1L)), (1L, 11L, None))
+      .toDF("q", "d", "r")
+    val e2 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(withNull), "q", "d", "r").collect()
+    }
+    assert(msgs(e2).exists(_.contains("1-based")), e2.toString)
+  }
 }

@@ -139,4 +139,22 @@ class CodegenSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("codebook/ksub mismatch")), e.toString)
   }
+
+  test("pqAdc fails loudly on a code byte >= ksub (row check alone misses it)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1 code x ksub=4 over an 8-entry LUT passes the row-level size
+    // check, but code 5 >= ksub would read LUT slot 5 of the WRONG
+    // subvector (or past numElements in the last one) — silently
+    val df = Seq((Array[Byte](5), Seq(0.0, 1.0, 2.0, 3.0, 40.0, 50.0, 60.0,
+      70.0))).toDF("c", "l")
+    val e = intercept[Exception] {
+      df.select(Expressions.pqAdc(col("c"), col("l"), ksub = 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("corrupt code or codebook mismatch")),
+      e.toString)
+  }
 }

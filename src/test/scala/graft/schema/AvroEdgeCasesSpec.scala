@@ -55,6 +55,25 @@ class AvroEdgeCasesSpec extends SparkSpec {
     assert(rt === ((5L, "why")))
   }
 
+  test("absent nullable field with a non-null declared default encodes the default") {
+    // round-16 advice: the isNullable arm used to shadow
+    // hasDefaultValue, so ["string","null"] default "hello" encoded
+    // null when the input struct lacked the field
+    val schemaJson =
+      """{"type":"record","name":"D","fields":[
+        | {"name":"id","type":"long"},
+        | {"name":"note","type":["string","null"],"default":"hello"},
+        | {"name":"tag","type":["null","string"],"default":null}]}"""
+        .stripMargin
+    val backend = new AvroBackend(schemaJson)
+    val rt = spark.range(1)
+      .select(backend.encodeExpr(struct(lit(7L).as("id"))).as("b"))
+      .select(backend.decodeExpr(col("b")).as("p"))
+      .select(col("p.id"), col("p.note"), col("p.tag"))
+      .as[(Long, Option[String], Option[String])].collect()(0)
+    assert(rt === ((7L, Some("hello"), None)))
+  }
+
   test("registry schema id survives framing for arbitrary ids") {
     Seq(0, 1, 255, 65536, Int.MaxValue).foreach { id =>
       val backend = new RegistryFramedBackend(
