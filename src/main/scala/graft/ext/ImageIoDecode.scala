@@ -46,7 +46,7 @@ object ImageIoDecode {
     // ImageIO probe
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val img =
-      try ImageIoHolder.read(b)
+      try ImageIoHolder.readBounded(b, MaxPixels)
       catch { case _: Exception => null }
     if (img == null) return null
     val w = img.getWidth
@@ -125,7 +125,7 @@ object ImageIoDecode {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val img =
-      try ImageIoHolder.read(b)
+      try ImageIoHolder.readBounded(b, MaxPixels)
       catch { case _: Exception => null }
     if (img == null) return null
     val w = img.getWidth
@@ -256,8 +256,31 @@ object ImageIoDecode {
   * filesystem pressure (observed as x36 swinging 2-4 s run-to-run). */
 private[ext] object ImageIoHolder {
   javax.imageio.ImageIO.setUseCache(false)
-  def read(b: Array[Byte]): java.awt.image.BufferedImage =
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+
+  /** Decode with the pixel cap enforced BEFORE the raster exists:
+    * `ImageIO.read` allocates the full BufferedImage from the header's
+    * declared dimensions before any caller-side check can run, so a
+    * dimension-lie JPEG (SOF declaring 65500×65500 → a multi-GiB
+    * raster) would balloon executor memory inside the JDK (round-16
+    * fuzz campaign). `ImageReader.getWidth/getHeight` parse header
+    * metadata only — cap there, then decode. Null when undecodable or
+    * past the cap. */
+  def readBounded(b: Array[Byte], maxPixels: Long): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
+        reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
   /** Route encode-side stream creation here so the holder's
     * setUseCache init is guaranteed to have run first. */
   def outputStream(out: java.io.OutputStream): javax.imageio.stream.ImageOutputStream =

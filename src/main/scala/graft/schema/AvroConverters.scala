@@ -19,6 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroConverters {
 
+  /** Decode-side allocation guard (round-16 fuzz campaign): Avro's
+    * BinaryDecoder allocates a string/bytes buffer — and
+    * GenericDatumReader pre-sizes a collection — of the DECLARED
+    * length before checking it against the remaining input, so a
+    * 5-byte poison frame declaring a 2 GiB string OOMs the executor
+    * instead of failing the one record (measured: OutOfMemoryError at
+    * -Xmx1g in ~30 ms). Avro's official guard is the
+    * `org.apache.avro.limits.*` system properties, read once at
+    * SystemLimitException class-init; this object loads at PLAN time
+    * on every graft Avro path (toSparkType/toAvroDatum), before any
+    * decode executes, so setting them here bounds every decode. User
+    * overrides win — values are only set if absent. A frame that
+    * trips a limit fails LOUDLY with SystemLimitException, which
+    * `decodeLenientExpr` quarantines like any other corruption. */
+  private def setLimitIfUnset(prop: String, v: Long): Unit =
+    if (System.getProperty(prop) == null) System.setProperty(prop, v.toString)
+  setLimitIfUnset("org.apache.avro.limits.bytes.maxLength", 128L << 20)
+  setLimitIfUnset("org.apache.avro.limits.string.maxLength", 128L << 20)
+  setLimitIfUnset("org.apache.avro.limits.collectionItems.maxLength", 1L << 24)
+
   /** Avro schema → Spark type. */
   def toSparkType(s: AvroSchema): DataType = s.getType match {
     case AvroSchema.Type.BOOLEAN => BooleanType

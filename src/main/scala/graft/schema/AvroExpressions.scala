@@ -136,6 +136,15 @@ object AvroExpressions {
 
     def decodeRow(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
+      // DataFileStream allocates its block buffer at the DECLARED
+      // block byte-size before any bound is checked (the
+      // org.apache.avro.limits.* properties do NOT cover it —
+      // measured: a one-varint corruption in a 144-byte OCF throws
+      // "Requested array size exceeds VM limit"), so validate every
+      // declared size against the frame we actually hold first
+      // (round-16 fuzz campaign). Loud on corruption, like the rest
+      // of the frame checks.
+      AvroExpressions.validateOcfFrame(bytes)
       val reader = new GenericDatumReader[Any](null, readerSchema)
       val stream = new org.apache.avro.file.DataFileStream[Any](
         new java.io.ByteArrayInputStream(bytes), reader)
@@ -273,4 +282,65 @@ object AvroExpressions {
   def decodeAvroDataFile(bytes: Column, readerSchemaJson: String): Column =
     GraftSqlBridge.column(
       AvroDataFileDecodeExpr(GraftSqlBridge.expression(bytes), readerSchemaJson))
+
+  /** Structural walk of an OCF frame validating every DECLARED length
+    * against the bytes actually held, BEFORE Avro's DataFileStream
+    * trusts them into allocations: magic, the metadata map's
+    * string/bytes entry lengths, the 16-byte sync, then each data
+    * block's (count, byte-size) pair — a block size past the frame
+    * end is the allocation bomb this guards. Throws
+    * IllegalArgumentException (loud, quarantine-able) on any lie;
+    * returns normally on a structurally sane frame (whose CONTENT
+    * corruption DataFileStream then reports with its own errors). */
+  private[schema] def validateOcfFrame(b: Array[Byte]): Unit = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt OCF frame: $msg")
+    if (b.length < 4 + 1 + 16) fail(s"${b.length} bytes is too short")
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1))
+      fail("bad magic")
+    var pos = 4
+    def readLong(): Long = { // Avro zigzag-varint long
+      var shift = 0
+      var v = 0L
+      while (true) {
+        if (pos >= b.length) fail("truncated varint")
+        val byte = b(pos); pos += 1
+        v |= (byte & 0x7fL) << shift
+        if ((byte & 0x80) == 0) return (v >>> 1) ^ -(v & 1)
+        shift += 7
+        if (shift >= 64) fail("varint too long")
+      }
+      0L // unreachable
+    }
+    def skipSized(what: String): Unit = {
+      val n = readLong()
+      if (n < 0 || n > (b.length - pos).toLong) fail(s"$what length $n lies")
+      pos += n.toInt
+    }
+    // metadata map: blocks of entries; a negative count carries an
+    // explicit byte size for the whole block (Avro map encoding)
+    var mapCount = readLong()
+    while (mapCount != 0) {
+      if (mapCount < 0) skipSized("meta block")
+      else {
+        if (mapCount > (b.length - pos).toLong) fail("meta count lies")
+        var i = 0L
+        while (i < mapCount) {
+          skipSized("meta key"); skipSized("meta value")
+          i += 1
+        }
+      }
+      mapCount = readLong()
+    }
+    if (pos + 16 > b.length) fail("truncated header sync")
+    pos += 16
+    // data blocks: count, byte size, data, sync
+    while (pos < b.length) {
+      val count = readLong()
+      if (count < 0) fail(s"negative block count $count")
+      skipSized("block")
+      if (pos + 16 > b.length) fail("truncated block sync")
+      pos += 16
+    }
+  }
 }
