@@ -25,24 +25,28 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // older testdata generations wrote events.ts as TIMESTAMP(NANOS)
-      // parquet, unreadable by Spark's vectorized reader as a timestamp;
-      // this conf reads that unit as nanos-since-epoch BIGINT. Set here
-      // so it also holds on the driver's own smoke-check session.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // the engine's event-time convention is nanos-since-epoch BIGINT
-    // (exact integer arithmetic; no tz ambiguity). Newer testdata
-    // generations write ts as TIMESTAMP(MICROS) — normalize at the scan
-    // (session tz is UTC everywhere, matching the oracle's epoch_ns()).
-    if (name == "events" &&
-        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    else df
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    // resolution memoized per (session, dir, name): re-inferring the
+    // parquet schema per call costs ~150-300 ms — the round-15 bench
+    // tail's uniform constant (see TableCache)
+    TableCache.resolve(spark, dir, name) {
+      if (name == "events")
+        // older testdata generations wrote events.ts as TIMESTAMP(NANOS)
+        // parquet, unreadable by Spark's vectorized reader as a timestamp;
+        // this conf reads that unit as nanos-since-epoch BIGINT. Set here
+        // so it also holds on the driver's own smoke-check session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // the engine's event-time convention is nanos-since-epoch BIGINT
+      // (exact integer arithmetic; no tz ambiguity). Newer testdata
+      // generations write ts as TIMESTAMP(MICROS) — normalize at the scan
+      // (session tz is UTC everywhere, matching the oracle's epoch_ns()).
+      if (name == "events" &&
+          df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      else df
+    }
 
   /** Tombstone convention for the events stream. */
   private val tomb: Column = col("event_type") === "error"

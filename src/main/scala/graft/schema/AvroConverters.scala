@@ -38,6 +38,24 @@ object AvroConverters {
   setLimitIfUnset("org.apache.avro.limits.bytes.maxLength", 128L << 20)
   setLimitIfUnset("org.apache.avro.limits.string.maxLength", 128L << 20)
   setLimitIfUnset("org.apache.avro.limits.collectionItems.maxLength", 1L << 24)
+  // SystemLimitException snapshots the properties at ITS class-init —
+  // if any other Avro decode in the JVM ran first (test-suite
+  // parallelism, a co-resident Avro user), the values above would be
+  // ignored. Its package-private resetLimits() re-reads them; invoke
+  // it reflectively so the guard holds regardless of load order. If
+  // the method ever disappears, the property path still covers the
+  // common first-loader case.
+  try {
+    val m = Class.forName("org.apache.avro.SystemLimitException")
+      .getDeclaredMethod("resetLimits")
+    m.setAccessible(true)
+    m.invoke(null)
+  } catch { case _: Throwable => () }
+
+  /** Forces this object's init (the limit setup above) — called from
+    * every Avro codec object so constructing ANY graft Avro
+    * expression guarantees the decode limits are live. */
+  def ensureLimits(): Unit = ()
 
   /** Avro schema → Spark type. */
   def toSparkType(s: AvroSchema): DataType = s.getType match {

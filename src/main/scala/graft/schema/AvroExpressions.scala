@@ -31,6 +31,11 @@ import org.apache.spark.sql.types._
   */
 object AvroExpressions {
 
+  // constructing any expression below inits this object first —
+  // guarantee the decode allocation limits are live before a decode
+  // can run (see AvroConverters)
+  AvroConverters.ensureLimits()
+
   /** struct → Avro single-object binary (schema known out-of-band). */
   case class AvroEncodeExpr(child: Expression, schemaJson: String)
       extends UnaryExpression {
