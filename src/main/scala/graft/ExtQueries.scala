@@ -1961,11 +1961,13 @@ object ExtQueries {
       0L -> Seq("spark", "vector", "merge"),
       1L -> Seq("join", "filter", "scan"),
       2L -> Seq("batch", "window", "stream"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
+    // rank the 20-row top-k frames via the shared window-free helper
+    // (round-16 item 4: no call site carries a bare Window.orderBy,
+    // even bounded ones — the pattern gets imitated)
     val lex = termSets.map { case (qid, terms) =>
-      graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20)
-        .withColumn("rank", row_number().over(w).cast("long"))
+      graft.operators.Scale.denseIds(
+          graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20),
+          Seq(col("score").desc, col("doc_id")), "rank")
         .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
     }.reduce(_ unionAll _)
     val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
@@ -1990,8 +1992,10 @@ object ExtQueries {
     val w = graft.ext.ImportanceSampling.dsirLogWeights(docs, "doc_id",
         "text", col("source") === "src0", buckets = 1024)
       .withColumn("logw_r", roundz(col("logw"), 6))
-    val med = graft.operators.Scale.discreteQuantiles(
-        w.withColumn("__g", lit(1L)), "__g", "logw_r", Seq(0.5))
+    // GLOBAL median: the constant-group discreteQuantiles call is the
+    // folded-partition-key trap (see Scale.discreteQuantilesGlobal)
+    val med = graft.operators.Scale.discreteQuantilesGlobal(
+        w, "logw_r", Seq(0.5))
       .select(col("q").as("__med"))
     w.crossJoin(broadcast(med))
       .select(col("doc_id"), col("n_feats"), col("logw_r"),

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -49,10 +48,13 @@ object Encoding {
       .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("token"))
       .limit(vocabSize)
-    // K bounded rows: the unpartitioned window is a K-row single task
-    counts.withColumn("id",
-        row_number().over(Window.orderBy(col("n_occ").desc, col("token")))
-          .cast("long"))
+    // dense ids via the shared window-free helper: the frame is
+    // vocab-sized (post-limit) so a K-row single-task window WOULD be
+    // safe, but no call site carries a bare Window.orderBy — the
+    // pattern gets imitated onto corpus-sized frames (round-16
+    // verdict item 4; q20 was that copy)
+    graft.operators.Scale.denseIds(counts,
+        Seq(col("n_occ").desc, col("token")), "id")
       .select(col("id"), col("token"), col("n_occ"))
   }
 

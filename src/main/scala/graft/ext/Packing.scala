@@ -44,14 +44,16 @@ object Packing {
     val innerW = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
     val withLocal = bucketed.withColumn("__local",
       sum(col("__val")).over(innerW))
-    // one row per bucket; the unpartitioned window below runs on a
-    // single task but over only n/bucketSize rows
+    // one row per bucket (n/bucketSize rows); the cross-bucket
+    // exclusive sum runs through the shared window-free helper so no
+    // call site carries a bare Window.orderBy (round-16 verdict item
+    // 4 — the unpartitioned-window pattern gets imitated onto
+    // corpus-sized frames)
     val totals = bucketed.groupBy(col("__bucket"))
       .agg(sum(col("__val")).as("__tot"))
-    val bucketW = Window.orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(col("__bucket"),
-      coalesce(sum(col("__tot")).over(bucketW), lit(0L)).as("__off"))
+    val offsets = graft.operators.Scale.exclusiveRunningSum(
+        totals, Seq(col("__bucket")), col("__tot"), "__off")
+      .select(col("__bucket"), col("__off"))
     withLocal
       .join(broadcast(offsets), Seq("__bucket"))
       .withColumn(outCol, col("__off") + col("__local") - col("__val"))

@@ -199,15 +199,17 @@ object Pipeline {
       struct(lit(i).as("stage_idx"), lit(n).as("stage")) }: _*)
     val stageFrame = counts.sparkSession.range(1)
       .select(explode(stageLits).as("s")).select("s.*")
-    import org.apache.spark.sql.expressions.Window
-    val cum = Window.partitionBy(lit(1)).orderBy(col("stage_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stageFrame
+    // cross-stage running attrition via the shared window-free helper:
+    // partitionBy(lit(1)) folds to an unpartitioned WindowExec
+    // (round-16 plan audit). n_in = total − (failures strictly before
+    // this stage) = total − the EXCLUSIVE running sum.
+    val joined = stageFrame
       .join(counts, col("fs") === col("stage_idx"), "left")
       .select(col("stage_idx").cast("long").as("stage_idx"),
         col("stage"), coalesce(col("c"), lit(0L)).as("n_failed"))
-      .withColumn("n_in",
-        lit(total) - sum(col("n_failed")).over(cum) + col("n_failed"))
+    Scale.exclusiveRunningSum(joined, Seq(col("stage_idx")),
+        col("n_failed"), "__excl")
+      .withColumn("n_in", lit(total) - col("__excl"))
       .withColumn("n_out", col("n_in") - col("n_failed"))
       .withColumn("drop_rate_r",
         when(col("n_in") > 0, roundz(col("n_failed").cast("double") /

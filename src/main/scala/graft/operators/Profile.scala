@@ -549,8 +549,6 @@ object Profile {
       0.301029995663981, 0.176091259055681, 0.124938736608300,
       0.096910013008056, 0.079181246047625, 0.066946789630613,
       0.057991946977687, 0.051152522447381, 0.045757490560675)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
     // Benford audits the MAGNITUDE: a ledger's refunds/credits are
     // exactly where fabricated entries hide, so negative amounts
     // participate via abs() instead of being silently excluded.
@@ -559,17 +557,24 @@ object Profile {
     // rounds to zero cents, whose "first digit" is 0 — and
     // element_at(expected, 0) is a runtime error (round-8 review
     // finding). No first significant cent digit exists ⇒ excluded.
-    df.filter(col(valueCol).isNotNull && cents >= 1)
+    val digits = df.filter(col(valueCol).isNotNull && cents >= 1)
       .select(substring(cents.cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤9 rows, read twice below — ONE corpus scan
+    // total as a one-row broadcast, NOT a whole-frame window:
+    // partitionBy(lit(1)) is the folded-partition-key trap — Catalyst
+    // removes the foldable key from the spec, leaving an unpartitioned
+    // WindowExec (round-16 plan audit)
+    val total = digits.agg(sum(col("n")).as("__tot"))
+    digits.crossJoin(broadcast(total))
       .withColumn("frac_r",
-        roundz(col("n").cast("double") /
-          sum(col("n")).over(w).cast("double"), 9))
+        roundz(col("n").cast("double") / col("__tot").cast("double"), 9))
       .withColumn("expected",
         element_at(array(expected.map(lit): _*), col("digit")))
       .withColumn("excess_r", roundz(col("frac_r") - col("expected"), 9))
+      .drop("__tot")
   }
 
   /** Mergeable count-min sketch partials — the FREQUENCY member of
@@ -818,32 +823,35 @@ object Profile {
   def psi(a: DataFrame, b: DataFrame, valueCol: String, lo: Double,
       hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 1 && hi > lo, s"bad psi domain [$lo,$hi]×$nBins")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val width = (hi - lo) / nBins
     def binned(df: DataFrame, tag: Int) =
       df.filter(col(valueCol).isNotNull)
         .select(least(greatest(
           floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
           lit(nBins - 1L)).cast("long").as("bin"), lit(tag).as("side"))
-    binned(a, 0).unionByName(binned(b, 1))
+    val bins = binned(a, 0).unionByName(binned(b, 1))
       .groupBy(col("bin"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint(true) // ≤nBins rows, read twice — ONE union scan
+    // side totals as a one-row broadcast — partitionBy(lit(1)) folds
+    // to an unpartitioned WindowExec (round-16 plan audit)
+    val totals = bins.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    bins.crossJoin(broadcast(totals))
       // null shares (not 0/0 = NaN) when a snapshot is empty — NaN
       // would leak into every row of the surviving side's report
-      .withColumn("p_a", when(sum(col("n_a")).over(w) > 0,
-        col("n_a").cast("double") /
-          sum(col("n_a")).over(w).cast("double")))
-      .withColumn("p_b", when(sum(col("n_b")).over(w) > 0,
-        col("n_b").cast("double") /
-          sum(col("n_b")).over(w).cast("double")))
+      .withColumn("p_a", when(col("__ta") > 0,
+        col("n_a").cast("double") / col("__ta").cast("double")))
+      .withColumn("p_b", when(col("__tb") > 0,
+        col("n_b").cast("double") / col("__tb").cast("double")))
       .withColumn("psi_term_r",
         when(col("n_a") > 0 && col("n_b") > 0,
           roundz((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")),
             4)))
       .withColumn("p_a_r", roundz(col("p_a"), 9))
       .withColumn("p_b_r", roundz(col("p_b"), 9))
-      .drop("p_a", "p_b")
+      .drop("p_a", "p_b", "__ta", "__tb")
   }
 
   /** Exact-integer CUSUM change-point profile over per-bucket event
@@ -856,30 +864,37 @@ object Profile {
     *
     * Scale shape: the only corpus-sized operation is the bucket
     * groupBy (partial-aggregated map-side). The running sum and the
-    * peak flag are windows over the |buckets|-row aggregate frame —
-    * the unpartitioned window is deliberate and safe because it never
-    * sees raw rows (the x103/x112 counts-then-window discipline).
+    * dense index run through the shared window-free helpers
+    * ([[Scale.exclusiveRunningSum]] / [[Scale.denseIds]]) and the
+    * whole-frame statistics are one-row broadcasts — the former
+    * `partitionBy(lit(1))` windows LOOKED partitioned but Catalyst
+    * folds the literal key out of the spec, leaving unpartitioned
+    * WindowExecs (round-16 plan audit). The frames stay |buckets|-row
+    * aggregates; raw rows are never windowed (the x103/x112
+    * counts-then-window discipline).
     */
   def cusumChangePoint(df: DataFrame,
       bucketCol: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ordered = Window.partitionBy(lit(1)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(lit(1))
-    df.groupBy(bucketCol.as("bucket"))
+    val counts = df.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("bucket"))).cast("long"))
+      .localCheckpoint(true) // |buckets| rows, read twice — ONE corpus scan
+    val indexed = Scale.exclusiveRunningSum(
+      Scale.denseIds(counts, Seq(col("bucket")), "i"),
+      Seq(col("bucket")), col("n"), "__excl")
+    val totals = counts.agg(count(lit(1)).as("__d"), sum(col("n")).as("__t"))
+    val cusum = indexed.crossJoin(broadcast(totals))
       .withColumn("cusum_scaled",
-        count(lit(1)).over(all) * sum(col("n")).over(ordered) -
-          col("i") * sum(col("n")).over(all))
+        col("__d") * (col("__excl") + col("n")) - col("i") * col("__t"))
+      .drop("i", "__excl", "__d", "__t")
+      // ≤|buckets| rows, scanned twice (peak agg below re-reads it)
+      .localCheckpoint(true)
+    val peak = cusum.agg(max(abs(col("cusum_scaled"))).as("__peak"))
+    cusum.crossJoin(broadcast(peak))
       .withColumn("is_peak",
         // a flat series (cusum 0 everywhere) has NO change-point —
         // without the max > 0 guard every row of a constant series
         // would tie as "the peak" (round-8 review finding)
-        abs(col("cusum_scaled")) ===
-          max(abs(col("cusum_scaled"))).over(all) &&
-          max(abs(col("cusum_scaled"))).over(all) > 0)
-      .drop("i")
+        abs(col("cusum_scaled")) === col("__peak") && col("__peak") > 0)
+      .drop("__peak")
   }
 }

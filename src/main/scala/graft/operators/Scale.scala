@@ -239,6 +239,37 @@ object Scale {
       .agg(min(col(valCol)).as("q"))
   }
 
+  /** [[discreteQuantiles]] for ONE GLOBAL group — the constant-group
+    * call (`withColumn("__g", lit(1))`) is a trap: Catalyst folds the
+    * literal partition key out of the window spec, leaving an
+    * UNPARTITIONED WindowExec that funnels every distinct value
+    * through one task (round-16 audit: x96's median read exactly so
+    * at the executed-plan level while looking partitioned in source).
+    * This variant computes the same cum/n arithmetic window-free:
+    * the running count over distinct values via
+    * [[exclusiveRunningSum]], the total as a one-row broadcast.
+    * Identical results to `discreteQuantiles(_, constantGroup, _, _)`
+    * minus the group column. */
+  def discreteQuantilesGlobal(df: DataFrame, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps $ps")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+      // distinct-value frame, read twice below — ONE corpus scan
+      .localCheckpoint(true)
+    val cum = exclusiveRunningSum(counts, Seq(col(valCol)), col("cnt"),
+        "__excl")
+      .withColumn("cum", col("__excl") + col("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n")) // one row
+    cum.crossJoin(broadcast(total))
+      .select(col(valCol), col("cum"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy(col("p"))
+      .agg(min(col(valCol)).as("q"))
+  }
+
   /** EXACT heavy hitters — every item with frequency strictly above
     * N/(capacity+1) — in two bounded passes, never a full-cardinality
     * shuffle:
@@ -441,5 +472,69 @@ object Scale {
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(withIds, outSchema)
+  }
+
+  /** EXCLUSIVE running sum of `valueCol` over a total order WITHOUT a
+    * single-task global window — [[denseIds]]'s companion for the
+    * other unpartitioned-window shape,
+    * `sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * -1))` (round-16 verdict item 4: the pattern gets imitated onto
+    * corpus-sized frames, so no call site should carry a bare
+    * `Window.orderBy`).
+    *
+    * Shape: range-partition on the sort keys, sort within partitions
+    * (a parallel global order), then one tiny job collects the
+    * PER-PARTITION value sums (one long each — never the rows), the
+    * driver scan-adds them into per-partition start offsets, and a
+    * second pass over the SAME cached lineage emits each row's offset
+    * as (partition start + local exclusive sum). The lineage is
+    * localCheckpoint-pinned so both jobs see identical partition
+    * contents (the q20 duplicate-id lesson: re-planned shuffles can
+    * land rows differently across jobs).
+    *
+    * Same cost note as [[denseIds]]: an RDD hop, result re-enters SQL
+    * as `Scan ExistingRDD`. `valueCol` must be non-null LONG-castable;
+    * ties on the sort keys get an arbitrary-but-consistent order.
+    */
+  def exclusiveRunningSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: Column, outCol: String, partitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty,
+      "exclusiveRunningSum needs at least one sort column")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df.withColumn("__ers_v", valueCol.cast("long"))
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = base.schema.fieldNames.length - 1
+    val rdd = base.rdd.localCheckpoint()
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L
+        it.foreach { r =>
+          if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+            "exclusiveRunningSum: NULL value — the running sum would " +
+              "silently skip it; filter or coalesce first")
+          s += r.getLong(vIdx)
+        }
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = partSums.scanLeft(0L)(_ + _) // starts(i) = sum before part i
+    val outSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.dropRight(1) :+ org.apache.spark.sql.types
+        .StructField(outCol, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val withSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = starts(i)
+      it.map { r =>
+        val v = r.getLong(vIdx)
+        val out = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ run)
+        run += v
+        out
+      }
+    }
+    spark.createDataFrame(withSums, outSchema)
   }
 }

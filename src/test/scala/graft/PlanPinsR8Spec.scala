@@ -78,10 +78,19 @@ class PlanPinsR8Spec extends SparkSpec {
       .as("v"))
     val plan = Profile.psi(a, b, "v", 0.0, 100.0, 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Union"), plan)
-    assert(plan.contains("partial"), plan)
-    // one bin-keyed exchange; the share window runs over the bin frame
-    assert(shuffles(plan) === 1, plan)
+    // since round 16 the bin frame materializes ONCE via an eager
+    // localCheckpoint (union + partial agg + the single bin-keyed
+    // exchange run there), and the visible plan consumes it as a
+    // checkpointed scan with the one-row totals broadcast — zero
+    // further shuffles and, critically, NO re-scan of the corpus
+    // inputs (a second Range scan here would mean the totals branch
+    // re-evaluated the union)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(shuffles(plan) === 0, plan)
+    assert(!plan.contains("Range ("), plan)
+    assert(!plan.contains("Union"), plan)
   }
 
   test("groupTrend is one group aggregate over the observation frame") {
