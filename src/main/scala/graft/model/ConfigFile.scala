@@ -57,7 +57,13 @@ final case class SchemaSettings(
     generatedClassPath: String = "app/lib/schema_classes",
     useSchemaClasses: Boolean = false,
     nestChildSchemas: Boolean = true,
-    useFullNamespace: Boolean = false) {
+    useFullNamespace: Boolean = false,
+    /** Gate every schema registration behind the registry's
+      * compatibility pre-check
+      * ([[graft.schema.SchemaRegistryClient.registerChecked]]):
+      * an incompatible change fails with the typed 409 instead of
+      * registering a breaking schema (round-16). */
+    registryCheckCompatibility: Boolean = false) {
 
   /** Resolve a value schema file the way the reference resolves from
     * `schema.path` (namespace directories under the schema root). */
@@ -159,6 +165,8 @@ final case class GraftConfigFile(
     b ++= s"schema.use_schema_classes = ${schema.useSchemaClasses}\n"
     b ++= s"schema.nest_child_schemas = ${schema.nestChildSchemas}\n"
     b ++= s"schema.use_full_namespace = ${schema.useFullNamespace}\n"
+    b ++= "schema.registry_check_compatibility = " +
+      s"${schema.registryCheckCompatibility}\n"
     b ++= s"outbox.log_topics = ${sel(outbox.logTopics)}\n"
     b ++= s"outbox.compact_topics = ${sel(outbox.compactTopics)}\n"
     topics.toSeq.sortBy(_._1).foreach { case (name, t) =>
@@ -311,6 +319,8 @@ object GraftConfigFile {
             schemaS = schemaS.copy(nestChildSchemas = bool(key, v))
           case "schema.use_full_namespace" =>
             schemaS = schemaS.copy(useFullNamespace = bool(key, v))
+          case "schema.registry_check_compatibility" =>
+            schemaS = schemaS.copy(registryCheckCompatibility = bool(key, v))
           case "outbox.log_topics" =>
             outboxS = outboxS.copy(logTopics = TopicSelector.parse(v))
           case "outbox.compact_topics" =>

@@ -105,13 +105,22 @@ class HttpRegistryTransport(baseUrl: String,
           val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
           val code = resp.statusCode()
           if (code / 100 == 2) return resp
-          if (code / 100 == 4)
+          if (code / 100 == 4) {
             // caller error (40403 unknown id, 40401 unknown subject,
-            // 422 bad schema): NEVER retried — a retry can't make a
-            // wrong question right, and retrying an unknown id into a
-            // guess is exactly what the contract forbids
-            throw new IllegalArgumentException(
-              s"schema registry $what failed: HTTP $code ${resp.body()}")
+            // 409 incompatible, 422 bad schema): NEVER retried — a
+            // retry can't make a wrong question right. Typed (round-16)
+            // with the body's registry error_code so callers branch on
+            // WHAT was wrong instead of parsing the message.
+            val errCode =
+              try {
+                val n = mapper.readTree(resp.body())
+                if (n != null && n.hasNonNull("error_code"))
+                  n.get("error_code").asInt() else 0
+              } catch { case _: Exception => 0 }
+            throw new RegistryErrorException(
+              s"schema registry $what failed: HTTP $code ${resp.body()}",
+              code, errCode)
+          }
           if (code / 100 != 5)
             // 1xx/3xx after the NORMAL redirect policy already ran:
             // a redirect loop or an https→http downgrade — permanent
@@ -174,6 +183,28 @@ class HttpRegistryTransport(baseUrl: String,
         s"missing id/version/schema: $body")
     RegisteredSchema(node.get("id").asInt(), node.get("version").asInt(),
       node.get("schema").asText())
+  }
+
+  /** `POST /compatibility/subjects/{subject}/versions/latest` →
+    * `{"is_compatible": bool}` — the pre-register gate. 404/40401
+    * (unknown subject) and 422/42201 (unparseable schema) surface as
+    * [[RegistryErrorException]]s via [[send]]'s typed 4xx path. */
+  override def checkCompatibility(subject: String,
+      schemaJson: String): Boolean = {
+    val payload = mapper.createObjectNode()
+    payload.put("schema", schemaJson)
+    val body = send(finish(HttpRequest.newBuilder(URI.create(
+        s"$base/compatibility/subjects/${encSubject(subject)}" +
+          "/versions/latest"))
+      .header("Content-Type", ContentType)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(payload), StandardCharsets.UTF_8))),
+      s"compatibility subject=$subject").body()
+    val node = mapper.readTree(body)
+    require(node.hasNonNull("is_compatible"),
+      s"registry compatibility response for subject=$subject has no " +
+        s"is_compatible field: $body")
+    node.get("is_compatible").asBoolean()
   }
 
   override def register(subject: String, schemaJson: String): Int = {

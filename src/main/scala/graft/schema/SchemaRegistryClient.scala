@@ -22,6 +22,23 @@ import scala.collection.concurrent.TrieMap
 class RegistryUnavailableException(msg: String, cause: Throwable = null)
   extends java.io.IOException(msg, cause)
 
+/** Typed 4xx registry error (round-16): the HTTP status and the
+  * registry's own `error_code` from the response body, so callers can
+  * branch on WHAT was wrong — unknown subject (404/40401), unknown
+  * version (404/40402), unknown schema id (404/40403), incompatible
+  * schema (409), invalid schema (422/42201) — instead of parsing a
+  * message string. Subtype of `IllegalArgumentException`, so every
+  * existing caller-error handler still applies; `errorCode` is 0 when
+  * the body carried none. */
+class RegistryErrorException(msg: String, val httpStatus: Int,
+    val errorCode: Int) extends IllegalArgumentException(msg) {
+  def isSubjectNotFound: Boolean = errorCode == 40401
+  def isVersionNotFound: Boolean = errorCode == 40402
+  def isSchemaNotFound: Boolean = errorCode == 40403
+  def isIncompatible: Boolean = httpStatus == 409
+  def isInvalidSchema: Boolean = httpStatus == 422
+}
+
 /** A subject's latest registered schema version — what
   * `GET /subjects/{subject}/versions/latest` returns. */
 final case class RegisteredSchema(id: Int, version: Int, schemaJson: String)
@@ -44,6 +61,18 @@ trait RegistryTransport {
     * resolves whatever arrives, seeded by the subject's registered
     * schema). Unknown subjects must FAIL (registry 40401). */
   def latestVersion(subject: String): RegisteredSchema
+
+  /** Whether `schemaJson` is compatible with the subject's LATEST
+    * registered version under the subject's compatibility mode
+    * (`POST /compatibility/subjects/{subject}/versions/latest` →
+    * `{"is_compatible": bool}`) — the pre-register gate a real
+    * pipeline runs before publishing a schema change (the reference
+    * delegates it to its Ruby registry client,
+    * `avro_schema_registry.rb:10-19`). Unknown subjects FAIL with
+    * 40401 — first-version registration is the CALLER's decision
+    * ([[SchemaRegistryClient.registerChecked]] makes it explicitly),
+    * not something the transport should guess. */
+  def checkCompatibility(subject: String, schemaJson: String): Boolean
 }
 
 /** In-memory registry transport with the public registry's observable
@@ -93,10 +122,32 @@ class InMemoryRegistryTransport extends RegistryTransport {
 
   override def latestVersion(subject: String): RegisteredSchema = {
     val ids = bySubject.getOrElse(subject,
-      throw new IllegalArgumentException(
+      throw new RegistryErrorException(
         s"subject $subject not found in registry (known: " +
-          s"${bySubject.keys.toSeq.sorted.mkString(",")})"))
+          s"${bySubject.keys.toSeq.sorted.mkString(",")})", 404, 40401))
     RegisteredSchema(ids.last, ids.size, byId(ids.last))
+  }
+
+  /** Real BACKWARD-mode compatibility (the registry default): the NEW
+    * schema as reader must read data written with the subject's
+    * latest schema — evaluated with Avro's own public
+    * `SchemaCompatibility`, so the in-memory double reproduces the
+    * registry's actual verdicts, not a stub's. Unknown subject →
+    * 404/40401 typed error; unparseable schema → 422/42201. */
+  override def checkCompatibility(subject: String,
+      schemaJson: String): Boolean = {
+    val latest = latestVersion(subject)
+    val parser = new org.apache.avro.Schema.Parser()
+    val reader =
+      try parser.parse(schemaJson)
+      catch { case e: Exception => throw new RegistryErrorException(
+        s"invalid schema for compatibility check: ${e.getMessage}",
+        422, 42201) }
+    val writer = new org.apache.avro.Schema.Parser().parse(latest.schemaJson)
+    org.apache.avro.SchemaCompatibility
+      .checkReaderWriterCompatibility(reader, writer)
+      .getType == org.apache.avro.SchemaCompatibility
+      .SchemaCompatibilityType.COMPATIBLE
   }
 }
 
@@ -112,7 +163,12 @@ class InMemoryRegistryTransport extends RegistryTransport {
   * never talk to the registry — zero per-row (or even per-partition)
   * registry calls at any corpus size.
   */
-class SchemaRegistryClient(transport: RegistryTransport) {
+class SchemaRegistryClient(transport: RegistryTransport,
+    /** When true every [[register]] routes through
+      * [[registerChecked]]'s compatibility gate — wire it from
+      * `schema.registry_check_compatibility`
+      * ([[graft.model.SchemaSettings.registryCheckCompatibility]]). */
+    checkCompatibilityOnRegister: Boolean = false) {
   private val idCache = TrieMap.empty[Int, String]
   private val registerCache = TrieMap.empty[(String, String), Int]
 
@@ -124,9 +180,34 @@ class SchemaRegistryClient(transport: RegistryTransport) {
 
   /** Register `schemaJson` under `subject`, cached: the id also
     * primes the id→schema cache so a subsequent decode of our own
-    * frames needs no fetch. */
+    * frames needs no fetch. Routes through the compatibility gate
+    * when the client was built with `checkCompatibilityOnRegister`. */
   def register(subject: String, schemaJson: String): Int =
+    if (checkCompatibilityOnRegister) registerChecked(subject, schemaJson)
+    else registerCache.getOrElseUpdate((subject, schemaJson), {
+      val id = transport.register(subject, schemaJson)
+      idCache.putIfAbsent(id, schemaJson)
+      id
+    })
+
+  /** [[register]] gated by a compatibility pre-check (round-16): the
+    * publish-side discipline for schema CHANGES — check the new
+    * schema against the subject's latest version first and fail with
+    * the typed 409 BEFORE the registry rejects (or worse, a laxly
+    * configured registry accepts) a breaking change. A subject with
+    * no versions yet (40401) registers directly: the first version
+    * is compatible by definition. Cached like [[register]] — the
+    * check runs at most once per (subject, schema). */
+  def registerChecked(subject: String, schemaJson: String): Int =
     registerCache.getOrElseUpdate((subject, schemaJson), {
+      val compatible =
+        try transport.checkCompatibility(subject, schemaJson)
+        catch {
+          case e: RegistryErrorException if e.isSubjectNotFound => true
+        }
+      if (!compatible) throw new RegistryErrorException(
+        s"schema is incompatible with the latest version of subject " +
+          s"$subject — refusing to register a breaking change", 409, 409)
       val id = transport.register(subject, schemaJson)
       idCache.putIfAbsent(id, schemaJson)
       id

@@ -83,6 +83,25 @@ class HttpRegistryTransportSpec extends SparkSpec {
         respond(ex, 200, mapper.writeValueAsString(node))
       }
     })
+    server.createContext("/compatibility/subjects/", (ex: HttpExchange) => {
+      seenAuth.add(ex.getRequestHeaders.getFirst("Authorization"))
+      val subject = ex.getRequestURI.getPath
+        .stripPrefix("/compatibility/subjects/")
+        .stripSuffix("/versions/latest")
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val schema = mapper.readTree(body).get("schema").asText()
+      try {
+        val node = mapper.createObjectNode()
+        node.put("is_compatible", store.checkCompatibility(subject, schema))
+        respond(ex, 200, mapper.writeValueAsString(node))
+      } catch {
+        case e: RegistryErrorException =>
+          respond(ex, e.httpStatus,
+            s"""{"error_code":${e.errorCode},"message":"${e.getMessage
+              .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+      }
+    })
     server.start()
     (s"http://127.0.0.1:${server.getAddress.getPort}", store, seenAuth,
       () => server.stop(0))
@@ -414,6 +433,79 @@ class HttpRegistryTransportSpec extends SparkSpec {
       val got = frames.select(reader.decodeExpr(col("bin")).as("p"))
         .select("p.*").as[(Long, String)].collect().toSet
       assert(got === Set((0L, "d"), (1L, "d"), (2L, "d")))
+    } finally stop()
+  }
+
+  // ---- round-16: compatibility endpoint + typed 4xx taxonomy -----------
+
+  private val baseJson =
+    """{"type":"record","name":"C","fields":[
+      | {"name":"a","type":"long"}]}""".stripMargin
+  private val compatibleJson = // adds a defaulted field: BACKWARD-ok
+    """{"type":"record","name":"C","fields":[
+      | {"name":"a","type":"long"},
+      | {"name":"b","type":"string","default":"d"}]}""".stripMargin
+  private val breakingJson = // retypes a: BACKWARD-incompatible
+    """{"type":"record","name":"C","fields":[
+      | {"name":"a","type":"string"}]}""".stripMargin
+
+  test("compatibility endpoint over HTTP: compatible true, breaking false") {
+    val (url, _, _, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url)
+      t.register("c-value", baseJson)
+      assert(t.checkCompatibility("c-value", compatibleJson))
+      assert(!t.checkCompatibility("c-value", breakingJson))
+    } finally stop()
+  }
+
+  test("typed 4xx taxonomy over HTTP: 404/40401 vs 404/40403 vs 422/42201") {
+    val (url, _, _, stop) = startServer()
+    try {
+      val t = new HttpRegistryTransport(url)
+      val ghost = intercept[RegistryErrorException](
+        t.checkCompatibility("ghost-value", baseJson))
+      assert(ghost.httpStatus === 404 && ghost.isSubjectNotFound, ghost)
+      val noId = intercept[RegistryErrorException](t.fetchById(404))
+      assert(noId.httpStatus === 404 && noId.isSchemaNotFound, noId)
+      t.register("c-value", baseJson)
+      val invalid = intercept[RegistryErrorException](
+        t.checkCompatibility("c-value", "{not avro json"))
+      assert(invalid.httpStatus === 422 && invalid.isInvalidSchema, invalid)
+    } finally stop()
+  }
+
+  test("registerChecked over HTTP: breaking change refused with typed 409, compatible registers") {
+    val (url, store, _, stop) = startServer()
+    try {
+      val client = new SchemaRegistryClient(new HttpRegistryTransport(url))
+      // unknown subject: first version registers directly
+      val id1 = client.registerChecked("c-value", baseJson)
+      assert(store.registerCount === 1)
+      // compatible evolution passes the gate and registers
+      val id2 = client.registerChecked("c-value", compatibleJson)
+      assert(id2 !== id1)
+      // breaking change: refused BEFORE the registry sees a register
+      val e = intercept[RegistryErrorException](
+        client.registerChecked("c-value", breakingJson))
+      assert(e.isIncompatible, e)
+      assert(store.registerCount === 2) // no third register attempt
+    } finally stop()
+  }
+
+  test("config-wired gate: checkCompatibilityOnRegister routes register through the check") {
+    val (url, store, _, stop) = startServer()
+    try {
+      val cfg = graft.model.GraftConfigFile.parse(
+        """schema.backend = avro_registry
+          |schema.registry_check_compatibility = true""".stripMargin)
+      assert(cfg.schema.registryCheckCompatibility)
+      val client = new SchemaRegistryClient(new HttpRegistryTransport(url),
+        checkCompatibilityOnRegister = cfg.schema.registryCheckCompatibility)
+      client.register("c-value", baseJson)
+      intercept[RegistryErrorException](
+        client.register("c-value", breakingJson))
+      assert(store.registerCount === 1)
     } finally stop()
   }
 }
