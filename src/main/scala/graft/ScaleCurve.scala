@@ -60,15 +60,32 @@ object ScaleCurve {
     * (ordered by the table's id within it), so the K× directory has
     * ~K× the files of the base — the scan parallelism a genuinely
     * K×-sized corpus would have, not one K×-fatter file. */
+  val AllTables: Seq[String] =
+    Seq("orders", "lineitem", "supplier", "customer", "documents", "embeddings")
+
+  /** @param tables subset of [[AllTables]] to materialize — third-decade
+    *   probes on a single query family don't need the 11 GB of 1000×
+    *   lineitem that a full-table build would write. The recipe marker
+    *   records the subset, so a later broader run rebuilds. */
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
-      k: Int): Unit = {
+      k: Int, tables: Seq[String] = AllTables): Unit = {
     require(k >= 1, s"factor must be >= 1: $k")
+    val unknown = tables.filterNot(AllTables.contains)
+    require(unknown.isEmpty, s"unknown scale tables: ${unknown.mkString(",")}")
     def base(name: String): DataFrame =
       spark.read.parquet(s"$baseDir/$name.parquet")
+    // The base tables are single-split files; without a pre-explode
+    // spread the k× replication (and the per-replica text/vector
+    // rewrites below) runs as ONE task. Spreading the small base
+    // across the cluster first makes the build scale with cores —
+    // at k=1000 this is the difference between minutes and hours.
+    val buildParallelism = spark.sparkContext.defaultParallelism
     def explodeReplicas(df: DataFrame): DataFrame =
-      df.withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
+      df.repartition(buildParallelism)
+        .withColumn("__r", explode(sequence(lit(0L), lit(k - 1L))))
 
     def shiftKeys(name: String, keys: Seq[String], idKey: String): Unit = {
+      if (!tables.contains(name)) return
       val src = explodeReplicas(base(name))
       val out = src.columns.filter(_ != "__r").map { c =>
         if (keys.contains(c)) (col(c) + col("__r") * TpchOffset).as(c)
@@ -85,6 +102,7 @@ object ScaleCurve {
     shiftKeys("supplier", Seq("s_suppkey", "s_nationkey"), "s_suppkey")
     shiftKeys("customer", Seq("c_custkey"), "c_custkey")
 
+    if (tables.contains("documents")) {
     val docs = explodeReplicas(base("documents"))
     val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val marked = array_join(
@@ -102,7 +120,9 @@ object ScaleCurve {
       .repartitionByRange(k, col("__r"), col("doc_id"))
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
+    if (tables.contains("embeddings")) {
     // embeddings: vec_id shifted per replica; each replica's vectors
     // ROTATED by r positions. Rotation applies the same permutation
     // to every vector in the replica, so every intra-replica dot
@@ -142,6 +162,7 @@ object ScaleCurve {
       .repartitionByRange(k, col("__r"), col("vec_id"))
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
   }
 
   private def timeQuery(spark: SparkSession, name: String, dir: String,
@@ -176,6 +197,9 @@ object ScaleCurve {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(DefaultQueries)
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(AllTables)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -191,17 +215,39 @@ object ScaleCurve {
     // The scaled dir is deterministic in (baseDir, k); a marker file
     // records the recipe so repeat runs skip the build.
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
-    val recipe = s"base=$baseDir k=$k v=3" // v3: + per-replica embedding signs
+    // v3: + per-replica embedding signs; table subset appended only when
+    // narrowed so pre-existing full-table markers stay valid.
+    val recipe = s"base=$baseDir k=$k v=3" +
+      (if (tables == AllTables) "" else s" tables=${tables.mkString(",")}")
     val cached = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe
     if (!cached) {
       System.err.println(s"[scale] building ${k}x corpus at $outDir")
       val t0 = System.nanoTime()
-      buildScaledDir(spark, baseDir, outDir, k)
+      buildScaledDir(spark, baseDir, outDir, k, tables)
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.write(marker, recipe.getBytes("UTF-8"))
       System.err.println(f"[scale] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else System.err.println(s"[scale] reusing ${k}x corpus at $outDir")
+
+    // COUNTS mode: instead of timing, report result-set cardinality at
+    // 1× and K× — the direct silent-cap-saturation check (a capped or
+    // quietly-dropping stage shows up as rows_k ≪ k·rows_1 long before
+    // it shows in wall time).
+    if (sys.env.get("SPARK_GRAFT_SCALE_COUNTS").contains("1")) {
+      val counted = queries.map { name =>
+        val fn = SparkEntry.queries(name)
+        val r1 = fn(spark, baseDir).count()
+        val rk = fn(spark, outDir).count()
+        System.err.println(s"[scale] $name rows 1x=$r1 ${k}x=$rk " +
+          f"ratio=${if (r1 > 0) rk.toDouble / r1 else -1.0}%.1f")
+        s""""$name":{"rows1":$r1,"rowsK":$rk}"""
+      }
+      println(s"""{"metric":"scale_counts","factor":$k,""" +
+        s""""queries":${counted.mkString("{", ",", "}")}}""")
+      spark.stop()
+      return
+    }
 
     val rows = queries.map { name =>
       val t1 = timeQuery(spark, name, baseDir, reps)
