@@ -1961,14 +1961,23 @@ object ExtQueries {
       0L -> Seq("spark", "vector", "merge"),
       1L -> Seq("join", "filter", "scan"),
       2L -> Seq("batch", "window", "stream"))
-    // rank the 20-row top-k frames via the shared window-free helper
-    // (round-16 item 4: no call site carries a bare Window.orderBy,
-    // even bounded ones — the pattern gets imitated)
+    // window-free rank that STAYS IN ONE LAZY DAG: the ≤20-row top-k
+    // collapses to a single array row, array_sort orders it (score
+    // desc via negation, doc_id asc — struct sort is lexicographic by
+    // field position) and posexplode's ordinal is the rank. bm25
+    // executes exactly once per term set and all three branches plan
+    // into the same job, like the r15 shape — the distributed
+    // denseIds re-executed each bm25 pipeline in its range-sampling
+    // pass (3.6× on this query, bench r16), and a bounded-collect
+    // rank serialized the three branches into separate jobs (2.6×)
     val lex = termSets.map { case (qid, terms) =>
-      graft.operators.Scale.denseIds(
-          graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20),
-          Seq(col("score").desc, col("doc_id")), "rank")
-        .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+      graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20)
+        .agg(collect_list(struct((-col("score")).as("__negs"),
+          col("doc_id").as("doc_id"))).as("__arr"))
+        .select(posexplode(array_sort(col("__arr")))
+          .as(Seq("__pos", "__e")))
+        .select(lit(qid).as("query_id"), col("__e.doc_id").as("doc_id"),
+          (col("__pos") + 1).cast("long").as("rank"))
     }.reduce(_ unionAll _)
     val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", k = 20)

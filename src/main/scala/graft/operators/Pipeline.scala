@@ -190,31 +190,47 @@ object Pipeline {
       .foldLeft(when(lit(false), lit(-1))) {
         case (acc, ((_, pred), i)) => acc.when(not(pred), lit(i))
       }.otherwise(lit(stages.size))
-    val counts = df.select(firstFail.as("fs"))
+    // ONE Spark job: the first-fail aggregation collects ≤|stages|+1
+    // rows; the cross-stage funnel arithmetic is |stages|-sized by
+    // construction and runs on the driver, returning a LocalRelation.
+    // (History: the original partitionBy(lit(1)) running sum folded to
+    // an unpartitioned WindowExec — round-16 plan audit; the
+    // distributed window-free helper fixed that but paid ~4 extra jobs
+    // on a |stages|-row frame. One driver pass is both window-free AND
+    // single-job; raw rows are never collected.)
+    val byStage = df.select(firstFail.as("fs"))
       .groupBy(col("fs")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤|stages|+1 rows; scanned twice below
-    val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
-      .head().getLong(0)
-    val stageLits = array(stages.zipWithIndex.map { case ((n, _), i) =>
-      struct(lit(i).as("stage_idx"), lit(n).as("stage")) }: _*)
-    val stageFrame = counts.sparkSession.range(1)
-      .select(explode(stageLits).as("s")).select("s.*")
-    // cross-stage running attrition via the shared window-free helper:
-    // partitionBy(lit(1)) folds to an unpartitioned WindowExec
-    // (round-16 plan audit). n_in = total − (failures strictly before
-    // this stage) = total − the EXCLUSIVE running sum.
-    val joined = stageFrame
-      .join(counts, col("fs") === col("stage_idx"), "left")
-      .select(col("stage_idx").cast("long").as("stage_idx"),
-        col("stage"), coalesce(col("c"), lit(0L)).as("n_failed"))
-    Scale.exclusiveRunningSum(joined, Seq(col("stage_idx")),
-        col("n_failed"), "__excl")
-      .withColumn("n_in", lit(total) - col("__excl"))
-      .withColumn("n_out", col("n_in") - col("n_failed"))
-      .withColumn("drop_rate_r",
-        when(col("n_in") > 0, roundz(col("n_failed").cast("double") /
-          col("n_in").cast("double"), 9)).otherwise(lit(0.0)))
-      .select(col("stage_idx"), col("stage"), col("n_in"),
-        col("n_failed"), col("n_out"), col("drop_rate_r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = byStage.values.sum
+    // drop_rate_r replicates roundz(x, 9) exactly: Spark's round() on
+    // DOUBLE is BigDecimal(Double.toString)-based HALF_UP; + 0.0
+    // normalizes the signed zero (the x119 bit-hash lesson)
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    var excl = 0L
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](stages.size)
+    stages.zipWithIndex.foreach { case ((name, _), i) =>
+      val failed = byStage.getOrElse(i, 0L)
+      val nIn = total - excl
+      val dropR = if (nIn > 0) round9(failed.toDouble / nIn.toDouble) else 0.0
+      rows.add(org.apache.spark.sql.Row(i.toLong, name, nIn, failed,
+        nIn - failed, dropR))
+      excl += failed
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("stage_idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_in",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_failed",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_out",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("drop_rate_r",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(rows, schema)
   }
 }

@@ -562,6 +562,7 @@ object Profile {
         .as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
+      .coalesce(1) // report-sized: keep mini-jobs below at 1 task
       .localCheckpoint(true) // ≤9 rows, read twice below — ONE corpus scan
     // total as a one-row broadcast, NOT a whole-frame window:
     // partitionBy(lit(1)) is the folded-partition-key trap — Catalyst
@@ -833,6 +834,7 @@ object Profile {
       .groupBy(col("bin"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+      .coalesce(1) // report-sized: keep mini-jobs below at 1 task
       .localCheckpoint(true) // ≤nBins rows, read twice — ONE union scan
     // side totals as a one-row broadcast — partitionBy(lit(1)) folds
     // to an unpartitioned WindowExec (round-16 plan audit)
@@ -863,38 +865,70 @@ object Profile {
     * mean anywhere. The peak row (max |D·C_i|) is flagged.
     *
     * Scale shape: the only corpus-sized operation is the bucket
-    * groupBy (partial-aggregated map-side). The running sum and the
-    * dense index run through the shared window-free helpers
-    * ([[Scale.exclusiveRunningSum]] / [[Scale.denseIds]]) and the
-    * whole-frame statistics are one-row broadcasts — the former
-    * `partitionBy(lit(1))` windows LOOKED partitioned but Catalyst
-    * folds the literal key out of the spec, leaving unpartitioned
-    * WindowExecs (round-16 plan audit). The frames stay |buckets|-row
-    * aggregates; raw rows are never windowed (the x103/x112
-    * counts-then-window discipline).
+    * groupBy (partial-aggregated map-side). The tail — index, running
+    * sum, totals, peak flag — is |buckets|-row arithmetic, and
+    * |buckets| is report-sized by the operator's own premise (a CUSUM
+    * over >`maxBuckets` time buckets is not a change-point question),
+    * so it runs on the DRIVER off ONE bounded sorted collect and
+    * returns a LocalRelation. The round-16 history of this tail:
+    * the original `partitionBy(lit(1))` windows were genuinely
+    * unpartitioned after constant folding (plan audit); the
+    * window-free distributed helpers fixed that but paid ~6 extra
+    * Spark jobs on a 30-row frame (bench: 0.15 s → 0.54 s); one
+    * driver pass is both window-free AND single-job. The cap FAILS
+    * LOUDLY, and the integer arithmetic uses Math.*Exact so overflow
+    * throws exactly like the ANSI SQL form it replaces. Raw rows are
+    * never windowed or collected (the x103/x112 counts-then-window
+    * discipline).
     */
   def cusumChangePoint(df: DataFrame,
-      bucketCol: org.apache.spark.sql.Column): DataFrame = {
+      bucketCol: org.apache.spark.sql.Column,
+      maxBuckets: Int = 1 << 16): DataFrame = {
+    require(maxBuckets >= 1, s"maxBuckets must be positive: $maxBuckets")
+    val spark = df.sparkSession
     val counts = df.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // |buckets| rows, read twice — ONE corpus scan
-    val indexed = Scale.exclusiveRunningSum(
-      Scale.denseIds(counts, Seq(col("bucket")), "i"),
-      Seq(col("bucket")), col("n"), "__excl")
-    val totals = counts.agg(count(lit(1)).as("__d"), sum(col("n")).as("__t"))
-    val cusum = indexed.crossJoin(broadcast(totals))
-      .withColumn("cusum_scaled",
-        col("__d") * (col("__excl") + col("n")) - col("i") * col("__t"))
-      .drop("i", "__excl", "__d", "__t")
-      // ≤|buckets| rows, scanned twice (peak agg below re-reads it)
-      .localCheckpoint(true)
-    val peak = cusum.agg(max(abs(col("cusum_scaled"))).as("__peak"))
-    cusum.crossJoin(broadcast(peak))
-      .withColumn("is_peak",
-        // a flat series (cusum 0 everywhere) has NO change-point —
-        // without the max > 0 guard every row of a constant series
-        // would tie as "the peak" (round-8 review finding)
-        abs(col("cusum_scaled")) === col("__peak") && col("__peak") > 0)
-      .drop("__peak")
+    val taken = counts.orderBy(col("bucket")).limit(maxBuckets + 1).collect()
+    if (taken.length > maxBuckets) throw new IllegalStateException(
+      s"cusumChangePoint: ${taken.length} buckets exceed " +
+        s"maxBuckets=$maxBuckets — coarsen the bucket column (a CUSUM " +
+        "over that many buckets is noise, not a change-point signal)")
+    val d = taken.length.toLong
+    var t = 0L
+    taken.foreach(r => t = Math.addExact(t, r.getLong(1)))
+    val scaled = new Array[Long](taken.length)
+    var excl = 0L
+    var peak = 0L
+    var i = 0
+    while (i < taken.length) {
+      val n = taken(i).getLong(1)
+      // D·C_i = D·(excl + n) − i·T, i 1-based — the same exact-integer
+      // formula as the SQL form; Math.*Exact throws on overflow like
+      // the ANSI arithmetic it replaces
+      scaled(i) = Math.subtractExact(
+        Math.multiplyExact(d, Math.addExact(excl, n)),
+        Math.multiplyExact(i + 1L, t))
+      val a = Math.absExact(scaled(i))
+      if (a > peak) peak = a
+      excl = Math.addExact(excl, n)
+      i += 1
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      counts.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("cusum_scaled",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_peak",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](taken.length)
+    i = 0
+    while (i < taken.length) {
+      // a flat series (cusum 0 everywhere) has NO change-point — the
+      // peak > 0 guard keeps a constant series from flagging every row
+      // (round-8 review finding)
+      rows.add(org.apache.spark.sql.Row.fromSeq(taken(i).toSeq ++
+        Seq(scaled(i), Math.absExact(scaled(i)) == peak && peak > 0)))
+      i += 1
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 }

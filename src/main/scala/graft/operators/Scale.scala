@@ -537,4 +537,77 @@ object Scale {
     }
     spark.createDataFrame(withSums, outSchema)
   }
+
+  /** [[denseIds]] for a frame BOUNDED BY CONSTRUCTION (a top-k tail, a
+    * gate-stage table, a bucketed aggregate with a capped key space):
+    * one `orderBy(...).limit(cap+1)` action brings the sorted rows to
+    * the driver — TakeOrderedAndProject when cap is small, so the
+    * upstream pipeline executes EXACTLY ONCE — ids are assigned in a
+    * driver scan, and the result re-enters SQL as a LocalRelation
+    * (size stats known ⇒ joins against it broadcast without hints).
+    *
+    * The distributed [[denseIds]] pays three jobs (range sampling +
+    * zipWithIndex's pair) and re-executes everything upstream of its
+    * exchange in the sampling pass — the right price for a
+    * corpus-sized frame, a 3–4× tax on a 20-row one (measured on
+    * x95: three bm25 top-k rankings, 1.2 s → 4.4 s). This sibling is
+    * the bounded-frame fast path; the cap FAILS LOUDLY so it can
+    * never silently become a corpus-sized driver collect. */
+  def denseIdsBounded(df: DataFrame, sortCols: Seq[Column], idCol: String,
+      cap: Int = 1 << 16): DataFrame = {
+    require(sortCols.nonEmpty, "denseIdsBounded needs at least one sort column")
+    require(cap >= 1, s"cap must be positive: $cap")
+    val spark = df.sparkSession
+    val taken = df.orderBy(sortCols: _*).limit(cap + 1).collect()
+    if (taken.length > cap) throw new IllegalStateException(
+      s"denseIdsBounded: frame exceeds cap=$cap rows — this fast path is " +
+        "for frames bounded by construction; use denseIds (distributed) " +
+        "for corpus-sized frames")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](taken.length)
+    var i = 0
+    while (i < taken.length) {
+      rows.add(org.apache.spark.sql.Row.fromSeq(taken(i).toSeq :+ (i + 1L)))
+      i += 1
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** [[exclusiveRunningSum]] for a frame bounded by construction —
+    * same contract and loud cap as [[denseIdsBounded]]: one sorted
+    * collect, a driver scan-add, a LocalRelation back. `valueCol`
+    * must be non-null LONG-castable (loud, like the distributed
+    * sibling). */
+  def exclusiveRunningSumBounded(df: DataFrame, sortCols: Seq[Column],
+      valueCol: Column, outCol: String, cap: Int = 1 << 16): DataFrame = {
+    require(sortCols.nonEmpty,
+      "exclusiveRunningSumBounded needs at least one sort column")
+    require(cap >= 1, s"cap must be positive: $cap")
+    val spark = df.sparkSession
+    val base = df.withColumn("__ersb_v", valueCol.cast("long"))
+    val vIdx = base.schema.fieldNames.length - 1
+    val taken = base.orderBy(sortCols: _*).limit(cap + 1).collect()
+    if (taken.length > cap) throw new IllegalStateException(
+      s"exclusiveRunningSumBounded: frame exceeds cap=$cap rows — use " +
+        "exclusiveRunningSum (distributed) for corpus-sized frames")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](taken.length)
+    var run = 0L
+    var i = 0
+    while (i < taken.length) {
+      val r = taken(i)
+      if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+        "exclusiveRunningSumBounded: NULL value — the running sum would " +
+          "silently skip it; filter or coalesce first")
+      rows.add(org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.dropRight(1) :+ run))
+      run += r.getLong(vIdx)
+      i += 1
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
 }

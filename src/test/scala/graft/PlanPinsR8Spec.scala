@@ -61,9 +61,12 @@ class PlanPinsR8Spec extends SparkSpec {
       Seq("s0" -> (col("m") > 0), "s1" -> (col("m") > 1)))
     val plan = out.queryExecution.executedPlan.toString
     // the first-fail aggregation is eagerly checkpointed to a
-    // ≤|stages|+1-row frame, so the OUTPUT plan must read that tiny
-    // RDD — never rescan or re-shuffle the input rows
-    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+    // ≤|stages|+1-row frame and the cross-stage arithmetic runs
+    // through the BOUNDED running-sum helper (round-16), so the
+    // OUTPUT plan is a LocalTableScan of the driver-computed stage
+    // rows — never a rescan or re-shuffle of the input
+    assert(plan.contains("LocalTableScan") ||
+      plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
       plan)
     // df's source (range 0..5000) must not reappear — the only Range
     // allowed is the 1-row stage-frame generator
