@@ -60,8 +60,8 @@ object ScaleCurve {
     * (ordered by the table's id within it), so the K× directory has
     * ~K× the files of the base — the scan parallelism a genuinely
     * K×-sized corpus would have, not one K×-fatter file. */
-  val AllTables: Seq[String] =
-    Seq("orders", "lineitem", "supplier", "customer", "documents", "embeddings")
+  val AllTables: Seq[String] = Seq("orders", "lineitem", "supplier",
+    "customer", "documents", "embeddings", "events")
 
   /** @param tables subset of [[AllTables]] to materialize — third-decade
     *   probes on a single query family don't need the 11 GB of 1000×
@@ -101,6 +101,13 @@ object ScaleCurve {
     shiftKeys("lineitem", Seq("l_orderkey", "l_suppkey"), "l_orderkey")
     shiftKeys("supplier", Seq("s_suppkey", "s_nationkey"), "s_suppkey")
     shiftKeys("customer", Seq("c_custkey"), "c_custkey")
+    // events (round-16: x123's curve leg previously failed — event-time
+    // queries had NO scaled table): ids/users shift per replica; ts is
+    // kept VERBATIM, so the event-time span is constant and the corpus
+    // densifies K× within it — the realistic stream-growth shape
+    // (cusum buckets stay |days| with K× the mass; sessions/funnels
+    // gain K× disjoint users, not a K×-longer history).
+    shiftKeys("events", Seq("event_id", "user_id"), "event_id")
 
     if (tables.contains("documents")) {
     val docs = explodeReplicas(base("documents"))
@@ -215,9 +222,10 @@ object ScaleCurve {
     // The scaled dir is deterministic in (baseDir, k); a marker file
     // records the recipe so repeat runs skip the build.
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
-    // v3: + per-replica embedding signs; table subset appended only when
-    // narrowed so pre-existing full-table markers stay valid.
-    val recipe = s"base=$baseDir k=$k v=3" +
+    // v4: + events replication (a v3 dir lacks events.parquet — reusing
+    // it would re-break every event-time curve leg); table subset
+    // appended only when narrowed.
+    val recipe = s"base=$baseDir k=$k v=4" +
       (if (tables == AllTables) "" else s" tables=${tables.mkString(",")}")
     val cached = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe

@@ -112,8 +112,14 @@ object ExifProbe {
       if (little) (u16(i) & 0xffffL) | ((u16(i + 2) & 0xffffL) << 16)
       else ((u16(i) & 0xffffL) << 16) | (u16(i + 2) & 0xffffL)
     if (u16(tiffStart + 2) != 42) return null
-    val ifd = tiffStart + u32(tiffStart + 4).toInt
-    if (ifd + 2 > end) return null
+    // offsets are UNSIGNED 32-bit: keep them Long until bounds-checked —
+    // a hostile 0xFFFFFFFF .toInt'd to -1 (or a value near 2^31 whose
+    // +len overflows int) would slip past a naive `> end` check and
+    // throw out of the array/String reads, violating the null-never-
+    // throw media contract (EXIF was outside the round-16 fuzz net)
+    val ifdOff = u32(tiffStart + 4)
+    if (ifdOff < 8L || tiffStart + ifdOff + 2L > end) return null
+    val ifd = tiffStart + ifdOff.toInt
     val n = u16(ifd)
     var orientation: Integer = null
     var make: UTF8String = null
@@ -127,11 +133,15 @@ object ExifProbe {
       def ascii(): UTF8String = {
         // ASCII values: inline when <= 4 bytes, else offset from the
         // TIFF header; strip the trailing NUL
+        // cnt and the value offset are unsigned 32-bit — bounds-check
+        // in Long BEFORE narrowing (see the IFD-offset note above)
+        if (cnt <= 0L || cnt > end.toLong) return null
         val len = cnt.toInt
-        val off = if (len <= 4) e + 8 else tiffStart + u32(e + 8).toInt
-        if (len <= 0 || off + len > end) null
+        val offL =
+          if (len <= 4) (e + 8).toLong else tiffStart + u32(e + 8)
+        if (offL < 0L || offL + len > end) null
         else {
-          val raw = new String(b, off, len, "US-ASCII")
+          val raw = new String(b, offL.toInt, len, "US-ASCII")
           UTF8String.fromString(raw.takeWhile(_ != '\u0000'))
         }
       }

@@ -159,10 +159,12 @@ object Materialize {
       .drop(assocCol)
 
   /** "Replace associations" delete: children of touched parents that are
-    * NOT in the incoming set are removed (reference:
-    * `batch_record_list.rb:79-86`). Returns surviving children. */
+    * NOT in the incoming set are removed — i.e. a touched parent's
+    * child set is replaced WHOLESALE by its incoming children
+    * (reference: `batch_record_list.rb:79-86`). Returns surviving
+    * children. */
   def replaceChildren(existing: DataFrame, incoming: DataFrame,
-      parentKey: String, childKey: Seq[String]): DataFrame = {
+      parentKey: String): DataFrame = {
     val touchedParents = incoming.select(parentKey).distinct()
     val untouched = existing.join(touchedParents, Seq(parentKey), "left_anti")
     untouched.unionByName(incoming.select(existing.columns.toIndexedSeq.map(col): _*))

@@ -329,6 +329,50 @@ class FuzzDecodersSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: EXIF probe (JPEG segment walk + TIFF IFD, both orders)") {
+    // EXIF sat OUTSIDE the original round-16 fuzz net, and a review
+    // pass found exactly the class this campaign exists for: unsigned
+    // 32-bit IFD/value offsets narrowed via .toInt before the bounds
+    // check could go negative (or overflow off+len) and THROW out of
+    // the String/array reads. Hot offsets target the APP1 length, the
+    // TIFF IFD offset, and each entry's count/value-offset words.
+    val seeds = Seq(
+      graft.ext.ExifProbe.exifJpegBytes(6, 3, 12, 34),
+      graft.ext.ExifProbe.exifJpegBytes(1, 250, 59, 1))
+    val hot = Array(4, 16, 20, 26, 30, 38, 42, 50, 54)
+    fuzzNoThrow("exif", 0x16DEC0DE0BL, n(120000), seeds, hot) { (m, _) =>
+      graft.ext.ExifProbe.parseExif(m)
+    }
+  }
+
+  test("pin: EXIF unsigned-offset lies return null, never throw") {
+    // the exact review finding: IFD / value offsets are unsigned
+    // 32-bit; .toInt-narrowed values ≥ 2^31 went negative (or made
+    // off+len overflow int) PAST the old `> end` guard and threw out
+    // of the String/array reads. Layout of exifJpegBytes: TIFF@12,
+    // IFD-offset word @16, Make value-offset word @30.
+    def withU32LE(at: Int, v: Long): Array[Byte] = {
+      val b = graft.ext.ExifProbe.exifJpegBytes(6, 3, 12, 34)
+      b(at) = (v & 0xff).toByte
+      b(at + 1) = ((v >> 8) & 0xff).toByte
+      b(at + 2) = ((v >> 16) & 0xff).toByte
+      b(at + 3) = ((v >> 24) & 0xff).toByte
+      b
+    }
+    for (v <- Seq(0xffffffffL, 0x80000000L, 0x7ffffffeL, 0L);
+         at <- Seq(16, 30)) {
+      val r = graft.ext.ExifProbe.parseExif(withU32LE(at, v))
+      // value may legitimately be a row (a lied Make offset only nulls
+      // that FIELD); the contract under attack is never-throw
+      assert(r == null || r.numFields == 3,
+        s"offset lie v=0x${v.toHexString} at=$at")
+    }
+    // sane frame still parses fully
+    val ok = graft.ext.ExifProbe.parseExif(
+      graft.ext.ExifProbe.exifJpegBytes(6, 3, 12, 34))
+    assert(ok != null && ok.getInt(0) == 6)
+  }
+
   test("fuzz: MP4 demux family (stats, sums, fingerprint, frames)") {
     val seeds = Seq(
       Mp4Demux.mp4FramesBytes(8, 6, 10, 3),

@@ -37,7 +37,7 @@ class ScaleCurveSpec extends SparkSpec {
   test("row counts are exactly xK and ids are disjoint across replicas") {
     for ((tbl, id) <- Seq("orders" -> "o_orderkey", "lineitem" -> null,
         "supplier" -> "s_suppkey", "customer" -> "c_custkey",
-        "documents" -> "doc_id")) {
+        "documents" -> "doc_id", "events" -> "event_id")) {
       assert(scaled(tbl).count() === 3 * base(tbl).count(), tbl)
       if (id != null)
         assert(scaled(tbl).select(id).distinct.count() ===
@@ -180,7 +180,10 @@ class ScaleCurveSpec extends SparkSpec {
         (101L, Seq(4.0f, -3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding").write.parquet(s"$micro/embeddings.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-microscale-out").toString
-    ScaleCurve.buildScaledDir(spark, micro, out, k = 9)
+    // the probe only inspects embeddings — exercise the table-subset
+    // path (round-16) instead of fabricating the full micro corpus
+    ScaleCurve.buildScaledDir(spark, micro, out, k = 9,
+      tables = Seq("embeddings"))
     val vecs = spark.read.parquet(s"$out/embeddings.parquet")
       .as[(Long, Seq[Float])].collect().toMap
     val off = 10000000L

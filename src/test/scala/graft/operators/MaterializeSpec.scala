@@ -136,7 +136,7 @@ class MaterializeSpec extends SparkSpec {
     val existing = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
       .toDF("pk", "ck")
     val incoming = Seq((1L, 11L), (1L, 12L)).toDF("pk", "ck")
-    val got = Materialize.replaceChildren(existing, incoming, "pk", Seq("ck"))
+    val got = Materialize.replaceChildren(existing, incoming, "pk")
       .as[(Long, Long)].collect().toSet
     // parent 1 replaced by incoming set; parents 2,3 untouched
     assert(got === Set((1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L)))
