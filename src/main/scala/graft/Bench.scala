@@ -59,7 +59,7 @@ object Bench {
     * recording. Update together with BASELINE.md.
     */
   private[graft] val recordedBaseline: Map[String, Double] = Map(
-    "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.32,
+    "b1_pricing" -> 0.30, "b2_star_join" -> 1.02, "b3_top_orders" -> 0.24,
     "b4_approx_agg" -> 0.76, "q10_fanout" -> 0.86,
     "q11_autofields" -> 0.25, "q12_compound_key" -> 1.12,
     "q13_proto_codec" -> 0.58, "q14_registry_evolution" -> 0.64,
@@ -69,7 +69,7 @@ object Bench {
     "x149_radius7_capped" -> 0.70,
     "q1_project" -> 0.23,
     "q2_coerce" -> 0.40, "q3_compact" -> 0.20, "q4_slice" -> 0.34,
-    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.09, "q7_watched" -> 0.42,
+    "q5_materialize" -> 0.21, "q6_poll_scan" -> 0.06, "q7_watched" -> 0.42,
     "q8_pending" -> 0.13, "q9_drain" -> 0.20, "x10_text_tokens" -> 0.49,
     "x11_text_fingerprint" -> 0.49, "x12_multimodal_meta" -> 0.13,
     "x13_dedup_groups" -> 2.12, "x14_vocab" -> 0.39,
