@@ -220,23 +220,71 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
 
     // The scaled dir is deterministic in (baseDir, k); a marker file
-    // records the recipe so repeat runs skip the build.
-    val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
+    // records the recipe so repeat runs skip the build. Round-16
+    // ADVICE hazard closed: the header (base/k/v) and the table set
+    // are compared SEPARATELY — a subset build into a dir whose
+    // header matches only builds the missing tables (union recorded),
+    // while a header MISMATCH rebuilds the requested tables and
+    // DELETES every other table parquet in the dir, so a stale
+    // wrong-recipe table can never be silently read (it fails loudly
+    // as a missing path instead).
     // v4: + events replication (a v3 dir lacks events.parquet — reusing
     // it would re-break every event-time curve leg); table subset
     // appended only when narrowed.
-    val recipe = s"base=$baseDir k=$k v=4" +
-      (if (tables == AllTables) "" else s" tables=${tables.mkString(",")}")
-    val cached = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == recipe
-    if (!cached) {
-      System.err.println(s"[scale] building ${k}x corpus at $outDir")
-      val t0 = System.nanoTime()
-      buildScaledDir(spark, baseDir, outDir, k, tables)
+    val marker = java.nio.file.Paths.get(outDir, "_SCALE_RECIPE")
+    val header = s"base=$baseDir k=$k v=4"
+    def writeMarker(recorded: Seq[String]): Unit = {
+      val recipe = header + (if (recorded.sorted == AllTables.sorted) ""
+        else s" tables=${recorded.sorted.mkString(",")}")
       java.nio.file.Files.createDirectories(marker.getParent)
       java.nio.file.Files.write(marker, recipe.getBytes("UTF-8"))
-      System.err.println(f"[scale] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    } else System.err.println(s"[scale] reusing ${k}x corpus at $outDir")
+    }
+    val prior: Option[(String, Seq[String])] =
+      if (!java.nio.file.Files.exists(marker)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        val (h, ts) = txt.indexOf(" tables=") match {
+          case -1 => (txt, AllTables)
+          case i => (txt.substring(0, i),
+            txt.substring(i + " tables=".length).split(",").toSeq)
+        }
+        Some((h, ts))
+      }
+    prior match {
+      case Some((h, recorded)) if h == header
+          && tables.forall(recorded.contains) =>
+        System.err.println(s"[scale] reusing ${k}x corpus at $outDir " +
+          s"(tables: ${recorded.sorted.mkString(",")})")
+      case Some((h, recorded)) if h == header =>
+        val missing = tables.filterNot(recorded.contains)
+        System.err.println(s"[scale] extending ${k}x corpus at $outDir " +
+          s"with ${missing.mkString(",")}")
+        val t0 = System.nanoTime()
+        buildScaledDir(spark, baseDir, outDir, k, missing)
+        writeMarker((recorded ++ missing).distinct)
+        System.err.println(f"[scale] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      case other =>
+        other.foreach { case (h, _) => System.err.println(
+          s"[scale] recipe changed ('$h' -> '$header'): rebuilding " +
+            s"${tables.mkString(",")} and removing stale tables") }
+        if (other.isEmpty)
+          System.err.println(s"[scale] building ${k}x corpus at $outDir")
+        val t0 = System.nanoTime()
+        buildScaledDir(spark, baseDir, outDir, k, tables)
+        // stale-recipe tables outside the rebuilt set: delete, so any
+        // query needing them fails loudly instead of reading old data
+        AllTables.filterNot(tables.contains).foreach { t =>
+          val p = java.nio.file.Paths.get(outDir, s"$t.parquet")
+          if (java.nio.file.Files.exists(p)) {
+            System.err.println(s"[scale] removing stale $t.parquet")
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.delete)
+          }
+        }
+        writeMarker(tables)
+        System.err.println(f"[scale] built in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
 
     // COUNTS mode: instead of timing, report result-set cardinality at
     // 1× and K× — the direct silent-cap-saturation check (a capped or

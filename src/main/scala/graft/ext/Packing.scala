@@ -58,7 +58,9 @@ object Packing {
     val offsets = (try
         graft.operators.Scale.exclusiveRunningSumBounded(
           totals, Seq(col("__bucket")), col("__tot"), "__off", cap = 1 << 20)
-      catch { case _: IllegalStateException =>
+      catch { case _: graft.operators.Scale.BoundedCapExceededException =>
+        // ONLY the over-cap signal reroutes (a stopped context or any
+        // other ISE must propagate, not re-run the bucket aggregation)
         graft.operators.Scale.exclusiveRunningSum(
           totals, Seq(col("__bucket")), col("__tot"), "__off")
       }).select(col("__bucket"), col("__off"))

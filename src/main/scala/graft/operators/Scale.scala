@@ -12,6 +12,30 @@ import org.apache.spark.sql.types.BinaryType
   */
 object Scale {
 
+  /** Thrown by the bounded-frame helpers ([[denseIdsBounded]],
+    * [[exclusiveRunningSumBounded]]) when the frame exceeds its loud
+    * cap. A DEDICATED type (not bare IllegalStateException) so
+    * callers that fall back to the distributed sibling catch exactly
+    * the over-cap condition — a stopped SparkContext or any other ISE
+    * raised during the bounded collect must propagate, not silently
+    * reroute (round-16 ADVICE, Packing.scala). Subclasses
+    * IllegalStateException so existing loud-cap specs keep holding. */
+  final class BoundedCapExceededException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A column name based on `base` that is absent from `schema` —
+    * the temp-column guard for helpers that append a scratch column
+    * by position: `withColumn` on an EXISTING name replaces in place,
+    * which would silently point the positional index at a real data
+    * column (round-16 ADVICE). */
+  private def freshName(schema: org.apache.spark.sql.types.StructType,
+      base: String): String = {
+    val taken = schema.fieldNames.toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i")
+      .find(!taken.contains(_)).get
+  }
+
   /** Persist a frame bucketed by join keys. Two tables bucketed the
     * same way join shuffle-free (SortMergeJoin with no Exchange) —
     * the right layout for a fact table that is merge-joined every
@@ -503,7 +527,8 @@ object Scale {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val base = df.withColumn("__ers_v", valueCol.cast("long"))
+    val base = df.withColumn(freshName(df.schema, "__ers_v"),
+        valueCol.cast("long"))
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val vIdx = base.schema.fieldNames.length - 1
@@ -559,7 +584,7 @@ object Scale {
     require(cap >= 1, s"cap must be positive: $cap")
     val spark = df.sparkSession
     val taken = df.orderBy(sortCols: _*).limit(cap + 1).collect()
-    if (taken.length > cap) throw new IllegalStateException(
+    if (taken.length > cap) throw new BoundedCapExceededException(
       s"denseIdsBounded: frame exceeds cap=$cap rows — this fast path is " +
         "for frames bounded by construction; use denseIds (distributed) " +
         "for corpus-sized frames")
@@ -586,10 +611,11 @@ object Scale {
       "exclusiveRunningSumBounded needs at least one sort column")
     require(cap >= 1, s"cap must be positive: $cap")
     val spark = df.sparkSession
-    val base = df.withColumn("__ersb_v", valueCol.cast("long"))
+    val base = df.withColumn(freshName(df.schema, "__ersb_v"),
+      valueCol.cast("long"))
     val vIdx = base.schema.fieldNames.length - 1
     val taken = base.orderBy(sortCols: _*).limit(cap + 1).collect()
-    if (taken.length > cap) throw new IllegalStateException(
+    if (taken.length > cap) throw new BoundedCapExceededException(
       s"exclusiveRunningSumBounded: frame exceeds cap=$cap rows — use " +
         "exclusiveRunningSum (distributed) for corpus-sized frames")
     val outSchema = org.apache.spark.sql.types.StructType(

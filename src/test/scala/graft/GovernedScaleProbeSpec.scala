@@ -25,7 +25,11 @@ class GovernedScaleProbeSpec extends SparkSpec {
   test("governed simhash bounds the quadratic 1000x corpus (drop-and-report)") {
     assume(sys.env.get("GRAFT_SCALE_PROBE").contains("1"),
       "opt-in probe: set GRAFT_SCALE_PROBE=1")
-    val dir = "/root/repo/target/scale1000/documents.parquet"
+    // resolved from the same env var ScaleCurve's builder uses, so the
+    // probe runs from any checkout location (round-16 ADVICE); the
+    // default is cwd-relative, matching ScaleCurve's outDir default
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "target/scale1000") + "/documents.parquet"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
       s"cached 1000x corpus not present at $dir")
     val docs = spark.read.parquet(dir)
