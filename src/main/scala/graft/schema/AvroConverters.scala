@@ -57,6 +57,57 @@ object AvroConverters {
     * expression guarantees the decode limits are live. */
   def ensureLimits(): Unit = ()
 
+  /** Max schema nesting the engine accepts — matches protobuf's public
+    * default recursion limit (100), far above any real event schema. */
+  val MaxSchemaDepth = 100
+
+  /** Parse an Avro schema JSON and validate it is BOUNDED: no
+    * recursive named-type reference and nesting ≤ [[MaxSchemaDepth]].
+    *
+    * Depth bombs (round-17 fuzz family): a RECURSIVE schema — a
+    * record whose field references itself by name, legal Avro and
+    * parseable by `Schema.Parser` — would send [[toSparkType]] (and a
+    * crafted frame would send Avro's own `GenericDatumReader`, whose
+    * recursion is DATA-driven and unbounded by the
+    * `org.apache.avro.limits.*` properties) into StackOverflowError:
+    * an Error, not the loud-NonFatal contract. Schema JSON arrives
+    * from the network (registry responses), so every graft parse site
+    * goes through here; rejection is an IllegalArgumentException at
+    * plan/handshake time, never a stack blow at decode time. */
+  def parseSchema(json: String): AvroSchema = {
+    val s = new AvroSchema.Parser().parse(json)
+    validateBounded(s)
+    s
+  }
+
+  /** See [[parseSchema]] — exposed for schemas that arrive already
+    * parsed (builder APIs). */
+  def validateBounded(s: AvroSchema): Unit = {
+    def walk(sch: AvroSchema, path: List[String], depth: Int): Unit = {
+      if (depth > MaxSchemaDepth) throw new IllegalArgumentException(
+        s"avro schema nesting exceeds $MaxSchemaDepth levels — refusing " +
+          "(decode recursion is data-driven past this point)")
+      sch.getType match {
+        case AvroSchema.Type.RECORD =>
+          val name = sch.getFullName
+          if (path.contains(name)) throw new IllegalArgumentException(
+            s"recursive avro schema: record '$name' references itself " +
+              s"(cycle: ${(name :: path).reverse.mkString(" -> ")}) — " +
+              "unbounded decode recursion; refusing")
+          sch.getFields.asScala.foreach(f =>
+            walk(f.schema, name :: path, depth + 1))
+        case AvroSchema.Type.ARRAY =>
+          walk(sch.getElementType, path, depth + 1)
+        case AvroSchema.Type.MAP =>
+          walk(sch.getValueType, path, depth + 1)
+        case AvroSchema.Type.UNION =>
+          sch.getTypes.asScala.foreach(walk(_, path, depth + 1))
+        case _ => ()
+      }
+    }
+    walk(s, Nil, 0)
+  }
+
   /** Avro schema → Spark type. */
   def toSparkType(s: AvroSchema): DataType = s.getType match {
     case AvroSchema.Type.BOOLEAN => BooleanType

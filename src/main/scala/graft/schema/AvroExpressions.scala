@@ -41,7 +41,7 @@ object AvroExpressions {
       extends UnaryExpression {
     override def dataType: DataType = BinaryType
     @transient private lazy val schema =
-      new AvroSchema.Parser().parse(schemaJson)
+      AvroConverters.parseSchema(schemaJson)
     @transient private lazy val writer =
       new GenericDatumWriter[Any](schema)
     @transient private lazy val outTL: ThreadLocal[ByteArrayOutputStream] =
@@ -76,7 +76,7 @@ object AvroExpressions {
   case class AvroDecodeExpr(child: Expression, schemaJson: String)
       extends UnaryExpression {
     @transient private lazy val schema =
-      new AvroSchema.Parser().parse(schemaJson)
+      AvroConverters.parseSchema(schemaJson)
     override def dataType: DataType = AvroConverters.toSparkType(schema)
     @transient private lazy val reader =
       new GenericDatumReader[Any](schema)
@@ -107,7 +107,7 @@ object AvroExpressions {
       extends UnaryExpression {
     override def dataType: DataType = BinaryType
     @transient private lazy val schema =
-      new AvroSchema.Parser().parse(schemaJson)
+      AvroConverters.parseSchema(schemaJson)
 
     def encodeRow(input: Any): Array[Byte] = {
       val datum = AvroConverters.toAvroDatum(input, schema, child.dataType)
@@ -136,7 +136,7 @@ object AvroExpressions {
   case class AvroDataFileDecodeExpr(child: Expression, readerSchemaJson: String)
       extends UnaryExpression {
     @transient private lazy val readerSchema =
-      new AvroSchema.Parser().parse(readerSchemaJson)
+      AvroConverters.parseSchema(readerSchemaJson)
     override def dataType: DataType = AvroConverters.toSparkType(readerSchema)
 
     def decodeRow(input: Any): Any = {
@@ -187,13 +187,13 @@ object AvroExpressions {
       readerSchemaJson: String, writerSchemasById: Map[Int, String])
       extends UnaryExpression {
     @transient private lazy val readerSchema =
-      new AvroSchema.Parser().parse(readerSchemaJson)
+      AvroConverters.parseSchema(readerSchemaJson)
     override def dataType: DataType = AvroConverters.toSparkType(readerSchema)
     override def nullable: Boolean = true
     @transient private lazy val readers: Map[Int, GenericDatumReader[Any]] =
       writerSchemasById.map { case (id, json) =>
         id -> new GenericDatumReader[Any](
-          new AvroSchema.Parser().parse(json), readerSchema)
+          AvroConverters.parseSchema(json), readerSchema)
       }
     @transient private lazy val decTL: ThreadLocal[org.apache.avro.io.BinaryDecoder] =
       new ThreadLocal[org.apache.avro.io.BinaryDecoder]

@@ -53,6 +53,23 @@ object ProtoWire {
       s"duplicate field numbers in $name")
     require(fields.map(_.name).distinct.size == fields.size,
       s"duplicate field names in $name")
+    /** Nesting depth of this descriptor (1 = no message fields).
+      * Nested descriptors exist before their parents (immutable
+      * construction — cycles are unrepresentable), so this reads each
+      * child's already-computed depth: O(fields) per constructor. */
+    val depth: Int = 1 + (fields.map(_.ptype).collect {
+      case PMessage(sub) => sub.depth
+    } :+ 0).max
+    // decode/encode/sparkSchema recursion follows the DESCRIPTOR (the
+    // wire can never push deeper — nested payloads accumulate as bytes
+    // first), so bounding descriptor depth at construction bounds
+    // every per-row recursion. 100 = protobuf's own public default
+    // recursion limit; a deeper descriptor would StackOverflowError
+    // (an Error, not the loud-NonFatal contract) at decode time.
+    require(depth <= 100,
+      s"descriptor $name nests ${depth} levels (> 100, protobuf's " +
+        "recursion limit) — refusing: per-row decode recursion would " +
+        "be unbounded")
     /** Per-message decode lookup, built once — decode runs per row
       * (and per nested message per row); rebuilding this map there
       * would dominate the per-row constant cost. Transient: cheap to

@@ -69,7 +69,7 @@ trait SchemaBackend {
   * resolved locally, payload is Avro binary). */
 class AvroBackend(val schemaJson: String) extends SchemaBackend {
   @transient lazy val avroSchema: AvroSchema =
-    new AvroSchema.Parser().parse(schemaJson)
+    AvroConverters.parseSchema(schemaJson)
   override lazy val sparkSchema: StructType =
     AvroConverters.toSparkType(avroSchema).asInstanceOf[StructType]
   override def encodeExpr(payload: Column): Column =
@@ -122,7 +122,7 @@ class AvroBackend(val schemaJson: String) extends SchemaBackend {
       avroSchema.getName + "_key", null, avroSchema.getNamespace, false)
     keySchema.setFields(java.util.List.of(
       new AvroSchema.Field(field,
-        new AvroSchema.Parser().parse(f.schema.toString), null,
+        AvroConverters.parseSchema(f.schema.toString), null,
         null.asInstanceOf[Object])))
     keySchema.toString
   }

@@ -137,13 +137,14 @@ class InMemoryRegistryTransport extends RegistryTransport {
   override def checkCompatibility(subject: String,
       schemaJson: String): Boolean = {
     val latest = latestVersion(subject)
-    val parser = new org.apache.avro.Schema.Parser()
     val reader =
-      try parser.parse(schemaJson)
+      // bounded parse: a recursive/over-deep candidate is as invalid
+      // as an unparseable one — same typed 422/42201
+      try graft.schema.AvroConverters.parseSchema(schemaJson)
       catch { case e: Exception => throw new RegistryErrorException(
         s"invalid schema for compatibility check: ${e.getMessage}",
         422, 42201) }
-    val writer = new org.apache.avro.Schema.Parser().parse(latest.schemaJson)
+    val writer = graft.schema.AvroConverters.parseSchema(latest.schemaJson)
     org.apache.avro.SchemaCompatibility
       .checkReaderWriterCompatibility(reader, writer)
       .getType == org.apache.avro.SchemaCompatibility

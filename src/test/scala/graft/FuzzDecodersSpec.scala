@@ -552,6 +552,96 @@ class FuzzDecodersSpec extends AnyFunSuite {
     }
   }
 
+  // ---- recursion-depth bombs (round-17 fuzz family) ----------------------
+
+  test("pin: recursive Avro schema is refused at parse, never a stack blow") {
+    // legal Avro: a record referencing itself by name. toSparkType (and
+    // Avro's own GenericDatumReader on a crafted frame) would recurse
+    // unboundedly — the parse boundary must reject it loudly.
+    val recursive =
+      """{"type":"record","name":"Node","fields":[
+        | {"name":"v","type":"long"},
+        | {"name":"next","type":["null","Node"],"default":null}]}"""
+        .stripMargin
+    val e = intercept[IllegalArgumentException] {
+      graft.schema.AvroConverters.parseSchema(recursive)
+    }
+    assert(e.getMessage.contains("recursive"), e.getMessage)
+    // mutual recursion through a second record is a cycle too
+    val mutual =
+      """{"type":"record","name":"A","fields":[
+        | {"name":"b","type":{"type":"record","name":"B","fields":[
+        |   {"name":"a","type":["null","A"],"default":null}]}}]}"""
+        .stripMargin
+    val e2 = intercept[IllegalArgumentException] {
+      graft.schema.AvroConverters.parseSchema(mutual)
+    }
+    assert(e2.getMessage.contains("recursive"), e2.getMessage)
+  }
+
+  test("pin: over-deep Avro schema nesting is refused loudly") {
+    // anonymous nesting (arrays) grows depth without any named cycle;
+    // build depth 120 > the 100 cap. Must be a loud NonFatal, never a
+    // StackOverflowError at schema or decode time.
+    val deep = (1 to 120).foldLeft("\"long\"") { (inner, _) =>
+      s"""{"type":"array","items":$inner}"""
+    }
+    val json = s"""{"type":"record","name":"D","fields":[
+                  | {"name":"x","type":$deep}]}""".stripMargin
+    val e = intercept[Exception] {
+      graft.schema.AvroConverters.parseSchema(json)
+    }
+    assert(scala.util.control.NonFatal(e), e.getClass.getName)
+    // depth 50 stays accepted (the cap is a ceiling, not a tax on
+    // real schemas)
+    val ok = (1 to 50).foldLeft("\"long\"") { (inner, _) =>
+      s"""{"type":"array","items":$inner}"""
+    }
+    val okJson = s"""{"type":"record","name":"D2","fields":[
+                    | {"name":"x","type":$ok}]}""".stripMargin
+    assert(graft.schema.AvroConverters.parseSchema(okJson) != null)
+  }
+
+  test("pin: proto descriptor past protobuf's 100-level recursion limit is refused") {
+    import ProtoWire._
+    def nest(levels: Int): ProtoMessage =
+      (1 to levels).foldLeft(ProtoMessage("L0", Seq(
+        ProtoField("v", 1, PInt64)))) { (inner, i) =>
+        ProtoMessage(s"L$i", Seq(ProtoField("sub", 1, PMessage(inner))))
+      }
+    // 99 nested + leaf = depth 100: accepted, and depth is exact
+    assert(nest(99).depth == 100)
+    val e = intercept[IllegalArgumentException] { nest(100) }
+    assert(e.getMessage.contains("recursion limit"), e.getMessage)
+  }
+
+  test("pin: deep proto WIRE nesting against a shallow descriptor never recurses") {
+    import ProtoWire._
+    // 50k levels of field-1 length-delimited nesting on the wire; the
+    // descriptor is 2 levels. Decode recursion follows the DESCRIPTOR
+    // (nested payloads accumulate as bytes first), so this must
+    // return a row — or fail loudly — without a stack blow.
+    var payload = Array[Byte](0x10, 0x07) // field 2 varint = 7
+    var i = 0
+    while (i < 50000) {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x0a) // field 1, wire type 2
+      var len = payload.length
+      while ((len & ~0x7f) != 0) { out.write((len & 0x7f) | 0x80); len >>>= 7 }
+      out.write(len)
+      out.write(payload, 0, payload.length)
+      payload = out.toByteArray
+      i += 1
+    }
+    val shallow = ProtoMessage("Outer", Seq(
+      ProtoField("sub", 1, PMessage(ProtoMessage("Inner", Seq(
+        ProtoField("n", 2, PInt64)))))))
+    try { ProtoWire.decode(payload, shallow); () } catch {
+      case e: Throwable => assert(scala.util.control.NonFatal(e),
+        s"fatal ${e.getClass.getName} on deep wire nesting")
+    }
+  }
+
   test("pin: JPEG dimension lie decodes to null, not a multi-GiB raster") {
     // a valid tiny JPEG with its SOF dims spliced to 65500×65500:
     // ImageIO.read would allocate the full raster before any caller
