@@ -193,8 +193,11 @@ object Dedup {
     * chunk pigeonholing (dist ≤ 3 ⇒ some chunk equal), verified by
     * hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    simhashCapped(docs, idCol, textCol, maxHamming, maxBucket = None)._1
+      maxHamming: Int = 3,
+      maxProjectedCandidates: Long =
+        Multimodal.DefaultMaxProjectedCandidates): DataFrame =
+    simhashCapped(docs, idCol, textCol, maxHamming, maxBucket = None,
+      maxProjectedCandidates)._1
 
   /** [[simhash]] with a candidate cap on pigeonhole buckets: a 16-bit
     * chunk value shared by b documents emits b² join rows, and at
@@ -212,7 +215,9 @@ object Dedup {
     */
   def simhashCapped(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+      maxBucket: Option[Int] = Some(1 << 12),
+      maxProjectedCandidates: Long =
+        Multimodal.DefaultMaxProjectedCandidates): (DataFrame, DataFrame) = {
     // fingerprint here, then delegate the whole chunk-pigeonhole
     // candidate/cap/verify machinery to the ONE shared implementation
     // (Multimodal.hashNearDupCapped serves text simhash, image dHash,
@@ -221,7 +226,8 @@ object Dedup {
     val sim = docs.select(col(idCol).as("doc"),
       H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
     val (pairs, overflow) =
-      Multimodal.hashNearDupCapped(sim, "doc", "sim", maxHamming, maxBucket)
+      Multimodal.hashNearDupCapped(sim, "doc", "sim", maxHamming, maxBucket,
+        maxProjectedCandidates)
     (pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
       col("hamming")),
       overflow.withColumnRenamed("n_ids", "n_docs"))

@@ -24,6 +24,52 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Thrown by the ungoverned-path pre-audit (round-17 verdict item
+    * 2): the corpus's (chunk, value) structure projects more candidate
+    * pairs than `maxProjectedCandidates` — the exact search would be
+    * quadratic (the x3 1000× boundary: a unigram-dup corpus correctly
+    * holds ~2.5e9 qualifying pairs and fills the disk). The message
+    * carries the measured bucket widths and the governed recipe. */
+  final class HotStructureException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Default candidate-mass bound for the UNGOVERNED (maxBucket=None)
+    * exact surfaces: ~8.6e9 projected join rows — far above any sane
+    * exact-dedup corpus (sf0.1 projects ~1e6) and comfortably below
+    * the disk-filling regime (the x3 1000× corpus projects ~2e10). */
+  val DefaultMaxProjectedCandidates: Long = 1L << 33
+
+  /** One cheap aggregate over a per-bucket frame (chunk, cval, width,
+    * mass): total projected candidate mass vs the bound. Unipartite
+    * callers pass mass = width² (× 17 when the 1-bit multi-probe ball
+    * is in play — ball keys of a dup cluster land in the cluster's
+    * own buckets, so the factor is the cluster-structure projection,
+    * exact for the regime the audit exists to refuse); the bipartite
+    * caller passes the exact join mass bl·br. Fails loudly with the
+    * measured widths and the governed recipe instead of letting the
+    * exact surface fill the disk; on the healthy path it costs one
+    * map-side-combining aggregate into ≤ 4·2¹⁶ keys. */
+  private def auditUngoverned(buckets: DataFrame, bound: Long,
+      surface: String): Unit = {
+    val mass = buckets.agg(coalesce(sum(col("mass")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (mass > bound) {
+      val top = buckets.orderBy(col("mass").desc).limit(5).collect()
+        .map(r => s"chunk=${r.get(0)} val=${r.get(1)} width=${r.get(2)}")
+        .mkString("; ")
+      throw new HotStructureException(
+        s"$surface: projected candidate mass $mass exceeds " +
+          s"$bound — this corpus's hash structure makes the UNGOVERNED " +
+          s"exact search quadratic (hottest buckets: $top). Route it " +
+          "through the governed surface instead: simhashCapped / " +
+          "hashNearDupCapped with maxBucket sized BELOW the hot width " +
+          "(drop-and-report contract — hot buckets are skipped and " +
+          "accounted, pairs are never invented), or raise " +
+          "maxProjectedCandidates if the quadratic cost is intended " +
+          "(e.g. a deliberate decade probe).")
+    }
+  }
+
   /** Unified stats row for the real dispatching decoder: image fields
     * null for audio, `sum_sq` null for images, everything null (struct
     * itself null) for undecodable bytes. */
@@ -63,7 +109,9 @@ object Multimodal {
     */
   def hashNearDupCapped(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+      maxBucket: Option[Int] = Some(1 << 12),
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      : (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
       s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
@@ -83,6 +131,19 @@ object Multimodal {
         ((df2: DataFrame) => df2.join(broadcast(hotKeys),
           Seq("chunk", "cval"), "left_anti"), hot)
       case None =>
+        // UNGOVERNED exact surface: pre-audit the projected candidate
+        // mass before committing to the quadratic join (round-17
+        // verdict item 2 — the x3 1000× lesson: the caller should not
+        // have to KNOW the corpus is hot-structured to avoid filling
+        // the disk; the engine measures and refuses with the recipe)
+        val probeFactor = if (maxHamming <= 3) 1L else 17L
+        auditUngoverned(
+          allChunked.groupBy(col("chunk"), col("cval"))
+            .agg(count(lit(1)).as("width"))
+            .select(col("chunk"), col("cval"), col("width"),
+              (col("width") * col("width") * lit(probeFactor)).as("mass")),
+          bound = maxProjectedCandidates,
+          surface = "hashNearDup (ungoverned)")
         val spark = df.sparkSession
         import spark.implicits._
         (identity[DataFrame] _,
@@ -143,8 +204,11 @@ object Multimodal {
     * with c = 1 at radius ≤ 3 and 17 at 4–7) — at corpus scale run the
     * capped form and size `maxBucket` to the recall/cost trade. */
   def hashNearDup(df: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3): DataFrame =
-    hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None)._1
+      maxHamming: Int = 3,
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      : DataFrame =
+    hashNearDupCapped(df, idCol, hashCol, maxHamming, maxBucket = None,
+      maxProjectedCandidates)._1
 
   /** BIPARTITE near-dup: pairs only ACROSS two corpora — the
     * decontamination/incremental shape ("screen the new crawl against
@@ -170,7 +234,9 @@ object Multimodal {
     */
   def hashNearDupAgainstCapped(left: DataFrame, right: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int = 3,
-      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+      maxBucket: Option[Int] = Some(1 << 12),
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      : (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
       s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
@@ -209,6 +275,20 @@ object Multimodal {
         (la.join(hotKeys, Seq("chunk", "cval"), "left_anti"),
           rb.join(hotKeys, Seq("chunk", "cval"), "left_anti"), hot)
       case None =>
+        // ungoverned bipartite: exact projected join mass — the two
+        // sides' histograms joined on the bucket key (rb is already
+        // ball-exploded at radius 4–7, so no probe factor)
+        val hL = la.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("bl"))
+        val hR = rb.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("br"))
+        auditUngoverned(
+          hL.join(hR, Seq("chunk", "cval"))
+            .select(col("chunk"), col("cval"),
+              (col("bl") + col("br")).as("width"),
+              (col("bl") * col("br")).as("mass")),
+          bound = maxProjectedCandidates,
+          surface = "hashNearDupAgainst (ungoverned)")
         val spark = left.sparkSession
         import spark.implicits._
         (la, rb, Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids"))
@@ -224,9 +304,11 @@ object Multimodal {
 
   /** [[hashNearDupAgainstCapped]] without the cap. */
   def hashNearDupAgainst(left: DataFrame, right: DataFrame, idCol: String,
-      hashCol: String, maxHamming: Int = 3): DataFrame =
+      hashCol: String, maxHamming: Int = 3,
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      : DataFrame =
     hashNearDupAgainstCapped(left, right, idCol, hashCol, maxHamming,
-      maxBucket = None)._1
+      maxBucket = None, maxProjectedCandidates)._1
 
   /** Image near-duplicate detection: perceptual dHash over the REAL
     * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff

@@ -49,4 +49,28 @@ class GovernedScaleProbeSpec extends SparkSpec {
     // count must sit far below the ~2.5e9 exact answer
     assert(nPairs < 100000000L, s"governed pair count exploded: $nPairs")
   }
+
+  test("UNGOVERNED simhash on the 1000x corpus is refused by the pre-audit") {
+    assume(sys.env.get("GRAFT_SCALE_PROBE").contains("1"),
+      "opt-in probe: set GRAFT_SCALE_PROBE=1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "target/scale1000") + "/documents.parquet"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      s"cached 1000x corpus not present at $dir")
+    val docs = spark.read.parquet(dir)
+    // round-17 verdict item 2: the DEFAULT bound must catch the corpus
+    // that filled the disk in round 16 — the caller no longer has to
+    // know to switch; the audit measures, refuses, and names the
+    // governed recipe
+    // the audit is EAGER (it collects its one aggregate at call time,
+    // before any quadratic join is planned), so constructing the frame
+    // suffices — deliberately NOT executing it: if the audit failed to
+    // fire, running the plan would re-fill the disk
+    val e = intercept[graft.ext.Multimodal.HotStructureException] {
+      Dedup.simhash(docs, "doc_id", "text")
+    }
+    info(s"audit message: ${e.getMessage.take(300)}")
+    assert(e.getMessage.contains("simhashCapped"), e.getMessage)
+    assert(e.getMessage.contains("width="), e.getMessage)
+  }
 }
