@@ -38,6 +38,13 @@ object ExtQueries {
       else df
     }
 
+  /** [[graft.operators.Scale.spreadScan]] at the query grain: the
+    * testdata tables are single-row-group parquet (one scan task), so
+    * every CPU-heavy scan-side pipeline below is single-threaded
+    * without it; on a many-split real corpus it is the identity. */
+  private def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    graft.operators.Scale.spreadScan(df, col(key))
+
   private def x1(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("fingerprint"))
@@ -72,7 +79,7 @@ object ExtQueries {
     * `Dedup.minhashLsh` directly (DedupOpsSpec); this row is the
     * driver-checkable contract of the SAME full computation. */
   private def x2(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     minhashGate(docs,
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text"))
   }
@@ -127,7 +134,7 @@ object ExtQueries {
     * Per-pair output stays available via `Dedup.simhash` directly
     * (DedupOpsSpec); this row gates the SAME full computation. */
   private def x3(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     simhashGate(docs, Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"))
   }
 
@@ -336,7 +343,7 @@ object ExtQueries {
     * dims/duration derived from doc_id, probed back via the ISO-BMFF
     * box walk; oracle computes expected values from doc_id alone. */
   private def x25(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 1280 + 16).cast("int").as("w"),
       (col("doc_id") % 720 + 9).cast("int").as("h"),
       (col("doc_id") % 60000 + 1000).cast("long").as("d"))
@@ -358,7 +365,7 @@ object ExtQueries {
     * whole explode→count→join→rebuild pipeline under test. */
   private def x26(s: SparkSession, dir: String): DataFrame = {
     val boiler = "Subscribe to our newsletter for updates"
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       concat(col("text"), lit(". " + boiler)).as("text"))
     Dedup.dropCommonLines(docs, "doc_id", "text",
       maxDocFreq = 5, sep = ". ")
@@ -425,12 +432,12 @@ object ExtQueries {
   }
 
   private def x8(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
       T.langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
   private def x9(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
       .withColumn("n_tokens", T.wsTokenCount(col("text")))
       .withColumn("stop_hits",
         T.stopwordHits(col("text"), T.StopwordLists.head._2))
@@ -445,14 +452,14 @@ object ExtQueries {
   }
 
   private def x10(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
       T.wsTokenCount(col("text")).as("ws_tokens"),
       T.bpeishTokenCount(col("text")).as("bpeish_tokens"),
       size(T.tokenSet(col("text"))).cast("long").as("vocab"))
       .orderBy(col("doc_id"))
 
   private def x11(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
       T.normFingerprint(col("text")).as("norm_fp"),
       T.bagFingerprint(col("text")).as("bag_fp"))
       .orderBy(col("doc_id"))
@@ -463,7 +470,7 @@ object ExtQueries {
     * directly — independent of both the synthesizer and the probe — so
     * a broken IHDR parse (endianness, offset, signature) hash-fails. */
   private def x12(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 640 + 1).cast("int").as("w"),
       (col("doc_id") % 480 + 1).cast("int").as("h"))
     docs.select(col("doc_id"),
@@ -491,7 +498,7 @@ object ExtQueries {
     * Per-label output stays available via `Dedup.components` directly;
     * this row gates the SAME full LSH+components computation. */
   private def x13(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     // one eager cut: LSH runs once for components AND the closure
     // check (pairs ≪ corpus — bounded by verified near-dups)
     val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
@@ -535,7 +542,7 @@ object ExtQueries {
   }
 
   private def x14(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occ"),
@@ -543,7 +550,7 @@ object ExtQueries {
       .orderBy(col("tok"))
 
   private def x15(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "documents")
+    val counts = spread(t(s, dir, "documents"))
       .select(col("lang"), explode(T.tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
@@ -818,7 +825,7 @@ object ExtQueries {
   private def x90(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val url = messyUrl(d, d)
-    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+    spread(t(s, dir, "documents")).select(col("doc_id"), url.as("url"))
       .select(col("doc_id"),
         graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
           .as("canon_url"),
@@ -848,7 +855,7 @@ object ExtQueries {
         lit("<br/><footer>&copy; Example &nbsp;&#39;Site&#39;</footer>"))
         .otherwise(lit("")),
       lit("</body></html>"))
-    t(s, dir, "documents").select(d, html.as("html"))
+    spread(t(s, dir, "documents")).select(d, html.as("html"))
       .select(d, length(col("html")).cast("long").as("n_html_chars"),
         graft.functions.TextFunctions.stripHtml(col("html")).as("clean"))
       .select(d, col("n_html_chars"),
@@ -869,7 +876,7 @@ object ExtQueries {
   private def x92(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val pathId = when(d % 20 < 10, d).otherwise(d % 50)
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
       .select(d, messyUrl(d, pathId).as("url"), col("text"))
     graft.ext.Crawl.domainStats(docs, col("url"), col("text"),
         minTokensPerDoc = 53L)
@@ -885,7 +892,7 @@ object ExtQueries {
     * Vocab = heap top-k (TakeOrderedAndProject), encode = broadcast
     * join + one doc-keyed regroup. */
   private def x93(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
     val vocab = graft.ext.Encoding.topKVocab(docs, "text", vocabSize = 20)
     graft.ext.Encoding.dictionaryEncode(docs, "doc_id", "text", vocab,
         headLen = 12)
@@ -943,9 +950,9 @@ object ExtQueries {
     * threshold, making the result deterministic and oracle-equal to a
     * full groupBy-HAVING. */
   private def x88(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(explode(filter(split(col("text"), "\\s+"),
-        tk => tk =!= "")).as("token"))
+    val toks = spread(t(s, dir, "documents"))
+      .select(explode(array_remove(split(col("text"), "\\s+"), ""))
+        .as("token"))
     graft.operators.Scale.heavyHittersExact(toks, "token", capacity = 30)
       .orderBy(col("token"))
   }
@@ -1010,7 +1017,7 @@ object ExtQueries {
     * counts and one exact-int ratio. */
   private def x80(s: SparkSession, dir: String): DataFrame =
     graft.ext.LangModel.oovReport(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      spread(t(s, dir, "documents")).select(col("doc_id"), col("text")),
       "doc_id", "text", minCount = 20L)
       .orderBy(col("doc_id"))
 
@@ -1021,7 +1028,7 @@ object ExtQueries {
     * inter-stage hand-off surfaces as a diff. */
   private def x81(s: SparkSession, dir: String): DataFrame = {
     val boiler = "subscribe to our newsletter for updates and follow us today"
-    val injected = t(s, dir, "documents").select(col("doc_id"),
+    val injected = spread(t(s, dir, "documents")).select(col("doc_id"),
       concat(lit(boiler + " "), col("text")).as("text"))
     val gated = injected
       .filter(size(T.tokens(col("text"))) > 0)
@@ -1093,7 +1100,8 @@ object ExtQueries {
     * shuffle. */
   private def x76(s: SparkSession, dir: String): DataFrame =
     graft.ext.Chunking.truncateTokens(
-      t(s, dir, "documents"), col("doc_id"), col("text"), maxTokens = 48)
+      spread(t(s, dir, "documents")), col("doc_id"), col("text"),
+      maxTokens = 48)
       .orderBy(col("doc_id"))
 
   /** First-occurrence span dedup (`Dedup.firstOccurrenceSpans`): the
@@ -1121,7 +1129,7 @@ object ExtQueries {
     // struct computed ONCE below the range exchange; field extraction
     // sits ABOVE the Sort so CollapseProject can't inline the
     // (CSE-exempt) higher-order subtree 8× — see qualityGate's scaladoc
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .filter(size(T.tokens(col("text"))) > 0)
       .select(col("doc_id"),
         T.qualityGate(col("text"), T.StopwordLists.head._2).as("qg"))
@@ -1153,14 +1161,19 @@ object ExtQueries {
     * the same integers through an exploded GROUP BY — independent
     * formulations of identical counts. */
   private def x72(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-        T.lexicalDiversity(col("text")).as("ld"))
+    // the n_tokens>0 predicate is written as the CHEAP explicit form
+    // (no sort) so its pushdown to the scan does not drag a copy of
+    // the whole lexicalDiversity subtree below the spread exchange;
+    // field extraction sits ABOVE the orderBy so the struct
+    // materializes once per row (the x74 pattern)
+    spread(t(s, dir, "documents"))
+      .filter(size(T.tokens(col("text"))) > 0)
+      .select(col("doc_id"), T.lexicalDiversity(col("text")).as("ld"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), col("ld.n_tokens").as("n_tokens"),
         col("ld.n_types").as("n_types"), col("ld.hapax").as("hapax"),
         (col("ld.n_types").cast("double") /
           col("ld.n_tokens").cast("double")).as("ttr"))
-      .filter(col("n_tokens") > 0)
-      .orderBy(col("doc_id"))
 
   /** Behavioral path mining (`Paths.sessionPaths` + `topPaths`): the
     * x17 session rule (2h gap, epoch-ms arithmetic), each session
@@ -1180,7 +1193,7 @@ object ExtQueries {
     * genuinely intersect) crossed by shared exact fingerprint. Counts
     * are integers; jaccard is one exact-integer division. */
   private def x67(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
     def snap(m: Int, tag: String) = docs.filter(col("doc_id") % m === 0)
       .withColumn("snapshot", lit(tag))
     val union = snap(2, "even").unionByName(snap(3, "third"))
@@ -1208,7 +1221,7 @@ object ExtQueries {
     * keep/drop verdict — the lexical content-filter pass. */
   private def x69(s: SparkSession, dir: String): DataFrame = {
     val words = Seq("spark", "merge", "gamma")
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
         T.stopwordHits(col("text"), words).as("hits"))
       .withColumn("kept", col("hits") === 0L)
       .orderBy(col("doc_id"))
@@ -1283,7 +1296,7 @@ object ExtQueries {
   /** PII redaction: synthesize deterministic PII spans (the corpus has
     * none), scrub them, emit the redacted text. */
   private def x21(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
       concat(substring(col("text"), 1, 40),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -1295,7 +1308,7 @@ object ExtQueries {
   /** Repetition ratio (Gopher-style filter): share of the most common
     * word 2-gram among all 2-gram occurrences. */
   private def x22(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    val grams = spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         explode(graft.functions.Expressions.ngramHashesAll(
           graft.functions.HashFunctions.tokenHashes(T.tokens(col("text"))),
@@ -1315,7 +1328,7 @@ object ExtQueries {
     * data_len*1000/byte_rate) from doc_id alone — independent of both
     * the synthesizer and the RIFF chunk walk under test. */
   private def x23(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 2 + 1).cast("int").as("ch"),
       (lit(8000) * (col("doc_id") % 3 + 1)).cast("int").as("rate"),
       lit(16).cast("int").as("bits"),
@@ -1338,7 +1351,7 @@ object ExtQueries {
     * a SQL series, independent of both the synthesizer and the decoder;
     * a wrong unfilter or a dropped scanline hash-fails. */
   private def x27(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 97 + 4).cast("int").as("w"),
       (col("doc_id") % 53 + 3).cast("int").as("h"),
       (col("doc_id") % 251).cast("int").as("seed"))
@@ -1360,7 +1373,7 @@ object ExtQueries {
     * sum / sum-of-squares / min / max — sum_sq makes RMS computable
     * without emitting a float. Oracle recomputes from doc_id alone. */
   private def x28(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 400 + 100).cast("int").as("n"),
       (col("doc_id") % 1777).cast("int").as("seed"))
     docs.select(col("doc_id"),
@@ -1434,7 +1447,7 @@ object ExtQueries {
     * per-doc token sets; ranking is a per-doc window. All-integer
     * scoring keeps the oracle hashable (no float idf). */
   private def x33(s: SparkSession, dir: String): DataFrame = {
-    val docTok = t(s, dir, "documents")
+    val docTok = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(T.tokenSet(col("text"))).as("tok"))
     val df = docTok.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1456,7 +1469,7 @@ object ExtQueries {
     * doc_id with SQL series — independent of both synthesizer and
     * decoder. */
   private def x34(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 47 + 4).cast("int").as("w"),
       (col("doc_id") % 29 + 3).cast("int").as("h"),
       (col("doc_id") % 253).cast("int").as("seed"))
@@ -1479,7 +1492,7 @@ object ExtQueries {
     * `Multimodal.decodeStats` — the realistic multimodal-corpus shape.
     * The oracle recomputes every branch's stats from doc_id alone. */
   private def x35(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
@@ -1514,7 +1527,7 @@ object ExtQueries {
     * decoded value statistics are spec-tested with an error budget
     * (`ImageIoDecodeSpec`). */
   private def x36(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 61 + 8).cast("int").as("w"),
       (col("doc_id") % 37 + 8).cast("int").as("h"))
     docs
@@ -1538,7 +1551,7 @@ object ExtQueries {
     * joins (frames × pixel columns), independent of both muxer and
     * demuxer. */
   private def x37(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 31 + 4).cast("int").as("w"),
       (col("doc_id") % 17 + 3).cast("int").as("h"),
       (col("doc_id") % 9 + 2).cast("int").as("nf"),
@@ -1619,7 +1632,7 @@ object ExtQueries {
     * five-decoder dispatch. */
   private def x41(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(d,
       when(d % 5 === 0, PixelDecode.synthPngPixels(
@@ -1725,7 +1738,7 @@ object ExtQueries {
     * string identically in both engines (binary collation). */
   private def x54(s: SparkSession, dir: String): DataFrame =
     graft.ext.Keywords.tfidfTopK(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      spread(t(s, dir, "documents")).select(col("doc_id"), col("text")),
       "doc_id", "text", 5)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         col("df"), roundz(col("tfidf"), 4).as("tfidf_r"))
@@ -1796,7 +1809,7 @@ object ExtQueries {
     * worst-case double-sum reordering noise. */
   private def x50(s: SparkSession, dir: String): DataFrame =
     graft.ext.LangModel.bigramNll(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      spread(t(s, dir, "documents")).select(col("doc_id"), col("text")),
       "doc_id", "text")
       .select(col("doc_id"), col("n_bigrams"),
         roundz(col("avg_nll"), 4).as("nll_r"))
@@ -1870,7 +1883,7 @@ object ExtQueries {
     * (BpeTrainerSpec goldens); this row gates the SAME training. */
   private def x47(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.BpeTrainer
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
     // ONE distributed word-count pass feeds training dict, probe
     // verification, and the anchors (train() would recompute it)
     // eager checkpoint, not persist: vocab-sized frame, reused by the
@@ -1930,7 +1943,9 @@ object ExtQueries {
     * cross-engine difference, ~1e-15 — margin probed). */
   private def x94(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
-    val li = t(s, dir, "lineitem")
+    // spread: the edge build probes 600k lineitem rows against the
+    // broadcast orders side — single-task without it (guide §2.5)
+    val li = spread(t(s, dir, "lineitem"), "l_orderkey")
     val supplier = t(s, dir, "supplier")
     val trade = orders
       .join(li, orders("o_orderkey") === li("l_orderkey"))
@@ -2024,7 +2039,7 @@ object ExtQueries {
   private def x97(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val withToks = base.filter(col("doc_id") % 2 === 0)
-      .withColumn("__toks", filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .withColumn("__toks", array_remove(split(col("text"), "\\s+"), ""))
       .withColumn("__keep", expr("size(__toks) * 3 DIV 5").cast("int"))
       .filter(col("__keep") >= 1)
     val copies = withToks.select(
@@ -2061,7 +2076,7 @@ object ExtQueries {
     * (2-char prefix + length band) is part of the contract and is
     * mirrored in the oracle's candidate join. */
   private def x99(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
     val firstTok = element_at(T.tokens(col("text")), 1)
     val lefts = docs.filter(col("doc_id") < 200)
       .select(col("doc_id"), firstTok.as("__w"))
@@ -2120,7 +2135,7 @@ object ExtQueries {
     * discipline and 9dp rounding as x94. */
   private def x102(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
-    val li = t(s, dir, "lineitem")
+    val li = spread(t(s, dir, "lineitem"), "l_orderkey") // the x94 spread
     val supplier = t(s, dir, "supplier")
     val trade = orders
       .join(li, orders("o_orderkey") === li("l_orderkey"))
@@ -2357,7 +2372,7 @@ object ExtQueries {
     * arithmetically (src col = x'·w/8 integer floor on the known
     * pixel formula), so a wrong mapping or dropped row hash-fails. */
   private def x115(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 97 + 4).cast("int").as("w"),
       (col("doc_id") % 53 + 3).cast("int").as("h"),
       (col("doc_id") % 251).cast("int").as("seed"))
@@ -2381,7 +2396,7 @@ object ExtQueries {
     * formula (i = 0, 3, 6, ...), so a wrong step or phase
     * hash-fails. */
   private def x116(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 400 + 100).cast("int").as("n"),
       (col("doc_id") % 1777).cast("int").as("seed"))
     docs.select(col("doc_id"),
@@ -2476,9 +2491,9 @@ object ExtQueries {
   private def x120(s: SparkSession, dir: String): DataFrame = {
     val sentences = filter(
       transform(split(col("text"), "[.!?]+\\s+"),
-        p => size(filter(split(p, "\\s+"), t => t =!= ""))),
+        p => size(array_remove(split(p, "\\s+"), ""))),
       n => n > 0)
-    t(s, dir, "documents").select(col("doc_id"),
+    spread(t(s, dir, "documents")).select(col("doc_id"),
         sentences.as("__w"))
       .filter(size(col("__w")) > 0)
       .select(col("doc_id"),
@@ -2550,7 +2565,7 @@ object ExtQueries {
     val salted = t(s, dir, "documents").select(col("doc_id"),
       concat(lit("u"), col("doc_id"), lit("a u"), col("doc_id"),
         lit("b u"), col("doc_id"), lit("c "), col("text")).as("text"))
-    val toksArr = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val toksArr = array_remove(split(col("text"), "\\s+"), "")
     // +1000000L (the repo-wide mutant offset): +100000 collides with
     // real doc ids once documents reaches 100k rows (larger SFs),
     // where the engine's groupBy(doc) would merge both texts' token
@@ -2583,7 +2598,7 @@ object ExtQueries {
     * the oracle re-derives the funnel from exploded token counts and
     * its own CASE chain. Exact integers + one rounded division. */
   private def x126(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .filter(size(T.tokens(col("text"))) > 0)
       .select(col("doc_id"),
         T.qualityGate(col("text"), T.StopwordLists.head._2).as("qg"))
@@ -2604,7 +2619,8 @@ object ExtQueries {
     * answers — as the DataFrame API. */
   private def x127(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    t(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+    spread(t(s, dir, "documents"))
+      .createOrReplaceTempView("graft_sql_docs")
     s.sql("""SELECT doc_id,
             |  graft_ws_tokens(text) AS n_tokens,
             |  graft_bpeish_tokens(text) AS bpeish_tokens,
@@ -2627,7 +2643,7 @@ object ExtQueries {
     * SERIES). */
   private def x128(s: SparkSession, dir: String): DataFrame = {
     val tau = 98.0
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 31 + 4).cast("int").as("w"),
       (col("doc_id") % 17 + 3).cast("int").as("h"),
       (col("doc_id") % 9 + 2).cast("int").as("nf"),
@@ -2733,7 +2749,7 @@ object ExtQueries {
     * through its own langid CASE chain. */
   private def x133(s: SparkSession, dir: String): DataFrame =
     graft.operators.Calibrate.cohenKappa(
-      t(s, dir, "documents").select(col("lang"),
+      spread(t(s, dir, "documents")).select(col("lang"),
         T.langId(col("text")).as("pred")),
       col("lang"), col("pred"))
 

@@ -67,7 +67,9 @@ object SparkEntry {
     // (value-identical to the single-column forms — PipelineSpec pins
     // the equivalence; the oracle keeps the two-extract formulation)
     val (kInt, kDbl) = Pipeline.coerceNumericPair(col("props"))
-    t(s, dir, "events").select(
+    // spreadScan: parallelize the regex coercion walk (guide §2.5;
+    // identity on a many-split corpus)
+    operators.Scale.spreadScan(t(s, dir, "events"), col("event_id")).select(
       col("event_id"),
       kInt.as("k_int"),
       kDbl.as("k_dbl"),
@@ -177,13 +179,21 @@ object SparkEntry {
       ProtoField("o_orderstatus", 3, PString),
       ProtoField("price_cents", 4, PInt64)))
     val backend = new ProtoBackend(msg)
+    // Total-order-first (the q18 shape): sort the NARROW scan columns
+    // by the unique key, then run the codec chain ABOVE the sort — a
+    // trailing orderBy would sample+re-execute the codec, and AQE
+    // would coalesce its tiny exchange to one partition
+    // (repartitionByRange with explicit numPartitions is never
+    // coalesced). Same rows, same order.
     val src = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
     src.select(backend.encodeExpr(struct(src.columns.map(col).toIndexedSeq: _*)).as("bin"))
       .select(backend.decodeExpr(col("bin")).as("p"))
       .select("p.*")
-      .orderBy(col("o_orderkey"))
   }
 
   /** Registry schema-id dispatch (the reference's avro_schema_registry
@@ -226,9 +236,13 @@ object SparkEntry {
     val reader = new SchemaRegistryClient(registry)
       .framedBackend("orders-value", readerJson,
         writerIds = Seq(w1.schemaId, w2.schemaId))
+    // total-order-first, the q18/q13 shape: codec above the sort
     val src = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
     src.select(
       when(col("o_orderkey") % 2 === 0,
         w1.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus"))))
@@ -237,7 +251,6 @@ object SparkEntry {
         .as("bin"))
       .select(reader.decodeExpr(col("bin")).as("p"))
       .select("p.*")
-      .orderBy(col("o_orderkey"))
   }
 
   /** S9/S10 CDC as a snapshot diff (`Cdc.snapshotDiff`): two synthetic
@@ -299,10 +312,14 @@ object SparkEntry {
     val w2 = new ProtoRegistryFramedBackend(v2, schemaId = 12)
     val reader = new ProtoRegistryFramedBackend(v2, schemaId = 12,
       writerMessages = Map(11 -> v1, 12 -> v2))
+    // total-order-first, the q18/q13 shape: codec above the sort
     val src = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"),
       col("o_custkey"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
     src.select(
       when(col("o_orderkey") % 2 === 0,
         w1.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus"),
@@ -312,7 +329,6 @@ object SparkEntry {
         .as("bin"))
       .select(reader.decodeExpr(col("bin")).as("p"))
       .select("p.*")
-      .orderBy(col("o_orderkey"))
   }
 
   /** Dead-letter split under the oracle gate (round 9 — T6 at record
@@ -331,7 +347,22 @@ object SparkEntry {
         | {"name":"o_orderkey","type":"long"},
         | {"name":"o_orderstatus","type":"string"}]}""".stripMargin
     val b = new RegistryFramedBackend(avroJson, schemaId = 21)
-    val framed = t(s, dir, "orders")
+    // Total-order-first shape (round-17): a trailing orderBy both
+    // SAMPLES its child (RangePartitioner) and re-executes it, so the
+    // codec chain below it would run twice; and AQE coalesces a tiny
+    // final range exchange to one partition, which would serialize a
+    // codec placed above a plain orderBy. repartitionByRange with an
+    // EXPLICIT partition count (AQE never coalesces
+    // REPARTITION_BY_NUM) + sortWithinPartitions establishes the
+    // identical total order over the NARROW scan columns; the
+    // encode→corrupt→lenient-decode chain is projected ABOVE the sort
+    // — computed exactly once, in parallel. Same rows, same order.
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    val framed = src
       .select(col("o_orderkey"),
         b.encodeExpr(struct(col("o_orderkey"), col("o_orderstatus")))
           .as("bin0"))
@@ -339,13 +370,24 @@ object SparkEntry {
         when(col("o_orderkey") % 7 === 0,
           substring(col("bin0"), 1, 5)).otherwise(col("bin0")).as("bin"))
       .drop("bin0")
-    val (ok, dead) = Pipeline.partitionDecodable(framed, b, col("bin"))
-    ok.select(col("o_orderkey"), lit(false).as("quarantined"),
-        col("payload.o_orderstatus").as("status"))
-      .unionByName(dead.select(col("o_orderkey"),
-        lit(true).as("quarantined"),
-        lit(null).cast("string").as("status")))
-      .orderBy(col("o_orderkey"))
+    // Round-17 fusion (guide §1.2 "don't compute things twice"): the
+    // original ok∪dead union evaluated the partitionDecodable legs as
+    // two SEPARATE plans, so every row paid encode+lenient-decode
+    // TWICE (once per union branch — measured cpu/wall ≈ 2 on a
+    // 32-core box: two single-task branches). One decode pass plus a
+    // projection produces the identical row multiset: quarantined ⇔
+    // undecodable, status = payload field on the decoded side. The
+    // two-frame partitionDecodable API is unchanged (ConsumerSpec /
+    // the streaming side-split pin it); this query keeps exercising
+    // the same decodeLenientExpr + undecodable classification it
+    // always did.
+    val decoded = framed.withColumn("payload",
+      when(col("bin").isNotNull, b.decodeLenientExpr(col("bin"))))
+    val poison = Pipeline.undecodable(col("bin"), col("payload"))
+    // order established below the codec (repartitionByRange + sort on
+    // the unique key); the projections preserve it row-for-row
+    decoded.select(col("o_orderkey"), poison.as("quarantined"),
+      when(!poison, col("payload.o_orderstatus")).as("status"))
   }
 
   /** Kafka message headers end-to-end under the oracle gate (round
@@ -372,8 +414,16 @@ object SparkEntry {
         | {"name":"timestamp","type":["null","string"],"default":null}]}""".stripMargin
     val backend = new AvroBackend(avroJson)
     val cfg = graft.model.TopicConfig("orders-hdr", "OrderHdr")
+    // total-order-first, the q18/q13 shape: the final order key is
+    // trace = "t-"||o_orderkey (unique), which is pure input
+    // arithmetic — establish the order on the NARROW scan columns and
+    // run the whole produce→wire→consume→log chain (projections only,
+    // order-preserving) above it, once, in parallel
+    val traceKey = concat(lit("t-"), col("o_orderkey").cast("string"))
     val src = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, traceKey)
+      .sortWithinPartitions(traceKey)
       .withColumn("message_id", lit(null).cast("string"))
       .withColumn("timestamp", lit(null).cast("string"))
     val hdrs = map(
@@ -389,7 +439,8 @@ object SparkEntry {
       element_at(col("payload_headers"), "trace").as("trace"),
       element_at(col("payload_headers"), "src").as("src"),
       size(col("payload_headers")).as("n_headers"))
-      .orderBy(col("trace"))
+    // order established below the codec chain (repartitionByRange +
+    // sort on the unique trace key); projections preserve it
   }
 
   /** `save_associations_first` under the oracle gate (round 14 — M5's

@@ -44,7 +44,7 @@ object Chunking {
       s"overlap must be in [0, chunkSize), got $overlap")
     val step = chunkSize - overlap
     val base = df.select(idCol,
-      filter(split(textCol, "\\s+"), t => t =!= "").as("__toks"))
+      array_remove(split(textCol, "\\s+"), "").as("__toks"))
     val id = col(base.columns.head)
     val counted = base
       .withColumn("__n", size(col("__toks")).cast("long"))
@@ -80,7 +80,7 @@ object Chunking {
       maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
     val base = df.select(idCol,
-      filter(split(textCol, "\\s+"), t => t =!= "").as("__toks"))
+      array_remove(split(textCol, "\\s+"), "").as("__toks"))
     val id = col(base.columns.head)
     val n = size(col("__toks")).cast("long")
     base.select(id,

@@ -27,14 +27,19 @@ object Contamination {
   /** Ordered whitespace tokens (empties dropped) — the same
     * tokenization the packing op and the DuckDB oracles use. */
   private def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    // array_remove, not a lambda filter: identical array, but the
+    // lambda HOF is interpreted per element and CSE-exempt (guide §4)
+    array_remove(split(text, "\\s+"), "")
 
   /** (id, gram-hash) pairs: every token n-gram of every document,
     * hashed to 64 bits scan-side. Documents shorter than n contribute
     * nothing. */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), wsTokens(col(textCol)).as("t"))
+    // spreadScan: the gram hashing is the operator's dominant scan-side
+    // cost; identity on a many-split corpus (guide §2.5)
+    graft.operators.Scale.spreadScan(df, col(idCol))
+      .select(col(idCol), wsTokens(col(textCol)).as("t"))
       .select(col(idCol), explode(
         when(size(col("t")) >= n,
           transform(sequence(lit(1), size(col("t")) - (n - 1)),

@@ -16,11 +16,20 @@ import graft.functions.Num.roundz
   */
 object Dedup {
 
+  /** [[graft.operators.Scale.spreadScan]] keyed on the caller's id
+    * column — every operator here runs its expensive signature pass
+    * (tokenize/shingle/hash) scan-side, so a degenerate-split input
+    * (single-row-group parquet: ONE scan task) serializes exactly the
+    * dominant cost. Identity on a many-split corpus. */
+  private def spread(docs: DataFrame, idCol: String): DataFrame =
+    graft.operators.Scale.spreadScan(docs, col(idCol))
+
   /** Exact dedup: group by normalized-content fingerprint. One shuffle
     * on the 128-bit digest; at scale this is the cheapest possible key
     * (16 bytes, uniformly distributed, no skew). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), T.normFingerprint(col(textCol)).as("fingerprint"))
+    spread(docs, idCol)
+      .select(col(idCol), T.normFingerprint(col(textCol)).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("rep_doc_id"))
 
@@ -55,7 +64,7 @@ object Dedup {
       idCol: String, textCol: String,
       expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val incAll = incoming.withColumn("fingerprint",
+    val incAll = spread(incoming, idCol).withColumn("fingerprint",
       T.normFingerprint(col(textCol)))
     // a NULL text has no content identity: such rows PASS THROUGH
     // unchanged — never deduped against each other or the corpus.
@@ -126,7 +135,8 @@ object Dedup {
         s"(rows per band = k/bands must be a positive integer)")
     // Shingles are 64-bit hashes (one pass over hashed tokens) — set
     // arithmetic downstream is numeric, never strings.
-    val shingled = docs.select(col(idCol).as("doc"),
+    val docsS = spread(docs, idCol)
+    val shingled = docsS.select(col(idCol).as("doc"),
       graft.functions.Expressions.ngramHashes(
         H.tokenHashes(T.tokens(col(textCol))), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -173,7 +183,7 @@ object Dedup {
     val candIds = candidates.select(col("doc_a").as("cid"))
       .unionByName(candidates.select(col("doc_b").as("cid")))
       .distinct()
-    val candShingled = docs
+    val candShingled = docsS
       .join(broadcast(candIds), col(idCol) === col("cid"))
       .select(col(idCol).as("doc"),
         graft.functions.Expressions.ngramHashes(
@@ -223,7 +233,7 @@ object Dedup {
     // (Multimodal.hashNearDupCapped serves text simhash, image dHash,
     // and the audio/video fingerprints alike — review finding, round
     // 11: this body used to be a verbatim second copy)
-    val sim = docs.select(col(idCol).as("doc"),
+    val sim = spread(docs, idCol).select(col(idCol).as("doc"),
       H.simhash64(H.tokenHashes(T.tokenSet(col(textCol)))).as("sim"))
     val (pairs, overflow) =
       Multimodal.hashNearDupCapped(sim, "doc", "sim", maxHamming, maxBucket,
@@ -278,9 +288,10 @@ object Dedup {
     require(maxGramDf >= 1, s"maxGramDf must be positive, got $maxGramDf")
     // gram identity is its 64-bit hash: intersection/union counts match
     // string grams up to hash collisions (~2^-64 per pair)
-    val grams = docs.select(col(idCol).as("doc"), col(bucketCol).as("bkt"),
-      explode(graft.functions.Expressions.ngramHashes(
-        H.tokenHashes(T.tokens(col(textCol))), n)).as("g"))
+    val grams = spread(docs, idCol)
+      .select(col(idCol).as("doc"), col(bucketCol).as("bkt"),
+        explode(graft.functions.Expressions.ngramHashes(
+          H.tokenHashes(T.tokens(col(textCol))), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val hotLazy = grams.groupBy(col("bkt"), col("g"))
       .agg(count(lit(1)).as("gram_df"))
@@ -328,14 +339,21 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 25,
       driverThreshold: Long = 100000L): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    // Adaptive: a dup-pair graph far smaller than the corpus (the
-    // common case) is solved in milliseconds driver-side; the
-    // distributed propagation below is the ≥100k-edge path.
-    val nEdges = edges.count()
-    if (nEdges <= driverThreshold) {
+    // Round-17: materialize the RAW pair projection once (eager
+    // localCheckpoint, no shuffle) and gate on the raw count. The old
+    // shape built the bidirectional DISTINCT edge set (a full shuffle
+    // + a session-cache entry) before deciding the path — but the
+    // driver union-find neither needs dedup (a repeated union() is a
+    // no-op) nor both orientations, so the tiny-graph common case
+    // paid a distinct exchange plus two passes over the pair plan for
+    // nothing. Gate at driverThreshold/2 raw pairs: 2·raw bounds the
+    // bidirectional distinct edge count, so the driver path triggers
+    // on a subset of the graphs it used to — same labels either way
+    // (both paths emit identical labelings; ComponentsSpec pins it).
+    val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val nRaw = raw.count()
+    if (2 * nRaw <= driverThreshold) {
       // id-type-generic union-find (ids are int/long/string across the
       // callers — content-addressed regimes use strings): compare in
       // the SAME order the distributed path's min()/least() use, and
@@ -348,7 +366,7 @@ object Dedup {
       // adaptive paths is silent corruption. Unsupported id types
       // (e.g. binary) fail loudly instead of ClassCastException-ing
       // only on the driver path.
-      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      val es = raw.collect().map(r => (r.get(0), r.get(1)))
       def lt(a: Any, b: Any): Boolean = (a, b) match {
         case (x: String, y: String) =>
           org.apache.spark.unsafe.types.UTF8String.fromString(x)
@@ -379,7 +397,6 @@ object Dedup {
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       val spark = pairs.sparkSession
       val idType = pairs.schema(aCol).dataType
-      edges.unpersist()
       return spark.createDataFrame(
         spark.sparkContext.parallelize(
           nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toIndexedSeq),
@@ -433,12 +450,15 @@ object Dedup {
           lit(java.math.BigDecimal.ZERO).cast("decimal(28,0)"))).head()
       (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
-    var e = edges
+    // orientation-normalized distinct edges straight from the raw
+    // pairs: (greatest, least) collapses both orientations, so the
+    // old bidirectional-union pre-pass fed this distinct nothing it
+    // doesn't already produce
+    var e = raw
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
-    edges.unpersist(blocking = false)
     var prev = signature(e)
     var i = 0
     var converged = false
@@ -634,13 +654,16 @@ object Dedup {
       col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
     val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
       .localCheckpoint(true)
+    // inputMaterialized: surv/bat were checkpointed just above, so the
+    // screens' defensive per-side checkpoints (3 jobs per update) are
+    // skipped
     val (pairsSelf, hotSelf) = Multimodal.hashNearDupCapped(
       bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
-      maxBucket)
+      maxBucket, inputMaterialized = true)
     val (pairsCross, hotCross) = Multimodal.hashNearDupAgainstCapped(
       bat.select(col(idCol), col(hashCol)),
       surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
-      maxBucket)
+      maxBucket, inputMaterialized = true)
     val edges = pairsSelf.select(col("id_a"), col("id_b"))
       .unionByName(pairsCross.select(col("id_a"), col("id_b")))
     val labels = components(edges, aCol = "id_a", bCol = "id_b")
@@ -684,7 +707,8 @@ object Dedup {
     */
   def firstOccurrenceSpans(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10): DataFrame = {
-    val spans = Chunking.tokenWindows(docs, col(idCol), col(textCol),
+    val spans = Chunking.tokenWindows(spread(docs, idCol), col(idCol),
+        col(textCol),
         chunkSize = spanTokens, overlap = 0)
       .select(col(idCol), col("chunk_idx").as("span_idx"),
         col("chunk_text").as("span_text"))
@@ -730,8 +754,8 @@ object Dedup {
   def duplicateExtents(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 50): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
-    val occ = Chunking.tokenWindows(docs, col(idCol), col(textCol),
-        chunkSize = spanTokens, overlap = spanTokens - 1)
+    val occ = Chunking.tokenWindows(spread(docs, idCol), col(idCol),
+        col(textCol), chunkSize = spanTokens, overlap = spanTokens - 1)
       .filter(col("chunk_tokens") === spanTokens.toLong) // full windows only
       .select(col(idCol), col("start_tok").as("__pos"),
         xxhash64(col("chunk_text")).as("__h"))
@@ -782,8 +806,8 @@ object Dedup {
   def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    val occ = Chunking.tokenWindows(docs, col(idCol), col(textCol),
-        chunkSize = n, overlap = n - 1)
+    val occ = Chunking.tokenWindows(spread(docs, idCol), col(idCol),
+        col(textCol), chunkSize = n, overlap = n - 1)
       .filter(col("chunk_tokens") === n.toLong) // full windows only
       .select(col(idCol), xxhash64(col("chunk_text")).as("__h"))
       .groupBy(col(idCol), col("__h"))
@@ -813,7 +837,7 @@ object Dedup {
     */
   def dropCommonLines(docs: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long, sep: String = "\n"): DataFrame = {
-    val lines = docs.select(col(idCol),
+    val lines = spread(docs, idCol).select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("ord", "line")))
       .withColumn("lh", xxhash64(col("line")))
@@ -934,8 +958,9 @@ object Dedup {
       threshold: Double, maxPrefixDf: Int = 1 << 14): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val toks = docs.select(col(idCol).as("doc"),
-      array_distinct(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+    val docsS = spread(docs, idCol)
+    val toks = docsS.select(col(idCol).as("doc"),
+      array_distinct(array_remove(split(col(textCol), "\\s+"), ""))
         .as("tset"))
       .filter(size(col("tset")) > 0)
     val ex = toks.select(col("doc"), explode(col("tset")).as("tok"))
@@ -1003,9 +1028,9 @@ object Dedup {
     val candDocIds = candIds.select(col("doc_a").as("cid"))
       .unionByName(candIds.select(col("doc_b").as("cid")))
       .distinct()
-    val candToks = docs.join(broadcast(candDocIds), col(idCol) === col("cid"))
+    val candToks = docsS.join(broadcast(candDocIds), col(idCol) === col("cid"))
       .select(col(idCol).as("doc"),
-        array_distinct(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+        array_distinct(array_remove(split(col(textCol), "\\s+"), ""))
           .as("tset"))
     candIds
       .join(candToks.select(col("doc").as("doc_a"), col("tset").as("ta")),

@@ -119,7 +119,7 @@ object Encoding {
         s"double-count its row after the rollup): $checkpoints")
     val ks = array(checkpoints.map(lit): _*)
     val toks = docs.select(col(idCol).as("__d"),
-      explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      explode(array_remove(split(col(textCol), "\\s+"), ""))
         .as("__tok"))
     val perDoc = toks.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
     val counts = perDoc.select(col("__d"), col("__c"), explode(ks).as("k"))

@@ -38,7 +38,7 @@ object ImportanceSampling {
     * slices — indexing a computed array inside a lambda re-evaluates
     * the subtree per element (the x72 lesson). */
   private[ext] def featureBuckets(textCol: Column, buckets: Int): Column = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(lower(textCol), "\\s+"), "")
     val n = size(toks)
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(n - 1, lit(0))),
@@ -62,9 +62,12 @@ object ImportanceSampling {
   def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val ex = docs.select(col(idCol),
-      explode(featureBuckets(col(textCol), buckets)).as("__b"),
-      isTarget.cast("boolean").as("__t"))
+    // spreadScan: the hashed-feature explode is the dominant scan-side
+    // cost; identity on a many-split corpus (guide §2.5)
+    val ex = graft.operators.Scale.spreadScan(docs, col(idCol))
+      .select(col(idCol),
+        explode(featureBuckets(col(textCol), buckets)).as("__b"),
+        isTarget.cast("boolean").as("__t"))
     // collapse to per-(doc, bucket) multiplicities FIRST and
     // materialize them ONCE (localCheckpoint — the pagerank lineage
     // discipline): both consumers (bucket counts, per-doc weights)

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   private def toks(textCol: String) =
-    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    array_remove(split(lower(col(textCol)), "\\s+"), "")
 
   /** (id, p, w) bigram stream: scan-side zip of adjacent tokens —
     * the explode is the only row-multiplying step anywhere. */

@@ -110,15 +110,22 @@ object Multimodal {
   def hashNearDupCapped(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12),
-      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates,
+      inputMaterialized: Boolean = false)
       : (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
       s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
+    // inputMaterialized=true (round-17): the caller vouches `df` is
+    // already materialized/cheap (a checkpoint slice, a parquet scan) —
+    // skip the defensive eager checkpoint, whose job-per-call constant
+    // is pure overhead then (curateIncrementCapped re-checkpoints its
+    // inputs right before calling here)
+    val projected = df.select(col(idCol).as("id"), col(hashCol).as("ph"))
       .filter(col("ph").isNotNull)
-      .localCheckpoint(true) // (id, int64): tiny; one scan, not two
+    val hashed = if (inputMaterialized) projected
+      else projected.localCheckpoint(true) // (id, int64): one scan, not two
     val allChunked = hashed.select(col("id"), col("ph"),
       posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
     val (dropHot, overflow) = maxBucket match {
@@ -235,18 +242,21 @@ object Multimodal {
   def hashNearDupAgainstCapped(left: DataFrame, right: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int = 3,
       maxBucket: Option[Int] = Some(1 << 12),
-      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates,
+      inputMaterialized: Boolean = false)
       : (DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
     require(maxHamming >= 0 && maxHamming <= 7,
       s"pigeonhole + 1-bit multi-probe covers hamming <= 7, got $maxHamming")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be positive: $maxBucket")
-    def chunked(df: DataFrame, ic: String, hc: String): DataFrame =
-      df.select(col(idCol).as(ic), col(hashCol).as(hc))
+    // same inputMaterialized contract as [[hashNearDupCapped]]
+    def chunked(df: DataFrame, ic: String, hc: String): DataFrame = {
+      val projected = df.select(col(idCol).as(ic), col(hashCol).as(hc))
         .filter(col(hc).isNotNull)
-        .localCheckpoint(true)
+      (if (inputMaterialized) projected else projected.localCheckpoint(true))
         .select(col(ic), col(hc),
           posexplode(H.simhashChunks(col(hc))).as(Seq("chunk", "cval")))
+    }
     val la = chunked(left, "id_a", "ph_a")
     val rbExact = chunked(right, "id_b", "ph_b")
     // radius 4–7: the RIGHT side probes the 1-bit ball per chunk; a

@@ -50,15 +50,20 @@ object Retrieval {
     require(q.distinct == q, s"duplicate query terms in $terms")
     require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 params k1=$k1 b=$b")
 
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\s+"), "")
     def tfCol(i: Int) = col(s"__tf_$i")
     // pass shape shared by both scans: doc length + one tf per term,
     // all array expressions over the same token list (single codegen
     // stage, token list evaluated once per row)
-    val perDoc = df.select(
+    // spreadScan: per-term tf arithmetic is the dominant scan-side
+    // cost; identity on a many-split corpus (guide §2.5)
+    val perDoc = graft.operators.Scale.spreadScan(df, col(idCol)).select(
       col(idCol) +: size(toks).cast("long").as("__dl") +:
         q.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+          // tf(t) = |toks| - |toks without t|: two ordinary array
+          // expressions instead of a per-element interpreted lambda
+          (size(toks) - size(array_remove(toks, t))).cast("long")
+            .as(s"__tf_$i")
         }: _*)
 
     // corpus statistics: one partial-aggregated job, one output row

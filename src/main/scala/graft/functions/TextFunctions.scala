@@ -22,16 +22,26 @@ object TextFunctions {
     * text the two classes agree exactly. */
   val NonWordClass = "[^\\p{L}\\p{N}_]"
 
-  /** Lowercased word tokens, empties removed. */
+  /** Lowercased word tokens, empties removed.
+    *
+    * `array_remove(..., "")`, not `filter(..., t => t =!= "")`: the
+    * two produce the IDENTICAL array (split never yields nulls, and
+    * both drop every "" while preserving order), but a lambda-bodied
+    * higher-order function is interpreted per element and CSE-exempt,
+    * while ArrayRemove is one ordinary expression — this is the single
+    * hottest subtree of the text stack (every tokenize-bearing query
+    * pays it scan-side; opt guide §4 "eliminate non-codegen
+    * expressions in the hot path"). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), NonWordClass + "+"), t => t =!= "")
+    array_remove(split(lower(text), NonWordClass + "+"), "")
 
   /** Distinct token set. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Same ArrayRemove-over-lambda rule as
+    * [[tokens]]. */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+    size(array_remove(split(text, "\\s+"), "")).cast("long")
 
   /** BPE-ish subword proxy: count of letter-runs, digits, and other
     * non-space symbols — a cheap deterministic stand-in for a real BPE
@@ -116,9 +126,11 @@ object TextFunctions {
     md5(trim(regexp_replace(lower(text), NonWordClass + "+", " ")))
 
   /** Bag fingerprint: md5 over the sorted distinct token set — catches
-    * word-order-only edits. */
+    * word-order-only edits. `sort_array` (ordinary expression), not
+    * `array_sort` (lambda-comparator HOF, interpreted per comparison):
+    * identical ascending order on the non-null tokens. */
   def bagFingerprint(text: Column): Column =
-    md5(array_join(array_sort(tokenSet(text)), " "))
+    md5(array_join(sort_array(tokenSet(text)), " "))
 
   /** PII redaction patterns (email, phone, IPv4) — identical meaning
     * under Java regex and RE2, so oracle-checkable. Applied in order:
@@ -191,18 +203,43 @@ object TextFunctions {
     * array only from non-lambda argument positions, so the sort runs
     * a constant number of times per row. */
   def lexicalDiversity(text: Column): Column = {
-    val s = array_sort(tokens(text))
-    val n = size(s)
-    val sliceLen = greatest(n - 1, lit(0))
-    // value v appears at an equal-neighbor position iff count(v) >= 2
-    val dupValues = filter(
-      zip_with(slice(s, lit(1), sliceLen), slice(s, lit(2), sliceLen),
-        (a, b) => when(a === b, a)),
-      x => x.isNotNull)
-    val nTypes = size(array_distinct(s))
-    struct(n.cast("long").as("n_tokens"),
-      nTypes.cast("long").as("n_types"),
-      (nTypes - size(array_distinct(dupValues))).cast("long").as("hapax"))
+    // ONE sort + ONE aggregate pass (round-17 optimization, guide §4):
+    // the zip-of-slices form was already safe from the per-element
+    // trap, but it still evaluated the (lambda-comparator, interpreted)
+    // sort subtree ~8× per row — once per struct-field reference, since
+    // higher-order subtrees are CSE-exempt. Equal values are adjacent
+    // after sorting, so run-length counting in a single qualityGate-
+    // style pass yields the same exact integers: n_tokens = element
+    // count, n_types = number of runs, hapax = number of length-1 runs.
+    // `sort_array` (ordinary expression) replaces `array_sort` (lambda
+    // HOF) — identical ascending order on the non-null tokens; the ""
+    // accumulator sentinel can never equal a token (empties removed).
+    val agg = aggregate(sort_array(tokens(text)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("n"),
+        lit(0L).as("types"), lit(0L).as("hapax")),
+      (acc, x) => {
+        val isNew = x =!= acc.getField("prev")
+        struct(x.as("prev"),
+          when(isNew, lit(1L)).otherwise(acc.getField("run") + 1L).as("run"),
+          (acc.getField("n") + 1L).as("n"),
+          (acc.getField("types") + when(isNew, 1L).otherwise(0L)).as("types"),
+          // a run CLOSES when a new value starts; the closed run was a
+          // hapax iff its length was exactly 1 (run=0 start never fires)
+          (acc.getField("hapax") +
+            when(isNew && acc.getField("run") === 1L, 1L).otherwise(0L))
+            .as("hapax"))
+      },
+      acc => struct(acc.getField("n").as("n_tokens"),
+        acc.getField("types").as("n_types"),
+        // account the final (still-open) run
+        (acc.getField("hapax") +
+          when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("hapax")))
+    // null text: the old form returned a NON-null struct of null
+    // fields (size(null) = null per field); aggregate(null) would
+    // return a null struct — preserve the original shape exactly
+    val nullL = lit(null).cast("long")
+    when(text.isNotNull, agg).otherwise(struct(nullL.as("n_tokens"),
+      nullL.as("n_types"), nullL.as("hapax")))
   }
 
   /** Composite Gopher/C4-style quality gate as one scan-side struct:
@@ -230,7 +267,7 @@ object TextFunctions {
     // re-run tokenize+sort per field. Callers should extract the struct
     // fields ABOVE an exchange (orderBy first, select fields after) so
     // the struct itself is materialized once per row.
-    aggregate(array_sort(tokens(text)),
+    aggregate(sort_array(tokens(text)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
         lit(0L).as("total"), lit(0L).as("n"), lit(0L).as("max_len")),
       (acc, x) => {

@@ -70,43 +70,102 @@ object Graph {
       col(dstCol).cast("string").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct().localCheckpoint()
     // per-edge out-degree (exact: each contribution term stays one
     // IEEE division rank/deg, the op order the oracle replicates)
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // explicit partition count (REPARTITION_BY_NUM — AQE never
+    // coalesces it, so the partitioning below is exactly what the
+    // per-iteration joins require). persist(), NOT localCheckpoint,
+    // for the two static loop inputs: under AQE a checkpoint's
+    // LogicalRDD reports UnknownPartitioning(0), so every iteration
+    // RE-SHUFFLED the full edge frame against this scaladoc's
+    // "shuffled exactly once" claim (plan-verified round 17:
+    // ENSURE_REQUIREMENTS exchanges above both checkpoint scans);
+    // InMemoryRelation preserves the cached plan's partitioning AND
+    // ordering. Both frames are unpersisted before returning, after
+    // the result is materialized — no leaked cache entries, no
+    // recompute through a dropped cache. The count is the session's
+    // shuffle parallelism, so it scales with the deployment.
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e
-      .join(e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")),
-        Seq("__src"))
-      .repartition(col("__src"))
-      .localCheckpoint()
-    val danglingNodes = nodes
-      .join(eDeg.select(col("__src")).distinct(),
-        nodes("node") === col("__src"), "left_anti")
-      .localCheckpoint()
+      .join(deg, Seq("__src"))
+      .repartition(nParts, col("__src"))
+      .persist()
+    // Round-17 superstep restructure (opt guide §2.4 "remove shuffles
+    // outright"): the rank frame CARRIES its node's static dangling
+    // flag, so the per-iteration dangling mass is a one-row aggregate
+    // over ranks — the old formulation's rank⋈danglingNodes semi join
+    // was a SortMergeJoin with two Exchanges EVERY iteration (both
+    // sides are checkpoint scans with no stats, so it never
+    // broadcast). The node frame is hash-partitioned on `node` and
+    // sorted before its one persist (InMemoryRelation preserves
+    // partitioning+ordering), so the per-iteration nodes⋈contrib join
+    // needs no nodes-side Exchange or Sort, and the contrib side
+    // arrives hash-partitioned by __dst from its own groupBy. Each
+    // superstep now plans exactly TWO exchanges (ranks→__src for the
+    // contribution join, contribution groupBy __dst) — the
+    // fundamental pair — instead of five. Same arithmetic, same
+    // addend sets; only the plan shape changed.
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(deg.select(col("__src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("__dang"))
+      .repartition(nParts, col("node"))
+      .sortWithinPartitions(col("node"))
+      .persist()
     // N is ONE scalar — collect it once rather than re-broadcasting a
-    // one-row frame into every iteration's plan
+    // one-row frame into every iteration's plan (this also
+    // materializes the nodes cache)
     val n = nodes.count()
-    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+    var ranks = nodes.select(col("node"), col("__dang"),
+      (lit(1.0) / n).as("rank"))
     for (i <- 1 to iterations) {
-      // mass parked on dangling nodes this iteration (rank frame is
-      // node-count sized; the semi join never touches the edges)
-      val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
-        .groupBy(col("__dst"))
-        .agg(sum(col("rank") / col("__deg")).as("__c"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("__dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(1.0 - damping) / n +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dm") / n)).as("rank"))
+      ranks = pageRankSuperstep(nodes, eDeg, ranks, n, damping)
       if (materializeEvery > 0 && i % materializeEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize BEFORE unpersisting the static frames the lazy tail
+    // still references — the caller gets a self-contained frame and
+    // the session cache stays clean (no leaked entries across calls)
+    val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+    eDeg.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
+  /** One PageRank superstep — factored so `GraphSuperstepPlanSpec` can
+    * pin the plan shape the loop executes (the loop itself runs behind
+    * eager checkpoints, invisible to a caller's explain):
+    *  - dangling mass: ONE-ROW aggregate over the rank frame (the rank
+    *    frame carries the static `__dang` flag — no per-iteration semi
+    *    join; sum skips non-dangling nulls, addend set identical);
+    *  - contribution join keyed `__src` against the persisted,
+    *    pre-partitioned adjacency; contribution groupBy `__dst`;
+    *  - rank rebuild: persisted pre-partitioned+sorted node frame
+    *    LEFT-joined to contributions (no nodes-side exchange or sort).
+    * Exactly two ShuffleExchanges per superstep — the fundamental
+    * pair (ranks→`__src`, groupBy `__dst`). */
+  private[graft] def pageRankSuperstep(nodes: DataFrame, eDeg: DataFrame,
+      ranks: DataFrame, n: Long, damping: Double): DataFrame = {
+    // mass parked on dangling nodes this iteration: one-row agg over
+    // the rank frame (sum skips the nulls of non-dangling nodes;
+    // addend set identical to the old semi-join formulation)
+    val dangling = ranks
+      .agg(coalesce(sum(when(col("__dang"), col("rank"))), lit(0.0))
+        .as("__dm"))
+    val contrib = eDeg
+      .join(ranks.select(col("node").as("__src"), col("rank")),
+        Seq("__src"))
+      .groupBy(col("__dst"))
+      .agg(sum(col("rank") / col("__deg")).as("__c"))
+    nodes
+      .join(contrib, nodes("node") === contrib("__dst"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"), col("__dang"),
+        (lit(1.0 - damping) / n +
+          lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+            col("__dm") / n)).as("rank"))
   }
 
   /** Personalized PageRank: teleport goes to a SEED set instead of
@@ -140,41 +199,56 @@ object Graph {
       .join(nodesPlain, Seq("node"), "left_semi")
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "no seed intersects the graph's node set")
-    // teleport mass rides the node frame: 1/|S| on seeds, 0 elsewhere
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // explicit partition count — same rationale as [[pageRank]]
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eDeg = e
+      .join(deg, Seq("__src"))
+      .repartition(nParts, col("__src"))
+      .persist()
+    // teleport mass AND the static dangling flag ride the node frame
+    // (same round-17 superstep restructure as [[pageRank]]: dangling
+    // mass becomes a one-row agg over ranks instead of a per-iteration
+    // semi join, and the pre-partitioned node frame erases the
+    // per-iteration nodes-side Exchange+Sort — two exchanges per
+    // superstep, the fundamental pair)
     val nodes = nodesPlain
       .join(seedSet.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+      .join(deg.select(col("__src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
       .select(col("node"),
         when(col("__isSeed"), lit(1.0) / nSeeds).otherwise(lit(0.0))
-          .as("__tp"))
-      .localCheckpoint()
-    val eDeg = e
-      .join(e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")),
-        Seq("__src"))
-      .repartition(col("__src"))
-      .localCheckpoint()
-    val danglingNodes = nodes.select(col("node"))
-      .join(eDeg.select(col("__src")).distinct(),
-        col("node") === col("__src"), "left_anti")
-      .localCheckpoint()
-    var ranks = nodes.select(col("node"), col("__tp").as("rank"))
+          .as("__tp"),
+        col("__out").isNull.as("__dang"))
+      .repartition(nParts, col("node"))
+      .sortWithinPartitions(col("node"))
+      .persist()
+    var ranks = nodes.select(col("node"), col("__tp"), col("__dang"),
+      col("__tp").as("rank"))
     for (i <- 1 to iterations) {
-      val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("__dang"), col("rank"))), lit(0.0))
+          .as("__dm"))
       val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .join(ranks.select(col("node").as("__src"), col("rank")),
+          Seq("__src"))
         .groupBy(col("__dst"))
         .agg(sum(col("rank") / col("__deg")).as("__c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("__dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("__tp"), col("__dang"),
           (lit(1.0 - damping) * col("__tp") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") * col("__tp"))).as("rank"))
       if (materializeEvery > 0 && i % materializeEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize-then-unpersist, the [[pageRank]] cleanup contract
+    val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+    eDeg.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 
   /** Per-node triangle counts + local clustering coefficient — the

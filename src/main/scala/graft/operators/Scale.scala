@@ -36,6 +36,31 @@ object Scale {
       .find(!taken.contains(_)).get
   }
 
+  /** Scan-parallelism guard for CPU-heavy scan-side work (opt guide
+    * §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): a single-row-group parquet file
+    * gives the scan stage ONE task, so every expensive per-row
+    * expression below the first exchange (tokenize/hash/codec/decode)
+    * runs single-threaded no matter how many cores the session has.
+    * When the scan is DEGENERATE relative to the session's
+    * parallelism (8× fewer splits than cores), redistribute by hash
+    * of `key` — deterministic, never rand/round-robin (SPARK-38388) —
+    * into `defaultParallelism` partitions (explicit numPartitions so
+    * AQE cannot coalesce the spread back to one partition before the
+    * heavy work runs). On a real corpus the input arrives in many
+    * splits and this is the IDENTITY — no exchange is added — so the
+    * 100 TB plan shape is unchanged; the helper is scale-adaptive by
+    * construction, not a local[32] constant.
+    *
+    * Results are partitioning-invariant for every caller (the
+    * layout-invariance metamorphic family pins this), so the spread
+    * can only change run time, never rows. */
+  def spreadScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 8 <= target) df.repartition(target, key)
+    else df
+  }
+
   /** Persist a frame bucketed by join keys. Two tables bucketed the
     * same way join shuffle-free (SortMergeJoin with no Exchange) —
     * the right layout for a fact table that is merge-joined every
