@@ -164,8 +164,22 @@ object CurationRunner {
     val (out, overflow) = Dedup.curateIncrementCapped(surv, batch,
       idCol, hashCol, qualityCol, maxHamming = maxHamming,
       maxBucket = maxBucket)
-    out.write.mode("overwrite").parquet(s"$dir/v$next")
-    overflow.write.mode("overwrite").parquet(s"$dir/overflow_v$next")
+    // The two snapshots are independent writes with no ordering
+    // requirement between them (only the COMMIT MARKER below makes the
+    // version visible) — overlap them so the tiny overflow write rides
+    // the survivor write's tail instead of queueing behind it (opt
+    // guide §2.6). Either failure propagates before the marker rename,
+    // leaving the store on the previous committed version.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fOut = Future { out.write.mode("overwrite").parquet(s"$dir/v$next") }
+      val fOvf = Future {
+        overflow.write.mode("overwrite").parquet(s"$dir/overflow_v$next") }
+      Await.result(fOut, Duration.Inf)
+      Await.result(fOvf, Duration.Inf)
+    }
     // stage-then-rename onto a NEVER-pre-existing final name: a crash
     // anywhere before the rename leaves the previous marker the
     // maximum (and the previous snapshot fully intact); the replayed

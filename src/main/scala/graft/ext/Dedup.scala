@@ -654,18 +654,24 @@ object Dedup {
       col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
     val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
       .localCheckpoint(true)
-    // inputMaterialized: surv/bat were checkpointed just above, so the
-    // screens' defensive per-side checkpoints (3 jobs per update) are
-    // skipped
-    val (pairsSelf, hotSelf) = Multimodal.hashNearDupCapped(
-      bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
-      maxBucket, inputMaterialized = true)
-    val (pairsCross, hotCross) = Multimodal.hashNearDupAgainstCapped(
-      bat.select(col(idCol), col(hashCol)),
-      surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
-      maxBucket, inputMaterialized = true)
-    val edges = pairsSelf.select(col("id_a"), col("id_b"))
-      .unionByName(pairsCross.select(col("id_a"), col("id_b")))
+    val (edges, hotSelf, hotCross) =
+      if (maxHamming == 0)
+        equalityIncrementEdges(surv, bat, idCol, hashCol, maxBucket)
+      else {
+        // inputMaterialized: surv/bat were checkpointed just above, so
+        // the screens' defensive per-side checkpoints (3 jobs per
+        // update) are skipped
+        val (pairsSelf, hs) = Multimodal.hashNearDupCapped(
+          bat.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
+          maxBucket, inputMaterialized = true)
+        val (pairsCross, hc) = Multimodal.hashNearDupAgainstCapped(
+          bat.select(col(idCol), col(hashCol)),
+          surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
+          maxBucket, inputMaterialized = true)
+        (pairsSelf.select(col("id_a"), col("id_b"))
+          .unionByName(pairsCross.select(col("id_a"), col("id_b"))),
+          hs, hc)
+      }
     val labels = components(edges, aCol = "id_a", bCol = "id_b")
     val all = surv.select(col(idCol), col(hashCol), col(qualityCol),
         col("__w"))
@@ -678,6 +684,110 @@ object Dedup {
       .unionByName(hotCross.select(lit("cross").as("side"), col("chunk"),
         col("cval"), col("n_ids")))
     (out, overflow)
+  }
+
+  /** maxHamming = 0 fast path for [[curateIncrementCapped]] (round-17
+    * optimization, guide §1.2 "the distributed algorithm"): under hash
+    * EQUALITY the pair relation is transitive, so connected components
+    * over the screens' pairwise output equal the full-hash classes —
+    * the quadratic clique generation (Σ k² candidate pairs + their
+    * dedup shuffle + a distributed components run) is replaced by STAR
+    * EDGES per class (Σ k rows, root = min id), which produce the
+    * identical component partition.
+    *
+    * Cap semantics are replicated exactly. At h = 0 every member of a
+    * class shares all four (chunk, value) buckets, so the generic
+    * screens' drop is all-or-nothing per class per screen:
+    *  - a SELF pair survives iff some chunk's bucket holds ≤ cap
+    *    BATCH members (the self screen counts only its input);
+    *  - a CROSS pair survives iff some chunk's bucket holds ≤ cap
+    *    members counted over BOTH sides (bL + bR — the bipartite
+    *    screen's as-joined accounting; the radius-0 ball is exact).
+    * Star edges are therefore emitted per class: over the batch
+    * members when the class is self-alive (∃ cold batch bucket) and
+    * |batch members| ≥ 2, and over ALL members rooted at the global
+    * min id when the class is cross-alive (∃ cold two-sided bucket)
+    * and both sides are non-empty — exactly the connectivity the
+    * clique/biclique pairs give (proved against the generic path in
+    * CurateEqualityFastPathSpec). Overflow reporting is unchanged:
+    * the SAME hot buckets, with the same per-screen counts, from ONE
+    * fused histogram pass instead of the generic path's two.
+    *
+    * With maxBucket = None no bucket is ever hot; the generic path's
+    * ungoverned-surface audit is NOT run because no quadratic join is
+    * planned — a hot-structured corpus that the audit would refuse is
+    * handled exactly (in linear candidate space) here. */
+  private def equalityIncrementEdges(surv: DataFrame, bat: DataFrame,
+      idCol: String, hashCol: String, maxBucket: Option[Int])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.{HashFunctions => H}
+    val members = bat.select(col(idCol).as("id"), col(hashCol).as("ph"),
+        lit(true).as("__bat"))
+      .unionByName(surv.select(col(idCol).as("id"), col(hashCol).as("ph"),
+        lit(false).as("__bat")))
+      .filter(col("ph").isNotNull)
+    // per-class facts: batch-side root, global root, side counts
+    val classes = members.groupBy(col("ph"))
+      .agg(min(when(col("__bat"), col("id"))).as("__batRoot"),
+        min(col("id")).as("__root"),
+        sum(when(col("__bat"), 1L).otherwise(0L)).as("__nBat"),
+        count(lit(1)).as("__nTot"))
+    val (alive, hotSelf, hotCross) = maxBucket match {
+      case Some(cap) =>
+        // ONE histogram pass carries both screens' hot detection:
+        // n_bat is the self screen's bucket count, n_tot the bipartite
+        // screen's two-sided count
+        val hot = members.select(col("__bat"),
+            posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
+          .groupBy(col("chunk"), col("cval"))
+          .agg(sum(when(col("__bat"), 1L).otherwise(0L)).as("n_bat"),
+            count(lit(1)).as("n_tot"))
+          .filter(col("n_bat") > cap || col("n_tot") > cap)
+          .localCheckpoint(true) // hot buckets only — tiny by the cap
+        // class aliveness: a class survives a screen iff ANY of its
+        // four buckets is cold for that screen (hot is bucket-bounded
+        // small — broadcast, the generic path's hotKeys discipline)
+        val aliveness = classes
+          .select(col("ph"), col("__batRoot"), col("__root"),
+            col("__nBat"), col("__nTot"),
+            posexplode(H.simhashChunks(col("ph"))).as(Seq("chunk", "cval")))
+          .join(broadcast(hot), Seq("chunk", "cval"), "left")
+          .groupBy(col("ph"), col("__batRoot"), col("__root"),
+            col("__nBat"), col("__nTot"))
+          .agg(
+            max(when(col("n_bat").isNull || col("n_bat") <= cap, 1)
+              .otherwise(0)).as("__aliveSelf"),
+            max(when(col("n_tot").isNull || col("n_tot") <= cap, 1)
+              .otherwise(0)).as("__aliveCross"))
+        (aliveness,
+          hot.filter(col("n_bat") > cap)
+            .select(col("chunk"), col("cval"), col("n_bat").as("n_ids")),
+          hot.filter(col("n_tot") > cap)
+            .select(col("chunk"), col("cval"), col("n_tot").as("n_ids")))
+      case None =>
+        val spark = surv.sparkSession
+        import spark.implicits._
+        val empty = Seq.empty[(Int, Long, Long)].toDF("chunk", "cval", "n_ids")
+        (classes.select(col("ph"), col("__batRoot"), col("__root"),
+          col("__nBat"), col("__nTot"),
+          lit(1).as("__aliveSelf"), lit(1).as("__aliveCross")), empty, empty)
+    }
+    // self: star over batch members; cross: star over ALL members.
+    // A class alive on both screens emits both stars — redundant edges
+    // are harmless to components and keep the two screens' gating
+    // independent, exactly like the generic union of pair sets.
+    val selfEdges = members.filter(col("__bat"))
+      .join(alive.filter(col("__aliveSelf") === 1 && col("__nBat") >= 2)
+        .select(col("ph"), col("__batRoot")), Seq("ph"))
+      .filter(col("id") =!= col("__batRoot"))
+      .select(col("__batRoot").as("id_a"), col("id").as("id_b"))
+    val crossEdges = members
+      .join(alive.filter(col("__aliveCross") === 1 && col("__nBat") >= 1 &&
+          col("__nTot") > col("__nBat"))
+        .select(col("ph"), col("__root")), Seq("ph"))
+      .filter(col("id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("id").as("id_b"))
+    (selfEdges.unionByName(crossEdges), hotSelf, hotCross)
   }
 
   /** Corpus-level first-occurrence span dedup (the C4-style "remove

@@ -482,4 +482,152 @@ object Expressions {
 
   def cosineSim(a: Column, b: Column): Column =
     col(CosineSimExpr(ex(a), ex(b)))
+
+  /** Shared kernel for the two hyperplane-LSH expressions below: the
+    * per-plane signed projections of a float/double vector against a
+    * precomputed plane matrix, replicating the HOF formulation's exact
+    * semantics (VectorFunctions.projection — aggregate over zip_with):
+    *  - terms x_d·p_jd accumulate in DOUBLE, ascending d (same IEEE
+    *    addend order);
+    *  - a NULL input vector, a length ≠ dim, or any NULL element
+    *    poisons EVERY projection to null (zip_with null-pads the short
+    *    side and `acc + null` sticks), NOT just the affected plane.
+    * Returns null for the all-degenerate case, else one double per
+    * plane. */
+  private def hyperplaneProjections(input: Any,
+      planes: Array[Array[Double]], isFloat: Boolean): Array[Double] = {
+    if (input == null) return null
+    val v = input.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (v.numElements() != dim) return null
+    var d = 0
+    while (d < dim) { // any null element → every projection null
+      if (v.isNullAt(d)) return null
+      d += 1
+    }
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * p(i)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+
+  /** Spark's nan-safe `>= 0.0` (the semantics the `when(p >= 0.0, …)`
+    * formulation had): NaN compares GREATER than any double, and
+    * -0.0 == 0.0 (Spark's nanSafeCompareDoubles, NOT
+    * java.lang.Double.compare, which orders -0.0 below 0.0). The
+    * primitive `>=` gives the -0.0 equality; NaN is the one case it
+    * gets wrong, handled explicitly. */
+  private def signBitSet(p: Double): Boolean =
+    p >= 0.0 || java.lang.Double.isNaN(p)
+
+  /** Sign-bit hyperplane LSH bucket in ONE tight loop per row (the
+    * HOF formulation was nBits interpreted aggregate-over-zip_with
+    * passes per row — dim × nBits lambda calls on the CORPUS side of
+    * every LSH query). NEVER null: the `when(p >= 0.0, bit)
+    * .otherwise(0)` per-plane fold maps a null projection (null/
+    * mis-sized vector) to bit 0, so a degenerate vector buckets to 0L
+    * exactly as before. */
+  case class HyperplaneBucketExpr(child: Expression,
+      planes: Array[Array[Double]]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def bucket(input: Any): Long = {
+      val projs = hyperplaneProjections(input, planes, isFloat)
+      if (projs == null) return 0L
+      var acc = 0L
+      var j = 0
+      while (j < projs.length) {
+        if (signBitSet(projs(j))) acc |= 1L << j
+        j += 1
+      }
+      acc
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      bucket(child.eval(input))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val ref = ctx.addReferenceObj("hpBucket", this, getClass.getName)
+      ev.copy(code = code"""${c.code}
+        long ${ev.value} = $ref.bucket(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
+      copy(child = c)
+  }
+
+  /** The rankedPlanes struct array — struct(m = |projection| (null on
+    * a degenerate vector), mask = bit j, bit = mask when the nan-safe
+    * sign bit is set else 0) — in one loop per row. Output shape and
+    * null behavior identical to the HOF formulation: never a null
+    * ARRAY (a null vector yields nBits structs of (null, mask, 0)). */
+  case class HyperplaneRankedExpr(child: Expression,
+      planes: Array[Array[Double]]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("m", DoubleType, nullable = true),
+      StructField("mask", LongType, nullable = false),
+      StructField("bit", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def ranked(input: Any): ArrayData = {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val projs = hyperplaneProjections(input, planes, isFloat)
+      val rows = new Array[Any](planes.length)
+      var j = 0
+      while (j < planes.length) {
+        val fields = new Array[Any](3)
+        if (projs == null) {
+          fields(0) = null
+          fields(2) = 0L
+        } else {
+          fields(0) = math.abs(projs(j))
+          fields(2) = if (signBitSet(projs(j))) 1L << j else 0L
+        }
+        fields(1) = 1L << j
+        rows(j) = new GenericInternalRow(fields)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      ranked(child.eval(input))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val ref = ctx.addReferenceObj("hpRanked", this, getClass.getName)
+      ev.copy(code = code"""${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.ranked(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneRankedExpr =
+      copy(child = c)
+  }
+
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    col(HyperplaneBucketExpr(ex(vec), planes))
+
+  def hyperplaneRanked(vec: Column, planes: Array[Array[Double]]): Column =
+    col(HyperplaneRankedExpr(ex(vec), planes))
 }

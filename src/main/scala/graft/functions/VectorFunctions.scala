@@ -58,11 +58,30 @@ object VectorFunctions {
   private def planeComponent(j: Int, d: Int): Double =
     (((j.toLong * 1000003L + d.toLong * 7919L + 12345L) % 2001L) - 1000L) / 1000.0
 
+  /** The nBits×dim plane matrix the codegen expressions take as a
+    * reference object (one shared array per plan, not nBits×dim
+    * literal nodes). */
+  private def planeMatrix(dim: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((j, d) => planeComponent(j, d))
+
   /** Sign-bit LSH bucket id: bit j of the bucket is the sign of the dot
     * product with pseudo-random hyperplane j. `nBits` buckets of
     * expected size n/2^nBits; cosine-close vectors land in the same
-    * bucket w.h.p. (random-hyperplane LSH). */
+    * bucket w.h.p. (random-hyperplane LSH).
+    *
+    * Round-17: custom codegen expression (one tight loop per row) in
+    * place of the HOF formulation — nBits interpreted
+    * aggregate-over-zip_with passes per row, dim×nBits lambda calls on
+    * the CORPUS side of every LSH query (opt guide §4 / §1.2 "per-task
+    * work"). Bit-identical output incl. null/NaN edges — proven
+    * against the retained HOF sibling in HyperplaneExprEquivSpec. */
   def hyperplaneBucket(vec: Column, dim: Int, nBits: Int): Column =
+    Expressions.hyperplaneBucket(vec, planeMatrix(dim, nBits))
+
+  /** The pre-round-17 HOF formulation, retained as the differential
+    * oracle for HyperplaneExprEquivSpec (not used in query paths). */
+  private[graft] def hyperplaneBucketHof(vec: Column, dim: Int,
+      nBits: Int): Column =
     (0 until nBits).map { j =>
       val proj = projection(vec, dim, j)
       when(proj >= 0.0, lit(1L << j)).otherwise(lit(0L))
@@ -78,12 +97,17 @@ object VectorFunctions {
   /** Per-plane ranking array — ONE dim-length pass that carries
     * everything both the primary bucket and multi-probe expansion
     * need: struct(m = |projection|, mask = bit j, bit = mask when the
-    * sign bit is set else 0). Callers that derive several expressions
-    * from it should materialize it in its own projection first
-    * (Catalyst doesn't CSE across lambda boundaries, but it also
-    * doesn't collapse a multiply-referenced non-trivial alias — so a
-    * two-step select evaluates the dot products exactly once). */
+    * sign bit is set else 0). Codegen expression since round-17 (same
+    * rationale and equivalence proof as [[hyperplaneBucket]]); the
+    * two-step-select advice below still applies to the DERIVED
+    * expressions (probe expansion references the array repeatedly). */
   def rankedPlanes(vec: Column, dim: Int, nBits: Int): Column =
+    Expressions.hyperplaneRanked(vec, planeMatrix(dim, nBits))
+
+  /** Pre-round-17 HOF formulation of [[rankedPlanes]] — differential
+    * oracle for HyperplaneExprEquivSpec only. */
+  private[graft] def rankedPlanesHof(vec: Column, dim: Int,
+      nBits: Int): Column =
     array((0 until nBits).map { j =>
       val p = projection(vec, dim, j)
       struct(abs(p).as("m"), lit(1L << j).as("mask"),

@@ -192,13 +192,6 @@ object Graph {
       col(dstCol).cast("string").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint()
-    val nodesPlain = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
-    val seedSet = seeds.select(col(seedCol).cast("string").as("node"))
-      .distinct()
-      .join(nodesPlain, Seq("node"), "left_semi")
-    val nSeeds = seedSet.count()
-    require(nSeeds > 0, "no seed intersects the graph's node set")
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     // explicit partition count — same rationale as [[pageRank]]
     val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -211,18 +204,38 @@ object Graph {
     // mass becomes a one-row agg over ranks instead of a per-iteration
     // semi join, and the pre-partitioned node frame erases the
     // per-iteration nodes-side Exchange+Sort — two exchanges per
-    // superstep, the fundamental pair)
-    val nodes = nodesPlain
-      .join(seedSet.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+    // superstep, the fundamental pair).
+    //
+    // Round-17 batch 2 (opt guide §1.2 — don't compute things twice):
+    // the node set is built ONCE with a boolean __isSeed flag and
+    // persisted; nSeeds — the seed∩nodes count the old code derived
+    // from a SEPARATE seedSet.count() action that re-executed the
+    // whole union+distinct node build (and then re-executed it again
+    // for the node frame itself) — is now one count over the persisted
+    // frame, which also materializes the cache before the loop. The
+    // per-node teleport share 1/|S| is folded in with ONE cheap
+    // projection below instead of being baked into the persisted rows.
+    // Same seed-intersection semantics (left join + flag ⊇ left_semi).
+    val nodes0 = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(seeds.select(col(seedCol).cast("string").as("node"))
+          .distinct().withColumn("__isSeed", lit(true)),
+        Seq("node"), "left")
       .join(deg.select(col("__src").as("node"), lit(true).as("__out")),
         Seq("node"), "left")
-      .select(col("node"),
-        when(col("__isSeed"), lit(1.0) / nSeeds).otherwise(lit(0.0))
-          .as("__tp"),
+      .select(col("node"), coalesce(col("__isSeed"), lit(false)).as("__isSeed"),
         col("__out").isNull.as("__dang"))
       .repartition(nParts, col("node"))
       .sortWithinPartitions(col("node"))
       .persist()
+    val nSeeds = nodes0.filter(col("__isSeed")).count()
+    require(nSeeds > 0, "no seed intersects the graph's node set")
+    // __tp is derived IN the persisted frame's projection (no second
+    // node build, no re-partition: a projection preserves partitioning
+    // and ordering) — every downstream reference is unchanged
+    val nodes = nodes0.select(col("node"),
+      when(col("__isSeed"), lit(1.0) / nSeeds).otherwise(lit(0.0)).as("__tp"),
+      col("__dang"))
     var ranks = nodes.select(col("node"), col("__tp"), col("__dang"),
       col("__tp").as("rank"))
     for (i <- 1 to iterations) {
@@ -247,7 +260,7 @@ object Graph {
     // materialize-then-unpersist, the [[pageRank]] cleanup contract
     val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
     eDeg.unpersist(false)
-    nodes.unpersist(false)
+    nodes0.unpersist(false)
     out
   }
 
