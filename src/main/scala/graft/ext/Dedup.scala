@@ -654,9 +654,9 @@ object Dedup {
       col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
     val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
       .localCheckpoint(true)
-    val (edges, hotSelf, hotCross) =
+    val (labels, hotSelf, hotCross) =
       if (maxHamming == 0)
-        equalityIncrementEdges(surv, bat, idCol, hashCol, maxBucket)
+        equalityIncrementLabels(surv, bat, idCol, hashCol, maxBucket)
       else {
         // inputMaterialized: surv/bat were checkpointed just above, so
         // the screens' defensive per-side checkpoints (3 jobs per
@@ -668,11 +668,10 @@ object Dedup {
           bat.select(col(idCol), col(hashCol)),
           surv.select(col(idCol), col(hashCol)), idCol, hashCol, maxHamming,
           maxBucket, inputMaterialized = true)
-        (pairsSelf.select(col("id_a"), col("id_b"))
-          .unionByName(pairsCross.select(col("id_a"), col("id_b"))),
-          hs, hc)
+        val edges = pairsSelf.select(col("id_a"), col("id_b"))
+          .unionByName(pairsCross.select(col("id_a"), col("id_b")))
+        (components(edges, aCol = "id_a", bCol = "id_b"), hs, hc)
       }
-    val labels = components(edges, aCol = "id_a", bCol = "id_b")
     val all = surv.select(col(idCol), col(hashCol), col(qualityCol),
         col("__w"))
       .unionByName(bat.select(col(idCol), col(hashCol), col(qualityCol),
@@ -691,9 +690,11 @@ object Dedup {
     * EQUALITY the pair relation is transitive, so connected components
     * over the screens' pairwise output equal the full-hash classes —
     * the quadratic clique generation (Σ k² candidate pairs + their
-    * dedup shuffle + a distributed components run) is replaced by STAR
-    * EDGES per class (Σ k rows, root = min id), which produce the
-    * identical component partition.
+    * dedup shuffle + a components run: a raw-pair checkpoint, a gate
+    * count and a driver collect per update on the driver path) is
+    * replaced by DIRECT per-class labels (Σ k rows, zero extra jobs,
+    * zero driver traffic), which are exactly the component labeling
+    * the star/clique edges would produce (min id per component).
     *
     * Cap semantics are replicated exactly. At h = 0 every member of a
     * class shares all four (chunk, value) buckets, so the generic
@@ -703,21 +704,27 @@ object Dedup {
     *  - a CROSS pair survives iff some chunk's bucket holds ≤ cap
     *    members counted over BOTH sides (bL + bR — the bipartite
     *    screen's as-joined accounting; the radius-0 ball is exact).
-    * Star edges are therefore emitted per class: over the batch
-    * members when the class is self-alive (∃ cold batch bucket) and
-    * |batch members| ≥ 2, and over ALL members rooted at the global
-    * min id when the class is cross-alive (∃ cold two-sided bucket)
-    * and both sides are non-empty — exactly the connectivity the
-    * clique/biclique pairs give (proved against the generic path in
-    * CurateEqualityFastPathSpec). Overflow reporting is unchanged:
-    * the SAME hot buckets, with the same per-screen counts, from ONE
-    * fused histogram pass instead of the generic path's two.
+    * Per class the component content is therefore decided by two
+    * exclusive cases (note cold-cross ⇒ cold-self, since
+    * n_tot ≥ n_bat):
+    *  - CROSS case (cross-alive ∧ both sides non-empty): the biclique
+    *    connects every member through any batch member → one
+    *    component of ALL members, label = global min id;
+    *  - else SELF case (self-alive ∧ ≥ 2 batch members): the batch
+    *    clique → one component of the BATCH members, label = min
+    *    batch id; survivor members stay unlabeled (pass through);
+    *  - else: no pairs, everyone unlabeled.
+    * Proved against the generic path (screens + components + weighted
+    * election, composed verbatim) in CurateEqualityFastPathSpec.
+    * Overflow reporting is unchanged: the SAME hot buckets, with the
+    * same per-screen counts, from ONE fused histogram pass instead of
+    * the generic path's two.
     *
     * With maxBucket = None no bucket is ever hot; the generic path's
     * ungoverned-surface audit is NOT run because no quadratic join is
     * planned — a hot-structured corpus that the audit would refuse is
     * handled exactly (in linear candidate space) here. */
-  private def equalityIncrementEdges(surv: DataFrame, bat: DataFrame,
+  private def equalityIncrementLabels(surv: DataFrame, bat: DataFrame,
       idCol: String, hashCol: String, maxBucket: Option[Int])
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.{HashFunctions => H}
@@ -772,22 +779,23 @@ object Dedup {
           col("__nBat"), col("__nTot"),
           lit(1).as("__aliveSelf"), lit(1).as("__aliveCross")), empty, empty)
     }
-    // self: star over batch members; cross: star over ALL members.
-    // A class alive on both screens emits both stars — redundant edges
-    // are harmless to components and keep the two screens' gating
-    // independent, exactly like the generic union of pair sets.
-    val selfEdges = members.filter(col("__bat"))
-      .join(alive.filter(col("__aliveSelf") === 1 && col("__nBat") >= 2)
-        .select(col("ph"), col("__batRoot")), Seq("ph"))
-      .filter(col("id") =!= col("__batRoot"))
-      .select(col("__batRoot").as("id_a"), col("id").as("id_b"))
-    val crossEdges = members
-      .join(alive.filter(col("__aliveCross") === 1 && col("__nBat") >= 1 &&
-          col("__nTot") > col("__nBat"))
-        .select(col("ph"), col("__root")), Seq("ph"))
-      .filter(col("id") =!= col("__root"))
-      .select(col("__root").as("id_a"), col("id").as("id_b"))
-    (selfEdges.unionByName(crossEdges), hotSelf, hotCross)
+    // exclusive per-class cases (see scaladoc): cross → all members
+    // labeled with the global root; self-only → batch members labeled
+    // with the batch root; exactly one label row per labeled member,
+    // the components contract keepBestInGroupsWeighted's left join
+    // relies on
+    val crossCase = col("__aliveCross") === 1 && col("__nBat") >= 1 &&
+      col("__nTot") > col("__nBat")
+    val selfCase = col("__aliveSelf") === 1 && col("__nBat") >= 2
+    val grouped = alive
+      .select(col("ph"),
+        when(crossCase, col("__root")).otherwise(col("__batRoot")).as("__g"),
+        crossCase.as("__all"), (crossCase || selfCase).as("__any"))
+      .filter(col("__any"))
+    val labels = members.join(grouped, Seq("ph"))
+      .filter(col("__all") || col("__bat"))
+      .select(col("id").as("doc_id"), col("__g").as("group_id"))
+    (labels, hotSelf, hotCross)
   }
 
   /** Corpus-level first-occurrence span dedup (the C4-style "remove
