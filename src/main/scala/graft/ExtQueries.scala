@@ -2837,8 +2837,15 @@ object ExtQueries {
       .agg(coalesce(sum(col("c")), lit(0L)).as(countName),
         coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
           .as("n_identical_pairs"))
+    // the fresh verification re-hash is ONE O(N) synth+decode pass by
+    // design — but it feeds TWO broadcast branches (rh_a / rh_b), and
+    // a broadcast exchange is its own plan: without this eager cut
+    // the pipeline executed once PER BRANCH, tripling the modality's
+    // total decode work (operator + 2× verify). Still an independent
+    // recompute — just materialized once (round-17, guide §1.2).
     val reHashed = ids.select(col("doc_id"),
       reHash(synth(col("doc_id"))).as("rh"))
+      .localCheckpoint(true)
     val verif = pairs
       .join(broadcast(reHashed.select(col("doc_id").as("id_a"),
         col("rh").as("rh_a"))), Seq("id_a"))
@@ -2898,13 +2905,18 @@ object ExtQueries {
   private def x138(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // one decode wave: both screen sides are filters of this frame —
+    // cut it eagerly and vouch inputMaterialized, instead of the
+    // operator's two sequential per-side defensive checkpoints each
+    // re-running half the synth+decode (round-17, guide §1.2/§2.6)
     val hashed = ids.select(col("doc_id"),
       PixelDecode.imageDHashAny(PixelDecode.synthPngTexture(lit(48),
         lit(32), mediaSeed(col("doc_id")).cast("int"))).as("ph"))
+      .localCheckpoint(true)
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
-        "doc_id", "ph", maxHamming = 0)
+        "doc_id", "ph", maxHamming = 0, inputMaterialized = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -2924,16 +2936,20 @@ object ExtQueries {
   private def x139(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // one decode wave (x138's round-17 shape): the PNG and JPEG
+    // halves decode together in one eager cut instead of two
+    // sequential per-side checkpoint jobs inside the operator
     val hashed = ids.select(col("doc_id"),
       PixelDecode.imageDHashAny(
         when(col("doc_id") % 2 === 0,
           PixelDecode.synthPngCells(mediaSeed(col("doc_id")).cast("int")))
         .otherwise(graft.ext.ImageIoDecode.synthJpegCells(
           mediaSeed(col("doc_id")).cast("int"), lit(90)))).as("ph"))
+      .localCheckpoint(true)
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
-        "doc_id", "ph", maxHamming = 3)
+        "doc_id", "ph", maxHamming = 3, inputMaterialized = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -3082,10 +3098,11 @@ object ExtQueries {
           PixelDecode.synthPngCells(mediaSeed(col("doc_id")).cast("int")))
         .otherwise(graft.ext.WebpDecode.synthWebpCells(
           mediaSeed(col("doc_id")).cast("int")))).as("ph"))
+      .localCheckpoint(true) // one decode wave — the x138 r17 shape
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
-        "doc_id", "ph", maxHamming = 3)
+        "doc_id", "ph", maxHamming = 3, inputMaterialized = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -3194,10 +3211,11 @@ object ExtQueries {
         when(col("doc_id") % 2 === 0, original)
           .otherwise(PixelDecode.wavResample(original, 2)),
         canonicalRate = 22050).as("ph"))
+      .localCheckpoint(true) // one synth+fingerprint wave (x138 r17)
     Multimodal.hashNearDupAgainst(
         hashed.filter(col("doc_id") % 2 === 0),
         hashed.filter(col("doc_id") % 2 === 1),
-        "doc_id", "ph", maxHamming = 3)
+        "doc_id", "ph", maxHamming = 3, inputMaterialized = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 

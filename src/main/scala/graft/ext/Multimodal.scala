@@ -312,13 +312,22 @@ object Multimodal {
     (pairs, overflow)
   }
 
-  /** [[hashNearDupAgainstCapped]] without the cap. */
+  /** [[hashNearDupAgainstCapped]] without the cap.
+    * `inputMaterialized` — same contract as the capped form: the
+    * caller vouches both sides are materialized/cheap (e.g. filters
+    * of one eagerly-checkpointed hashed frame), so the per-side
+    * defensive checkpoints are skipped; a caller whose two sides
+    * share one expensive scan-side pipeline (media decode) should
+    * checkpoint THAT once and pass true — one decode wave instead of
+    * two sequential per-side jobs. */
   def hashNearDupAgainst(left: DataFrame, right: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 3,
-      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates)
+      maxProjectedCandidates: Long = DefaultMaxProjectedCandidates,
+      inputMaterialized: Boolean = false)
       : DataFrame =
     hashNearDupAgainstCapped(left, right, idCol, hashCol, maxHamming,
-      maxBucket = None, maxProjectedCandidates)._1
+      maxBucket = None, maxProjectedCandidates,
+      inputMaterialized = inputMaterialized)._1
 
   /** Image near-duplicate detection: perceptual dHash over the REAL
     * decoded pixel plane ([[PixelDecode.imageDHashAny]] — magic-sniff
