@@ -2981,9 +2981,10 @@ object ExtQueries {
     val survivors = Dedup.keepBestInGroups(
       evens.select(col("doc_id"), col("quality"), col("ph")),
       evenLabels, "doc_id", "quality")
-    // THIS update: screen the odd batch against it and re-elect
+    // THIS update: screen the odd batch against it and re-elect.
+    // odds is a filter of the checkpointed hashed frame — vouch it
     Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
-        maxHamming = 0)
+        maxHamming = 0, batchMaterialized = true)
       .select(col("doc_id"), col("quality"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
@@ -3171,15 +3172,20 @@ object ExtQueries {
     // sized, ~32 B/row — same size class as one snapshot) so the
     // store can be deleted before the caller acts on the result.
     try {
+      // batchMaterialized: each batch is a filter of the eagerly
+      // checkpointed hashed frame — skip the per-update defensive cut
       CurationRunner.applyIncrement(store,
         hashed.filter(col("doc_id") % 2 === 0), 0L,
-        "doc_id", "ph", "quality", maxHamming = 0)
+        "doc_id", "ph", "quality", maxHamming = 0,
+        batchMaterialized = true)
       CurationRunner.applyIncrement(store,
         hashed.filter(col("doc_id") % 4 === 1), 1L,
-        "doc_id", "ph", "quality", maxHamming = 0)
+        "doc_id", "ph", "quality", maxHamming = 0,
+        batchMaterialized = true)
       CurationRunner.applyIncrement(store,
         hashed.filter(col("doc_id") % 4 === 3), 2L,
-        "doc_id", "ph", "quality", maxHamming = 0)
+        "doc_id", "ph", "quality", maxHamming = 0,
+        batchMaterialized = true)
       CurationRunner.prune(store, keep = 2)
       CurationRunner.survivors(s, store, "doc_id", "ph", "quality")
         .select(col("doc_id"), col("quality"), col("n_copies"))

@@ -149,7 +149,8 @@ object CurationRunner {
   def applyIncrement(dir: String, batch: DataFrame, batchId: Long,
       idCol: String, hashCol: String, qualityCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Int] = Some(1 << 12)): Boolean = {
+      maxBucket: Option[Int] = Some(1 << 12),
+      batchMaterialized: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     val cur = current(dir, Some(spark))
     if (cur.exists(_.batchId >= batchId)) return false
@@ -163,7 +164,7 @@ object CurationRunner {
     val next = cur.map(_.version + 1).getOrElse(0L)
     val (out, overflow) = Dedup.curateIncrementCapped(surv, batch,
       idCol, hashCol, qualityCol, maxHamming = maxHamming,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, batchMaterialized = batchMaterialized)
     // The two snapshots are independent writes with no ordering
     // requirement between them (only the COMMIT MARKER below makes the
     // version visible) — overlap them so the tiny overflow write rides

@@ -624,9 +624,10 @@ object Dedup {
     */
   def curateIncrement(survivors: DataFrame, batch: DataFrame, idCol: String,
       hashCol: String, qualityCol: String, nCopiesCol: String = "n_copies",
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, batchMaterialized: Boolean = false): DataFrame =
     curateIncrementCapped(survivors, batch, idCol, hashCol, qualityCol,
-      nCopiesCol, maxHamming, maxBucket = None)._1
+      nCopiesCol, maxHamming, maxBucket = None,
+      batchMaterialized = batchMaterialized)._1
 
   /** [[curateIncrement]] under the family's drop-and-report cap: both
     * screens skip hot (chunk, value) buckets past `maxBucket`
@@ -645,15 +646,22 @@ object Dedup {
   def curateIncrementCapped(survivors: DataFrame, batch: DataFrame,
       idCol: String, hashCol: String, qualityCol: String,
       nCopiesCol: String = "n_copies", maxHamming: Int = 3,
-      maxBucket: Option[Int] = Some(1 << 12)): (DataFrame, DataFrame) = {
+      maxBucket: Option[Int] = Some(1 << 12),
+      batchMaterialized: Boolean = false): (DataFrame, DataFrame) = {
     // Each input feeds several consumers (screen(s) + election); an
     // expensive upstream pipeline — survivors is typically itself a
     // curation output — would re-execute per consumer. Cut the narrow
     // projections once, eagerly (the hashNearDup* pattern: ~32 B/row).
+    // batchMaterialized (round-17): the caller vouches the batch is
+    // already a materialized slice (e.g. a filter of its own eager
+    // checkpoint — the x140/x145 shape, or a foreachBatch micro-batch
+    // frame) whose re-scan is a cached-block read at any scale, so the
+    // defensive eager cut (one job per update) is skipped; the
+    // survivor side keeps its cut — it is typically a whole pipeline.
     val surv = survivors.select(col(idCol), col(hashCol), col(qualityCol),
       col(nCopiesCol).cast("long").as("__w")).localCheckpoint(true)
-    val bat = batch.select(col(idCol), col(hashCol), col(qualityCol))
-      .localCheckpoint(true)
+    val bat0 = batch.select(col(idCol), col(hashCol), col(qualityCol))
+    val bat = if (batchMaterialized) bat0 else bat0.localCheckpoint(true)
     val (labels, hotSelf, hotCross) =
       if (maxHamming == 0)
         equalityIncrementLabels(surv, bat, idCol, hashCol, maxBucket)
