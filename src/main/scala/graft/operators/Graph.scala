@@ -57,39 +57,36 @@ object Graph {
     // node silently deflating every real rank (round-15 review).
     // nodeTriangles already drops them structurally (least/greatest
     // skip nulls → u===v); the rank ops do it explicitly.
-    // Materialize the static inputs ONCE (localCheckpoint, same
-    // discipline as Dedup.components) — and in the shape the loop
-    // wants: out-degrees PRE-JOINED into the edge frame and the result
-    // hash-partitioned on __src, so the edge set is shuffled exactly
-    // once for the whole run; each iteration moves only the (small)
-    // rank frame to the edges and the contribution rows to their dst
-    // grouping. The dangling-node set is precomputed the same way.
-    // Iterative graph processing pays one adjacency materialization;
-    // that is the correct trade at any scale.
+    //
+    // ONE edge shuffle for the whole setup (round-17 batch 6, guide
+    // §2.4 "two operations keyed the same way can share one
+    // exchange"): the raw pairs are hash-partitioned by __src with an
+    // explicit count (REPARTITION_BY_NUM — AQE never coalesces it),
+    // which co-locates equal (src,dst) tuples, so the dedup aggregate
+    // (clustering {__src,__dst} ⊇ partitioning {__src}), the
+    // out-degree groupBy (__src), and the eDeg join (__src) ALL
+    // satisfy their required distributions from that single exchange —
+    // the old shape paid three 600k-row edge shuffles here (distinct,
+    // deg groupBy, eDeg repartition). persist(), NOT localCheckpoint,
+    // for the static loop inputs: under AQE a checkpoint's LogicalRDD
+    // reports UnknownPartitioning(0), so every iteration RE-SHUFFLED
+    // the full edge frame (plan-verified round 17); InMemoryRelation
+    // preserves the cached plan's partitioning AND ordering. All
+    // static frames are unpersisted before returning, after the
+    // result is materialized. The count is the session's shuffle
+    // parallelism, so it scales with the deployment.
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint()
+      .repartition(nParts, col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .persist()
     // per-edge out-degree (exact: each contribution term stays one
     // IEEE division rank/deg, the op order the oracle replicates)
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-    // explicit partition count (REPARTITION_BY_NUM — AQE never
-    // coalesces it, so the partitioning below is exactly what the
-    // per-iteration joins require). persist(), NOT localCheckpoint,
-    // for the two static loop inputs: under AQE a checkpoint's
-    // LogicalRDD reports UnknownPartitioning(0), so every iteration
-    // RE-SHUFFLED the full edge frame against this scaladoc's
-    // "shuffled exactly once" claim (plan-verified round 17:
-    // ENSURE_REQUIREMENTS exchanges above both checkpoint scans);
-    // InMemoryRelation preserves the cached plan's partitioning AND
-    // ordering. Both frames are unpersisted before returning, after
-    // the result is materialized — no leaked cache entries, no
-    // recompute through a dropped cache. The count is the session's
-    // shuffle parallelism, so it scales with the deployment.
-    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e
       .join(deg, Seq("__src"))
-      .repartition(nParts, col("__src"))
       .persist()
     // Round-17 superstep restructure (opt guide §2.4 "remove shuffles
     // outright"): the rank frame CARRIES its node's static dangling
@@ -129,6 +126,7 @@ object Graph {
     // still references — the caller gets a self-contained frame and
     // the session cache stays clean (no leaked entries across calls)
     val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+    e.unpersist(false)
     eDeg.unpersist(false)
     nodes.unpersist(false)
     out
@@ -188,16 +186,18 @@ object Graph {
       damping: Double = 0.85, materializeEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // one edge shuffle for dedup + degrees + eDeg — [[pageRank]]'s
+    // round-17 batch-6 shape (shared __src exchange)
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint()
+      .repartition(nParts, col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .persist()
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-    // explicit partition count — same rationale as [[pageRank]]
-    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e
       .join(deg, Seq("__src"))
-      .repartition(nParts, col("__src"))
       .persist()
     // teleport mass AND the static dangling flag ride the node frame
     // (same round-17 superstep restructure as [[pageRank]]: dangling
@@ -259,6 +259,7 @@ object Graph {
     }
     // materialize-then-unpersist, the [[pageRank]] cleanup contract
     val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+    e.unpersist(false)
     eDeg.unpersist(false)
     nodes0.unpersist(false)
     out
