@@ -2013,9 +2013,14 @@ object ExtQueries {
     * reduction order (~1e-14) vs the 5e-7 rounding grid. */
   private def x96(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // w feeds TWO consumers (the global-median branch and the final
+    // keep projection); the dsir election join+groupBy above the
+    // operator's internal checkpoint would re-execute per consumer —
+    // cut the 1-row-per-doc result once, eagerly (round-17, §1.2)
     val w = graft.ext.ImportanceSampling.dsirLogWeights(docs, "doc_id",
         "text", col("source") === "src0", buckets = 1024)
       .withColumn("logw_r", roundz(col("logw"), 6))
+      .localCheckpoint(true)
     // GLOBAL median: the constant-group discreteQuantiles call is the
     // folded-partition-key trap (see Scale.discreteQuantilesGlobal)
     val med = graft.operators.Scale.discreteQuantilesGlobal(
