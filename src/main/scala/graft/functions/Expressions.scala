@@ -630,4 +630,167 @@ object Expressions {
 
   def hyperplaneRanked(vec: Column, planes: Array[Array[Double]]): Column =
     col(HyperplaneRankedExpr(ex(vec), planes))
+
+  /** Dot product of two numeric arrays in one loop — the HOF
+    * formulation (`aggregate(zip_with(...))`) pays an interpreted
+    * lambda call per element. Semantics replicated exactly: terms
+    * x·y in DOUBLE, accumulated ascending (same IEEE order); NULL
+    * result for a null input, a length mismatch (zip_with null-pads
+    * the short side and `acc + null` sticks) or any null element. */
+  case class DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val lf = isFloat(left)
+    @transient private lazy val rf = isFloat(right)
+
+    /** Boxed so the degenerate cases can yield SQL NULL from inside
+      * the null-safe codegen template. */
+    def dotBoxed(l: Any, r: Any): java.lang.Double = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+      var s = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = dotBoxed(l, r)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotExpr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, (l, r) => s"""
+        java.lang.Double gDot = $ref.dotBoxed($l, $r);
+        ${ev.isNull} = (gDot == null);
+        ${ev.value} = (gDot == null) ? -1.0 : gDot.doubleValue();""")
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): DotExpr = copy(l, r)
+  }
+
+  /** Symmetric int8 quantization in one loop per row. The HOF
+    * formulation's per-element lambda referenced the per-vector scale
+    * (`array_max(transform(abs))`) INSIDE the lambda body — HOF
+    * subtrees are CSE-exempt, so the dim-length max pass re-evaluated
+    * per element (dim² interpreted work per row; the lexicalDiversity
+    * trap). Exact semantics replicated:
+    *  - scale = max of |x| over non-null elements (null when the
+    *    array is null, empty, or all-null — array_max's null rule;
+    *    NaN wins any max, Spark's nan-greatest ordering);
+    *  - scale == 0.0 → q = 0 for every non-null element (the
+    *    zero-vector branch maps null elements to null too: transform
+    *    preserves element nullability);
+    *  - else q_i = int-cast(HALF_UP-round(x_i·127.0/scale)) with
+    *    Spark's Round rule (NaN/Infinity pass through the round, the
+    *    non-ANSI double→int cast then clamps: NaN→0, ±Inf→
+    *    Int.Max/Min) and null elements stay null;
+    *  - a NULL INPUT yields a NON-null struct of (null, null) — the
+    *    struct() constructor never nulls out, so the expression is
+    *    non-nullable with custom null handling, like
+    *    [[HyperplaneRankedExpr]]. */
+  case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("q", ArrayType(IntegerType, containsNull = true)),
+      StructField("scale", DoubleType, nullable = true)))
+    override def nullable: Boolean = false
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    /** Spark's `round(...).cast("int")` under ANSI (this engine's
+      * sessions run Spark 4's ANSI-on default everywhere): round
+      * passes NaN/±Infinity through unchanged and the ANSI int cast
+      * then throws CAST_OVERFLOW — replicated unconditionally. Finite
+      * quantized values can never overflow (|x| ≤ scale ⇒ |q| ≤ 127). */
+    private def sparkRoundToInt(v: Double): Int = {
+      if (v.isNaN || v.isInfinite)
+        throw new ArithmeticException(
+          s"[CAST_OVERFLOW] The value $v of the type \"DOUBLE\" cannot " +
+            "be cast to \"INT\" due to an overflow.")
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toInt
+    }
+
+    def quantize(input: Any): Any = {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val out = new Array[Any](2)
+      if (input == null) {
+        out(0) = null; out(1) = null
+        return new GenericInternalRow(out)
+      }
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      // pass 1: scale = array_max(transform(a, abs)) — nulls skipped,
+      // NaN greatest (Spark ordering)
+      var scale: java.lang.Double = null
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val v = math.abs(
+            if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+          // Spark's nan-greatest max ordering (NaN above any double,
+          // NaN == NaN, -0.0 == 0.0 — the primitive > gives the last)
+          val cur = if (scale == null) Double.NegativeInfinity
+            else scale.doubleValue()
+          val greater =
+            if (v.isNaN) scale == null || !cur.isNaN
+            else if (cur.isNaN) false
+            else v > cur
+          if (scale == null || greater) scale = java.lang.Double.valueOf(v)
+        }
+        i += 1
+      }
+      // pass 2: quantize. scale == 0.0 → zero branch, whose HOF lambda
+      // is the CONSTANT 0 — it maps even NULL elements to 0 (transform
+      // evaluates the body for null elements too). Otherwise branch:
+      // null elements stay null (null division); null scale (all-null
+      // or empty array) nulls every division.
+      val q = new Array[Any](n)
+      val zero = scale != null && scale.doubleValue() == 0.0
+      i = 0
+      while (i < n) {
+        if (zero) q(i) = 0
+        else if (scale != null && !a.isNullAt(i)) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          q(i) = sparkRoundToInt(x * 127.0 / scale.doubleValue())
+        } // else: stays null
+        i += 1
+      }
+      out(0) = new GenericArrayData(q)
+      out(1) = scale
+      new GenericInternalRow(out)
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      quantize(child.eval(input))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val ref = ctx.addReferenceObj("quantInt8", this, getClass.getName)
+      ev.copy(code = code"""${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          (org.apache.spark.sql.catalyst.InternalRow) $ref.quantize(
+            ${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeInt8Expr =
+      copy(child = c)
+  }
+
+  def dotProduct(a: Column, b: Column): Column = col(DotExpr(ex(a), ex(b)))
+
+  def quantizeInt8(vec: Column): Column = col(QuantizeInt8Expr(ex(vec)))
 }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Dot product of two equal-length float arrays, accumulated in
-    * double, left-to-right (deterministic). */
-  def dot(a: Column, b: Column): Column =
+    * double, left-to-right (deterministic). Codegen expression since
+    * round-17 (one loop per row instead of an interpreted lambda per
+    * element); bit-identical incl. the null/length-mismatch edges —
+    * pinned against the retained HOF sibling in VectorExprEquivSpec. */
+  def dot(a: Column, b: Column): Column = Expressions.dotProduct(a, b)
+
+  /** Pre-round-17 HOF formulation — differential oracle for
+    * VectorExprEquivSpec only. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -35,8 +42,17 @@ object VectorFunctions {
 
   /** Symmetric int8 quantization: round(x·127/scale) clamped to
     * [-127,127], with the per-vector scale = max(|x|). Storage drops
-    * 4× (float32→int8); recall loss is the standard SQ8 trade. */
-  def quantizeInt8(a: Column): Column = {
+    * 4× (float32→int8); recall loss is the standard SQ8 trade.
+    * Codegen expression since round-17: the HOF form's per-element
+    * lambda referenced the dim-length `array_max` scale subtree
+    * INSIDE the lambda (HOF subtrees are CSE-exempt), re-evaluating
+    * it per element — dim² interpreted work per row. Bit-identical
+    * semantics pinned in VectorExprEquivSpec. */
+  def quantizeInt8(a: Column): Column = Expressions.quantizeInt8(a)
+
+  /** Pre-round-17 HOF formulation — differential oracle for
+    * VectorExprEquivSpec only. */
+  private[graft] def quantizeInt8Hof(a: Column): Column = {
     val scale = array_max(transform(a, x => abs(x.cast("double"))))
     struct(
       when(scale === 0.0,
