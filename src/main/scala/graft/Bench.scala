@@ -563,8 +563,10 @@ object Bench {
     }
 
   /** The stdout emission: Seq(full contract line, compact summary
-    * line). Order matters — summary LAST so the driver's 2000-char
-    * tail always contains it whole. */
+    * line, per-query parse-target line). Order matters — the final
+    * line is the driver's parse target (last whole JSON object in its
+    * ~2 KB stdout tail) and must land LAST; the summary's flags ride
+    * immediately above it for tail readers with a wider window. */
   private[graft] def outputLines(total: Double,
       results: Seq[(String, Double)], errors: Map[String, String],
       calBefore: RunSample, calAfter: RunSample, sfDir: String,
@@ -573,7 +575,47 @@ object Bench {
       contractLine(total, results, errors, calBefore, calAfter, sfDir,
         contended),
       summaryLine(total, results, errors, calBefore, calAfter, sfDir,
-        contended, requeued))
+        contended, requeued),
+      finalLine(total, results, errors, sfDir))
+
+  /** Byte budget for [[finalLine]]: the driver's OBSERVED tail capture
+    * is 2000 chars (BENCH_r1..r6 artifacts, all exactly 2000); leave
+    * ~200 B for sbt epilogue/flush slack, same engineering margin the
+    * summary line has carried since round 8. */
+  private[graft] val FinalLineBudget = 1800
+
+  /** The driver parse target (round-18, VERDICT r17 item 1): rounds 16
+    * and 17 were per-query BLIND (`PERF n_common: 0`) because the last
+    * stdout JSON object — the summary — carries no `queries` map and
+    * the full contract line above it overflows the driver's ~2 KB tail
+    * window. This line restores the per-query contract INSIDE the
+    * window: `queries` holds as many entries as fit
+    * [[FinalLineBudget]], ordered by DESCENDING cost so the heavy
+    * queries (the only ones whose regressions are measurable) are
+    * always present, and `queries_truncated` counts the omitted cheap
+    * tail — those entries' numbers stay in the full line above and in
+    * bench_diag.json. Values are [[secStr]] seconds, same unit and
+    * precision as every previous round's contract line. */
+  private[graft] def finalLine(total: Double,
+      results: Seq[(String, Double)], errors: Map[String, String],
+      sfDir: String): String = {
+    // descending cost; name tiebreak keeps the order deterministic
+    val entries = results.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + secStr(v) }
+    def render(n: Int): String =
+      s"""{"metric":"total","value":${secStr(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size}""" +
+        (if (errors.nonEmpty) s""","n_errors":${errors.size}""" else "") +
+        s""","queries":${entries.take(n).mkString("{", ",", "}")},""" +
+        s""""queries_truncated":${results.size - n},"sf":"$sfDir"}"""
+    var n = entries.length
+    var line = render(n)
+    while (n > 0 && line.length > FinalLineBudget) {
+      n -= 1
+      line = render(n)
+    }
+    line
+  }
 
   /** Compact tail-window summary: headline total, surface/error
     * counts, the median and worst per-query ratios vs

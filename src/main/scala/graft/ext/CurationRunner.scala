@@ -175,11 +175,19 @@ object CurationRunner {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.Try
       val fOut = Future { out.write.mode("overwrite").parquet(s"$dir/v$next") }
       val fOvf = Future {
         overflow.write.mode("overwrite").parquet(s"$dir/overflow_v$next") }
-      Await.result(fOut, Duration.Inf)
-      Await.result(fOvf, Duration.Inf)
+      // Await BOTH before propagating either failure: returning (or
+      // throwing) with a write still in flight would let a retry's
+      // fresh overwrite of the same directory race the orphaned job's
+      // _temporary cleanup and corrupt the snapshot the marker then
+      // publishes.
+      val rOut = Try(Await.result(fOut, Duration.Inf))
+      val rOvf = Try(Await.result(fOvf, Duration.Inf))
+      rOut.get
+      rOvf.get
     }
     // stage-then-rename onto a NEVER-pre-existing final name: a crash
     // anywhere before the rename leaves the previous marker the

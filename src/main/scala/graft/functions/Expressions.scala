@@ -640,6 +640,12 @@ object Expressions {
   case class DotExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // The degenerate cases (length mismatch, null element) yield SQL
+    // NULL even when both inputs are non-null, so the default
+    // child-driven nullability would mis-declare the expression
+    // non-nullable (and nullSafeCodeGen would inline the result block
+    // as a single expression — uncompilable Java).
+    override def nullable: Boolean = true
     private def isFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType
     @transient private lazy val lf = isFloat(left)
@@ -671,10 +677,11 @@ object Expressions {
     override def nullSafeEval(l: Any, r: Any): Any = dotBoxed(l, r)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("dotExpr", this, getClass.getName)
+      val tmp = ctx.freshName("gDot")
       nullSafeCodeGen(ctx, ev, (l, r) => s"""
-        java.lang.Double gDot = $ref.dotBoxed($l, $r);
-        ${ev.isNull} = (gDot == null);
-        ${ev.value} = (gDot == null) ? -1.0 : gDot.doubleValue();""")
+        java.lang.Double $tmp = $ref.dotBoxed($l, $r);
+        ${ev.isNull} = ($tmp == null);
+        ${ev.value} = ($tmp == null) ? -1.0 : $tmp.doubleValue();""")
     }
     override protected def withNewChildrenInternal(l: Expression,
         r: Expression): DotExpr = copy(l, r)
@@ -708,18 +715,24 @@ object Expressions {
     @transient private lazy val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-    /** Spark's `round(...).cast("int")` under ANSI (this engine's
-      * sessions run Spark 4's ANSI-on default everywhere): round
-      * passes NaN/±Infinity through unchanged and the ANSI int cast
-      * then throws CAST_OVERFLOW — replicated unconditionally. Finite
+    /** Spark's `round(...).cast("int")`: round passes NaN/±Infinity
+      * through unchanged; the int cast then throws CAST_OVERFLOW under
+      * ANSI (this engine's sessions run Spark 4's ANSI-on default) or,
+      * in a legacy non-ANSI session, clamps the way the HOF
+      * formulation's cast did (NaN→0, ±Inf→Int.Max/Min). Finite
       * quantized values can never overflow (|x| ≤ scale ⇒ |q| ≤ 127). */
     private def sparkRoundToInt(v: Double): Int = {
-      if (v.isNaN || v.isInfinite)
-        throw new ArithmeticException(
-          s"[CAST_OVERFLOW] The value $v of the type \"DOUBLE\" cannot " +
-            "be cast to \"INT\" due to an overflow.")
-      java.math.BigDecimal.valueOf(v)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toInt
+      if (v.isNaN || v.isInfinite) {
+        if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+          throw new ArithmeticException(
+            s"[CAST_OVERFLOW] The value $v of the type \"DOUBLE\" cannot " +
+              "be cast to \"INT\" due to an overflow.")
+        else if (v.isNaN) 0
+        else if (v > 0) Int.MaxValue
+        else Int.MinValue
+      } else
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toInt
     }
 
     def quantize(input: Any): Any = {

@@ -67,12 +67,16 @@ class BenchContractSpec extends AnyFunSuite {
     assert(worst.contains("\"queries_full\":\"bench_diag.json\""))
   }
 
-  test("summary line is emitted LAST; full line still carries all queries") {
+  test("final per-query line is emitted LAST; full line carries all queries") {
     val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
     val lines = Bench.outputLines(1.0, real, Map.empty, calPair, calPair,
       "/root/testdata/sf0.1")
-    assert(lines.size === 2)
-    assert(lines.last.contains("\"queries_full\""))
+    assert(lines.size === 3)
+    // parse target: the LAST line must carry the per-query map the
+    // driver diffs across rounds (PERF r16/r17 were blind without it)
+    assert(lines.last.contains("\"queries\":{"))
+    assert(lines.last.contains("\"queries_truncated\":"))
+    assert(lines(1).contains("\"queries_full\""))
     assert(!lines.head.contains("\"queries_full\""))
     // the full line remains the complete per-query record
     assert(real.forall { case (k, _) => lines.head.contains("\"" + k + "\":") })
@@ -157,6 +161,66 @@ class BenchContractSpec extends AnyFunSuite {
     val got = line(flagged.map(_ -> 9.9), Map.empty, flagged)
     assert(got.contains("\"contended\":[\"x01_operator_name\""))
     assert(got.contains("\"more_contended\":2"), got)
+  }
+
+  test("final line fits the driver tail window, whole and parseable") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    // worst realistic load: grown surface, errors present, long totals
+    val real = SparkEntry.queries.toSeq.map(_._1 -> 1.2345)
+    val grown = real ++ (1 to 20).map(i => f"x2$i%02d_operator_nm" -> 9.8765)
+    val errs = grown.take(30).map(t => t._1 -> "boom").toMap
+    val got = Bench.finalLine(123.456, grown, errs, "/root/testdata/sf0.1")
+    assert(got.length <= Bench.FinalLineBudget,
+      s"final line is ${got.length} bytes vs budget ${Bench.FinalLineBudget} " +
+        s"(tail window $TailWindow)")
+    assert(!got.contains('\n'))
+    val node = mapper.readTree(got) // whole-JSON property: must parse
+    assert(node.get("metric").asText === "total")
+    // totals ≥100 s use secStr's 1-decimal encoding → 123.5
+    assert(math.abs(node.get("value").asDouble - 123.456) < 0.06)
+    assert(node.get("unit").asText === "sec")
+    assert(node.get("n_queries").asInt === grown.size)
+    assert(node.get("n_errors").asInt === 30)
+    val qs = node.get("queries")
+    assert(qs.size + node.get("queries_truncated").asInt === grown.size)
+    assert(node.get("sf").asText === "/root/testdata/sf0.1")
+  }
+
+  test("final line keeps the MOST EXPENSIVE queries, truncates the cheap tail") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    // realistic cost distribution: heavy queries must all survive
+    val names = SparkEntry.queries.toSeq.map(_._1)
+    val costs = names.zipWithIndex.map { case (k, i) =>
+      k -> (0.05 + 0.04 * i) } // 0.05 .. ~7 s, unique values
+    val got = Bench.finalLine(costs.map(_._2).sum, costs, Map.empty,
+      "/root/testdata/sf0.1")
+    val node = mapper.readTree(got)
+    val qsNode = node.get("queries")
+    val shown = qsNode.fieldNames().asScala
+      .map(k => k -> qsNode.get(k).asDouble).toSeq
+    // descending-cost order, and every omitted entry is cheaper than
+    // every shown one
+    assert(shown.map(_._2) === shown.map(_._2).sortBy(-(_: Double)))
+    val shownKeys = shown.map(_._1).toSet
+    val omitted = costs.filterNot(c => shownKeys(c._1))
+    if (omitted.nonEmpty && shown.nonEmpty)
+      assert(omitted.map(_._2).max <= shown.map(_._2).min + 1e-9)
+    // the driver needs a usable comparison set: on today's 173-query
+    // surface the budget must admit a substantial majority
+    assert(shown.size >= 70, s"only ${shown.size} entries fit")
+    assert(node.get("queries_truncated").asInt === costs.size - shown.size)
+  }
+
+  test("final line: no truncation when everything fits") {
+    val few = Seq("q1_project" -> 1.0, "x1_dedup_exact" -> 0.5)
+    val got = Bench.finalLine(1.5, few, Map.empty, "/sf")
+    assert(got.contains("\"queries_truncated\":0"))
+    assert(got.contains("\"q1_project\":1"))
+    assert(got.contains("\"x1_dedup_exact\":0.5"))
+    assert(!got.contains("n_errors"))
   }
 
   test("median: odd, even, empty") {
