@@ -1941,6 +1941,24 @@ object ExtQueries {
     * identical recurrence as three CTE steps. Ranks emitted rounded to
     * 9dp on both sides (group-sum reduction order is the only
     * cross-engine difference, ~1e-15 — margin probed). */
+  /** Long-typed node encoding for the trade graph (round-18, opt
+    * guide §2.3 "narrower types"): node = (key << 2) | tag with tag
+    * c=0, s=1, n=2 — injective, so the graph computed is ISOMORPHIC
+    * to the old string-labeled one (same nodes, edges, degrees,
+    * ranks), while every superstep shuffle and the persisted
+    * adjacency carry an 8-byte long instead of a 16+-byte string.
+    * [[graphNodeLabel]] decodes back to the EXACT declared string
+    * label ("c123"/"s42"/"n7") in the final projection only. */
+  private def graphNodeId(tag: Int, key: Column): Column =
+    shiftleft(key.cast("long"), 2).bitwiseOR(lit(tag.toLong))
+
+  private def graphNodeLabel(node: Column): Column =
+    concat(
+      when(node.bitwiseAND(lit(3L)) === 0L, lit("c"))
+        .when(node.bitwiseAND(lit(3L)) === 1L, lit("s"))
+        .otherwise(lit("n")),
+      shiftright(node, 2).cast("string"))
+
   private def x94(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     // spread: the edge build probes 600k lineitem rows against the
@@ -1949,14 +1967,15 @@ object ExtQueries {
     val supplier = t(s, dir, "supplier")
     val trade = orders
       .join(li, orders("o_orderkey") === li("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select(graphNodeId(0, col("o_custkey")).as("src"),
+        graphNodeId(1, col("l_suppkey")).as("dst"))
     val affil = supplier.select(
-      concat(lit("s"), col("s_suppkey")).as("src"),
-      concat(lit("n"), col("s_nationkey")).as("dst"))
+      graphNodeId(1, col("s_suppkey")).as("src"),
+      graphNodeId(2, col("s_nationkey")).as("dst"))
     graft.operators.Graph.pageRank(trade.union(affil), "src", "dst",
         iterations = 3)
-      .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
+      .select(graphNodeLabel(col("node")).as("node"),
+        roundz(col("rank"), 9).as("rank_r"))
       .orderBy(col("node"))
   }
 
@@ -2142,18 +2161,21 @@ object ExtQueries {
     val orders = t(s, dir, "orders")
     val li = spread(t(s, dir, "lineitem"), "l_orderkey") // the x94 spread
     val supplier = t(s, dir, "supplier")
+    // long-typed node ids, decoded to the declared string labels in
+    // the final projection only — see [[graphNodeId]]
     val trade = orders
       .join(li, orders("o_orderkey") === li("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select(graphNodeId(0, col("o_custkey")).as("src"),
+        graphNodeId(1, col("l_suppkey")).as("dst"))
     val affil = supplier.select(
-      concat(lit("s"), col("s_suppkey")).as("src"),
-      concat(lit("n"), col("s_nationkey")).as("dst"))
+      graphNodeId(1, col("s_suppkey")).as("src"),
+      graphNodeId(2, col("s_nationkey")).as("dst"))
     val seeds = t(s, dir, "customer").filter(col("c_custkey") < 50)
-      .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      .select(graphNodeId(0, col("c_custkey")).as("seed"))
     graft.operators.Graph.personalizedPageRank(trade.union(affil),
         "src", "dst", seeds, "seed", iterations = 3)
-      .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
+      .select(graphNodeLabel(col("node")).as("node"),
+        roundz(col("rank"), 9).as("rank_r"))
       .orderBy(col("node"))
   }
 

@@ -75,9 +75,16 @@ object Graph {
     // static frames are unpersisted before returning, after the
     // result is materialized. The count is the session's shuffle
     // parallelism, so it scales with the deployment.
+    // Node ids keep the CALLER's type (round-18, guide §2.3 "narrower
+    // types"): the old unconditional cast("string") made every
+    // superstep shuffle and the persisted adjacency carry wide strings
+    // even when the source ids are longs — a long id is 8 bytes in an
+    // UnsafeRow where a short string is 16+, and hashes/compares
+    // cheaper in every join and groupBy. Callers that want a string
+    // node label cast in their own final projection.
     val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst"))
+    val e = edges.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .repartition(nParts, col("__src"))
       .dropDuplicates("__src", "__dst")
@@ -188,9 +195,10 @@ object Graph {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // one edge shuffle for dedup + degrees + eDeg — [[pageRank]]'s
     // round-17 batch-6 shape (shared __src exchange)
+    // node ids keep the caller's type — see [[pageRank]] (round-18)
     val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col(srcCol).cast("string").as("__src"),
-      col(dstCol).cast("string").as("__dst"))
+    val e = edges.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .repartition(nParts, col("__src"))
       .dropDuplicates("__src", "__dst")
@@ -216,9 +224,13 @@ object Graph {
     // per-node teleport share 1/|S| is folded in with ONE cheap
     // projection below instead of being baked into the persisted rows.
     // Same seed-intersection semantics (left join + flag ⊇ left_semi).
+    // seeds are cast to the EDGE frame's id type (for string edges this
+    // is the old cast("string"); for narrow-typed edges the join stays
+    // narrow instead of coercing the node side wide)
+    val idType = e.schema("__src").dataType
     val nodes0 = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
-      .join(seeds.select(col(seedCol).cast("string").as("node"))
+      .join(seeds.select(col(seedCol).cast(idType).as("node"))
           .distinct().withColumn("__isSeed", lit(true)),
         Seq("node"), "left")
       .join(deg.select(col("__src").as("node"), lit(true).as("__out")),

@@ -71,4 +71,58 @@ class GraphSuperstepPlanSpec extends SparkSpec {
       nodes.unpersist(false)
     }
   }
+
+  test("long-typed edges keep every superstep exchange long-typed " +
+      "(round-18: no forced cast to string)") {
+    import org.apache.spark.sql.types.LongType
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("__src", "__dst").distinct().localCheckpoint()
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg, Seq("__src"))
+      .repartition(nParts, col("__src")).persist()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(deg.select(col("__src").as("node"), lit(true).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("__dang"))
+      .repartition(nParts, col("node"))
+      .sortWithinPartitions(col("node"))
+      .persist()
+    val n = nodes.count()
+    try {
+      val ranks = nodes.select(col("node"), col("__dang"),
+        (lit(1.0) / n).as("rank"))
+      val step1 = graft.operators.Graph.pageRankSuperstep(
+        nodes, eDeg, ranks, n, 0.85)
+      val step2 = graft.operators.Graph.pageRankSuperstep(
+        nodes, eDeg, step1.localCheckpoint(true), n, 0.85)
+      step2.write.mode("overwrite").format("noop").save()
+      val plan = step2.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      var nShuffles = 0
+      plan.foreach {
+        case ex: ShuffleExchangeExec =>
+          nShuffles += 1
+          ex.output.filter(a =>
+            Set("__src", "__dst", "node").contains(a.name)).foreach { a =>
+            assert(a.dataType == LongType,
+              s"exchange carries ${a.name}: ${a.dataType} — the node id " +
+                "widened on its way into a shuffle")
+          }
+        case _ => ()
+      }
+      assert(nShuffles == 2, s"steady-state superstep plans $nShuffles " +
+        "shuffles, expected exactly 2")
+      // and the operator's public surface preserves the caller's type
+      val pr = graft.operators.Graph.pageRank(
+        Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", iterations = 1)
+      assert(pr.schema("node").dataType == LongType)
+    } finally {
+      eDeg.unpersist(false)
+      nodes.unpersist(false)
+    }
+  }
 }
