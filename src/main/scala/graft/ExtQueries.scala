@@ -3001,13 +3001,12 @@ object ExtQueries {
       .localCheckpoint(true)
     val evens = hashed.filter(col("doc_id") % 2 === 0)
     val odds = hashed.filter(col("doc_id") % 2 === 1)
-    // the PRIOR update: curate the even corpus from scratch (x137)
-    val evenPairs = Multimodal.hashNearDup(evens, "doc_id", "ph",
+    // the PRIOR update: curate the even corpus from scratch — the
+    // round-18 linear one-shot (≡ the composed x137 pipeline,
+    // CurateOneShotSpec): at h = 0 ONE class aggregate replaces the
+    // even-phase Σk² clique pairs + components round-trip
+    val survivors = Dedup.curateOneShot(evens, "doc_id", "ph", "quality",
       maxHamming = 0)
-    val evenLabels = Dedup.components(evenPairs, aCol = "id_a", bCol = "id_b")
-    val survivors = Dedup.keepBestInGroups(
-      evens.select(col("doc_id"), col("quality"), col("ph")),
-      evenLabels, "doc_id", "quality")
     // THIS update: screen the odd batch against it and re-elect.
     // odds is a filter of the checkpointed hashed frame — vouch it
     Dedup.curateIncrement(survivors, odds, "doc_id", "ph", "quality",
@@ -3035,11 +3034,16 @@ object ExtQueries {
         mediaSeed(col("doc_id")).cast("int")).as("img"),
       (T.qualityScore(col("n_tokens"), col("stop_hits"), col("len_chars"))
         .cast("long") * lit(4294967296L) + col("n_tokens")).as("quality"))
-    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
-      maxHamming = 0)
-    val labels = Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
-    Dedup.keepBestInGroups(docs.select(col("doc_id"), col("quality")),
-        labels, "doc_id", "quality")
+    // round-18: the linear-candidate one-shot curation — identical
+    // output to the composed pairs→components→keepBest pipeline
+    // (CurateOneShotSpec is the differential proof; x137 keeps the
+    // composed showcase declared verbatim), with ONE decode wave into
+    // a single map-side-combining class aggregate instead of Σk²
+    // clique pairs + a components round-trip (opt guide §1.2)
+    Dedup.curateOneShot(
+        docs.select(col("doc_id"),
+          PixelDecode.imageDHashAny(col("img")).as("ph"), col("quality")),
+        "doc_id", "ph", "quality", maxHamming = 0)
       .select(col("doc_id"), col("quality"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
@@ -3068,11 +3072,15 @@ object ExtQueries {
       .otherwise(graft.ext.ImageIoDecode.synthJpegCells(seed, lit(90)))
     val docs = ids.select(col("doc_id"), blob.as("img"),
       (col("doc_id") % 7).as("quality"))
-    val pairs = Multimodal.imageNearDup(docs, "doc_id", "img",
-      maxHamming = 3)
-    val labels = Dedup.components(pairs, aCol = "id_a", bCol = "id_b")
-    Dedup.keepBestInGroups(docs.select(col("doc_id"), col("quality")),
-        labels, "doc_id", "quality")
+    // round-18 linear-candidate curation at the REAL hamming-3
+    // threshold: classes collapse first, only one representative per
+    // distinct hash enters the pair search + components — identical
+    // output to the composed pipeline (CurateOneShotSpec), Σk clique
+    // mass removed from the mixed-format decode path (guide §1.2)
+    Dedup.curateOneShot(
+        docs.select(col("doc_id"),
+          PixelDecode.imageDHashAny(col("img")).as("ph"), col("quality")),
+        "doc_id", "ph", "quality", maxHamming = 3)
       .select(col("doc_id"), col("quality"), col("n_copies"))
       .orderBy(col("doc_id"))
   }

@@ -806,6 +806,86 @@ object Dedup {
     (labels, hotSelf, hotCross)
   }
 
+  /** ONE-SHOT near-dup curation over a precomputed 64-bit hash —
+    * result-identical to the composed pipeline
+    * `Multimodal.hashNearDup(docs) → components → keepBestInGroups`
+    * (x137's showcase shape, which stays declared verbatim), computed
+    * in LINEAR candidate space (round-18, opt guide §1.2 "the
+    * distributed algorithm" / §2.3 "aggregate before you shuffle"):
+    *
+    *  1. docs collapse to their full-hash EQUALITY CLASSES in one
+    *     map-side-combining groupBy carrying each class's size, min id
+    *     (= the component label a class clique would produce) and
+    *     per-class winner partial (`min(struct(nullflag, -q, id))` —
+    *     associative, so per-class partials combine exactly);
+    *  2. `maxHamming == 0`: classes ARE the groups (hash equality is
+    *     transitive) — no pair generation, no components, no driver
+    *     traffic: Σk rows instead of Σk² clique pairs per class;
+    *  3. `maxHamming > 0`: only ONE REPRESENTATIVE per distinct hash
+    *     (the class min id) enters the chunk-pigeonhole pair search +
+    *     [[components]] — hamming is a function of the hash VALUES, so
+    *     the doc-level component partition equals (class cliques ∪
+    *     representative pairs)'s, and the rep labels (min rep id = min
+    *     doc id of the merged component) match the composed labels;
+    *     merged groups fold the per-class partials (sum of sizes, min
+    *     of winner structs).
+    *
+    * Null-hash docs never pair (the hashNearDup contract) and pass
+    * through with n_copies = 1, exactly as the composed pipeline's
+    * ungrouped fall-through. Differential spec:
+    * CurateOneShotSpec (vs the composed pipeline, over random
+    * clustered geometries with cross-class near-collisions, null
+    * hashes, null/tied qualities).
+    *
+    * @return (idCol, hashCol, qualityCol, n_copies) — the surviving
+    *         member per group with the group's size; feeds
+    *         [[curateIncrement]] directly as its survivor set
+    */
+  def curateOneShot(docs: DataFrame, idCol: String, hashCol: String,
+      qualityCol: String, maxHamming: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol), col(hashCol), col(qualityCol))
+    val nnFlag = when(col(qualityCol).isNull, lit(1)).otherwise(lit(0))
+    // Null-hash rows never pair and pass through individually — they
+    // are folded into THE SAME aggregate as singleton groups keyed by
+    // their own id (a separate `base.filter(hash isNull)` branch would
+    // be a SECOND full pass over the upstream pipeline — for the media
+    // callers, a second decode wave; one grouping key does both).
+    // Winner struct: (null-flag, -quality, id) is the keepBest election
+    // ordering and is UNIQUE per doc (id is), so the trailing payload
+    // fields (the winner's hash and quality) never influence the min.
+    val classes = base
+      .groupBy(col(hashCol).as("__ph"),
+        when(col(hashCol).isNull, col(idCol)).as("__nullKey"))
+      .agg(min(col(idCol)).as("__rep"),
+        count(lit(1)).as("__k"),
+        min(struct(nnFlag.as("nn"), (-col(qualityCol)).as("nq"),
+          col(idCol).as("wid"), col(hashCol).as("wph"),
+          col(qualityCol).as("wq"))).as("__w"))
+    val merged =
+      if (maxHamming == 0)
+        // hash equality is transitive: classes ARE the groups — one
+        // lazy DAG, no pair generation, no components, no extra jobs
+        classes.select(col("__k").as("n_copies"), col("__w"))
+      else {
+        // classes feeds two consumers (the rep pair search and the
+        // merge join) and its upstream is typically an expensive
+        // decode pipeline — cut it ONCE (distinct-hash cardinality,
+        // ~40 B/row), then both consumers read the checkpoint
+        val classesM = classes.localCheckpoint(true)
+        val reps = classesM.filter(col("__ph").isNotNull)
+          .select(col("__rep").as("__rid"), col("__ph"))
+        val (repPairs, _) = Multimodal.hashNearDupCapped(reps, "__rid",
+          "__ph", maxHamming, maxBucket = None, inputMaterialized = true)
+        val repLabels = components(repPairs, aCol = "id_a", bCol = "id_b")
+          .withColumnRenamed("doc_id", "__rep")
+        classesM.join(repLabels, Seq("__rep"), "left")
+          .groupBy(coalesce(col("group_id"), col("__rep")).as("__g"))
+          .agg(sum(col("__k")).as("n_copies"), min(col("__w")).as("__w"))
+      }
+    merged.select(col("__w.wid").as(idCol), col("__w.wph").as(hashCol),
+      col("__w.wq").as(qualityCol), col("n_copies"))
+  }
+
   /** Corpus-level first-occurrence span dedup (the C4-style "remove
     * any span that already occurred anywhere earlier in the corpus"
     * pass): documents are cut into consecutive `spanTokens`-token
