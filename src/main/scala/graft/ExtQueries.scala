@@ -1995,24 +1995,23 @@ object ExtQueries {
       0L -> Seq("spark", "vector", "merge"),
       1L -> Seq("join", "filter", "scan"),
       2L -> Seq("batch", "window", "stream"))
-    // window-free rank that STAYS IN ONE LAZY DAG: the ≤20-row top-k
-    // collapses to a single array row, array_sort orders it (score
-    // desc via negation, doc_id asc — struct sort is lexicographic by
-    // field position) and posexplode's ordinal is the rank. bm25
-    // executes exactly once per term set and all three branches plan
-    // into the same job, like the r15 shape — the distributed
-    // denseIds re-executed each bm25 pipeline in its range-sampling
-    // pass (3.6× on this query, bench r16), and a bounded-collect
-    // rank serialized the three branches into separate jobs (2.6×)
-    val lex = termSets.map { case (qid, terms) =>
-      graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20)
-        .agg(collect_list(struct((-col("score")).as("__negs"),
-          col("doc_id").as("doc_id"))).as("__arr"))
-        .select(posexplode(array_sort(col("__arr")))
-          .as(Seq("__pos", "__e")))
-        .select(lit(qid).as("query_id"), col("__e.doc_id").as("doc_id"),
-          (col("__pos") + 1).cast("long").as("rank"))
-    }.reduce(_ unionAll _)
+    // round-18: ONE corpus tokenize for all three term sets
+    // (`bm25TopKMulti` — the three separate bm25 branches each re-ran
+    // the full tokenize + tf scan; RetrievalSpec pins bit-equality
+    // with the per-set form). Rank stays the window-free trick: the
+    // ≤20-row top-k per query collapses to one array row grouped by
+    // query_id, array_sort orders it (score desc via negation, doc_id
+    // asc — struct sort is lexicographic by field position) and
+    // posexplode's ordinal is the rank.
+    val lex = graft.ext.Retrieval.bm25TopKMulti(docs, "doc_id", "text",
+        termSets, 20)
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct((-col("score")).as("__negs"),
+        col("doc_id").as("doc_id"))).as("__arr"))
+      .select(col("query_id"), posexplode(array_sort(col("__arr")))
+        .as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.doc_id").as("doc_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
     val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", k = 20)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))

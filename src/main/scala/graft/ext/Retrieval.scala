@@ -97,6 +97,79 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** MULTI-QUERY top-k: result-identical to one [[bm25TopK]] per query
+    * set (BM25Spec pins bit-equality), but the corpus is tokenized
+    * ONCE for all of them (round-18, opt guide §1.2 — a hybrid-
+    * retrieval stack runs its whole query batch against the same
+    * corpus; N separate bm25 branches each re-ran the full tokenize +
+    * tf scan). One spread scan computes doc length and the tf of every
+    * DISTINCT term across the batch and is cut eagerly (narrow rows:
+    * id + one long per distinct term — a fraction of the text bytes);
+    * one aggregate produces the shared corpus statistics (N and avgdl
+    * are query-independent, per-term df is per distinct term); each
+    * query is then a TakeOrderedAndProject heap over the cached narrow
+    * frame, with its score summed in ITS OWN term order so the IEEE
+    * addition order matches the single-query form exactly.
+    *
+    * @param querySets (query_id, terms) — each term bag validated by
+    *                  the [[bm25]] rules; query ids must be distinct
+    * @return (query_id, idCol, n_matched, score): the top k per query,
+    *         ties broken by id — the per-query rows equal
+    *         `bm25TopK(df, …, terms, k)` exactly
+    */
+  def bm25TopKMulti(df: DataFrame, idCol: String, textCol: String,
+      querySets: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(querySets.nonEmpty, "at least one query set required")
+    require(querySets.map(_._1).distinct.size == querySets.size,
+      s"duplicate query ids in ${querySets.map(_._1)}")
+    val qs = querySets.map { case (qid, terms) =>
+      val q = terms.map(_.toLowerCase)
+      require(q.nonEmpty, "at least one query term required")
+      require(q.forall(_.nonEmpty), "empty query term")
+      require(q.distinct == q, s"duplicate query terms in $terms")
+      qid -> q
+    }
+    val allTerms = qs.flatMap(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    val toks = array_remove(split(lower(col(textCol)), "\\s+"), "")
+    def tfCol(i: Int) = col(s"__tf_$i")
+    // ONE tokenize wave over the corpus for the whole query batch,
+    // cut eagerly so each query's heap reads cached narrow rows
+    // instead of re-running the scan-side tf arithmetic
+    val perDoc = graft.operators.Scale.spreadScan(df, col(idCol)).select(
+      col(idCol) +: size(toks).cast("long").as("__dl") +:
+        allTerms.zipWithIndex.map { case (t, i) =>
+          (size(toks) - size(array_remove(toks, t))).cast("long")
+            .as(s"__tf_$i")
+        }: _*)
+      .localCheckpoint(true)
+    val statCols = count(lit(1)).as("__n") +: avg(col("__dl")).as("__avgdl") +:
+      allTerms.indices.map(i => sum((tfCol(i) > 0).cast("long")).as(s"__df_$i"))
+    // one stats job over the cached frame, shared by every query
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+      .localCheckpoint(true)
+    qs.map { case (qid, q) =>
+      val idxs = q.map(termIdx)
+      val contributions = idxs.map { i =>
+        val idf = log(lit(1.0) +
+          (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
+        idf * (tfCol(i) * (k1 + 1)) /
+          (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+      }
+      val matched = idxs.map(i => (tfCol(i) > 0).cast("int"))
+      perDoc.crossJoin(broadcast(stats))
+        .select(col(idCol),
+          matched.reduce(_ + _).cast("long").as("n_matched"),
+          contributions.reduce(_ + _).as("score"))
+        .filter(col("n_matched") > 0)
+        .orderBy(col("score").desc, col(idCol)).limit(k)
+        .select(lit(qid).as("query_id"), col(idCol), col("n_matched"),
+          col("score"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Reciprocal-rank fusion: merge ranked lists from heterogeneous
     * retrievers (lexical BM25 next to a dense ANN index — the standard
     * hybrid-retrieval combiner) into one ranking per query:

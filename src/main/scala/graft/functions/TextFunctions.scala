@@ -163,28 +163,41 @@ object TextFunctions {
     * occurrence of each line, preserve order — the per-document half
     * of boilerplate stripping (cross-document boilerplate is the
     * line-frequency variant over an exploded lines table). */
-  def dedupeLines(text: Column): Column =
-    // ONE aggregate pass with a seen-set accumulator: the old
-    // filter + slice + array_position form referenced `lines` inside
-    // the lambda body, re-evaluating split(text) per ELEMENT (the
-    // lexicalDiversity PERF TRAP — measured 60×) on top of an O(i)
-    // scan per line. Blank lines are ALWAYS kept: paragraph
-    // separators are document structure, not boilerplate — deduping
-    // them welded every paragraph after the second together.
-    aggregate(split(text, "\n"),
-      struct(array().cast("array<string>").as("seen"),
-        array().cast("array<string>").as("out")),
-      (acc, l) => {
-        val seen = acc.getField("seen")
-        val out = acc.getField("out")
-        val blank = l === ""
-        val dup = !blank && array_contains(seen, l)
-        struct(
-          when(blank || dup, seen).otherwise(concat(seen, array(l)))
-            .as("seen"),
-          when(dup, out).otherwise(concat(out, array(l))).as("out"))
-      },
-      acc => array_join(acc.getField("out"), "\n"))
+  def dedupeLines(text: Column): Column = {
+    // Sort + neighbor-compare + re-sort (round-18, opt guide §4): the
+    // previous seen-set `aggregate` was O(lines²) INTERPRETED work per
+    // row — an array_contains scan plus an array-copying concat per
+    // line (fine on today's short docs, a scale trap on long ones,
+    // the same class as the lexicalDiversity rewrite). Lines are
+    // tagged with their position, sorted by (line, pos) so the first
+    // occurrence of a line is the first of its run, kept iff blank or
+    // different from the sorted predecessor, and re-sorted by pos to
+    // restore document order — O(n log n) sorts plus trivial-body
+    // per-element lambdas, nothing references an outer subtree from a
+    // lambda body (the CSE-exemption trap). Blank lines are ALWAYS
+    // kept: paragraph separators are document structure, not
+    // boilerplate — deduping them welded every paragraph after the
+    // second together. Equivalence pinned by DedupeLinesRewriteSpec.
+    val tagged = sort_array(transform(split(text, "\n"),
+      (l, i) => struct(l.as("line"), i.as("pos"))))
+    // sentinel head so element k compares against element k-1; the
+    // zip's one-longer left side pads the last cur with null, whose
+    // null keep-flag the filter drops
+    val sentinel = struct(lit(null).cast("string").as("line"),
+      lit(-1).as("pos"))
+    val marked = zip_with(concat(array(sentinel), tagged), tagged,
+      (prev, cur) => struct(cur.getField("pos").as("pos"),
+        cur.getField("line").as("line"),
+        (cur.getField("line") === "" || prev.getField("line").isNull ||
+          prev.getField("line") =!= cur.getField("line")).as("keep")))
+    array_join(
+      transform(
+        sort_array(transform(filter(marked, s => s.getField("keep")),
+          s => struct(s.getField("pos").as("pos"),
+            s.getField("line").as("line")))),
+        s => s.getField("line")),
+      "\n")
+  }
 
   /** Lexical-diversity stats as a struct (n_tokens, n_types, hapax):
     * type-token ratio and hapax share are the standard cheap signals

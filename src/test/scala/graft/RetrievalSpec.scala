@@ -58,6 +58,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size === 2)
   }
 
+  test("bm25TopKMulti ≡ one bm25TopK per query set, bit-exact") {
+    // overlapping term bags (shared tf columns), a term nobody has,
+    // ties, and k larger than the match count — the multi path's
+    // shared scan + per-query-term-order sums must match the
+    // single-query form exactly (packed-bits score equality)
+    val sets = Seq(0L -> Seq("b", "c"), 1L -> Seq("a"),
+      2L -> Seq("c", "zzz", "a"))
+    val multi = Retrieval.bm25TopKMulti(corpus, "doc_id", "text", sets, 3)
+      .select(col("query_id"), col("doc_id"), col("n_matched"), col("score"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3,
+        java.lang.Double.doubleToRawLongBits(r._4))).toSeq).toMap
+    sets.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, 3)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, java.lang.Double.doubleToRawLongBits(r._3)))
+        .toSeq
+      assert(multi.getOrElse(qid, Nil) === single, s"query $qid diverges")
+    }
+  }
+
+  test("bm25TopKMulti rejects duplicate query ids and bad term bags") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKMulti(corpus, "doc_id", "text",
+        Seq(0L -> Seq("a"), 0L -> Seq("b")), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKMulti(corpus, "doc_id", "text",
+        Seq(0L -> Seq("a", "a")), 2)
+    }
+  }
+
   test("tie between identically-profiled docs breaks by id") {
     val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("b"), 3)
       .select("doc_id").as[Long].collect().toSeq
